@@ -1,0 +1,318 @@
+"""`LSHRS` — the user-facing orchestrator, API-compatible with the
+reference class (``/root/reference/lshrs/core/main.py:58-1201``) but where
+every method is a DataFrame program.
+
+Mapping (SURVEY.md §1.3/§2):
+
+* Redis bucket store            -> index DataFrame ``(band, sig, id)``
+  (optionally persisted to Parquet via :meth:`save_to_disk`).
+* ``vector_fetch_fn`` callback  -> :meth:`set_vectors` registers the
+  primary vector DataFrame; candidate fetch is a join.
+* buffered ingest + flush       -> Spark job batching; :meth:`ingest`
+  accumulates driver-side rows and :meth:`flush` materializes them.
+* ``create_signatures(format=...)`` -> ``spark.read.<format>`` dispatch.
+* ``delete``                    -> left-anti join rewrite (vs. the
+  reference's full Redis keyspace scan, ``storage/redis.py:419-505``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import LSHConfig
+from .hashing import hash_vectors_local_long, projection_matrix
+from .operators.index import build_index, read_index, validate_vectors, write_index
+from .operators.probe import candidates, query_signatures_df, rerank, top_p_cutoff
+from .operators.probe import top_k as _probe_top_k
+from .sources.dispatch import resolve_loader
+
+__all__ = ["LSHRS"]
+
+
+class LSHRS:
+    """Spark-native LSH ANN index with the reference's parameter and
+    error contract (``main.py:154-266``)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        dim: int,
+        *,
+        num_perm: int = 128,
+        num_bands: Optional[int] = None,
+        rows_per_band: Optional[int] = None,
+        similarity_threshold: float = 0.5,
+        seed: int = 42,
+        dtype: str = "float32",
+        vectors_df: Optional[DataFrame] = None,
+        id_col: str = "vec_id",
+        vector_col: str = "embedding",
+    ) -> None:
+        self.spark = spark
+        self.cfg = LSHConfig(
+            dim=dim,
+            num_perm=num_perm,
+            num_bands=num_bands,
+            rows_per_band=rows_per_band,
+            similarity_threshold=similarity_threshold,
+            seed=seed,
+            dtype=dtype,
+        )
+        self._id_col = id_col
+        self._vector_col = vector_col
+        self._vectors_df = vectors_df
+        self._index_df: Optional[DataFrame] = None
+        self._pending: list[tuple[int, list[float]]] = []
+
+    # ------------------------------------------------------------------ #
+    # properties
+    # ------------------------------------------------------------------ #
+
+    @property
+    def dim(self) -> int:
+        return self.cfg.dim
+
+    @property
+    def num_bands(self) -> int:
+        return self.cfg.num_bands
+
+    @property
+    def rows_per_band(self) -> int:
+        return self.cfg.rows_per_band
+
+    @property
+    def index_df(self) -> DataFrame:
+        """The live bucket table ``(band, sig, id)`` (empty if nothing
+        indexed)."""
+        self.flush()
+        if self._index_df is None:
+            return self.spark.createDataFrame([], "band int, sig long, id long")
+        return self._index_df
+
+    def set_vectors(self, df: DataFrame, id_col: str = "vec_id",
+                    vector_col: str = "embedding") -> None:
+        """Register the primary vector store (replaces ``vector_fetch_fn``,
+        ``main.py:99-102``) — used by rerank/top-p queries."""
+        self._vectors_df = df
+        self._id_col = id_col
+        self._vector_col = vector_col
+
+    # ------------------------------------------------------------------ #
+    # ingestion (S3, M4 semantics)
+    # ------------------------------------------------------------------ #
+
+    def index_dataframe(self, df: DataFrame, id_col: Optional[str] = None,
+                        vector_col: Optional[str] = None, *, validate: bool = True,
+                        register_vectors: bool = True) -> None:
+        """Bulk-index a vector DataFrame (the batch ``index()`` path,
+        ``main.py:442-518``, minus the per-row Python loop)."""
+        id_col = id_col or self._id_col
+        vector_col = vector_col or self._vector_col
+        idx = build_index(df, self.cfg, id_col, vector_col,
+                          sig_kind="long", validate=validate)
+        self._append_index(idx)
+        if register_vectors and self._vectors_df is None:
+            self.set_vectors(df, id_col, vector_col)
+
+    def index(self, indices: Sequence[int], vectors: np.ndarray) -> None:
+        """Batch-index driver-side arrays; validates count/shape up front
+        (``main.py:504-511``)."""
+        vectors = np.asarray(vectors)
+        if vectors.ndim != 2:
+            raise ValueError("vectors must be a 2-D array")
+        if len(indices) != len(vectors):
+            raise ValueError("Number of indices must match number of vectors")
+        self._validate_ids(indices)
+        df = self._df_from_arrays(indices, vectors)
+        self.index_dataframe(df, "vec_id", "embedding", validate=True)
+
+    def ingest(self, index: int, vector: np.ndarray) -> None:
+        """Single-vector ingest (``main.py:386-411``): buffered driver-side,
+        materialized on :meth:`flush` / next read — mirroring the
+        buffered-not-yet-searchable semantics of the reference."""
+        self._validate_ids([index])
+        vec = self._prepare_vector(vector)
+        self._pending.append((int(index), [float(x) for x in vec]))
+
+    def flush(self) -> None:
+        """Materialize buffered single ingests into the index (M4)."""
+        if not self._pending:
+            return
+        rows, self._pending = self._pending, []
+        df = self.spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        idx = build_index(df, self.cfg, "vec_id", "embedding", sig_kind="long")
+        self._append_index(idx)
+
+    def create_signatures(self, *, format: str = "parquet", **kwargs) -> None:
+        """Format-dispatched bulk ingest (S3, ``main.py:315-384``):
+        ``parquet``/``pq`` and ``postgres``/``pg`` (JDBC) supported."""
+        loader = resolve_loader(format)
+        df, id_col, vector_col = loader(self.spark, **kwargs)
+        self.index_dataframe(df, id_col, vector_col)
+
+    # ------------------------------------------------------------------ #
+    # queries (Q1-Q9)
+    # ------------------------------------------------------------------ #
+
+    def query(self, vector: np.ndarray, *, top_k: Optional[int] = 10,
+              top_p: Optional[float] = None):
+        """Reference query contract (``main.py:524-658``): returns candidate
+        ids ordered by ``(-collisions, id)``; with ``top_p`` set, returns
+        ``(id, score)`` tuples reranked by exact cosine and cut to the
+        proportional prefix ``max(1, ceil(n * top_p))`` (capped by
+        ``top_k``)."""
+        if top_k is not None and top_k <= 0:
+            raise ValueError("top_k must be positive")
+        if top_p is not None and not 0.0 < top_p <= 1.0:
+            raise ValueError("top_p must be in (0, 1]")
+        vec = self._prepare_vector(vector)
+        cands = self._candidates_df(vec)
+        if top_p is None:
+            out = _probe_top_k(cands, top_k).orderBy("rank").select("id").collect()
+            return [r.id for r in out]
+        # -- rerank mode
+        if self._vectors_df is None:
+            raise RuntimeError(
+                "top_p queries require a registered vector source; call set_vectors()"
+            )
+        qdf = self.spark.createDataFrame(
+            [(0, [float(x) for x in vec])], "qid long, qvec array<float>"
+        )
+        scored = rerank(
+            cands, self._vectors_df, qdf,
+            id_col=self._id_col, vector_col=self._vector_col,
+        )
+        out = (
+            top_p_cutoff(scored, top_p, top_k)
+            .orderBy("rank")
+            .select("id", "score")
+            .collect()
+        )
+        return [(r.id, float(r.score)) for r in out]
+
+    def get_top_k(self, vector: np.ndarray, topk: int = 10) -> list[int]:
+        return self.query(vector, top_k=topk, top_p=None)
+
+    def get_above_p(self, vector: np.ndarray, p: float = 0.95):
+        return self.query(vector, top_k=None, top_p=p)
+
+    def query_batch(self, queries_df: DataFrame, *, top_k: int = 10,
+                    id_col: str = "qid", vector_col: str = "qvec") -> DataFrame:
+        """Batch query as ONE Spark plan: ``(qid, id, collisions, rank)`` —
+        the shape the reference cannot express without a Python loop."""
+        qsigs = build_index(queries_df, self.cfg, id_col, vector_col,
+                            sig_kind="long").withColumnRenamed("id", "qid")
+        cands = candidates(self.index_df, qsigs)
+        return _probe_top_k(cands, top_k)
+
+    # ------------------------------------------------------------------ #
+    # maintenance (M1-M3)
+    # ------------------------------------------------------------------ #
+
+    def delete(self, indices: Sequence[int]) -> None:
+        """Remove ids from every bucket — a left-anti join rewrite instead
+        of the reference's O(buckets × ids) keyspace scan (M1)."""
+        self.flush()
+        if self._index_df is None or not list(indices):
+            return
+        ids_df = self.spark.createDataFrame(
+            [(int(i),) for i in indices], "id long"
+        )
+        self._index_df = self._index_df.join(
+            F.broadcast(ids_df), "id", "left_anti"
+        ).select("band", "sig", "id")
+
+    def clear(self) -> None:
+        """Drop the whole index (M2) — irreversible, like the reference."""
+        self._pending = []
+        self._index_df = None
+
+    def stats(self) -> dict:
+        """Config snapshot (M3) + cheap data-dependent stats the reference
+        cannot compute (``main.py:798-840``)."""
+        out = self.cfg.to_dict()
+        out["pending_ops"] = len(self._pending) * self.cfg.num_bands
+        if self._index_df is not None:
+            agg = self._index_df.agg(
+                F.count(F.lit(1)).alias("entries"),
+                F.countDistinct("id").alias("ids"),
+                F.countDistinct("band", "sig").alias("buckets"),
+            ).collect()[0]
+            out.update(index_entries=agg["entries"], indexed_ids=agg["ids"],
+                       buckets=agg["buckets"])
+        else:
+            out.update(index_entries=0, indexed_ids=0, buckets=0)
+        return out
+
+    # ------------------------------------------------------------------ #
+    # persistence (S5)
+    # ------------------------------------------------------------------ #
+
+    def save_to_disk(self, path: str) -> None:
+        """Config JSON + projections npz + index parquet (``main.py:846-895``;
+        no secrets to redact — there is no Redis password here)."""
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "config.json"), "w") as f:
+            json.dump(self.cfg.to_dict(), f, indent=2)
+        np.savez_compressed(
+            os.path.join(path, "projections.npz"), projections=projection_matrix(self.cfg)
+        )
+        self.flush()
+        if self._index_df is not None:
+            write_index(self._index_df, os.path.join(path, "index.parquet"))
+
+    @classmethod
+    def load_from_disk(cls, spark: SparkSession, path: str, *,
+                       vectors_df: Optional[DataFrame] = None) -> "LSHRS":
+        with open(os.path.join(path, "config.json")) as f:
+            cfg = json.load(f)
+        inst = cls(spark, cfg["dim"], num_perm=cfg["num_perm"],
+                   num_bands=cfg["num_bands"], rows_per_band=cfg["rows_per_band"],
+                   similarity_threshold=cfg["similarity_threshold"],
+                   seed=cfg["seed"], dtype=cfg.get("dtype", "float32"),
+                   vectors_df=vectors_df)
+        idx_path = os.path.join(path, "index.parquet")
+        if os.path.exists(idx_path):
+            inst._index_df = read_index(spark, idx_path)
+        return inst
+
+    # ------------------------------------------------------------------ #
+    # internals
+    # ------------------------------------------------------------------ #
+
+    def _append_index(self, idx: DataFrame) -> None:
+        self._index_df = idx if self._index_df is None else self._index_df.unionByName(idx)
+
+    def _candidates_df(self, vec: np.ndarray) -> DataFrame:
+        qsigs = query_signatures_df(self.spark, vec, self.cfg, qids=[0])
+        return candidates(self.index_df, qsigs)
+
+    def _prepare_vector(self, vector: np.ndarray) -> np.ndarray:
+        """Reference input contract (``main.py:1050-1086``): coerce to
+        float32 1-D of length dim; zero vectors rejected."""
+        vec = np.asarray(vector, dtype=np.float32).reshape(-1)
+        if vec.shape[0] != self.cfg.dim:
+            raise ValueError(
+                f"Vector dimension mismatch: expected {self.cfg.dim}, got {vec.shape[0]}"
+            )
+        if not np.any(vec):
+            raise ValueError("Cannot index or query a zero vector")
+        return vec
+
+    @staticmethod
+    def _validate_ids(indices: Sequence[int]) -> None:
+        for i in indices:
+            if int(i) < 0:
+                raise ValueError("Vector index must be non-negative")
+
+    def _df_from_arrays(self, indices: Sequence[int], vectors: np.ndarray) -> DataFrame:
+        rows = [
+            (int(i), [float(x) for x in v]) for i, v in zip(indices, vectors)
+        ]
+        return self.spark.createDataFrame(rows, "vec_id long, embedding array<float>")

@@ -1,0 +1,144 @@
+"""Text-analysis column expressions for large-scale corpus pipelines.
+
+Beyond-reference surface (SURVEY.md §7.2 M5): tokenization, n-gram
+shingling, token counting, quality scoring, language-ID heuristics and
+document fingerprinting, all as Catalyst expressions (no Python UDFs) so a
+100 TB documents scan stays inside whole-stage codegen.
+
+Every function here is deliberately expressible in ANSI-ish SQL so the
+DuckDB oracle can recompute it; the shared 48-bit string hash ``h48``
+(first 12 hex chars of md5, parsed as an integer) exists in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "h48",
+    "tokens_col",
+    "token_count_col",
+    "char_ngrams_col",
+    "token_shingles_col",
+    "quality_score_cols",
+    "language_id_col",
+    "fingerprint_col",
+    "LANG_MARKERS",
+]
+
+
+def h48(c: Column) -> Column:
+    """Portable 48-bit hash: ``int(md5(s)[:12], 16)``. Matches the DuckDB
+    expression built by :func:`lshrs_spark.oracle.h48_sql`."""
+    return F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("long")
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization (the corpus is space-separated tokens)."""
+    return F.split(text, " ")
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def char_ngrams_col(text: Column, n: int = 5) -> Column:
+    """All character n-grams of ``text`` (empty array when shorter than n)."""
+    count = F.length(text) - F.lit(n - 1)
+    return F.when(count < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), count), lambda i: F.substring(text, i, n))
+    )
+
+
+def token_shingles_col(text: Column, n: int = 3) -> Column:
+    """Token n-gram shingles re-joined with single spaces."""
+    toks = tokens_col(text)
+    count = F.size(toks) - F.lit(n - 1)
+    return F.when(count < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), count - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+# Marker-token lists per language for the heuristic classifier. The corpus
+# is synthetic with a shared vocabulary, so these act as a deterministic
+# scoring rule (what the oracle replicates), not a trained model.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht"),
+    "en": ("the", "a", "and", "of", "to"),
+    "es": ("el", "la", "los", "que", "de"),
+    "fr": ("le", "la", "les", "et", "de"),
+    "zh": ("de5", "le5", "shi4", "zai4", "he2"),
+}
+
+
+def language_id_col(text: Column) -> Column:
+    """Predicted language = argmax over marker-token hit counts, ties broken
+    by language code ascending; 'und' when no marker hits at all."""
+    toks = tokens_col(text)
+    scores = []  # (lang, score Column)
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+        scores.append((lang, score))
+    best_score = F.greatest(*[s for _, s in scores])
+    pick = F.lit("und")
+    # Iterate in reverse-alphabetical order so the earliest language wins ties.
+    for lang, score in reversed(scores):
+        pick = F.when(score == best_score, F.lit(lang)).otherwise(pick)
+    return F.when(best_score > 0, pick).otherwise(F.lit("und"))
+
+
+def quality_score_cols(text: Column) -> dict[str, Column]:
+    """Heuristic document-quality features + composite score in [0, 1].
+
+    Components (each in [0, 1]):
+      * ``len_score``   — min(1, n_tokens / 50)
+      * ``stop_ratio``  — fraction of tokens that are English markers
+      * ``alpha_ratio`` — fraction of characters in [a-z ]
+      * ``tok_len_score`` — 1 - min(1, |avg_token_len - 5| / 5)
+    ``quality = round(0.3*len + 0.2*stop + 0.3*alpha + 0.2*tok_len, 5)``
+    """
+    toks = tokens_col(text)
+    n_tokens = F.size(toks).cast("double")
+    n_chars = F.length(text).cast("double")
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(markers, t))).cast("double")
+    n_alpha = (n_chars - F.length(F.regexp_replace(text, "[a-z ]", ""))).cast("double")
+    avg_tok_len = (n_chars - (n_tokens - 1)) / n_tokens
+    len_score = F.least(F.lit(1.0), n_tokens / F.lit(50.0))
+    stop_ratio = n_stop / n_tokens
+    alpha_ratio = n_alpha / n_chars
+    tok_len_score = F.lit(1.0) - F.least(
+        F.lit(1.0), F.abs(avg_tok_len - F.lit(5.0)) / F.lit(5.0)
+    )
+    quality = F.round(
+        F.lit(0.3) * len_score
+        + F.lit(0.2) * stop_ratio
+        + F.lit(0.3) * alpha_ratio
+        + F.lit(0.2) * tok_len_score,
+        5,
+    )
+    return {
+        "n_tokens": F.size(toks).cast("long"),
+        "len_score": F.round(len_score, 5),
+        "stop_ratio": F.round(stop_ratio, 5),
+        "alpha_ratio": F.round(alpha_ratio, 5),
+        "tok_len_score": F.round(tok_len_score, 5),
+        "quality": quality,
+    }
+
+
+def fingerprint_col(text: Column, n: int = 5) -> Column:
+    """Winnowing-style document fingerprint: the minimum ``h48`` over all
+    character n-grams — stable under local edits, cheap to compare, and
+    recomputable by the SQL oracle. Falls back to ``h48(text)`` for texts
+    shorter than ``n``."""
+    grams = char_ngrams_col(text, n)
+    return F.when(
+        F.size(grams) > 0,
+        F.array_min(F.transform(grams, h48)),
+    ).otherwise(h48(text))

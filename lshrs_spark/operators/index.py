@@ -1,0 +1,108 @@
+"""LSH index build: vectors -> exploded ``(band, sig, id)`` bucket table.
+
+Replaces the reference's Redis bucket store (``/root/reference/lshrs/
+storage/redis.py:40-280``: one Redis SET per ``(band, signature)``) with a
+plain DataFrame/Parquet table whose hash-partitioned layout *is* the
+bucket structure. The write buffer / pipeline machinery of the reference
+(``lshrs/core/main.py:242-244,413-440``) has no Spark analogue on purpose:
+distributed batched writes subsume it (SURVEY.md §2 S4, M4).
+
+Scale notes (100 TB design):
+* the index is ``num_bands ×`` the input row count but only 3 narrow
+  columns — parquet dictionary+RLE encodes ``band`` and ``sig`` compactly;
+* writes are ``repartition(band, sig)``-ed so each output file covers a
+  contiguous bucket range -> probe joins read few files per bucket;
+* ``partitionBy("band")`` on disk enables band-pruned scans for the
+  per-band self-join used by similarity joins.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import LSHConfig
+from ..functions.vector import l2_norm
+from ..hashing import with_signatures
+
+__all__ = ["validate_vectors", "build_index", "write_index", "read_index"]
+
+
+def validate_vectors(
+    df: DataFrame,
+    cfg: LSHConfig,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    *,
+    mode: str = "error",
+) -> DataFrame:
+    """Enforce the reference ingest contract (``lshrs/core/main.py:391-399,
+    1076-1086``): non-negative integer ids, exact dimensionality, no zero
+    vectors. ``mode="error"`` raises on first violation (reference
+    behavior); ``mode="filter"`` drops bad rows (pipeline behavior)."""
+    id_ = F.col(id_col)
+    vec = F.col(vector_col)
+    bad_id = id_.isNull() | (id_ < 0)
+    bad_dim = vec.isNull() | (F.size(vec) != cfg.dim)
+    bad_zero = l2_norm(vec) <= 0
+    if mode == "filter":
+        return df.filter(~bad_id & ~bad_dim & ~bad_zero)
+    checked = (
+        F.when(bad_id, F.raise_error(F.lit("Vector index must be non-negative")))
+        .when(bad_dim, F.raise_error(
+            F.lit(f"Vector dimension mismatch: expected {cfg.dim}")))
+        .when(bad_zero, F.raise_error(F.lit("Cannot index a zero vector")))
+        .otherwise(id_)
+    )
+    return df.withColumn(id_col, checked)
+
+
+def build_index(
+    df: DataFrame,
+    cfg: LSHConfig,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    *,
+    sig_kind: Optional[str] = None,
+    validate: bool = False,
+) -> DataFrame:
+    """``(id, vector)`` -> ``(band int, sig bigint|binary, id long)``.
+
+    One narrow shuffle-free map: signature pandas_udf then ``posexplode``
+    (the reference's per-band fan-out loop, ``lshrs/core/main.py:1113-1129``,
+    as a Catalyst Generate node).
+    """
+    if validate:
+        df = validate_vectors(df, cfg, id_col, vector_col)
+    sigs = with_signatures(df, cfg, vector_col, "sigs", sig_kind=sig_kind)
+    return sigs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode("sigs").alias("band", "sig"),
+    ).select("band", "sig", "id")
+
+
+def write_index(
+    index_df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by_band: bool = True,
+    bucket_partitions: Optional[int] = None,
+) -> None:
+    """Persist the bucket table. ``bucket_partitions`` controls the
+    ``repartition(band, sig)`` width (default: session shuffle partitions)
+    so bucket contents co-locate in files."""
+    n = bucket_partitions or int(
+        index_df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    out = index_df.repartition(n, "band", "sig")
+    writer = out.write.mode(mode)
+    if partition_by_band:
+        writer = writer.partitionBy("band")
+    writer.parquet(path)
+
+
+def read_index(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).select("band", "sig", "id")

@@ -1,0 +1,155 @@
+"""Query-side operators: bucket probe, collision count, top-k, rerank, top-p.
+
+The reference's fixed query pipeline (``/root/reference/lshrs/core/
+main.py:524-658``) decomposed into relational operators (SURVEY.md §2.3
+Q1-Q9), each a DataFrame program:
+
+* Q1 bucket probe  -> equi-join on ``(band, sig)`` (broadcast the tiny
+  query side instead of the reference's per-band sequential Redis
+  ``SMEMBERS`` round-trips, ``main.py:1105-1109``).
+* Q2 collision count -> ``groupBy(id).count`` (partial+final hash agg).
+* Q3/Q4 order+limit -> window ``row_number`` per query id, so a *batch*
+  of queries runs as ONE plan — the reference can only loop.
+* Q5 candidate fetch -> join back to the vector table (replaces the
+  ``vector_fetch_fn`` callback, ``main.py:99-102``).
+* Q6/Q7 rerank     -> cosine as a codegen'd higher-order-function
+  expression + ``row_number``/``TakeOrderedAndProject``.
+* Q8 top-p         -> proportional prefix ``GREATEST(1, CEIL(n*p))`` of
+  the retrieved candidates (``main.py:650-656``) — a window cutoff, NOT a
+  score threshold.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import LSHConfig
+from ..functions.vector import cosine_similarity
+from ..hashing import hash_vectors_local, hash_vectors_local_long
+
+__all__ = [
+    "query_signatures_df",
+    "candidates",
+    "top_k",
+    "rerank",
+    "top_p_cutoff",
+]
+
+
+def query_signatures_df(
+    spark: SparkSession,
+    vectors: np.ndarray,
+    cfg: LSHConfig,
+    *,
+    qids: Optional[Sequence[int]] = None,
+    sig_kind: Optional[str] = None,
+) -> DataFrame:
+    """Hash query vectors driver-side (tiny) into ``(qid, band, sig)``.
+
+    For query batches coming from a DataFrame use ``build_index`` on it
+    instead — this path avoids a Spark job for ad-hoc vectors.
+    """
+    if sig_kind is None:
+        sig_kind = "long" if cfg.use_long_sig else "binary"
+    vectors = np.atleast_2d(np.asarray(vectors))
+    if qids is None:
+        qids = range(len(vectors))
+    rows = []
+    if sig_kind == "long":
+        sigs = hash_vectors_local_long(vectors, cfg)
+        for qid, row in zip(qids, sigs):
+            rows.extend((int(qid), b, int(s)) for b, s in enumerate(row))
+        schema = "qid long, band int, sig long"
+    else:
+        sigsb = hash_vectors_local(vectors, cfg)
+        for qid, row in zip(qids, sigsb):
+            rows.extend((int(qid), b, bytes(s)) for b, s in enumerate(row))
+        schema = "qid long, band int, sig binary"
+    return spark.createDataFrame(rows, schema)
+
+
+def candidates(index_df: DataFrame, query_sigs: DataFrame) -> DataFrame:
+    """Probe + collision count: ``(qid, id, collisions)``.
+
+    The query side is broadcast — the probe is a map-side hash join over
+    the (possibly 100 TB) index with NO shuffle of the index; the
+    aggregation shuffles only the matched candidates.
+    """
+    probe = F.broadcast(query_sigs.select("qid", "band", "sig"))
+    return (
+        index_df.join(probe, on=["band", "sig"], how="inner")
+        .groupBy("qid", "id")
+        .agg(F.count(F.lit(1)).alias("collisions"))
+    )
+
+
+def top_k(cands: DataFrame, k: Optional[int]) -> DataFrame:
+    """Reference ordering ``(-collisions, id)`` (``main.py:614-622``) with
+    ``row_number`` per qid; ``k=None`` returns all, ``k<=0`` raises."""
+    if k is not None and k <= 0:
+        raise ValueError("top_k must be positive")
+    w = Window.partitionBy("qid").orderBy(F.desc("collisions"), F.asc("id"))
+    out = cands.withColumn("rank", F.row_number().over(w))
+    if k is not None:
+        out = out.filter(F.col("rank") <= k)
+    return out.select("qid", "id", "collisions", "rank")
+
+
+def rerank(
+    cands: DataFrame,
+    vectors_df: DataFrame,
+    queries_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_vector_col: str = "qvec",
+    round_scores: Optional[int] = None,
+) -> DataFrame:
+    """Exact cosine rerank of candidates: ``(qid, id, collisions, score)``.
+
+    ``queries_df`` carries ``(qid, qvec)``; candidate vectors come from a
+    join against the primary vector table (Q5) — the candidate side is
+    small relative to the corpus, so Catalyst/AQE broadcasts it.
+    """
+    vecs = vectors_df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vector_col).alias("_cvec")
+    )
+    q = F.broadcast(queries_df.select("qid", F.col(query_vector_col).alias("_qvec")))
+    score = cosine_similarity(F.col("_qvec"), F.col("_cvec"))
+    if round_scores is not None:
+        score = F.round(score, round_scores)
+    return (
+        cands.join(vecs, "id")
+        .join(q, "qid")
+        .select("qid", "id", "collisions", score.alias("score"))
+    )
+
+
+def top_p_cutoff(
+    scored: DataFrame,
+    top_p: float,
+    top_k: Optional[int] = None,
+) -> DataFrame:
+    """Proportional-prefix cutoff over reranked candidates, per qid:
+    keep the first ``max(1, ceil(n_candidates * top_p))`` rows ordered by
+    ``(score desc, id asc)``, then additionally ``top_k`` if given —
+    exactly ``lshrs/core/main.py:645-658``."""
+    if not 0.0 < top_p <= 1.0:
+        raise ValueError("top_p must be in (0, 1]")
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    wn = Window.partitionBy("qid")
+    limit = F.greatest(F.lit(1), F.ceil(F.count(F.lit(1)).over(wn) * F.lit(top_p)))
+    if top_k is not None:
+        if top_k <= 0:
+            raise ValueError("top_k must be positive")
+        limit = F.least(limit, F.lit(top_k))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .withColumn("_limit", limit)
+        .filter(F.col("rank") <= F.col("_limit"))
+        .select("qid", "id", "score", "rank")
+    )

@@ -1,0 +1,29 @@
+"""Format-string -> loader dispatch (reference S3: ``_resolve_loader``,
+``/root/reference/lshrs/core/main.py:1159-1196``): case-insensitive,
+``postgres``/``pg`` and ``parquet``/``pq`` aliases, ``ValueError`` on
+anything else."""
+
+from __future__ import annotations
+
+from .jdbc import load_postgres_vectors
+from .parquet import load_parquet_vectors
+
+__all__ = ["resolve_loader"]
+
+_LOADERS = {
+    "parquet": load_parquet_vectors,
+    "pq": load_parquet_vectors,
+    "postgres": load_postgres_vectors,
+    "pg": load_postgres_vectors,
+}
+
+
+def resolve_loader(format: str):
+    key = (format or "").strip().lower()
+    loader = _LOADERS.get(key)
+    if loader is None:
+        raise ValueError(
+            f"Unsupported format: {format!r}. Supported formats: "
+            "'postgres' ('pg'), 'parquet' ('pq')"
+        )
+    return loader

@@ -1,0 +1,170 @@
+"""LSHRS orchestrator: the reference's core test scenarios re-expressed
+against the Spark engine (SURVEY.md §5: `tests/test_core.py`)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lshrs_spark import LSHRS
+
+
+@pytest.fixture()
+def make_lsh(spark):
+    def _make(**kw):
+        kw.setdefault("dim", 32)
+        kw.setdefault("num_perm", 16)
+        kw.setdefault("num_bands", 4)
+        kw.setdefault("rows_per_band", 4)
+        return LSHRS(spark, **kw)
+
+    return _make
+
+
+def test_constructor_validation(spark):
+    with pytest.raises(ValueError, match="dimensionality"):
+        LSHRS(spark, 0)
+    with pytest.raises(ValueError, match="num_perm"):
+        LSHRS(spark, 8, num_perm=-1)
+    with pytest.raises(ValueError, match="must equal num_perm"):
+        LSHRS(spark, 8, num_perm=16, num_bands=3, rows_per_band=4)
+
+
+def test_ingest_validation(make_lsh):
+    lsh = make_lsh()
+    with pytest.raises(ValueError, match="non-negative"):
+        lsh.ingest(-1, np.ones(32, dtype=np.float32))
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        lsh.ingest(0, np.ones(16, dtype=np.float32))
+    with pytest.raises(ValueError, match="zero vector"):
+        lsh.ingest(0, np.zeros(32, dtype=np.float32))
+
+
+def test_index_count_mismatch(make_lsh, rng):
+    lsh = make_lsh()
+    with pytest.raises(ValueError, match="match"):
+        lsh.index([1, 2, 3], rng.standard_normal((2, 32)).astype(np.float32))
+
+
+def test_self_retrieval(make_lsh, small_vectors):
+    ids, vecs = small_vectors
+    lsh = make_lsh()
+    lsh.index(ids, vecs)
+    assert lsh.get_top_k(vecs[7], 5)[0] == 7
+
+
+def test_near_duplicate_recall(spark, rng):
+    """A 1%-perturbed copy of a stored vector ranks in the top-5 among 30
+    distractors (reference `tests/test_core.py:111-151`)."""
+    lsh = LSHRS(spark, 64, num_perm=64, num_bands=16, rows_per_band=4, seed=42)
+    base = rng.standard_normal(64).astype(np.float32)
+    distractors = rng.standard_normal((30, 64)).astype(np.float32)
+    vecs = np.vstack([base, distractors])
+    lsh.index(list(range(31)), vecs)
+    near_dup = base + 0.01 * rng.standard_normal(64).astype(np.float32)
+    assert 0 in lsh.get_top_k(near_dup, 5)
+
+
+def test_query_param_validation(make_lsh, small_vectors):
+    ids, vecs = small_vectors
+    lsh = make_lsh()
+    lsh.index(ids, vecs)
+    with pytest.raises(ValueError, match="top_k"):
+        lsh.query(vecs[0], top_k=0)
+    with pytest.raises(ValueError, match="top_p"):
+        lsh.query(vecs[0], top_p=1.5)
+    with pytest.raises(ValueError, match="zero vector"):
+        lsh.query(np.zeros(32))
+
+
+def test_top_p_returns_scored_tuples(make_lsh, small_vectors):
+    ids, vecs = small_vectors
+    lsh = make_lsh()
+    lsh.index(ids, vecs)
+    out = lsh.get_above_p(vecs[3], 0.95)
+    assert out, "query vector must retrieve itself"
+    assert out[0][0] == 3 and out[0][1] == pytest.approx(1.0, abs=1e-5)
+    scores = [s for _, s in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_top_p_requires_vector_source(spark, small_vectors):
+    ids, vecs = small_vectors
+    lsh = LSHRS(spark, 32, num_perm=16, num_bands=4, rows_per_band=4)
+    lsh.ingest(0, vecs[0])        # streaming ingest registers no vector source
+    lsh.flush()
+    with pytest.raises(RuntimeError, match="vector source"):
+        lsh.get_above_p(vecs[0], 0.5)
+
+
+def test_buffered_ingest_then_flush(make_lsh, small_vectors):
+    ids, vecs = small_vectors
+    lsh = make_lsh()
+    lsh.ingest(0, vecs[0])
+    assert lsh.stats()["pending_ops"] == lsh.num_bands
+    lsh.flush()
+    s = lsh.stats()
+    assert s["pending_ops"] == 0
+    assert s["index_entries"] == lsh.num_bands
+    assert lsh.get_top_k(vecs[0], 1) == [0]
+
+
+def test_delete_and_clear(make_lsh, small_vectors):
+    ids, vecs = small_vectors
+    lsh = make_lsh()
+    lsh.index(ids, vecs)
+    lsh.delete([5])
+    assert 5 not in lsh.get_top_k(vecs[5], 10)
+    lsh.clear()
+    assert lsh.stats()["index_entries"] == 0
+    assert lsh.get_top_k(vecs[0], 5) == []
+
+
+def test_seed_determinism(spark, small_vectors):
+    ids, vecs = small_vectors
+    a = LSHRS(spark, 32, num_perm=16, num_bands=4, rows_per_band=4, seed=9)
+    b = LSHRS(spark, 32, num_perm=16, num_bands=4, rows_per_band=4, seed=9)
+    c = LSHRS(spark, 32, num_perm=16, num_bands=4, rows_per_band=4, seed=10)
+    for l in (a, b, c):
+        l.index(ids, vecs)
+    ra = a.index_df.orderBy("band", "sig", "id").collect()
+    rb = b.index_df.orderBy("band", "sig", "id").collect()
+    rc = c.index_df.orderBy("band", "sig", "id").collect()
+    assert ra == rb
+    assert ra != rc
+
+
+def test_save_load_round_trip(make_lsh, small_vectors, tmp_path, spark):
+    ids, vecs = small_vectors
+    lsh = make_lsh(seed=5)
+    lsh.index(ids, vecs)
+    before = lsh.get_top_k(vecs[4], 5)
+    lsh.save_to_disk(str(tmp_path / "idx"))
+    loaded = LSHRS.load_from_disk(spark, str(tmp_path / "idx"))
+    assert loaded.cfg == lsh.cfg
+    assert loaded.get_top_k(vecs[4], 5) == before
+
+
+def test_create_signatures_parquet(spark, tmp_path, rng):
+    src = str(tmp_path / "vectors.parquet")
+    vecs = rng.standard_normal((20, 32)).astype(np.float32)
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "index long, vector array<float>",
+    ).write.parquet(src)
+    lsh = LSHRS(spark, 32, num_perm=16, num_bands=4, rows_per_band=4)
+    lsh.create_signatures(format="parquet", source=src)
+    assert lsh.stats()["indexed_ids"] == 20
+    assert lsh.get_top_k(vecs[11], 1) == [11]
+
+
+def test_create_signatures_bad_format(make_lsh):
+    with pytest.raises(ValueError, match="Unsupported format"):
+        make_lsh().create_signatures(format="csv")
+
+
+def test_create_signatures_missing_column(spark, tmp_path, make_lsh):
+    src = str(tmp_path / "bad.parquet")
+    spark.createDataFrame([(1, [1.0])], "a long, b array<float>").write.parquet(src)
+    with pytest.raises(ValueError, match="Missing required columns"):
+        make_lsh().create_signatures(format="pq", source=src)

@@ -1,0 +1,104 @@
+"""Hashing: determinism, packing, and bit-compatibility with the reference
+(`/root/reference/lshrs/hash/lsh.py` — differential test, not a port)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lshrs_spark import LSHConfig
+from lshrs_spark.hashing import (
+    band_matrices,
+    hash_vectors_local,
+    hash_vectors_local_long,
+    projection_matrix,
+    with_signatures,
+)
+from tests.conftest import load_reference_hasher
+
+CFG = LSHConfig(dim=32, num_perm=16, num_bands=4, rows_per_band=4, seed=42)
+
+
+def test_projection_matrices_deterministic():
+    a = projection_matrix(CFG)
+    b = projection_matrix(CFG)
+    assert a.shape == (16, 32)
+    np.testing.assert_array_equal(a, b)
+    c = projection_matrix(CFG.with_(seed=43))
+    assert not np.array_equal(a, c)
+
+
+def test_signature_length_matches_reference_contract():
+    cfg = LSHConfig(dim=16, num_perm=24, num_bands=2, rows_per_band=12, seed=1)
+    sigs = hash_vectors_local(np.ones((1, 16)), cfg)[0]
+    assert len(sigs) == 2
+    assert all(len(s) == 2 for s in sigs)  # ceil(12/8) = 2 bytes
+
+
+def test_bit_compatibility_with_reference(rng):
+    ref = load_reference_hasher()
+    for dim, b, r, seed in [(32, 4, 4, 42), (64, 8, 16, 42), (48, 3, 8, 7)]:
+        cfg = LSHConfig(dim=dim, num_perm=b * r, num_bands=b, rows_per_band=r,
+                        seed=seed)
+        hasher = ref.LSHHasher(num_bands=b, rows_per_band=r, dim=dim, seed=seed)
+        vecs = rng.standard_normal((20, dim)).astype(np.float32)
+        ours = hash_vectors_local(vecs, cfg)
+        for i in range(len(vecs)):
+            theirs = hasher.hash_vector(vecs[i])
+            assert ours[i] == tuple(theirs.bands), f"mismatch dim={dim} b={b} r={r} row={i}"
+
+
+def test_long_and_binary_packing_agree(rng):
+    vecs = rng.standard_normal((10, 32)).astype(np.float32)
+    longs = hash_vectors_local_long(vecs, CFG)
+    bins = hash_vectors_local(vecs, CFG)
+    for i in range(10):
+        for band in range(CFG.num_bands):
+            expected = int.from_bytes(bins[i][band], "little")
+            assert longs[i][band] == expected
+
+
+def test_spark_signatures_match_local(spark, rng):
+    vecs = rng.standard_normal((25, 32)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = (
+        with_signatures(df, CFG, "embedding")
+        .select("vec_id", "sigs")
+        .collect()
+    )
+    local = hash_vectors_local_long(vecs, CFG)
+    for row in rows:
+        np.testing.assert_array_equal(np.array(row.sigs), local[row.vec_id])
+
+
+def test_spark_binary_signatures_match_reference(spark, rng):
+    ref = load_reference_hasher()
+    hasher = ref.LSHHasher(num_bands=4, rows_per_band=4, dim=32, seed=42)
+    vecs = rng.standard_normal((10, 32)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = (
+        with_signatures(df, CFG, "embedding", sig_kind="binary")
+        .select("vec_id", "sigs")
+        .collect()
+    )
+    for row in rows:
+        expected = hasher.hash_vector(vecs[row.vec_id])
+        assert tuple(bytes(s) for s in row.sigs) == tuple(expected.bands)
+
+
+def test_dim_mismatch_raises(spark):
+    df = spark.createDataFrame([(0, [1.0, 2.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="dimension mismatch"):
+        with_signatures(df, CFG, "embedding").collect()
+
+
+def test_band_matrices_are_float32_by_default():
+    assert all(m.dtype == np.float32 for m in band_matrices(CFG))
+    cfg64 = CFG.with_(dtype="float64")
+    assert all(m.dtype == np.float64 for m in band_matrices(cfg64))

@@ -1,0 +1,85 @@
+"""Query-side operator semantics: exact cosine values, top-k ordering,
+top-p proportional cutoff (reference `tests/test_lshrs.py:115-149` and
+`core/main.py:645-658`)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lshrs_spark.functions.vector import cosine_similarity, l2_norm, l2_normalize
+from lshrs_spark.operators.probe import top_k, top_p_cutoff
+
+
+def test_exact_cosine_values(spark):
+    """query [1,0,0] vs known candidates -> [1, 0, -1, 0.70710677]."""
+    cands = [
+        ([1.0, 0.0, 0.0], 1.0),
+        ([0.0, 1.0, 0.0], 0.0),
+        ([-1.0, 0.0, 0.0], -1.0),
+        ([1.0, 1.0, 0.0], 0.70710678),
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, (v, _) in enumerate(cands)], "id long, v array<float>"
+    ).withColumn("q", F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0)))
+    rows = df.select("id", cosine_similarity("v", F.col("q")).alias("s")).collect()
+    for row in rows:
+        assert row.s == pytest.approx(cands[row.id][1], abs=1e-6)
+
+
+def test_l2_norm_and_normalize(spark):
+    df = spark.createDataFrame([(1, [3.0, 4.0])], "id long, v array<float>")
+    row = df.select(
+        l2_norm(F.col("v")).alias("n"),
+        l2_normalize(F.col("v")).alias("u"),
+    ).collect()[0]
+    assert row.n == pytest.approx(5.0)
+    assert row.u == pytest.approx([0.6, 0.8])
+
+
+def test_l2_normalize_zero_vector_raises(spark):
+    df = spark.createDataFrame([(1, [0.0, 0.0])], "id long, v array<float>")
+    with pytest.raises(Exception, match="zero vector"):
+        df.select(l2_normalize(F.col("v"))).collect()
+
+
+def test_top_k_ordering_and_tiebreak(spark):
+    cands = spark.createDataFrame(
+        [(0, 10, 3), (0, 2, 5), (0, 7, 5), (0, 1, 1)],
+        "qid long, id long, collisions long",
+    )
+    rows = top_k(cands, 3).orderBy("rank").collect()
+    assert [r.id for r in rows] == [2, 7, 10]  # desc collisions, asc id tiebreak
+
+
+def test_top_k_rejects_nonpositive():
+    with pytest.raises(ValueError):
+        top_k(None, 0)
+
+
+@pytest.mark.parametrize(
+    "n,p,expected",
+    [(10, 0.5, 5), (10, 0.05, 1), (3, 0.5, 2), (1, 0.01, 1), (10, 1.0, 10)],
+)
+def test_top_p_proportional_prefix(spark, n, p, expected):
+    """cutoff = max(1, ceil(n_candidates * p)) — a prefix, not a threshold."""
+    scored = spark.createDataFrame(
+        [(0, i, 1.0 - i * 0.01) for i in range(n)], "qid long, id long, score double"
+    )
+    assert top_p_cutoff(scored, p).count() == expected
+
+
+def test_top_p_capped_by_top_k(spark):
+    scored = spark.createDataFrame(
+        [(0, i, 1.0 - i * 0.01) for i in range(10)], "qid long, id long, score double"
+    )
+    assert top_p_cutoff(scored, 1.0, top_k=4).count() == 4
+
+
+def test_top_p_validation(spark):
+    scored = spark.createDataFrame([(0, 1, 0.5)], "qid long, id long, score double")
+    with pytest.raises(ValueError):
+        top_p_cutoff(scored, 0.0)
+    with pytest.raises(ValueError):
+        top_p_cutoff(scored, 1.01)
