@@ -1,0 +1,296 @@
+"""Deduplication operators for training-data pipelines (beyond-reference
+surface — a core capability at 100 TB corpus scale).
+
+Five families, each designed so the DuckDB oracle can recompute it:
+
+* exact       — hash-groupBy on content, canonical = min id per group;
+* n-gram Jaccard — shingle-set overlap via explode + equi-join on the
+  shingle (the inverted-index trick: no O(n²) pair space);
+* MinHash LSH — k universal-hash minima over shingle hashes, banded into
+  join keys (the classic Broder scheme, computed with portable integer
+  arithmetic shared with the SQL oracle);
+* SimHash     — 48-bit per-document fingerprint by per-bit majority over
+  token hashes; near-dup pairs by Hamming distance;
+* embedding   — cosine near-dup via :mod:`simjoin`.
+
+Plus :func:`connected_components` to turn any pair list into dedup groups
+(iterative min-label propagation — converges in O(log n) joins; the
+oracle twin is a recursive CTE).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import h48, token_shingles_col, tokens_col
+
+__all__ = [
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_params",
+    "minhash_signatures",
+    "minhash_band_pairs",
+    "simhash_col",
+    "simhash_table",
+    "simhash_pairs",
+    "connected_components",
+]
+
+# Mersenne prime 2^31-1: universal-hash modulus small enough that
+# a*(h%p)+b stays inside int64 (a,b < p, h%p < p -> a*h' < 2^62).
+MINHASH_P = 2_147_483_647
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "text"
+) -> DataFrame:
+    """``(id, canonical_id, group_size)``: canonical = min id among rows
+    with identical content; ``group_size > 1`` marks duplicates."""
+    w = Window.partitionBy(content_col)
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.min(F.col(id_col)).over(w).cast("long").alias("canonical_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    round_scores: Optional[int] = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with Jaccard(token n-gram sets) >= threshold.
+
+    Inverted-index join: explode DISTINCT shingles, equi-join on the
+    shingle, count intersections per pair, then
+    ``J = inter / (|A| + |B| - inter)``. The shuffle key is the shingle —
+    high-frequency shingles are the skew hazard; AQE skew-join splitting
+    plus an optional stop-shingle filter handle that at scale."""
+    sh = (
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.explode(F.array_distinct(token_shingles_col(F.col(text_col), n))).alias("s"),
+        )
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="s")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    if round_scores is not None:
+        jac = F.round(jac, round_scores)
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic universal-hash params (a_i, b_i), a_i != 0 — shared
+    with the SQL oracle via literal inlining."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MINHASH_P, size=num_hashes)
+    b = rng.integers(0, MINHASH_P, size=num_hashes)
+    return [(int(x), int(y)) for x, y in zip(a, b)]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """``(id, i, minhash)``: minhash_i = min over shingles of
+    ``(a_i * (h48(s) % p) + b_i) % p`` — Broder MinHash with the portable
+    h48 base hash. Documents with fewer than ``n`` tokens hash the whole
+    text as a single shingle."""
+    params = minhash_params(num_hashes, seed)
+    grams = token_shingles_col(F.col(text_col), n)
+    shingles = F.when(F.size(grams) > 0, F.array_distinct(grams)).otherwise(
+        F.array(F.col(text_col))
+    )
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.transform(shingles, lambda s: h48(s) % MINHASH_P).alias("hs"),
+    )
+    mins = [
+        F.array_min(
+            F.transform(F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    wide = base.select("id", *mins)
+    stack = ", ".join(f"{i}, m{i}" for i in range(num_hashes))
+    return wide.selectExpr(
+        "id", f"stack({num_hashes}, {stack}) AS (i, minhash)"
+    ).select("id", F.col("i").cast("int").alias("i"), F.col("minhash").cast("long"))
+
+
+def minhash_band_pairs(
+    df: DataFrame,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing at least one MinHash
+    band. Band key = base-p polynomial over the band's minima (exact
+    integer arithmetic, collision-free within a band, shared with SQL)."""
+    if num_hashes % rows_per_band:
+        raise ValueError("num_hashes must be divisible by rows_per_band")
+    sigs = minhash_signatures(df, num_hashes, n, id_col, text_col, seed)
+    # band id = i // rows_per_band; combine minima with a fixed multiplier.
+    mult = 2_097_169  # prime > 2^21; rows_per_band=2 keeps m0*mult+m1 < 2^52
+    banded = sigs.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+    key = banded.groupBy("id", "band").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("i", "minhash"))),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * mult + x["minhash"],
+        ).alias("sig")
+    )
+    a = key.alias("a")
+    b = key.alias("b")
+    return (
+        a.join(b, on=["band", "sig"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+SIMHASH_BITS = 48
+
+
+def simhash_tokens_df(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    ).withColumn("h", h48(F.col("tok")))
+
+
+def simhash_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(id, simhash)``: 48-bit SimHash — bit j is set when the majority
+    of token hashes (with multiplicity) have bit j set. Computed as
+    explode(tokens) x bit positions -> per-(id, bit) vote sum -> packed;
+    every step is a hash aggregation Catalyst pipelines map-side."""
+    toks = simhash_tokens_df(df, id_col, text_col)
+    bits = toks.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+        "h",
+    ).withColumn("vote", F.expr("(shiftright(h, cast(j AS int)) % 2) * 2 - 1"))
+    votes = bits.groupBy("id", "j").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.expr("CASE WHEN v > 0 THEN shiftleft(1L, cast(j AS int)) ELSE 0L END")
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    block_col: Optional[str] = "source",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming,
+    blocked on an equality column to bound the pair space (at scale:
+    block on simhash prefix bands instead — same join shape)."""
+    sim = simhash_table(df, id_col, text_col)
+    if block_col:
+        sim = sim.join(
+            df.select(F.col(id_col).cast("long").alias("id"), F.col(block_col).alias("blk")),
+            "id",
+        )
+    a = sim.alias("a")
+    b = sim.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    dist = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            dist.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_col(text_col):  # convenience for single-column use
+    raise NotImplementedError(
+        "use simhash_table(df, ...) — SimHash needs a per-document aggregation"
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    *,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """``(id, component)`` with component = min id reachable through the
+    pair graph — min-label propagation to fixpoint. Each round is one
+    join + aggregate; rounds needed ~ graph diameter (dedup clusters are
+    shallow). ``nodes`` must carry column ``id``; ``pairs`` columns
+    ``id_a, id_b``."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(F.col("id").cast("long"), F.col("id").cast("long").alias("component"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True) if changed else new_labels
+        if not changed:
+            break
+    return labels

@@ -1,0 +1,122 @@
+"""Similarity joins over vector columns (beyond-reference surface,
+SURVEY.md §7.2 M5 — the reference only does single-vector queries).
+
+Two strategies:
+
+* :func:`similarity_join` — LSH-accelerated: self-join the exploded
+  bucket index on ``(band, sig)`` to generate candidate pairs, then filter
+  by exact cosine. At 100 TB this is the only viable shape: the pair space
+  collapses from O(n²) to the bucket-collision set, the per-band join is
+  an equi-join Catalyst can shuffle-hash, and AQE's skew-join splitting
+  handles hot buckets (low-selectivity signatures — the reference warns
+  about these in README.md:216). ``max_bucket_size`` drops degenerate
+  buckets outright (standard LSH practice: a bucket holding a large
+  fraction of the corpus carries no selectivity anyway).
+* :func:`exact_similarity_join` — brute-force O(n²) baseline with
+  optional blocking column; the correctness oracle for the LSH path and
+  the right tool at small n.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import LSHConfig
+from ..functions.vector import cosine_similarity
+from .index import build_index
+
+__all__ = ["candidate_pairs", "similarity_join", "exact_similarity_join"]
+
+
+def candidate_pairs(
+    index_df: DataFrame,
+    *,
+    max_bucket_size: Optional[int] = None,
+) -> DataFrame:
+    """Distinct id pairs (id_a < id_b) sharing at least one bucket."""
+    idx = index_df
+    if max_bucket_size is not None:
+        sizes = idx.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("_n"))
+        idx = (
+            idx.join(sizes.filter(F.col("_n") <= max_bucket_size), ["band", "sig"])
+            .drop("_n")
+        )
+    a = idx.alias("a")
+    b = idx.alias("b")
+    return (
+        a.join(b, on=["band", "sig"], how="inner")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def similarity_join(
+    df: DataFrame,
+    cfg: LSHConfig,
+    threshold: float,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    *,
+    max_bucket_size: Optional[int] = None,
+    round_scores: Optional[int] = None,
+) -> DataFrame:
+    """LSH candidate pairs + exact cosine filter: ``(id_a, id_b, score)``
+    with ``score >= threshold``. Approximate by construction: pairs that
+    never collide in any band are missed at the planner-predicted
+    false-negative rate (``planner.compute_false_rates``)."""
+    idx = build_index(df, cfg, id_col, vector_col)
+    pairs = candidate_pairs(idx, max_bucket_size=max_bucket_size)
+    vecs = df.select(
+        F.col(id_col).cast("long").alias("_vid"), F.col(vector_col).alias("_v")
+    )
+    score = cosine_similarity(F.col("_va"), F.col("_vb"))
+    if round_scores is not None:
+        score = F.round(score, round_scores)
+    return (
+        pairs.join(vecs.withColumnRenamed("_v", "_va"), pairs.id_a == vecs._vid)
+        .drop("_vid")
+        .join(
+            vecs.select(F.col("_vid"), F.col("_v").alias("_vb")),
+            F.col("id_b") == F.col("_vid"),
+        )
+        .select("id_a", "id_b", score.alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def exact_similarity_join(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    *,
+    block_col: Optional[str] = None,
+    round_scores: Optional[int] = None,
+) -> DataFrame:
+    """All-pairs cosine join (id_a < id_b), optionally blocked on an
+    equality column to bound the pair space."""
+    cols = [F.col(id_col).cast("long").alias("id"), F.col(vector_col).alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    base = df.select(*cols)
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    score = cosine_similarity(F.col("a.v"), F.col("b.v"))
+    if round_scores is not None:
+        score = F.round(score, round_scores)
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

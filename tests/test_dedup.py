@@ -1,0 +1,76 @@
+"""Dedup operators: exact, n-gram Jaccard, MinHash, SimHash, components."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lshrs_spark.operators import dedup as D
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "s0"),
+        (1, "alpha beta gamma delta epsilon zeta", "s0"),      # exact dup of 0
+        (2, "alpha beta gamma delta epsilon eta", "s0"),       # near dup of 0
+        (3, "one two three four five six seven", "s1"),
+        (4, "totally different words here now ok", "s1"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dedup(docs):
+    out = {r.id: (r.canonical_id, r.group_size) for r in D.exact_dedup(docs).collect()}
+    assert out[0] == (0, 2) and out[1] == (0, 2)
+    assert out[2] == (2, 1)
+
+
+def test_ngram_jaccard_identical_is_one(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             D.ngram_jaccard_pairs(docs, 0.1, n=3).collect()}
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in pairs and 0.1 <= pairs[(0, 2)] < 1.0
+    assert (3, 4) not in pairs
+
+
+def test_minhash_identical_docs_share_all_bands(docs):
+    pairs = {(r.id_a, r.id_b) for r in
+             D.minhash_band_pairs(docs, num_hashes=8, rows_per_band=2).collect()}
+    assert (0, 1) in pairs
+    assert (3, 4) not in pairs
+
+
+def test_minhash_signature_shape(docs):
+    sigs = D.minhash_signatures(docs, num_hashes=8).collect()
+    assert len(sigs) == 5 * 8
+    assert all(0 <= r.minhash < D.MINHASH_P for r in sigs)
+    # identical docs -> identical signatures
+    by_doc = {}
+    for r in sigs:
+        by_doc.setdefault(r.id, {})[r.i] = r.minhash
+    assert by_doc[0] == by_doc[1]
+
+
+def test_simhash_identical_and_near(docs):
+    sims = {r.id: r.simhash for r in D.simhash_table(docs).collect()}
+    assert sims[0] == sims[1]
+    assert all(0 <= s < 2**48 for s in sims.values())
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             D.simhash_pairs(docs, max_hamming=48, block_col="source").collect()}
+    assert pairs[(0, 1)] == 0
+    assert pairs[(0, 2)] < pairs.get((3, 4), 49)
+
+
+def test_connected_components_chain(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    comp = {r.id: r.component for r in D.connected_components(pairs, nodes).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[5] == comp[6] == 5
+    assert comp[4] == 4 and comp[7] == 7
+
+
+def test_minhash_params_deterministic():
+    assert D.minhash_params(8, 42) == D.minhash_params(8, 42)
+    assert D.minhash_params(8, 42) != D.minhash_params(8, 43)
