@@ -49,6 +49,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's reader
+    rejects; read ns as long and convert with integer division (ns
+    magnitudes exceed double precision)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return ev
+
+
 def _query_sigs(spark: SparkSession, sf_dir: str, qid: int = 0) -> DataFrame:
     """Signatures of the query vector (= embeddings row ``qid``) computed
     through the same DataFrame path as the index."""
@@ -545,3 +557,267 @@ def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .select("token", "cnt", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# --------------------------------------------------------------------- #
+# Batch ANN: many queries through ONE plan (the shape the reference's
+# per-query Python loop cannot express)
+# --------------------------------------------------------------------- #
+
+@register(
+    "ann_batch",
+    f"""WITH {_SIGS},
+q AS (SELECT id AS qid, band, sig FROM sigs WHERE id < 10),
+cand AS (SELECT q.qid, s.id AS id, count(*)::BIGINT AS collisions
+         FROM sigs s JOIN q ON s.band = q.band AND s.sig = q.sig
+         GROUP BY q.qid, s.id),
+ranked AS (SELECT qid, id, collisions,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY collisions DESC, id ASC) AS rank
+           FROM cand)
+SELECT qid, id, collisions, rank FROM ranked WHERE rank <= 5""",
+)
+def ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 LSH candidates for 10 query vectors in one probe join +
+    windowed rank — batch ANN as a single Catalyst plan."""
+    emb = _emb(spark, sf_dir)
+    idx = build_index(emb, ORACLE_CFG, "vec_id", "embedding")
+    qsigs = build_index(
+        emb.filter(F.col("vec_id") < 10), ORACLE_CFG, "vec_id", "embedding"
+    ).withColumnRenamed("id", "qid")
+    cands = candidates(idx, qsigs)
+    return top_k(cands, 5).select(
+        "qid", "id", "collisions", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# --------------------------------------------------------------------- #
+# Standard relational surface (aggregates, joins, windows, set ops,
+# grouping sets) over the TPC-H-ish tables — the operator categories the
+# reference lacks entirely (SURVEY §2.6), provided natively by Spark.
+# Exact-arithmetic convention: money sums as per-row-rounded integer
+# cents so partial-agg order can never drift from the oracle.
+# --------------------------------------------------------------------- #
+
+@register(
+    "rel_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+       sum(round(l_quantity))::BIGINT AS sum_qty,
+       sum(round(l_extendedprice * 100))::BIGINT AS base_cents,
+       sum(round(l_extendedprice * (1 - l_discount) * 100))::BIGINT AS disc_cents,
+       sum(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100))::BIGINT AS charge_cents,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: filter -> grouped 5-agg."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = lambda c: F.sum(F.round(c * 100).cast("long"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+            cents(F.col("l_extendedprice")).alias("base_cents"),
+            cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_cents"),
+            cents(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("charge_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "rel_top_customers",
+    """WITH rev AS (
+  SELECT c.c_custkey, n.n_name,
+         sum(round(o.o_totalprice * 100))::BIGINT AS revenue_cents
+  FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, n.n_name),
+ranked AS (SELECT n_name, c_custkey, revenue_cents,
+                  row_number() OVER (PARTITION BY n_name
+                                     ORDER BY revenue_cents DESC, c_custkey ASC) AS rank
+           FROM rev)
+SELECT n_name, c_custkey, revenue_cents, rank FROM ranked WHERE rank <= 3""",
+)
+def rel_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by order revenue per nation: 3-way join (nation
+    broadcast) + grouped agg + window rank."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rev = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "n_name")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("revenue_cents"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("n_name", "c_custkey", "revenue_cents", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+@register(
+    "rel_customer_setops",
+    """SELECT c_custkey FROM customer
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'""",
+)
+def rel_customer_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers with a >200k order, minus those with any
+    finished order."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    big = o.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    finished = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.intersect(big).exceptAll(finished.distinct())
+
+
+@register(
+    "rel_sales_cube",
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       sum(round(l_quantity))::BIGINT AS sum_qty,
+       count(*)::BIGINT AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)
+def rel_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: CUBE over (returnflag, linestatus) with ALL
+    markers."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@register(
+    "rel_events_sessionize",
+    """WITH ordered AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS t,
+         lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
+  FROM events),
+flagged AS (SELECT user_id, t,
+                   CASE WHEN prev_t IS NULL OR t - prev_t > 1800 THEN 1 ELSE 0 END AS new_s
+            FROM ordered),
+sess AS (SELECT user_id, sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id, t
+         FROM flagged)
+SELECT user_id, count(DISTINCT session_id)::BIGINT AS n_sessions,
+       count(*)::BIGINT AS n_events,
+       (max(t) - min(t))::BIGINT AS span_seconds
+FROM sess GROUP BY user_id""",
+)
+def rel_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + gap>30min cumulative flag per user (the
+    classic window-function pattern; streaming twin is session_window)."""
+    ev = _events(spark, sf_dir)
+    t = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id", t.alias("t"),
+        F.when(
+            F.lag(t).over(w).isNull() | ((t - F.lag(t).over(w)) > 1800), 1
+        ).otherwise(0).alias("new_s"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    sess = flagged.withColumn("session_id", F.sum("new_s").over(ws))
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("t") - F.min("t")).alias("span_seconds"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Structured Streaming (M4 analogue): finite file stream driven to
+# completion — results must equal the batch aggregation exactly.
+# --------------------------------------------------------------------- #
+
+@register(
+    "stream_event_type_agg",
+    """SELECT event_type, count(*)::BIGINT AS n,
+       sum(round(value * 100))::BIGINT AS value_cents
+FROM events GROUP BY event_type""",
+)
+def stream_event_type_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming groupBy over the events file stream (complete mode) —
+    exactly equals the batch aggregation."""
+    from .streaming.ingest import stream_aggregate_complete
+
+    return stream_aggregate_complete(
+        spark,
+        f"{sf_dir}/events.parquet",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        ],
+    )
+
+
+@register(
+    "stream_windowed_counts",
+    """SELECT floor(epoch(date_trunc('day', ts)))::BIGINT AS window_start, event_type,
+       count(*)::BIGINT AS n,
+       sum(round(value * 100))::BIGINT AS value_cents
+FROM events GROUP BY 1, 2""",
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows with a watermark over the event
+    stream."""
+    from .streaming.ingest import windowed_event_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return windowed_event_counts(spark, f"{sf_dir}/events.parquet")
+
+
+# --------------------------------------------------------------------- #
+# Multimodal plumbing: binary payload column + mapInPandas features
+# --------------------------------------------------------------------- #
+
+@register(
+    "multimodal_features",
+    # Deterministic pseudo-decode the oracle can recompute: md5 + length
+    # + digest-derived fake dimensions (see lshrs_spark/multimodal.py).
+    """SELECT doc_id AS id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       md5(text) AS payload_md5,
+       ("""
+    + __import__("lshrs_spark.oracle", fromlist=["hexint_sql"]).hexint_sql("md5(text)", 4)
+    + """ % 640 + 1)::BIGINT AS fake_width,
+       ("""
+    + __import__("lshrs_spark.oracle", fromlist=["hexint_sql"]).hexint_sql("substr(md5(text),5,4)", 4)
+    + """ % 480 + 1)::BIGINT AS fake_height
+FROM documents""",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction via Arrow-batched mapInPandas
+    (decode stubbed deterministically; plumbing is real)."""
+    from .multimodal import extract_features, with_binary_payload
+
+    payloads = with_binary_payload(_docs(spark, sf_dir))
+    return extract_features(payloads)

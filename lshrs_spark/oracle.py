@@ -69,14 +69,20 @@ def sigs_cte(
     )
 
 
+def hexint_sql(hex_expr: str, nchars: int) -> str:
+    """Parse the first ``nchars`` hex characters of a string expression
+    into a BIGINT (nchars <= 15 to stay in int64)."""
+    return (
+        f"list_sum(list_transform(generate_series(1,{nchars}), "
+        f"i -> (strpos('0123456789abcdef', substr({hex_expr},i,1))-1)::BIGINT"
+        f" << (({nchars}-i)*4)))"
+    )
+
+
 def h48_sql(expr: str) -> str:
     """Portable 48-bit string hash — the DuckDB twin of
     ``functions.text.h48`` (int of first 12 hex chars of md5)."""
-    return (
-        "list_sum(list_transform(generate_series(1,12), "
-        f"i -> (strpos('0123456789abcdef', substr(md5({expr}),i,1))-1)::BIGINT"
-        " << ((12-i)*4)))"
-    )
+    return hexint_sql(f"md5({expr})", 12)
 
 
 def cosine_sql(a: str, b: str) -> str:

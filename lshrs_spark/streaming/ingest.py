@@ -1,0 +1,147 @@
+"""Structured Streaming ingest — the Spark-native replacement for the
+reference's buffered realtime ``ingest()`` path
+(``/root/reference/lshrs/core/main.py:386-440``: in-memory op buffer,
+lock, flush-on-threshold, restore-on-failure).
+
+Micro-batch ``foreachBatch`` + checkpointing gives the same at-least-once
+semantics with retry, but distributed: each micro-batch computes
+signatures with the same pandas_udf as the batch path and appends to the
+parquet bucket index. ``stream_aggregate`` shows the windowed/stateful
+side (watermarks for late data)."""
+
+from __future__ import annotations
+
+import uuid
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import LSHConfig
+from ..operators.index import build_index
+
+__all__ = ["stream_index_vectors", "stream_aggregate_complete", "windowed_event_counts"]
+
+
+def load_file_stream(spark: SparkSession, source_path: str) -> DataFrame:
+    """File-source stream with nanosecond-timestamp handling: Spark's
+    parquet reader rejects TIMESTAMP(NANOS); read them as long and
+    convert via integer division (ns are > 2^60 — float division would
+    lose precision)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(source_path).schema
+    # The file source needs a directory/glob base; turn a bare file path
+    # into a glob that matches exactly that file.
+    if source_path.endswith(".parquet"):
+        head, _, tail = source_path.rpartition("/")
+        source_path = f"{head}/{{{tail}}}"
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    for f in schema.fields:
+        if f.name == "ts" and f.dataType.typeName() == "long":
+            stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def stream_index_vectors(
+    spark: SparkSession,
+    source_path: str,
+    index_path: str,
+    cfg: LSHConfig,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    checkpoint: Optional[str] = None,
+    max_files_per_trigger: int = 1,
+):
+    """Stream a directory of vector parquet files into the bucket index.
+
+    Returns the started StreamingQuery; caller drives it
+    (``processAllAvailable`` in tests, ``awaitTermination`` in prod).
+    """
+    schema = spark.read.parquet(source_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+
+    def ingest_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        idx = build_index(batch_df, cfg, id_col, vector_col, sig_kind="long")
+        idx.write.mode("append").parquet(index_path)
+
+    writer = stream.writeStream.foreachBatch(ingest_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def stream_aggregate_complete(
+    spark: SparkSession,
+    source_path: str,
+    group_cols: list[str],
+    aggs: list,
+    *,
+    name: Optional[str] = None,
+) -> DataFrame:
+    """Run a streaming aggregation over a (finite) file stream to
+    completion in complete output mode and return the result table —
+    exactly equivalent to the batch aggregation, which is what the
+    correctness oracle checks."""
+    name = name or f"stream_{uuid.uuid4().hex[:8]}"
+    stream = load_file_stream(spark, source_path)
+    agg = stream.groupBy(*group_cols).agg(*aggs)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    source_path: str,
+    *,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+    name: Optional[str] = None,
+) -> DataFrame:
+    """Tumbling event-time window counts with a watermark, driven to
+    completion over a finite file stream (complete mode so every window
+    is emitted; watermark still bounds state at scale)."""
+    name = name or f"stream_{uuid.uuid4().hex[:8]}"
+    stream = load_file_stream(spark, source_path)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # Per-row rounding to integer cents BEFORE the sum keeps the
+            # aggregate exact under any partial-agg order (oracle parity).
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            # epoch seconds, not a timestamp: exact integer comparison with
+            # the oracle regardless of engine timestamp internals
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "value_cents",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -1,0 +1,67 @@
+"""Structured Streaming ingest: micro-batch index append equals the batch
+build; streaming aggregation equals batch aggregation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lshrs_spark import LSHConfig
+from lshrs_spark.operators.index import build_index
+from lshrs_spark.streaming.ingest import (
+    load_file_stream,
+    stream_aggregate_complete,
+    stream_index_vectors,
+)
+
+CFG = LSHConfig(dim=16, num_perm=16, num_bands=4, rows_per_band=4, seed=42)
+
+
+@pytest.fixture()
+def vector_dir(spark, tmp_path, rng):
+    """Three parquet files of vectors — three micro-batches."""
+    src = tmp_path / "vectors"
+    for part in range(3):
+        vecs = rng.standard_normal((10, 16)).astype(np.float32)
+        rows = [(part * 10 + i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+    return str(src)
+
+
+def test_stream_index_matches_batch_build(spark, vector_dir, tmp_path):
+    index_path = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_index_vectors(
+        spark, vector_dir, index_path, CFG, checkpoint=ckpt, max_files_per_trigger=1
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.read.parquet(index_path)
+    batch = build_index(spark.read.parquet(vector_dir), CFG, "vec_id", "embedding")
+    assert streamed.count() == batch.count() == 30 * CFG.num_bands
+    assert (
+        streamed.exceptAll(batch).count() == 0
+        and batch.exceptAll(streamed).count() == 0
+    )
+
+
+def test_stream_aggregate_equals_batch(spark, vector_dir):
+    out = stream_aggregate_complete(
+        spark,
+        vector_dir,
+        [],
+        [F.count(F.lit(1)).alias("n"), F.sum("vec_id").alias("s")],
+    ).collect()[0]
+    assert out.n == 30
+    assert out.s == sum(range(30))
+
+
+def test_load_file_stream_converts_nanos(spark):
+    stream = load_file_stream(spark, "/root/testdata/sf0.001/events.parquet")
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    assert stream.isStreaming
