@@ -76,6 +76,56 @@ def main() -> None:
     qv = np.array(emb.filter("vec_id = 0").first().embedding, dtype=np.float32)
     results["single_topk"], _ = timed(lambda: lsh.get_top_k(qv, 10))
 
+    # 5. LSH similarity self-join (recall-friendly banding) over embeddings.
+    from lshrs_spark.operators.simjoin import similarity_join
+
+    # 16 bands x 8 rows: ~256 buckets/band at dim 64 — selective enough
+    # that candidate pairs stay near-linear in n at this corpus size.
+    sj_cfg = LSHConfig(dim=64, num_perm=128, num_bands=16, rows_per_band=8, seed=42)
+    results["simjoin_lsh"], _ = timed(
+        lambda: similarity_join(
+            emb, sj_cfg, 0.4, max_bucket_size=2000, cache_index=True
+        ).count()
+    )
+
+    # 6. Dedup pipeline over documents: MinHash bands + SimHash table.
+    from lshrs_spark.operators.dedup import minhash_band_pairs, simhash_table
+
+    # One small parquet file -> one input split; spread the corpus over the
+    # cores (at real scale the file count provides this parallelism).
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
+    docs.persist().count()
+    results["dedup_minhash"], _ = timed(
+        lambda: minhash_band_pairs(docs, num_hashes=8, rows_per_band=2).count()
+    )
+    results["dedup_simhash"], _ = timed(lambda: simhash_table(docs).count())
+
+    # 7. Text-analysis pass (quality + language-ID + fingerprint in one scan).
+    from lshrs_spark.functions import text as X
+
+    def run_text():
+        cols = X.quality_score_cols(F.col("text"))
+        return docs.select(
+            "doc_id",
+            cols["quality"].alias("q"),
+            X.language_id_col(F.col("text")).alias("lang"),
+            X.fingerprint_col(F.col("text")).alias("fp"),
+        ).count()
+
+    results["text_pipeline"], _ = timed(run_text)
+
+    # 8. Streaming ingest of the events stream (complete-mode agg).
+    from lshrs_spark.streaming.ingest import stream_aggregate_complete
+
+    results["stream_agg"], _ = timed(
+        lambda: stream_aggregate_complete(
+            spark,
+            f"{SF_DIR}/events.parquet",
+            ["event_type"],
+            [F.count(F.lit(1)).alias("n")],
+        ).count()
+    )
+
     total = sum(results.values())
     print(json.dumps({
         "metric": "headline_total",

@@ -353,7 +353,9 @@ _MSIG_UNPIVOT = " UNION ALL ".join(
     f"SELECT doc_id AS id, {i} AS i, m{i} AS minhash FROM msig" for i in range(8)
 )
 _MBANDS = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band, m{2*b}*2097169 + m{2*b+1} AS bsig FROM msig"
+    f"SELECT doc_id, {b} AS band, "
+    + h48_sql(f"concat_ws(',', m{2*b}, m{2*b+1})")
+    + " AS bsig FROM msig"
     for b in range(4)
 )
 
@@ -821,3 +823,105 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payloads = with_binary_payload(_docs(spark, sf_dir))
     return extract_features(payloads)
+
+
+# --------------------------------------------------------------------- #
+# ANN tier 3: IVF partition pruning + recall measurement
+# --------------------------------------------------------------------- #
+
+_IVF_CTES = f"""
+cent AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+assign AS (SELECT id, centroid_id FROM (
+    SELECT e.vec_id AS id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {cosine_sql("e.embedding", "c.cvec")} DESC, c.centroid_id ASC) AS r
+    FROM embeddings e CROSS JOIN cent c) WHERE r = 1),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probes AS (SELECT centroid_id FROM (
+    SELECT c.centroid_id,
+           row_number() OVER (ORDER BY {cosine_sql("q.qv", "c.cvec")} DESC, c.centroid_id ASC) AS r
+    FROM cent c CROSS JOIN q) WHERE r <= 4)
+"""
+
+
+@register(
+    "ann_ivf",
+    f"""WITH {_IVF_CTES},
+cand AS (SELECT a.id FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id),
+scored AS (SELECT cand.id AS id, {cosine_sql("e.embedding", "q.qv")} AS score
+           FROM cand JOIN embeddings e ON e.vec_id = cand.id CROSS JOIN q),
+ranked AS (SELECT id, score, row_number() OVER (ORDER BY score DESC, id ASC) AS rank
+           FROM scored)
+SELECT id, round(score, 5) AS score, rank FROM ranked WHERE rank <= 10""",
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: 16 deterministic centroids, nprobe=4, exact rerank
+    inside probed partitions (the partition-pruning tier for 100 TB)."""
+    from .operators.knn import ivf_centroids_by_id, ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_centroids_by_id(emb, 16)
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = ivf_topk(emb, cents, queries, k=10, nprobe=4)
+    return out.select(
+        "id", F.round("score", 5).alias("score"), F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register(
+    "ann_recall",
+    f"""WITH {_SIGS},
+qs AS (SELECT id AS qid, band, sig FROM sigs WHERE id < 10),
+cand AS (SELECT qs.qid, s.id AS id, count(*) AS collisions
+         FROM sigs s JOIN qs ON s.band = qs.band AND s.sig = qs.sig
+         GROUP BY qs.qid, s.id),
+approx AS (SELECT qid, id FROM (
+    SELECT qid, id, row_number() OVER (PARTITION BY qid
+           ORDER BY collisions DESC, id ASC) AS rank FROM cand) WHERE rank <= 10),
+qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+exact AS (SELECT qid, id FROM (
+    SELECT qv.qid, e.vec_id AS id,
+           row_number() OVER (PARTITION BY qv.qid
+               ORDER BY {cosine_sql("e.embedding", "qv.qe")} DESC, e.vec_id ASC) AS rank
+    FROM embeddings e CROSS JOIN qv) WHERE rank <= 10),
+hits AS (SELECT a.qid, count(*) AS h FROM approx a JOIN exact e USING (qid, id)
+         GROUP BY a.qid),
+per_q AS (SELECT e.qid, count(*) AS n, any_value(coalesce(h.h, 0)) AS h
+          FROM exact e LEFT JOIN hits h ON h.qid = e.qid GROUP BY e.qid, h.h)
+SELECT round(avg(h::DOUBLE / n), 5) AS recall FROM per_q""",
+)
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the SRP-LSH probe against exact brute force for the
+    first 10 query vectors — the accuracy metric for index tuning."""
+    from .operators.knn import brute_force_topk, recall_at_k
+
+    emb = _emb(spark, sf_dir)
+    idx = build_index(emb, ORACLE_CFG, "vec_id", "embedding")
+    qsigs = build_index(
+        emb.filter(F.col("vec_id") < 10), ORACLE_CFG, "vec_id", "embedding"
+    ).withColumnRenamed("id", "qid")
+    approx = top_k(candidates(idx, qsigs), 10)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = brute_force_topk(emb, queries, 10)
+    return recall_at_k(approx, exact, 10)
+
+
+@register(
+    "dedup_embedding",
+    f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({cosine_sql("a.embedding", "b.embedding")}, 5) AS score
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {cosine_sql("a.embedding", "b.embedding")} >= 0.35""",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked on the cluster
+    label column (the blocked-exact tier of embedding dedup)."""
+    out = exact_similarity_join(
+        _emb(spark, sf_dir), 0.35, block_col="label"
+    )
+    return out.select("id_a", "id_b", F.round("score", 5).alias("score"))

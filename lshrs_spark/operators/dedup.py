@@ -79,6 +79,9 @@ def ngram_jaccard_pairs(
             F.col(id_col).cast("long").alias("id"),
             F.explode(F.array_distinct(token_shingles_col(F.col(text_col), n))).alias("s"),
         )
+        # referenced three times (sizes + both join sides) — persist so the
+        # tokenize/shingle scan runs once, not three times
+        .persist()
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
@@ -109,6 +112,38 @@ def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return [(int(x), int(y)) for x, y in zip(a, b)]
 
 
+def _minhash_wide(
+    df: DataFrame,
+    num_hashes: int,
+    n: int,
+    id_col: str,
+    text_col: str,
+    seed: int,
+) -> DataFrame:
+    """``(id, m0..m{k-1})``: one row per document with all minima.
+
+    Shape matters: explode shingles to rows, hash each shingle ONCE, then
+    take the k minima as grouped aggregates. The earlier array-based
+    formulation re-evaluated the md5 pipeline once per hash function
+    (Catalyst projection collapse inlines shared array expressions), an
+    8x overcost; grouped min aggregates also get map-side partial
+    aggregation, so the shuffle carries k values per document, not the
+    shingle set."""
+    params = minhash_params(num_hashes, seed)
+    grams = token_shingles_col(F.col(text_col), n)
+    shingles = F.when(F.size(grams) > 0, F.array_distinct(grams)).otherwise(
+        F.array(F.col(text_col))
+    )
+    rows = df.select(
+        F.col(id_col).cast("long").alias("id"), F.explode(shingles).alias("s")
+    ).select("id", (h48(F.col("s")) % MINHASH_P).alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return rows.groupBy("id").agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 8,
@@ -121,22 +156,7 @@ def minhash_signatures(
     ``(a_i * (h48(s) % p) + b_i) % p`` — Broder MinHash with the portable
     h48 base hash. Documents with fewer than ``n`` tokens hash the whole
     text as a single shingle."""
-    params = minhash_params(num_hashes, seed)
-    grams = token_shingles_col(F.col(text_col), n)
-    shingles = F.when(F.size(grams) > 0, F.array_distinct(grams)).otherwise(
-        F.array(F.col(text_col))
-    )
-    base = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.transform(shingles, lambda s: h48(s) % MINHASH_P).alias("hs"),
-    )
-    mins = [
-        F.array_min(
-            F.transform(F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
-        ).alias(f"m{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    wide = base.select("id", *mins)
+    wide = _minhash_wide(df, num_hashes, n, id_col, text_col, seed)
     stack = ", ".join(f"{i}, m{i}" for i in range(num_hashes))
     return wide.selectExpr(
         "id", f"stack({num_hashes}, {stack}) AS (i, minhash)"
@@ -153,20 +173,28 @@ def minhash_band_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing at least one MinHash
-    band. Band key = base-p polynomial over the band's minima (exact
-    integer arithmetic, collision-free within a band, shared with SQL)."""
+    band. Band key = h48 of the comma-joined minima (portable to the SQL
+    oracle, valid for any rows_per_band)."""
     if num_hashes % rows_per_band:
         raise ValueError("num_hashes must be divisible by rows_per_band")
-    sigs = minhash_signatures(df, num_hashes, n, id_col, text_col, seed)
-    # band id = i // rows_per_band; combine minima with a fixed multiplier.
-    mult = 2_097_169  # prime > 2^21; rows_per_band=2 keeps m0*mult+m1 < 2^52
-    banded = sigs.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-    key = banded.groupBy("id", "band").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("i", "minhash"))),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc * mult + x["minhash"],
-        ).alias("sig")
+    wide = _minhash_wide(df, num_hashes, n, id_col, text_col, seed)
+    num_bands = num_hashes // rows_per_band
+    keys = [
+        h48(
+            F.concat_ws(
+                ",",
+                *[F.col(f"m{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)],
+            )
+        ).alias(f"b{b}")
+        for b in range(num_bands)
+    ]
+    stack = ", ".join(f"{b}, b{b}" for b in range(num_bands))
+    key = (
+        wide.select("id", *keys)
+        .selectExpr("id", f"stack({num_bands}, {stack}) AS (band, sig)")
+        # feeds both sides of the self-join — persist so the md5-heavy
+        # MinHash pipeline over the corpus runs once
+        .persist()
     )
     a = key.alias("a")
     b = key.alias("b")

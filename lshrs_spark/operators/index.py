@@ -77,9 +77,14 @@ def build_index(
     if validate:
         df = validate_vectors(df, cfg, id_col, vector_col)
     sigs = with_signatures(df, cfg, vector_col, "sigs", sig_kind=sig_kind)
+    # posexplode_outer, not posexplode: the non-outer Generate adds a
+    # size(sigs)>0 pre-filter that makes Catalyst evaluate the signature
+    # pandas_udf TWICE (once in the filter, once in the project). The UDF
+    # always returns exactly num_bands entries, so outer semantics are
+    # identical — and the matmul runs once.
     return sigs.select(
         F.col(id_col).cast("long").alias("id"),
-        F.posexplode("sigs").alias("band", "sig"),
+        F.posexplode_outer("sigs").alias("band", "sig"),
     ).select("band", "sig", "id")
 
 

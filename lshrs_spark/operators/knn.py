@@ -1,0 +1,168 @@
+"""k-NN retrieval strategies over an embedding column.
+
+Three tiers, trading accuracy for scan cost (SURVEY.md §7.2 M5):
+
+* :func:`brute_force_topk` — exact all-pairs cosine + TakeOrdered; the
+  O(n·q) correctness baseline.
+* SRP-LSH probe (``operators.probe``) — sublinear candidate retrieval via
+  the bucket index; recall tunable by (bands, rows).
+* :func:`ivf_assign` / :func:`ivf_topk` — IVF-style partition pruning:
+  vectors are assigned to their nearest centroid, queries probe only the
+  ``nprobe`` nearest centroid partitions. At 100 TB the assignment is the
+  partitioning key of the stored table, so a query touches ``nprobe/K``
+  of the data; centroids here are a deterministic id-sample (swap in
+  k-means means without changing any query shape).
+
+:func:`recall_at_k` measures an ANN result list against the exact one —
+the metric that decides whether an index config is usable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity
+
+__all__ = ["brute_force_topk", "ivf_assign", "ivf_topk", "recall_at_k"]
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Exact cosine top-k per query: ``(qid, id, score, rank)``. The
+    query side is broadcast; the corpus is scanned once whatever the
+    query-batch size."""
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vector_col).alias("_v")
+    )
+    q = F.broadcast(queries.select(
+        F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("_q")
+    ))
+    scored = v.crossJoin(q).select(
+        "qid", "id", cosine_similarity(F.col("_q"), F.col("_v")).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "id", "score", "rank")
+    )
+
+
+def _nearest_centroids(
+    points: DataFrame,
+    centroids: DataFrame,
+    n: int,
+    point_id: str,
+    point_vec: str,
+) -> DataFrame:
+    """Top-n centroids per point by (cosine desc, centroid_id asc)."""
+    scored = points.crossJoin(F.broadcast(centroids)).select(
+        F.col(point_id),
+        F.col("centroid_id"),
+        cosine_similarity(F.col(point_vec), F.col("cvec")).alias("_cs"),
+    )
+    w = Window.partitionBy(point_id).orderBy(F.desc("_cs"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n)
+        .drop("_cs", "_r")
+    )
+
+
+def ivf_centroids_by_id(
+    vectors: DataFrame,
+    num_centroids: int,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic centroid set: the ``num_centroids`` lowest-id
+    vectors (stand-in for k-means means; same downstream plan)."""
+    return (
+        vectors.orderBy(F.col(id_col))
+        .limit(num_centroids)
+        .select(
+            F.col(id_col).cast("long").alias("centroid_id"),
+            F.col(vector_col).alias("cvec"),
+        )
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """``(id, centroid_id)``: each vector's nearest centroid — the IVF
+    partitioning key (store the corpus partitioned/bucketed by it)."""
+    pts = vectors.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vector_col).alias("_v")
+    )
+    return _nearest_centroids(pts, centroids, 1, "id", "_v").select(
+        "id", "centroid_id"
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """IVF query: probe the ``nprobe`` nearest centroid partitions, exact
+    rerank inside them. ``(qid, id, score, rank)``."""
+    assign = ivf_assign(vectors, centroids, id_col=id_col, vector_col=vector_col)
+    q = queries.select(
+        F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("_q")
+    )
+    probes = _nearest_centroids(q, centroids, nprobe, "qid", "_q")  # (qid, centroid_id)
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vector_col).alias("_v")
+    )
+    cands = (
+        probes.join(assign, "centroid_id")
+        .select("qid", "id")
+        .join(v, "id")
+        .join(F.broadcast(q), "qid")
+    )
+    scored = cands.select(
+        "qid", "id", cosine_similarity(F.col("_q"), F.col("_v")).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "id", "score", "rank")
+    )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Mean recall@k of an approximate result against the exact one.
+    Both inputs: ``(qid, id, rank)`` with rank <= k. Returns one row
+    ``(recall double)``."""
+    a = approx.filter(F.col("rank") <= k).select("qid", "id")
+    e = exact.filter(F.col("rank") <= k).select("qid", "id")
+    hits = a.join(e, ["qid", "id"]).groupBy("qid").agg(F.count(F.lit(1)).alias("h"))
+    per_q = e.groupBy("qid").agg(F.count(F.lit(1)).alias("n")).join(hits, "qid", "left")
+    return per_q.agg(
+        F.round(
+            F.avg(F.coalesce(F.col("h"), F.lit(0)) / F.col("n")), 5
+        ).alias("recall")
+    )

@@ -63,12 +63,20 @@ def similarity_join(
     *,
     max_bucket_size: Optional[int] = None,
     round_scores: Optional[int] = None,
+    cache_index: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs + exact cosine filter: ``(id_a, id_b, score)``
     with ``score >= threshold``. Approximate by construction: pairs that
     never collide in any band are missed at the planner-predicted
-    false-negative rate (``planner.compute_false_rates``)."""
+    false-negative rate (``planner.compute_false_rates``).
+
+    ``cache_index=True`` persists the exploded index before the self-join
+    so the signature UDF runs once instead of once per join side — use it
+    when the index isn't already a stored table (at scale, write the
+    index with ``write_index`` and self-join the stored table instead)."""
     idx = build_index(df, cfg, id_col, vector_col)
+    if cache_index:
+        idx = idx.persist()
     pairs = candidate_pairs(idx, max_bucket_size=max_bucket_size)
     vecs = df.select(
         F.col(id_col).cast("long").alias("_vid"), F.col(vector_col).alias("_v")

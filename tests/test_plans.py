@@ -1,0 +1,63 @@
+"""Plan-shape regression tests: the properties that matter at 100 TB are
+asserted here so they can't silently disappear — single UDF evaluation,
+broadcast probe join (index side never shuffled pre-join), partial
+aggregation, column-pruned scans, filter pushdown."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lshrs_spark import LSHConfig
+from lshrs_spark.operators.index import build_index
+from lshrs_spark.operators.probe import candidates, query_signatures_df, top_k
+from lshrs_spark.plans.inspect import physical_plan, plan_report
+
+CFG = LSHConfig(dim=64, num_perm=32, num_bands=4, rows_per_band=8, seed=42)
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_index_build_evaluates_udf_once(spark, emb):
+    """The signature matmul must not be duplicated by a generate-time
+    filter (posexplode_outer keeps Catalyst from cloning the UDF)."""
+    idx = build_index(emb, CFG, "vec_id", "embedding")
+    simple = spark._jvm.PythonSQLUtils.explainString(
+        idx._jdf.queryExecution(), "simple"
+    )
+    assert simple.count("ArrowEvalPython") == 1
+    assert "Exchange" not in simple  # shuffle-free map-side build
+
+
+def test_index_scan_prunes_columns(emb):
+    idx = build_index(emb, CFG, "vec_id", "embedding")
+    r = plan_report(idx)
+    assert any(
+        "vec_id" in s and "embedding" in s and "label" not in s
+        for s in r["read_schemas"]
+    ), r["read_schemas"]
+
+
+def test_probe_broadcasts_query_side(spark, emb):
+    idx = build_index(emb, CFG, "vec_id", "embedding")
+    qv = np.array(emb.filter("vec_id=0").first().embedding, dtype=np.float32)
+    qs = query_signatures_df(spark, qv, CFG, qids=[0])
+    r = plan_report(top_k(candidates(idx, qs), 10))
+    assert r["has_broadcast_join"]
+    assert not r["has_sortmerge_join"]
+    assert r["partial_aggregate"]
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_orderkey") == 7).select("l_orderkey", "l_quantity")
+    r = plan_report(q)
+    assert any("l_orderkey" in s for s in r["pushed_filters"]), r["pushed_filters"]
+    assert any(
+        "l_quantity" in s and "l_extendedprice" not in s for s in r["read_schemas"]
+    )
