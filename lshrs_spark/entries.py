@@ -925,3 +925,103 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb(spark, sf_dir), 0.35, block_col="label"
     )
     return out.select("id_a", "id_b", F.round("score", 5).alias("score"))
+
+
+# --------------------------------------------------------------------- #
+# Remaining standard-surface coverage: pivot, JSON scalar functions,
+# distinct counting, and persistence through the driver gate
+# --------------------------------------------------------------------- #
+
+@register(
+    "rel_pivot",
+    """SELECT l_returnflag,
+       sum(CASE WHEN l_linestatus = 'O' THEN round(l_quantity) ELSE 0 END)::BIGINT AS qty_O,
+       sum(CASE WHEN l_linestatus = 'F' THEN round(l_quantity) ELSE 0 END)::BIGINT AS qty_F
+FROM lineitem GROUP BY l_returnflag""",
+)
+def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns (sum of quantities per flag)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")))
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0)).alias("qty_O"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("qty_F"),
+    )
+
+
+@register(
+    "rel_events_json",
+    """SELECT event_type,
+       count(*)::BIGINT AS n,
+       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       max(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS max_k
+FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY event_type""",
+)
+def rel_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction over the events props column + aggregation."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "rel_distinct_counts",
+    """SELECT count(DISTINCT l_orderkey)::BIGINT AS orders,
+       count(DISTINCT l_partkey)::BIGINT AS parts,
+       count(DISTINCT l_suppkey)::BIGINT AS suppliers,
+       count(DISTINCT (l_orderkey, l_linenumber))::BIGINT AS line_ids
+FROM lineitem""",
+)
+def rel_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting over several key columns in one pass
+    (Catalyst expands to a single multi-distinct aggregate)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("orders"),
+        F.countDistinct("l_partkey").alias("parts"),
+        F.countDistinct("l_suppkey").alias("suppliers"),
+        F.countDistinct("l_orderkey", "l_linenumber").alias("line_ids"),
+    )
+
+
+@register(
+    "lsh_persistence",
+    f"WITH {_SIGS} SELECT id, band, sig FROM sigs",
+)
+def lsh_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Save -> load round trip through LSHRS (S5): the reloaded index must
+    equal the freshly built one (and therefore the SQL oracle)."""
+    import tempfile
+
+    from .core import LSHRS
+
+    emb = _emb(spark, sf_dir)
+    lsh = LSHRS(
+        spark,
+        dim=ORACLE_CFG.dim,
+        num_perm=ORACLE_CFG.num_perm,
+        num_bands=ORACLE_CFG.num_bands,
+        rows_per_band=ORACLE_CFG.rows_per_band,
+        seed=ORACLE_CFG.seed,
+        dtype=ORACLE_CFG.dtype,
+    )
+    lsh.index_dataframe(emb)
+    path = tempfile.mkdtemp(prefix="lshrs_persist_")
+    lsh.save_to_disk(path)
+    reloaded = LSHRS.load_from_disk(spark, path)
+    return reloaded.index_df.select("id", "band", "sig")
