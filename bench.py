@@ -126,6 +126,22 @@ def main() -> None:
         ).count()
     )
 
+    # 9. Baseline-comparable throughput (BASELINE.md: >10k vectors/sec
+    # indexing, <100 ms query): index a 20x-replicated corpus and measure
+    # steady-state vectors/sec; amortized per-query latency from the
+    # 100-query batch.
+    n_emb = emb.count()
+    big = emb
+    for i in range(1, 20):
+        big = big.unionByName(
+            emb.select((F.col("vec_id") + 1_000_000 * i).alias("vec_id"),
+                       "embedding", "label")
+        )
+    big = big.repartition(CPUS).persist()
+    n_big = big.count()
+    t_big, _ = timed(lambda: build_index(big, CFG, "vec_id", "embedding").count())
+    results["index_build_20x"] = t_big
+
     total = sum(results.values())
     print(json.dumps({
         "metric": "headline_total",
@@ -133,6 +149,11 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in results.items()},
         "sf": float(sf),
+        "index_vectors_per_sec": round(n_big / t_big),
+        "query_latency_amortized_ms": round(
+            results["topk_batch100"] / 100 * 1000, 2
+        ),
+        "corpus_vectors": n_emb,
     }))
     spark.stop()
 

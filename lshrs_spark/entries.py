@@ -1025,3 +1025,45 @@ def lsh_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh.save_to_disk(path)
     reloaded = LSHRS.load_from_disk(spark, path)
     return reloaded.index_df.select("id", "band", "sig")
+
+
+# --------------------------------------------------------------------- #
+# As-of join (an operator Spark lacks; oracle = DuckDB's native ASOF)
+# --------------------------------------------------------------------- #
+
+@register(
+    "rel_events_asof",
+    """WITH purchases AS (
+  SELECT user_id, event_id, epoch_us(ts)::BIGINT AS t
+  FROM events WHERE event_type = 'purchase'),
+clicks AS (
+  SELECT user_id, epoch_us(ts)::BIGINT AS t, value FROM events
+  WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.t AS purchase_us,
+       c.t AS click_us,
+       round(coalesce(c.value, 0) * 100)::BIGINT AS click_value_cents
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.t >= c.t""",
+)
+def rel_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the user's most recent prior click (backward
+    as-of join via union + running-last window; one shuffle, no pandas)."""
+    from .operators.asof import asof_join
+
+    ev = _events(spark, sf_dir).withColumn("t", F.unix_micros("ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "t"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "t", "value"
+    )
+    joined = asof_join(purchases, clicks, ["user_id"], left_ts="t", right_ts="t")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("t").alias("purchase_us"),
+        F.col("t_right").alias("click_us"),
+        F.round(F.coalesce(F.col("value_right"), F.lit(0.0)) * 100)
+        .cast("long")
+        .alias("click_value_cents"),
+    )

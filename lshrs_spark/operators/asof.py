@@ -1,0 +1,83 @@
+"""As-of (backward) join — an operator Spark lacks natively.
+
+``asof_join(left, right)`` attaches, to every left row, the most recent
+right row with the same keys and ``right_ts <= left_ts``. Implemented as
+the union + running ``last(ignorenulls)`` window trick:
+
+* tag sides, union, sort per key by ``(ts, side)`` (right side first on
+  ties so same-instant rows match, like DuckDB/pandas ASOF semantics);
+* carry right-side values forward with ``last(..., ignorenulls=True)``
+  over an unbounded-preceding window;
+* keep left rows.
+
+Scale shape: ONE shuffle on the join keys + a linear window pass — no
+per-group materialization, no pandas, skew handled by AQE like any other
+keyed shuffle. (The alternative ``applyInPandas``/``merge_asof`` pulls
+whole groups into Python workers; this stays in Tungsten.)"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: Optional[Sequence[str]] = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of left join. Returns every ``left`` row plus, for each
+    of ``value_cols`` (default: all non-key, non-ts right columns), the
+    value from the latest right row with ``right_ts <= left_ts`` (null if
+    none), and ``{right_ts}{suffix}`` with the matched timestamp."""
+    on = list(on)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (*on, right_ts)]
+    value_cols = list(value_cols)
+
+    left_cols = [c for c in left.columns if c not in (*on, left_ts)]
+    l = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(f"{right_ts}{suffix}"),
+    )
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+    )
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ts"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = [
+        F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
+        for c in value_cols
+    ] + [
+        F.last(F.col(f"{right_ts}{suffix}"), ignorenulls=True)
+        .over(w)
+        .alias(f"{right_ts}{suffix}")
+    ]
+    out = u.select(*on, "_ts", "_side", *[F.col(c) for c in left_cols], *carried)
+    return (
+        out.filter(F.col("_side") == 1)
+        .withColumnRenamed("_ts", left_ts)
+        .drop("_side")
+    )

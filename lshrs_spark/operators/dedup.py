@@ -34,7 +34,6 @@ __all__ = [
     "minhash_params",
     "minhash_signatures",
     "minhash_band_pairs",
-    "simhash_col",
     "simhash_table",
     "simhash_pairs",
     "connected_components",
@@ -270,12 +269,6 @@ def simhash_pairs(
             dist.cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-    )
-
-
-def simhash_col(text_col):  # convenience for single-column use
-    raise NotImplementedError(
-        "use simhash_table(df, ...) — SimHash needs a per-document aggregation"
     )
 
 

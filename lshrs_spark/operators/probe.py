@@ -72,14 +72,29 @@ def query_signatures_df(
     return spark.createDataFrame(rows, schema)
 
 
-def candidates(index_df: DataFrame, query_sigs: DataFrame) -> DataFrame:
+def candidates(
+    index_df: DataFrame,
+    query_sigs: DataFrame,
+    *,
+    strategy: str = "broadcast",
+) -> DataFrame:
     """Probe + collision count: ``(qid, id, collisions)``.
 
-    The query side is broadcast — the probe is a map-side hash join over
-    the (possibly 100 TB) index with NO shuffle of the index; the
-    aggregation shuffles only the matched candidates.
-    """
-    probe = F.broadcast(query_sigs.select("qid", "band", "sig"))
+    ``strategy="broadcast"`` (default, right for interactive/batch query
+    sets up to millions of signatures): the query side is broadcast, the
+    probe is a map-side hash join over the (possibly 100 TB) index with
+    NO shuffle of the index, and the aggregation shuffles only matched
+    candidates. ``strategy="shuffle"`` (right when the query set is
+    itself corpus-sized, e.g. an all-pairs batch job): both sides
+    hash-partition on ``(band, sig)`` — a sort-merge/shuffle-hash join
+    that AQE can skew-split on hot buckets."""
+    probe = query_sigs.select("qid", "band", "sig")
+    if strategy == "broadcast":
+        probe = F.broadcast(probe)
+    elif strategy == "shuffle":
+        probe = probe.hint("shuffle_hash")
+    else:
+        raise ValueError(f"unknown probe strategy: {strategy!r}")
     return (
         index_df.join(probe, on=["band", "sig"], how="inner")
         .groupBy("qid", "id")
