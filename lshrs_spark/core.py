@@ -283,6 +283,48 @@ class LSHRS:
         return inst
 
     # ------------------------------------------------------------------ #
+    # lifecycle + pickling (reference: close/__exit__ flush at
+    # ``main.py:268-275``; pickle protocol excludes live connections at
+    # ``main.py:989-1044`` — here the SparkSession and DataFrames)
+    # ------------------------------------------------------------------ #
+
+    def close(self) -> None:
+        """Flush pending single-ingests (does NOT stop the shared
+        SparkSession — sessions outlive indexes)."""
+        self.flush()
+
+    def __enter__(self) -> "LSHRS":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def __getstate__(self) -> dict:
+        """Pickle = config + buffered rows; the SparkSession, index and
+        vector DataFrames are runtime state (reattach after unpickling
+        with :meth:`attach`)."""
+        return {"cfg": self.cfg.to_dict(), "pending": list(self._pending),
+                "id_col": self._id_col, "vector_col": self._vector_col}
+
+    def __setstate__(self, state: dict) -> None:
+        self.cfg = LSHConfig.from_dict(state["cfg"])
+        self._pending = list(state["pending"])
+        self._id_col = state["id_col"]
+        self._vector_col = state["vector_col"]
+        self.spark = None
+        self._vectors_df = None
+        self._index_df = None
+
+    def attach(self, spark: SparkSession,
+               vectors_df: Optional[DataFrame] = None) -> "LSHRS":
+        """Reattach a live SparkSession (and optionally the vector store)
+        after unpickling."""
+        self.spark = spark
+        if vectors_df is not None:
+            self._vectors_df = vectors_df
+        return self
+
+    # ------------------------------------------------------------------ #
     # internals
     # ------------------------------------------------------------------ #
 

@@ -1067,3 +1067,72 @@ def rel_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("click_value_cents"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Stateful streaming + SQL surface + date functions
+# --------------------------------------------------------------------- #
+
+@register(
+    "stream_stateful_first",
+    """SELECT user_id, event_type, t AS first_us, event_id AS first_event_id
+FROM (SELECT user_id, event_type, epoch_us(ts)::BIGINT AS t, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY epoch_us(ts), event_id) AS r
+      FROM events) WHERE r = 1""",
+)
+def stream_stateful_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): first
+    event of each type per user, tracked in keyed group state — final
+    output equals the batch min_by aggregation."""
+    from .streaming.stateful import stream_first_seen
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return stream_first_seen(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "lsh_signatures_sql",
+    f"WITH {_SIGS} SELECT id, band, sig FROM sigs",
+)
+def lsh_signatures_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signature pipeline expressed in pure SQL text through the
+    registered function surface (spark.sql + LATERAL VIEW posexplode) —
+    same oracle as the DataFrame path."""
+    from .sql_api import register_sql_functions
+
+    register_sql_functions(spark, ORACLE_CFG, prefix="lshrs_oracle")
+    _emb(spark, sf_dir).createOrReplaceTempView("emb_sql_view")
+    return spark.sql(
+        """
+        SELECT id, band, sig FROM (
+            SELECT vec_id AS id, lshrs_oracle_srp_sigs(embedding) AS sigs
+            FROM emb_sql_view
+        ) LATERAL VIEW posexplode(sigs) t AS band, sig
+        """
+    )
+
+
+@register(
+    "rel_orders_by_year",
+    """SELECT extract(year FROM o_orderdate)::BIGINT AS order_year,
+       o_orderstatus,
+       count(*)::BIGINT AS n_orders,
+       sum(round(o_totalprice * 100))::BIGINT AS revenue_cents
+FROM orders GROUP BY 1, 2""",
+)
+def rel_orders_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar functions: yearly revenue rollup over orders."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"), "o_orderstatus"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+    )

@@ -96,13 +96,18 @@ def write_index(
     partition_by_band: bool = True,
     bucket_partitions: Optional[int] = None,
 ) -> None:
-    """Persist the bucket table. ``bucket_partitions`` controls the
-    ``repartition(band, sig)`` width (default: session shuffle partitions)
-    so bucket contents co-locate in files."""
+    """Persist the bucket table in a probe-optimal layout: range-partition
+    + sort by ``(band, sig)`` so every file covers a contiguous signature
+    range. Parquet min/max row-group stats then let a probe with pushed
+    ``(band, sig)`` predicates skip almost every file — this layout is
+    what makes single-query latency independent of index size (the Redis
+    keyspace lookup of the reference, re-expressed as storage pruning)."""
     n = bucket_partitions or int(
         index_df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    out = index_df.repartition(n, "band", "sig")
+    out = index_df.repartitionByRange(n, "band", "sig").sortWithinPartitions(
+        "band", "sig"
+    )
     writer = out.write.mode(mode)
     if partition_by_band:
         writer = writer.partitionBy("band")

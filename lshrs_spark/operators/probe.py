@@ -34,6 +34,7 @@ from ..hashing import hash_vectors_local, hash_vectors_local_long
 __all__ = [
     "query_signatures_df",
     "candidates",
+    "candidates_from_path",
     "top_k",
     "rerank",
     "top_p_cutoff",
@@ -97,6 +98,47 @@ def candidates(
         raise ValueError(f"unknown probe strategy: {strategy!r}")
     return (
         index_df.join(probe, on=["band", "sig"], how="inner")
+        .groupBy("qid", "id")
+        .agg(F.count(F.lit(1)).alias("collisions"))
+    )
+
+
+def candidates_from_path(
+    spark: SparkSession,
+    index_path: str,
+    vectors: np.ndarray,
+    cfg: LSHConfig,
+    *,
+    qids: Optional[Sequence[int]] = None,
+) -> DataFrame:
+    """Probe a STORED index (written by ``write_index``) with storage
+    pruning: the query signatures are hashed driver-side and turned into
+    a pushed-down ``(band = b AND sig = s) OR ...`` predicate, so the
+    scan touches only the parquet files/row-groups whose ``(band, sig)``
+    ranges can match — single-query latency stays flat as the index
+    grows, the distributed analogue of the reference's O(bands) Redis
+    bucket lookups. Returns ``(qid, id, collisions)``."""
+    vectors = np.atleast_2d(np.asarray(vectors))
+    if qids is None:
+        qids = range(len(vectors))
+    sigs = hash_vectors_local_long(vectors, cfg)
+    index_df = spark.read.parquet(index_path)
+    pred = None
+    pairs = {(b, int(s)) for row in sigs for b, s in enumerate(row)}
+    for band, sig in sorted(pairs):
+        clause = (F.col("band") == band) & (F.col("sig") == sig)
+        pred = clause if pred is None else (pred | clause)
+    pruned = index_df.filter(pred)
+    qrows = [
+        (int(qid), b, int(s))
+        for qid, row in zip(qids, sigs)
+        for b, s in enumerate(row)
+    ]
+    probe = F.broadcast(
+        spark.createDataFrame(qrows, "qid long, band int, sig long")
+    )
+    return (
+        pruned.join(probe, on=["band", "sig"], how="inner")
         .groupBy("qid", "id")
         .agg(F.count(F.lit(1)).alias("collisions"))
     )

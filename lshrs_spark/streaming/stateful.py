@@ -1,0 +1,102 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+``stream_first_seen`` tracks, per user, the first event of each type ever
+seen on the stream (state = dict event_type -> (ts, event_id)), emitting
+updates as they change. This is the canonical "keyed state machine"
+shape: at scale the state store shards by the group key across
+executors, checkpointing makes it exactly-once, and GroupStateTimeout
+can expire idle keys.
+
+Driven over a finite file stream in one micro-batch, the final output
+equals the batch ``min_by`` aggregation — which is what the SQL oracle
+checks."""
+
+from __future__ import annotations
+
+import uuid
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .ingest import load_file_stream
+
+__all__ = ["stream_first_seen"]
+
+OUTPUT_SCHEMA = "user_id long, event_type string, first_us long, first_event_id long"
+STATE_SCHEMA = "types array<string>, ts array<long>, ids array<long>"
+
+
+def _first_seen_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    # Self-contained (no package imports) — workers don't need lshrs_spark.
+    (user_id,) = key
+    if state.exists:
+        types, ts, ids = state.get
+        seen = {t: (int(a), int(b)) for t, a, b in zip(types, ts, ids)}
+    else:
+        seen = {}
+    changed = {}
+    for pdf in pdfs:
+        for et, t_us, eid in zip(
+            pdf["event_type"], pdf["t_us"], pdf["event_id"]
+        ):
+            cand = (int(t_us), int(eid))
+            if et not in seen or cand < seen[et]:
+                seen[et] = cand
+                changed[et] = cand
+    items = sorted(seen.items())
+    state.update((
+        [t for t, _ in items],
+        [v[0] for _, v in items],
+        [v[1] for _, v in items],
+    ))
+    if changed:
+        out = sorted(changed.items())
+        yield pd.DataFrame(
+            {
+                "user_id": [int(user_id)] * len(out),
+                "event_type": [t for t, _ in out],
+                "first_us": [v[0] for _, v in out],
+                "first_event_id": [v[1] for _, v in out],
+            }
+        )
+
+
+def stream_first_seen(
+    spark: SparkSession,
+    source_path: str,
+    *,
+    name: Optional[str] = None,
+) -> DataFrame:
+    """Run the stateful first-seen operator over a finite event stream to
+    completion and return the (update-mode) result table."""
+    from pyspark.sql import functions as F
+
+    name = name or f"stateful_{uuid.uuid4().hex[:8]}"
+    stream = load_file_stream(spark, source_path).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t_us"), "event_id"
+    )
+    out = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _first_seen_fn,
+            OUTPUT_SCHEMA,
+            STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -168,3 +168,25 @@ def test_create_signatures_missing_column(spark, tmp_path, make_lsh):
     spark.createDataFrame([(1, [1.0])], "a long, b array<float>").write.parquet(src)
     with pytest.raises(ValueError, match="Missing required columns"):
         make_lsh().create_signatures(format="pq", source=src)
+
+
+def test_context_manager_flushes(make_lsh, small_vectors):
+    ids, vecs = small_vectors
+    with make_lsh() as lsh:
+        lsh.ingest(0, vecs[0])
+    assert lsh.stats()["pending_ops"] == 0
+    assert lsh.stats()["index_entries"] == lsh.num_bands
+
+
+def test_pickle_round_trip(make_lsh, small_vectors, spark):
+    import pickle
+
+    ids, vecs = small_vectors
+    lsh = make_lsh(seed=7)
+    lsh.ingest(3, vecs[3])           # buffered rows survive pickling
+    clone = pickle.loads(pickle.dumps(lsh))
+    assert clone.cfg == lsh.cfg
+    assert clone.spark is None       # live session excluded, like the
+    clone.attach(spark)              # reference excludes connections
+    clone.flush()
+    assert clone.get_top_k(vecs[3], 1) == [3]

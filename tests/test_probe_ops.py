@@ -83,3 +83,34 @@ def test_top_p_validation(spark):
         top_p_cutoff(scored, 0.0)
     with pytest.raises(ValueError):
         top_p_cutoff(scored, 1.01)
+
+
+def test_candidates_from_path_matches_in_memory(spark, tmp_path, rng):
+    """Stored-index pruned probe returns exactly the in-memory probe's
+    candidate set."""
+    import numpy as np
+
+    from lshrs_spark import LSHConfig
+    from lshrs_spark.operators.index import build_index, write_index
+    from lshrs_spark.operators.probe import (
+        candidates,
+        candidates_from_path,
+        query_signatures_df,
+    )
+
+    cfg = LSHConfig(dim=16, num_perm=16, num_bands=4, rows_per_band=4, seed=42)
+    vecs = rng.standard_normal((40, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = build_index(df, cfg, "vec_id", "embedding")
+    path = str(tmp_path / "stored_index")
+    write_index(idx, path, bucket_partitions=4)
+
+    q = vecs[5]
+    mem = {(r.qid, r.id): r.collisions for r in
+           candidates(idx, query_signatures_df(spark, q, cfg, qids=[0])).collect()}
+    stored = {(r.qid, r.id): r.collisions for r in
+              candidates_from_path(spark, path, q, cfg, qids=[0]).collect()}
+    assert stored == mem and stored
