@@ -1136,3 +1136,186 @@ def rel_orders_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# Statistical / string / grouping-set coverage over the relational tables
+# --------------------------------------------------------------------- #
+
+@register(
+    "rel_quantiles",
+    """SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 5) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 5) AS p90_price,
+       count(*)::BIGINT AS n
+FROM orders GROUP BY o_orderstatus""",
+)
+def rel_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear-interpolation)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 5).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 5).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "rel_stats_corr",
+    """SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 5) AS qty_price_corr,
+       round(corr(l_discount, l_tax), 5) AS disc_tax_corr,
+       count(*)::BIGINT AS n
+FROM lineitem GROUP BY l_returnflag""",
+)
+def rel_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: Pearson correlation per group (scale-free,
+    so double partial-agg drift is far below the 5-decimal rounding)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 5).alias("qty_price_corr"),
+        F.round(F.corr("l_discount", "l_tax"), 5).alias("disc_tax_corr"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "rel_histogram",
+    """SELECT (round(o_totalprice * 100)::BIGINT // 5000000) AS bucket,
+       count(*)::BIGINT AS n,
+       min(round(o_totalprice * 100))::BIGINT AS min_cents,
+       max(round(o_totalprice * 100))::BIGINT AS max_cents
+FROM orders GROUP BY 1""",
+)
+def rel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value in exact integer arithmetic
+    (50k-dollar buckets)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.select(cents.alias("cents"))
+        .groupBy((F.col("cents") / 5000000).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+
+
+@register(
+    "rel_string_funcs",
+    """SELECT a.n_name AS name_a, b.n_name AS name_b,
+       levenshtein(a.n_name, b.n_name)::BIGINT AS edit_dist,
+       upper(substr(a.n_name, 1, 3)) AS prefix_a,
+       length(replace(a.n_name, 'A', ''))::BIGINT AS len_no_a
+FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey""",
+)
+def rel_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar library: levenshtein, upper/substr/replace/length
+    over all nation-name pairs."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(b, F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        .select(
+            F.col("a.n_name").alias("name_a"),
+            F.col("b.n_name").alias("name_b"),
+            F.levenshtein(F.col("a.n_name"), F.col("b.n_name")).cast("long").alias("edit_dist"),
+            F.upper(F.substring(F.col("a.n_name"), 1, 3)).alias("prefix_a"),
+            F.length(F.regexp_replace(F.col("a.n_name"), "A", "")).cast("long").alias("len_no_a"),
+        )
+    )
+
+
+@register(
+    "rel_rollup",
+    """SELECT coalesce(n_name, 'ALL') AS nation,
+       coalesce(c_mktsegment, 'ALL') AS segment,
+       count(*)::BIGINT AS n_customers,
+       sum(round(c_acctbal * 100))::BIGINT AS acctbal_cents
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)""",
+)
+def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical grouping sets: ROLLUP over (nation, segment)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("acctbal_cents"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            "n_customers",
+            "acctbal_cents",
+        )
+    )
+
+
+@register(
+    "rel_semi_anti",
+    """SELECT
+  (SELECT count(*) FROM customer c WHERE EXISTS
+     (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))::BIGINT AS with_orders,
+  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+     (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))::BIGINT AS without_orders,
+  (SELECT count(*) FROM customer)::BIGINT AS total""",
+)
+def rel_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi and anti joins as user-facing operators (EXISTS / NOT
+    EXISTS) — the reference only has an implicit anti-join in delete."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    semi = c.join(o, "c_custkey", "left_semi").count()
+    anti = c.join(o, "c_custkey", "left_anti").count()
+    return spark.createDataFrame(
+        [(semi, anti, c.count())], "with_orders long, without_orders long, total long"
+    )
+
+
+# --------------------------------------------------------------------- #
+# Grouped-map UDF (applyInPandas): per-label centroids
+# --------------------------------------------------------------------- #
+
+@register(
+    "emb_label_centroids",
+    """WITH dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+vals AS (SELECT e.label, d.d, e.embedding[d.d]::DOUBLE AS v
+         FROM embeddings e CROSS JOIN dims d)
+SELECT label, d AS dim, round(avg(v), 5) AS centroid
+FROM vals GROUP BY label, d""",
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster-label embedding centroids via applyInPandas (grouped
+    map, Arrow both ways): one numpy mean per group, exploded to
+    ``(label, dim, centroid)`` rows for the oracle."""
+    import pandas as pd
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as _np
+
+        mat = _np.stack(pdf["embedding"].to_numpy()).astype(_np.float64)
+        mean = mat.mean(axis=0)
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])] * mat.shape[1],
+                "dim": _np.arange(1, mat.shape[1] + 1, dtype=_np.int64),
+                "centroid": mean,
+            }
+        )
+
+    emb = _emb(spark, sf_dir)
+    out = emb.groupBy("label").applyInPandas(
+        centroid, schema="label long, dim long, centroid double"
+    )
+    # round on the JVM side: F.round is HALF_UP like DuckDB's round
+    # (np.round is banker's rounding — a silent oracle-mismatch trap)
+    return out.select("label", "dim", F.round("centroid", 5).alias("centroid"))
