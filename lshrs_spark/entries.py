@@ -1040,7 +1040,7 @@ clicks AS (
   SELECT user_id, epoch_us(ts)::BIGINT AS t, value FROM events
   WHERE event_type = 'click')
 SELECT p.event_id, p.user_id, p.t AS purchase_us,
-       c.t AS click_us,
+       coalesce(c.t, -1)::BIGINT AS click_us,
        round(coalesce(c.value, 0) * 100)::BIGINT AS click_value_cents
 FROM purchases p ASOF LEFT JOIN clicks c
   ON p.user_id = c.user_id AND p.t >= c.t""",
@@ -1062,7 +1062,10 @@ def rel_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.col("t").alias("purchase_us"),
-        F.col("t_right").alias("click_us"),
+        # -1 sentinel instead of null: nullable ints degrade to float64
+        # in pandas only when nulls are present, which makes the result
+        # dtype data-dependent — poison for the driver's schema compare
+        F.coalesce(F.col("t_right"), F.lit(-1)).cast("long").alias("click_us"),
         F.round(F.coalesce(F.col("value_right"), F.lit(0.0)) * 100)
         .cast("long")
         .alias("click_value_cents"),
@@ -1290,7 +1293,7 @@ def rel_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH dims AS (SELECT unnest(generate_series(1, 64)) AS d),
 vals AS (SELECT e.label, d.d, e.embedding[d.d]::DOUBLE AS v
          FROM embeddings e CROSS JOIN dims d)
-SELECT label, d AS dim, round(avg(v), 5) AS centroid
+SELECT label::BIGINT AS label, d AS dim, round(avg(v), 5) AS centroid
 FROM vals GROUP BY label, d""",
 )
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:

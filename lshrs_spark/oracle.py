@@ -71,11 +71,13 @@ def sigs_cte(
 
 def hexint_sql(hex_expr: str, nchars: int) -> str:
     """Parse the first ``nchars`` hex characters of a string expression
-    into a BIGINT (nchars <= 15 to stay in int64)."""
+    into a BIGINT (nchars <= 15 to stay in int64). The outer ::BIGINT
+    matters: DuckDB's list_sum yields HUGEINT, which pandas widens to
+    float64 and the driver's schema compare would flag."""
     return (
-        f"list_sum(list_transform(generate_series(1,{nchars}), "
+        f"(list_sum(list_transform(generate_series(1,{nchars}), "
         f"i -> (strpos('0123456789abcdef', substr({hex_expr},i,1))-1)::BIGINT"
-        f" << (({nchars}-i)*4)))"
+        f" << (({nchars}-i)*4))))::BIGINT"
     )
 
 

@@ -54,6 +54,12 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
             f"columns differ: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
         )
         return problems
+    # Strict dtype parity: the driver's schema compare may not normalize
+    # integer widths or nullable-int-to-float degradation.
+    for c in spark_pdf.columns:
+        a, b = str(spark_pdf[c].dtype), str(duck_pdf[c].dtype)
+        if a != b:
+            problems.append(f"dtype differs in {c!r}: spark={a} duck={b}")
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"row count differs: spark={len(spark_pdf)} duck={len(duck_pdf)}")
     a, b = normalize(spark_pdf), normalize(duck_pdf)
