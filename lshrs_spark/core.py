@@ -67,6 +67,9 @@ class LSHRS:
         self._id_col = id_col
         self._vector_col = vector_col
         self._vectors_df = vectors_df
+        # long sigs when they fit in int64 (join-friendliest); binary for
+        # rows_per_band >= 64 configs like the planner's (64, 64)
+        self._sig_kind = "long" if self.cfg.use_long_sig else "binary"
         self._index_df: Optional[DataFrame] = None
         self._pending: list[tuple[int, list[float]]] = []
 
@@ -92,7 +95,8 @@ class LSHRS:
         indexed)."""
         self.flush()
         if self._index_df is None:
-            return self.spark.createDataFrame([], "band int, sig long, id long")
+            sig_t = "long" if self._sig_kind == "long" else "binary"
+            return self.spark.createDataFrame([], f"band int, sig {sig_t}, id long")
         return self._index_df
 
     def set_vectors(self, df: DataFrame, id_col: str = "vec_id",
@@ -115,7 +119,7 @@ class LSHRS:
         id_col = id_col or self._id_col
         vector_col = vector_col or self._vector_col
         idx = build_index(df, self.cfg, id_col, vector_col,
-                          sig_kind="long", validate=validate)
+                          sig_kind=self._sig_kind, validate=validate)
         self._append_index(idx)
         if register_vectors and self._vectors_df is None:
             self.set_vectors(df, id_col, vector_col)
@@ -146,7 +150,8 @@ class LSHRS:
             return
         rows, self._pending = self._pending, []
         df = self.spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-        idx = build_index(df, self.cfg, "vec_id", "embedding", sig_kind="long")
+        idx = build_index(df, self.cfg, "vec_id", "embedding",
+                          sig_kind=self._sig_kind)
         self._append_index(idx)
 
     def create_signatures(self, *, format: str = "parquet", **kwargs) -> None:
@@ -207,7 +212,7 @@ class LSHRS:
         """Batch query as ONE Spark plan: ``(qid, id, collisions, rank)`` —
         the shape the reference cannot express without a Python loop."""
         qsigs = build_index(queries_df, self.cfg, id_col, vector_col,
-                            sig_kind="long").withColumnRenamed("id", "qid")
+                            sig_kind=self._sig_kind).withColumnRenamed("id", "qid")
         cands = candidates(self.index_df, qsigs)
         return _probe_top_k(cands, top_k)
 
@@ -308,6 +313,7 @@ class LSHRS:
 
     def __setstate__(self, state: dict) -> None:
         self.cfg = LSHConfig.from_dict(state["cfg"])
+        self._sig_kind = "long" if self.cfg.use_long_sig else "binary"
         self._pending = list(state["pending"])
         self._id_col = state["id_col"]
         self._vector_col = state["vector_col"]

@@ -75,7 +75,10 @@ def projection_matrix(cfg: LSHConfig) -> np.ndarray:
 
 
 def _broadcast_proj(spark: SparkSession, cfg: LSHConfig):
-    key = (id(spark.sparkContext), cfg.seed, cfg.dim, cfg.num_bands,
+    # Key on applicationId (unique per context), NOT id(sparkContext):
+    # CPython reuses freed addresses, so id() can collide after a
+    # stop()/restart and hand back a destroyed broadcast.
+    key = (spark.sparkContext.applicationId, cfg.seed, cfg.dim, cfg.num_bands,
            cfg.rows_per_band, cfg.dtype)
     b = _BCAST_CACHE.get(key)
     if b is None:
@@ -197,6 +200,11 @@ def hash_vectors_local(vectors: np.ndarray, cfg: LSHConfig) -> list[tuple[bytes,
 
 def hash_vectors_local_long(vectors: np.ndarray, cfg: LSHConfig) -> np.ndarray:
     """Driver-side long-packed signatures, shape ``(n, num_bands)``."""
+    if not cfg.use_long_sig:
+        raise ValueError(
+            "long signatures need rows_per_band < 64 "
+            f"(got {cfg.rows_per_band}); use hash_vectors_local (binary)"
+        )
     bits = _local_bits(vectors, cfg)
     weights = 1 << np.arange(cfg.rows_per_band, dtype=np.int64)
     return bits.reshape(len(bits), cfg.num_bands, cfg.rows_per_band).astype(
