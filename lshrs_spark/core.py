@@ -224,7 +224,8 @@ class LSHRS:
         """Remove ids from every bucket — a left-anti join rewrite instead
         of the reference's O(buckets × ids) keyspace scan (M1)."""
         self.flush()
-        if self._index_df is None or not list(indices):
+        indices = list(indices)  # materialize once — may be a one-shot iterator
+        if self._index_df is None or not indices:
             return
         ids_df = self.spark.createDataFrame(
             [(int(i),) for i in indices], "id long"

@@ -25,7 +25,7 @@ from .operators.simjoin import exact_similarity_join, similarity_join
 from .operators import dedup as D
 from .functions.vector import cosine_similarity
 from .functions import text as X
-from .oracle import ORACLE_CFG, cosine_sql, h48_sql, sigs_cte
+from .oracle import ORACLE_CFG, cosine_sql, h48_sql, hexint_sql, sigs_cte
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -809,10 +809,10 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
        octet_length(encode(text))::BIGINT AS n_bytes,
        md5(text) AS payload_md5,
        ("""
-    + __import__("lshrs_spark.oracle", fromlist=["hexint_sql"]).hexint_sql("md5(text)", 4)
+    + hexint_sql("md5(text)", 4)
     + """ % 640 + 1)::BIGINT AS fake_width,
        ("""
-    + __import__("lshrs_spark.oracle", fromlist=["hexint_sql"]).hexint_sql("substr(md5(text),5,4)", 4)
+    + hexint_sql("substr(md5(text),5,4)", 4)
     + """ % 480 + 1)::BIGINT AS fake_height
 FROM documents""",
 )

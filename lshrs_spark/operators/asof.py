@@ -62,9 +62,16 @@ def asof_join(
         F.col(right_ts).alias(f"{right_ts}{suffix}"),
     )
     u = l.unionByName(r)
+    # Tertiary sort on the right-side value tuple makes the choice among
+    # right rows tied on (keys, ts) deterministic (greatest value tuple
+    # wins) instead of shuffle-order-dependent.
+    tie = F.struct(
+        *[F.col(f"{c}{suffix}") for c in value_cols],
+        F.col(f"{right_ts}{suffix}"),
+    )
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_ts"), F.col("_side"))
+        .orderBy(F.col("_ts"), F.col("_side"), tie)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = [

@@ -78,9 +78,12 @@ def ngram_jaccard_pairs(
             F.col(id_col).cast("long").alias("id"),
             F.explode(F.array_distinct(token_shingles_col(F.col(text_col), n))).alias("s"),
         )
-        # referenced three times (sizes + both join sides) — persist so the
-        # tokenize/shingle scan runs once, not three times
-        .persist()
+        # referenced three times (sizes + both join sides) —
+        # localCheckpoint materializes once AND its blocks are released by
+        # the ContextCleaner when this DataFrame is dropped (persist()
+        # entries live in the CacheManager until an explicit unpersist,
+        # leaking across repeated invocations)
+        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
@@ -191,9 +194,11 @@ def minhash_band_pairs(
     key = (
         wide.select("id", *keys)
         .selectExpr("id", f"stack({num_bands}, {stack}) AS (band, sig)")
-        # feeds both sides of the self-join — persist so the md5-heavy
-        # MinHash pipeline over the corpus runs once
-        .persist()
+        # feeds both sides of the self-join — localCheckpoint so the
+        # md5-heavy MinHash pipeline runs once; blocks are GC-released,
+        # unlike persist() which leaks in the CacheManager until an
+        # explicit unpersist
+        .localCheckpoint(eager=False)
     )
     a = key.alias("a")
     b = key.alias("b")
@@ -289,6 +294,7 @@ def connected_components(
         .distinct()
     )
     labels = nodes.select(F.col("id").cast("long"), F.col("id").cast("long").alias("component"))
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -313,5 +319,12 @@ def connected_components(
         )
         labels = new_labels.localCheckpoint(eager=True) if changed else new_labels
         if not changed:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — the pair graph has a longer path than expected; "
+            "raise max_iterations (rounds needed ~ graph diameter)"
+        )
     return labels

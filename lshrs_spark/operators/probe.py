@@ -121,22 +121,33 @@ def candidates_from_path(
     vectors = np.atleast_2d(np.asarray(vectors))
     if qids is None:
         qids = range(len(vectors))
-    sigs = hash_vectors_local_long(vectors, cfg)
+    if cfg.use_long_sig:
+        sigs = hash_vectors_local_long(vectors, cfg)
+        qrows = [
+            (int(qid), b, int(s))
+            for qid, row in zip(qids, sigs)
+            for b, s in enumerate(row)
+        ]
+        schema = "qid long, band int, sig long"
+    else:
+        # rows_per_band >= 64: signatures don't fit int64 — binary sigs,
+        # same pushed-down equality pruning (parquet prunes on binary
+        # min/max stats just like longs).
+        sigsb = hash_vectors_local(vectors, cfg)
+        qrows = [
+            (int(qid), b, bytes(s))
+            for qid, row in zip(qids, sigsb)
+            for b, s in enumerate(row)
+        ]
+        schema = "qid long, band int, sig binary"
     index_df = spark.read.parquet(index_path)
     pred = None
-    pairs = {(b, int(s)) for row in sigs for b, s in enumerate(row)}
+    pairs = {(b, s) for _, b, s in qrows}
     for band, sig in sorted(pairs):
-        clause = (F.col("band") == band) & (F.col("sig") == sig)
+        clause = (F.col("band") == band) & (F.col("sig") == F.lit(sig))
         pred = clause if pred is None else (pred | clause)
     pruned = index_df.filter(pred)
-    qrows = [
-        (int(qid), b, int(s))
-        for qid, row in zip(qids, sigs)
-        for b, s in enumerate(row)
-    ]
-    probe = F.broadcast(
-        spark.createDataFrame(qrows, "qid long, band int, sig long")
-    )
+    probe = F.broadcast(spark.createDataFrame(qrows, schema))
     return (
         pruned.join(probe, on=["band", "sig"], how="inner")
         .groupBy("qid", "id")

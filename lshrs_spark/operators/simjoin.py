@@ -76,7 +76,10 @@ def similarity_join(
     index with ``write_index`` and self-join the stored table instead)."""
     idx = build_index(df, cfg, id_col, vector_col)
     if cache_index:
-        idx = idx.persist()
+        # localCheckpoint, not persist: blocks are GC-released when the
+        # plan is dropped, so repeated calls don't leak CacheManager
+        # entries for the application lifetime
+        idx = idx.localCheckpoint(eager=False)
     pairs = candidate_pairs(idx, max_bucket_size=max_bucket_size)
     vecs = df.select(
         F.col(id_col).cast("long").alias("_vid"), F.col(vector_col).alias("_v")

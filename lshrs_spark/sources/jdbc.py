@@ -81,21 +81,20 @@ def load_postgres_vectors(
     reader = (
         spark.read.format("jdbc")
         .option("url", url)
-        .option("query", query)
         .option("driver", "org.postgresql.Driver")
     )
     if num_partitions:
-        # Partition on the id column for a parallel scan.
+        # Partition on the id column for a parallel scan (partitioning
+        # options require dbtable, not query).
         reader = (
-            spark.read.format("jdbc")
-            .option("url", url)
-            .option("dbtable", f"({query}) AS src")
-            .option("driver", "org.postgresql.Driver")
+            reader.option("dbtable", f"({query}) AS src")
             .option("partitionColumn", index_column)
             .option("numPartitions", str(num_partitions))
             .option("lowerBound", "0")
             .option("upperBound", str(2**31 - 1))
         )
+    else:
+        reader = reader.option("query", query)
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     df = reader.load()

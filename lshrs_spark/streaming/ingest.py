@@ -33,8 +33,10 @@ def load_file_stream(spark: SparkSession, source_path: str) -> DataFrame:
     # The file source needs a directory/glob base; turn a bare file path
     # into a glob that matches exactly that file.
     if source_path.endswith(".parquet"):
-        head, _, tail = source_path.rpartition("/")
-        source_path = f"{head}/{{{tail}}}"
+        head, sep, tail = source_path.rpartition("/")
+        # A bare relative filename (no separator) globs in cwd ("."),
+        # not at filesystem root ("/{name}").
+        source_path = f"{head}/{{{tail}}}" if sep else f"./{{{tail}}}"
     stream = spark.readStream.schema(schema).parquet(source_path)
     for f in schema.fields:
         if f.name == "ts" and f.dataType.typeName() == "long":
