@@ -22,9 +22,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity
+from ..functions.vector import dot_product, l2_normalize
 
 __all__ = ["brute_force_topk", "ivf_assign", "ivf_topk", "recall_at_k"]
+
+
+def _unit(v: F.Column) -> F.Column:
+    """Unit-normalize once at projection time so every pairwise score is
+    a single dot product — pairs (n·q, n·K) dwarf rows (n), so hoisting
+    the norms out of the cross/probe joins is the dominant-term win."""
+    return l2_normalize(v, on_zero="null")
 
 
 def brute_force_topk(
@@ -41,13 +48,13 @@ def brute_force_topk(
     query side is broadcast; the corpus is scanned once whatever the
     query-batch size."""
     v = vectors.select(
-        F.col(id_col).cast("long").alias("id"), F.col(vector_col).alias("_v")
+        F.col(id_col).cast("long").alias("id"), _unit(F.col(vector_col)).alias("_v")
     )
     q = F.broadcast(queries.select(
-        F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("_q")
+        F.col(qid_col).cast("long").alias("qid"), _unit(F.col(qvec_col)).alias("_q")
     ))
     scored = v.crossJoin(q).select(
-        "qid", "id", cosine_similarity(F.col("_q"), F.col("_v")).alias("score")
+        "qid", "id", dot_product(F.col("_q"), F.col("_v")).alias("score")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
     return (
@@ -64,11 +71,14 @@ def _nearest_centroids(
     point_id: str,
     point_vec: str,
 ) -> DataFrame:
-    """Top-n centroids per point by (cosine desc, centroid_id asc)."""
-    scored = points.crossJoin(F.broadcast(centroids)).select(
+    """Top-n centroids per point by (cosine desc, centroid_id asc).
+    ``points[point_vec]`` must already be unit-normalized; centroids are
+    normalized here (they're broadcast-small)."""
+    cents = centroids.select("centroid_id", _unit(F.col("cvec")).alias("cvec"))
+    scored = points.crossJoin(F.broadcast(cents)).select(
         F.col(point_id),
         F.col("centroid_id"),
-        cosine_similarity(F.col(point_vec), F.col("cvec")).alias("_cs"),
+        dot_product(F.col(point_vec), F.col("cvec")).alias("_cs"),
     )
     w = Window.partitionBy(point_id).orderBy(F.desc("_cs"), F.asc("centroid_id"))
     return (
@@ -107,7 +117,7 @@ def ivf_assign(
     """``(id, centroid_id)``: each vector's nearest centroid — the IVF
     partitioning key (store the corpus partitioned/bucketed by it)."""
     pts = vectors.select(
-        F.col(id_col).cast("long").alias("id"), F.col(vector_col).alias("_v")
+        F.col(id_col).cast("long").alias("id"), _unit(F.col(vector_col)).alias("_v")
     )
     return _nearest_centroids(pts, centroids, 1, "id", "_v").select(
         "id", "centroid_id"
@@ -130,11 +140,11 @@ def ivf_topk(
     rerank inside them. ``(qid, id, score, rank)``."""
     assign = ivf_assign(vectors, centroids, id_col=id_col, vector_col=vector_col)
     q = queries.select(
-        F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("_q")
+        F.col(qid_col).cast("long").alias("qid"), _unit(F.col(qvec_col)).alias("_q")
     )
     probes = _nearest_centroids(q, centroids, nprobe, "qid", "_q")  # (qid, centroid_id)
     v = vectors.select(
-        F.col(id_col).cast("long").alias("id"), F.col(vector_col).alias("_v")
+        F.col(id_col).cast("long").alias("id"), _unit(F.col(vector_col)).alias("_v")
     )
     cands = (
         probes.join(assign, "centroid_id")
@@ -143,7 +153,7 @@ def ivf_topk(
         .join(F.broadcast(q), "qid")
     )
     scored = cands.select(
-        "qid", "id", cosine_similarity(F.col("_q"), F.col("_v")).alias("score")
+        "qid", "id", dot_product(F.col("_q"), F.col("_v")).alias("score")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
     return (

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import LSHConfig
-from ..functions.vector import cosine_similarity
+from ..functions.vector import dot_product, l2_norm, l2_normalize
 from ..hashing import hash_vectors_local, hash_vectors_local_long
 
 __all__ = [
@@ -186,8 +186,17 @@ def rerank(
     vecs = vectors_df.select(
         F.col(id_col).cast("long").alias("id"), F.col(vector_col).alias("_cvec")
     )
-    q = F.broadcast(queries_df.select("qid", F.col(query_vector_col).alias("_qvec")))
-    score = cosine_similarity(F.col("_qvec"), F.col("_cvec"))
+    # Hoist the query-side norm into the (tiny, broadcast) query projection;
+    # the candidate side stays raw — normalizing it in the projection would
+    # touch every corpus row, not just the matched candidates.
+    q = F.broadcast(
+        queries_df.select(
+            "qid",
+            l2_normalize(F.col(query_vector_col), on_zero="null").alias("_qvec"),
+        )
+    )
+    denom = l2_norm(F.col("_cvec"))
+    score = F.when(denom > 0, dot_product(F.col("_qvec"), F.col("_cvec")) / denom)
     if round_scores is not None:
         score = F.round(score, round_scores)
     return (

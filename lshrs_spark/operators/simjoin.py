@@ -25,10 +25,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import LSHConfig
-from ..functions.vector import cosine_similarity
+from ..functions.vector import dot_product, l2_normalize
 from .index import build_index
 
 __all__ = ["candidate_pairs", "similarity_join", "exact_similarity_join"]
+
+
+def _unit(v: F.Column) -> F.Column:
+    """Unit-normalized double array; null for zero vectors (they score
+    null and fall out of the threshold filter, matching cosine's null)."""
+    return l2_normalize(v, on_zero="null")
 
 
 def candidate_pairs(
@@ -81,10 +87,15 @@ def similarity_join(
         # entries for the application lifetime
         idx = idx.localCheckpoint(eager=False)
     pairs = candidate_pairs(idx, max_bucket_size=max_bucket_size)
+    # Normalize ONCE per vector (n rows) so the per-pair expression is a
+    # single fused dot product — candidate pairs outnumber vectors by
+    # orders of magnitude, so hoisting the two norms out of the pair loop
+    # is the dominant-term win at any scale.
     vecs = df.select(
-        F.col(id_col).cast("long").alias("_vid"), F.col(vector_col).alias("_v")
+        F.col(id_col).cast("long").alias("_vid"),
+        _unit(F.col(vector_col)).alias("_v"),
     )
-    score = cosine_similarity(F.col("_va"), F.col("_vb"))
+    score = dot_product(F.col("_va"), F.col("_vb"))
     if round_scores is not None:
         score = F.round(score, round_scores)
     return (
@@ -110,7 +121,10 @@ def exact_similarity_join(
 ) -> DataFrame:
     """All-pairs cosine join (id_a < id_b), optionally blocked on an
     equality column to bound the pair space."""
-    cols = [F.col(id_col).cast("long").alias("id"), F.col(vector_col).alias("v")]
+    cols = [
+        F.col(id_col).cast("long").alias("id"),
+        _unit(F.col(vector_col)).alias("v"),  # normalize n times, not n² times
+    ]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
     base = df.select(*cols)
@@ -119,7 +133,7 @@ def exact_similarity_join(
     cond = F.col("a.id") < F.col("b.id")
     if block_col:
         cond = cond & (F.col("a.blk") == F.col("b.blk"))
-    score = cosine_similarity(F.col("a.v"), F.col("b.v"))
+    score = dot_product(F.col("a.v"), F.col("b.v"))
     if round_scores is not None:
         score = F.round(score, round_scores)
     return (
