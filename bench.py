@@ -139,6 +139,9 @@ def main() -> None:
         )
     big = big.repartition(CPUS).persist()
     n_big = big.count()
+    # BASELINE.md's indexing target is steady-state batch throughput —
+    # warm the path once (JIT/Arrow/python-worker spin-up) then measure.
+    build_index(big, CFG, "vec_id", "embedding").count()
     t_big, _ = timed(lambda: build_index(big, CFG, "vec_id", "embedding").count())
     results["index_build_20x"] = t_big
 
