@@ -1322,3 +1322,99 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round on the JVM side: F.round is HALF_UP like DuckDB's round
     # (np.round is banker's rounding — a silent oracle-mismatch trap)
     return out.select("label", "dim", F.round("centroid", 5).alias("centroid"))
+
+
+# --------------------------------------------------------------------- #
+# Range/interval join (SURVEY §2.6 gap: reference has no range joins)
+# --------------------------------------------------------------------- #
+
+@register(
+    "rel_events_interval",
+    """SELECT e.event_id AS error_id,
+       count(c.event_id)::BIGINT AS n_clicks,
+       coalesce(sum(CAST(round(c.value * 100) AS BIGINT)), 0)::BIGINT AS value_cents
+FROM events e
+LEFT JOIN events c
+  ON c.user_id = e.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 10 MINUTE
+WHERE e.event_type = 'error'
+GROUP BY e.event_id""",
+)
+def rel_events_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks inside a 10-minute window after each error, per user — a
+    point-in-interval join. Bucketized to an equi-join on
+    ``(user_id, time_bucket)`` (``operators/ranges.py::interval_join``)
+    instead of the O(n·m) theta join the naive plan would run."""
+    from .operators.ranges import interval_join
+
+    ev = _events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts", "value"
+    )
+    matched = interval_join(
+        clicks, errors, ["user_id"], bucket_seconds=600
+    )
+    counts = matched.groupBy("error_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    return (
+        errors.select("error_id")
+        .join(counts, "error_id", "left")
+        .select(
+            "error_id",
+            F.coalesce(F.col("n_clicks"), F.lit(0)).cast("long").alias("n_clicks"),
+            F.coalesce(F.col("value_cents"), F.lit(0)).cast("long").alias("value_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- #
+# Approx sketches (SURVEY §2.6 gap) — deterministic KMV distinct count
+# --------------------------------------------------------------------- #
+
+@register(
+    "sketch_distinct_users",
+    "WITH d AS (SELECT DISTINCT event_type, "
+    + h48_sql("user_id::VARCHAR")
+    + """ AS hv FROM events),
+r AS (SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM d),
+a AS (SELECT event_type,
+             CASE WHEN count(*) < 64 THEN count(*)
+                  ELSE CAST(floor(63 * 281474976710656.0 / max(hv)) AS BIGINT)
+             END AS approx_distinct
+      FROM r WHERE rn <= 64 GROUP BY event_type)
+SELECT a.event_type,
+       a.approx_distinct::BIGINT AS approx_distinct,
+       e.exact_distinct::BIGINT AS exact_distinct
+FROM a JOIN (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+             FROM events GROUP BY event_type) e USING (event_type)""",
+)
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user estimate per event type, next to the exact
+    count. Deterministic (shared portable 48-bit hash + floor finalize),
+    so the oracle recomputes the sketch itself — impossible with HLL
+    register merges. Scale shape in ``functions/sketch.py``."""
+    from .functions.sketch import kmv_distinct
+
+    ev = _events(spark, sf_dir)
+    approx = kmv_distinct(
+        ev, ["event_type"], X.h48(F.col("user_id").cast("string")), k=64
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return approx.join(exact, "event_type").select(
+        "event_type",
+        F.col("approx_distinct").cast("long"),
+        F.col("exact_distinct").cast("long"),
+    )

@@ -1,0 +1,100 @@
+"""interval_join (bucketized range join) and KMV distinct sketch."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from lshrs_spark.functions.sketch import kmv_distinct
+from lshrs_spark.functions.text import h48
+from lshrs_spark.operators.ranges import interval_join
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(sec: float) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=sec)
+
+
+@pytest.fixture(scope="module")
+def sides(spark, rng):
+    pts = spark.createDataFrame(
+        [(int(i), int(rng.integers(0, 5)), _ts(float(rng.uniform(0, 5000))))
+         for i in range(300)],
+        "pid long, k long, ts timestamp",
+    )
+    ivs = []
+    for j in range(60):
+        start = float(rng.uniform(0, 5000))
+        ivs.append(
+            (int(j), int(rng.integers(0, 5)), _ts(start),
+             _ts(start + float(rng.uniform(0, 900))))
+        )
+    # one empty and one inverted interval — must match nothing
+    ivs.append((60, 1, _ts(100.0), _ts(100.0)))
+    ivs.append((61, 2, _ts(200.0), _ts(50.0)))
+    intervals = spark.createDataFrame(ivs, "iid long, k long, start timestamp, end timestamp")
+    return pts, intervals
+
+
+def _pairs(df):
+    return sorted((r.pid, r.iid) for r in df.select("pid", "iid").collect())
+
+
+def test_bucketized_matches_theta(sides):
+    pts, ivs = sides
+    naive = interval_join(pts, ivs, ["k"])  # theta-join reference plan
+    for width in (60, 600, 3600):
+        got = interval_join(pts, ivs, ["k"], bucket_seconds=width)
+        assert _pairs(got) == _pairs(naive)
+
+
+def test_no_duplicate_pairs(sides):
+    pts, ivs = sides
+    got = interval_join(pts, ivs, ["k"], bucket_seconds=60)
+    pairs = _pairs(got)
+    assert len(pairs) == len(set(pairs))
+
+
+def test_end_exclusive(spark):
+    pts = spark.createDataFrame(
+        [(1, _ts(0.0)), (2, _ts(10.0))], "pid long, ts timestamp"
+    )
+    ivs = spark.createDataFrame(
+        [(1, _ts(0.0), _ts(10.0))], "iid long, start timestamp, end timestamp"
+    )
+    got = interval_join(pts, ivs, [], bucket_seconds=10)
+    assert _pairs(got) == [(1, 1)]  # start inclusive, end exclusive
+
+
+def test_column_collision_rejected(sides):
+    pts, ivs = sides
+    with pytest.raises(ValueError, match="collision"):
+        interval_join(pts, ivs.withColumnRenamed("iid", "pid"), ["k"])
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame([(i % 7,) for i in range(100)], "v long")
+    out = kmv_distinct(
+        df.withColumn("g", F.lit("a")), ["g"], h48(F.col("v").cast("string")), k=64
+    ).collect()
+    assert out[0].approx_distinct == 7
+
+
+def test_kmv_estimate_above_k(spark):
+    n = 5000
+    df = spark.createDataFrame([(i,) for i in range(n)], "v long")
+    out = kmv_distinct(
+        df.withColumn("g", F.lit("a")), ["g"], h48(F.col("v").cast("string")), k=256
+    ).collect()
+    est = out[0].approx_distinct
+    # rel err ~ 1/sqrt(k-2) ≈ 6%; allow 4 sigma
+    assert abs(est - n) / n < 0.25
+
+
+def test_kmv_rejects_tiny_k(spark):
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError):
+        kmv_distinct(df, [], h48(F.col("v").cast("string")), k=1)
