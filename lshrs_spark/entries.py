@@ -434,22 +434,25 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_stats",
-    """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    f"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
 SELECT doc_id AS id,
        len(toks)::BIGINT AS n_tokens,
+       len(regexp_extract_all(text, '{X.BPE_SPLIT_PATTERN}'))::BIGINT AS n_bpe_tokens,
        len(list_distinct(toks))::BIGINT AS n_distinct_tokens,
        length(text)::BIGINT AS n_chars,
        round((length(text) - (len(toks) - 1))::DOUBLE / len(toks), 5) AS avg_token_len
 FROM tok""",
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + basic corpus stats per document."""
+    """Token counting (whitespace + BPE-ish regex) + corpus stats per
+    document."""
     docs = _docs(spark, sf_dir)
     toks = X.tokens_col(F.col("text"))
     n_tok = F.size(toks).cast("long")
     return docs.select(
         F.col("doc_id").alias("id"),
         n_tok.alias("n_tokens"),
+        X.bpe_token_count_col(F.col("text")).cast("long").alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
         F.length("text").cast("long").alias("n_chars"),
         F.round(
@@ -1417,4 +1420,70 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("approx_distinct").cast("long"),
         F.col("exact_distinct").cast("long"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# End-to-end training-data prep: quality -> language -> dedup -> tokens
+# --------------------------------------------------------------------- #
+
+@register(
+    "pipeline_training_prep",
+    f"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+feat AS (SELECT doc_id, text, toks,
+    len(toks)::DOUBLE AS n_tokens,
+    length(text)::DOUBLE AS n_chars,
+    len(list_filter(toks, t -> list_contains(['the','a','and','of','to'], t)))::DOUBLE AS n_stop,
+    (length(text) - length(regexp_replace(text, '[a-z ]', '', 'g')))::DOUBLE AS n_alpha,
+    (length(text) - (len(toks) - 1))::DOUBLE / len(toks) AS avg_tok_len
+  FROM tok),
+q AS (SELECT doc_id, text, toks,
+    round(0.3*least(1.0, n_tokens / 50.0) + 0.2*(n_stop / n_tokens)
+        + 0.3*(n_alpha / n_chars)
+        + 0.2*(1.0 - least(1.0, abs(avg_tok_len - 5.0) / 5.0)), 5) AS quality
+  FROM feat),
+sc AS (SELECT doc_id, {_LANG_SCORES} FROM tok),
+lang AS (SELECT doc_id,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+            WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+            ELSE 'zh' END AS lang_pred
+  FROM sc),
+kept AS (SELECT q.doc_id, q.text FROM q JOIN lang USING (doc_id)
+         WHERE q.quality >= 0.45 AND lang.lang_pred = 'en'),
+dedup AS (SELECT text, min(doc_id) AS id, count(*) AS copies
+          FROM kept GROUP BY text)
+SELECT count(*)::BIGINT AS docs_kept,
+       coalesce(sum(copies - 1), 0)::BIGINT AS dups_removed,
+       coalesce(sum(len(string_split(text, ' '))), 0)::BIGINT AS total_tokens,
+       coalesce(sum(len(regexp_extract_all(text, '{X.BPE_SPLIT_PATTERN}'))), 0)::BIGINT AS total_bpe_tokens
+FROM dedup""",
+)
+def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's reason to exist, end to end in ONE Spark plan:
+    quality-score -> language-filter -> exact-dedup (keep min doc_id)
+    -> token accounting. One scan of the corpus, one shuffle (the
+    dedup groupBy on text), all expressions JVM-side — the shape that
+    holds at 100 TB."""
+    docs = _docs(spark, sf_dir)
+    cols = X.quality_score_cols(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "text",
+        cols["quality"].alias("q"),
+        X.language_id_col(F.col("text")).alias("lang"),
+    )
+    kept = scored.filter((F.col("q") >= 0.45) & (F.col("lang") == "en"))
+    dedup = kept.groupBy("text").agg(
+        F.min("doc_id").alias("id"), F.count(F.lit(1)).alias("copies")
+    )
+    return dedup.agg(
+        F.count(F.lit(1)).cast("long").alias("docs_kept"),
+        F.coalesce(F.sum(F.col("copies") - 1), F.lit(0)).cast("long").alias("dups_removed"),
+        F.coalesce(F.sum(X.token_count_col(F.col("text"))), F.lit(0))
+        .cast("long").alias("total_tokens"),
+        F.coalesce(F.sum(X.bpe_token_count_col(F.col("text"))), F.lit(0))
+        .cast("long").alias("total_bpe_tokens"),
     )

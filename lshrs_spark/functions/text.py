@@ -43,6 +43,18 @@ def token_count_col(text: Column) -> Column:
     return F.size(tokens_col(text))
 
 
+# Disjoint character classes so leftmost-first (Java) and RE2 (DuckDB)
+# alternation agree match-for-match: letter runs, single digits (BPE
+# tokenizers split digit runs), punctuation one at a time; spaces fall
+# through. A cheap stand-in for a BPE pre-tokenizer's piece count.
+BPE_SPLIT_PATTERN = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """BPE-ish token count: matches of :data:`BPE_SPLIT_PATTERN`."""
+    return F.regexp_count(text, F.lit(BPE_SPLIT_PATTERN))
+
+
 def char_ngrams_col(text: Column, n: int = 5) -> Column:
     """All character n-grams of ``text`` (empty array when shorter than n)."""
     count = F.length(text) - F.lit(n - 1)
