@@ -1487,3 +1487,33 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(X.bpe_token_count_col(F.col("text"))), F.lit(0))
         .cast("long").alias("total_bpe_tokens"),
     )
+
+
+@register(
+    "stream_session_counts",
+    """WITH o AS (SELECT user_id, epoch_us(ts) AS t,
+       lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pt
+  FROM events),
+f AS (SELECT user_id, t,
+             CASE WHEN pt IS NULL OR t - pt >= 1800000000 THEN 1 ELSE 0 END AS ns
+      FROM o),
+s AS (SELECT user_id, t,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM f)
+SELECT min(t)::BIGINT AS session_start, user_id,
+       count(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, sid""",
+)
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-based session windows (30 min) per user — the
+    operator the batch sessionize entry mirrors. Complete-mode finite
+    stream; oracle = islands with end-exclusive (>= gap) semantics."""
+    from .streaming.ingest import session_event_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return session_event_counts(
+        spark, f"{sf_dir}/events.parquet", gap="30 minutes"
+    ).select(
+        "session_start", "user_id", F.col("n_events").cast("long")
+    )

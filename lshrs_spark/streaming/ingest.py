@@ -20,7 +20,12 @@ from pyspark.sql import functions as F
 from ..config import LSHConfig
 from ..operators.index import build_index
 
-__all__ = ["stream_index_vectors", "stream_aggregate_complete", "windowed_event_counts"]
+__all__ = [
+    "stream_index_vectors",
+    "stream_aggregate_complete",
+    "windowed_event_counts",
+    "session_event_counts",
+]
 
 
 def load_file_stream(spark: SparkSession, source_path: str) -> DataFrame:
@@ -134,6 +139,48 @@ def windowed_event_counts(
             "event_type",
             "n",
             "value_cents",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def session_event_counts(
+    spark: SparkSession,
+    source_path: str,
+    *,
+    gap: str = "30 minutes",
+    name: Optional[str] = None,
+) -> DataFrame:
+    """Gap-based session windows per user over the event stream
+    (``F.session_window``), driven to completion in complete mode.
+    One row per (user, session): ``(session_start µs, user_id, n_events)``.
+
+    Session semantics are end-exclusive: an event exactly ``gap`` after
+    the previous one starts a NEW session — the batch islands oracle
+    must flag new sessions with ``delta >= gap``, not ``>``.
+    """
+    name = name or f"stream_{uuid.uuid4().hex[:8]}"
+    stream = load_file_stream(spark, source_path)
+    agg = (
+        stream.groupBy(
+            F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            # epoch microseconds: exact integer parity with the oracle
+            F.unix_micros(F.col("w.start")).alias("session_start"),
+            "user_id",
+            "n_events",
         )
     )
     q = (
