@@ -1517,3 +1517,35 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "session_start", "user_id", F.col("n_events").cast("long")
     )
+
+
+@register(
+    "ann_ivf_stored",
+    f"""WITH {_IVF_CTES},
+cand AS (SELECT a.id FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id),
+scored AS (SELECT cand.id AS id, {cosine_sql("e.embedding", "q.qv")} AS score
+           FROM cand JOIN embeddings e ON e.vec_id = cand.id CROSS JOIN q),
+ranked AS (SELECT id, score, row_number() OVER (ORDER BY score DESC, id ASC) AS rank
+           FROM scored)
+SELECT id, round(score, 5) AS score, rank FROM ranked WHERE rank <= 10""",
+)
+def ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF against a STORED centroid-partitioned layout: write the corpus
+    partitioned by assignment, query through a partition-pruned scan.
+    Must equal ann_ivf (in-memory) and the oracle — the scale path where
+    nprobe/K of the bytes are read."""
+    import tempfile
+
+    from .operators.knn import ivf_centroids_by_id, ivf_topk_stored, ivf_write_store
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_centroids_by_id(emb, 16)
+    path = tempfile.mkdtemp(prefix="lshrs_ivf_store_")
+    ivf_write_store(emb, cents, path)
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = ivf_topk_stored(spark, path, cents, queries, k=10, nprobe=4)
+    return out.select(
+        "id", F.round("score", 5).alias("score"), F.col("rank").cast("long").alias("rank")
+    )

@@ -24,7 +24,14 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import dot_product, l2_normalize
 
-__all__ = ["brute_force_topk", "ivf_assign", "ivf_topk", "recall_at_k"]
+__all__ = [
+    "brute_force_topk",
+    "ivf_assign",
+    "ivf_topk",
+    "ivf_write_store",
+    "ivf_topk_stored",
+    "recall_at_k",
+]
 
 
 def _unit(v: F.Column) -> F.Column:
@@ -175,4 +182,70 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
         F.round(
             F.avg(F.coalesce(F.col("h"), F.lit(0)) / F.col("n")), 5
         ).alias("recall")
+    )
+
+
+def ivf_write_store(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF layout: the corpus written to parquet
+    **partitioned by nearest-centroid assignment** — at 100 TB the
+    assignment IS the directory structure, so a query's ``nprobe``
+    centroid filter becomes partition pruning (only ``~nprobe/K`` of the
+    bytes are ever scanned)."""
+    assign = ivf_assign(vectors, centroids, id_col=id_col, vector_col=vector_col)
+    (
+        vectors.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vector_col).alias("embedding"),
+        )
+        .join(assign, "id")
+        .write.mode(mode)
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+
+
+def ivf_topk_stored(
+    spark,
+    store_path: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    *,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """IVF query against a stored layout (``ivf_write_store``): probed
+    centroid ids become a partition-pruning ``isin`` filter on the scan —
+    identical results to :func:`ivf_topk`, a fraction of the I/O."""
+    q = queries.select(
+        F.col(qid_col).cast("long").alias("qid"), _unit(F.col(qvec_col)).alias("_q")
+    )
+    probes = _nearest_centroids(q, centroids, nprobe, "qid", "_q")
+    probe_cids = [
+        int(r.centroid_id)
+        for r in probes.select("centroid_id").distinct().collect()
+    ]
+    store = spark.read.parquet(store_path).filter(
+        F.col("centroid_id").isin(probe_cids)  # -> PartitionFilters on the scan
+    )
+    v = store.select("centroid_id", "id", _unit(F.col("embedding")).alias("_v"))
+    scored = (
+        probes.join(v, "centroid_id")
+        .join(F.broadcast(q), "qid")
+        .select("qid", "id", dot_product(F.col("_q"), F.col("_v")).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "id", "score", "rank")
     )

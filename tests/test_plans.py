@@ -61,3 +61,32 @@ def test_filter_pushdown_reaches_scan(spark):
     assert any(
         "l_quantity" in s and "l_extendedprice" not in s for s in r["read_schemas"]
     )
+
+
+def test_ivf_stored_scan_is_partition_pruned(spark, emb, tmp_path):
+    """The stored-IVF probe must prune non-probed centroid partitions at
+    the scan (PartitionFilters), not filter post-read."""
+    from lshrs_spark.operators.knn import (
+        ivf_centroids_by_id,
+        ivf_topk_stored,
+        ivf_write_store,
+    )
+
+    cents = ivf_centroids_by_id(emb, 8)
+    store = str(tmp_path / "ivf_store")
+    ivf_write_store(emb, cents, store)
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = ivf_topk_stored(spark, store, cents, queries, k=5, nprobe=2)
+    plan = physical_plan(out)
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines, "stored scan has no PartitionFilters section"
+    assert any("centroid_id" in l and "IN" in l.upper() for l in part_lines), part_lines
+    # correctness too: equals the in-memory IVF result
+    from lshrs_spark.operators.knn import ivf_topk
+
+    mem = ivf_topk(emb, cents, queries, k=5, nprobe=2)
+    assert sorted((r.qid, r.id, r.rank) for r in out.collect()) == sorted(
+        (r.qid, r.id, r.rank) for r in mem.collect()
+    )
