@@ -13,6 +13,8 @@ Conventions (driver contract):
 
 from __future__ import annotations
 
+import os
+import tempfile
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1009,7 +1011,6 @@ def rel_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lsh_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Save -> load round trip through LSHRS (S5): the reloaded index must
     equal the freshly built one (and therefore the SQL oracle)."""
-    import tempfile
 
     from .core import LSHRS
 
@@ -1024,7 +1025,12 @@ def lsh_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
         dtype=ORACLE_CFG.dtype,
     )
     lsh.index_dataframe(emb)
-    path = tempfile.mkdtemp(prefix="lshrs_persist_")
+    # deterministic per-sf path (overwrite semantics) — mkdtemp would
+    # leave a fresh corpus-sized directory behind on every invocation
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"lshrs_persist_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
     lsh.save_to_disk(path)
     reloaded = LSHRS.load_from_disk(spark, path)
     return reloaded.index_df.select("id", "band", "sig")
@@ -1491,14 +1497,14 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_session_counts",
-    """WITH o AS (SELECT user_id, epoch_us(ts) AS t,
+    """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS t,
        lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pt
   FROM events),
-f AS (SELECT user_id, t,
+f AS (SELECT user_id, event_id, t,
              CASE WHEN pt IS NULL OR t - pt >= 1800000000 THEN 1 ELSE 0 END AS ns
       FROM o),
 s AS (SELECT user_id, t,
-             sum(ns) OVER (PARTITION BY user_id ORDER BY t
+             sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM f)
 SELECT min(t)::BIGINT AS session_start, user_id,
@@ -1534,13 +1540,16 @@ def ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by assignment, query through a partition-pruned scan.
     Must equal ann_ivf (in-memory) and the oracle — the scale path where
     nprobe/K of the bytes are read."""
-    import tempfile
 
     from .operators.knn import ivf_centroids_by_id, ivf_topk_stored, ivf_write_store
 
     emb = _emb(spark, sf_dir)
     cents = ivf_centroids_by_id(emb, 16)
-    path = tempfile.mkdtemp(prefix="lshrs_ivf_store_")
+    # deterministic per-sf path, overwritten each run — no tempdir growth
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"lshrs_ivf_store_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
     ivf_write_store(emb, cents, path)
     queries = emb.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")

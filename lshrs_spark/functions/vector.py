@@ -13,7 +13,13 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["dot_product", "l2_norm", "cosine_similarity", "l2_normalize"]
+__all__ = [
+    "dot_product",
+    "l2_norm",
+    "cosine_similarity",
+    "l2_normalize",
+    "unit_or_null",
+]
 
 
 def _as_double(v: Column) -> Column:
@@ -41,6 +47,15 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     that need the reference's hard error wrap this with a raise)."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom > 0, dot_product(a, b) / denom)
+
+
+def unit_or_null(v: Column) -> Column:
+    """Unit-normalized double array; null for zero vectors (they score
+    null downstream and fall out of threshold filters — same outcome as
+    cosine's null-on-zero-denominator). THE normalize-once policy for
+    pairwise scoring: normalize at projection time (n rows), score pairs
+    with a plain dot product (pairs >> rows in every join strategy)."""
+    return l2_normalize(v, on_zero="null")
 
 
 def l2_normalize(v: Column, *, on_zero: str = "error") -> Column:

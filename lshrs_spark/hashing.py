@@ -78,8 +78,14 @@ def _broadcast_proj(spark: SparkSession, cfg: LSHConfig):
     # Key on applicationId (unique per context), NOT id(sparkContext):
     # CPython reuses freed addresses, so id() can collide after a
     # stop()/restart and hand back a destroyed broadcast.
-    key = (spark.sparkContext.applicationId, cfg.seed, cfg.dim, cfg.num_bands,
+    app = spark.sparkContext.applicationId
+    key = (app, cfg.seed, cfg.dim, cfg.num_bands,
            cfg.rows_per_band, cfg.dtype)
+    # Evict entries from other (stopped) contexts so repeated
+    # stop()/restart cycles don't accumulate dead broadcasts + their
+    # driver-side projection matrices.
+    for stale in [k for k in _BCAST_CACHE if k[0] != app]:
+        del _BCAST_CACHE[stale]
     b = _BCAST_CACHE.get(key)
     if b is None:
         np_dtype = np.float32 if cfg.dtype == "float32" else np.float64

@@ -26,6 +26,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import persist_slot
 from ..functions.text import h48, token_shingles_col, tokens_col
 
 __all__ = [
@@ -78,13 +79,11 @@ def ngram_jaccard_pairs(
             F.col(id_col).cast("long").alias("id"),
             F.explode(F.array_distinct(token_shingles_col(F.col(text_col), n))).alias("s"),
         )
-        # referenced three times (sizes + both join sides) —
-        # localCheckpoint materializes once AND its blocks are released by
-        # the ContextCleaner when this DataFrame is dropped (persist()
-        # entries live in the CacheManager until an explicit unpersist,
-        # leaking across repeated invocations)
-        .localCheckpoint(eager=False)
     )
+    # referenced three times (sizes + both join sides); persist keeps
+    # lineage (fault-tolerant on a cluster, unlike localCheckpoint) and
+    # the slot registry bounds the CacheManager growth across calls
+    sh = persist_slot(sh, "dedup.ngram_shingles", eager=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -194,12 +193,11 @@ def minhash_band_pairs(
     key = (
         wide.select("id", *keys)
         .selectExpr("id", f"stack({num_bands}, {stack}) AS (band, sig)")
-        # feeds both sides of the self-join — localCheckpoint so the
-        # md5-heavy MinHash pipeline runs once; blocks are GC-released,
-        # unlike persist() which leaks in the CacheManager until an
-        # explicit unpersist
-        .localCheckpoint(eager=False)
     )
+    # feeds both sides of the self-join — persist (lineage kept for
+    # cluster fault tolerance) via the bounded slot registry so the
+    # md5-heavy MinHash pipeline runs once without leaking cache entries
+    key = persist_slot(key, "dedup.minhash_bands", eager=True)
     a = key.alias("a")
     b = key.alias("b")
     return (
@@ -295,7 +293,10 @@ def connected_components(
     )
     labels = nodes.select(F.col("id").cast("long"), F.col("id").cast("long").alias("component"))
     converged = False
-    for _ in range(max_iterations):
+    # max_iterations bounds the *label-changing* rounds; the +1 allows the
+    # zero-change confirmation round, so a graph whose fixpoint lands
+    # exactly on round max_iterations isn't misreported as non-converged.
+    for _ in range(max_iterations + 1):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")

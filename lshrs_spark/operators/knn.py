@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import dot_product, l2_normalize
+from ..functions.vector import dot_product, unit_or_null
 
 __all__ = [
     "brute_force_topk",
@@ -34,11 +34,7 @@ __all__ = [
 ]
 
 
-def _unit(v: F.Column) -> F.Column:
-    """Unit-normalize once at projection time so every pairwise score is
-    a single dot product — pairs (n·q, n·K) dwarf rows (n), so hoisting
-    the norms out of the cross/probe joins is the dominant-term win."""
-    return l2_normalize(v, on_zero="null")
+_unit = unit_or_null  # shared normalize-or-null policy (functions.vector)
 
 
 def brute_force_topk(
@@ -229,15 +225,23 @@ def ivf_topk_stored(
     q = queries.select(
         F.col(qid_col).cast("long").alias("qid"), _unit(F.col(qvec_col)).alias("_q")
     )
-    probes = _nearest_centroids(q, centroids, nprobe, "qid", "_q")
-    probe_cids = [
-        int(r.centroid_id)
-        for r in probes.select("centroid_id").distinct().collect()
+    # Collect the (tiny: nqueries x nprobe) probe set ONCE: the rows both
+    # drive the partition filter and become the join side, so the
+    # centroid-ranking job runs a single time.
+    probe_rows = [
+        (int(r.qid), int(r.centroid_id))
+        for r in _nearest_centroids(q, centroids, nprobe, "qid", "_q").collect()
     ]
+    probe_cids = sorted({cid for _, cid in probe_rows})
+    probes = spark.createDataFrame(probe_rows, "qid long, centroid_id long")
     store = spark.read.parquet(store_path).filter(
         F.col("centroid_id").isin(probe_cids)  # -> PartitionFilters on the scan
     )
-    v = store.select("centroid_id", "id", _unit(F.col("embedding")).alias("_v"))
+    v = store.select(
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        "id",
+        _unit(F.col("embedding")).alias("_v"),
+    )
     scored = (
         probes.join(v, "centroid_id")
         .join(F.broadcast(q), "qid")

@@ -24,17 +24,15 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import persist_slot
 from ..config import LSHConfig
-from ..functions.vector import dot_product, l2_normalize
+from ..functions.vector import dot_product, unit_or_null
 from .index import build_index
 
 __all__ = ["candidate_pairs", "similarity_join", "exact_similarity_join"]
 
 
-def _unit(v: F.Column) -> F.Column:
-    """Unit-normalized double array; null for zero vectors (they score
-    null and fall out of the threshold filter, matching cosine's null)."""
-    return l2_normalize(v, on_zero="null")
+_unit = unit_or_null  # shared normalize-or-null policy (functions.vector)
 
 
 def candidate_pairs(
@@ -82,10 +80,10 @@ def similarity_join(
     index with ``write_index`` and self-join the stored table instead)."""
     idx = build_index(df, cfg, id_col, vector_col)
     if cache_index:
-        # localCheckpoint, not persist: blocks are GC-released when the
-        # plan is dropped, so repeated calls don't leak CacheManager
-        # entries for the application lifetime
-        idx = idx.localCheckpoint(eager=False)
+        # persist via the bounded slot registry: lineage kept (cluster
+        # fault tolerance), and repeated calls don't accumulate
+        # CacheManager entries
+        idx = persist_slot(idx, "simjoin.index", eager=True)
     pairs = candidate_pairs(idx, max_bucket_size=max_bucket_size)
     # Normalize ONCE per vector (n rows) so the per-pair expression is a
     # single fused dot product — candidate pairs outnumber vectors by

@@ -73,7 +73,9 @@ def stream_index_vectors(
     )
 
     def ingest_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        idx = build_index(batch_df, cfg, id_col, vector_col, sig_kind="long")
+        # sig_kind derived from cfg (long when rows_per_band < 64, else
+        # binary) so wide-band configs stream correctly too
+        idx = build_index(batch_df, cfg, id_col, vector_col)
         idx.write.mode("append").parquet(index_path)
 
     writer = stream.writeStream.foreachBatch(ingest_batch)

@@ -65,3 +65,22 @@ def test_load_file_stream_converts_nanos(spark):
     stream = load_file_stream(spark, "/root/testdata/sf0.001/events.parquet")
     assert dict(stream.dtypes)["ts"] == "timestamp"
     assert stream.isStreaming
+
+
+def test_stream_index_wide_band_binary_sigs(spark, vector_dir, tmp_path):
+    """rows_per_band >= 64 forces binary signatures — streaming ingest
+    must derive the kind from cfg instead of hardcoding long."""
+    wide = LSHConfig(dim=16, num_perm=128, num_bands=2, rows_per_band=64, seed=42)
+    index_path = str(tmp_path / "index_wide")
+    q = stream_index_vectors(spark, vector_dir, index_path, wide)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.read.parquet(index_path)
+    assert dict(streamed.dtypes)["sig"] == "binary"
+    batch = build_index(spark.read.parquet(vector_dir), wide, "vec_id", "embedding")
+    assert (
+        streamed.exceptAll(batch).count() == 0
+        and batch.exceptAll(streamed).count() == 0
+    )
