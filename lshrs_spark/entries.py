@@ -1558,3 +1558,56 @@ def ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id", F.round("score", 5).alias("score"), F.col("rank").cast("long").alias("rank")
     )
+
+
+# --------------------------------------------------------------------- #
+# Date/time + math scalar-function surface (completes §2.6's scalar
+# library coverage next to rel_string_funcs and rel_events_json)
+# --------------------------------------------------------------------- #
+
+@register(
+    "rel_date_math_funcs",
+    """SELECT o_orderkey,
+       year(o_orderdate)::BIGINT AS o_year,
+       quarter(o_orderdate)::BIGINT AS o_quarter,
+       month(o_orderdate)::BIGINT AS o_month,
+       (dayofweek(o_orderdate) + 1)::BIGINT AS o_dow,  -- DuckDB 0=Sun, Spark 1=Sun
+       floor(epoch(o_orderdate + INTERVAL 90 DAY))::BIGINT AS due_epoch,
+       datediff('day', TIMESTAMP '1995-01-01', o_orderdate)::BIGINT AS days_since_epoch_start,
+       round(sqrt(o_totalprice), 5) AS price_sqrt,
+       round(ln(o_totalprice + 1), 5) AS price_ln,
+       round(pow(o_totalprice / 100000, 2), 5) AS price_sq,
+       abs(round(o_totalprice * 100) - 10000000)::BIGINT AS cents_dist,
+       (round(o_totalprice * 100)::BIGINT % 97)::BIGINT AS cents_mod,
+       greatest(round(o_totalprice, 2), 150000.0) AS clamped
+FROM orders
+WHERE o_orderkey < 3000""",
+)
+def rel_date_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time + math scalar functions over orders — the library
+    surface the reference lacks entirely (SURVEY §2.6), all inside
+    whole-stage codegen."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderkey") < 3000
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.quarter("o_orderdate").cast("long").alias("o_quarter"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.dayofweek("o_orderdate").cast("long").alias("o_dow"),
+        F.unix_timestamp(
+            F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("due_epoch"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).cast("long").alias("days_since_epoch_start"),
+        F.round(F.sqrt("o_totalprice"), 5).alias("price_sqrt"),
+        F.round(F.log(F.col("o_totalprice") + 1), 5).alias("price_ln"),
+        F.round(F.pow(F.col("o_totalprice") / 100000, 2), 5).alias("price_sq"),
+        F.abs(cents - 10000000).cast("long").alias("cents_dist"),
+        (cents % 97).cast("long").alias("cents_mod"),
+        F.greatest(F.round("o_totalprice", 2), F.lit(150000.0)).alias("clamped"),
+    )

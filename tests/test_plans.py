@@ -90,3 +90,26 @@ def test_ivf_stored_scan_is_partition_pruned(spark, emb, tmp_path):
     assert sorted((r.qid, r.id, r.rank) for r in out.collect()) == sorted(
         (r.qid, r.id, r.rank) for r in mem.collect()
     )
+
+
+def test_interval_join_bucketed_is_equijoin(spark):
+    """Bucketized interval join must plan as a hash equi-join on
+    (keys, bucket) — not BroadcastNestedLoop/Cartesian, which is the
+    O(points x intervals) shape it exists to avoid."""
+    import datetime as dt
+
+    from lshrs_spark.operators.ranges import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, i % 3, t0 + dt.timedelta(seconds=i)) for i in range(100)],
+        "pid long, k long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [(j, j % 3, t0 + dt.timedelta(seconds=10 * j),
+          t0 + dt.timedelta(seconds=10 * j + 30)) for j in range(10)],
+        "iid long, k long, start timestamp, end timestamp",
+    )
+    plan = physical_plan(interval_join(pts, ivs, ["k"], bucket_seconds=60))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
