@@ -10,6 +10,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -144,6 +145,21 @@ def main() -> None:
     build_index(big, CFG, "vec_id", "embedding").count()
     t_big, _ = timed(lambda: build_index(big, CFG, "vec_id", "embedding").count())
     results["index_build_20x"] = t_big
+
+    # 10. Single query against the STORED 20x index through signature
+    # predicate pushdown (candidates_from_path): the latency that stays
+    # flat as the index grows (measured flat 1x -> 100x locally).
+    from lshrs_spark.operators.index import write_index
+    from lshrs_spark.operators.probe import candidates_from_path
+
+    store = os.path.join(tempfile.gettempdir(), "lshrs_bench_index20x")
+    write_index(build_index(big, CFG, "vec_id", "embedding"), store)
+    candidates_from_path(spark, store, qv, CFG).count()  # warm
+    results["single_topk_stored20x"], _ = timed(
+        lambda: top_k(
+            candidates_from_path(spark, store, qv, CFG), 10
+        ).count()
+    )
 
     total = sum(results.values())
     print(json.dumps({
