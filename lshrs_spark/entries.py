@@ -1611,3 +1611,38 @@ def rel_date_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cents % 97).cast("long").alias("cents_mod"),
         F.greatest(F.round("o_totalprice", 2), F.lit(150000.0)).alias("clamped"),
     )
+
+
+@register(
+    "text_langid_accuracy",
+    f"""WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+sc AS (SELECT doc_id, lang, {_LANG_SCORES} FROM tok),
+best AS (SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+                greatest(s_de, s_en, s_es, s_fr, s_zh) AS b FROM sc),
+pred AS (SELECT doc_id, lang,
+       CASE WHEN b = 0 THEN 'und'
+            WHEN s_de = b THEN 'de'
+            WHEN s_en = b THEN 'en'
+            WHEN s_es = b THEN 'es'
+            WHEN s_fr = b THEN 'fr'
+            ELSE 'zh' END AS lang_pred
+  FROM best)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+       round(sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END)::DOUBLE / count(*), 5) AS accuracy
+FROM pred GROUP BY lang""",
+)
+def text_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic evaluated against the ground-truth ``lang``
+    column — per-language accuracy, the eval loop a training-data
+    pipeline runs after any classifier change."""
+    docs = _docs(spark, sf_dir)
+    pred = docs.select(
+        "lang", X.language_id_col(F.col("text")).alias("lang_pred")
+    )
+    hit = F.when(F.col("lang_pred") == F.col("lang"), 1).otherwise(0)
+    return pred.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(hit).cast("long").alias("n_correct"),
+        F.round(F.sum(hit) / F.count(F.lit(1)), 5).alias("accuracy"),
+    )
