@@ -48,34 +48,38 @@ def with_binary_payload(
     )
 
 
-def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    # Self-contained (no package imports) so workers never need this
-    # module on sys.path.
-    import hashlib as _hashlib
-
-    for pdf in batches:
-        payloads = pdf["payload"]
-        md5s = [_hashlib.md5(bytes(p)).hexdigest() for p in payloads]
-        yield pd.DataFrame(
-            {
-                "id": pdf["id"],
-                "n_bytes": [len(bytes(p)) for p in payloads],
-                "payload_md5": md5s,
-                # Deterministic fake decode: dims derived from the digest —
-                # replace with a real decoder when libraries are present.
-                "fake_width": [int(m[:4], 16) % 640 + 1 for m in md5s],
-                "fake_height": [int(m[4:8], 16) % 480 + 1 for m in md5s],
-            }
-        )
-
-
 def extract_features(payload_df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload column.
     The md5/length/fake-dim features are deterministic, so the DuckDB
     oracle can recompute them — proving the mapInPandas plumbing without
     real decoders."""
+
+    # NESTED, not module-level: cloudpickle serializes nested functions
+    # by VALUE, while module-level functions pickle by reference and make
+    # every worker try `import lshrs_spark` — which fails under the
+    # driver's vanilla session (workers only see the driver's cwd).
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            md5s = [_hashlib.md5(bytes(p)).hexdigest() for p in payloads]
+            yield _pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_bytes": [len(bytes(p)) for p in payloads],
+                    "payload_md5": md5s,
+                    # Deterministic fake decode: dims derived from the
+                    # digest — swap in a real decoder when available.
+                    "fake_width": [int(m[:4], 16) % 640 + 1 for m in md5s],
+                    "fake_height": [int(m[4:8], 16) % 480 + 1 for m in md5s],
+                }
+            )
+
     return payload_df.select("id", "payload").mapInPandas(
-        _feature_batches, schema=FEATURE_SCHEMA
+        feature_batches, schema=FEATURE_SCHEMA
     )
 
 

@@ -28,41 +28,50 @@ OUTPUT_SCHEMA = "user_id long, event_type string, first_us long, first_event_id 
 STATE_SCHEMA = "types array<string>, ts array<long>, ids array<long>"
 
 
-def _first_seen_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    # Self-contained (no package imports) — workers don't need lshrs_spark.
-    (user_id,) = key
-    if state.exists:
-        types, ts, ids = state.get
-        seen = {t: (int(a), int(b)) for t, a, b in zip(types, ts, ids)}
-    else:
-        seen = {}
-    changed = {}
-    for pdf in pdfs:
-        for et, t_us, eid in zip(
-            pdf["event_type"], pdf["t_us"], pdf["event_id"]
-        ):
-            cand = (int(t_us), int(eid))
-            if et not in seen or cand < seen[et]:
-                seen[et] = cand
-                changed[et] = cand
-    items = sorted(seen.items())
-    state.update((
-        [t for t, _ in items],
-        [v[0] for _, v in items],
-        [v[1] for _, v in items],
-    ))
-    if changed:
-        out = sorted(changed.items())
-        yield pd.DataFrame(
-            {
-                "user_id": [int(user_id)] * len(out),
-                "event_type": [t for t, _ in out],
-                "first_us": [v[0] for _, v in out],
-                "first_event_id": [v[1] for _, v in out],
-            }
-        )
+def _make_first_seen_fn():
+    """Return the stateful group function as a NESTED closure: cloudpickle
+    serializes it by value, so workers never need ``lshrs_spark`` on
+    their sys.path (module-level functions pickle by reference and break
+    under the driver's vanilla session)."""
+
+    def first_seen_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        (user_id,) = key
+        if state.exists:
+            types, ts, ids = state.get
+            seen = {t: (int(a), int(b)) for t, a, b in zip(types, ts, ids)}
+        else:
+            seen = {}
+        changed = {}
+        for pdf in pdfs:
+            for et, t_us, eid in zip(
+                pdf["event_type"], pdf["t_us"], pdf["event_id"]
+            ):
+                cand = (int(t_us), int(eid))
+                if et not in seen or cand < seen[et]:
+                    seen[et] = cand
+                    changed[et] = cand
+        items = sorted(seen.items())
+        state.update((
+            [t for t, _ in items],
+            [v[0] for _, v in items],
+            [v[1] for _, v in items],
+        ))
+        if changed:
+            out = sorted(changed.items())
+            yield _pd.DataFrame(
+                {
+                    "user_id": [int(user_id)] * len(out),
+                    "event_type": [t for t, _ in out],
+                    "first_us": [v[0] for _, v in out],
+                    "first_event_id": [v[1] for _, v in out],
+                }
+            )
+
+    return first_seen_fn
 
 
 def stream_first_seen(
@@ -82,7 +91,7 @@ def stream_first_seen(
     out = (
         stream.groupBy("user_id")
         .applyInPandasWithState(
-            _first_seen_fn,
+            _make_first_seen_fn(),
             OUTPUT_SCHEMA,
             STATE_SCHEMA,
             "update",

@@ -89,10 +89,25 @@ def main() -> int:
     import __spark_entry__ as e
     from lshrs_spark.session import get_spark
 
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    only = set(a for a in args if not a.startswith("--"))
     qs = e.queries()
     oracles = e.oracle_sql()
-    spark = get_spark("check_oracle", cpus=int(os.environ.get("CPUS", "8")))
+    if vanilla:
+        # Simulate the driver: a bare session with none of our tuning
+        # (no AQE/Arrow/timezone confs) — entries must self-configure.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master(
+                f"local[{os.environ.get('CPUS', '8')}]"
+            )
+            .appName("check_oracle_vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check_oracle", cpus=int(os.environ.get("CPUS", "8")))
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_con(sf_dir)
 
