@@ -1646,3 +1646,76 @@ def text_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(hit).cast("long").alias("n_correct"),
         F.round(F.sum(hit) / F.count(F.lit(1)), 5).alias("accuracy"),
     )
+
+
+# --------------------------------------------------------------------- #
+# GROUPING SETS (completes the cube/rollup/grouping-sets triple) and a
+# TPC-H-Q9-flavored 5-table join exercising part + supplier
+# --------------------------------------------------------------------- #
+
+@register(
+    "rel_grouping_sets",
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*)::BIGINT AS n_orders,
+       sum(round(o_totalprice * 100))::BIGINT AS revenue_cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))""",
+)
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS aggregation (the general form behind cube/
+    rollup, both already covered) — one shuffle, Expand node fans rows
+    into their grouping combinations."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+    """)
+
+
+@register(
+    "rel_brand_nation_profit",
+    """SELECT p.p_brand AS brand, n.n_name AS nation,
+       count(*)::BIGINT AS n_lines,
+       sum(round(l.l_extendedprice * (1 - l.l_discount) * 100))::BIGINT
+         AS net_cents
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY p.p_brand, n.n_name""",
+)
+def rel_brand_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-flavored 5-table star join (lineitem x part x supplier x
+    nation x region): the dims broadcast, the fact table never shuffles
+    before the aggregate — the canonical star-schema plan at scale."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    net_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.col("p_brand").alias("brand"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(net_cents).alias("net_cents"),
+        )
+    )

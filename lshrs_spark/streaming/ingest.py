@@ -34,6 +34,15 @@ def load_file_stream(spark: SparkSession, source_path: str) -> DataFrame:
     convert via integer division (ns are > 2^60 — float division would
     lose precision)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Streaming state stores create one partition per shuffle partition
+    # PER MICRO-BATCH; a vanilla session's default (200) means 200 state
+    # tasks per batch however small the stream. Right-size to the
+    # machine's parallelism, but only when the consumer left the default.
+    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
     schema = spark.read.parquet(source_path).schema
     # The file source needs a directory/glob base; turn a bare file path
     # into a glob that matches exactly that file.
