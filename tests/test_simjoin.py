@@ -51,3 +51,25 @@ def test_max_bucket_size_prunes(vec_df):
     all_pairs = candidate_pairs(idx).count()
     capped = candidate_pairs(idx, max_bucket_size=1).count()
     assert capped == 0 <= all_pairs
+
+
+def test_degenerate_hot_bucket_dropped(spark):
+    """A corpus of identical vectors collapses into ONE bucket per band —
+    the quadratic-blowup case. max_bucket_size must drop it outright and
+    complete (empty result beats an O(n^2) pair explosion)."""
+    import numpy as np
+
+    from lshrs_spark import LSHConfig
+    from lshrs_spark.operators.simjoin import similarity_join
+
+    v = [float(x) for x in np.arange(8)]
+    df = spark.createDataFrame(
+        [(i, v) for i in range(500)], "vec_id long, embedding array<float>"
+    )
+    cfg = LSHConfig(dim=8, num_perm=16, num_bands=4, rows_per_band=4, seed=7)
+    out = similarity_join(df, cfg, 0.5, max_bucket_size=100)
+    assert out.count() == 0  # every bucket exceeds the cap -> dropped
+    # without the cap the same corpus yields ~n^2/2 pairs — cap on
+    # a small slice to keep the test fast
+    some = similarity_join(df.limit(30), cfg, 0.5, max_bucket_size=2000)
+    assert some.count() == 30 * 29 / 2
