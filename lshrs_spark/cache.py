@@ -33,10 +33,7 @@ def persist_slot(df: DataFrame, slot: str, *, eager: bool = False) -> DataFrame:
     the cache and the upstream pipeline executes twice."""
     old = _SLOTS.pop(slot, None)
     if old is not None:
-        try:
-            old.unpersist()
-        except Exception:
-            pass  # stopped context — nothing to free
+        _safe_unpersist(old)
     df = df.persist()
     if eager:
         df.count()
@@ -47,8 +44,11 @@ def persist_slot(df: DataFrame, slot: str, *, eager: bool = False) -> DataFrame:
 def release_slots() -> None:
     """Unpersist every slot (idempotent)."""
     for name in list(_SLOTS):
-        df = _SLOTS.pop(name)
-        try:
-            df.unpersist()
-        except Exception:
-            pass
+        _safe_unpersist(_SLOTS.pop(name))
+
+
+def _safe_unpersist(df: DataFrame) -> None:
+    try:
+        df.unpersist()
+    except Exception:
+        pass  # stopped context — nothing to free

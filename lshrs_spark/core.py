@@ -67,11 +67,16 @@ class LSHRS:
         self._id_col = id_col
         self._vector_col = vector_col
         self._vectors_df = vectors_df
-        # long sigs when they fit in int64 (join-friendliest); binary for
-        # rows_per_band >= 64 configs like the planner's (64, 64)
-        self._sig_kind = "long" if self.cfg.use_long_sig else "binary"
         self._index_df: Optional[DataFrame] = None
         self._pending: list[tuple[int, list[float]]] = []
+
+    @property
+    def _sig_kind(self) -> str:
+        """Signature encoding derived from the config (single source of
+        truth — not stored, so pickle/restore can't drift): long sigs
+        when they fit in int64 (join-friendliest), binary for
+        rows_per_band >= 64 configs like the planner's (64, 64)."""
+        return "long" if self.cfg.use_long_sig else "binary"
 
     # ------------------------------------------------------------------ #
     # properties
@@ -95,8 +100,9 @@ class LSHRS:
         indexed)."""
         self.flush()
         if self._index_df is None:
-            sig_t = "long" if self._sig_kind == "long" else "binary"
-            return self.spark.createDataFrame([], f"band int, sig {sig_t}, id long")
+            return self.spark.createDataFrame(
+                [], f"band int, sig {self._sig_kind}, id long"
+            )
         return self._index_df
 
     def set_vectors(self, df: DataFrame, id_col: str = "vec_id",
@@ -314,7 +320,6 @@ class LSHRS:
 
     def __setstate__(self, state: dict) -> None:
         self.cfg = LSHConfig.from_dict(state["cfg"])
-        self._sig_kind = "long" if self.cfg.use_long_sig else "binary"
         self._pending = list(state["pending"])
         self._id_col = state["id_col"]
         self._vector_col = state["vector_col"]

@@ -1365,7 +1365,7 @@ def rel_events_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end"),
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"), "user_id", "ts", "value"
+        "user_id", "ts", "value"
     )
     matched = interval_join(
         clicks, errors, ["user_id"], bucket_seconds=600

@@ -21,6 +21,7 @@ from ..config import LSHConfig
 from ..operators.index import build_index
 
 __all__ = [
+    "run_to_memory_table",
     "stream_index_vectors",
     "stream_aggregate_complete",
     "windowed_event_counts",
@@ -93,6 +94,30 @@ def stream_index_vectors(
     return writer.start()
 
 
+def run_to_memory_table(
+    df: DataFrame,
+    *,
+    output_mode: str = "complete",
+    name: Optional[str] = None,
+) -> DataFrame:
+    """Drive a (finite) streaming DataFrame to completion into a memory
+    sink and return the result table — the shared harness behind every
+    stream-equals-batch correctness entry."""
+    spark = df.sparkSession
+    name = name or f"stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def stream_aggregate_complete(
     spark: SparkSession,
     source_path: str,
@@ -105,20 +130,10 @@ def stream_aggregate_complete(
     completion in complete output mode and return the result table —
     exactly equivalent to the batch aggregation, which is what the
     correctness oracle checks."""
-    name = name or f"stream_{uuid.uuid4().hex[:8]}"
     stream = load_file_stream(spark, source_path)
-    agg = stream.groupBy(*group_cols).agg(*aggs)
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .start()
+    return run_to_memory_table(
+        stream.groupBy(*group_cols).agg(*aggs), name=name
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
 
 
 def windowed_event_counts(
@@ -132,7 +147,6 @@ def windowed_event_counts(
     """Tumbling event-time window counts with a watermark, driven to
     completion over a finite file stream (complete mode so every window
     is emitted; watermark still bounds state at scale)."""
-    name = name or f"stream_{uuid.uuid4().hex[:8]}"
     stream = load_file_stream(spark, source_path)
     agg = (
         stream.withWatermark("ts", watermark)
@@ -152,17 +166,7 @@ def windowed_event_counts(
             "value_cents",
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return run_to_memory_table(agg, name=name)
 
 
 def session_event_counts(
@@ -180,7 +184,6 @@ def session_event_counts(
     the previous one starts a NEW session — the batch islands oracle
     must flag new sessions with ``delta >= gap``, not ``>``.
     """
-    name = name or f"stream_{uuid.uuid4().hex[:8]}"
     stream = load_file_stream(spark, source_path)
     agg = (
         stream.groupBy(
@@ -194,14 +197,4 @@ def session_event_counts(
             "n_events",
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return run_to_memory_table(agg, name=name)

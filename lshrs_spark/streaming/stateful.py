@@ -84,6 +84,8 @@ def stream_first_seen(
     completion and return the (update-mode) result table."""
     from pyspark.sql import functions as F
 
+    from .ingest import run_to_memory_table
+
     name = name or f"stateful_{uuid.uuid4().hex[:8]}"
     stream = load_file_stream(spark, source_path).select(
         "user_id", "event_type", F.unix_micros("ts").alias("t_us"), "event_id"
@@ -98,14 +100,4 @@ def stream_first_seen(
             GroupStateTimeout.NoTimeout,
         )
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return run_to_memory_table(out, output_mode="update", name=name)
