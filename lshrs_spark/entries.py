@@ -1719,3 +1719,57 @@ def rel_brand_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(net_cents).alias("net_cents"),
         )
     )
+
+
+@register(
+    "ann_ivf_recall",
+    f"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec
+              FROM embeddings WHERE vec_id < 16),
+assign AS (SELECT id, centroid_id FROM (
+    SELECT e.vec_id AS id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {cosine_sql("e.embedding", "c.cvec")} DESC, c.centroid_id ASC) AS r
+    FROM embeddings e CROSS JOIN cent c) WHERE r = 1),
+qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+probes AS (SELECT qid, centroid_id FROM (
+    SELECT qv.qid, c.centroid_id,
+           row_number() OVER (PARTITION BY qv.qid
+               ORDER BY {cosine_sql("qv.qe", "c.cvec")} DESC, c.centroid_id ASC) AS r
+    FROM cent c CROSS JOIN qv) WHERE r <= 4),
+cand AS (SELECT p.qid, a.id FROM probes p JOIN assign a USING (centroid_id)),
+approx AS (SELECT qid, id FROM (
+    SELECT cand.qid, cand.id,
+           row_number() OVER (PARTITION BY cand.qid
+               ORDER BY {cosine_sql("e.embedding", "qv.qe")} DESC, cand.id ASC) AS rank
+    FROM cand JOIN embeddings e ON e.vec_id = cand.id
+              JOIN qv ON qv.qid = cand.qid) WHERE rank <= 10),
+exact AS (SELECT qid, id FROM (
+    SELECT qv.qid, e.vec_id AS id,
+           row_number() OVER (PARTITION BY qv.qid
+               ORDER BY {cosine_sql("e.embedding", "qv.qe")} DESC, e.vec_id ASC) AS rank
+    FROM embeddings e CROSS JOIN qv) WHERE rank <= 10),
+hits AS (SELECT a.qid, count(*) AS h FROM approx a JOIN exact e USING (qid, id)
+         GROUP BY a.qid),
+per_q AS (SELECT e.qid, count(*) AS n, any_value(coalesce(h.h, 0)) AS h
+          FROM exact e LEFT JOIN hits h ON h.qid = e.qid GROUP BY e.qid, h.h)
+SELECT round(avg(h::DOUBLE / n), 5) AS recall FROM per_q""",
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of IVF (16 centroids, nprobe=4) against exact brute
+    force for the first 10 queries — the coverage/accuracy dial for the
+    partition-pruning tier, next to ann_recall's LSH dial."""
+    from .operators.knn import (
+        brute_force_topk,
+        ivf_centroids_by_id,
+        ivf_topk,
+        recall_at_k,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_centroids_by_id(emb, 16)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    approx = ivf_topk(emb, cents, queries, k=10, nprobe=4)
+    exact = brute_force_topk(emb, queries, 10)
+    return recall_at_k(approx, exact, 10)
