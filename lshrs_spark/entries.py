@@ -1773,3 +1773,93 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivf_topk(emb, cents, queries, k=10, nprobe=4)
     exact = brute_force_topk(emb, queries, 10)
     return recall_at_k(approx, exact, 10)
+
+
+@register(
+    "text_tfidf",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS dfq FROM tok GROUP BY token),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+scored AS (SELECT tf.doc_id, tf.token,
+                  round(tf.tf * ln(n.n / dfq), 5) AS tfidf
+           FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+ranked AS (SELECT doc_id, token, tfidf,
+                  row_number() OVER (PARTITION BY doc_id
+                      ORDER BY tfidf DESC, token ASC) AS rank
+           FROM scored)
+SELECT doc_id AS id, token, tfidf, rank::BIGINT AS rank
+FROM ranked WHERE doc_id < 50 AND rank <= 3""",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term scoring: top-3 terms per document (first 50 docs).
+    One token explode feeds both the term-frequency and document-
+    frequency aggregates; idf = ln(N/df) computed identically in the
+    oracle. The WindowGroupLimit rank filter keeps the top-k partial."""
+    docs = _docs(spark, sf_dir)
+    n_docs = float(docs.count())
+    tok = docs.select(
+        "doc_id", F.explode(X.tokens_col(F.col("text"))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("dfq"))
+    scored = tf.join(dfreq, "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * F.log(F.lit(n_docs) / F.col("dfq")), 5
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("doc_id") < 50) & (F.col("rank") <= 3))
+        .select(
+            F.col("doc_id").alias("id"), "token", "tfidf",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+_KM_DIMS = "(SELECT unnest(generate_series(1, 64)) AS d)"
+
+
+def _km_assign_sql(cents_cte: str) -> str:
+    """One Lloyd's assignment round: nearest centroid per vector by
+    cosine, ties by centroid id — identical formula to the Spark side."""
+    return f"""(SELECT id, cid, v FROM (
+    SELECT e.vec_id AS id, c.cid, e.embedding AS v,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {cosine_sql("e.embedding", "c.cvec")} DESC, c.cid ASC) AS r
+    FROM embeddings e CROSS JOIN {cents_cte} c) WHERE r = 1)"""
+
+
+@register(
+    "emb_kmeans",
+    f"""WITH init AS (SELECT vec_id AS cid,
+            list_transform(embedding, x -> round(x::DOUBLE, 5)) AS cvec
+        FROM embeddings WHERE vec_id < 8),
+a1 AS {_km_assign_sql("init")},
+m1 AS (SELECT a1.cid, d.d AS dim, round(avg(a1.v[d.d]::DOUBLE), 5) AS v
+       FROM a1 CROSS JOIN {_KM_DIMS} d GROUP BY a1.cid, d.d),
+c1 AS (SELECT cid, list(v ORDER BY dim) AS cvec FROM m1 GROUP BY cid),
+a2 AS {_km_assign_sql("c1")},
+m2 AS (SELECT a2.cid, d.d AS dim, round(avg(a2.v[d.d]::DOUBLE), 5) AS v
+       FROM a2 CROSS JOIN {_KM_DIMS} d GROUP BY a2.cid, d.d)
+SELECT cid AS centroid_id, dim::BIGINT AS dim, v AS val FROM m2""",
+)
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled Lloyd's iterations (k=8, cosine assignment,
+    per-round centroid quantization) — the oracle recomputes BOTH rounds
+    in SQL, so the iterative operator itself is differential-tested, not
+    just its final shape."""
+    from .operators.knn import kmeans_centroids
+
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_centroids(emb, 8, iterations=2)
+    return cents.select(
+        "centroid_id",
+        F.posexplode("cvec").alias("pos", "val"),
+    ).select(
+        "centroid_id", (F.col("pos") + 1).cast("long").alias("dim"), "val"
+    )

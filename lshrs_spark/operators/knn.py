@@ -10,8 +10,9 @@ Three tiers, trading accuracy for scan cost (SURVEY.md §7.2 M5):
   vectors are assigned to their nearest centroid, queries probe only the
   ``nprobe`` nearest centroid partitions. At 100 TB the assignment is the
   partitioning key of the stored table, so a query touches ``nprobe/K``
-  of the data; centroids here are a deterministic id-sample (swap in
-  k-means means without changing any query shape).
+  of the data; centroids are either a deterministic id-sample
+  (:func:`ivf_centroids_by_id`) or DataFrame-native Lloyd's k-means
+  (:func:`kmeans_centroids`) — same downstream plan either way.
 
 :func:`recall_at_k` measures an ANN result list against the exact one —
 the metric that decides whether an index config is usable.
@@ -22,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import dot_product, unit_or_null
+from ..functions.vector import cosine_similarity, dot_product, unit_or_null
 
 __all__ = [
     "brute_force_topk",
@@ -30,6 +31,7 @@ __all__ = [
     "ivf_topk",
     "ivf_write_store",
     "ivf_topk_stored",
+    "kmeans_centroids",
     "recall_at_k",
 ]
 
@@ -253,3 +255,69 @@ def ivf_topk_stored(
         .filter(F.col("rank") <= k)
         .select("qid", "id", "score", "rank")
     )
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int,
+    iterations: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    round_decimals: int = 5,
+) -> DataFrame:
+    """DataFrame-native Lloyd's k-means by cosine: ``(centroid_id, cvec)``
+    — the quality upgrade over :func:`ivf_centroids_by_id` for the IVF
+    tier, same downstream plan. Deterministic end to end: init = the k
+    lowest-id vectors, ties broken by centroid id, and centroids are
+    QUANTIZED (rounded) at every iteration boundary so a SQL oracle can
+    unroll the exact same rounds without float drift compounding.
+    Empty centroids are dropped (inner-join semantics, same as the
+    oracle). Each iteration is one broadcast cross join (n·k scores) +
+    one explode/avg shuffle — no driver-side loops over data."""
+    quant = F.transform(
+        F.col(vector_col), lambda x: F.round(x.cast("double"), round_decimals)
+    )
+    cents = (
+        vectors.orderBy(F.col(id_col))
+        .limit(k)
+        .select(
+            F.col(id_col).cast("long").alias("centroid_id"),
+            quant.alias("cvec"),
+        )
+    )
+    pts = vectors.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vector_col).alias("_v")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("_cs"), F.asc("centroid_id"))
+    for _ in range(iterations):
+        # cosine in the dot/(norm*norm) form — bit-identical to the
+        # oracle's formula, so assignments can't drift cross-engine
+        scored = pts.crossJoin(F.broadcast(cents)).select(
+            "id",
+            "_v",
+            "centroid_id",
+            cosine_similarity(F.col("_v"), F.col("cvec")).alias("_cs"),
+        )
+        assign = (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("centroid_id", "_v")
+        )
+        means = (
+            assign.select(
+                "centroid_id",
+                F.posexplode(
+                    F.transform(F.col("_v"), lambda x: x.cast("double"))
+                ).alias("pos", "val"),
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.round(F.avg("val"), round_decimals).alias("v"))
+        )
+        cents = means.groupBy("centroid_id").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s["v"],
+            ).alias("cvec")
+        )
+    return cents

@@ -60,3 +60,48 @@ def test_recall_full_and_partial(spark):
         "qid long, id long, rank long",
     )
     assert recall_at_k(half, exact, 10).collect()[0].recall == pytest.approx(0.5)
+
+
+def test_kmeans_improves_over_id_sample(spark):
+    """Lloyd's iterations must not worsen cosine inertia vs the id-sample
+    init, and the centroids plug straight into ivf_topk."""
+    from pyspark.sql import functions as F
+
+    from lshrs_spark.functions.vector import cosine_similarity
+    from lshrs_spark.operators.knn import (
+        ivf_centroids_by_id,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def inertia(cents):
+        scored = emb.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            cosine_similarity(F.col("embedding"), F.col("cvec")).alias("cs"),
+        )
+        best = scored.groupBy("vec_id").agg(F.max("cs").alias("best"))
+        return best.agg(F.avg("best")).first()[0]
+
+    init = ivf_centroids_by_id(emb, 8)
+    km = kmeans_centroids(emb, 8, iterations=2)
+    assert km.count() <= 8  # empty centroids may drop
+    assert inertia(km) >= inertia(init) - 1e-9
+    # same downstream plan as any centroid set
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = ivf_topk(emb, km, queries, k=5, nprobe=2)
+    assert out.count() == 5
+
+
+def test_kmeans_deterministic(spark):
+    from lshrs_spark.operators.knn import kmeans_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = kmeans_centroids(emb, 4, iterations=2).orderBy("centroid_id").collect()
+    b = kmeans_centroids(emb, 4, iterations=2).orderBy("centroid_id").collect()
+    assert [(r.centroid_id, r.cvec) for r in a] == [
+        (r.centroid_id, r.cvec) for r in b
+    ]
