@@ -1863,3 +1863,30 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "centroid_id", (F.col("pos") + 1).cast("long").alias("dim"), "val"
     )
+
+
+@register(
+    "pipeline_split",
+    "WITH h AS (SELECT doc_id, lang, "
+    + h48_sql("doc_id::VARCHAR")
+    + """ % 100 AS bucket FROM documents)
+SELECT lang,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+       count(*)::BIGINT AS n_docs,
+       min(doc_id)::BIGINT AS min_doc_id
+FROM h GROUP BY lang, split""",
+)
+def pipeline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by content-independent
+    id hash — reproducible across runs, engines, and repartitions (the
+    property `rand()`-based splits lack). Per-(lang, split) counts."""
+    docs = _docs(spark, sf_dir)
+    bucket = X.h48(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return docs.groupBy("lang", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+    )
