@@ -96,6 +96,10 @@ def main() -> None:
     # cores (at real scale the file count provides this parallelism).
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
     docs.persist().count()
+    # Warm the shingle/md5 codegen + shuffle path on a 100-doc slice so the
+    # timed run measures steady-state throughput, not first-compile JIT
+    # (same convention as emb.count() and the 20x warm build below).
+    minhash_band_pairs(docs.limit(100), num_hashes=8, rows_per_band=2).count()
     results["dedup_minhash"], _ = timed(
         lambda: minhash_band_pairs(docs, num_hashes=8, rows_per_band=2).count()
     )

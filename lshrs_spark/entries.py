@@ -1890,3 +1890,142 @@ def pipeline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").cast("long").alias("min_doc_id"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Window-frame / distribution-window / gap-fill coverage (§2.6 gaps the
+# reference lacks entirely; standard analytics surface at corpus scale)
+# --------------------------------------------------------------------- #
+
+@register(
+    "rel_window_running",
+    """WITH base AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         round(o_totalprice * 100)::BIGINT AS order_cents
+  FROM orders)
+SELECT o_custkey, o_orderkey, order_cents,
+       sum(order_cents) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                             )::BIGINT AS run_cents,
+       sum(order_cents) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                             )::BIGINT AS sum3_cents,
+       coalesce(date_diff('day', o_orderdate::DATE,
+                (lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey))::DATE),
+                -1)::BIGINT AS next_gap_days
+FROM base""",
+)
+def rel_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based window functions over each customer's order history:
+    running revenue total (UNBOUNDED PRECEDING), trailing-3-order sum
+    (2 PRECEDING), and lead() gap in days to the next order. Exact
+    integer cents so partial-agg order can't drift; ordering key
+    (o_orderdate, o_orderkey) is a total order per customer, making
+    every frame deterministic. At scale this is one shuffle on
+    o_custkey reused by all three windows (same partitioning+ordering
+    -> a single Window physical node)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    last3 = w.rowsBetween(-2, 0)
+    gap = F.datediff(F.lead(F.to_date("o_orderdate")).over(w), F.to_date("o_orderdate"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        cents.alias("order_cents"),
+        F.sum(cents).over(run).alias("run_cents"),
+        F.sum(cents).over(last3).alias("sum3_cents"),
+        F.coalesce(gap.cast("long"), F.lit(-1)).alias("next_gap_days"),
+    )
+
+
+@register(
+    "rel_ntile_quartiles",
+    """WITH q AS (
+  SELECT c_mktsegment,
+         ntile(4) OVER w AS quartile,
+         percent_rank() OVER w AS pr,
+         round(c_acctbal * 100)::BIGINT AS bal_cents
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey))
+SELECT c_mktsegment, quartile::BIGINT AS quartile, count(*)::BIGINT AS n,
+       min(bal_cents)::BIGINT AS lo_cents, max(bal_cents)::BIGINT AS hi_cents,
+       sum(bal_cents)::BIGINT AS sum_cents,
+       round(max(pr), 5) AS max_pr
+FROM q GROUP BY 1, 2""",
+)
+def rel_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile(4) account-balance quartiles
+    + percent_rank per market segment, aggregated to quartile stats.
+    The (c_acctbal, c_custkey) ordering is total, so tile assignment is
+    deterministic and both engines split remainders identically (first
+    tiles get the extra rows)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    bal = F.round(F.col("c_acctbal") * 100).cast("long")
+    q = c.select(
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        bal.alias("bal_cents"),
+    )
+    return q.groupBy("c_mktsegment", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("bal_cents").alias("lo_cents"),
+        F.max("bal_cents").alias("hi_cents"),
+        F.sum("bal_cents").alias("sum_cents"),
+        F.round(F.max("pr"), 5).alias("max_pr"),
+    )
+
+
+@register(
+    "rel_gapfill_daily",
+    """WITH bounds AS (SELECT min(ts::DATE) AS lo, max(ts::DATE) AS hi FROM events),
+days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+         FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events),
+cnt AS (SELECT ts::DATE AS day, event_type, count(*)::BIGINT AS n,
+               sum(round(value * 100))::BIGINT AS value_cents
+        FROM events WHERE value > 200 GROUP BY 1, 2)
+SELECT d.day::VARCHAR AS day, t.event_type,
+       coalesce(c.n, 0)::BIGINT AS n,
+       coalesce(c.value_cents, 0)::BIGINT AS value_cents
+FROM days d CROSS JOIN types t
+LEFT JOIN cnt c ON c.day = d.day AND c.event_type = t.event_type""",
+)
+def rel_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: daily high-value event counts per type with
+    missing (day, type) cells zero-filled. The dense grid comes from
+    sequence() over the global [min, max] date span crossed with the
+    distinct types — both tiny (days x types), so the grid build and
+    the left join broadcast; the only real shuffle is the groupBy over
+    the filtered fact scan (predicate pushed to parquet)."""
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    days = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    types = ev.select("event_type").distinct()
+    cnt = (
+        ev.filter(F.col("value") > 200)
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+    return (
+        days.crossJoin(types)
+        .join(cnt, ["day", "event_type"], "left")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("value_cents", F.lit(0)).alias("value_cents"),
+        )
+    )

@@ -113,3 +113,38 @@ def test_interval_join_bucketed_is_equijoin(spark):
     plan = physical_plan(interval_join(pts, ivs, ["k"], bucket_seconds=60))
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_window_running_single_window_exchange(spark):
+    """All three window specs in rel_window_running share one
+    (partitionBy, orderBy) -> Catalyst must plan a single Window node
+    over a single hash exchange on o_custkey."""
+    from lshrs_spark.entries import QUERIES
+
+    df = QUERIES["rel_window_running"](spark, SF)
+    simple = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert simple.count("Window") == 1, simple
+    assert simple.count("Exchange") == 1, simple
+
+
+def test_gapfill_grid_sides_broadcast(spark):
+    """The dense (day x type) grid is tiny; the left join against the
+    aggregated counts must broadcast, never sort-merge."""
+    from lshrs_spark.entries import QUERIES
+
+    r = plan_report(QUERIES["rel_gapfill_daily"](spark, SF))
+    assert r["has_broadcast_join"]
+    assert not r["has_sortmerge_join"]
+
+
+def test_ntile_quartiles_cover_all_customers(spark):
+    from lshrs_spark.entries import QUERIES
+
+    out = QUERIES["rel_ntile_quartiles"](spark, SF).collect()
+    n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert sum(r.n for r in out) == n_cust
+    for row in out:
+        assert 1 <= row.quartile <= 4
+        assert row.lo_cents <= row.hi_cents
