@@ -2029,3 +2029,69 @@ def rel_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("value_cents", F.lit(0)).alias("value_cents"),
         )
     )
+
+
+@register(
+    "rel_scalar_subquery",
+    """SELECT o.o_orderpriority, count(*)::BIGINT AS n_above,
+       sum(round(o.o_totalprice * 100))::BIGINT AS above_cents
+FROM orders o
+WHERE round(o.o_totalprice * 100)::BIGINT *
+      (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      > (SELECT sum(round(i.o_totalprice * 100))::BIGINT
+         FROM orders i WHERE i.o_custkey = o.o_custkey)
+GROUP BY o.o_orderpriority""",
+)
+def rel_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries: orders strictly above their own
+    customer's average order value, counted per priority. The comparison
+    is cross-multiplied into exact integers (cents * n > sum_cents),
+    so the `>` boundary cannot drift between engines the way a
+    double-precision AVG could. Catalyst decorrelates both subqueries
+    into one aggregate join — at scale this is a single shuffle on
+    o_custkey, not a per-row lookup."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o.createOrReplaceTempView("orders_ssq")
+    return spark.sql(
+        """SELECT o.o_orderpriority, count(*) AS n_above,
+       sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS above_cents
+FROM orders_ssq o
+WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) *
+      (SELECT count(*) FROM orders_ssq i WHERE i.o_custkey = o.o_custkey)
+      > (SELECT sum(CAST(round(i.o_totalprice * 100) AS BIGINT))
+         FROM orders_ssq i WHERE i.o_custkey = o.o_custkey)
+GROUP BY o.o_orderpriority"""
+    )
+
+
+@register(
+    "rel_salted_agg",
+    """SELECT event_type, count(*)::BIGINT AS n,
+       sum(round(value * 100))::BIGINT AS value_cents,
+       min(user_id)::BIGINT AS min_user, max(user_id)::BIGINT AS max_user
+FROM events GROUP BY event_type""",
+)
+def rel_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over the (deliberately hot, 5-value)
+    event_type key — bit-identical to the plain GROUP BY the oracle
+    runs, but no reduce-side group ever sees more than ~1/num_salts of
+    a hot key's rows. The pattern every grouped hot path here reuses
+    (operators/skew.py)."""
+    from .operators.skew import salted_aggregate
+
+    ev = _events(spark, sf_dir)
+    return salted_aggregate(
+        ev,
+        ["event_type"],
+        [
+            ("count", None, "n"),
+            ("sum", F.round(F.col("value") * 100).cast("long"), "value_cents"),
+            ("min", "user_id", "min_user"),
+            ("max", "user_id", "max_user"),
+        ],
+        num_salts=8,
+    ).select(
+        "event_type", "n", "value_cents",
+        F.col("min_user").cast("long").alias("min_user"),
+        F.col("max_user").cast("long").alias("max_user"),
+    )

@@ -1,0 +1,75 @@
+"""Skew-mitigation operators.
+
+At 100 TB a grouped aggregation over a low-cardinality or Zipf-skewed key
+(event types, hot LSH buckets, head domains) funnels the hot key's entire
+row set through one reducer. :func:`salted_aggregate` spreads each key
+over ``num_salts`` sub-keys, partially aggregates, then merges — the
+classic two-stage salt. Spark's map-side partial aggregation already
+covers the *combiner* half; salting additionally bounds the size of every
+reduce-side group, which matters when distinct-per-group state (or a
+single group's partial) would otherwise exceed one task's memory.
+
+Only split-mergeable aggregates are supported (sum/count/min/max) — the
+merge of partials must equal the aggregate of the whole, so the result is
+bit-identical to the unsalted plan and a plain GROUP BY oracle can check
+it.
+
+Reference parity note: the reference warns about hot buckets
+(``README.md:216`` in /root/reference) but has no mitigation — its Redis
+SETs simply grow. This operator is the Spark-native answer for every
+grouped hot path in this package.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_aggregate"]
+
+# (partial_fn, merge_fn) per supported aggregate kind.
+_KINDS = {
+    "sum": (F.sum, F.sum),
+    "count": (lambda c: F.count(F.lit(1)), F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    specs: Sequence[tuple[str, Column | str | None, str]],
+    *,
+    num_salts: int = 16,
+) -> DataFrame:
+    """Two-stage grouped aggregation with a salt on the first stage.
+
+    ``specs`` is a list of ``(kind, column, alias)`` with kind one of
+    ``sum | count | min | max`` (column ignored for ``count``). The salt
+    is derived deterministically from the physical row position
+    (partition id + per-partition index), which spreads a hot key's rows
+    across salts regardless of value skew and is stable under a re-run
+    of the same input layout.
+    """
+    bad = [k for k, _, _ in specs if k not in _KINDS]
+    if bad:
+        raise ValueError(f"unsupported aggregate kind(s) {bad}; use {sorted(_KINDS)}")
+    salt = F.pmod(
+        F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+        F.lit(num_salts),
+    ).alias("_salt")
+    partial = df.select(*keys, salt, *[
+        (F.lit(0) if kind == "count" else F.col(c) if isinstance(c, str) else c).alias(
+            f"_in_{alias}"
+        )
+        for kind, c, alias in specs
+    ]).groupBy(*keys, "_salt").agg(*[
+        _KINDS[kind][0](f"_in_{alias}").alias(f"_p_{alias}")
+        for kind, _, alias in specs
+    ])
+    return partial.groupBy(*keys).agg(*[
+        _KINDS[kind][1](f"_p_{alias}").alias(alias) for kind, _, alias in specs
+    ])

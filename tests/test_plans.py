@@ -148,3 +148,25 @@ def test_ntile_quartiles_cover_all_customers(spark):
     for row in out:
         assert 1 <= row.quartile <= 4
         assert row.lo_cents <= row.hi_cents
+
+
+def test_salted_agg_two_stage_exchanges(spark):
+    """Salted aggregation must plan exactly two hash exchanges: one on
+    (key, salt), one on key — each with map-side partial aggregation."""
+    from lshrs_spark.entries import QUERIES
+
+    df = QUERIES["rel_salted_agg"](spark, SF)
+    simple = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert simple.count("Exchange") == 2, simple
+    assert "partial_" in simple
+
+
+def test_scalar_subquery_decorrelates_to_joins(spark):
+    """Catalyst must rewrite the correlated subqueries into aggregate
+    joins — no per-row nested-loop execution."""
+    from lshrs_spark.entries import QUERIES
+
+    plan = physical_plan(QUERIES["rel_scalar_subquery"](spark, SF))
+    assert "CartesianProduct" not in plan, plan

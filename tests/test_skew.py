@@ -1,0 +1,68 @@
+"""Salted-aggregation semantics: bit-identical to the unsalted plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lshrs_spark.operators.skew import salted_aggregate
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def test_salted_equals_plain_groupby(events):
+    salted = salted_aggregate(
+        events,
+        ["event_type"],
+        [
+            ("count", None, "n"),
+            ("sum", "value", "sum_value"),
+            ("min", "user_id", "min_user"),
+            ("max", "user_id", "max_user"),
+        ],
+        num_salts=7,
+    )
+    plain = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_value"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )
+    s = {r.event_type: r for r in salted.collect()}
+    p = {r.event_type: r for r in plain.collect()}
+    assert set(s) == set(p)
+    for k in p:
+        assert s[k].n == p[k].n
+        assert s[k].min_user == p[k].min_user
+        assert s[k].max_user == p[k].max_user
+        assert abs(s[k].sum_value - p[k].sum_value) < 1e-6 * abs(p[k].sum_value)
+
+
+def test_salted_first_stage_bounds_group_size(events):
+    """No (key, salt) partial group exceeds ~a salt's share of the hot
+    key (the property that keeps one reducer from absorbing the key)."""
+    n_salts = 8
+    salt = F.pmod(
+        F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+        F.lit(n_salts),
+    )
+    per_salt = (
+        events.select("event_type", salt.alias("s"))
+        .groupBy("event_type", "s")
+        .count()
+    )
+    hot = events.groupBy("event_type").count().collect()
+    biggest = {r.event_type: r["count"] for r in hot}
+    for r in per_salt.collect():
+        assert r["count"] <= max(2 * biggest[r.event_type] / n_salts, 16)
+
+
+def test_unsupported_kind_raises(events):
+    with pytest.raises(ValueError, match="unsupported aggregate kind"):
+        salted_aggregate(events, ["event_type"], [("avg", "value", "a")])
