@@ -163,6 +163,42 @@ def test_salted_agg_two_stage_exchanges(spark):
     assert "partial_" in simple
 
 
+def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
+    """Pre-bucketing both sides on the join key must remove the shuffle
+    entirely — the layout that makes repeated 100 TB fact-fact joins
+    affordable. Both tables bucketed 8 ways on their orderkey; the
+    sort-merge join plan must contain zero Exchange nodes."""
+    d = tmp_path_factory.mktemp("bucketed")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", str(d / "o")).mode("overwrite").saveAsTable("bt_orders"))
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", str(d / "l")).mode("overwrite").saveAsTable("bt_li"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bt_orders").join(
+            spark.table("bt_li"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        ).groupBy("o_custkey").agg(F.sum("l_quantity").alias("qty"))
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "simple"
+        )
+        assert "SortMergeJoin" in plan, plan
+        # the only exchange allowed is the final groupBy on o_custkey
+        assert plan.count("Exchange") <= 1, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_li")
+
+
 def test_scalar_subquery_decorrelates_to_joins(spark):
     """Catalyst must rewrite the correlated subqueries into aggregate
     joins — no per-row nested-loop execution."""
