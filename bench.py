@@ -165,6 +165,26 @@ def main() -> None:
         ).count()
     )
 
+    # 11. No-Spark-job online serving (reference contract: p95 < 100 ms,
+    # requirements.md:73): IndexServer reads the SAME stored 20x index via
+    # pyarrow partition + row-group-stat pruning. 100 distinct queries.
+    from lshrs_spark.serving import IndexServer
+
+    srv = IndexServer(store, CFG)
+    qvecs = [
+        np.array(r.embedding, dtype=np.float32)
+        for r in emb.filter(F.col("vec_id") < 100).collect()
+    ]
+    srv.get_top_k(qvecs[0], 10)  # warm
+    lat = []
+    for q in qvecs:
+        t0 = time.time()
+        srv.get_top_k(q, 10)
+        lat.append(time.time() - t0)
+    lat.sort()
+    serve_p95_ms = lat[94] * 1000
+    results["single_topk_served20x"] = lat[len(lat) // 2]
+
     total = sum(results.values())
     print(json.dumps({
         "metric": "headline_total",
@@ -176,6 +196,7 @@ def main() -> None:
         "query_latency_amortized_ms": round(
             results["topk_batch100"] / 100 * 1000, 2
         ),
+        "single_query_p95_ms": round(serve_p95_ms, 2),
         "corpus_vectors": n_emb,
     }))
     spark.stop()

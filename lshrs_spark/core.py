@@ -189,6 +189,12 @@ class LSHRS:
             return [r.id for r in out]
         # -- rerank mode
         if self._vectors_df is None:
+            # Reference parity (ADVICE r01, ``main.py`` contract): an empty
+            # candidate set returns [] before the vector-store requirement
+            # bites. Checked only on the would-raise path so the common
+            # case pays no extra job.
+            if cands.isEmpty():
+                return []
             raise RuntimeError(
                 "top_p queries require a registered vector source; call set_vectors()"
             )
@@ -266,9 +272,14 @@ class LSHRS:
     # persistence (S5)
     # ------------------------------------------------------------------ #
 
-    def save_to_disk(self, path: str) -> None:
+    def save_to_disk(self, path: str, *, include_vectors: bool = False) -> None:
         """Config JSON + projections npz + index parquet (``main.py:846-895``;
-        no secrets to redact — there is no Redis password here)."""
+        no secrets to redact — there is no Redis password here).
+
+        ``include_vectors=True`` additionally persists the registered vector
+        table sorted by id (``vectors.parquet``) so the no-Spark-job
+        :class:`~lshrs_spark.serving.IndexServer` can serve rerank/top-p
+        queries with id-pruned reads."""
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "config.json"), "w") as f:
             json.dump(self.cfg.to_dict(), f, indent=2)
@@ -278,6 +289,20 @@ class LSHRS:
         self.flush()
         if self._index_df is not None:
             write_index(self._index_df, os.path.join(path, "index.parquet"))
+        if include_vectors and self._vectors_df is not None:
+            (
+                self._vectors_df.select(
+                    F.col(self._id_col).cast("long").alias("vec_id"),
+                    F.col(self._vector_col).alias("embedding"),
+                )
+                .repartitionByRange(
+                    int(self.spark.conf.get("spark.sql.shuffle.partitions")),
+                    "vec_id",
+                )
+                .sortWithinPartitions("vec_id")
+                .write.mode("overwrite")
+                .parquet(os.path.join(path, "vectors.parquet"))
+            )
 
     @classmethod
     def load_from_disk(cls, spark: SparkSession, path: str, *,

@@ -1,0 +1,241 @@
+"""Online single-query serving over a STORED index — no Spark job.
+
+The reference's headline latency contract is p95 < 100 ms per query
+(``/root/reference/requirements.md:73``), met there by per-band Redis
+``SMEMBERS`` calls (``lshrs/storage/redis.py:282-346``). The Spark
+DataFrame probe (`operators/probe.py:candidates_from_path`) is the right
+shape for *batch* queries, but a single interactive query pays the Spark
+job-scheduling floor (~1-2 s) regardless of data volume.
+
+This module is the serving-side answer: the layout `write_index` produces
+(hive `band=N/` partitions, files range-partitioned and sorted by
+``(band, sig)``) is read directly with pyarrow — hive partition pruning
+picks the band directories, parquet row-group min/max statistics prune to
+the few row groups whose ``sig`` range can match, and the collision
+count + top-k ordering happen in numpy on the (tiny) candidate set. Zero
+JVM involvement, latency flat in index size.
+
+Scale note (100 TB design): the per-query work is O(bands) pruned
+row-group reads — the same asymptotics as the reference's O(bands) Redis
+lookups. A 1000-executor cluster still *builds* the index with Spark;
+serving reads the shared store (object store / DBFS paths work — pyarrow
+datasets accept any fsspec/Arrow filesystem). Metadata (file footers) is
+loaded once at server construction and cached for the server's lifetime,
+so steady-state queries touch only matching data pages.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+
+from .config import LSHConfig
+from .hashing import hash_vectors_local, hash_vectors_local_long
+
+__all__ = ["IndexServer"]
+
+
+class IndexServer:
+    """Driver-local query server over an index written by
+    :func:`~lshrs_spark.operators.index.write_index` (optionally the
+    directory produced by :meth:`LSHRS.save_to_disk`).
+
+    Implements the reference single-query contract
+    (``lshrs/core/main.py:524-658``): :meth:`get_top_k` returns ids
+    ordered by ``(-collisions, id)``; :meth:`query` with ``top_p`` reranks
+    by exact cosine against a stored vector table and cuts to the
+    proportional prefix ``max(1, ceil(n * top_p))`` (capped by ``top_k``).
+    """
+
+    def __init__(
+        self,
+        index_path: str,
+        cfg: LSHConfig,
+        *,
+        vectors_path: Optional[str] = None,
+        id_col: str = "vec_id",
+        vector_col: str = "embedding",
+    ) -> None:
+        self.cfg = cfg
+        self._id_col = id_col
+        self._vector_col = vector_col
+        self._ds = self._open_index(index_path)
+        self._vec_ds = (
+            pads.dataset(vectors_path, format="parquet")
+            if vectors_path is not None
+            else None
+        )
+        self._warm(self._ds)
+        if self._vec_ds is not None:
+            self._warm(self._vec_ds)
+
+    @classmethod
+    def from_saved(cls, path: str, **kw) -> "IndexServer":
+        """Open a :meth:`LSHRS.save_to_disk` directory: ``config.json`` +
+        ``index.parquet`` (+ ``vectors.parquet`` when saved with
+        ``include_vectors=True``)."""
+        with open(os.path.join(path, "config.json")) as f:
+            cfg = LSHConfig.from_dict(json.load(f))
+        vec_path = os.path.join(path, "vectors.parquet")
+        kw.setdefault(
+            "vectors_path", vec_path if os.path.exists(vec_path) else None
+        )
+        return cls(os.path.join(path, "index.parquet"), cfg, **kw)
+
+    # ------------------------------------------------------------------ #
+    # dataset plumbing
+    # ------------------------------------------------------------------ #
+
+    @staticmethod
+    def _open_index(path: str) -> pads.Dataset:
+        """Open the bucket table; detect the hive ``band=N/`` layout that
+        ``write_index(partition_by_band=True)`` produces so band becomes a
+        partition field (directory-level pruning, no footer reads for
+        non-matching bands)."""
+        hive = any(
+            e.startswith("band=") for e in os.listdir(path)
+        ) if os.path.isdir(path) else False
+        if hive:
+            part = pads.partitioning(
+                pa.schema([pa.field("band", pa.int32())]), flavor="hive"
+            )
+            return pads.dataset(path, format="parquet", partitioning=part)
+        return pads.dataset(path, format="parquet")
+
+    @staticmethod
+    def _warm(dataset: pads.Dataset) -> None:
+        """Load and cache every fragment's parquet footer once, up front —
+        steady-state queries then prune row groups from cached metadata
+        instead of re-reading footers (this is what makes p95 flat)."""
+        for frag in dataset.get_fragments():
+            _ = frag.row_groups  # triggers footer load; cached on the fragment
+
+    # ------------------------------------------------------------------ #
+    # query path
+    # ------------------------------------------------------------------ #
+
+    def _prepare_vector(self, vector: np.ndarray) -> np.ndarray:
+        vec = np.asarray(vector, dtype=np.float32).reshape(-1)
+        if vec.shape[0] != self.cfg.dim:
+            raise ValueError(
+                f"Vector dimension mismatch: expected {self.cfg.dim}, "
+                f"got {vec.shape[0]}"
+            )
+        if not np.any(vec):
+            raise ValueError("Cannot index or query a zero vector")
+        return vec
+
+    def _bucket_filter(self, vec: np.ndarray) -> pads.Expression:
+        """OR of per-band ``(band = b AND sig = s)`` equalities — the same
+        predicate `candidates_from_path` pushes into the Spark scan,
+        evaluated here against cached parquet stats."""
+        band = pads.field("band")
+        sig = pads.field("sig")
+        if self.cfg.use_long_sig:
+            sigs = hash_vectors_local_long(vec[None, :], self.cfg)[0]
+            clauses = [
+                (band == b) & (sig == int(s)) for b, s in enumerate(sigs)
+            ]
+        else:
+            sigsb = hash_vectors_local(vec[None, :], self.cfg)[0]
+            clauses = [
+                (band == b) & (sig == bytes(s)) for b, s in enumerate(sigsb)
+            ]
+        expr = clauses[0]
+        for c in clauses[1:]:
+            expr = expr | c
+        return expr
+
+    def candidate_counts(self, vector: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """``(ids, collisions)`` for one query vector — Q1+Q2 driver-side."""
+        vec = self._prepare_vector(vector)
+        tbl = self._ds.to_table(columns=["id"], filter=self._bucket_filter(vec))
+        ids = tbl.column("id").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return ids.astype(np.int64), np.empty(0, dtype=np.int64)
+        return np.unique(ids, return_counts=True)
+
+    def get_top_k(self, vector: np.ndarray, topk: int = 10) -> list[int]:
+        """Ids ordered by ``(-collisions, id)`` — identical result contract
+        to :meth:`LSHRS.get_top_k` / `top_k(candidates_from_path(...))`."""
+        if topk <= 0:
+            raise ValueError("top_k must be positive")
+        ids, counts = self.candidate_counts(vector)
+        # np.unique returns ids ascending; stable-sorting by -counts keeps
+        # the ascending-id order inside each collision-count tie — exactly
+        # the reference's (-collisions, id) ordering.
+        order = np.argsort(-counts, kind="stable")[:topk]
+        return [int(i) for i in ids[order]]
+
+    def query(
+        self,
+        vector: np.ndarray,
+        *,
+        top_k: Optional[int] = 10,
+        top_p: Optional[float] = None,
+    ):
+        """Full :meth:`LSHRS.query` contract without a Spark job.
+
+        ``top_p=None`` -> list of ids by ``(-collisions, id)``;
+        ``top_p`` set -> ``[(id, score)]`` reranked by exact cosine over
+        the stored vector table, proportional-prefix cut
+        ``max(1, ceil(n * top_p))`` capped by ``top_k``
+        (``lshrs/core/main.py:645-658``).
+        """
+        if top_k is not None and top_k <= 0:
+            raise ValueError("top_k must be positive")
+        if top_p is not None and not 0.0 < top_p <= 1.0:
+            raise ValueError("top_p must be in (0, 1]")
+        vec = self._prepare_vector(vector)
+        ids, counts = self.candidate_counts(vec)
+        if top_p is None:
+            order = np.argsort(-counts, kind="stable")
+            if top_k is not None:
+                order = order[:top_k]
+            return [int(i) for i in ids[order]]
+        if len(ids) == 0:
+            # Reference parity: empty candidate set short-circuits to []
+            # before the vector-store requirement (ADVICE r01).
+            return []
+        if self._vec_ds is None:
+            raise RuntimeError(
+                "top_p queries require a stored vector table; save with "
+                "include_vectors=True or pass vectors_path"
+            )
+        scored = self._rerank(vec, ids)
+        n = len(scored)
+        if n == 0:
+            return []
+        limit = max(1, int(np.ceil(n * top_p)))
+        if top_k is not None:
+            limit = min(limit, top_k)
+        return [(int(i), float(s)) for i, s in scored[:limit]]
+
+    def _rerank(self, qvec: np.ndarray, cand_ids: np.ndarray) -> list:
+        """Exact-cosine rerank of the candidate ids (Q5-Q7) via an
+        id-pruned read of the stored vector table (written sorted by id,
+        so row-group stats prune here too). Returns ``[(id, score)]``
+        ordered by ``(score desc, id asc)``, NaN (zero-norm) last —
+        matching `operators/probe.py:rerank` + `top_p_cutoff`."""
+        expr = pads.field(self._id_col).isin(pa.array(cand_ids, type=pa.int64()))
+        tbl = self._vec_ds.to_table(
+            columns=[self._id_col, self._vector_col], filter=expr
+        )
+        ids = tbl.column(self._id_col).to_numpy(zero_copy_only=False)
+        vecs = np.stack(
+            tbl.column(self._vector_col).to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        q = qvec.astype(np.float64)
+        q = q / np.linalg.norm(q)
+        norms = np.linalg.norm(vecs, axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            scores = np.where(norms > 0, vecs @ q / norms, np.nan)
+        # (score desc, id asc), NaN last: sort by (isnan, -score, id).
+        order = np.lexsort((ids, -np.nan_to_num(scores, nan=-np.inf),
+                            np.isnan(scores)))
+        return [(int(ids[i]), float(scores[i])) for i in order]

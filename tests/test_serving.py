@@ -1,0 +1,104 @@
+"""IndexServer (no-Spark-job serving) differential tests vs the Spark
+probe path — same results, ~100× lower latency (reference p95 target:
+``/root/reference/requirements.md:73``)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from lshrs_spark.core import LSHRS
+from lshrs_spark.operators.probe import candidates_from_path
+from lshrs_spark.operators.probe import top_k as probe_top_k
+from lshrs_spark.serving import IndexServer
+
+
+@pytest.fixture(scope="module")
+def saved_index(spark, tmp_path_factory):
+    rng = np.random.default_rng(99)
+    n, d = 2000, 32
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    lsh = LSHRS(spark, d, num_perm=32, num_bands=8, rows_per_band=4)
+    lsh.index(list(range(n)), vecs)
+    path = str(tmp_path_factory.mktemp("srv") / "idx")
+    lsh.save_to_disk(path, include_vectors=True)
+    return path, lsh, vecs, rng
+
+
+def test_topk_matches_spark_probe(spark, saved_index):
+    path, lsh, vecs, rng = saved_index
+    for _ in range(8):
+        q = vecs[rng.integers(0, len(vecs))] + 0.1 * rng.standard_normal(
+            vecs.shape[1]
+        ).astype(np.float32)
+        srv = IndexServer.from_saved(path)
+        served = srv.get_top_k(q, 10)
+        cands = candidates_from_path(
+            spark, os.path.join(path, "index.parquet"), q, lsh.cfg
+        )
+        via_spark = [
+            r.id
+            for r in probe_top_k(cands, 10).orderBy("rank").select("id").collect()
+        ]
+        assert served == via_spark
+
+
+def test_topp_matches_lshrs_query(spark, saved_index):
+    path, lsh, vecs, rng = saved_index
+    srv = IndexServer.from_saved(path)
+    for _ in range(5):
+        q = vecs[rng.integers(0, len(vecs))] + 0.1 * rng.standard_normal(
+            vecs.shape[1]
+        ).astype(np.float32)
+        served = srv.query(q, top_k=10, top_p=0.5)
+        ref = lsh.query(q, top_k=10, top_p=0.5)
+        assert [i for i, _ in served] == [i for i, _ in ref]
+        assert all(
+            abs(a - b) < 1e-5 for (_, a), (_, b) in zip(served, ref)
+        )
+
+
+def test_serving_latency_under_target(saved_index):
+    path, _, vecs, _ = saved_index
+    srv = IndexServer.from_saved(path)  # metadata warmed at construction
+    srv.get_top_k(vecs[0], 10)
+    lat = []
+    for i in range(30):
+        t0 = time.perf_counter()
+        srv.get_top_k(vecs[i % len(vecs)], 10)
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    p95 = lat[int(len(lat) * 0.95)]
+    assert p95 < 0.100, f"serving p95 {p95 * 1e3:.1f} ms exceeds 100 ms target"
+
+
+def test_empty_candidates_and_errors(spark, saved_index):
+    path, lsh, vecs, _ = saved_index
+    srv = IndexServer.from_saved(path)
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        srv.get_top_k(np.ones(5, dtype=np.float32))
+    with pytest.raises(ValueError, match="zero vector"):
+        srv.get_top_k(np.zeros(32, dtype=np.float32))
+    with pytest.raises(ValueError, match="top_k"):
+        srv.get_top_k(vecs[0], 0)
+    with pytest.raises(ValueError, match="top_p"):
+        srv.query(vecs[0], top_p=1.5)
+
+
+def test_query_empty_index_short_circuit(spark, tmp_path):
+    """ADVICE r01 parity: empty candidate set -> [] in top_p mode even
+    with no vector store registered (both LSHRS and IndexServer)."""
+    d = 16
+    lsh = LSHRS(spark, d, num_perm=16, num_bands=4, rows_per_band=4)
+    lsh._vectors_df = None
+    assert lsh.query(np.ones(d, dtype=np.float32), top_p=0.5) == []
+    lsh.index([0], np.ones((1, d), dtype=np.float32))
+    path = str(tmp_path / "novec")
+    lsh.save_to_disk(path)  # no vectors stored
+    srv = IndexServer.from_saved(path)
+    # candidates exist but no vector table -> the documented RuntimeError
+    with pytest.raises(RuntimeError, match="vector table"):
+        srv.query(np.ones(d, dtype=np.float32), top_p=0.5)
