@@ -416,17 +416,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash_pairs",
-    f"""WITH {_SIMHASH_CTES},
-withsrc AS (SELECT s.doc_id, simhash, source
-            FROM sims s JOIN documents d ON d.doc_id = s.doc_id)
+    f"""WITH {_SIMHASH_CTES}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-FROM withsrc a JOIN withsrc b ON a.source = b.source AND a.doc_id < b.doc_id
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 4""",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= 4, blocked on
-    source."""
+    """ALL near-dup pairs by SimHash Hamming distance <= 4 — exact, via
+    pigeonhole banding of the 48-bit fingerprint (5 bit-blocks; a pair
+    within distance 4 must agree on one block). The oracle brute-forces
+    all pairs; the Spark plan joins on the band key, never a data
+    column."""
     return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=4)
 
 

@@ -241,36 +241,84 @@ def simhash_table(
     )
 
 
+def simhash_blocks(max_hamming: int, bits: int = SIMHASH_BITS,
+                   num_blocks: Optional[int] = None) -> list[tuple[int, int]]:
+    """``(start_bit, length)`` for ``num_blocks`` (default
+    ``max_hamming + 1``) contiguous bit blocks covering the fingerprint.
+    Pigeonhole guarantee: two fingerprints within Hamming distance
+    ``max_hamming`` agree exactly on at least one of ``max_hamming + 1``
+    blocks — so an equi-join on ``(block_idx, block_value)`` finds every
+    qualifying pair with zero recall loss."""
+    nb = num_blocks or (max_hamming + 1)
+    if not 1 <= nb <= bits:
+        raise ValueError(f"num_blocks must be in [1, {bits}]")
+    base, rem = divmod(bits, nb)
+    out, start = [], 0
+    for i in range(nb):
+        ln = base + (1 if i < rem else 0)
+        out.append((start, ln))
+        start += ln
+    return out
+
+
 def simhash_pairs(
     df: DataFrame,
     max_hamming: int = 6,
     id_col: str = "doc_id",
     text_col: str = "text",
     *,
-    block_col: Optional[str] = "source",
+    num_blocks: Optional[int] = None,
+    max_block_size: Optional[int] = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= max_hamming,
-    blocked on an equality column to bound the pair space (at scale:
-    block on simhash prefix bands instead — same join shape)."""
+    """EXACT near-dup pairs ``(id_a < id_b, hamming)`` with SimHash
+    Hamming distance <= ``max_hamming``, found by pigeonhole banding:
+    the fingerprint is split into ``max_hamming + 1`` bit blocks and the
+    self-join key is ``(block_idx, block_value)`` — never a data column,
+    so a hot metadata value (e.g. one dominant ``source``) cannot make
+    the pair space quadratic. The join fans out ``num_blocks`` rows per
+    document but each band bucket holds only genuinely-colliding
+    fingerprints.
+
+    ``max_block_size`` (optional) drops degenerate band buckets larger
+    than the cap — a documented recall tradeoff for adversarial data
+    (e.g. millions of near-empty documents whose fingerprints share a
+    block of zeros); ``None`` keeps the result exact."""
     sim = simhash_table(df, id_col, text_col)
-    if block_col:
-        sim = sim.join(
-            df.select(F.col(id_col).cast("long").alias("id"), F.col(block_col).alias("blk")),
-            "id",
+    # feeds both sides of the self-join: persist (lineage kept) via the
+    # bounded slot registry so the token-hash pipeline runs once
+    sim = persist_slot(sim, "dedup.simhash_tbl", eager=True)
+    blocks = simhash_blocks(max_hamming, num_blocks=num_blocks)
+    nb = len(blocks)
+    vals = [
+        F.expr(f"shiftright(simhash, {start}) & {(1 << ln) - 1}").alias(f"v{i}")
+        for i, (start, ln) in enumerate(blocks)
+    ]
+    stack = ", ".join(f"{i}, v{i}" for i in range(nb))
+    bands = sim.select("id", "simhash", *vals).selectExpr(
+        "id", "simhash", f"stack({nb}, {stack}) AS (blk, val)"
+    )
+    if max_block_size is not None:
+        cap = (
+            bands.groupBy("blk", "val")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_block_size)
+            .drop("_bn")
         )
-    a = sim.alias("a")
-    b = sim.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
-    if block_col:
-        cond = cond & (F.col("a.blk") == F.col("b.blk"))
-    dist = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        bands = bands.join(cap, ["blk", "val"])
+    a = bands.alias("a")
+    b = bands.alias("b")
+    dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
-        a.join(b, cond)
+        a.join(b, on=["blk", "val"])
+        .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            dist.cast("long").alias("hamming"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
         )
+        .distinct()  # a pair can collide on several blocks — count once
+        .select("id_a", "id_b", dist.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
 
@@ -280,12 +328,35 @@ def connected_components(
     nodes: DataFrame,
     *,
     max_iterations: int = 20,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """``(id, component)`` with component = min id reachable through the
-    pair graph — min-label propagation to fixpoint. Each round is one
-    join + aggregate; rounds needed ~ graph diameter (dedup clusters are
-    shallow). ``nodes`` must carry column ``id``; ``pairs`` columns
-    ``id_a, id_b``."""
+    pair graph. ``nodes`` must carry column ``id``; ``pairs`` columns
+    ``id_a, id_b``.
+
+    Algorithm: min-label propagation *with pointer jumping* — each round
+    first takes the min label over graph neighbors, then shortcuts every
+    label to its label's label (path halving). Convergence is
+    O(log diameter) rounds, so a 1M-long chain needs ~20 rounds, not 1M
+    (the propagation-only variant is O(diameter) and unusable on deep
+    graphs).
+
+    Fault tolerance (100 TB design): each round ends with a RELIABLE
+    ``checkpoint()`` — materialized to the session checkpoint directory
+    (HDFS/object store on a cluster) — NOT ``localCheckpoint``, whose
+    blocks die with a lost executor and make long iterative jobs
+    unrecoverable (see `lshrs_spark/cache.py` discussion). If no
+    checkpoint dir is configured, a process-local temp dir is set once
+    (correct for local mode; on a cluster configure a shared path).
+    """
+    spark = pairs.sparkSession
+    sc = spark.sparkContext
+    if checkpoint_dir is not None:
+        sc.setCheckpointDir(checkpoint_dir)
+    elif sc.getCheckpointDir() is None:
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="lshrs_cc_ckpt_"))
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -302,13 +373,25 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr"))
         )
-        new_labels = (
+        propagated = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))
                 ).alias("component"),
+            )
+        )
+        # pointer jump: component -> that node's component (labels are
+        # always node ids, so the lookup side is the same table)
+        lut = propagated.select(
+            F.col("id").alias("cid"), F.col("component").alias("cc")
+        )
+        new_labels = (
+            propagated.join(lut, propagated.component == lut.cid, "left")
+            .select(
+                "id",
+                F.coalesce(F.col("cc"), F.col("component")).alias("component"),
             )
         )
         changed = (
@@ -318,7 +401,7 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True) if changed else new_labels
+        labels = new_labels.checkpoint(eager=True) if changed else new_labels
         if not changed:
             converged = True
             break
@@ -326,6 +409,6 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
             "iterations — the pair graph has a longer path than expected; "
-            "raise max_iterations (rounds needed ~ graph diameter)"
+            "raise max_iterations (rounds needed ~ log2(graph diameter))"
         )
     return labels

@@ -56,10 +56,47 @@ def test_simhash_identical_and_near(docs):
     sims = {r.id: r.simhash for r in D.simhash_table(docs).collect()}
     assert sims[0] == sims[1]
     assert all(0 <= s < 2**48 for s in sims.values())
+    # max_hamming=47 -> 48 one-bit blocks: exact for every pair that
+    # agrees on at least one bit (i.e. all pairs except exact complements)
     pairs = {(r.id_a, r.id_b): r.hamming for r in
-             D.simhash_pairs(docs, max_hamming=48, block_col="source").collect()}
+             D.simhash_pairs(docs, max_hamming=47).collect()}
     assert pairs[(0, 1)] == 0
     assert pairs[(0, 2)] < pairs.get((3, 4), 49)
+
+
+def test_simhash_pairs_banding_matches_bruteforce(docs, spark):
+    """Pigeonhole banding must return EXACTLY the brute-force pair set."""
+    sims = {r.id: r.simhash for r in D.simhash_table(docs).collect()}
+    for mh in (2, 4, 10):
+        brute = {
+            (a, b, bin(sims[a] ^ sims[b]).count("1"))
+            for a in sims for b in sims
+            if a < b and bin(sims[a] ^ sims[b]).count("1") <= mh
+        }
+        banded = {(r.id_a, r.id_b, r.hamming)
+                  for r in D.simhash_pairs(docs, max_hamming=mh).collect()}
+        assert banded == brute
+
+
+def test_simhash_pairs_joins_on_band_not_data(docs, spark):
+    """The self-join key must be the (blk, val) band, never a data
+    column — the scale-safety property (VERDICT r01 #4)."""
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        D.simhash_pairs(docs, max_hamming=4)._jdf.queryExecution(), "simple"
+    )
+    import re
+    joins = [ln for ln in plan.splitlines() if "Join" in ln and "blk" in ln]
+    assert joins, plan  # band columns are the equi-join keys
+    assert not re.search(r"Join.*(source|text)#", plan), plan
+
+
+def test_simhash_blocks_cover_all_bits():
+    for mh in (1, 4, 6, 47):
+        blocks = D.simhash_blocks(mh)
+        assert sum(ln for _, ln in blocks) == D.SIMHASH_BITS
+        assert len(blocks) == mh + 1
+        starts = [s for s, _ in blocks]
+        assert starts == sorted(starts) and starts[0] == 0
 
 
 def test_connected_components_chain(spark):
@@ -69,6 +106,22 @@ def test_connected_components_chain(spark):
     assert comp[1] == comp[2] == comp[3] == 1
     assert comp[5] == comp[6] == 5
     assert comp[4] == 4 and comp[7] == 7
+
+
+def test_connected_components_deep_path(spark):
+    """A path graph with diameter 40 must converge well inside the
+    default 20-round budget — pointer jumping makes rounds O(log
+    diameter), and each round checkpoints RELIABLY (lineage truncated to
+    stable storage, not executor-local blocks)."""
+    n = 41
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    out = D.connected_components(pairs, nodes, max_iterations=10)
+    comp = {r.id: r.component for r in out.collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == n
 
 
 def test_minhash_params_deterministic():
