@@ -809,26 +809,28 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    # Deterministic pseudo-decode the oracle can recompute: md5 + length
-    # + digest-derived fake dimensions (see lshrs_spark/multimodal.py).
-    """SELECT doc_id AS id,
-       octet_length(encode(text))::BIGINT AS n_bytes,
-       md5(text) AS payload_md5,
-       ("""
-    + hexint_sql("md5(text)", 4)
-    + """ % 640 + 1)::BIGINT AS fake_width,
-       ("""
-    + hexint_sql("substr(md5(text),5,4)", 4)
-    + """ % 480 + 1)::BIGINT AS fake_height
+    # REAL decode: the Spark side builds a P6 PPM payload per document
+    # (pixel bytes = first 48 utf-8 bytes of the padded text), then
+    # PARSES the header and computes pixel stats inside an Arrow-batched
+    # mapInPandas. The oracle recomputes the same features from the same
+    # bytes (ascii() per position — documents are pure ASCII).
+    """SELECT doc_id AS id, 'ppm' AS kind,
+       4::BIGINT AS width, 4::BIGINT AS height, 48::BIGINT AS n_samples,
+       round(list_avg(list_transform(generate_series(1, 48),
+             i -> ascii(substr(rpad(text, 48, ' '), i, 1)))), 5) AS mean_val
 FROM documents""",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload feature extraction via Arrow-batched mapInPandas
-    (decode stubbed deterministically; plumbing is real)."""
-    from .multimodal import extract_features, with_binary_payload
+    """Binary-payload feature extraction with a REAL pure-numpy image
+    decode (PPM header parse + pixel math) via Arrow-batched
+    mapInPandas — no external media libraries needed."""
+    from .multimodal import media_features, with_ppm_payload
 
-    payloads = with_binary_payload(_docs(spark, sf_dir))
-    return extract_features(payloads)
+    payloads = with_ppm_payload(_docs(spark, sf_dir))
+    return media_features(payloads).select(
+        "id", "kind", "width", "height", "n_samples",
+        F.round("mean_val", 5).alias("mean_val"),
+    )
 
 
 # --------------------------------------------------------------------- #

@@ -23,13 +23,28 @@ testable end-to-end."""
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["with_binary_payload", "extract_features", "decode_image_stub"]
+__all__ = [
+    "with_binary_payload",
+    "extract_features",
+    "decode_image_stub",
+    "decode_ppm",
+    "encode_ppm",
+    "decode_bmp",
+    "encode_bmp",
+    "decode_wav",
+    "encode_wav",
+    "decode_payload",
+    "with_ppm_payload",
+    "media_features",
+]
 
 FEATURE_SCHEMA = (
     "id long, n_bytes long, payload_md5 string, fake_width long, fake_height long"
@@ -80,6 +95,265 @@ def extract_features(payload_df: DataFrame) -> DataFrame:
 
     return payload_df.select("id", "payload").mapInPandas(
         feature_batches, schema=FEATURE_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------- #
+# Real pure-numpy media decoders (no external libraries): PPM (P6), BMP
+# (24-bit BI_RGB) and WAV (16-bit PCM) are header + raw samples, so the
+# decode is byte arithmetic. These run INSIDE the mapInPandas feature
+# extractor; the same functions are unit/differential-tested driver-side.
+# --------------------------------------------------------------------- #
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """``(h, w, 3) uint8`` -> binary PPM (P6, maxval 255)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = px.shape
+    if c != 3:
+        raise ValueError("PPM pixels must be (h, w, 3)")
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse the P6 header WITHOUT ``split`` — the spec mandates exactly
+    one whitespace byte after maxval, and pixel data may legally begin
+    with a whitespace-valued byte (0x20 etc.) that a naive tokenizer
+    would swallow. Returns ``(width, height, maxval, data_offset)``."""
+    ws = b" \t\r\n\x0b\x0c"
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while payload[pos:pos + 1] in (b" ", b"\t", b"\r", b"\n", b"\x0b", b"\x0c"):
+            pos += 1
+        if payload[pos:pos + 1] == b"#":  # spec allows comments to EOL
+            while payload[pos:pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while payload[pos:pos + 1] and payload[pos] not in ws:
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    return vals[0], vals[1], vals[2], pos + 1  # +1: single ws after maxval
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Binary PPM (P6, maxval 255) -> ``(width, height, (h, w, 3) uint8)``."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    w, h, maxval, off = _ppm_header(payload)
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    need = w * h * 3
+    data = payload[off:off + need]
+    if len(data) < need:
+        raise ValueError(f"PPM payload truncated: {len(data)} < {need}")
+    px = np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+    return w, h, px
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """``(h, w, 3) uint8`` RGB -> 24-bit uncompressed BMP (bottom-up,
+    BGR, rows padded to 4 bytes — the classic BITMAPINFOHEADER layout)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += px[y, :, ::-1].tobytes()  # RGB -> BGR
+        body += b"\x00" * pad
+    data_off = 14 + 40
+    size = data_off + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return header + info + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """24-bit uncompressed BMP -> ``(width, height, (h, w, 3) uint8 RGB)``."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row = w * 3
+    stride = row + (4 - row % 4) % 4
+    px = np.empty((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        y = (h - 1 - i) if bottom_up else i
+        off = data_off + i * stride
+        bgr = np.frombuffer(payload[off:off + row], dtype=np.uint8).reshape(w, 3)
+        px[y] = bgr[:, ::-1]
+    return w, h, px
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """1-D int16 samples -> mono 16-bit PCM WAV."""
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    out = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    return out
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Mono/stereo 16-bit PCM WAV -> ``(sample_rate, (n, channels) int16)``."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        clen = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (fmt={audio_fmt}, bits={bits})"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen % 2)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    return rate, samples.reshape(-1, channels)
+
+
+def decode_payload(payload: bytes) -> dict:
+    """Sniff the magic and decode: returns ``{kind, width, height,
+    n_samples, mean_val}`` — the unified feature record used by
+    :func:`media_features`. mean_val = mean pixel byte (images) or mean
+    absolute sample (audio)."""
+    b = bytes(payload)
+    if b[:2] == b"P6":
+        w, h, px = decode_ppm(b)
+        return {"kind": "ppm", "width": w, "height": h,
+                "n_samples": int(px.size), "mean_val": float(px.mean())}
+    if b[:2] == b"BM":
+        w, h, px = decode_bmp(b)
+        return {"kind": "bmp", "width": w, "height": h,
+                "n_samples": int(px.size), "mean_val": float(px.mean())}
+    if b[:4] == b"RIFF":
+        rate, s = decode_wav(b)
+        return {"kind": "wav", "width": None, "height": None,
+                "n_samples": int(s.size),
+                "mean_val": float(np.abs(s.astype(np.float64)).mean())}
+    raise ValueError("unknown payload magic")
+
+
+MEDIA_FEATURE_SCHEMA = (
+    "id long, kind string, width long, height long, "
+    "n_samples long, mean_val double"
+)
+
+
+def with_ppm_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    width: int = 4, height: int = 4,
+) -> DataFrame:
+    """Deterministic REAL image payloads from the documents table: a P6
+    PPM whose pixel bytes are the first ``w*h*3`` utf-8 bytes of the
+    (space-padded) text. Oracle-recomputable byte-for-byte, and a real
+    decoder exercises the header parse + pixel math."""
+    n = width * height * 3
+    header = F.lit(b"P6\n%d %d\n255\n" % (width, height))
+    body = F.encode(F.substring(F.rpad(F.col(text_col), n, " "), 1, n), "utf-8")
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.concat(header, body).alias("payload"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+    )
+
+
+def media_features(payload_df: DataFrame) -> DataFrame:
+    """REAL decode feature extraction over binary payloads (PPM/BMP/WAV
+    sniffed by magic), Arrow-batched via mapInPandas. Each batch decodes
+    in numpy — no per-row Python in the driver, no external libraries."""
+
+    # NESTED so cloudpickle ships it by value (workers can't import this
+    # package under the driver's vanilla session) — the decoders are
+    # inlined below as locals for the same reason.
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def _ppm(b):
+            # scanner, not split(): pixel data may begin with a
+            # whitespace-valued byte (see _ppm_header)
+            ws = b" \t\r\n\x0b\x0c"
+            pos, vals = 2, []
+            while len(vals) < 3:
+                while b[pos] in ws:
+                    pos += 1
+                start = pos
+                while b[pos] not in ws:
+                    pos += 1
+                vals.append(int(b[start:pos]))
+            w, h = vals[0], vals[1]
+            need = w * h * 3
+            px = _np.frombuffer(b[pos + 1:pos + 1 + need], dtype=_np.uint8)
+            return "ppm", w, h, int(px.size), float(px.mean())
+
+        def _bmp(b):
+            off = _struct.unpack_from("<I", b, 10)[0]
+            w = _struct.unpack_from("<i", b, 18)[0]
+            h = abs(_struct.unpack_from("<i", b, 22)[0])
+            row = w * 3
+            stride = row + (4 - row % 4) % 4
+            rows = [_np.frombuffer(b[off + i * stride:off + i * stride + row],
+                                   dtype=_np.uint8) for i in range(h)]
+            px = _np.concatenate(rows) if rows else _np.empty(0, _np.uint8)
+            return "bmp", w, h, int(px.size), float(px.mean())
+
+        def _wav(b):
+            pos, rate, ch, data = 12, None, 1, None
+            while pos + 8 <= len(b):
+                cid = b[pos:pos + 4]
+                clen = _struct.unpack_from("<I", b, pos + 4)[0]
+                body = b[pos + 8:pos + 8 + clen]
+                if cid == b"fmt ":
+                    _, ch, rate, _, _, _ = _struct.unpack_from("<HHIIHH", body, 0)
+                elif cid == b"data":
+                    data = body
+                pos += 8 + clen + (clen % 2)
+            s = _np.frombuffer(data, dtype="<i2")
+            return ("wav", None, None, int(s.size),
+                    float(_np.abs(s.astype(_np.float64)).mean()))
+
+        for pdf in batches:
+            recs = []
+            for pid, payload in zip(pdf["id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:2] == b"P6":
+                    kind, w, h, n, m = _ppm(b)
+                elif b[:2] == b"BM":
+                    kind, w, h, n, m = _bmp(b)
+                elif b[:4] == b"RIFF":
+                    kind, w, h, n, m = _wav(b)
+                else:
+                    raise ValueError("unknown payload magic")
+                recs.append((pid, kind, w, h, n, m))
+            yield _pd.DataFrame(
+                recs,
+                columns=["id", "kind", "width", "height", "n_samples", "mean_val"],
+            )
+
+    return payload_df.select("id", "payload").mapInPandas(
+        feature_batches, schema=MEDIA_FEATURE_SCHEMA
     )
 
 

@@ -1,16 +1,27 @@
-"""Multimodal binary-column plumbing: schema, batching, deterministic
-pseudo-decode; real decode is stubbed (no image libs in the container)."""
+"""Multimodal binary-column plumbing + REAL pure-numpy decoders
+(PPM/BMP/WAV): roundtrip, cross-format agreement, and the Arrow-batched
+mapInPandas feature path."""
 
 from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pytest
 
 from lshrs_spark.multimodal import (
+    decode_bmp,
     decode_image_stub,
+    decode_payload,
+    decode_ppm,
+    decode_wav,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
     extract_features,
+    media_features,
     with_binary_payload,
+    with_ppm_payload,
 )
 
 
@@ -32,6 +43,81 @@ def test_payload_roundtrip_and_features(docs):
         assert rows[i].payload_md5 == md5
         assert rows[i].fake_width == int(md5[:4], 16) % 640 + 1
         assert rows[i].fake_height == int(md5[4:8], 16) % 480 + 1
+
+
+def test_ppm_roundtrip_random_pixels():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    # force a whitespace-valued first pixel byte — the header scanner
+    # must not swallow it
+    px[0, 0, 0] = 0x20
+    w, h, out = decode_ppm(encode_ppm(px))
+    assert (w, h) == (7, 5)
+    assert np.array_equal(out, px)
+
+
+def test_bmp_roundtrip_with_row_padding():
+    rng = np.random.default_rng(4)
+    # width 3 -> 9-byte rows -> 3 padding bytes: exercises the stride math
+    px = rng.integers(0, 256, size=(4, 3, 3), dtype=np.uint8)
+    w, h, out = decode_bmp(encode_bmp(px))
+    assert (w, h) == (3, 4)
+    assert np.array_equal(out, px)
+
+
+def test_wav_roundtrip():
+    rng = np.random.default_rng(5)
+    s = rng.integers(-32768, 32767, size=512, dtype=np.int16)
+    rate, out = decode_wav(encode_wav(s, 8000))
+    assert rate == 8000
+    assert out.shape == (512, 1)
+    assert np.array_equal(out.ravel(), s)
+
+
+def test_decode_payload_unified_features():
+    px = np.full((2, 2, 3), 10, dtype=np.uint8)
+    f = decode_payload(encode_ppm(px))
+    assert f == {"kind": "ppm", "width": 2, "height": 2,
+                 "n_samples": 12, "mean_val": 10.0}
+    f = decode_payload(encode_bmp(px))
+    assert (f["kind"], f["mean_val"]) == ("bmp", 10.0)
+    f = decode_payload(encode_wav(np.array([-3, 3, 3, -3], dtype=np.int16)))
+    assert (f["kind"], f["n_samples"], f["mean_val"]) == ("wav", 4, 3.0)
+    with pytest.raises(ValueError, match="magic"):
+        decode_payload(b"\x89PNG....")
+
+
+def test_media_features_matches_driver_decode(spark):
+    """The mapInPandas decode must agree with the driver-side decoders
+    byte-for-byte, across all three formats in one DataFrame."""
+    rng = np.random.default_rng(6)
+    payloads = [
+        encode_ppm(rng.integers(0, 256, size=(3, 4, 3), dtype=np.uint8)),
+        encode_bmp(rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)),
+        encode_wav(rng.integers(-1000, 1000, size=64, dtype=np.int16)),
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "id long, payload binary"
+    )
+    got = {r.id: r.asDict() for r in media_features(df).collect()}
+    for i, p in enumerate(payloads):
+        want = decode_payload(p)
+        assert got[i]["kind"] == want["kind"]
+        assert got[i]["width"] == want["width"]
+        assert got[i]["height"] == want["height"]
+        assert got[i]["n_samples"] == want["n_samples"]
+        assert got[i]["mean_val"] == pytest.approx(want["mean_val"])
+
+
+def test_ppm_payload_entry_shape(spark):
+    docs = spark.createDataFrame(
+        [(0, "a" * 48), (1, "b c d " * 10)], "doc_id long, text string"
+    )
+    feats = {r.id: r for r in
+             media_features(with_ppm_payload(docs)).collect()}
+    assert feats[0].width == 4 and feats[0].height == 4
+    assert feats[0].n_samples == 48
+    assert feats[0].mean_val == pytest.approx(ord("a"))
 
 
 def test_decode_stub_raises_without_decoder():
