@@ -15,10 +15,82 @@ a missing driver — the option-plumbing itself is unit-testable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-__all__ = ["load_postgres_vectors", "build_pushdown_query"]
+__all__ = [
+    "load_postgres_vectors",
+    "build_pushdown_query",
+    "vector_from_pg_text",
+    "vector_from_bytea",
+    "decode_vector_column",
+]
+
+
+def vector_from_pg_text(col: Column) -> Column:
+    """Decode a PostgreSQL array-literal string cell — ``"{1,2,3}"``,
+    ``"[1,2,3]"`` or ``"(1,2,3)"`` — to ``array<float>``, as a PURE
+    Catalyst expression (regexp strip + split + cast; stays inside
+    whole-stage codegen, no Python). Parity with the reference's string
+    branch of ``_coerce_vector`` (``lshrs/io/postgres.py:186-208``);
+    empty representations yield NULL (the distributed stand-in for the
+    reference's ValueError — filter or validate downstream)."""
+    stripped = F.regexp_replace(col, r"^[\s\{\[\(]+|[\s\}\]\)]+$", "")
+    return F.when(
+        F.length(stripped) > 0,
+        F.transform(
+            F.split(stripped, ","), lambda x: F.trim(x).cast("float")
+        ),
+    )
+
+
+def vector_from_bytea(col: Column) -> Column:
+    """Decode a bytea cell holding a packed little-endian float32 buffer
+    to ``array<float>`` — the reference's ``np.frombuffer`` branch
+    (``lshrs/io/postgres.py:186-208``). IEEE-754 reinterpretation has no
+    Catalyst builtin, so this is the one justified Arrow-batched pandas
+    UDF in the source layer: one ``np.frombuffer`` per cell per batch."""
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def frombuffer(s: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        return s.map(
+            lambda b: None
+            if b is None or len(b) == 0
+            else _np.frombuffer(bytes(b), dtype="<f4")
+        )
+
+    return frombuffer(col)
+
+
+def decode_vector_column(
+    df: DataFrame, vector_column: str, *, kind: str = "auto"
+) -> DataFrame:
+    """Normalize the vector column to ``array<float>`` whatever the
+    database handed back: SQL arrays (cast), bytea float32 buffers
+    (``kind="bytea"``), or array-literal strings (``kind="text"``).
+    ``kind="auto"`` dispatches on the loaded Spark type."""
+    dt = df.schema[vector_column].dataType
+    if kind == "auto":
+        if isinstance(dt, T.BinaryType):
+            kind = "bytea"
+        elif isinstance(dt, T.StringType):
+            kind = "text"
+        else:
+            kind = "array"
+    col = F.col(vector_column)
+    if kind == "bytea":
+        decoded = vector_from_bytea(col)
+    elif kind == "text":
+        decoded = vector_from_pg_text(col)
+    elif kind == "array":
+        decoded = col.cast("array<float>")
+    else:
+        raise ValueError(f"unknown vector cell kind: {kind!r}")
+    return df.withColumn(vector_column, decoded)
 
 
 def build_pushdown_query(
@@ -98,8 +170,7 @@ def load_postgres_vectors(
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     df = reader.load()
-    out = df.select(
-        F.col(index_column),
-        F.col(vector_column).cast("array<float>").alias(vector_column),
+    out = decode_vector_column(
+        df.select(index_column, vector_column), vector_column
     )
     return out, index_column, vector_column

@@ -41,3 +41,89 @@ def test_pushdown_query_assembly():
 def test_postgres_requires_connection_info(spark):
     with pytest.raises(ValueError, match="url= or dsn="):
         load_postgres_vectors(spark)
+
+
+# --------------------------------------------------------------------- #
+# Postgres cell decoding parity (reference _coerce_vector,
+# lshrs/io/postgres.py:186-208) — differential against the reference's
+# own function, loaded read-only from /root/reference.
+# --------------------------------------------------------------------- #
+
+def _load_reference_coerce():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_pg", "/root/reference/lshrs/io/postgres.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod._coerce_vector
+
+
+@pytest.fixture(scope="module")
+def ref_coerce():
+    return _load_reference_coerce()
+
+
+def test_bytea_decode_matches_reference(spark, ref_coerce):
+    import numpy as np
+
+    from lshrs_spark.sources.jdbc import decode_vector_column
+
+    rng = np.random.default_rng(11)
+    vecs = [rng.standard_normal(8).astype(np.float32) for _ in range(5)]
+    rows = [(i, v.tobytes()) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "id long, embedding binary")
+    out = {r.id: r.embedding for r in
+           decode_vector_column(df, "embedding").collect()}
+    assert dict(decode_vector_column(df, "embedding").dtypes)[
+        "embedding"] == "array<float>"
+    for i, v in enumerate(vecs):
+        want = ref_coerce(v.tobytes())
+        assert np.array_equal(np.array(out[i], dtype=np.float32), want)
+    # memoryview input decodes identically on the reference side
+    assert np.array_equal(
+        ref_coerce(memoryview(vecs[0].tobytes())),
+        np.array(out[0], dtype=np.float32),
+    )
+
+
+def test_text_decode_matches_reference(spark, ref_coerce):
+    import numpy as np
+
+    from lshrs_spark.sources.jdbc import decode_vector_column
+
+    cells = ["{1,2,3}", "[1.5, -2.25, 3e2]", "(0.125,7,8)", "{ 4 , 5 }"]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cells)], "id long, embedding string"
+    )
+    out = {r.id: r.embedding for r in
+           decode_vector_column(df, "embedding").collect()}
+    for i, c in enumerate(cells):
+        want = ref_coerce(c)
+        assert np.allclose(np.array(out[i], dtype=np.float32), want), c
+
+
+def test_text_decode_empty_yields_null(spark):
+    from lshrs_spark.sources.jdbc import decode_vector_column
+
+    df = spark.createDataFrame(
+        [(0, "{}"), (1, "  "), (2, "{1}")], "id long, embedding string"
+    )
+    out = {r.id: r.embedding for r in
+           decode_vector_column(df, "embedding").collect()}
+    # reference raises ValueError per-row; the distributed analogue is
+    # NULL + downstream validation (validate_vectors mode="error")
+    assert out[0] is None and out[1] is None
+    assert out[2] == [1.0]
+
+
+def test_array_cells_cast_passthrough(spark):
+    from lshrs_spark.sources.jdbc import decode_vector_column
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "id long, embedding array<double>"
+    )
+    out = decode_vector_column(df, "embedding")
+    assert dict(out.dtypes)["embedding"] == "array<float>"
+    assert out.first().embedding == [1.0, 2.0]
