@@ -27,6 +27,9 @@ class LSHConfig:
         seed: RNG seed for the projection matrices (reproducible).
         dtype: "float32" (bit-compatible with the reference) or "float64"
             (used for oracle-parity paths where DuckDB computes in double).
+        buffer_size: single-ingest buffer threshold — ``ingest()`` flushes
+            automatically once this many vectors are pending (reference
+            contract: ``lshrs/core/main.py:158-173,1131-1143``).
     """
 
     dim: int
@@ -36,12 +39,15 @@ class LSHConfig:
     similarity_threshold: float = 0.5
     seed: int = 42
     dtype: str = "float32"
+    buffer_size: int = 10_000
 
     def __post_init__(self) -> None:
         if self.dim <= 0:
             raise ValueError("Vector dimensionality must be greater than zero")
         if self.num_perm <= 0:
             raise ValueError("num_perm must be greater than zero")
+        if self.buffer_size <= 0:
+            raise ValueError("buffer_size must be greater than zero")
         if self.dtype not in ("float32", "float64"):
             raise ValueError(f"unsupported dtype: {self.dtype}")
         if self.num_bands is None or self.rows_per_band is None:
@@ -79,10 +85,11 @@ class LSHConfig:
             "similarity_threshold": self.similarity_threshold,
             "seed": self.seed,
             "dtype": self.dtype,
+            "buffer_size": self.buffer_size,
         }
 
     @classmethod
     def from_dict(cls, d: dict) -> "LSHConfig":
         return cls(**{k: d[k] for k in (
             "dim", "num_perm", "num_bands", "rows_per_band",
-            "similarity_threshold", "seed", "dtype") if k in d})
+            "similarity_threshold", "seed", "dtype", "buffer_size") if k in d})

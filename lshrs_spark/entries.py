@@ -1283,16 +1283,25 @@ def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
   (SELECT count(*) FROM customer)::BIGINT AS total""",
 )
 def rel_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi and anti joins as user-facing operators (EXISTS / NOT
-    EXISTS) — the reference only has an implicit anti-join in delete."""
+    """Semi/anti-join cardinalities as ONE plan (VERDICT r01 #4): left
+    join against the distinct order keys, then conditional aggregation —
+    one scan of each table and a single action, where the naive form
+    runs three separate count() jobs."""
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        F.col("o_custkey").alias("c_custkey")
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("_has", F.lit(1))
     )
-    semi = c.join(o, "c_custkey", "left_semi").count()
-    anti = c.join(o, "c_custkey", "left_anti").count()
-    return spark.createDataFrame(
-        [(semi, anti, c.count())], "with_orders long, without_orders long, total long"
+    return (
+        c.select("c_custkey")
+        .join(o, "c_custkey", "left")
+        .agg(
+            F.count(F.col("_has")).alias("with_orders"),
+            F.count(F.when(F.col("_has").isNull(), 1)).alias("without_orders"),
+            F.count(F.lit(1)).alias("total"),
+        )
     )
 
 
@@ -1800,17 +1809,19 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency aggregates; idf = ln(N/df) computed identically in the
     oracle. The WindowGroupLimit rank filter keeps the top-k partial."""
     docs = _docs(spark, sf_dir)
-    n_docs = float(docs.count())
+    # N as a broadcast scalar-subquery join, not a separate count()
+    # action (VERDICT r01 #5): the whole entry stays one plan/one job
+    n = F.broadcast(docs.agg(F.count(F.lit(1)).cast("double").alias("_n")))
     tok = docs.select(
         "doc_id", F.explode(X.tokens_col(F.col("text"))).alias("token")
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tok.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("dfq"))
-    scored = tf.join(dfreq, "token").select(
+    scored = tf.join(dfreq, "token").crossJoin(n).select(
         "doc_id",
         "token",
         F.round(
-            F.col("tf") * F.log(F.lit(n_docs) / F.col("dfq")), 5
+            F.col("tf") * F.log(F.col("_n") / F.col("dfq")), 5
         ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
@@ -2097,4 +2108,73 @@ def rel_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n", "value_cents",
         F.col("min_user").cast("long").alias("min_user"),
         F.col("max_user").cast("long").alias("max_user"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Parameter planner (P1-P5): the driver-side math gets a CORRECTNESS row
+# --------------------------------------------------------------------- #
+
+# (num_perm, target) probes spanning the precomputed table, the
+# exhaustive search, and both factorization orientations.
+_PLANNER_PROBES = [
+    (64, 0.5), (64, 0.7), (128, 0.5), (128, 0.8), (256, 0.9), (4096, 0.5),
+]
+_PLANNER_N = 20000  # midpoint-rule nodes; agrees with GL-128 to ~1e-10
+
+
+def _planner_oracle() -> str:
+    vals = ", ".join(f"({n}, {t})" for n, t in _PLANNER_PROBES)
+    n = _PLANNER_N
+    fp = (
+        f"list_sum(list_transform(generate_series(0, {n - 1}), i -> "
+        f"1 - pow(1 - pow((i + 0.5) * target / {n}, rows_per_band), bands)"
+        f")) * target / {n}"
+    )
+    fn = (
+        f"list_sum(list_transform(generate_series(0, {n - 1}), i -> "
+        f"pow(1 - pow(target + (i + 0.5) * (1 - target) / {n}, "
+        f"rows_per_band), bands))) * (1 - target) / {n}"
+    )
+    return f"""WITH probes(num_perm, target) AS (VALUES {vals}),
+-- reference-table / exhaustive-search expectations (br.py); a planner
+-- regression changes Spark's (bands, rows_per_band) and mismatches here
+cfg AS (SELECT p.num_perm, p.target, c.bands, c.rows_per_band
+        FROM probes p JOIN (VALUES
+            (64, 0.5, 16, 4), (64, 0.7, 8, 8), (128, 0.5, 8, 16),
+            (128, 0.8, 8, 16), (256, 0.9, 8, 32), (4096, 0.5, 512, 8)
+        ) AS c(num_perm, target, bands, rows_per_band)
+        ON c.num_perm = p.num_perm AND c.target = p.target)
+SELECT num_perm::BIGINT AS num_perm, target::DOUBLE AS target,
+       bands::BIGINT AS bands, rows_per_band::BIGINT AS rows_per_band,
+       round(pow(1.0 / bands, 1.0 / rows_per_band), 5) AS threshold,
+       round(1 - pow(1 - pow(target, rows_per_band), bands), 5) AS p_collision,
+       round({fp}, 5) AS fp,
+       round({fn}, 5) AS fn
+FROM cfg"""
+
+
+@register("planner_config", _planner_oracle())
+def planner_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameter-planner outputs (P1-P5, reference ``utils/br.py``) as a
+    one-plan DataFrame: (bands, rows) chosen by the 3-tier
+    get_optimal_config, S-curve threshold, collision probability at the
+    target, and the FP/FN integrals — all recomputed independently by
+    the SQL oracle (closed forms + midpoint quadrature)."""
+    from . import planner as P
+
+    rows = []
+    for np_, t in _PLANNER_PROBES:
+        b, r = P.get_optimal_config(np_, t)
+        fp, fn = P.compute_false_rates(b, r, t)
+        rows.append((
+            np_, float(t), b, r,
+            round(P.compute_lsh_threshold(b, r), 5),
+            round(P.compute_collision_probability(t, b, r), 5),
+            round(fp, 5), round(fn, 5),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "num_perm long, target double, bands long, rows_per_band long, "
+        "threshold double, p_collision double, fp double, fn double",
     )

@@ -190,3 +190,38 @@ def test_pickle_round_trip(make_lsh, small_vectors, spark):
     clone.attach(spark)              # reference excludes connections
     clone.flush()
     assert clone.get_top_k(vecs[3], 1) == [3]
+
+
+def test_buffer_size_auto_flush(make_lsh, small_vectors):
+    """Reference contract: ingest() flushes automatically once
+    buffer_size vectors are pending (main.py:158-173,1131-1143)."""
+    ids, vecs = small_vectors
+    lsh = make_lsh(buffer_size=4)
+    for i in range(3):
+        lsh.ingest(i, vecs[i])
+    assert len(lsh._pending) == 3          # below threshold: buffered
+    lsh.ingest(3, vecs[3])
+    assert len(lsh._pending) == 0          # threshold hit: flushed
+    assert lsh._index_df is not None
+    assert lsh.get_top_k(vecs[0], 1) == [0]
+
+
+def test_mutation_lineage_stays_bounded(make_lsh, small_vectors):
+    """100 append/delete cycles must not grow the plan without bound
+    (VERDICT r01 #3): the index is reliably checkpointed every
+    _MATERIALIZE_EVERY mutations, truncating lineage."""
+    ids, vecs = small_vectors
+    lsh = make_lsh()
+    lsh._MATERIALIZE_EVERY = 8             # keep the test fast
+    lsh.index(ids, vecs)
+    for cycle in range(100):
+        if cycle % 2 == 0:
+            lsh.index([1000 + cycle], vecs[cycle % len(vecs)][None, :])
+        else:
+            lsh.delete([1000 + cycle - 1])
+    plan = lsh._index_df._jdf.queryExecution().analyzed().toString()
+    # bounded depth: at most one materialization window of unions/joins
+    assert plan.count("Union") <= 2 * lsh._MATERIALIZE_EVERY, len(plan)
+    assert len(plan) < 200_000
+    # and the data survived intact
+    assert lsh.get_top_k(vecs[0], 1) == [0]
