@@ -89,6 +89,23 @@ def main() -> None:
         ).count()
     )
 
+    # 5b. Same join over a DELIBERATELY skewed corpus: 10% of rows share
+    # ONE embedding, so every band has a hot bucket holding 10% of the
+    # corpus. AQE skew-split + the max_bucket_size cap must keep this
+    # within ~2x of the uniform case (the 100 TB hot-key hazard).
+    hot = emb.filter(F.col("vec_id") == 0).select("embedding").first().embedding
+    skew_emb = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 10 == 0, F.lit(hot)).otherwise(
+            F.col("embedding")
+        ).alias("embedding"),
+    )
+    results["simjoin_lsh_skew"], _ = timed(
+        lambda: similarity_join(
+            skew_emb, sj_cfg, 0.4, max_bucket_size=2000, cache_index=True
+        ).count()
+    )
+
     # 6. Dedup pipeline over documents: MinHash bands + SimHash table.
     from lshrs_spark.operators.dedup import minhash_band_pairs, simhash_table
 

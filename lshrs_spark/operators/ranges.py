@@ -68,18 +68,22 @@ def interval_join(
         return joined.drop(*[intervals[k] for k in on])
 
     w_us = int(bucket_seconds) * 1_000_000
-    # exact integer microseconds — no float rounding at bucket edges
-    p = points.withColumn("_bkt", F.floor(F.unix_micros(F.col(point_ts)) / w_us))
+    # exact integer microseconds: `div` is int64 division, so bucket ids
+    # are exact for ANY epoch value (true `/` rounds through double and
+    # is only exact below 2^53 µs)
+    p = points.withColumn(
+        "_bkt", F.expr(f"unix_micros({point_ts}) div {w_us}")
+    )
     # Drop empty intervals BEFORE exploding: sequence(a, b) descends when
     # a > b, which would fabricate buckets for end <= start rows.
     i = intervals.filter(F.col(end_ts) > F.col(start_ts)).withColumn(
         "_bkt",
         F.explode(
             F.sequence(
-                F.floor(F.unix_micros(F.col(start_ts)) / w_us),
+                F.expr(f"unix_micros({start_ts}) div {w_us}"),
                 # end-exclusive: the last overlapped bucket is the one
                 # containing end - 1 microsecond
-                F.floor((F.unix_micros(F.col(end_ts)) - 1) / w_us),
+                F.expr(f"(unix_micros({end_ts}) - 1) div {w_us}"),
             )
         ),
     )

@@ -64,8 +64,11 @@ def register_sql_functions(
             "(acc, x) -> acc + cast(x AS DOUBLE) * cast(x AS DOUBLE)))"
         ),
         f"{prefix}_cosine": (
+            # zero-denominator guard mirrors the DataFrame twin
+            # cosine_similarity (NULL, not DIVIDE_BY_ZERO under ANSI mode)
             "(a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS DOUBLE RETURN "
-            f"{prefix}_dot(a, b) / ({prefix}_l2norm(a) * {prefix}_l2norm(b))"
+            f"CASE WHEN {prefix}_l2norm(a) * {prefix}_l2norm(b) > 0 "
+            f"THEN {prefix}_dot(a, b) / ({prefix}_l2norm(a) * {prefix}_l2norm(b)) END"
         ),
     }
     for name, body in sql_udfs.items():

@@ -29,17 +29,25 @@ __all__ = [
 ]
 
 
-def load_file_stream(spark: SparkSession, source_path: str) -> DataFrame:
+def load_file_stream(
+    spark: SparkSession, source_path: str, *, tune_session: bool = True
+) -> DataFrame:
     """File-source stream with nanosecond-timestamp handling: Spark's
     parquet reader rejects TIMESTAMP(NANOS); read them as long and
     convert via integer division (ns are > 2^60 — float division would
-    lose precision)."""
+    lose precision).
+
+    SESSION-WIDE SIDE EFFECTS (documented contract): this helper sets
+    ``spark.sql.legacy.parquet.nanosAsLong`` (required to read the
+    source at all) and, with ``tune_session=True`` (default), rewrites
+    ``spark.sql.shuffle.partitions`` to the machine parallelism WHEN the
+    session still has the stock default (200) — streaming state stores
+    create one state partition per shuffle partition per micro-batch, so
+    the stock default means 200 state tasks per batch however small the
+    stream. Both settings affect other queries sharing the session; pass
+    ``tune_session=False`` to keep the session's partitioning untouched."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Streaming state stores create one partition per shuffle partition
-    # PER MICRO-BATCH; a vanilla session's default (200) means 200 state
-    # tasks per batch however small the stream. Right-size to the
-    # machine's parallelism, but only when the consumer left the default.
-    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+    if tune_session and spark.conf.get("spark.sql.shuffle.partitions") == "200":
         spark.conf.set(
             "spark.sql.shuffle.partitions",
             str(spark.sparkContext.defaultParallelism),
