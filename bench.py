@@ -202,6 +202,24 @@ def main() -> None:
     serve_p95_ms = lat[94] * 1000
     results["single_topk_served20x"] = lat[len(lat) // 2]
 
+    # 12. ANN serving twin: stored IVF layout over the 20x corpus,
+    # queried driver-side with partition-pruned pyarrow reads.
+    from lshrs_spark.operators.knn import ivf_centroids_by_id, ivf_write_store
+    from lshrs_spark.serving import IVFServer
+
+    ivf_store = os.path.join(tempfile.gettempdir(), "lshrs_bench_ivf20x")
+    ivf_write_store(big, ivf_centroids_by_id(emb, 64), ivf_store)
+    isrv = IVFServer.from_store(ivf_store)
+    isrv.topk(qvecs[0], 10, 4)  # warm
+    lat_ivf = []
+    for q in qvecs:
+        t0 = time.time()
+        isrv.topk(q, 10, 4)
+        lat_ivf.append(time.time() - t0)
+    lat_ivf.sort()
+    ann_serve_p95_ms = lat_ivf[94] * 1000
+    results["ann_ivf_served20x"] = lat_ivf[len(lat_ivf) // 2]
+
     total = sum(results.values())
     print(json.dumps({
         "metric": "headline_total",
@@ -214,6 +232,15 @@ def main() -> None:
             results["topk_batch100"] / 100 * 1000, 2
         ),
         "single_query_p95_ms": round(serve_p95_ms, 2),
+        "ann_query_p95_ms": round(ann_serve_p95_ms, 2),
+        # BASELINE.md memory target (<2 GB): driver-process peak RSS.
+        # Executor memory is the JVM's (local mode shares the process);
+        # the python driver side is what we can measure portably.
+        "driver_peak_rss_mb": round(
+            __import__("resource").getrusage(
+                __import__("resource").RUSAGE_SELF
+            ).ru_maxrss / 1024
+        ),
         "corpus_vectors": n_emb,
     }))
     spark.stop()

@@ -191,12 +191,19 @@ def ivf_write_store(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     mode: str = "overwrite",
+    store_centroids: bool = True,
 ) -> None:
     """Materialize the IVF layout: the corpus written to parquet
     **partitioned by nearest-centroid assignment** — at 100 TB the
     assignment IS the directory structure, so a query's ``nprobe``
     centroid filter becomes partition pruning (only ``~nprobe/K`` of the
-    bytes are ever scanned)."""
+    bytes are ever scanned).
+
+    ``store_centroids=True`` also writes the (tiny) centroid table to
+    ``{path}/_centroids`` — the ``_`` prefix is invisible to both Spark
+    and pyarrow dataset discovery, and it is what lets
+    :class:`~lshrs_spark.serving.IVFServer` answer single queries with
+    no Spark job at all."""
     assign = ivf_assign(vectors, centroids, id_col=id_col, vector_col=vector_col)
     (
         vectors.select(
@@ -208,6 +215,16 @@ def ivf_write_store(
         .partitionBy("centroid_id")
         .parquet(path)
     )
+    if store_centroids:
+        (
+            centroids.select(
+                F.col("centroid_id").cast("long"),
+                F.col("cvec").cast("array<double>"),
+            )
+            .coalesce(1)
+            .write.mode(mode)
+            .parquet(f"{path}/_centroids")
+        )
 
 
 def ivf_topk_stored(

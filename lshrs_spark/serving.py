@@ -37,7 +37,7 @@ import pyarrow.dataset as pads
 from .config import LSHConfig
 from .hashing import hash_vectors_local, hash_vectors_local_long
 
-__all__ = ["IndexServer"]
+__all__ = ["IndexServer", "IVFServer"]
 
 
 class IndexServer:
@@ -239,3 +239,88 @@ class IndexServer:
         order = np.lexsort((ids, -np.nan_to_num(scores, nan=-np.inf),
                             np.isnan(scores)))
         return [(int(ids[i]), float(scores[i])) for i in order]
+
+
+class IVFServer:
+    """No-Spark-job ANN serving over a stored IVF layout
+    (:func:`~lshrs_spark.operators.knn.ivf_write_store`): the corpus is
+    parquet partitioned by nearest-centroid assignment, so a query is
+
+    1. score the (tiny, in-memory) centroid table in numpy,
+    2. take the ``nprobe`` nearest centroids — exactly the ordering of
+       the Spark ``_nearest_centroids`` path: (cosine desc, id asc),
+    3. read ONLY those ``centroid_id=N/`` partitions via pyarrow
+       (directory-level pruning; ~``nprobe/K`` of the bytes), and
+    4. exact-rerank the read vectors in one numpy matmul.
+
+    Identical result contract to
+    :func:`~lshrs_spark.operators.knn.ivf_topk_stored`; latency is the
+    pruned read, not a Spark job — the ANN twin of :class:`IndexServer`.
+    """
+
+    def __init__(
+        self,
+        store_path: str,
+        centroid_ids: np.ndarray,
+        centroid_vecs: np.ndarray,
+    ) -> None:
+        part = pads.partitioning(
+            pa.schema([pa.field("centroid_id", pa.int64())]), flavor="hive"
+        )
+        self._ds = pads.dataset(store_path, format="parquet", partitioning=part)
+        IndexServer._warm(self._ds)
+        self._cids = np.asarray(centroid_ids, dtype=np.int64)
+        cv = np.asarray(centroid_vecs, dtype=np.float64)
+        norms = np.linalg.norm(cv, axis=1, keepdims=True)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            self._cunit = np.where(norms > 0, cv / norms, np.nan)
+
+    @classmethod
+    def from_store(cls, store_path: str) -> "IVFServer":
+        """Open a layout written with ``store_centroids=True`` (centroid
+        table at ``{store_path}/_centroids``)."""
+        tbl = pads.dataset(
+            os.path.join(store_path, "_centroids"), format="parquet"
+        ).to_table()
+        cids = tbl.column("centroid_id").to_numpy(zero_copy_only=False)
+        cvecs = np.stack(tbl.column("cvec").to_numpy(zero_copy_only=False))
+        return cls(store_path, cids, cvecs)
+
+    def probe_centroids(self, vector: np.ndarray, nprobe: int) -> list[int]:
+        """``nprobe`` centroid ids by (cosine desc, centroid_id asc)."""
+        q = np.asarray(vector, dtype=np.float64).reshape(-1)
+        nq = np.linalg.norm(q)
+        if nq == 0:
+            raise ValueError("Cannot query with a zero vector")
+        scores = self._cunit @ (q / nq)
+        order = np.lexsort((self._cids, -np.nan_to_num(scores, nan=-np.inf),
+                            np.isnan(scores)))[:nprobe]
+        return [int(c) for c in self._cids[order]]
+
+    def topk(self, vector: np.ndarray, k: int = 10, nprobe: int = 4) -> list:
+        """``[(id, score, rank)]`` — same rows as `ivf_topk_stored` for a
+        single query, with zero JVM involvement."""
+        cids = self.probe_centroids(vector, nprobe)
+        tbl = self._ds.to_table(
+            columns=["id", "embedding"],
+            filter=pads.field("centroid_id").isin(
+                pa.array(cids, type=pa.int64())
+            ),
+        )
+        ids = tbl.column("id").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return []
+        vecs = np.stack(
+            tbl.column("embedding").to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        q = np.asarray(vector, dtype=np.float64).reshape(-1)
+        q = q / np.linalg.norm(q)
+        norms = np.linalg.norm(vecs, axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            scores = np.where(norms > 0, vecs @ q / norms, np.nan)
+        order = np.lexsort((ids, -np.nan_to_num(scores, nan=-np.inf),
+                            np.isnan(scores)))[:k]
+        return [
+            (int(ids[i]), float(scores[i]), rank + 1)
+            for rank, i in enumerate(order)
+        ]

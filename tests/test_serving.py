@@ -102,3 +102,71 @@ def test_query_empty_index_short_circuit(spark, tmp_path):
     # candidates exist but no vector table -> the documented RuntimeError
     with pytest.raises(RuntimeError, match="vector table"):
         srv.query(np.ones(d, dtype=np.float32), top_p=0.5)
+
+
+# --------------------------------------------------------------------- #
+# IVFServer: the ANN twin — stored IVF layout, no Spark job
+# --------------------------------------------------------------------- #
+
+@pytest.fixture(scope="module")
+def ivf_store(spark, tmp_path_factory):
+    from lshrs_spark.operators.knn import ivf_centroids_by_id, ivf_write_store
+
+    rng = np.random.default_rng(123)
+    n, d = 1500, 32
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = ivf_centroids_by_id(df, 16)
+    path = str(tmp_path_factory.mktemp("ivf") / "store")
+    ivf_write_store(df, cents, path)
+    return path, df, cents, vecs, rng
+
+
+def test_ivf_server_matches_spark_stored_path(spark, ivf_store):
+    from lshrs_spark.operators.knn import ivf_topk_stored
+    from lshrs_spark.serving import IVFServer
+
+    path, df, cents, vecs, rng = ivf_store
+    srv = IVFServer.from_store(path)
+    for qi in range(6):
+        q = vecs[rng.integers(0, len(vecs))] + 0.05 * rng.standard_normal(
+            vecs.shape[1]
+        ).astype(np.float32)
+        served = srv.topk(q, k=10, nprobe=4)
+        qdf = spark.createDataFrame(
+            [(0, [float(x) for x in q])], "qid long, qvec array<float>"
+        )
+        via_spark = [
+            (r.id, r.score, r.rank)
+            for r in ivf_topk_stored(spark, path, cents, qdf, 10, 4)
+            .orderBy("rank").collect()
+        ]
+        assert [(i, r) for i, _, r in served] == [
+            (i, r) for i, _, r in via_spark
+        ]
+        assert all(
+            abs(a[1] - b[1]) < 1e-6 for a, b in zip(served, via_spark)
+        )
+
+
+def test_ivf_server_latency_and_pruning(ivf_store):
+    import time
+
+    from lshrs_spark.serving import IVFServer
+
+    path, _, _, vecs, _ = ivf_store
+    srv = IVFServer.from_store(path)
+    srv.topk(vecs[0], 10, 4)  # warm
+    lat = []
+    for i in range(20):
+        t0 = time.perf_counter()
+        srv.topk(vecs[i], 10, 4)
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    assert lat[int(len(lat) * 0.95)] < 0.100
+    # pruning: nprobe partitions only -> far fewer rows read than corpus
+    cids = srv.probe_centroids(vecs[0], 2)
+    assert len(cids) == 2
