@@ -2178,3 +2178,97 @@ def planner_config(spark: SparkSession, sf_dir: str) -> DataFrame:
         "num_perm long, target double, bands long, rows_per_band long, "
         "threshold double, p_collision double, fp double, fn double",
     )
+
+
+# --------------------------------------------------------------------- #
+# Scalar quantization (int8 compression tier for 100 TB embedding
+# pipelines): per-dim affine codes, reconstruction error, ANN-on-codes
+# --------------------------------------------------------------------- #
+
+_QUANT_CTES = """
+dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+vals AS (SELECT e.vec_id, t.d, e.embedding[t.d]::DOUBLE AS x
+         FROM embeddings e CROSS JOIN dims t),
+mm AS (SELECT d, min(x) AS lo, max(x) AS hi FROM vals GROUP BY d),
+rec AS (SELECT v.vec_id, v.d, v.x, m.lo, m.hi,
+               CASE WHEN m.hi > m.lo
+                    THEN floor((v.x - m.lo) / (m.hi - m.lo) * 255 + 0.5)
+                    ELSE 0 END AS code
+        FROM vals v JOIN mm m USING (d)),
+recon AS (SELECT vec_id, d, x,
+                 lo + code / 255.0 * (hi - lo) AS xr
+          FROM rec)
+"""
+
+
+@register(
+    "quant_error",
+    f"""WITH {_QUANT_CTES}
+SELECT d::BIGINT AS dim, round(max(abs(x - xr)), 5) AS max_abs_err,
+       round(avg(abs(x - xr)), 5) AS mean_abs_err
+FROM recon GROUP BY d""",
+)
+def quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantization reconstruction error per dimension.
+    Params (per-dim min/max) are one grouped aggregate; the quantize /
+    dequantize maps are shuffle-free Catalyst zip_with against literal
+    parameter arrays (operators/quant.py) — the compression tier that
+    cuts embedding scan bytes 4x at corpus scale."""
+    from .operators.quant import dequantize_col, quantization_params, quantize_col
+
+    emb = _emb(spark, sf_dir)
+    lo, hi = quantization_params(emb)
+    codes = quantize_col(F.col("embedding"), lo, hi)
+    recon = dequantize_col(codes, lo, hi)
+    err = F.zip_with(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        recon,
+        lambda x, y: F.abs(x - y),
+    )
+    return (
+        emb.select(F.posexplode(err).alias("pos", "e"))
+        .groupBy((F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(
+            F.round(F.max("e"), 5).alias("max_abs_err"),
+            F.round(F.avg("e"), 5).alias("mean_abs_err"),
+        )
+    )
+
+
+@register(
+    "quant_topk",
+    f"""WITH {_QUANT_CTES},
+rv AS (SELECT vec_id, list(xr ORDER BY d) AS emb_q FROM recon GROUP BY vec_id),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (SELECT rv.vec_id AS id, {cosine_sql("rv.emb_q", "q.qv")} AS score
+           FROM rv CROSS JOIN q),
+ranked AS (SELECT id, score, row_number() OVER (ORDER BY score DESC, id ASC) AS rank
+           FROM scored)
+SELECT id, round(score, 5) AS score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 10""",
+)
+def quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine over the DEQUANTIZED (int8-compressed)
+    corpus for query vec_id=0 — the approximate-score pass of a
+    compressed-rerank pipeline, one shuffle-free map + TakeOrdered."""
+    from .functions.vector import cosine_similarity
+    from .operators.quant import dequantize_col, quantization_params, quantize_col
+
+    emb = _emb(spark, sf_dir)
+    lo, hi = quantization_params(emb)
+    recon = dequantize_col(quantize_col(F.col("embedding"), lo, hi), lo, hi)
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    scored = emb.select(
+        F.col("vec_id").alias("id"), recon.alias("emb_q")
+    ).crossJoin(q).select(
+        "id", cosine_similarity(F.col("emb_q"), F.col("qv")).alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("id", F.round("score", 5).alias("score"),
+                F.col("rank").cast("long").alias("rank"))
+    )
