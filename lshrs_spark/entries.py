@@ -2272,3 +2272,57 @@ def quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", F.round("score", 5).alias("score"),
                 F.col("rank").cast("long").alias("rank"))
     )
+
+
+# --------------------------------------------------------------------- #
+# Sequence packing + exact stratified sampling (LLM data prep over the
+# distributed two-stage prefix sum — no single-partition windows)
+# --------------------------------------------------------------------- #
+
+@register(
+    "pipeline_pack",
+    """WITH tok AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+                 FROM documents),
+cum AS (SELECT doc_id, n_tokens,
+               (sum(n_tokens) OVER (ORDER BY doc_id))::BIGINT - n_tokens AS before
+        FROM tok)
+SELECT doc_id AS id, n_tokens,
+       (before // 512)::BIGINT AS pack_id,
+       (before % 512)::BIGINT AS pack_offset
+FROM cum""",
+)
+def pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing into 512-token context
+    windows. The global running total is the two-stage distributed
+    prefix sum (operators/prefix.py) — one range shuffle, NO
+    single-partition window; the oracle's plain OVER (ORDER BY) is the
+    semantics being reproduced."""
+    from .operators.prefix import pack_sequences
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(X.tokens_col(F.col("text"))).alias("n_tokens")
+    )
+    return pack_sequences(docs, 512)
+
+
+@register(
+    "pipeline_stratified_sample",
+    """WITH h AS (SELECT doc_id, source,
+                md5(concat('split', doc_id::VARCHAR)) AS hh FROM documents),
+r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM h)
+SELECT doc_id AS id, source FROM r WHERE rn <= ceil(n * 0.2)""",
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 20% stratified sample per source: ceil(0.2 * n) rows per
+    stratum selected by deterministic md5 order — reproducible across
+    engines, repartitions and runs (unlike sample(), whose selection
+    depends on physical partitioning)."""
+    from .operators.prefix import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    return stratified_sample(docs, 0.2, "source").select(
+        F.col("doc_id").alias("id"), "source"
+    )

@@ -1,0 +1,135 @@
+"""Distributed prefix sums and the LLM-data-prep operators built on
+them: sequence packing (concatenate-and-chunk into context windows) and
+exact per-stratum sampling.
+
+The naive formulation of a global running total is a single-partition
+window (``Window.orderBy(col)`` with no partition key) — Spark warns and
+funnels ALL rows through one task, which is exactly the operation that
+cannot exist at 100 TB. The classic fix is the two-stage scan:
+
+1. range-partition by the order key and compute a PARTITION-LOCAL
+   running total (window partitioned by ``spark_partition_id()``);
+2. collect the per-partition totals (one tiny row per partition),
+   prefix-sum them driver-side, and broadcast the offsets back.
+
+Total cost: one range shuffle + one O(num_partitions) driver step —
+the result is bit-identical to the single-partition window at any
+parallelism (asserted in tests against the naive form).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["running_total", "pack_sequences", "stratified_sample"]
+
+
+def running_total(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    out_col: str = "cum",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Append ``out_col`` = inclusive running total of ``value_col`` in
+    ``order_col`` order, via the scalable two-stage scan (no
+    single-partition window). ``order_col`` must be unique (it is the
+    total order)."""
+    n = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    parted = (
+        df.repartitionByRange(n, order_col)
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    local = parted.withColumn("_local_cum", F.sum(value_col).over(w))
+    # per-partition totals: num_partitions rows — driver-side prefix sum
+    totals = {
+        r._pid: r.total
+        for r in local.groupBy("_pid")
+        .agg(F.max("_local_cum").alias("total"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    offset_col = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        ),
+        F.col("_pid"),
+    )
+    return local.withColumn(out_col, F.col("_local_cum") + offset_col).drop(
+        "_pid", "_local_cum"
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing (the standard LLM
+    pretraining data layout): documents are laid out in ``id_col``
+    order and cut into ``budget``-token context windows; each document
+    gets the window its FIRST token lands in plus its offset there.
+
+    Returns ``(id, n_tokens, pack_id, pack_offset)`` where ``pack_id =
+    (cum_before) div budget`` and ``pack_offset = cum_before % budget``.
+    One range shuffle total (the distributed prefix sum)."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    cum = running_total(
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(tokens_col).cast("long").alias("n_tokens"),
+        ),
+        "id",
+        "n_tokens",
+    )
+    # int64 `div`, not `/`: double division is only exact below 2^53
+    # total tokens (same pitfall as interval_join bucket ids)
+    return cum.withColumn(
+        "_before", F.col("cum") - F.col("n_tokens")
+    ).selectExpr(
+        "id",
+        "n_tokens",
+        f"_before div {int(budget)} AS pack_id",
+        f"_before % {int(budget)} AS pack_offset",
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fraction: float,
+    strat_col: str,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """EXACT per-stratum sampling: ``ceil(fraction * n_stratum)`` rows
+    from every stratum, chosen by a deterministic hash order (md5 of
+    salt+id — reproducible across engines and runs, unlike ``sample()``
+    whose row set depends on partitioning). The per-stratum window
+    shuffles once on the stratum key; a hot stratum is bounded by the
+    same AQE skew handling as any grouped op."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError("fraction must be in (0, 1]")
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strat_col).orderBy(h, F.col(id_col))
+    wn = Window.partitionBy(strat_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(fraction)))
+        .drop("_rn", "_n")
+    )

@@ -1,0 +1,79 @@
+"""Distributed prefix sum + packing + stratified sampling."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lshrs_spark.operators.prefix import (
+    pack_sequences,
+    running_total,
+    stratified_sample,
+)
+
+
+@pytest.fixture()
+def tokdf(spark):
+    rng = np.random.default_rng(31)
+    rows = [(int(i), int(rng.integers(1, 300))) for i in range(500)]
+    return spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+
+def test_running_total_matches_naive_window(spark, tokdf):
+    """Two-stage scan must be bit-identical to the single-partition
+    window at any parallelism."""
+    naive = {
+        r.doc_id: r.cum
+        for r in tokdf.withColumn(
+            "cum", F.sum("n_tokens").over(Window.orderBy("doc_id"))
+        ).collect()
+    }
+    for n_parts in (1, 3, 8):
+        got = {
+            r.doc_id: r.cum
+            for r in running_total(
+                tokdf, "doc_id", "n_tokens", num_partitions=n_parts
+            ).collect()
+        }
+        assert got == naive, n_parts
+
+
+def test_running_total_no_global_window(spark, tokdf):
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        running_total(tokdf, "doc_id", "n_tokens")._jdf.queryExecution(),
+        "simple",
+    )
+    # every Window node must be keyed by the partition id, never global
+    for ln in plan.splitlines():
+        if "Window" in ln and "windowspecdefinition" in ln:
+            assert "_pid" in ln, ln
+
+
+def test_pack_sequences_layout(spark, tokdf):
+    out = {r.id: r for r in pack_sequences(tokdf, 512).collect()}
+    rows = sorted(
+        (r.doc_id, r.n_tokens) for r in tokdf.collect()
+    )
+    cum = 0
+    for doc_id, n in rows:
+        assert out[doc_id].pack_id == cum // 512
+        assert out[doc_id].pack_offset == cum % 512
+        cum += n
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(tokdf, 0)
+
+
+def test_stratified_sample_exact_counts(spark):
+    rows = [(i, "a" if i < 70 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample(df, 0.1, "source").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    assert len(by_src["a"]) == 7    # ceil(0.1 * 70)
+    assert len(by_src["b"]) == 3    # ceil(0.1 * 30)
+    # deterministic: rerun selects the identical row set
+    again = {r.doc_id for r in stratified_sample(df, 0.1, "source").collect()}
+    assert again == {r.doc_id for r in out}
