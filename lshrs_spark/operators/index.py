@@ -116,3 +116,16 @@ def write_index(
 
 def read_index(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).select("band", "sig", "id")
+
+
+def compact_index(
+    spark: SparkSession, src_path: str, dest_path: str, **write_kw
+) -> None:
+    """Rewrite a streamed/appended index directory (arbitrary file
+    layout, e.g. the per-micro-batch appends of
+    ``streaming.ingest.stream_index_vectors``) into the probe-optimal
+    sorted hive layout of :func:`write_index`. The periodic compaction
+    step of a continuous-ingest deployment: serving stays correct on the
+    raw appends and gets its row-group pruning back after each
+    compaction."""
+    write_index(read_index(spark, src_path), dest_path, **write_kw)

@@ -64,6 +64,8 @@ class IndexServer:
         self.cfg = cfg
         self._id_col = id_col
         self._vector_col = vector_col
+        self._index_path = index_path
+        self._vectors_path = vectors_path
         self._ds = self._open_index(index_path)
         self._vec_ds = (
             pads.dataset(vectors_path, format="parquet")
@@ -72,6 +74,20 @@ class IndexServer:
         )
         self._warm(self._ds)
         if self._vec_ds is not None:
+            self._warm(self._vec_ds)
+
+    def refresh(self) -> None:
+        """Re-discover the index (and vector) files and re-warm footer
+        metadata. Call after new data lands — e.g. each micro-batch of a
+        `stream_index_vectors` job appending to the same directory. The
+        streamed (unsorted, unpartitioned) layout serves correctly —
+        equality filters are exact regardless of layout — just with
+        weaker row-group pruning until `compact_index` rewrites it into
+        the sorted hive form."""
+        self._ds = self._open_index(self._index_path)
+        self._warm(self._ds)
+        if self._vectors_path is not None:
+            self._vec_ds = pads.dataset(self._vectors_path, format="parquet")
             self._warm(self._vec_ds)
 
     @classmethod

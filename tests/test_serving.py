@@ -170,3 +170,70 @@ def test_ivf_server_latency_and_pruning(ivf_store):
     # pruning: nprobe partitions only -> far fewer rows read than corpus
     cids = srv.probe_centroids(vecs[0], 2)
     assert len(cids) == 2
+
+
+# --------------------------------------------------------------------- #
+# Continuous ingest -> serving: stream appends, refresh, compact
+# --------------------------------------------------------------------- #
+
+def test_streamed_index_serves_and_compacts(spark, tmp_path):
+    import shutil
+
+    from lshrs_spark.config import LSHConfig
+    from lshrs_spark.operators.index import build_index, compact_index
+    from lshrs_spark.operators.probe import candidates_from_path
+    from lshrs_spark.operators.probe import top_k as probe_top_k
+    from lshrs_spark.streaming.ingest import stream_index_vectors
+
+    cfg = LSHConfig(dim=16, num_perm=16, num_bands=4, rows_per_band=4)
+    rng = np.random.default_rng(77)
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    src = tmp_path / "src"
+    src.mkdir()
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    # two source files -> two micro-batches (maxFilesPerTrigger=1)
+    df.filter("vec_id < 150").coalesce(1).write.parquet(str(src / "a.parquet"))
+    df.filter("vec_id >= 150").coalesce(1).write.parquet(str(src / "b.parquet"))
+    idx_path = str(tmp_path / "streamed_idx")
+    q = stream_index_vectors(
+        spark, f"{src}/*", idx_path, cfg,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # serving over the RAW streamed layout (no sort, no hive dirs)
+    srv = IndexServer(idx_path, cfg)
+    qv = vecs[7]
+    want = [
+        r.id for r in probe_top_k(
+            candidates_from_path(spark, idx_path, qv, cfg), 5
+        ).orderBy("rank").select("id").collect()
+    ]
+    assert srv.get_top_k(qv, 5) == want
+
+    # compact into the sorted hive layout; same answers
+    compact_path = str(tmp_path / "compacted_idx")
+    compact_index(spark, idx_path, compact_path)
+    srv2 = IndexServer(compact_path, cfg)
+    assert srv2.get_top_k(qv, 5) == want
+
+    # refresh() picks up post-construction appends
+    extra = rng.standard_normal((50, 16)).astype(np.float32)
+    df2 = spark.createDataFrame(
+        [(1000 + i, v.tolist()) for i, v in enumerate(extra)],
+        "vec_id long, embedding array<float>",
+    )
+    build_index(df2, cfg).write.mode("append").parquet(idx_path)
+    srv.refresh()
+    want2 = [
+        r.id for r in probe_top_k(
+            candidates_from_path(spark, idx_path, qv, cfg), 5
+        ).orderBy("rank").select("id").collect()
+    ]
+    assert srv.get_top_k(qv, 5) == want2
