@@ -312,6 +312,25 @@ class LSHRS:
                 .parquet(os.path.join(path, "vectors.parquet"))
             )
 
+    def serve(self, path: Optional[str] = None):
+        """Materialize the index for ONLINE serving and return a
+        :class:`~lshrs_spark.serving.IndexServer` — the no-Spark-job
+        query path meeting the reference's p95 < 100 ms contract
+        (``requirements.md:73``). ``path`` defaults to a temp directory;
+        point it at shared storage to serve from other processes.
+        Vectors are included when registered, enabling top-p/rerank
+        serving."""
+        import tempfile
+
+        from .serving import IndexServer
+
+        if path is None:
+            path = tempfile.mkdtemp(prefix="lshrs_serve_")
+        self.save_to_disk(path, include_vectors=self._vectors_df is not None)
+        return IndexServer.from_saved(
+            path, id_col="vec_id", vector_col="embedding"
+        )
+
     @classmethod
     def load_from_disk(cls, spark: SparkSession, path: str, *,
                        vectors_df: Optional[DataFrame] = None) -> "LSHRS":

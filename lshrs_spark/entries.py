@@ -2326,3 +2326,35 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, 0.2, "source").select(
         F.col("doc_id").alias("id"), "source"
     )
+
+
+@register(
+    "rel_salted_join",
+    """WITH dim AS (SELECT event_type, count(*)::BIGINT AS type_total
+             FROM events GROUP BY event_type)
+SELECT e.event_type, count(*)::BIGINT AS n,
+       sum(round(e.value * 100))::BIGINT AS value_cents,
+       max(d.type_total)::BIGINT AS type_total
+FROM events e JOIN dim d USING (event_type)
+GROUP BY e.event_type""",
+)
+def rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join (operators/skew.py): the hot 5-value
+    event_type key is salted on the fact side and the dim side is
+    replicated per salt — row-identical to the plain join the oracle
+    runs, but no reduce-side join group ever holds more than ~1/8 of a
+    hot key."""
+    from .operators.skew import salted_join
+
+    ev = _events(spark, sf_dir)
+    dim = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("type_total")
+    )
+    joined = salted_join(
+        ev.select("event_type", "value"), dim, ["event_type"], num_salts=8
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        F.max("type_total").alias("type_total"),
+    )

@@ -27,7 +27,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_aggregate"]
+__all__ = ["salted_aggregate", "salted_join"]
 
 # (partial_fn, merge_fn) per supported aggregate kind.
 _KINDS = {
@@ -73,3 +73,45 @@ def salted_aggregate(
     return partial.groupBy(*keys).agg(*[
         _KINDS[kind][1](f"_p_{alias}").alias(alias) for kind, _, alias in specs
     ])
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    *,
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join for the both-sides-large case AQE can't fully
+    save (one giant hot key on the left): the left side gets a
+    deterministic row-position salt, the right side is replicated
+    ``num_salts`` times (explode over the salt range), and the join key
+    becomes ``on + [_salt]`` — every reduce-side group now holds at most
+    ~1/num_salts of a hot key's left rows. Row-identical to the plain
+    join (replication is exactly compensated by the salt equality).
+
+    Only ``inner`` and ``left`` are supported: under right/full outer
+    semantics an unmatched RIGHT row would surface once per replica.
+    When the right side is broadcast-small, use a plain broadcast join
+    instead — salting only pays when both sides must shuffle.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            "salted_join supports inner/left joins only (right/full would "
+            "duplicate unmatched right rows per salt replica)"
+        )
+    overlap = {"_salt"} & (set(left.columns) | set(right.columns))
+    if overlap:
+        raise ValueError("column collision: rename _salt before joining")
+    l = left.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+            F.lit(num_salts),
+        ),
+    )
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    return l.join(r, [*on, "_salt"], how).drop("_salt")

@@ -237,3 +237,21 @@ def test_streamed_index_serves_and_compacts(spark, tmp_path):
         ).orderBy("rank").select("id").collect()
     ]
     assert srv.get_top_k(qv, 5) == want2
+
+
+def test_lshrs_serve_end_to_end(spark):
+    """User-API glue: LSHRS.serve() returns a warm IndexServer whose
+    answers match the Spark query path, including top-p rerank."""
+    from lshrs_spark.core import LSHRS
+
+    rng = np.random.default_rng(55)
+    n, d = 800, 16
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    lsh = LSHRS(spark, d, num_perm=16, num_bands=4, rows_per_band=4)
+    lsh.index(list(range(n)), vecs)
+    srv = lsh.serve()
+    for i in (3, 77, 240):
+        assert srv.get_top_k(vecs[i], 5) == lsh.get_top_k(vecs[i], 5)
+    sp = srv.query(vecs[9], top_k=5, top_p=0.5)
+    rp = lsh.query(vecs[9], top_k=5, top_p=0.5)
+    assert [i for i, _ in sp] == [i for i, _ in rp]

@@ -66,3 +66,31 @@ def test_salted_first_stage_bounds_group_size(events):
 def test_unsupported_kind_raises(events):
     with pytest.raises(ValueError, match="unsupported aggregate kind"):
         salted_aggregate(events, ["event_type"], [("avg", "value", "a")])
+
+
+def test_salted_join_matches_plain_join(spark):
+    from lshrs_spark.operators.skew import salted_join
+
+    rows = [(i, "hot" if i % 2 == 0 else f"k{i % 7}") for i in range(500)]
+    left = spark.createDataFrame(rows, "id long, k string")
+    right = spark.createDataFrame(
+        [("hot", 1.0), ("k1", 2.0), ("k3", 3.0), ("unused", 9.0)],
+        "k string, w double",
+    )
+    plain = {(r.id, r.k, r.w) for r in left.join(right, "k").collect()}
+    salted = {(r.id, r.k, r.w)
+              for r in salted_join(left, right, ["k"], num_salts=8).collect()}
+    assert salted == plain
+
+    plain_l = sorted(
+        (r.id, r.k, r.w) for r in left.join(right, "k", "left").collect()
+    )
+    salted_l = sorted(
+        (r.id, r.k, r.w)
+        for r in salted_join(left, right, ["k"], num_salts=8, how="left").collect()
+    )
+    assert salted_l == plain_l
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(left, right, ["k"], how="full")
