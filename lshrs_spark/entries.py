@@ -2358,3 +2358,70 @@ def rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
         F.max("type_total").alias("type_total"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Corpus-filtering rules (LLM data prep): repetition + Gopher rules
+# --------------------------------------------------------------------- #
+
+@register(
+    "text_repetition",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),
+shl AS (SELECT doc_id,
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(generate_series(1, len(toks)-2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE [text] END AS sh
+        FROM tok),
+ex AS (SELECT doc_id, unnest(sh) AS g FROM shl),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM ex GROUP BY doc_id, g)
+SELECT doc_id AS id, max(c)::BIGINT AS top_ngram_count,
+       sum(c)::BIGINT AS n_ngrams,
+       round(max(c)::DOUBLE / sum(c), 5) AS repetition_ratio
+FROM cnt GROUP BY doc_id""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-3-gram repetition profile per document (the boilerplate /
+    degenerate-text filter): explode + two partial-agg hash
+    aggregations, one shuffle at any corpus size."""
+    return X.repetition_cols(_docs(spark, sf_dir), n=3)
+
+
+@register(
+    "text_gopher_filter",
+    """WITH feat AS (
+  SELECT doc_id,
+         len(string_split(text, ' '))::DOUBLE AS n_tokens,
+         length(text)::DOUBLE AS n_chars,
+         (length(text) - length(regexp_replace(text, '[a-z ]', '', 'g')))::DOUBLE AS n_alpha,
+         len(list_filter(string_split(text, ' '),
+             t -> list_contains(['the','a','and','of','to'], t))) > 0 AS has_stop
+  FROM documents),
+calc AS (
+  SELECT doc_id, n_tokens,
+         (n_chars - (n_tokens - 1)) / n_tokens AS mean_wl,
+         n_alpha / n_chars AS alpha_ratio, has_stop
+  FROM feat)
+SELECT doc_id AS id, n_tokens::BIGINT AS n_tokens,
+       round(mean_wl, 5) AS mean_word_len,
+       round(alpha_ratio, 5) AS alpha_ratio,
+       has_stop,
+       (n_tokens >= 50 AND n_tokens <= 100000
+        AND mean_wl >= 3.0 AND mean_wl <= 10.0
+        AND alpha_ratio >= 0.8 AND has_stop) AS keep
+FROM calc""",
+)
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality filter rules per document (word-count range,
+    mean word length, alphabetic ratio, stopword presence) — pure
+    Catalyst expressions in one scan."""
+    docs = _docs(spark, sf_dir)
+    cols = X.gopher_rule_cols(F.col("text"))
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        cols["n_tokens"].alias("n_tokens"),
+        cols["mean_word_len"].alias("mean_word_len"),
+        cols["alpha_ratio"].alias("alpha_ratio"),
+        cols["has_stop"].alias("has_stop"),
+        cols["keep"].alias("keep"),
+    )

@@ -154,3 +154,70 @@ def fingerprint_col(text: Column, n: int = 5) -> Column:
         F.size(grams) > 0,
         F.array_min(F.transform(grams, h48)),
     ).otherwise(h48(text))
+
+
+def repetition_cols(df, n: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """Per-document n-gram repetition profile — the standard LLM-corpus
+    repetition filter (a dominant repeated n-gram marks boilerplate /
+    degenerate text). Returns ``(id, top_ngram_count, n_ngrams,
+    repetition_ratio)``.
+
+    Shape: explode shingles -> two hash aggregations (both with map-side
+    partial agg) — never a per-doc quadratic array expression, so the
+    profile costs one shuffle at any corpus size. Documents shorter than
+    ``n`` tokens count the whole text as one shingle (ratio 1.0), the
+    same fallback as MinHash."""
+    toks = tokens_col(F.col(text_col))
+    grams = token_shingles_col(F.col(text_col), n)
+    shingles = F.when(F.size(grams) > 0, grams).otherwise(
+        F.array(F.col(text_col))
+    )
+    ex = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(shingles).alias("g"),
+    )
+    cnt = ex.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("id").agg(
+        F.max("c").cast("long").alias("top_ngram_count"),
+        F.sum("c").cast("long").alias("n_ngrams"),
+        F.round(F.max("c") / F.sum("c"), 5).alias("repetition_ratio"),
+    )
+
+
+def gopher_rule_cols(text: Column) -> dict[str, Column]:
+    """Gopher-style document filter rules (Rae et al. 2021, table A1
+    subset expressible over this corpus), each a pure Catalyst
+    expression:
+
+      * 50 <= word count <= 100000
+      * 3 <= mean word length <= 10
+      * >= 80% alphabetic-or-space characters
+      * contains at least one English stop/marker word
+
+    ``keep`` is the conjunction. Thresholds evaluate on the raw doubles
+    (both engines compute identical formulas), rounded copies are
+    returned for display."""
+    toks = tokens_col(text)
+    n_tokens = F.size(toks).cast("double")
+    n_chars = F.length(text).cast("double")
+    mean_wl = (n_chars - (n_tokens - 1)) / n_tokens
+    n_alpha = (n_chars - F.length(F.regexp_replace(text, "[a-z ]", ""))).cast(
+        "double"
+    )
+    alpha_ratio = n_alpha / n_chars
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    has_stop = F.size(F.filter(toks, lambda t: F.array_contains(markers, t))) > 0
+    keep = (
+        (n_tokens >= 50) & (n_tokens <= 100_000)
+        & (mean_wl >= 3.0) & (mean_wl <= 10.0)
+        & (alpha_ratio >= 0.8)
+        & has_stop
+    )
+    return {
+        "n_tokens": F.size(toks).cast("long"),
+        "mean_word_len": F.round(mean_wl, 5),
+        "alpha_ratio": F.round(alpha_ratio, 5),
+        "has_stop": has_stop,
+        "keep": keep,
+    }
