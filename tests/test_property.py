@@ -86,3 +86,83 @@ def test_false_rates_within_interval_mass(b, r, t):
     assert -1e-9 <= fp <= t + 1e-9
     assert -1e-9 <= fn <= (1 - t) + 1e-9
     assert math.isfinite(fp) and math.isfinite(fn)
+
+
+# --------------------------------------------------------------------- #
+# Round-2 property tests: media codecs and quantization math
+# --------------------------------------------------------------------- #
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_image_codecs_roundtrip_any_shape(w, h, seed):
+    from lshrs_spark.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    px = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    for enc, dec in ((encode_ppm, decode_ppm), (encode_bmp, decode_bmp)):
+        ww, hh, out = dec(enc(px))
+        assert (ww, hh) == (w, h)
+        assert np.array_equal(out, px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 4096),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_codec_roundtrip_any_length(n, rate, seed):
+    from lshrs_spark.multimodal import decode_wav, encode_wav
+
+    s = np.random.default_rng(seed).integers(
+        -32768, 32768, size=n, dtype=np.int16
+    )
+    got_rate, out = decode_wav(encode_wav(s, rate))
+    assert got_rate == rate
+    assert np.array_equal(out.ravel(), s)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    lo=st.floats(-1e6, 1e6, allow_nan=False),
+    span=st.floats(0, 1e6, allow_nan=False),
+    x01=st.floats(0, 1, allow_nan=False),
+)
+def test_quantization_formula_error_bound(lo, span, x01):
+    """The affine int8 code always reconstructs within half a step (or
+    exactly, for constant dimensions) — the invariant the Spark
+    expressions in operators/quant.py encode."""
+    hi = lo + span
+    x = lo + x01 * span
+    if span > 0:
+        code = math.floor((x - lo) / span * 255.0 + 0.5)
+        recon = lo + code / 255.0 * span
+        assert abs(x - recon) <= span / 255.0 / 2.0 + 1e-9 * max(1.0, span)
+    else:
+        assert lo == hi  # constant dim: code 0 reconstructs lo exactly
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    tokens=st.lists(st.integers(1, 500), min_size=1, max_size=200),
+    budget=st.integers(1, 1000),
+)
+def test_pack_math_covers_every_token_once(tokens, budget):
+    """Driver-model of pack_sequences: windows tile the concatenated
+    stream exactly — offsets are consistent with cumulative sums."""
+    cum = 0
+    for n in tokens:
+        pack_id, off = cum // budget, cum % budget
+        assert 0 <= off < budget
+        assert pack_id * budget + off == cum
+        cum += n
