@@ -243,6 +243,9 @@ class IndexServer:
             columns=[self._id_col, self._vector_col], filter=expr
         )
         ids = tbl.column(self._id_col).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            # every candidate was deleted from the vector table
+            return []
         vecs = np.stack(
             tbl.column(self._vector_col).to_numpy(zero_copy_only=False)
         ).astype(np.float64)

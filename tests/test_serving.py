@@ -255,3 +255,30 @@ def test_lshrs_serve_end_to_end(spark):
     sp = srv.query(vecs[9], top_k=5, top_p=0.5)
     rp = lsh.query(vecs[9], top_k=5, top_p=0.5)
     assert [i for i, _ in sp] == [i for i, _ in rp]
+
+
+def test_serving_binary_signatures(spark, tmp_path):
+    """rows_per_band >= 64 -> binary sigs; pyarrow must prune/compare
+    binary equality exactly like the Spark probe."""
+    from lshrs_spark.core import LSHRS
+    from lshrs_spark.operators.probe import candidates_from_path
+    from lshrs_spark.operators.probe import top_k as probe_top_k
+
+    rng = np.random.default_rng(88)
+    n, d = 600, 24
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    lsh = LSHRS(spark, d, num_perm=128, num_bands=2, rows_per_band=64)
+    assert not lsh.cfg.use_long_sig
+    lsh.index(list(range(n)), vecs)
+    path = str(tmp_path / "binidx")
+    lsh.save_to_disk(path)
+    srv = IndexServer.from_saved(path)
+    for i in (0, 5, 99):
+        want = [
+            r.id for r in probe_top_k(
+                candidates_from_path(
+                    spark, os.path.join(path, "index.parquet"), vecs[i], lsh.cfg
+                ), 5
+            ).orderBy("rank").select("id").collect()
+        ]
+        assert srv.get_top_k(vecs[i], 5) == want
