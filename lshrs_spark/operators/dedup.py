@@ -66,20 +66,34 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     *,
     round_scores: Optional[int] = None,
+    max_doc_freq: Optional[int] = None,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with Jaccard(token n-gram sets) >= threshold.
 
     Inverted-index join: explode DISTINCT shingles, equi-join on the
     shingle, count intersections per pair, then
     ``J = inter / (|A| + |B| - inter)``. The shuffle key is the shingle —
-    high-frequency shingles are the skew hazard; AQE skew-join splitting
-    plus an optional stop-shingle filter handle that at scale."""
+    high-frequency shingles are the skew hazard: a shingle shared by
+    ``m`` documents contributes ``m^2`` join rows. ``max_doc_freq`` is
+    the stop-shingle cap for that: shingles appearing in more than that
+    many documents are dropped from BOTH the intersection and the set
+    sizes, i.e. Jaccard is computed over the informative-shingle space
+    (the standard inverted-index stop list; a documented approximation —
+    ``None`` keeps the exact semantics the oracle checks)."""
     sh = (
         df.select(
             F.col(id_col).cast("long").alias("id"),
             F.explode(F.array_distinct(token_shingles_col(F.col(text_col), n))).alias("s"),
         )
     )
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("s")
+        )
+        sh = sh.join(rare, "s")
     # referenced three times (sizes + both join sides); persist keeps
     # lineage (fault-tolerant on a cluster, unlike localCheckpoint) and
     # the slot registry bounds the CacheManager growth across calls

@@ -127,3 +127,15 @@ def test_connected_components_deep_path(spark):
 def test_minhash_params_deterministic():
     assert D.minhash_params(8, 42) == D.minhash_params(8, 42)
     assert D.minhash_params(8, 42) != D.minhash_params(8, 43)
+
+
+def test_ngram_jaccard_stop_shingles(spark, docs):
+    # a generous cap changes nothing
+    exact = {(r.id_a, r.id_b): r.jaccard for r in
+             D.ngram_jaccard_pairs(docs, 0.1, n=3).collect()}
+    capped = {(r.id_a, r.id_b): r.jaccard for r in
+              D.ngram_jaccard_pairs(docs, 0.1, n=3, max_doc_freq=100).collect()}
+    assert capped == exact
+    # cap=1 drops every shared shingle -> no intersections survive
+    none_left = D.ngram_jaccard_pairs(docs, 0.1, n=3, max_doc_freq=1).collect()
+    assert none_left == []
