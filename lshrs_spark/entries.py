@@ -2451,24 +2451,3 @@ def rel_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.50D)"), 5).alias("q50"),
         F.round(F.expr("percentile(value, 0.95D)"), 5).alias("q95"),
     )
-
-
-@register(
-    "rel_json_extract",
-    """SELECT event_type,
-       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_sum,
-       max(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_max,
-       count(*)::BIGINT AS n
-FROM events GROUP BY event_type""",
-)
-def rel_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured column handling: JSON path extraction from the
-    events props column (get_json_object stays inside codegen — no UDF)
-    aggregated per event_type."""
-    ev = _events(spark, sf_dir)
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
-    return ev.groupBy("event_type").agg(
-        F.sum(k).alias("k_sum"),
-        F.max(k).alias("k_max"),
-        F.count(F.lit(1)).alias("n"),
-    )
