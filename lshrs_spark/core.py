@@ -145,6 +145,17 @@ class LSHRS:
         df = self._df_from_arrays(indices, vectors)
         self.index_dataframe(df, "vec_id", "embedding", validate=True)
 
+    def upsert(self, indices: Sequence[int], vectors: np.ndarray) -> None:
+        """Replace-or-insert: drop any existing bucket entries for
+        ``indices`` then index the new vectors — one anti-join + one
+        append (both lazy; the mutation counter materializes every
+        ``_MATERIALIZE_EVERY`` calls). The reference has no update path
+        (re-indexing an id would duplicate it in every bucket set); this
+        is the Spark-native fix."""
+        self.flush()
+        self.delete(indices)
+        self.index(indices, vectors)
+
     def ingest(self, index: int, vector: np.ndarray) -> None:
         """Single-vector ingest (``main.py:386-411``): buffered driver-side,
         materialized on :meth:`flush` / next read — mirroring the

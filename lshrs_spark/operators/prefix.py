@@ -119,9 +119,15 @@ def stratified_sample(
     """EXACT per-stratum sampling: ``ceil(fraction * n_stratum)`` rows
     from every stratum, chosen by a deterministic hash order (md5 of
     salt+id — reproducible across engines and runs, unlike ``sample()``
-    whose row set depends on partitioning). The per-stratum window
-    shuffles once on the stratum key; a hot stratum is bounded by the
-    same AQE skew handling as any grouped op."""
+    whose row set depends on partitioning).
+
+    Scale limit (stated, not hidden): the per-stratum ``row_number``
+    sorts each stratum in ONE task, so every stratum must fit a task
+    (fine for source/language/label-grade strata, i.e. thousands to low
+    millions of rows each). For corpus-scale strata where that breaks,
+    use hash-THRESHOLD sampling instead (``pipeline_split``-style:
+    ``h48(salt, id) % N < f*N`` — fully parallel, approximately-exact
+    counts), or a two-pass bucketed rank-selection."""
     if not 0.0 < fraction <= 1.0:
         raise ValueError("fraction must be in (0, 1]")
     h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))

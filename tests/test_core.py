@@ -225,3 +225,17 @@ def test_mutation_lineage_stays_bounded(make_lsh, small_vectors):
     assert len(plan) < 200_000
     # and the data survived intact
     assert lsh.get_top_k(vecs[0], 1) == [0]
+
+
+def test_upsert_replaces_vector(make_lsh, small_vectors):
+    ids, vecs = small_vectors
+    lsh = make_lsh()
+    lsh.index(ids, vecs)
+    assert lsh.get_top_k(vecs[5], 1) == [5]
+    # move id 5 onto vector 20's location: queries for v20 now find both,
+    # and v5's old location no longer returns id 5 first
+    lsh.upsert([5], vecs[20][None, :])
+    top = lsh.get_top_k(vecs[20], 2)
+    assert set(top) == {5, 20}
+    entries = lsh.index_df.filter("id = 5").count()
+    assert entries == lsh.num_bands  # replaced, not duplicated
