@@ -14,6 +14,7 @@ Conventions (driver contract):
 from __future__ import annotations
 
 import os
+import re
 import tempfile
 from typing import Callable
 
@@ -2450,4 +2451,59 @@ def rel_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.25D)"), 5).alias("q25"),
         F.round(F.expr("percentile(value, 0.50D)"), 5).alias("q50"),
         F.round(F.expr("percentile(value, 0.95D)"), 5).alias("q95"),
+    )
+
+
+# minhash CTEs with names disjoint from the jaccard CTEs (both define tok/...)
+_MINHASH_CTES_RENAMED = re.sub(
+    r"\b(tok|shl|hs)\b", lambda m: "mh_" + m.group(1),
+    _minhash_ctes().strip().rstrip(","),
+)
+
+
+@register(
+    "dedup_minhash_quality",
+    f"""WITH {_JACCARD_CTES},
+{_MINHASH_CTES_RENAMED},
+bands AS ({_MBANDS}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+truth AS (SELECT id_a, id_b FROM jpairs WHERE jaccard >= 0.5),
+joined AS (SELECT coalesce(c.id_a, t.id_a) AS id_a,
+                  c.id_a IS NOT NULL AS in_cand,
+                  t.id_a IS NOT NULL AS in_truth
+           FROM cand c FULL OUTER JOIN truth t
+             ON c.id_a = t.id_a AND c.id_b = t.id_b)
+SELECT count(CASE WHEN in_cand THEN 1 END)::BIGINT AS n_candidates,
+       count(CASE WHEN in_truth THEN 1 END)::BIGINT AS n_true,
+       count(CASE WHEN in_cand AND in_truth THEN 1 END)::BIGINT AS n_hit,
+       round(count(CASE WHEN in_cand AND in_truth THEN 1 END)::DOUBLE
+             / count(CASE WHEN in_truth THEN 1 END), 5) AS recall
+FROM joined""",
+)
+def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding quality measurement: MinHash candidate pairs vs the exact
+    Jaccard>=0.5 truth set — candidate count, truth count, hits, recall,
+    as ONE conditional-aggregation plan over a full outer join (the
+    engineering gauge for choosing (num_hashes, rows_per_band) at
+    scale)."""
+    docs = _docs(spark, sf_dir)
+    cand = D.minhash_band_pairs(docs, num_hashes=8, rows_per_band=2, n=3,
+                                seed=42).withColumn("_c", F.lit(1))
+    truth = (
+        D.ngram_jaccard_pairs(docs, 0.5, n=3)
+        .select("id_a", "id_b")
+        .withColumn("_t", F.lit(1))
+    )
+    joined = cand.join(truth, ["id_a", "id_b"], "full_outer")
+    return joined.agg(
+        F.count(F.col("_c")).alias("n_candidates"),
+        F.count(F.col("_t")).alias("n_true"),
+        F.count(F.when(F.col("_c").isNotNull() & F.col("_t").isNotNull(), 1)
+                ).alias("n_hit"),
+        F.round(
+            F.count(F.when(F.col("_c").isNotNull() & F.col("_t").isNotNull(), 1))
+            / F.count(F.col("_t")), 5
+        ).alias("recall"),
     )
