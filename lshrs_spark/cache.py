@@ -17,11 +17,62 @@ everything (tests / long-lived drivers).
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 
-__all__ = ["persist_slot", "release_slots"]
+__all__ = ["persist_slot", "release_slots", "materialize_slot"]
 
 _SLOTS: dict[str, DataFrame] = {}
+
+# (app_id, slot) -> (generation, path of the live materialization)
+_MAT_SLOTS: dict[tuple[str, str], tuple[int, str]] = {}
+_MAT_BASE: dict[str, str] = {}
+
+
+def materialize_slot(
+    df: DataFrame, slot: str, *, base_dir: Optional[str] = None
+) -> DataFrame:
+    """Materialize ``df`` to storage and return the re-read DataFrame —
+    lineage truncated (bounded analysis time for iterative/mutating
+    callers) AND fault-tolerant (parquet on the checkpoint volume, not
+    executor-local blocks). Unlike ``Dataset.checkpoint()``, storage is
+    BOUNDED: each slot keeps exactly one generation, and writing
+    generation N+1 deletes generation N via the Hadoop FileSystem API
+    (works for HDFS/object-store paths, not just local disks).
+
+    ``base_dir`` defaults to a per-application temp dir — point it at
+    shared storage on a real cluster."""
+    spark = df.sparkSession
+    app = spark.sparkContext.applicationId
+    if base_dir is None:
+        if app not in _MAT_BASE:
+            import tempfile
+
+            _MAT_BASE[app] = tempfile.mkdtemp(prefix="lshrs_mat_")
+        base_dir = _MAT_BASE[app]
+    key = (app, slot)
+    gen, prev = _MAT_SLOTS.get(key, (0, None))
+    safe = "".join(c if c.isalnum() else "_" for c in slot)
+    path = f"{base_dir}/{safe}_gen{gen + 1}"
+    df.write.mode("overwrite").parquet(path)
+    out = spark.read.parquet(path)
+    _MAT_SLOTS[key] = (gen + 1, path)
+    if prev is not None:
+        _hadoop_delete(spark, prev)
+    return out
+
+
+def _hadoop_delete(spark, path: str) -> None:
+    """Delete ``path`` through Hadoop's FileSystem — correct for every
+    scheme Spark can write (file://, hdfs://, s3a://, ...)."""
+    try:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        hpath.getFileSystem(hconf).delete(hpath, True)
+    except Exception:
+        pass  # stopped context / already gone — nothing to free
 
 
 def persist_slot(df: DataFrame, slot: str, *, eager: bool = False) -> DataFrame:

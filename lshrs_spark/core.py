@@ -72,6 +72,9 @@ class LSHRS:
         self._index_df: Optional[DataFrame] = None
         self._pending: list[tuple[int, list[float]]] = []
         self._mutations = 0
+        import uuid
+
+        self._slot_id = uuid.uuid4().hex[:12]
 
     @property
     def _sig_kind(self) -> str:
@@ -385,6 +388,9 @@ class LSHRS:
         self.cfg = LSHConfig.from_dict(state["cfg"])
         self._pending = list(state["pending"])
         self._mutations = 0
+        import uuid
+
+        self._slot_id = uuid.uuid4().hex[:12]
         self._id_col = state["id_col"]
         self._vector_col = state["vector_col"]
         self.spark = None
@@ -418,15 +424,16 @@ class LSHRS:
         self._mutations += 1
         if self._mutations < self._MATERIALIZE_EVERY or self._index_df is None:
             return
-        sc = self.spark.sparkContext
-        if sc.getCheckpointDir() is None:
-            import tempfile
+        # slot-based parquet materialization: truncates the logical plan
+        # (bounded analysis time), survives executor loss (real storage,
+        # not executor-local blocks), and keeps at most ONE generation
+        # per index on disk — Dataset.checkpoint() would leave every
+        # 32-mutation snapshot behind for the application lifetime
+        from .cache import materialize_slot
 
-            sc.setCheckpointDir(tempfile.mkdtemp(prefix="lshrs_idx_ckpt_"))
-        # reliable checkpoint: truncates the logical plan (bounded
-        # analysis time) AND survives executor loss, unlike
-        # localCheckpoint (see cache.py discussion)
-        self._index_df = self._index_df.checkpoint(eager=True)
+        self._index_df = materialize_slot(
+            self._index_df, f"core.index.{self._slot_id}"
+        )
         self._mutations = 0
 
     def _candidates_df(self, vec: np.ndarray) -> DataFrame:

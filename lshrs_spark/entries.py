@@ -36,6 +36,11 @@ ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate queries() entry name: {name!r} — a second "
+                "@register would silently clobber the first's coverage"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -2429,7 +2434,7 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "rel_quantiles",
+    "rel_event_quantiles",
     """SELECT event_type,
        count(*)::BIGINT AS n,
        round(quantile_cont(value, 0.25), 5) AS q25,
@@ -2437,7 +2442,7 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
        round(quantile_cont(value, 0.95), 5) AS q95
 FROM events GROUP BY event_type""",
 )
-def rel_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rel_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT linear-interpolated quantiles per event_type (Spark
     `percentile` == DuckDB `quantile_cont`, verified to 5 decimals).
     Scale note: exact percentile sorts each group — right for

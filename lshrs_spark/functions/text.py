@@ -168,7 +168,6 @@ def repetition_cols(df, n: int = 3, id_col: str = "doc_id",
     profile costs one shuffle at any corpus size. Documents shorter than
     ``n`` tokens count the whole text as one shingle (ratio 1.0), the
     same fallback as MinHash."""
-    toks = tokens_col(F.col(text_col))
     grams = token_shingles_col(F.col(text_col), n)
     shingles = F.when(F.size(grams) > 0, grams).otherwise(
         F.array(F.col(text_col))

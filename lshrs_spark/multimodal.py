@@ -293,19 +293,32 @@ def media_features(payload_df: DataFrame) -> DataFrame:
 
         def _ppm(b):
             # scanner, not split(): pixel data may begin with a
-            # whitespace-valued byte (see _ppm_header)
+            # whitespace-valued byte; '#' comments and truncation are
+            # handled IDENTICALLY to the driver-side _ppm_header so the
+            # two decoders can never diverge on a spec-valid payload
             ws = b" \t\r\n\x0b\x0c"
             pos, vals = 2, []
             while len(vals) < 3:
                 while b[pos] in ws:
                     pos += 1
+                if b[pos:pos + 1] == b"#":
+                    while b[pos:pos + 1] not in (b"\n", b""):
+                        pos += 1
+                    continue
                 start = pos
                 while b[pos] not in ws:
                     pos += 1
                 vals.append(int(b[start:pos]))
-            w, h = vals[0], vals[1]
+            w, h, maxval = vals
+            if maxval != 255:
+                raise ValueError(f"unsupported PPM maxval {maxval}")
             need = w * h * 3
-            px = _np.frombuffer(b[pos + 1:pos + 1 + need], dtype=_np.uint8)
+            data = b[pos + 1:pos + 1 + need]
+            if len(data) < need:
+                raise ValueError(
+                    f"PPM payload truncated: {len(data)} < {need}"
+                )
+            px = _np.frombuffer(data, dtype=_np.uint8)
             return "ppm", w, h, int(px.size), float(px.mean())
 
         def _bmp(b):

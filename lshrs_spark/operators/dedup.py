@@ -266,6 +266,16 @@ def simhash_blocks(max_hamming: int, bits: int = SIMHASH_BITS,
     nb = num_blocks or (max_hamming + 1)
     if not 1 <= nb <= bits:
         raise ValueError(f"num_blocks must be in [1, {bits}]")
+    if nb <= max_hamming:
+        # pigeonhole needs max_hamming+1 blocks: with fewer, a pair can
+        # differ in every block and be silently missed — that would
+        # break the EXACT contract, so reject instead
+        raise ValueError(
+            f"num_blocks={nb} cannot guarantee exactness for "
+            f"max_hamming={max_hamming}; need >= {max_hamming + 1} "
+            f"(and max_hamming >= {bits} has no banding guarantee at all "
+            "— use a cross join for that degenerate cutoff)"
+        )
     base, rem = divmod(bits, nb)
     out, start = [], 0
     for i in range(nb):
@@ -355,22 +365,21 @@ def connected_components(
     (the propagation-only variant is O(diameter) and unusable on deep
     graphs).
 
-    Fault tolerance (100 TB design): each round ends with a RELIABLE
-    ``checkpoint()`` — materialized to the session checkpoint directory
-    (HDFS/object store on a cluster) — NOT ``localCheckpoint``, whose
-    blocks die with a lost executor and make long iterative jobs
-    unrecoverable (see `lshrs_spark/cache.py` discussion). If no
-    checkpoint dir is configured, a process-local temp dir is set once
-    (correct for local mode; on a cluster configure a shared path).
+    Fault tolerance (100 TB design): each round is RELIABLY materialized
+    to storage via the slot materializer (`cache.materialize_slot`) —
+    real files, not the executor-local blocks of ``localCheckpoint``
+    (which a lost executor turns into a fatal block-not-found), and
+    BOUNDED: writing round N+1 deletes round N's files, so a run keeps
+    one label-table copy however many rounds it takes (``checkpoint()``
+    would keep them all). ``checkpoint_dir`` points the materializations
+    at shared storage on a real cluster; default is a process-local temp
+    dir (correct for local mode).
     """
-    spark = pairs.sparkSession
-    sc = spark.sparkContext
-    if checkpoint_dir is not None:
-        sc.setCheckpointDir(checkpoint_dir)
-    elif sc.getCheckpointDir() is None:
-        import tempfile
+    import uuid
 
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="lshrs_cc_ckpt_"))
+    from ..cache import materialize_slot
+
+    slot = f"dedup.cc.{uuid.uuid4().hex[:12]}"
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -415,7 +424,11 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new_labels.checkpoint(eager=True) if changed else new_labels
+        labels = (
+            materialize_slot(new_labels, slot, base_dir=checkpoint_dir)
+            if changed
+            else new_labels
+        )
         if not changed:
             converged = True
             break

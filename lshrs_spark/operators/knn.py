@@ -222,7 +222,10 @@ def ivf_write_store(
                 F.col("cvec").cast("array<double>"),
             )
             .coalesce(1)
-            .write.mode(mode)
+            # always overwrite: the centroid table is a full snapshot —
+            # carrying the caller's mode="append" would duplicate every
+            # centroid and double-probe the same partitions at serve time
+            .write.mode("overwrite")
             .parquet(f"{path}/_centroids")
         )
 

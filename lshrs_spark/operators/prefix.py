@@ -49,11 +49,13 @@ def running_total(
     )
     w = Window.partitionBy("_pid").orderBy(order_col)
     local = parted.withColumn("_local_cum", F.sum(value_col).over(w))
-    # per-partition totals: num_partitions rows — driver-side prefix sum
+    # per-partition totals: num_partitions rows — driver-side prefix sum.
+    # sum(value), NOT max(_local_cum): with negative values the running
+    # total is not monotone, so its max is not the partition total.
     totals = {
         r._pid: r.total
         for r in local.groupBy("_pid")
-        .agg(F.max("_local_cum").alias("total"))
+        .agg(F.sum(value_col).alias("total"))
         .collect()
     }
     offsets, acc = {}, 0

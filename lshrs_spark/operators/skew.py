@@ -96,6 +96,8 @@ def salted_join(
     When the right side is broadcast-small, use a plain broadcast join
     instead — salting only pays when both sides must shuffle.
     """
+    if num_salts < 1:
+        raise ValueError("num_salts must be >= 1")
     if how not in ("inner", "left", "left_outer", "leftouter"):
         raise ValueError(
             "salted_join supports inner/left joins only (right/full would "

@@ -109,19 +109,14 @@ class IndexServer:
 
     @staticmethod
     def _open_index(path: str) -> pads.Dataset:
-        """Open the bucket table; detect the hive ``band=N/`` layout that
-        ``write_index(partition_by_band=True)`` produces so band becomes a
-        partition field (directory-level pruning, no footer reads for
-        non-matching bands)."""
-        hive = any(
-            e.startswith("band=") for e in os.listdir(path)
-        ) if os.path.isdir(path) else False
-        if hive:
-            part = pads.partitioning(
-                pa.schema([pa.field("band", pa.int32())]), flavor="hive"
-            )
-            return pads.dataset(path, format="parquet", partitioning=part)
-        return pads.dataset(path, format="parquet")
+        """Open the bucket table with hive-partition DISCOVERY (not
+        ``os.listdir``, which only works for local paths — this module
+        promises object-store/DBFS support): a ``write_index``
+        ``band=N/`` layout is inferred as a partition field
+        (directory-level pruning); a flat/streamed layout simply has
+        ``band`` as a data column. Either way the ``band`` filter is
+        exact."""
+        return pads.dataset(path, format="parquet", partitioning="hive")
 
     @staticmethod
     def _warm(dataset: pads.Dataset) -> None:

@@ -19,3 +19,23 @@ def test_release_slots_idempotent(spark):
     persist_slot(spark.range(5), "test.slot2")
     release_slots()
     release_slots()  # no error on empty registry
+
+
+def test_materialize_slot_bounds_storage(spark, tmp_path):
+    import os
+
+    from lshrs_spark.cache import materialize_slot
+
+    df = spark.range(100).withColumnRenamed("id", "x")
+    base = str(tmp_path / "mat")
+    out1 = materialize_slot(df, "t.slot", base_dir=base)
+    assert out1.count() == 100
+    gen_dirs = [d for d in os.listdir(base) if d.startswith("t_slot_gen")]
+    assert len(gen_dirs) == 1
+    out2 = materialize_slot(out1.filter("x < 50"), "t.slot", base_dir=base)
+    assert out2.count() == 50
+    gen_dirs = [d for d in os.listdir(base) if d.startswith("t_slot_gen")]
+    assert gen_dirs == ["t_slot_gen2"]     # generation 1 deleted
+    # lineage is truncated: the plan reads parquet, no upstream ops
+    plan = out2._jdf.queryExecution().analyzed().toString()
+    assert "Filter" not in plan

@@ -139,3 +139,10 @@ def test_ngram_jaccard_stop_shingles(spark, docs):
     # cap=1 drops every shared shingle -> no intersections survive
     none_left = D.ngram_jaccard_pairs(docs, 0.1, n=3, max_doc_freq=1).collect()
     assert none_left == []
+
+
+def test_simhash_blocks_rejects_unsound_block_count():
+    with pytest.raises(ValueError, match="exactness"):
+        D.simhash_blocks(6, num_blocks=3)
+    with pytest.raises(ValueError, match="num_blocks"):
+        D.simhash_blocks(48)  # needs 49 blocks > 48 bits: no guarantee

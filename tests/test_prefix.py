@@ -77,3 +77,16 @@ def test_stratified_sample_exact_counts(spark):
     # deterministic: rerun selects the identical row set
     again = {r.doc_id for r in stratified_sample(df, 0.1, "source").collect()}
     assert again == {r.doc_id for r in out}
+
+
+def test_running_total_with_negative_values(spark):
+    """Partition totals must be sum(value), not max(local_cum) — the
+    running total is not monotone with negative values."""
+    rows = [(0, 5), (1, -3), (2, 2), (3, -10), (4, 7), (5, -1)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    naive = {r.doc_id: r.cum for r in df.withColumn(
+        "cum", F.sum("n").over(Window.orderBy("doc_id"))).collect()}
+    for n_parts in (2, 3):
+        got = {r.doc_id: r.cum for r in
+               running_total(df, "doc_id", "n", num_partitions=n_parts).collect()}
+        assert got == naive, n_parts
