@@ -2512,3 +2512,24 @@ def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.col("_t")), 5
         ).alias("recall"),
     )
+
+
+@register(
+    "dedup_incremental",
+    f"""WITH {_minhash_ctes().strip().rstrip(',')},
+bands AS ({_MBANDS})
+SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+WHERE a.doc_id >= 400 AND b.doc_id < 400""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: which NEW documents (doc_id >= 400)
+    share a MinHash band with the EXISTING corpus (doc_id < 400) — the
+    production shape where corpus band keys are stored once and each
+    new batch joins against them."""
+    docs = _docs(spark, sf_dir)
+    return D.minhash_pairs_against(
+        docs.filter(F.col("doc_id") >= 400),
+        docs.filter(F.col("doc_id") < 400),
+        num_hashes=8, rows_per_band=2, n=3, seed=42,
+    )

@@ -34,7 +34,9 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_params",
     "minhash_signatures",
+    "minhash_band_keys",
     "minhash_band_pairs",
+    "minhash_pairs_against",
     "simhash_table",
     "simhash_pairs",
     "connected_components",
@@ -178,7 +180,7 @@ def minhash_signatures(
     ).select("id", F.col("i").cast("int").alias("i"), F.col("minhash").cast("long"))
 
 
-def minhash_band_pairs(
+def minhash_band_keys(
     df: DataFrame,
     num_hashes: int = 8,
     rows_per_band: int = 2,
@@ -187,9 +189,9 @@ def minhash_band_pairs(
     text_col: str = "text",
     seed: int = 42,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) sharing at least one MinHash
-    band. Band key = h48 of the comma-joined minima (portable to the SQL
-    oracle, valid for any rows_per_band)."""
+    """``(id, band, sig)`` MinHash band keys. Band key = h48 of the
+    comma-joined minima (portable to the SQL oracle, valid for any
+    rows_per_band)."""
     if num_hashes % rows_per_band:
         raise ValueError("num_hashes must be divisible by rows_per_band")
     wide = _minhash_wide(df, num_hashes, n, id_col, text_col, seed)
@@ -204,10 +206,25 @@ def minhash_band_pairs(
         for b in range(num_bands)
     ]
     stack = ", ".join(f"{b}, b{b}" for b in range(num_bands))
-    key = (
+    return (
         wide.select("id", *keys)
         .selectExpr("id", f"stack({num_bands}, {stack}) AS (band, sig)")
     )
+
+
+def minhash_band_pairs(
+    df: DataFrame,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing at least one
+    MinHash band."""
+    key = minhash_band_keys(df, num_hashes, rows_per_band, n, id_col,
+                            text_col, seed)
     # feeds both sides of the self-join — persist (lineage kept for
     # cluster fault tolerance) via the bounded slot registry so the
     # md5-heavy MinHash pipeline runs once without leaking cache entries
@@ -218,6 +235,38 @@ def minhash_band_pairs(
         a.join(b, on=["band", "sig"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_pairs_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental dedup: candidate pairs ``(new_id, corpus_id)`` where a
+    NEW document shares >= 1 MinHash band with an EXISTING corpus
+    document — the production ingest shape. The corpus side is typically
+    orders of magnitude larger: at scale, persist/store its band keys
+    once (they are exactly the ``minhash_band_keys`` output, a narrow
+    3-column table) and stream each new batch's (small) band keys
+    against them; Catalyst broadcasts the new side automatically when it
+    is small enough."""
+    new_keys = minhash_band_keys(new_df, num_hashes, rows_per_band, n,
+                                 id_col, text_col, seed)
+    corpus_keys = minhash_band_keys(corpus_df, num_hashes, rows_per_band, n,
+                                    id_col, text_col, seed)
+    return (
+        new_keys.alias("a")
+        .join(corpus_keys.alias("b"), on=["band", "sig"])
+        .select(
+            F.col("a.id").alias("new_id"), F.col("b.id").alias("corpus_id")
+        )
         .distinct()
     )
 

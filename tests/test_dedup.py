@@ -146,3 +146,20 @@ def test_simhash_blocks_rejects_unsound_block_count():
         D.simhash_blocks(6, num_blocks=3)
     with pytest.raises(ValueError, match="num_blocks"):
         D.simhash_blocks(48)  # needs 49 blocks > 48 bits: no guarantee
+
+
+def test_minhash_pairs_against_incremental(spark, docs):
+    new = docs.filter("doc_id >= 3")
+    corpus = docs.filter("doc_id < 3")
+    out = {(r.new_id, r.corpus_id) for r in
+           D.minhash_pairs_against(new, corpus).collect()}
+    # docs 3/4 are unrelated to docs 0-2: no candidates
+    assert out == set()
+    # an exact dup of corpus doc 0 must be caught
+    dup = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon zeta", "s9")],
+        "doc_id long, text string, source string",
+    )
+    out2 = {(r.new_id, r.corpus_id) for r in
+            D.minhash_pairs_against(dup, corpus).collect()}
+    assert (9, 0) in out2 and (9, 1) in out2
