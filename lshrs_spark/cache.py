@@ -92,10 +92,20 @@ def persist_slot(df: DataFrame, slot: str, *, eager: bool = False) -> DataFrame:
     return df
 
 
-def release_slots() -> None:
-    """Unpersist every slot (idempotent)."""
+def release_slots(spark=None) -> None:
+    """Unpersist every persist slot and delete every live
+    materialization (idempotent). Pass the SparkSession to delete
+    non-local materialization paths through the Hadoop FS."""
     for name in list(_SLOTS):
         _safe_unpersist(_SLOTS.pop(name))
+    for key in list(_MAT_SLOTS):
+        _, path = _MAT_SLOTS.pop(key)
+        if spark is not None:
+            _hadoop_delete(spark, path)
+        else:
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def _safe_unpersist(df: DataFrame) -> None:
