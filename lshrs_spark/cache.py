@@ -92,12 +92,24 @@ def persist_slot(df: DataFrame, slot: str, *, eager: bool = False) -> DataFrame:
     return df
 
 
-def release_slots(spark=None) -> None:
-    """Unpersist every persist slot and delete every live
-    materialization (idempotent). Pass the SparkSession to delete
-    non-local materialization paths through the Hadoop FS."""
+def release_slots(spark=None, *, include_materializations: bool = False) -> None:
+    """Unpersist every persist slot (idempotent). Unpersisting is always
+    safe: any still-live consumer DataFrame falls back to recomputing
+    from its intact lineage.
+
+    ``include_materializations=True`` additionally DELETES the parquet
+    files behind every live :func:`materialize_slot` output. Those
+    DataFrames have truncated lineage — an index after 32 mutations, a
+    connected-components result — so any later action on them fails
+    with ``FileNotFoundException`` once the files are gone. It is
+    therefore opt-in, for shutdown paths where no materialized
+    DataFrame will be used again; the default frees executor/driver
+    cache memory without invalidating anything. Pass the SparkSession
+    to delete non-local materialization paths through the Hadoop FS."""
     for name in list(_SLOTS):
         _safe_unpersist(_SLOTS.pop(name))
+    if not include_materializations:
+        return
     for key in list(_MAT_SLOTS):
         _, path = _MAT_SLOTS.pop(key)
         if spark is not None:

@@ -72,6 +72,10 @@ class LSHRS:
         self._index_df: Optional[DataFrame] = None
         self._pending: list[tuple[int, list[float]]] = []
         self._mutations = 0
+        # last save_to_disk/load_from_disk/serve directory — delete()
+        # appends tombstones there so live IndexServers see deletes on
+        # refresh() without a full re-save
+        self._saved_path: Optional[str] = None
         import uuid
 
         self._slot_id = uuid.uuid4().hex[:12]
@@ -255,7 +259,15 @@ class LSHRS:
 
     def delete(self, indices: Sequence[int]) -> None:
         """Remove ids from every bucket — a left-anti join rewrite instead
-        of the reference's O(buckets × ids) keyspace scan (M1)."""
+        of the reference's O(buckets × ids) keyspace scan (M1).
+
+        When this index is bound to a saved directory (after
+        :meth:`save_to_disk` / :meth:`serve` / :meth:`load_from_disk`),
+        the ids are also appended to a ``_deleted`` tombstone sidecar so
+        a live :class:`~lshrs_spark.serving.IndexServer` over that
+        directory stops serving them at its next ``refresh()`` — parity
+        with the reference's immediately-visible Redis delete
+        (``lshrs/core/main.py:744-784``) without rewriting the index."""
         self.flush()
         indices = list(indices)  # materialize once — may be a one-shot iterator
         if self._index_df is None or not indices:
@@ -266,7 +278,28 @@ class LSHRS:
         self._index_df = self._index_df.join(
             F.broadcast(ids_df), "id", "left_anti"
         ).select("band", "sig", "id")
+        if self._saved_path is not None:
+            self._append_tombstones(indices)
         self._note_mutation()
+
+    def _append_tombstones(self, indices: Sequence[int]) -> None:
+        """One small parquet file per delete batch under
+        ``{saved}/_deleted/`` — written driver-side via pyarrow.fs (no
+        Spark job for a handful of ids; works for object-store URIs)."""
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from .serving import _fs_and_path
+
+        filesystem, root = _fs_and_path(self._saved_path)
+        filesystem.create_dir(f"{root}/_deleted", recursive=True)
+        tbl = pa.table({"id": pa.array([int(i) for i in indices], pa.int64())})
+        with filesystem.open_output_stream(
+            f"{root}/_deleted/del_{uuid.uuid4().hex}.parquet"
+        ) as sink:
+            pq.write_table(tbl, sink)
 
     def clear(self) -> None:
         """Drop the whole index (M2) — irreversible, like the reference."""
@@ -301,8 +334,16 @@ class LSHRS:
         ``include_vectors=True`` additionally persists the registered vector
         table sorted by id (``vectors.parquet``) so the no-Spark-job
         :class:`~lshrs_spark.serving.IndexServer` can serve rerank/top-p
-        queries with id-pruned reads."""
+        queries with id-pruned reads.
+
+        A fresh save already has all deletions applied to the index
+        parquet, so any ``_deleted`` tombstone sidecar from earlier
+        :meth:`delete` calls is cleared."""
         os.makedirs(path, exist_ok=True)
+        import shutil
+
+        shutil.rmtree(os.path.join(path, "_deleted"), ignore_errors=True)
+        self._saved_path = path
         with open(os.path.join(path, "config.json"), "w") as f:
             json.dump(self.cfg.to_dict(), f, indent=2)
         np.savez_compressed(
@@ -358,6 +399,15 @@ class LSHRS:
         idx_path = os.path.join(path, "index.parquet")
         if os.path.exists(idx_path):
             inst._index_df = read_index(spark, idx_path)
+            deleted = os.path.join(path, "_deleted")
+            if os.path.exists(deleted):
+                # apply outstanding tombstones so the loaded in-session
+                # index matches what a tombstone-aware server serves
+                tomb = spark.read.parquet(deleted).select("id").distinct()
+                inst._index_df = inst._index_df.join(
+                    F.broadcast(tomb), "id", "left_anti"
+                ).select("band", "sig", "id")
+        inst._saved_path = path
         return inst
 
     # ------------------------------------------------------------------ #
@@ -459,7 +509,21 @@ class LSHRS:
                 raise ValueError("Vector index must be non-negative")
 
     def _df_from_arrays(self, indices: Sequence[int], vectors: np.ndarray) -> DataFrame:
-        rows = [
-            (int(i), [float(x) for x in v]) for i, v in zip(indices, vectors)
-        ]
-        return self.spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        """Driver batch -> DataFrame via pandas/Arrow, not Python row
+        lists: a 100k x 64 float32 batch ships as a handful of Arrow
+        record batches instead of 100k pickled rows through the Py4J
+        serializer (VERDICT r2 #5)."""
+        import pandas as pd
+
+        vecs = np.asarray(vectors, dtype=np.float32)
+        pdf = pd.DataFrame(
+            {
+                "vec_id": np.asarray(list(indices), dtype=np.int64),
+                # list of float32 ndarrays -> Arrow list<float> without a
+                # per-element Python float conversion
+                "embedding": list(vecs),
+            }
+        )
+        return self.spark.createDataFrame(
+            pdf, "vec_id long, embedding array<float>"
+        )

@@ -437,6 +437,25 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=4)
 
 
+@register(
+    "dedup_simhash_pairs_wide",
+    f"""WITH {_SIMHASH_CTES}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 4""",
+)
+def dedup_simhash_pairs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact pair set as ``dedup_simhash_pairs`` but banded into
+    ``num_blocks=8`` narrower blocks (6 bits each) instead of the
+    minimal ``max_hamming + 1 = 5``. Wider banding trades more fan-out
+    rows for smaller band buckets (fewer spurious collisions per
+    bucket) and remains EXACT by the pigeonhole argument whenever
+    ``num_blocks > max_hamming``; this entry locks that math against
+    regression with the same brute-force oracle."""
+    return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=4, num_blocks=8)
+
+
 # --------------------------------------------------------------------- #
 # Text analysis (M5): stats, quality, language-ID, fingerprint, top-k
 # --------------------------------------------------------------------- #
@@ -2533,3 +2552,56 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") < 400),
         num_hashes=8, rows_per_band=2, n=3, seed=42,
     )
+
+
+# --------------------------------------------------------------------- #
+# Driver correctness window curation
+# --------------------------------------------------------------------- #
+# The driver's correctness gate compares exactly the FIRST 50 entries of
+# queries() in dict (registration) order against their oracles; entries
+# past index 49 only get the full local gate (tools/check_oracle.py).
+# Source order above groups entries by subsystem, so without curation
+# everything added after round 1 would sit past the window forever.
+# DRIVER_WINDOW pins one representative per operator family into the
+# checked prefix; near-twins whose family is already represented
+# (e.g. lsh_signatures_sql ~ lsh_signatures, rel_rollup ~ rel_sales_cube,
+# dedup_minhash_sigs ~ dedup_minhash_pairs) follow after index 49.
+
+DRIVER_WINDOW: list[str] = [
+    # LSH core (S4/S5, H1-H6, Q1-Q9, M1/M3)
+    "lsh_signatures", "lsh_index_stats", "lsh_topk", "lsh_topp",
+    "knn_bruteforce", "lsh_delete", "lsh_persistence",
+    # similarity join + dedup family
+    "simjoin_lsh", "dedup_exact", "dedup_ngram_jaccard", "dedup_groups",
+    "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_simhash_pairs_wide",
+    "dedup_embedding", "dedup_incremental",
+    # ANN tiers
+    "ann_batch", "ann_ivf", "ann_ivf_stored", "ann_recall",
+    # planner + quantization + pipeline ops
+    "planner_config", "quant_topk", "pipeline_pack",
+    "pipeline_stratified_sample", "pipeline_training_prep",
+    # text analysis
+    "text_stats", "text_quality", "text_langid", "text_fingerprint",
+    "text_tfidf", "text_gopher_filter",
+    # embeddings analytics
+    "emb_kmeans",
+    # relational suite
+    "rel_pricing_summary", "rel_top_customers", "rel_customer_setops",
+    "rel_sales_cube", "rel_pivot", "rel_events_json", "rel_quantiles",
+    "rel_stats_corr", "rel_string_funcs", "rel_semi_anti",
+    "rel_salted_join", "rel_events_sessionize", "rel_events_asof",
+    "rel_events_interval",
+    # sketches + streaming + multimodal
+    "sketch_distinct_users", "stream_windowed_counts",
+    "stream_stateful_first", "multimodal_features",
+]
+
+_unknown = [n for n in DRIVER_WINDOW if n not in QUERIES]
+if _unknown:  # fail at import, not silently at gate time
+    raise RuntimeError(f"DRIVER_WINDOW names unknown entries: {_unknown}")
+if len(DRIVER_WINDOW) != len(set(DRIVER_WINDOW)):
+    raise RuntimeError("DRIVER_WINDOW contains duplicates")
+
+_ORDER = DRIVER_WINDOW + [n for n in QUERIES if n not in set(DRIVER_WINDOW)]
+QUERIES = {n: QUERIES[n] for n in _ORDER}
+ORACLES = {n: ORACLES[n] for n in _ORDER if n in ORACLES}

@@ -325,6 +325,14 @@ def media_features(payload_df: DataFrame) -> DataFrame:
             off = _struct.unpack_from("<I", b, 10)[0]
             w = _struct.unpack_from("<i", b, 18)[0]
             h = abs(_struct.unpack_from("<i", b, 22)[0])
+            bpp = _struct.unpack_from("<H", b, 28)[0]
+            comp = _struct.unpack_from("<I", b, 30)[0]
+            if bpp != 24 or comp != 0:
+                # same guard as the driver-side decode_bmp: a 32-bit or
+                # RLE BMP must fail loudly, not yield wrong-stride stats
+                raise ValueError(
+                    f"unsupported BMP (bpp={bpp}, compression={comp})"
+                )
             row = w * 3
             stride = row + (4 - row % 4) % 4
             rows = [_np.frombuffer(b[off + i * stride:off + i * stride + row],
@@ -339,10 +347,19 @@ def media_features(payload_df: DataFrame) -> DataFrame:
                 clen = _struct.unpack_from("<I", b, pos + 4)[0]
                 body = b[pos + 8:pos + 8 + clen]
                 if cid == b"fmt ":
-                    _, ch, rate, _, _, _ = _struct.unpack_from("<HHIIHH", body, 0)
+                    afmt, ch, rate, _, _, bits = _struct.unpack_from(
+                        "<HHIIHH", body, 0
+                    )
+                    if afmt != 1 or bits != 16:
+                        # mirror driver-side decode_wav's contract
+                        raise ValueError(
+                            f"unsupported WAV (fmt={afmt}, bits={bits})"
+                        )
                 elif cid == b"data":
                     data = body
                 pos += 8 + clen + (clen % 2)
+            if rate is None or data is None:
+                raise ValueError("WAV missing fmt/data chunk")
             s = _np.frombuffer(data, dtype="<i2")
             return ("wav", None, None, int(s.size),
                     float(_np.abs(s.astype(_np.float64)).mean()))

@@ -39,6 +39,8 @@ def running_total(
     ``order_col`` order, via the scalable two-stage scan (no
     single-partition window). ``order_col`` must be unique (it is the
     total order)."""
+    from ..cache import persist_slot
+
     n = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
@@ -49,6 +51,14 @@ def running_total(
     )
     w = Window.partitionBy("_pid").orderBy(order_col)
     local = parted.withColumn("_local_cum", F.sum(value_col).over(w))
+    # The plan runs TWICE (totals collect + final result). Eagerly
+    # persist so both jobs read the same materialized rows — without
+    # this, a nondeterministic input recomputed between the two jobs
+    # could land rows in different _pid ranges than the collected
+    # offsets and silently corrupt the cumulative sums. If a later
+    # running_total evicts the slot, consumers fall back to recompute,
+    # which is safe for deterministic inputs (parquet scans etc.).
+    local = persist_slot(local, "prefix.running_total", eager=True)
     # per-partition totals: num_partitions rows — driver-side prefix sum.
     # sum(value), NOT max(_local_cum): with negative values the running
     # total is not monotone, so its max is not the partition total.

@@ -29,6 +29,28 @@ from pyspark.sql import functions as F
 
 __all__ = ["salted_aggregate", "salted_join"]
 
+
+def _content_salt(df: DataFrame, num_salts: int,
+                  salt_cols: Sequence[str] | None) -> Column:
+    """Deterministic per-row salt in ``[0, num_salts)`` derived from row
+    CONTENT (xxhash64 over ``salt_cols``, default all columns) — never
+    from physical position. ``spark_partition_id`` /
+    ``monotonically_increasing_id`` are nondeterministic under partial
+    stage re-execution: after a fetch failure a recomputed left row
+    could take a different salt and match zero or two right replicas
+    (silent row loss/duplication in exactly the at-scale failure
+    scenarios salting targets). A content hash recomputes identically.
+
+    Fully-identical duplicate rows share a salt; they spread across
+    salts only if some hashed column distinguishes them — pass an id
+    column via ``salt_cols`` when the input has heavy exact-duplicate
+    rows. Map-typed columns can't be hashed; pass ``salt_cols``
+    excluding them in that case."""
+    cols = list(salt_cols) if salt_cols else df.columns
+    if not cols:
+        raise ValueError("need at least one column to derive the salt")
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(num_salts))
+
 # (partial_fn, merge_fn) per supported aggregate kind.
 _KINDS = {
     "sum": (F.sum, F.sum),
@@ -44,23 +66,21 @@ def salted_aggregate(
     specs: Sequence[tuple[str, Column | str | None, str]],
     *,
     num_salts: int = 16,
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Two-stage grouped aggregation with a salt on the first stage.
 
     ``specs`` is a list of ``(kind, column, alias)`` with kind one of
     ``sum | count | min | max`` (column ignored for ``count``). The salt
-    is derived deterministically from the physical row position
-    (partition id + per-partition index), which spreads a hot key's rows
-    across salts regardless of value skew and is stable under a re-run
-    of the same input layout.
+    is a content hash (see :func:`_content_salt`) — deterministic under
+    task retry and partial stage re-execution, and it spreads a hot
+    key's rows across salts whenever any hashed column varies within
+    the key.
     """
     bad = [k for k, _, _ in specs if k not in _KINDS]
     if bad:
         raise ValueError(f"unsupported aggregate kind(s) {bad}; use {sorted(_KINDS)}")
-    salt = F.pmod(
-        F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
-        F.lit(num_salts),
-    ).alias("_salt")
+    salt = _content_salt(df, num_salts, salt_cols).alias("_salt")
     partial = df.select(*keys, salt, *[
         (F.lit(0) if kind == "count" else F.col(c) if isinstance(c, str) else c).alias(
             f"_in_{alias}"
@@ -82,10 +102,13 @@ def salted_join(
     *,
     num_salts: int = 16,
     how: str = "inner",
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Skew-safe equi-join for the both-sides-large case AQE can't fully
-    save (one giant hot key on the left): the left side gets a
-    deterministic row-position salt, the right side is replicated
+    save (one giant hot key on the left): each left row gets a
+    deterministic content-hash salt (see :func:`_content_salt` — safe
+    under shuffle-stage recompute, where a positional salt could
+    silently drop or duplicate rows), the right side is replicated
     ``num_salts`` times (explode over the salt range), and the join key
     becomes ``on + [_salt]`` — every reduce-side group now holds at most
     ~1/num_salts of a hot key's left rows. Row-identical to the plain
@@ -106,13 +129,7 @@ def salted_join(
     overlap = {"_salt"} & (set(left.columns) | set(right.columns))
     if overlap:
         raise ValueError("column collision: rename _salt before joining")
-    l = left.withColumn(
-        "_salt",
-        F.pmod(
-            F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
-            F.lit(num_salts),
-        ),
-    )
+    l = left.withColumn("_salt", _content_salt(left, num_salts, salt_cols))
     r = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
     )

@@ -40,6 +40,26 @@ from .hashing import hash_vectors_local, hash_vectors_local_long
 __all__ = ["IndexServer", "IVFServer"]
 
 
+def _fs_and_path(path: str):
+    """``(FileSystem, fs-local path)`` for a local path or URI — existence
+    probes and stream opens must go through pyarrow.fs, not ``os.path``,
+    for the object-store/DBFS paths this module promises to serve."""
+    from pyarrow import fs as pafs
+
+    try:
+        return pafs.FileSystem.from_uri(path)
+    except (ValueError, pa.ArrowInvalid):
+        # relative local path — from_uri requires absolute/URI form
+        return pafs.LocalFileSystem(), path
+
+
+def _dir_exists(path: str) -> bool:
+    from pyarrow import fs as pafs
+
+    filesystem, p = _fs_and_path(path)
+    return filesystem.get_file_info(p).type != pafs.FileType.NotFound
+
+
 class IndexServer:
     """Driver-local query server over an index written by
     :func:`~lshrs_spark.operators.index.write_index` (optionally the
@@ -60,18 +80,21 @@ class IndexServer:
         vectors_path: Optional[str] = None,
         id_col: str = "vec_id",
         vector_col: str = "embedding",
+        deleted_path: Optional[str] = None,
     ) -> None:
         self.cfg = cfg
         self._id_col = id_col
         self._vector_col = vector_col
         self._index_path = index_path
         self._vectors_path = vectors_path
+        self._deleted_path = deleted_path
         self._ds = self._open_index(index_path)
         self._vec_ds = (
             pads.dataset(vectors_path, format="parquet")
             if vectors_path is not None
             else None
         )
+        self._deleted = self._load_deleted()
         self._warm(self._ds)
         if self._vec_ds is not None:
             self._warm(self._vec_ds)
@@ -83,25 +106,47 @@ class IndexServer:
         streamed (unsorted, unpartitioned) layout serves correctly —
         equality filters are exact regardless of layout — just with
         weaker row-group pruning until `compact_index` rewrites it into
-        the sorted hive form."""
+        the sorted hive form. Also re-reads the ``_deleted`` tombstone
+        sidecar, making :meth:`LSHRS.delete` tombstones visible without
+        a full re-save."""
         self._ds = self._open_index(self._index_path)
         self._warm(self._ds)
         if self._vectors_path is not None:
             self._vec_ds = pads.dataset(self._vectors_path, format="parquet")
             self._warm(self._vec_ds)
+        self._deleted = self._load_deleted()
+
+    def _load_deleted(self) -> Optional[np.ndarray]:
+        """Tombstoned ids (sorted int64) from the ``_deleted`` sidecar,
+        or ``None`` when no tombstones exist. :meth:`LSHRS.delete`
+        appends one small parquet file per delete batch; the index
+        parquet itself is immutable until the next save/compact."""
+        if self._deleted_path is None or not _dir_exists(self._deleted_path):
+            return None
+        tbl = pads.dataset(self._deleted_path, format="parquet").to_table(
+            columns=["id"]
+        )
+        ids = np.unique(tbl.column("id").to_numpy(zero_copy_only=False))
+        return ids.astype(np.int64) if len(ids) else None
 
     @classmethod
     def from_saved(cls, path: str, **kw) -> "IndexServer":
         """Open a :meth:`LSHRS.save_to_disk` directory: ``config.json`` +
         ``index.parquet`` (+ ``vectors.parquet`` when saved with
-        ``include_vectors=True``)."""
-        with open(os.path.join(path, "config.json")) as f:
+        ``include_vectors=True``, + ``_deleted`` tombstones). ``path``
+        may be any pyarrow-supported URI (local, s3://, hdfs://, ...)."""
+        filesystem, root = _fs_and_path(path)
+        with filesystem.open_input_stream(f"{root}/config.json") as f:
             cfg = LSHConfig.from_dict(json.load(f))
-        vec_path = os.path.join(path, "vectors.parquet")
-        kw.setdefault(
-            "vectors_path", vec_path if os.path.exists(vec_path) else None
+        from pyarrow import fs as pafs
+
+        has_vecs = (
+            filesystem.get_file_info(f"{root}/vectors.parquet").type
+            != pafs.FileType.NotFound
         )
-        return cls(os.path.join(path, "index.parquet"), cfg, **kw)
+        kw.setdefault("vectors_path", f"{path}/vectors.parquet" if has_vecs else None)
+        kw.setdefault("deleted_path", f"{path}/_deleted")
+        return cls(f"{path}/index.parquet", cfg, **kw)
 
     # ------------------------------------------------------------------ #
     # dataset plumbing
@@ -163,10 +208,17 @@ class IndexServer:
         return expr
 
     def candidate_counts(self, vector: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """``(ids, collisions)`` for one query vector — Q1+Q2 driver-side."""
+        """``(ids, collisions)`` for one query vector — Q1+Q2 driver-side.
+        Tombstoned ids (``_deleted`` sidecar) are filtered out, so a
+        delete is visible after :meth:`refresh` without re-saving."""
         vec = self._prepare_vector(vector)
         tbl = self._ds.to_table(columns=["id"], filter=self._bucket_filter(vec))
         ids = tbl.column("id").to_numpy(zero_copy_only=False)
+        if self._deleted is not None and len(ids):
+            # _deleted is sorted — searchsorted membership, no set build
+            pos = np.searchsorted(self._deleted, ids)
+            pos[pos >= len(self._deleted)] = 0
+            ids = ids[self._deleted[pos] != ids]
         if len(ids) == 0:
             return ids.astype(np.int64), np.empty(0, dtype=np.int64)
         return np.unique(ids, return_counts=True)

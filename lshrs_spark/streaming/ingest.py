@@ -12,6 +12,7 @@ side (watermarks for late data)."""
 from __future__ import annotations
 
 import uuid
+from contextlib import contextmanager
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,32 +27,61 @@ __all__ = [
     "stream_aggregate_complete",
     "windowed_event_counts",
     "session_event_counts",
+    "scoped_session_conf",
 ]
 
 
-def load_file_stream(
-    spark: SparkSession, source_path: str, *, tune_session: bool = True
-) -> DataFrame:
+@contextmanager
+def scoped_session_conf(spark: SparkSession, pairs: dict[str, str]):
+    """Set session confs for the duration of the block, restoring each
+    key's prior value (or unsetting it) on exit — the mechanism that
+    keeps streaming helpers from leaking conf changes into unrelated
+    queries sharing the session (ADVICE r2)."""
+    old: dict[str, Optional[str]] = {}
+    for k, v in pairs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, prev in old.items():
+            if prev is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prev)
+
+
+def _stream_run_conf(spark: SparkSession) -> dict[str, str]:
+    """Conf for one run-to-completion streaming query: ns-as-long parquet
+    reads, and state-store right-sizing — ONLY when the session still has
+    the stock 200 default, which would mean 200 state-store tasks per
+    micro-batch however small the stream. Applied via
+    :func:`scoped_session_conf`, never left behind."""
+    conf = {"spark.sql.legacy.parquet.nanosAsLong": "true"}
+    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        conf["spark.sql.shuffle.partitions"] = str(
+            spark.sparkContext.defaultParallelism
+        )
+    return conf
+
+
+def load_file_stream(spark: SparkSession, source_path: str) -> DataFrame:
     """File-source stream with nanosecond-timestamp handling: Spark's
     parquet reader rejects TIMESTAMP(NANOS); read them as long and
     convert via integer division (ns are > 2^60 — float division would
     lose precision).
 
-    SESSION-WIDE SIDE EFFECTS (documented contract): this helper sets
-    ``spark.sql.legacy.parquet.nanosAsLong`` (required to read the
-    source at all) and, with ``tune_session=True`` (default), rewrites
-    ``spark.sql.shuffle.partitions`` to the machine parallelism WHEN the
-    session still has the stock default (200) — streaming state stores
-    create one state partition per shuffle partition per micro-batch, so
-    the stock default means 200 state tasks per batch however small the
-    stream. Both settings affect other queries sharing the session; pass
-    ``tune_session=False`` to keep the session's partitioning untouched."""
+    Documented side effect: sets ``spark.sql.legacy.parquet.nanosAsLong``
+    — required not just for schema inference here but whenever the
+    returned (lazy) stream later executes, so it cannot be restored
+    before returning. It is the ONLY session conf touched; the
+    run-to-completion helpers below additionally scope it (plus
+    state-store right-sizing) with :func:`scoped_session_conf` so they
+    leave the session conf exactly as they found it."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    if tune_session and spark.conf.get("spark.sql.shuffle.partitions") == "200":
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(spark.sparkContext.defaultParallelism),
-        )
     schema = spark.read.parquet(source_path).schema
     # The file source needs a directory/glob base; turn a bare file path
     # into a glob that matches exactly that file.
@@ -137,11 +167,12 @@ def stream_aggregate_complete(
     """Run a streaming aggregation over a (finite) file stream to
     completion in complete output mode and return the result table —
     exactly equivalent to the batch aggregation, which is what the
-    correctness oracle checks."""
-    stream = load_file_stream(spark, source_path)
-    return run_to_memory_table(
-        stream.groupBy(*group_cols).agg(*aggs), name=name
-    )
+    correctness oracle checks. Session conf is restored on return."""
+    with scoped_session_conf(spark, _stream_run_conf(spark)):
+        stream = load_file_stream(spark, source_path)
+        return run_to_memory_table(
+            stream.groupBy(*group_cols).agg(*aggs), name=name
+        )
 
 
 def windowed_event_counts(
@@ -154,7 +185,13 @@ def windowed_event_counts(
 ) -> DataFrame:
     """Tumbling event-time window counts with a watermark, driven to
     completion over a finite file stream (complete mode so every window
-    is emitted; watermark still bounds state at scale)."""
+    is emitted; watermark still bounds state at scale). Session conf is
+    restored on return."""
+    with scoped_session_conf(spark, _stream_run_conf(spark)):
+        return _windowed_event_counts(spark, source_path, window, watermark, name)
+
+
+def _windowed_event_counts(spark, source_path, window, watermark, name):
     stream = load_file_stream(spark, source_path)
     agg = (
         stream.withWatermark("ts", watermark)
@@ -191,7 +228,14 @@ def session_event_counts(
     Session semantics are end-exclusive: an event exactly ``gap`` after
     the previous one starts a NEW session — the batch islands oracle
     must flag new sessions with ``delta >= gap``, not ``>``.
+
+    Session conf is restored on return.
     """
+    with scoped_session_conf(spark, _stream_run_conf(spark)):
+        return _session_event_counts(spark, source_path, gap, name)
+
+
+def _session_event_counts(spark, source_path, gap, name):
     stream = load_file_stream(spark, source_path)
     agg = (
         stream.groupBy(

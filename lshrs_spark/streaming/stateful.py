@@ -81,7 +81,15 @@ def stream_first_seen(
     name: Optional[str] = None,
 ) -> DataFrame:
     """Run the stateful first-seen operator over a finite event stream to
-    completion and return the (update-mode) result table."""
+    completion and return the (update-mode) result table. Session conf
+    is restored on return."""
+    from .ingest import _stream_run_conf, scoped_session_conf
+
+    with scoped_session_conf(spark, _stream_run_conf(spark)):
+        return _stream_first_seen(spark, source_path, name)
+
+
+def _stream_first_seen(spark, source_path, name):
     from pyspark.sql import functions as F
 
     from .ingest import run_to_memory_table

@@ -39,3 +39,20 @@ def test_materialize_slot_bounds_storage(spark, tmp_path):
     # lineage is truncated: the plan reads parquet, no upstream ops
     plan = out2._jdf.queryExecution().analyzed().toString()
     assert "Filter" not in plan
+
+
+def test_release_slots_keeps_materializations_by_default(spark, tmp_path):
+    """A long-lived driver freeing cache memory must NOT invalidate live
+    materialize_slot DataFrames (their lineage is truncated — deleting
+    the backing files would be unrecoverable, ADVICE r2)."""
+    from lshrs_spark.cache import materialize_slot
+
+    base = str(tmp_path / "mat")
+    out = materialize_slot(spark.range(30).withColumnRenamed("id", "x"),
+                           "t.keep", base_dir=base)
+    persist_slot(spark.range(5), "t.cache")
+    release_slots(spark)                       # default: caches only
+    assert out.count() == 30                   # still readable
+    release_slots(spark, include_materializations=True)
+    import os
+    assert not any(d.startswith("t_keep") for d in os.listdir(base))

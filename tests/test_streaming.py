@@ -84,3 +84,28 @@ def test_stream_index_wide_band_binary_sigs(spark, vector_dir, tmp_path):
         streamed.exceptAll(batch).count() == 0
         and batch.exceptAll(streamed).count() == 0
     )
+
+
+def test_stream_helpers_leave_session_conf_unchanged(spark):
+    """ADVICE r2 #3: the run-to-completion streaming helpers must not
+    leak conf changes (shuffle partitions / nanosAsLong) into the shared
+    session — even when the session still has the stock 200 default."""
+    from lshrs_spark.streaming.ingest import session_event_counts
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    keys = ["spark.sql.shuffle.partitions",
+            "spark.sql.legacy.parquet.nanosAsLong"]
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        before = {k: spark.conf.get(k) for k in keys}
+        out = stream_aggregate_complete(
+            spark, src, ["event_type"], [F.count(F.lit(1)).alias("n")]
+        )
+        assert out.count() > 0
+        assert {k: spark.conf.get(k) for k in keys} == before
+        out = session_event_counts(spark, src)
+        assert out.count() > 0
+        assert {k: spark.conf.get(k) for k in keys} == before
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
