@@ -2555,6 +2555,123 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# Training-data hygiene: decontamination, PII scrub, dedup representatives
+# --------------------------------------------------------------------- #
+
+@register(
+    "text_decontaminate",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              generate_series(1, len(t) - 4),
+              i -> list_aggregate(t[i:i+4], 'string_agg', ' ')))) AS gram
+          FROM toks),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id >= 450)
+SELECT g.doc_id AS id, count(DISTINCT g.gram)::BIGINT AS n_hit_grams
+FROM grams g JOIN bench USING (gram)
+WHERE g.doc_id < 450
+GROUP BY 1""",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents (doc_id < 450) that
+    share any token 5-gram with the held-out eval set (doc_id >= 450),
+    with the count of distinct shared grams. Benchmark grams broadcast;
+    corpus grams filtered map-side — shuffle scales with contamination,
+    not corpus size."""
+    docs = _docs(spark, sf_dir)
+    return D.ngram_contamination(
+        docs.filter(F.col("doc_id") < 450),
+        docs.filter(F.col("doc_id") >= 450),
+        n=5,
+    )
+
+
+@register(
+    "text_pii_redact",
+    f"""WITH inj AS (SELECT doc_id, text ||
+    CASE WHEN doc_id % 7 = 0
+         THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0
+         THEN ' call 555-867-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+         ELSE '' END AS text
+  FROM documents)
+SELECT doc_id AS id,
+       len(regexp_extract_all(text, '{X.EMAIL_PATTERN}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{X.PHONE_PATTERN}'))::BIGINT AS n_phones,
+       length(regexp_replace(regexp_replace(text,
+              '{X.EMAIL_PATTERN}', '[EMAIL]', 'g'),
+              '{X.PHONE_PATTERN}', '[PHONE]', 'g'))::BIGINT AS n_chars_redacted
+FROM inj""",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: match counts + redacted length per
+    document. The synthetic corpus has no organic PII, so both engines
+    deterministically inject emails (doc_id % 7 == 0) and phone numbers
+    (doc_id % 11 == 0) before scrubbing — the redaction pipeline
+    (Java-regex/RE2-portable patterns, one codegen pass) is the thing
+    under test."""
+    docs = _docs(spark, sf_dir)
+    injected = docs.select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" contact user"),
+                         F.col("doc_id").cast("string"),
+                         F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" call 555-867-"),
+                         F.lpad((F.col("doc_id") % 10000).cast("string"),
+                                4, "0")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    pii = X.pii_cols(F.col("text"))
+    return injected.select(
+        "id",
+        pii["n_emails"].cast("long").alias("n_emails"),
+        pii["n_phones"].cast("long").alias("n_phones"),
+        F.length(pii["redacted"]).cast("long").alias("n_chars_redacted"),
+    )
+
+
+@register(
+    "dedup_representative",
+    f"""WITH RECURSIVE {_JACCARD_CTES},
+edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs WHERE jaccard >= 0.5
+          UNION SELECT id_b, id_a FROM jpairs WHERE jaccard >= 0.5),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+j AS (SELECT c.component, c.id, d.n_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.id),
+ranked AS (SELECT component, id,
+                  row_number() OVER (PARTITION BY component
+                                     ORDER BY n_chars DESC, id ASC) AS rn,
+                  count(*) OVER (PARTITION BY component) AS gs
+           FROM j)
+SELECT component::BIGINT AS component, id::BIGINT AS rep_id,
+       gs::BIGINT AS group_size
+FROM ranked WHERE rn = 1""",
+)
+def dedup_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup decision: connected components over the
+    Jaccard>=0.5 near-dup graph, then ONE representative per group
+    (longest text, ties -> smallest id) via a single max_by aggregation
+    — the "keep best, drop rest" step producing the deduplicated
+    corpus."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, 0.5, n=3)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("id"))
+    comps = D.connected_components(pairs, nodes)
+    return D.group_representatives(comps, docs)
+
+
+# --------------------------------------------------------------------- #
 # Driver correctness window curation
 # --------------------------------------------------------------------- #
 # The driver's correctness gate compares exactly the FIRST 50 entries of
@@ -2574,21 +2691,23 @@ DRIVER_WINDOW: list[str] = [
     # similarity join + dedup family
     "simjoin_lsh", "dedup_exact", "dedup_ngram_jaccard", "dedup_groups",
     "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_simhash_pairs_wide",
-    "dedup_embedding", "dedup_incremental",
-    # ANN tiers
-    "ann_batch", "ann_ivf", "ann_ivf_stored", "ann_recall",
+    "dedup_embedding", "dedup_incremental", "dedup_representative",
+    # ANN tiers (ann_batch ~ lsh_topk twin and ann_recall gauge are
+    # past the window, local-gated)
+    "ann_ivf", "ann_ivf_stored",
     # planner + quantization + pipeline ops
     "planner_config", "quant_topk", "pipeline_pack",
     "pipeline_stratified_sample", "pipeline_training_prep",
-    # text analysis
+    # text analysis + corpus hygiene
     "text_stats", "text_quality", "text_langid", "text_fingerprint",
-    "text_tfidf", "text_gopher_filter",
+    "text_tfidf", "text_gopher_filter", "text_decontaminate",
+    "text_pii_redact",
     # embeddings analytics
     "emb_kmeans",
     # relational suite
     "rel_pricing_summary", "rel_top_customers", "rel_customer_setops",
     "rel_sales_cube", "rel_pivot", "rel_events_json", "rel_quantiles",
-    "rel_stats_corr", "rel_string_funcs", "rel_semi_anti",
+    "rel_stats_corr", "rel_semi_anti",
     "rel_salted_join", "rel_events_sessionize", "rel_events_asof",
     "rel_events_interval",
     # sketches + streaming + multimodal

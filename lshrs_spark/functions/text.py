@@ -25,6 +25,9 @@ __all__ = [
     "language_id_col",
     "fingerprint_col",
     "LANG_MARKERS",
+    "pii_cols",
+    "EMAIL_PATTERN",
+    "PHONE_PATTERN",
 ]
 
 
@@ -219,4 +222,28 @@ def gopher_rule_cols(text: Column) -> dict[str, Column]:
         "alpha_ratio": F.round(alpha_ratio, 5),
         "has_stop": has_stop,
         "keep": keep,
+    }
+
+
+# PII scrubbing: patterns restricted to syntax valid in BOTH Java regex
+# (Spark) and RE2 (DuckDB oracle) — no lookarounds, no backrefs.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_cols(text: Column) -> dict[str, Column]:
+    """PII detection/redaction columns for corpus scrubbing: match
+    counts per category plus the redacted text (emails -> ``[EMAIL]``,
+    phones -> ``[PHONE]``). Pure Catalyst regexp expressions — the whole
+    scrub runs inside whole-stage codegen, one pass over the corpus,
+    no Python in the loop."""
+    email = F.lit(EMAIL_PATTERN)
+    phone = F.lit(PHONE_PATTERN)
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, email, F.lit("[EMAIL]")), phone, F.lit("[PHONE]")
+    )
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text, email, F.lit(0))),
+        "n_phones": F.size(F.regexp_extract_all(text, phone, F.lit(0))),
+        "redacted": redacted,
     }

@@ -40,6 +40,8 @@ __all__ = [
     "simhash_table",
     "simhash_pairs",
     "connected_components",
+    "ngram_contamination",
+    "group_representatives",
 ]
 
 # Mersenne prime 2^31-1: universal-hash modulus small enough that
@@ -488,3 +490,74 @@ def connected_components(
             "raise max_iterations (rounds needed ~ log2(graph diameter))"
         )
     return labels
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-data decontamination: ``(id, n_hit_grams)`` for every
+    corpus document sharing at least one token ``n``-gram with the
+    benchmark/eval set — the standard pre-training hygiene check that a
+    training corpus does not contain the eval suite (usually run with
+    n around 10-13 on real data).
+
+    Scale shape: benchmark sets are small (thousands of prompts), so the
+    distinct benchmark grams are BROADCAST and the corpus side is
+    filtered in the map stage — only matching grams ever reach the
+    per-document aggregation, so the shuffle is proportional to the
+    contamination, not the corpus. For a benchmark too large to
+    broadcast, swap the join key to ``xxhash64(gram)`` and pre-bucket
+    both sides; the count semantics are unchanged (module docstring
+    family: inverted-index join, no pair space)."""
+
+    def grams(df: DataFrame, out: str) -> DataFrame:
+        toks = df.select(
+            F.col(id_col).cast("long").alias(out),
+            F.split(F.col(text_col), " ").alias("_t"),
+        )
+        g = F.expr(
+            f"CASE WHEN size(_t) >= {n} THEN "
+            f"transform(sequence(1, size(_t) - {n - 1}), "
+            f"i -> array_join(slice(_t, i, {n}), ' ')) "
+            "ELSE array() END"
+        )
+        return toks.select(out, F.explode(F.array_distinct(g)).alias("gram"))
+
+    cg = grams(corpus, "id")
+    bg = grams(benchmark, "bid").select("gram").distinct()
+    return (
+        cg.join(F.broadcast(bg), "gram")
+        .groupBy("id")
+        .agg(F.count_distinct("gram").alias("n_hit_grams"))
+    )
+
+
+def group_representatives(
+    components: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Pick one canonical document per duplicate group: ``(component,
+    rep_id, group_size)`` where the representative maximizes
+    ``quality_col`` (ties -> smallest id) — the "keep best, drop rest"
+    step that turns near-dup clusters into a deduplicated corpus.
+
+    One hash aggregation (``max_by`` over an orderable struct), no
+    window sort — the shuffle key is the component id, so group size,
+    not corpus size, bounds per-task state."""
+    joined = components.join(
+        docs.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(quality_col).cast("long").alias("_q"),
+        ),
+        "id",
+    )
+    return joined.groupBy("component").agg(
+        F.expr("max_by(id, struct(_q, -id))").alias("rep_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )

@@ -163,3 +163,39 @@ def test_minhash_pairs_against_incremental(spark, docs):
     out2 = {(r.new_id, r.corpus_id) for r in
             D.minhash_pairs_against(dup, corpus).collect()}
     assert (9, 0) in out2 and (9, 1) in out2
+
+
+def test_ngram_contamination_flags_planted_overlap(spark):
+    corpus = spark.createDataFrame(
+        [(0, "a b c d e f g h"),        # shares the 5-gram "c d e f g"
+         (1, "x y z w v u t s"),        # clean
+         (2, "c d e f g h i j"),        # shares two 5-grams
+         (3, "short text")],            # < n tokens -> no grams at all
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "q q c d e f g h r r")], "doc_id long, text string"
+    )
+    from lshrs_spark.operators.dedup import ngram_contamination
+
+    got = {r.id: r.n_hit_grams
+           for r in ngram_contamination(corpus, bench, n=5).collect()}
+    # docs 0 and 2 each share exactly the grams "c d e f g" and
+    # "d e f g h" with the benchmark; docs 1 and 3 emit no hit rows
+    assert got == {0: 2, 2: 2}
+
+
+def test_group_representatives_picks_longest_then_smallest_id(spark):
+    comps = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3), (4, 4)], "id long, component long"
+    )
+    docs = spark.createDataFrame(
+        [(0, 10), (1, 25), (2, 25), (3, 7), (4, 9)],
+        "doc_id long, n_chars long",
+    )
+    from lshrs_spark.operators.dedup import group_representatives
+
+    got = {r.component: (r.rep_id, r.group_size)
+           for r in group_representatives(comps, docs).collect()}
+    # component 0: max n_chars=25 shared by ids 1 and 2 -> smallest id 1
+    assert got == {0: (1, 3), 3: (3, 1), 4: (4, 1)}

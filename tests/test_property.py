@@ -166,3 +166,29 @@ def test_pack_math_covers_every_token_once(tokens, budget):
         assert 0 <= off < budget
         assert pack_id * budget + off == cum
         cum += n
+
+
+def test_pii_cols_redacts_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from lshrs_spark.functions.text import pii_cols
+
+    df = spark.createDataFrame(
+        [(0, "mail me at a.b-c_d@sub.example.org or x@y.io now"),
+         (1, "call 555-123-4567 or 555-000-9999"),
+         (2, "no pii here, 12-34 and user@@nope are not matches"),
+         (3, "mixed: z@q.co and 111-222-3333")],
+        "id long, text string",
+    )
+    cols = pii_cols(F.col("text"))
+    got = {r.id: r for r in df.select(
+        "id", cols["n_emails"].alias("e"), cols["n_phones"].alias("p"),
+        cols["redacted"].alias("red")).collect()}
+    assert (got[0].e, got[0].p) == (2, 0)
+    assert got[0].red == "mail me at [EMAIL] or [EMAIL] now"
+    assert (got[1].e, got[1].p) == (0, 2)
+    assert got[1].red == "call [PHONE] or [PHONE]"
+    assert (got[2].e, got[2].p) == (0, 0)
+    assert got[2].red == got[2].red  # unchanged text
+    assert (got[3].e, got[3].p) == (1, 1)
+    assert got[3].red == "mixed: [EMAIL] and [PHONE]"
