@@ -2671,6 +2671,71 @@ def dedup_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.group_representatives(comps, docs)
 
 
+@register(
+    "pipeline_length_batches",
+    """WITH tok AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+                 FROM documents),
+r AS (SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens, doc_id) AS rn FROM tok)
+SELECT ((rn - 1) // 16)::BIGINT AS batch_id, count(*)::BIGINT AS n_seqs,
+       max(n_tokens)::BIGINT AS max_tokens, sum(n_tokens)::BIGINT AS sum_tokens,
+       (count(*) * max(n_tokens) - sum(n_tokens))::BIGINT AS padding_waste
+FROM r GROUP BY 1""",
+)
+def pipeline_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batching: 16-sequence batches over a
+    (n_tokens, id) global order with per-batch padding-waste accounting
+    — the pad-to-longest collator layout. The global ordinal is the
+    two-stage distributed prefix sum, not the oracle's single-partition
+    window."""
+    from .operators.prefix import length_grouped_batches
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(X.tokens_col(F.col("text"))).alias("n_tokens")
+    )
+    return length_grouped_batches(docs, 16)
+
+
+_QUALITY_EXPR_SQL = """round(0.3*least(1.0, n_tokens / 50.0) + 0.2*(n_stop / n_tokens)
+        + 0.3*(n_alpha / n_chars)
+        + 0.2*(1.0 - least(1.0, abs(avg_tok_len - 5.0) / 5.0)), 5)"""
+
+
+@register(
+    "text_quality_filter",
+    f"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+feat AS (SELECT doc_id,
+    len(toks)::DOUBLE AS n_tokens,
+    length(text)::DOUBLE AS n_chars,
+    len(list_filter(toks, t -> list_contains(['the','a','and','of','to'], t)))::DOUBLE AS n_stop,
+    (length(text) - length(regexp_replace(text, '[a-z ]', '', 'g')))::DOUBLE AS n_alpha,
+    (length(text) - (len(toks) - 1))::DOUBLE / len(toks) AS avg_tok_len
+  FROM tok),
+q AS (SELECT doc_id AS id, {_QUALITY_EXPR_SQL} AS q FROM feat),
+t AS (SELECT quantile_cont(q, 0.10) AS thr FROM q)
+SELECT id, q, round(thr, 5) AS threshold FROM q, t WHERE q >= thr""",
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality filtering: drop the bottom decile by corpus
+    quality score — the threshold is DATA-DEPENDENT (exact 10th
+    percentile), not a hand-tuned constant, so the same pipeline adapts
+    across corpora. Quality is rounded to 5 decimals BEFORE the
+    percentile and the comparison so the cutoff set is engine-portable;
+    the one-row threshold broadcasts to the filter."""
+    docs = _docs(spark, sf_dir)
+    cols = X.quality_score_cols(F.col("text"))
+    q = docs.select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.round(cols["quality"], 5).alias("q"),
+    )
+    thr = q.agg(F.expr("percentile(q, 0.10)").alias("thr"))
+    return (
+        q.join(F.broadcast(thr))
+        .filter(F.col("q") >= F.col("thr"))
+        .select("id", "q", F.round("thr", 5).alias("threshold"))
+    )
+
+
 # --------------------------------------------------------------------- #
 # Driver correctness window curation
 # --------------------------------------------------------------------- #

@@ -24,7 +24,8 @@ from typing import Optional
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["running_total", "pack_sequences", "stratified_sample"]
+__all__ = ["running_total", "pack_sequences", "stratified_sample",
+           "length_grouped_batches"]
 
 
 def running_total(
@@ -150,4 +151,46 @@ def stratified_sample(
         .withColumn("_n", F.count(F.lit(1)).over(wn))
         .filter(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(fraction)))
         .drop("_rn", "_n")
+    )
+
+
+def length_grouped_batches(
+    df: DataFrame,
+    batch_size: int,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Length-grouped batching (padding-efficiency layout): sequences are
+    ordered by ``(n_tokens, id)`` so similar lengths are adjacent, then
+    cut into fixed-count batches of ``batch_size``; per batch returns
+    ``(batch_id, n_seqs, max_tokens, sum_tokens, padding_waste)`` where
+    ``padding_waste = n_seqs * max_tokens - sum_tokens`` (the tokens a
+    pad-to-longest collator burns). Grouping by length drives the waste
+    toward zero vs. random batching.
+
+    The global ordinal comes from :func:`running_total` over a composite
+    order key — one range shuffle, no single-partition window."""
+    if batch_size <= 0:
+        raise ValueError("batch_size must be positive")
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    )
+    # unique total-order key: length-major, id tiebreak (id < 2^32)
+    keyed = base.withColumn(
+        "_okey", F.col("n_tokens") * F.lit(4294967296) + F.col("id")
+    ).withColumn("_one", F.lit(1))
+    seq = running_total(keyed, "_okey", "_one", out_col="_seq")
+    return (
+        seq.withColumn("batch_id", F.expr(f"(_seq - 1) div {int(batch_size)}"))
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            (F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")).alias(
+                "padding_waste"
+            ),
+        )
     )

@@ -206,3 +206,42 @@ def test_scalar_subquery_decorrelates_to_joins(spark):
 
     plan = physical_plan(QUERIES["rel_scalar_subquery"](spark, SF))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_decontamination_broadcasts_benchmark(spark):
+    """The benchmark gram set must reach the corpus side as a broadcast
+    — a shuffled join here would move every corpus gram at 100 TB."""
+    from lshrs_spark.entries import QUERIES
+
+    plan = physical_plan(QUERIES["text_decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_group_representatives_no_window_sort(spark):
+    """Representative selection is one max_by aggregation — a window
+    row_number plan would sort every group's rows."""
+    from lshrs_spark.operators.dedup import group_representatives
+
+    comps = spark.createDataFrame(
+        [(i, i % 10) for i in range(100)], "id long, component long"
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical_plan(group_representatives(comps, docs))
+    assert "Window" not in plan, plan
+    # tree-only node count ("formatted" repeats each node in the detail
+    # section): broadcast of the small side + the component-key shuffle
+    assert plan.count("Exchange (") <= 3, plan
+
+
+def test_pii_scrub_is_pure_codegen(spark):
+    """The PII scrub must stay JVM-side: no Python evaluation, no
+    exchange — it is a per-row projection."""
+    from lshrs_spark.functions.text import pii_cols
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cols = pii_cols(F.col("text"))
+    plan = physical_plan(
+        docs.select("doc_id", cols["n_emails"], cols["redacted"])
+    )
+    assert "Python" not in plan, plan
+    assert "Exchange" not in plan, plan

@@ -90,3 +90,44 @@ def test_running_total_with_negative_values(spark):
         got = {r.doc_id: r.cum for r in
                running_total(df, "doc_id", "n", num_partitions=n_parts).collect()}
         assert got == naive, n_parts
+
+
+def test_length_grouped_batches_matches_naive_window(spark):
+    """Bit-identical to the single-partition-window formulation, and
+    padding waste must beat random (id-order) batching on skewed
+    lengths."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lshrs_spark.operators.prefix import length_grouped_batches
+
+    rng = np.random.default_rng(31)
+    lens = np.concatenate([rng.integers(5, 20, 80), rng.integers(200, 400, 20)])
+    df = spark.createDataFrame(
+        [(i, int(t)) for i, t in enumerate(lens)], "doc_id long, n_tokens long"
+    ).repartition(7)
+    got = {r.batch_id: (r.n_seqs, r.max_tokens, r.sum_tokens, r.padding_waste)
+           for r in length_grouped_batches(df, 10).collect()}
+    w = Window.orderBy("n_tokens", "doc_id")
+    naive = (
+        df.withColumn("rn", F.row_number().over(w))
+        .withColumn("batch_id", F.expr("(rn - 1) div 10"))
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("n_tokens").alias("mx"),
+             F.sum("n_tokens").alias("sm"))
+    )
+    want = {r.batch_id: (r.n, r.mx, r.sm, r.n * r.mx - r.sm)
+            for r in naive.collect()}
+    assert got == want
+    # grouped waste strictly beats id-order batching on this skew
+    id_w = Window.orderBy("doc_id")
+    rand = (
+        df.withColumn("rn", F.row_number().over(id_w))
+        .withColumn("batch_id", F.expr("(rn - 1) div 10"))
+        .groupBy("batch_id")
+        .agg((F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")).alias("w"))
+    )
+    waste_grouped = sum(v[3] for v in got.values())
+    waste_random = sum(r.w for r in rand.collect())
+    assert waste_grouped < waste_random
