@@ -28,6 +28,7 @@ __all__ = [
     "windowed_event_counts",
     "session_event_counts",
     "scoped_session_conf",
+    "stream_dedup_ingest",
 ]
 
 
@@ -250,3 +251,82 @@ def _session_event_counts(spark, source_path, gap, name):
         )
     )
     return run_to_memory_table(agg, name=name)
+
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    source_path: str,
+    state_path: str,
+    *,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+    seed: int = 42,
+    checkpoint: Optional[str] = None,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming incremental dedup — the production ingest shape: each
+    micro-batch of documents is MinHash-banded and joined against the
+    ACCUMULATED corpus band-key store (parquet at
+    ``{state_path}/band_keys``) before admission. Batch docs that share
+    a band with the stored corpus are recorded as ``(new_id,
+    corpus_id)`` candidate pairs under ``{state_path}/duplicates`` and
+    NOT admitted; clean docs append their band keys to the store.
+
+    Scale shape: the store is the narrow ``(id, band, sig)`` key table
+    (not the documents), the join is an equi-join on ``(band, sig)``
+    with the (small) batch side broadcast by Catalyst, and micro-batches
+    are serialized by the streaming engine so store read-then-append is
+    race-free. Intra-batch duplicates are admitted together (dedup
+    granularity = batch boundary); run :func:`~lshrs_spark.operators.
+    dedup.minhash_band_pairs` over the store to clean up afterwards.
+
+    Returns the started StreamingQuery (caller drives it)."""
+    from pyspark.errors import AnalysisException
+
+    from ..operators.dedup import minhash_band_keys
+
+    keys_path = f"{state_path}/band_keys"
+    dups_path = f"{state_path}/duplicates"
+    schema = spark.read.parquet(source_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+
+    def dedup_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        keys = minhash_band_keys(
+            batch_df, num_hashes, rows_per_band, n, seed=seed
+        ).persist()
+        try:
+            try:
+                stored = spark.read.parquet(keys_path)
+            except AnalysisException:
+                stored = None  # first batch: nothing admitted yet
+            admit = keys
+            if stored is not None:
+                dups = (
+                    keys.alias("a")
+                    .join(stored.alias("b"), on=["band", "sig"])
+                    .select(
+                        F.col("a.id").alias("new_id"),
+                        F.col("b.id").alias("corpus_id"),
+                    )
+                    .distinct()
+                    .persist()
+                )
+                dups.write.mode("append").parquet(dups_path)
+                admit = keys.join(
+                    dups.select(F.col("new_id").alias("id")).distinct(),
+                    "id",
+                    "left_anti",
+                )
+            admit.write.mode("append").parquet(keys_path)
+        finally:
+            keys.unpersist()
+
+    writer = stream.writeStream.foreachBatch(dedup_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

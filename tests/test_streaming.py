@@ -109,3 +109,50 @@ def test_stream_helpers_leave_session_conf_unchanged(spark):
         assert {k: spark.conf.get(k) for k in keys} == before
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def test_stream_dedup_ingest_flags_cross_batch_duplicates(spark, tmp_path):
+    """Streaming incremental dedup: batch 2's copy of a batch-1 doc is
+    flagged against the stored corpus keys and NOT admitted; clean docs
+    accumulate in the band-key store."""
+    import os
+    import time
+
+    from lshrs_spark.streaming.ingest import stream_dedup_ingest
+
+    src = tmp_path / "docs"
+    batches = [
+        [(0, "alpha beta gamma delta epsilon zeta eta theta"),
+         (1, "one two three four five six seven eight")],
+        [(10, "alpha beta gamma delta epsilon zeta eta theta"),   # dup of 0
+         (11, "nine ten eleven twelve thirteen fourteen fifteen sixteen")],
+        [(20, "nine ten eleven twelve thirteen fourteen fifteen sixteen"),  # dup of 11
+         (21, "unique prose entirely different words and phrases here")],
+    ]
+    seen: set[str] = set()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+        t = time.time() - 100 + i * 10   # strictly increasing mtimes
+        for name in os.listdir(src):
+            p = os.path.join(str(src), name)
+            if name.startswith("part-") and p not in seen:
+                seen.add(p)
+                os.utime(p, (t, t))
+    state = str(tmp_path / "state")
+    q = stream_dedup_ingest(
+        spark, str(src), state,
+        checkpoint=str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    dups = {(r.new_id, r.corpus_id)
+            for r in spark.read.parquet(f"{state}/duplicates").collect()}
+    assert dups == {(10, 0), (20, 11)}
+    admitted = {r.id for r in
+                spark.read.parquet(f"{state}/band_keys").select("id")
+                .distinct().collect()}
+    assert admitted == {0, 1, 11, 21}   # duplicates never enter the store
