@@ -33,6 +33,7 @@ __all__ = [
     "ivf_topk_stored",
     "kmeans_centroids",
     "recall_at_k",
+    "ivf_delete",
 ]
 
 
@@ -341,3 +342,27 @@ def kmeans_centroids(
             ).alias("cvec")
         )
     return cents
+
+
+def ivf_delete(store_path: str, ids) -> None:
+    """Tombstone ids in a stored IVF layout without rewriting any
+    partition: appends one small parquet file to
+    ``{store_path}/_deleted``; a live
+    :class:`~lshrs_spark.serving.IVFServer` drops those ids at its next
+    ``refresh()``. Rewrite the store (``ivf_write_store``) to compact
+    tombstones away. Written driver-side via pyarrow.fs — works for
+    object-store URIs, no Spark job for a handful of ids."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..serving import _fs_and_path
+
+    filesystem, root = _fs_and_path(store_path)
+    filesystem.create_dir(f"{root}/_deleted", recursive=True)
+    tbl = pa.table({"id": pa.array([int(i) for i in ids], pa.int64())})
+    with filesystem.open_output_stream(
+        f"{root}/_deleted/del_{uuid.uuid4().hex}.parquet"
+    ) as sink:
+        pq.write_table(tbl, sink)

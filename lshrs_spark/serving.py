@@ -60,6 +60,25 @@ def _dir_exists(path: str) -> bool:
     return filesystem.get_file_info(p).type != pafs.FileType.NotFound
 
 
+def _read_tombstones(path: Optional[str]) -> Optional[np.ndarray]:
+    """Sorted int64 ids from a ``_deleted`` parquet sidecar, or None."""
+    if path is None or not _dir_exists(path):
+        return None
+    tbl = pads.dataset(path, format="parquet").to_table(columns=["id"])
+    ids = np.unique(tbl.column("id").to_numpy(zero_copy_only=False))
+    return ids.astype(np.int64) if len(ids) else None
+
+
+def _drop_deleted(ids: np.ndarray, deleted: Optional[np.ndarray]) -> np.ndarray:
+    """Boolean mask over ``ids`` keeping non-tombstoned entries
+    (``deleted`` sorted — searchsorted membership, no set build)."""
+    if deleted is None or len(ids) == 0:
+        return np.ones(len(ids), dtype=bool)
+    pos = np.searchsorted(deleted, ids)
+    pos[pos >= len(deleted)] = 0
+    return deleted[pos] != ids
+
+
 class IndexServer:
     """Driver-local query server over an index written by
     :func:`~lshrs_spark.operators.index.write_index` (optionally the
@@ -121,13 +140,7 @@ class IndexServer:
         or ``None`` when no tombstones exist. :meth:`LSHRS.delete`
         appends one small parquet file per delete batch; the index
         parquet itself is immutable until the next save/compact."""
-        if self._deleted_path is None or not _dir_exists(self._deleted_path):
-            return None
-        tbl = pads.dataset(self._deleted_path, format="parquet").to_table(
-            columns=["id"]
-        )
-        ids = np.unique(tbl.column("id").to_numpy(zero_copy_only=False))
-        return ids.astype(np.int64) if len(ids) else None
+        return _read_tombstones(self._deleted_path)
 
     @classmethod
     def from_saved(cls, path: str, **kw) -> "IndexServer":
@@ -214,11 +227,7 @@ class IndexServer:
         vec = self._prepare_vector(vector)
         tbl = self._ds.to_table(columns=["id"], filter=self._bucket_filter(vec))
         ids = tbl.column("id").to_numpy(zero_copy_only=False)
-        if self._deleted is not None and len(ids):
-            # _deleted is sorted — searchsorted membership, no set build
-            pos = np.searchsorted(self._deleted, ids)
-            pos[pos >= len(self._deleted)] = 0
-            ids = ids[self._deleted[pos] != ids]
+        ids = ids[_drop_deleted(ids, self._deleted)]
         if len(ids) == 0:
             return ids.astype(np.int64), np.empty(0, dtype=np.int64)
         return np.unique(ids, return_counts=True)
@@ -330,16 +339,30 @@ class IVFServer:
         centroid_ids: np.ndarray,
         centroid_vecs: np.ndarray,
     ) -> None:
-        part = pads.partitioning(
-            pa.schema([pa.field("centroid_id", pa.int64())]), flavor="hive"
-        )
-        self._ds = pads.dataset(store_path, format="parquet", partitioning=part)
-        IndexServer._warm(self._ds)
+        self._store_path = store_path
+        self._open()
         self._cids = np.asarray(centroid_ids, dtype=np.int64)
         cv = np.asarray(centroid_vecs, dtype=np.float64)
         norms = np.linalg.norm(cv, axis=1, keepdims=True)
         with np.errstate(invalid="ignore", divide="ignore"):
             self._cunit = np.where(norms > 0, cv / norms, np.nan)
+
+    def _open(self) -> None:
+        part = pads.partitioning(
+            pa.schema([pa.field("centroid_id", pa.int64())]), flavor="hive"
+        )
+        self._ds = pads.dataset(
+            self._store_path, format="parquet", partitioning=part
+        )
+        IndexServer._warm(self._ds)
+        self._deleted = _read_tombstones(f"{self._store_path}/_deleted")
+
+    def refresh(self) -> None:
+        """Re-discover store files, re-warm footers and re-read the
+        ``_deleted`` tombstone sidecar (see
+        :func:`~lshrs_spark.operators.knn.ivf_delete`) — same contract
+        as :meth:`IndexServer.refresh`."""
+        self._open()
 
     @classmethod
     def from_store(cls, store_path: str) -> "IVFServer":
@@ -374,10 +397,12 @@ class IVFServer:
             ),
         )
         ids = tbl.column("id").to_numpy(zero_copy_only=False)
+        keep = _drop_deleted(ids, self._deleted)
+        ids = ids[keep]
         if len(ids) == 0:
             return []
         vecs = np.stack(
-            tbl.column("embedding").to_numpy(zero_copy_only=False)
+            tbl.column("embedding").to_numpy(zero_copy_only=False)[keep]
         ).astype(np.float64)
         q = np.asarray(vector, dtype=np.float64).reshape(-1)
         q = q / np.linalg.norm(q)

@@ -323,3 +323,35 @@ def test_delete_tombstones_visible_after_refresh(spark, tmp_path):
     srv2 = IndexServer.from_saved(path)
     assert srv2._deleted is None
     assert 7 not in srv2.get_top_k(q, 500)
+
+
+def test_ivf_delete_tombstones_visible_after_refresh(spark, tmp_path):
+    """IVF twin of the LSH tombstone contract: ivf_delete appends a
+    _deleted sidecar; IVFServer drops those ids at refresh() without a
+    store rewrite."""
+    from lshrs_spark.operators.knn import (
+        ivf_centroids_by_id,
+        ivf_delete,
+        ivf_write_store,
+    )
+    from lshrs_spark.serving import IVFServer
+
+    rng = np.random.default_rng(23)
+    n, d = 300, 16
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    store = str(tmp_path / "ivf")
+    ivf_write_store(emb, ivf_centroids_by_id(emb, 8), store)
+    srv = IVFServer.from_store(store)
+    q = vecs[42]
+    assert 42 in [i for i, _, _ in srv.topk(q, 5, nprobe=8)]
+
+    ivf_delete(store, [42])
+    assert 42 in [i for i, _, _ in srv.topk(q, 5, nprobe=8)]   # stale
+    srv.refresh()
+    got = srv.topk(q, n, nprobe=8)
+    assert 42 not in [i for i, _, _ in got]
+    assert len(got) == n - 1                                   # others intact
