@@ -2736,6 +2736,47 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_chunk",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+n AS (SELECT doc_id, t, len(t) AS n FROM tok),
+c AS (SELECT doc_id, t, n,
+             unnest(generate_series(0,
+                 greatest(1, (n - 16 + 47) // 48) - 1)) AS chunk_id
+      FROM n)
+SELECT doc_id AS id, chunk_id::BIGINT AS chunk_id,
+       len(t[1 + chunk_id*48 : least(chunk_id*48 + 64, n)])::BIGINT AS n_chunk_tokens,
+       list_aggregate(t[1 + chunk_id*48 : least(chunk_id*48 + 64, n)],
+                      'string_agg', ' ') AS chunk_text
+FROM c""",
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, 16-token
+    overlap): long documents become model-sized pieces, short documents
+    yield exactly one chunk. Projection + posexplode only — no shuffle,
+    no Python."""
+    return X.chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, overlap=16)
+
+
+@register(
+    "text_unigram_logprob",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT sum(c)::DOUBLE AS s FROM freq)
+SELECT doc_id AS id,
+       round(avg(-ln(c / s)), 5) AS avg_neg_logprob,
+       count(*)::BIGINT AS n_tokens
+FROM tok JOIN freq USING (t), tot
+GROUP BY doc_id""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy scoring: mean negative log corpus-unigram
+    probability per document — the cheap model-free stand-in for
+    LM-based quality filtering. Frequency table broadcast back onto the
+    token stream; two aggregations total."""
+    return X.unigram_logprob(_docs(spark, sf_dir))
+
+
 # --------------------------------------------------------------------- #
 # Driver correctness window curation
 # --------------------------------------------------------------------- #

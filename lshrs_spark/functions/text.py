@@ -28,6 +28,8 @@ __all__ = [
     "pii_cols",
     "EMAIL_PATTERN",
     "PHONE_PATTERN",
+    "chunk_documents",
+    "unigram_logprob",
 ]
 
 
@@ -247,3 +249,73 @@ def pii_cols(text: Column) -> dict[str, Column]:
         "n_phones": F.size(F.regexp_extract_all(text, phone, F.lit(0))),
         "redacted": redacted,
     }
+
+
+def chunk_documents(
+    df,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Token-window chunking with overlap — the pretraining prep step
+    that turns long documents into model-sized pieces. Chunk ``i``
+    covers tokens ``[1 + i*stride, 1 + i*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; every document yields at least
+    one chunk, and ``n_chunks = max(1, ceil((n - overlap) / stride))``
+    (integer form, engine-portable). Pure Catalyst: one projection +
+    posexplode, no shuffle, no Python."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.split(F.col(text_col), " ").alias("_t"),
+    ).withColumn("_n", F.size(F.col("_t")))
+    nch = F.greatest(
+        F.lit(1), F.expr(f"(_n - {overlap} + {stride - 1}) div {stride}")
+    )
+    chunks = F.expr(
+        f"transform(sequence(0, cast(_nch AS int) - 1), "
+        f"i -> array_join(slice(_t, 1 + i * {stride}, {chunk_tokens}), ' '))"
+    )
+    return (
+        toks.withColumn("_nch", nch)
+        .select("id", F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+        .select(
+            "id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size(F.split(F.col("chunk_text"), " ")).cast("long").alias(
+                "n_chunk_tokens"
+            ),
+            "chunk_text",
+        )
+    )
+
+
+def unigram_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Perplexity-proxy quality score: per-document mean negative log
+    unigram probability under the CORPUS unigram distribution (the
+    cheap stand-in for model-based filtering — spam/boilerplate scores
+    low surprise, gibberish scores high). Two aggregations: corpus token
+    frequencies, then a token->frequency join back and a per-doc mean.
+    At 100 TB the frequency table is Zipf-skewed but the join key is the
+    token itself (fine-grained); broadcast it while the vocabulary fits,
+    else it sort-merges."""
+    tok = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    )
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("s"))
+    return (
+        tok.join(F.broadcast(freq), "t")
+        .join(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.round(F.avg(-F.log(F.col("c") / F.col("s"))), 5).alias(
+                "avg_neg_logprob"
+            ),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )

@@ -192,3 +192,49 @@ def test_pii_cols_redacts_and_counts(spark):
     assert got[2].red == got[2].red  # unchanged text
     assert (got[3].e, got[3].p) == (1, 1)
     assert got[3].red == "mixed: [EMAIL] and [PHONE]"
+
+
+def test_chunk_documents_boundaries(spark):
+    from lshrs_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(112))),   # 2 chunks exactly
+         (1, " ".join(f"t{i}" for i in range(65))),    # 2nd chunk = overlap+1
+         (2, "a b c"),                                 # shorter than chunk -> 1
+         (3, " ".join(f"t{i}" for i in range(64)))],   # exactly one chunk
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=64, overlap=16).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.id, []).append(r)
+    assert [len(v) for _, v in sorted(by_doc.items())] == [2, 2, 1, 1]
+    d0 = sorted(by_doc[0], key=lambda r: r.chunk_id)
+    assert d0[0].n_chunk_tokens == 64 and d0[1].n_chunk_tokens == 64
+    # overlap: chunk 1 starts at token index 48 (0-based)
+    assert d0[1].chunk_text.split(" ")[0] == "t48"
+    assert d0[0].chunk_text.split(" ")[-1] == "t63"
+    d1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert d1[1].n_chunk_tokens == 17                   # tokens 48..64
+    assert by_doc[2][0].chunk_text == "a b c"
+    # every token of every doc appears in at least one chunk
+    for did, chunks in by_doc.items():
+        n = {0: 112, 1: 65, 2: 3, 3: 64}[did]
+        covered = set()
+        for c in chunks:
+            covered.update(c.chunk_text.split(" "))
+        want = {"a", "b", "c"} if did == 2 else {f"t{i}" for i in range(n)}
+        assert covered == want
+
+
+def test_unigram_logprob_orders_rare_above_common(spark):
+    from lshrs_spark.functions.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(0, "the the the the"),            # all common tokens
+         (1, "zyx wvu tsr qpo"),            # all singletons
+         (2, "the the zyx the")],           # mixed
+        "doc_id long, text string",
+    )
+    got = {r.id: r.avg_neg_logprob for r in unigram_logprob(docs).collect()}
+    assert got[0] < got[2] < got[1]         # common < mixed < rare surprise
