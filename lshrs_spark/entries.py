@@ -2777,6 +2777,26 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.unigram_logprob(_docs(spark, sf_dir))
 
 
+@register(
+    "stream_sliding_counts",
+    """WITH e AS (SELECT event_type, value, date_trunc('day', ts) AS d FROM events),
+w AS (SELECT event_type, value,
+             floor(epoch(d - INTERVAL (k) DAY))::BIGINT AS window_start
+      FROM e, (SELECT unnest(generate_series(0, 1)) AS k) kk)
+SELECT window_start, event_type, count(*)::BIGINT AS n,
+       sum(round(value * 100))::BIGINT AS value_cents
+FROM w GROUP BY 1, 2""",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-day windows advancing 1 day over the event stream —
+    every event lands in exactly two windows (epoch-aligned, matching
+    the oracle's day-truncated window starts)."""
+    from .streaming.ingest import sliding_event_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return sliding_event_counts(spark, f"{sf_dir}/events.parquet")
+
+
 # --------------------------------------------------------------------- #
 # Driver correctness window curation
 # --------------------------------------------------------------------- #

@@ -29,6 +29,7 @@ __all__ = [
     "session_event_counts",
     "scoped_session_conf",
     "stream_dedup_ingest",
+    "sliding_event_counts",
 ]
 
 
@@ -330,3 +331,39 @@ def stream_dedup_ingest(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def sliding_event_counts(
+    spark: SparkSession,
+    source_path: str,
+    *,
+    window: str = "2 days",
+    slide: str = "1 day",
+    name: Optional[str] = None,
+) -> DataFrame:
+    """Sliding (overlapping) event-time windows over the event stream —
+    each event contributes to ``window/slide`` windows; completes the
+    window-type coverage next to tumbling (`windowed_event_counts`) and
+    session (`session_event_counts`) windows. Session conf is restored
+    on return."""
+    with scoped_session_conf(spark, _stream_run_conf(spark)):
+        stream = load_file_stream(spark, source_path)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(
+                F.window("ts", window, slide).alias("w"), F.col("event_type")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "value_cents"
+                ),
+            )
+            .select(
+                F.unix_timestamp(F.col("w.start")).alias("window_start"),
+                "event_type",
+                "n",
+                "value_cents",
+            )
+        )
+        return run_to_memory_table(agg, name=name)
