@@ -293,23 +293,36 @@ def chunk_documents(
     )
 
 
-def unigram_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
+def unigram_logprob(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+):
     """Perplexity-proxy quality score: per-document mean negative log
     unigram probability under the CORPUS unigram distribution (the
     cheap stand-in for model-based filtering — spam/boilerplate scores
     low surprise, gibberish scores high). Two aggregations: corpus token
     frequencies, then a token->frequency join back and a per-doc mean.
-    At 100 TB the frequency table is Zipf-skewed but the join key is the
-    token itself (fine-grained); broadcast it while the vocabulary fits,
-    else it sort-merges."""
+
+    ``broadcast_vocab`` sizes the frequency-table join: the vocabulary
+    GROWS with the corpus (URLs, typos, code identifiers — hundreds of
+    millions of distinct whitespace tokens on a web-scale crawl), so a
+    mandatory broadcast of it is a driver/executor OOM at 100 TB. True
+    (default, right for bounded vocabularies and the oracle path) hints
+    the broadcast; False leaves the join strategy to Catalyst/AQE, which
+    sort-merges on the Zipf-fine-grained token key. The 1-row ``total``
+    is always broadcast — it cannot outgrow anything."""
     tok = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.explode(F.split(F.col(text_col), " ")).alias("t"),
     )
     freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").alias("s"))
+    if broadcast_vocab:
+        freq = F.broadcast(freq)
     return (
-        tok.join(F.broadcast(freq), "t")
+        tok.join(freq, "t")
         .join(F.broadcast(total))
         .groupBy("id")
         .agg(

@@ -62,7 +62,12 @@ def _stream_run_conf(spark: SparkSession) -> dict[str, str]:
     the stock 200 default, which would mean 200 state-store tasks per
     micro-batch however small the stream. Applied via
     :func:`scoped_session_conf`, never left behind."""
-    conf = {"spark.sql.legacy.parquet.nanosAsLong": "true"}
+    conf = {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # NTZ->LTZ ts normalization (load_file_stream) must interpret
+        # wall clocks as UTC for oracle parity, independent of caller.
+        "spark.sql.session.timeZone": "UTC",
+    }
     if spark.conf.get("spark.sql.shuffle.partitions") == "200":
         conf["spark.sql.shuffle.partitions"] = str(
             spark.sparkContext.defaultParallelism
@@ -96,6 +101,12 @@ def load_file_stream(spark: SparkSession, source_path: str) -> DataFrame:
     for f in schema.fields:
         if f.name == "ts" and f.dataType.typeName() == "long":
             stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif f.name == "ts" and f.dataType.typeName() == "timestamp_ntz":
+            # MICROS(isAdjustedToUTC=false) testdata generation: event-time
+            # watermarks and unix_micros require LTZ; the run-to-completion
+            # helpers pin the session zone to UTC so this cast keeps the
+            # wall-clock instant identical to the oracle's naive epoch().
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

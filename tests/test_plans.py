@@ -233,6 +233,26 @@ def test_group_representatives_no_window_sort(spark):
     assert plan.count("Exchange (") <= 3, plan
 
 
+def test_unigram_logprob_vocab_broadcast_is_optional(spark):
+    """The vocabulary table grows with the corpus; at 100 TB the
+    broadcast hint is an OOM, so it must be opt-out. Pin
+    autoBroadcastJoinThreshold=-1 to stand in for at-scale size
+    estimates: disabled, the token-frequency join must NOT plan as a
+    BroadcastHashJoin (Catalyst picks sort-merge, as it would for a
+    web-scale vocabulary); enabled, the hint must force one anyway."""
+    from lshrs_spark.functions.text import unigram_logprob
+    from lshrs_spark.streaming.ingest import scoped_session_conf
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with scoped_session_conf(
+        spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}
+    ):
+        plan_off = physical_plan(unigram_logprob(docs, broadcast_vocab=False))
+        assert "BroadcastHashJoin" not in plan_off, plan_off
+        plan_on = physical_plan(unigram_logprob(docs, broadcast_vocab=True))
+        assert "BroadcastHashJoin" in plan_on, plan_on
+
+
 def test_pii_scrub_is_pure_codegen(spark):
     """The PII scrub must stay JVM-side: no Python evaluation, no
     exchange — it is a per-row projection."""
