@@ -338,21 +338,43 @@ class LSHRS:
 
         A fresh save already has all deletions applied to the index
         parquet, so any ``_deleted`` tombstone sidecar from earlier
-        :meth:`delete` calls is cleared."""
-        os.makedirs(path, exist_ok=True)
-        import shutil
+        :meth:`delete` calls is cleared.
 
-        shutil.rmtree(os.path.join(path, "_deleted"), ignore_errors=True)
-        self._saved_path = path
+        Safe to call on the SAME directory the instance was loaded from
+        (load -> delete -> re-save): an instance from
+        :meth:`load_from_disk` holds a lazy plan that still reads
+        ``{path}/index.parquet`` and ``{path}/_deleted``, so the index is
+        written to a temp sibling and swapped in only AFTER the write
+        succeeds, and the tombstone sidecar is removed only after the
+        rewrite (which has the tombstones applied) is in place. After
+        the swap ``_index_df`` is re-pointed at the fresh files, which
+        also truncates the accumulated anti-join lineage. The local swap
+        is an rmtree + rename; an object-store deployment would swap a
+        manifest (table format) instead, same ordering."""
+        import shutil
+        import uuid
+
+        os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "config.json"), "w") as f:
             json.dump(self.cfg.to_dict(), f, indent=2)
         np.savez_compressed(
             os.path.join(path, "projections.npz"), projections=projection_matrix(self.cfg)
         )
         self.flush()
+
+        def _swap_in(tmp: str, final: str) -> None:
+            shutil.rmtree(final, ignore_errors=True)
+            os.rename(tmp, final)
+
         if self._index_df is not None:
-            write_index(self._index_df, os.path.join(path, "index.parquet"))
+            idx_path = os.path.join(path, "index.parquet")
+            tmp = f"{idx_path}.tmp-{uuid.uuid4().hex}"
+            write_index(self._index_df, tmp)
+            _swap_in(tmp, idx_path)
+            self._index_df = read_index(self.spark, idx_path)
         if include_vectors and self._vectors_df is not None:
+            vec_path = os.path.join(path, "vectors.parquet")
+            tmp = f"{vec_path}.tmp-{uuid.uuid4().hex}"
             (
                 self._vectors_df.select(
                     F.col(self._id_col).cast("long").alias("vec_id"),
@@ -364,8 +386,11 @@ class LSHRS:
                 )
                 .sortWithinPartitions("vec_id")
                 .write.mode("overwrite")
-                .parquet(os.path.join(path, "vectors.parquet"))
+                .parquet(tmp)
             )
+            _swap_in(tmp, vec_path)
+        shutil.rmtree(os.path.join(path, "_deleted"), ignore_errors=True)
+        self._saved_path = path
 
     def serve(self, path: Optional[str] = None):
         """Materialize the index for ONLINE serving and return a

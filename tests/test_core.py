@@ -146,6 +146,33 @@ def test_save_load_round_trip(make_lsh, small_vectors, tmp_path, spark):
     assert loaded.get_top_k(vecs[4], 5) == before
 
 
+def test_load_delete_resave_same_path(make_lsh, small_vectors, tmp_path, spark):
+    """load -> delete -> re-save to the SAME directory must not yank the
+    ``_deleted`` sidecar (or the index parquet) out from under the loaded
+    instance's lazy plan (ADVICE r3: the old upfront rmtree broke this
+    cycle with FileNotFoundException)."""
+    import os
+
+    ids, vecs = small_vectors
+    lsh = make_lsh(seed=7)
+    lsh.index(ids, vecs)
+    path = str(tmp_path / "idx")
+    lsh.save_to_disk(path)
+
+    loaded = LSHRS.load_from_disk(spark, path)
+    loaded.delete([3, 4])
+    assert os.path.exists(os.path.join(path, "_deleted"))
+    loaded.save_to_disk(path)  # rewrite in place, tombstones applied
+
+    assert not os.path.exists(os.path.join(path, "_deleted"))
+    again = LSHRS.load_from_disk(spark, path)
+    surviving = {r.id for r in again._index_df.select("id").distinct().collect()}
+    assert surviving == set(ids) - {3, 4}
+    assert 3 not in again.get_top_k(vecs[3], 5)
+    # the re-pointed plan of the instance that saved stays queryable too
+    assert loaded.get_top_k(vecs[7], 3)[0] == 7
+
+
 def test_create_signatures_parquet(spark, tmp_path, rng):
     src = str(tmp_path / "vectors.parquet")
     vecs = rng.standard_normal((20, 32)).astype(np.float32)
