@@ -293,6 +293,15 @@ def stream_dedup_ingest(
     granularity = batch boundary); run :func:`~lshrs_spark.operators.
     dedup.minhash_band_pairs` over the store to clean up afterwards.
 
+    Replay-safe: both sinks are keyed by ``epoch={epoch_id}``
+    subdirectories written with overwrite, so a micro-batch retried
+    after a failure/restart rewrites exactly its own output instead of
+    appending twice, and the store read EXCLUDES the current epoch's
+    partition — a replayed batch never collides with its own
+    half-written keys. ``new_id != corpus_id`` self-pairs are dropped as
+    defense-in-depth (an id legitimately re-sent later is an upsert,
+    not a duplicate of itself).
+
     Returns the started StreamingQuery (caller drives it)."""
     from pyspark.errors import AnalysisException
 
@@ -311,9 +320,15 @@ def stream_dedup_ingest(
         keys = minhash_band_keys(
             batch_df, num_hashes, rows_per_band, n, seed=seed
         ).persist()
+        dups = None
         try:
             try:
-                stored = spark.read.parquet(keys_path)
+                stored = (
+                    spark.read.option("basePath", keys_path)
+                    .parquet(keys_path)
+                    .where(F.col("epoch") != F.lit(int(epoch_id)))
+                    .select("id", "band", "sig")
+                )
             except AnalysisException:
                 stored = None  # first batch: nothing admitted yet
             admit = keys
@@ -321,6 +336,7 @@ def stream_dedup_ingest(
                 dups = (
                     keys.alias("a")
                     .join(stored.alias("b"), on=["band", "sig"])
+                    .where(F.col("a.id") != F.col("b.id"))
                     .select(
                         F.col("a.id").alias("new_id"),
                         F.col("b.id").alias("corpus_id"),
@@ -328,15 +344,21 @@ def stream_dedup_ingest(
                     .distinct()
                     .persist()
                 )
-                dups.write.mode("append").parquet(dups_path)
+                dups.write.mode("overwrite").parquet(
+                    f"{dups_path}/epoch={int(epoch_id)}"
+                )
                 admit = keys.join(
                     dups.select(F.col("new_id").alias("id")).distinct(),
                     "id",
                     "left_anti",
                 )
-            admit.write.mode("append").parquet(keys_path)
+            admit.write.mode("overwrite").parquet(
+                f"{keys_path}/epoch={int(epoch_id)}"
+            )
         finally:
             keys.unpersist()
+            if dups is not None:
+                dups.unpersist()
 
     writer = stream.writeStream.foreachBatch(dedup_batch)
     if checkpoint:

@@ -156,3 +156,39 @@ def test_stream_dedup_ingest_flags_cross_batch_duplicates(spark, tmp_path):
                 spark.read.parquet(f"{state}/band_keys").select("id")
                 .distinct().collect()}
     assert admitted == {0, 1, 11, 21}   # duplicates never enter the store
+
+    # --- replay: delete the last commit marker and restart, forcing the
+    # streaming engine to re-run the final micro-batch (ADVICE r3: the
+    # old append-mode sinks doubled dup rows and self-flagged the
+    # replayed batch's own keys, refusing re-admission) -----------------
+    commits = sorted(
+        f for f in os.listdir(tmp_path / "ckpt" / "commits")
+        if not f.startswith(".")
+    )
+    os.remove(tmp_path / "ckpt" / "commits" / commits[-1])
+    crc = tmp_path / "ckpt" / "commits" / f".{commits[-1]}.crc"
+    if crc.exists():             # stale Hadoop checksum blocks the re-commit
+        os.remove(crc)
+    q.awaitTermination(60)       # checkpoint lock must release before restart
+    for _ in range(100):
+        if not q.isActive:
+            break
+        time.sleep(0.1)
+    q2 = stream_dedup_ingest(
+        spark, str(src), state,
+        checkpoint=str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    dup_rows = spark.read.parquet(f"{state}/duplicates").collect()
+    assert {(r.new_id, r.corpus_id) for r in dup_rows} == {(10, 0), (20, 11)}
+    assert len(dup_rows) == 2            # idempotent: no doubled rows
+    admitted_rows = spark.read.parquet(f"{state}/band_keys").select(
+        "id"
+    ).collect()
+    assert {r.id for r in admitted_rows} == {0, 1, 11, 21}
+    # 4 admitted ids x (num_hashes=8 / rows_per_band=2)=4 band keys each;
+    # a replayed append (vs overwrite) would double id 21's keys
+    assert len(admitted_rows) == 16
