@@ -34,6 +34,7 @@ __all__ = [
     "kmeans_centroids",
     "recall_at_k",
     "ivf_delete",
+    "ivf_compact",
 ]
 
 
@@ -260,6 +261,7 @@ def ivf_topk_stored(
     store = spark.read.parquet(store_path).filter(
         F.col("centroid_id").isin(probe_cids)  # -> PartitionFilters on the scan
     )
+    store = _apply_ivf_tombstones(spark, store, store_path)
     v = store.select(
         F.col("centroid_id").cast("long").alias("centroid_id"),
         "id",
@@ -366,3 +368,96 @@ def ivf_delete(store_path: str, ids) -> None:
         f"{root}/_deleted/del_{uuid.uuid4().hex}.parquet"
     ) as sink:
         pq.write_table(tbl, sink)
+
+
+def _tombstone_ids(store_path: str) -> list[int]:
+    """Read the ``_deleted`` sidecar driver-side (it holds a handful of
+    ids per delete batch — no Spark job). Empty list when absent."""
+    import pyarrow.dataset as ds
+    from pyarrow.fs import FileSelector, FileType
+
+    from ..serving import _fs_and_path
+
+    filesystem, root = _fs_and_path(store_path)
+    deleted = f"{root}/_deleted"
+    if filesystem.get_file_info(deleted).type == FileType.NotFound:
+        return []
+    files = [
+        f.path
+        for f in filesystem.get_file_info(FileSelector(deleted))
+        if f.path.endswith(".parquet")
+    ]
+    if not files:
+        return []
+    tbl = ds.dataset(files, filesystem=filesystem).to_table(columns=["id"])
+    return sorted({int(i) for i in tbl.column("id").to_pylist()})
+
+
+def _apply_ivf_tombstones(spark, store: DataFrame, store_path: str) -> DataFrame:
+    """Filter tombstoned ids out of a stored-IVF scan so the Spark query
+    path agrees with a tombstone-aware :class:`~lshrs_spark.serving.
+    IVFServer` over the same directory."""
+    tomb = _tombstone_ids(store_path)
+    if not tomb:
+        return store
+    return store.filter(~F.col("id").isin([int(i) for i in tomb]))
+
+
+def ivf_compact(spark, store_path: str) -> None:
+    """Merge the ``_deleted`` tombstone sidecar into the stored IVF
+    partitions and clear it — the periodic maintenance step that keeps
+    delete cost O(tombstones) at write time and restores scan purity.
+
+    Scale shape: only partitions that actually CONTAIN a tombstoned id
+    are rewritten (found via an id-pushed scan — parquet row-group
+    stats skip clean partitions); each affected ``centroid_id=N``
+    directory is rewritten to a temp sibling and swapped in, so an
+    untimely failure leaves either the old tombstone-consistent state or
+    the new compacted state, never a half-rewritten partition visible
+    without its tombstones. File ops go through pyarrow.fs — works for
+    object-store URIs. No-op when the sidecar is absent/empty."""
+    import uuid as _uuid
+
+    from ..serving import _fs_and_path
+
+    tomb = _tombstone_ids(store_path)
+    filesystem, root = _fs_and_path(store_path)
+
+    def _rm_dir(path: str) -> None:
+        try:
+            filesystem.delete_dir(path)
+        except (FileNotFoundError, OSError):
+            pass
+
+    if not tomb:
+        _rm_dir(f"{root}/_deleted")
+        return
+    store = spark.read.parquet(store_path)
+    affected = sorted(
+        r.centroid_id
+        for r in store.filter(F.col("id").isin(tomb))
+        .select("centroid_id")
+        .distinct()
+        .collect()
+    )
+    if affected:
+        tmp = f"{store_path}/_compact_tmp_{_uuid.uuid4().hex}"
+        (
+            store.filter(F.col("centroid_id").isin(affected))
+            .filter(~F.col("id").isin(tomb))
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(tmp)
+        )
+        tmp_root = f"{root}/{tmp.rsplit('/', 1)[-1]}"
+        from pyarrow.fs import FileType
+
+        for cid in affected:
+            final = f"{root}/centroid_id={cid}"
+            rewritten = f"{tmp_root}/centroid_id={cid}"
+            filesystem.delete_dir(final)
+            if filesystem.get_file_info(rewritten).type != FileType.NotFound:
+                filesystem.move(rewritten, final)
+            # else: every row in the partition was tombstoned — it is gone
+        _rm_dir(tmp_root)
+    _rm_dir(f"{root}/_deleted")

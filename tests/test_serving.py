@@ -355,3 +355,81 @@ def test_ivf_delete_tombstones_visible_after_refresh(spark, tmp_path):
     got = srv.topk(q, n, nprobe=8)
     assert 42 not in [i for i, _, _ in got]
     assert len(got) == n - 1                                   # others intact
+
+
+def test_ivf_compact_merges_tombstones(spark, tmp_path):
+    """ivf_compact rewrites only the affected partitions, removes the
+    _deleted sidecar, and serves identically afterwards — for both the
+    Spark query path (ivf_topk_stored, tombstone-aware) and IVFServer."""
+    import os
+
+    from lshrs_spark.operators.knn import (
+        ivf_centroids_by_id,
+        ivf_compact,
+        ivf_delete,
+        ivf_topk_stored,
+        ivf_write_store,
+    )
+    from lshrs_spark.serving import IVFServer
+
+    rng = np.random.default_rng(29)
+    n, d = 300, 16
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    store = str(tmp_path / "ivf")
+    cents = ivf_centroids_by_id(emb, 8)
+    ivf_write_store(emb, cents, store)
+    untouched = {
+        p: sorted(os.listdir(os.path.join(store, p)))
+        for p in os.listdir(store)
+        if p.startswith("centroid_id=")
+    }
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in vecs[42]]), (1, [float(x) for x in vecs[7]])],
+        "qid long, qvec array<float>",
+    )
+    ivf_delete(store, [42, 43])
+    affected = {f"centroid_id={r.centroid_id}" for r in spark.createDataFrame(
+        [(42,), (43,)], "id long").join(
+        spark.read.parquet(store).select("id", "centroid_id"), "id").collect()}
+    # Spark path respects tombstones even BEFORE compaction
+    pre = {(r.qid, r.id, round(r.score, 6), r.rank) for r in
+           ivf_topk_stored(spark, store, cents, queries, 10, 8).collect()}
+    assert not any(t[1] in (42, 43) for t in pre)
+
+    ivf_compact(spark, store)
+    assert not os.path.exists(os.path.join(store, "_deleted"))
+    assert not any(p.startswith("_compact_tmp") for p in os.listdir(store))
+    post = {(r.qid, r.id, round(r.score, 6), r.rank) for r in
+            ivf_topk_stored(spark, store, cents, queries, 10, 8).collect()}
+    assert post == pre                                 # serves identically
+    ids_left = {r.id for r in spark.read.parquet(store).select("id").collect()}
+    assert ids_left == set(range(n)) - {42, 43}
+    srv = IVFServer.from_store(store)
+    got = srv.topk(vecs[42], n, nprobe=8)
+    assert 42 not in [i for i, _, _ in got] and len(got) == n - 2
+    for p, files in untouched.items():
+        if p not in affected and os.path.exists(os.path.join(store, p)):
+            assert sorted(os.listdir(os.path.join(store, p))) == files, p
+
+
+def test_ivf_compact_noop_without_tombstones(spark, tmp_path):
+    from lshrs_spark.operators.knn import (
+        ivf_centroids_by_id,
+        ivf_compact,
+        ivf_write_store,
+    )
+
+    rng = np.random.default_rng(31)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in
+         enumerate(rng.standard_normal((50, 8)).astype(np.float32))],
+        "vec_id long, embedding array<float>",
+    )
+    store = str(tmp_path / "ivf")
+    ivf_write_store(emb, ivf_centroids_by_id(emb, 4), store)
+    ivf_compact(spark, store)   # no sidecar: no-op, no error
+    assert spark.read.parquet(store).count() == 50
