@@ -19,6 +19,7 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from lshrs_spark import LSHConfig, LSHRS
+from lshrs_spark.cache import release_slots
 from lshrs_spark.operators.index import build_index
 from lshrs_spark.operators.probe import candidates, rerank, top_k, top_p_cutoff
 from lshrs_spark.session import get_spark
@@ -133,9 +134,24 @@ def main() -> None:
     # timed run measures steady-state throughput, not first-compile JIT
     # (same convention as emb.count() and the 20x warm build below).
     minhash_band_pairs(docs.limit(100), num_hashes=8, rows_per_band=2).count()
+    # release the simjoin index caches before timing the dedup phase so
+    # rep timings are not entangled with other operators' cached blocks
+    release_slots()
+    # Portable-hash (h48/md5) mode: oracle-checkable, but Spark's md5
+    # enters synchronized JVM digest machinery per call and shows
+    # sporadic multi-second stalls under 32 concurrent threads (GC and
+    # cgroup throttling measured and ruled out; xxhash64 reps are flat).
+    # 5 reps so min-of-N stays meaningful through a stall.
     results["dedup_minhash"], _ = timed(
         lambda: minhash_band_pairs(docs, num_hashes=8, rows_per_band=2).count(),
-        "dedup_minhash",
+        "dedup_minhash", reps=max(REPS, 5),
+    )
+    # Production-hash mode (JVM-native xxhash64): the at-scale profile.
+    results["dedup_minhash_xxh"], _ = timed(
+        lambda: minhash_band_pairs(
+            docs, num_hashes=8, rows_per_band=2, base_hash="xxhash64"
+        ).count(),
+        "dedup_minhash_xxh",
     )
     results["dedup_simhash"], _ = timed(lambda: simhash_table(docs).count(), "dedup_simhash")
 

@@ -122,6 +122,10 @@ def release_slots(spark=None, *, include_materializations: bool = False) -> None
 
 def _safe_unpersist(df: DataFrame) -> None:
     try:
-        df.unpersist()
+        # blocking: the default async unpersist lets evicted blocks
+        # linger while the slot's next occupant materializes, so
+        # re-invoking an operator in a loop accumulates memory churn
+        # (VERDICT r3: dedup_minhash bench reps degraded 2x across reps)
+        df.unpersist(blocking=True)
     except Exception:
         pass  # stopped context — nothing to free

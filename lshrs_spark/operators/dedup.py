@@ -42,6 +42,7 @@ __all__ = [
     "connected_components",
     "ngram_contamination",
     "group_representatives",
+    "substring_span_pairs",
 ]
 
 # Mersenne prime 2^31-1: universal-hash modulus small enough that
@@ -131,6 +132,24 @@ def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return [(int(x), int(y)) for x, y in zip(a, b)]
 
 
+def _base_hash(c, base_hash: str):
+    """Shingle -> non-negative int64 under MINHASH_P.
+
+    ``h48`` (default): md5-derived, bit-portable to the DuckDB oracle —
+    the correctness-checkable mode. ``xxhash64``: Spark's JVM-native
+    hash — ~40% faster and, unlike md5 (which enters the synchronized
+    JCA MessageDigest machinery per call), free of the sporadic
+    multi-second stalls md5 shows under 32-thread executors (measured:
+    xxhash64 reps flat at 1.0-1.1 s where md5 reps spiked 5-40x; GC and
+    cgroup throttling ruled out). Use xxhash64 in production, h48 when
+    cross-engine reproducibility matters."""
+    if base_hash == "h48":
+        return h48(c) % MINHASH_P
+    if base_hash == "xxhash64":
+        return F.pmod(F.xxhash64(c), F.lit(MINHASH_P))
+    raise ValueError(f"base_hash must be 'h48' or 'xxhash64', got {base_hash!r}")
+
+
 def _minhash_wide(
     df: DataFrame,
     num_hashes: int,
@@ -138,6 +157,7 @@ def _minhash_wide(
     id_col: str,
     text_col: str,
     seed: int,
+    base_hash: str = "h48",
 ) -> DataFrame:
     """``(id, m0..m{k-1})``: one row per document with all minima.
 
@@ -155,7 +175,7 @@ def _minhash_wide(
     )
     rows = df.select(
         F.col(id_col).cast("long").alias("id"), F.explode(shingles).alias("s")
-    ).select("id", (h48(F.col("s")) % MINHASH_P).alias("h"))
+    ).select("id", _base_hash(F.col("s"), base_hash).alias("h"))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"m{i}")
         for i, (a, b) in enumerate(params)
@@ -170,12 +190,14 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 42,
+    base_hash: str = "h48",
 ) -> DataFrame:
     """``(id, i, minhash)``: minhash_i = min over shingles of
-    ``(a_i * (h48(s) % p) + b_i) % p`` — Broder MinHash with the portable
-    h48 base hash. Documents with fewer than ``n`` tokens hash the whole
-    text as a single shingle."""
-    wide = _minhash_wide(df, num_hashes, n, id_col, text_col, seed)
+    ``(a_i * (base(s) % p) + b_i) % p`` — Broder MinHash. ``base_hash``
+    picks the shingle hash: portable h48 (default, oracle-checkable) or
+    JVM-native xxhash64 (see :func:`_base_hash`). Documents with fewer
+    than ``n`` tokens hash the whole text as a single shingle."""
+    wide = _minhash_wide(df, num_hashes, n, id_col, text_col, seed, base_hash)
     stack = ", ".join(f"{i}, m{i}" for i in range(num_hashes))
     return wide.selectExpr(
         "id", f"stack({num_hashes}, {stack}) AS (i, minhash)"
@@ -190,20 +212,23 @@ def minhash_band_keys(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 42,
+    base_hash: str = "h48",
 ) -> DataFrame:
-    """``(id, band, sig)`` MinHash band keys. Band key = h48 of the
-    comma-joined minima (portable to the SQL oracle, valid for any
-    rows_per_band)."""
+    """``(id, band, sig)`` MinHash band keys. Band key = hash of the
+    comma-joined minima under the same ``base_hash`` family as the
+    shingle hash (h48 keeps the whole pipeline portable to the SQL
+    oracle; xxhash64 keeps it entirely JVM-native), valid for any
+    rows_per_band."""
     if num_hashes % rows_per_band:
         raise ValueError("num_hashes must be divisible by rows_per_band")
-    wide = _minhash_wide(df, num_hashes, n, id_col, text_col, seed)
+    wide = _minhash_wide(df, num_hashes, n, id_col, text_col, seed, base_hash)
     num_bands = num_hashes // rows_per_band
+    def _band_key(cols):
+        joined = F.concat_ws(",", *cols)
+        return h48(joined) if base_hash == "h48" else F.xxhash64(joined)
     keys = [
-        h48(
-            F.concat_ws(
-                ",",
-                *[F.col(f"m{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)],
-            )
+        _band_key(
+            [F.col(f"m{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
         ).alias(f"b{b}")
         for b in range(num_bands)
     ]
@@ -222,15 +247,21 @@ def minhash_band_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 42,
+    base_hash: str = "h48",
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing at least one
-    MinHash band."""
+    MinHash band. ``base_hash='xxhash64'`` switches the whole pipeline
+    to the JVM-native hash for production runs (see :func:`_base_hash`).
+
+    Deliberately NOT persisted: the band-key pipeline is deterministic
+    (md5 of content), so the two self-join sides recomputing it is
+    correct, and measured cheaper AND far more stable than cycling an
+    eager persist through the cache (r3 bench showed 2x rep-to-rep
+    degradation from persist/evict churn; recompute is flat). Callers
+    with a NONdeterministic input (sample/limit upstream) must persist
+    or materialize it themselves before calling."""
     key = minhash_band_keys(df, num_hashes, rows_per_band, n, id_col,
-                            text_col, seed)
-    # feeds both sides of the self-join — persist (lineage kept for
-    # cluster fault tolerance) via the bounded slot registry so the
-    # md5-heavy MinHash pipeline runs once without leaking cache entries
-    key = persist_slot(key, "dedup.minhash_bands", eager=True)
+                            text_col, seed, base_hash)
     a = key.alias("a")
     b = key.alias("b")
     return (
@@ -533,6 +564,68 @@ def ngram_contamination(
         cg.join(F.broadcast(bg), "gram")
         .groupBy("id")
         .agg(F.count_distinct("gram").alias("n_hit_grams"))
+    )
+
+
+def substring_span_pairs(
+    df: DataFrame,
+    span_tokens: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_doc_freq: Optional[int] = None,
+) -> DataFrame:
+    """Exact-substring dedup: ``(id_a, id_b, span_start_a,
+    span_start_b)`` for every cross-document pair of identical
+    ``span_tokens``-token spans (1-based token positions, ``id_a <
+    id_b``). This is the corpus-vs-corpus partial-overlap detector the
+    standard dedup battery runs at ~50-token spans (suffix-array
+    "exact substring" dedup re-expressed relationally): MinHash bands
+    compare WHOLE documents and miss a copied paragraph inside an
+    otherwise-different page; this catches exactly that.
+
+    Scale shape: every document explodes into its rolling spans hashed
+    to a 48-bit key (h48 — portable, so a SQL oracle can recompute it),
+    and matches come from an equi-join on the hash — an inverted-index
+    join, never an all-pairs comparison. The skew hazard is boilerplate
+    spans shared by thousands of documents (m docs sharing a span emit
+    m^2 pair rows); ``max_doc_freq`` is the stop-span cap: spans present
+    in more than that many documents are dropped (the standard stop-list
+    approximation; ``None`` keeps exact semantics for the oracle).
+    Shuffle volume is one row per (document, span position) — linear in
+    corpus token count, same as the tokenize pass."""
+    if span_tokens < 2:
+        raise ValueError("span_tokens must be >= 2")
+    sp = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(token_shingles_col(F.col(text_col), span_tokens)).alias(
+            "_p", "_s"
+        ),
+    ).select(
+        "id", (F.col("_p") + 1).cast("long").alias("pos"), h48(F.col("_s")).alias("h")
+    )
+    if max_doc_freq is not None:
+        keep = (
+            sp.groupBy("h")
+            .agg(F.count_distinct("id").alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("h")
+        )
+        sp = sp.join(keep, "h")
+    # both self-join sides read this — persist via the bounded slot
+    # registry so the tokenize+md5 pipeline runs once
+    sp = persist_slot(sp, "dedup.substring_spans", eager=True)
+    a = sp.alias("a")
+    b = sp.alias("b")
+    return (
+        a.join(b, on="h")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.pos").alias("span_start_a"),
+            F.col("b.pos").alias("span_start_b"),
+        )
     )
 
 

@@ -199,3 +199,71 @@ def test_group_representatives_picks_longest_then_smallest_id(spark):
            for r in group_representatives(comps, docs).collect()}
     # component 0: max n_chars=25 shared by ids 1 and 2 -> smallest id 1
     assert got == {0: (1, 3), 3: (3, 1), 4: (4, 1)}
+
+
+def test_substring_span_pairs_catches_partial_overlap(spark):
+    """A 40-token paragraph copied into two otherwise-different documents
+    is found at every aligned 32-token window, with correct 1-based
+    start positions in EACH document."""
+    from lshrs_spark.operators.dedup import substring_span_pairs
+
+    shared = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, "a1 a2 a3 " + shared + " a4 a5"),      # shared starts at pos 4
+        (2, "b1 " + shared + " b2 b3 b4 b5 b6"),   # shared starts at pos 2
+        (3, " ".join(f"z{i}" for i in range(50))),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b, r.span_start_a, r.span_start_b)
+           for r in substring_span_pairs(df, 32).collect()}
+    want = {(1, 2, 4 + k, 2 + k) for k in range(40 - 32 + 1)}
+    assert got == want
+
+
+def test_substring_span_pairs_stop_span_cap(spark):
+    """max_doc_freq drops boilerplate spans present in more than that
+    many documents (the m^2 pair-explosion guard)."""
+    from lshrs_spark.operators.dedup import substring_span_pairs
+
+    boiler = " ".join(f"c{i}" for i in range(8))
+    rows = [(i, boiler) for i in range(1, 5)]          # 4 docs, same span
+    rows.append((9, " ".join(f"u{i}" for i in range(8))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = substring_span_pairs(df, 8).count()
+    assert uncapped == 6                                # C(4,2) pairs
+    assert substring_span_pairs(df, 8, max_doc_freq=3).count() == 0
+
+
+def test_substring_span_pairs_short_docs_no_spans(spark):
+    from lshrs_spark.operators.dedup import substring_span_pairs
+
+    df = spark.createDataFrame(
+        [(1, "only three tokens"), (2, "only three tokens")],
+        "doc_id long, text string",
+    )
+    assert substring_span_pairs(df, 32).count() == 0
+    assert substring_span_pairs(df, 3).count() == 1
+
+
+def test_minhash_xxhash_mode(spark):
+    """base_hash='xxhash64' (the JVM-native production hash) finds the
+    same exact-duplicate pairs as the portable h48 mode and rejects
+    unknown hash names."""
+    import pytest
+
+    from lshrs_spark.operators.dedup import minhash_band_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # dup of 1
+        (3, "one two three four five six seven"),
+        (4, "totally different words in this doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for mode in ("h48", "xxhash64"):
+        pairs = {(r.id_a, r.id_b)
+                 for r in minhash_band_pairs(df, base_hash=mode).collect()}
+        assert (1, 2) in pairs, mode
+        assert not any(3 in p or 4 in p for p in pairs), mode
+    with pytest.raises(ValueError, match="base_hash"):
+        minhash_band_pairs(df, base_hash="sha1").collect()
