@@ -2903,6 +2903,33 @@ def pipeline_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(counts, 256, id_col="id", tokens_col="n_bpe_tokens")
 
 
+@register(
+    "pipeline_domain_mix",
+    """WITH doms AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source),
+w AS (SELECT source, n, floor(sqrt(n))::BIGINT AS wt FROM doms),
+tw AS (SELECT sum(wt)::BIGINT AS tw FROM w),
+quota AS (SELECT source, least(n, greatest(1, (100 * wt) // tw))::BIGINT AS k
+          FROM w, tw),
+r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5('mix' || doc_id::VARCHAR),
+                                         doc_id) AS rn
+      FROM documents)
+SELECT r.doc_id::BIGINT AS id, r.source FROM r
+JOIN quota USING (source) WHERE rn <= k""",
+)
+def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened (sqrt/T=2) domain mixing over the source
+    strata: 100-row target with integer-exact quotas
+    ``min(n_d, max(1, 100 * floor(sqrt(n_d)) // sum(w)))`` and
+    deterministic hash-ordered selection — the multi-source corpus
+    rebalancing step of a pretraining mixture."""
+    from .operators.prefix import sqrt_domain_mix
+
+    out = sqrt_domain_mix(_docs(spark, sf_dir), 100, strat_col="source")
+    return out.select(F.col("doc_id").cast("long").alias("id"), "source")
+
+
 # --------------------------------------------------------------------- #
 # Driver correctness window curation
 # --------------------------------------------------------------------- #
@@ -2997,6 +3024,7 @@ FAMILY: dict[str, str] = {
     "rel_salted_agg": "rel_salted_join",
     # pipeline / quant twins
     "pipeline_split": "pipeline_stratified_sample",
+    "pipeline_domain_mix": "pipeline_stratified_sample",
     "quant_error": "quant_topk",
     # streaming twins
     "stream_event_type_agg": "stream_windowed_counts",

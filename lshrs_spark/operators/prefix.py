@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["running_total", "pack_sequences", "stratified_sample",
-           "length_grouped_batches"]
+           "length_grouped_batches", "sqrt_domain_mix"]
 
 _RT_INVOCATION = itertools.count()
 
@@ -162,6 +162,59 @@ def stratified_sample(
         .withColumn("_n", F.count(F.lit(1)).over(wn))
         .filter(F.col("_rn") <= F.ceil(F.col("_n") * F.lit(fraction)))
         .drop("_rn", "_n")
+    )
+
+
+def sqrt_domain_mix(
+    df: DataFrame,
+    target_rows: int,
+    *,
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-flattened domain mixing (the standard sqrt/T=2
+    rebalancing of multi-source training corpora): domain ``d`` gets a
+    quota ``k_d = min(n_d, max(1, target_rows * w_d // sum(w)))`` with
+    ``w_d = floor(sqrt(n_d))``, which up-weights small domains relative
+    to proportional sampling (head domains grow ~sqrt, not linearly).
+    Rows within each domain are chosen by the same deterministic hash
+    order as :func:`stratified_sample`.
+
+    Arithmetic is integer-exact BY DESIGN: ``sqrt`` of an int64 is
+    correctly rounded in IEEE double on every engine and ``floor`` of it
+    is therefore reproducible, unlike a general ``n^(1/T)`` whose 1-2
+    ulp drift could flip a quota at an integer boundary and change the
+    selected row SET cross-engine. General temperatures belong to the
+    caller via a precomputed integer weight table.
+
+    Scale limit (same as :func:`stratified_sample`, stated): the
+    per-domain rank sorts each domain in one task — fine for
+    source/language strata; for corpus-scale domains switch to hash
+    thresholds."""
+    if target_rows <= 0:
+        raise ValueError("target_rows must be positive")
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    wr = Window.partitionBy(strat_col).orderBy(h, F.col(id_col))
+    doms = df.groupBy(strat_col).agg(F.count(F.lit(1)).alias("_n"))
+    w = doms.select(
+        strat_col, "_n", F.floor(F.sqrt(F.col("_n"))).cast("long").alias("_w")
+    )
+    tot = w.agg(F.sum("_w").alias("_tw"))
+    quota = w.crossJoin(F.broadcast(tot)).select(
+        strat_col,
+        F.least(
+            F.col("_n"),
+            F.greatest(
+                F.lit(1), F.expr(f"({int(target_rows)} * _w) div _tw")
+            ),
+        ).alias("_k"),
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(wr))
+        .join(F.broadcast(quota), strat_col)
+        .filter(F.col("_rn") <= F.col("_k"))
+        .drop("_rn", "_k")
     )
 
 

@@ -179,3 +179,40 @@ def test_running_total_interleaved_calls_keep_caches(spark):
            {r.cum for r in a.collect()} == {i + 1 for i in range(20)}
     assert max(r.cum for r in b.collect()) == 40
     C.release_slots()
+
+
+def test_sqrt_domain_mix_quotas_and_determinism(spark):
+    """sqrt weighting up-weights small domains vs proportional sampling,
+    quotas are integer-exact, and the selected row SET is stable across
+    partitionings."""
+    from lshrs_spark.operators.prefix import sqrt_domain_mix
+
+    rows = ([(i, "big") for i in range(400)]
+            + [(400 + i, "mid") for i in range(100)]
+            + [(500 + i, "tiny") for i in range(4)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sqrt_domain_mix(df, 100, strat_col="source")
+    got = out.groupBy("source").count().collect()
+    counts = {r.source: r["count"] for r in got}
+    # weights: floor(sqrt(400))=20, floor(sqrt(100))=10, floor(sqrt(4))=2
+    # total 32 -> quotas: 100*20//32=62, 100*10//32=31,
+    # min(n=4, 100*2//32=6) = 4 (cap at domain size)
+    assert counts == {"big": 62, "mid": 31, "tiny": 4}
+    # proportional sampling would give tiny ~0-1 rows; sqrt takes all 4
+    ids_a = {r.doc_id for r in out.collect()}
+    ids_b = {r.doc_id for r in
+             sqrt_domain_mix(df.repartition(13), 100, strat_col="source").collect()}
+    assert ids_a == ids_b
+
+
+def test_sqrt_domain_mix_small_domain_floor(spark):
+    """Every domain keeps at least one row (and never more than it has)."""
+    from lshrs_spark.operators.prefix import sqrt_domain_mix
+
+    rows = [(i, "huge") for i in range(900)] + [(900, "single")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    counts = {r.source: r["count"] for r in
+              sqrt_domain_mix(df, 10, strat_col="source")
+              .groupBy("source").count().collect()}
+    assert counts["single"] == 1
+    assert counts["huge"] <= 900
