@@ -2903,6 +2903,80 @@ def pipeline_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(counts, 256, id_col="id", tokens_col="n_bpe_tokens")
 
 
+def _pq_l2_sql(a: str, b: str, dsub: int = 16) -> str:
+    """Squared L2 over two DOUBLE lists, index-ordered sum — the twin of
+    ``operators.knn._l2sq``'s sequential fold."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {dsub}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+_PQ_SUBS = "(SELECT unnest(generate_series(0, 3)) AS j)"
+_PQ_DIMS = "(SELECT unnest(generate_series(1, 16)) AS dim)"
+
+
+def _pq_assign_sql(cents_cte: str) -> str:
+    """Nearest code per (vector, subspace) by squared L2, code-id
+    tie-break — one PQ assignment round."""
+    return f"""(SELECT id, j, subv, code FROM (
+    SELECT s.id, s.j, s.subv, c.code,
+           row_number() OVER (PARTITION BY s.id, s.j
+               ORDER BY {_pq_l2_sql("s.subv", "c.cvec")} ASC, c.code ASC) AS r
+    FROM sub s JOIN {cents_cte} c ON c.j = s.j) WHERE r = 1)"""
+
+
+@register(
+    "ann_pq_topk",
+    f"""WITH sub AS (
+    SELECT e.vec_id::BIGINT AS id, js.j,
+           list_transform(e.embedding[js.j*16+1 : js.j*16+16],
+                          x -> x::DOUBLE) AS subv
+    FROM embeddings e, {_PQ_SUBS} js),
+ids AS (SELECT vec_id::BIGINT AS id,
+               row_number() OVER (ORDER BY vec_id) - 1 AS code
+        FROM embeddings ORDER BY vec_id LIMIT 8),
+c0 AS (SELECT s.j, ids.code,
+              list_transform(s.subv, x -> round(x, 5)) AS cvec
+       FROM sub s JOIN ids ON ids.id = s.id),
+a1 AS {_pq_assign_sql("c0")},
+m1 AS (SELECT a1.j, a1.code, dm.dim, round(avg(a1.subv[dm.dim]), 5) AS v
+       FROM a1, {_PQ_DIMS} dm GROUP BY a1.j, a1.code, dm.dim),
+c1 AS (SELECT j, code, list(v ORDER BY dim) AS cvec FROM m1 GROUP BY j, code),
+enc AS (SELECT id, j, code FROM (
+    SELECT s.id, s.j, c.code,
+           row_number() OVER (PARTITION BY s.id, s.j
+               ORDER BY {_pq_l2_sql("s.subv", "c.cvec")} ASC, c.code ASC) AS r
+    FROM sub s JOIN c1 c ON c.j = s.j) WHERE r = 1),
+q AS (SELECT js.j,
+             list_transform(e.embedding[js.j*16+1 : js.j*16+16],
+                            x -> x::DOUBLE) AS qv
+      FROM embeddings e, {_PQ_SUBS} js WHERE e.vec_id = 0),
+dtab AS (SELECT c.j, c.code, {_pq_l2_sql("q.qv", "c.cvec")} AS d
+         FROM c1 c JOIN q ON q.j = c.j),
+scored AS (SELECT id, round(sum(d), 5) AS dist2
+           FROM enc JOIN dtab USING (j, code) GROUP BY id)
+SELECT id, dist2,
+       row_number() OVER (ORDER BY dist2 ASC, id ASC)::BIGINT AS rank
+FROM scored ORDER BY dist2, id LIMIT 10""",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 4 subspace codebooks of 8 codes (one
+    L2-Lloyd round, deterministic init/tie-breaks/rounding), vectors
+    compressed to 4 codes each, query answered by asymmetric distance
+    computation over the code table — the memory-compression tier where
+    a query reads bytes, not float arrays. The oracle recomputes the
+    training round, the encoding, and the ADC scoring in SQL."""
+    from .operators.knn import pq_adc_topk, pq_codebooks, pq_encode
+
+    emb = _emb(spark, sf_dir)
+    cb = pq_codebooks(emb, m=4, k=8, dim=64, iterations=1)
+    codes = pq_encode(emb, cb, m=4, dim=64)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).first().embedding]
+    return pq_adc_topk(qv, cb, codes, 10, m=4, dim=64)
+
+
 @register(
     "pipeline_domain_mix",
     """WITH doms AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source),
@@ -2955,7 +3029,7 @@ DRIVER_WINDOW: list[str] = [
     # past the window, local-gated)
     "ann_ivf", "ann_ivf_stored",
     # planner + quantization + pipeline ops
-    "planner_config", "quant_topk", "pipeline_pack",
+    "planner_config", "ann_pq_topk", "pipeline_pack",
     "pipeline_stratified_sample", "text_bpe_tokens",
     "pipeline_length_batches",
     # text analysis + corpus hygiene
@@ -3025,7 +3099,11 @@ FAMILY: dict[str, str] = {
     # pipeline / quant twins
     "pipeline_split": "pipeline_stratified_sample",
     "pipeline_domain_mix": "pipeline_stratified_sample",
-    "quant_error": "quant_topk",
+    # quantization family: PQ (codebook quantization + ADC) is the
+    # round-4 representative; the int8 scalar-quant entries are its
+    # demoted twins
+    "quant_topk": "ann_pq_topk",
+    "quant_error": "ann_pq_topk",
     # streaming twins
     "stream_event_type_agg": "stream_windowed_counts",
     "stream_session_counts": "stream_windowed_counts",

@@ -35,6 +35,9 @@ __all__ = [
     "recall_at_k",
     "ivf_delete",
     "ivf_compact",
+    "pq_codebooks",
+    "pq_encode",
+    "pq_adc_topk",
 ]
 
 
@@ -461,3 +464,172 @@ def ivf_compact(spark, store_path: str) -> None:
             # else: every row in the partition was tombstoned — it is gone
         _rm_dir(tmp_root)
     _rm_dir(f"{root}/_deleted")
+
+
+# --------------------------------------------------------------------- #
+# Product quantization (PQ): the memory-compression ANN tier
+# --------------------------------------------------------------------- #
+# IVF prunes WHICH vectors a query scans; PQ compresses HOW MUCH is read
+# per vector: each embedding becomes m one-byte codes (here m subspace
+# codebooks of k centroids each), and query scoring reads only the code
+# table plus a per-query m x k distance table — at 100 TB this is the
+# difference between scanning float arrays and scanning bytes. All three
+# steps are pure Catalyst plans; the subspace index j is an ordinary key
+# column, so ONE plan trains/encodes all m codebooks at once (no
+# per-subspace driver loop in the hot path).
+#
+# Determinism contract (same recipe as kmeans_centroids, L2 instead of
+# cosine): init = the k lowest-id vectors' subvectors, assignment by
+# squared L2 with code-id tie-break, centroids rounded to
+# `round_decimals` every round — so a SQL oracle can unroll the exact
+# same rounds without float drift compounding.
+
+
+def _l2sq(a, b):
+    """Squared L2 distance between two double arrays — sequential fold,
+    matching the oracle's index-ordered list_sum."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_subvectors(vectors, m: int, dim: int, id_col: str, vector_col: str):
+    """``(id, j, subv)``: the m per-subspace slices as double arrays."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    slices = F.array(
+        *[
+            F.transform(
+                F.slice(F.col(vector_col), j * dsub + 1, dsub),
+                lambda x: x.cast("double"),
+            )
+            for j in range(m)
+        ]
+    )
+    return vectors.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(slices).alias("j", "subv"),
+    )
+
+
+def _pq_assign(pts, cents):
+    """Nearest code per (vector, subspace) by squared L2, ties to the
+    smallest code id; ``cents`` is broadcast (m x k rows)."""
+    w = Window.partitionBy("id", "j").orderBy(F.asc("_d"), F.asc("code"))
+    return (
+        pts.join(F.broadcast(cents), "j")
+        .withColumn("_d", _l2sq(F.col("subv"), F.col("cvec")))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+    )
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    dim: int = 64,
+    iterations: int = 1,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    round_decimals: int = 5,
+) -> DataFrame:
+    """Train the m per-subspace codebooks: ``(j, code, cvec)`` with
+    ``j`` the subspace, ``code`` in [0, k) the centroid id. One
+    DataFrame program trains all subspaces together (j is a key
+    column); per round: one broadcast join + one explode/avg shuffle."""
+    sub = _pq_subvectors(vectors, m, dim, id_col, vector_col)
+    quant = F.transform(F.col("subv"), lambda x: F.round(x, round_decimals))
+    init_ids = (
+        vectors.select(F.col(id_col).cast("long").alias("id"))
+        .orderBy("id")
+        .limit(k)
+        .withColumn("code", F.row_number().over(Window.orderBy("id")) - 1)
+    )
+    cents = (
+        sub.join(F.broadcast(init_ids), "id")
+        .select("j", F.col("code").cast("long").alias("code"), quant.alias("cvec"))
+    )
+    for _ in range(iterations):
+        assign = _pq_assign(sub, cents).select("j", "code", "subv")
+        means = (
+            assign.select(
+                "j", "code", F.posexplode(F.col("subv")).alias("pos", "val")
+            )
+            .groupBy("j", "code", "pos")
+            .agg(F.round(F.avg("val"), round_decimals).alias("v"))
+        )
+        cents = means.groupBy("j", "code").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s["v"],
+            ).alias("cvec")
+        )
+    return cents
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """``(id, j, code)``: each vector compressed to m codebook codes —
+    the narrow table a 100 TB deployment stores instead of the float
+    embeddings (plus the tiny codebooks)."""
+    sub = _pq_subvectors(vectors, m, dim, id_col, vector_col)
+    return _pq_assign(sub, codebooks).select("id", "j", "code")
+
+
+def pq_adc_topk(
+    query_vec,
+    codebooks: DataFrame,
+    codes: DataFrame,
+    k: int,
+    m: int = 4,
+    dim: int = 64,
+    *,
+    round_decimals: int = 5,
+) -> DataFrame:
+    """Asymmetric distance computation: ``(id, dist2, rank)`` top-k by
+    approximate squared L2. The query builds an m x k distance table
+    against the codebooks (broadcast both ways — it never grows with
+    the corpus), joins it onto the code table and sums per vector; the
+    corpus-side scan touches only ``(id, j, code)``. Scores are rounded
+    before ranking (id tie-break) so the selected SET is reproducible
+    cross-engine."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    qsub = [
+        F.array(*[F.lit(round(float(x), 7)) for x in query_vec[j * dsub : (j + 1) * dsub]])
+        for j in range(m)
+    ]
+    spark = codebooks.sparkSession
+    qrows = spark.range(m).select(
+        F.col("id").cast("int").alias("j"),
+        F.element_at(F.array(*qsub), F.col("id").cast("int") + 1).alias("qv"),
+    )
+    dtab = (
+        codebooks.join(F.broadcast(qrows), "j")
+        .select("j", "code", _l2sq(F.col("qv"), F.col("cvec")).alias("_d"))
+    )
+    scored = (
+        codes.join(F.broadcast(dtab), ["j", "code"])
+        .groupBy("id")
+        .agg(F.round(F.sum("_d"), round_decimals).alias("dist2"))
+    )
+    # TakeOrderedAndProject gets the k rows (no corpus-wide window);
+    # the rank window then runs over k rows only
+    topk = scored.orderBy(F.asc("dist2"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.asc("dist2"), F.asc("id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "id", "dist2", F.col("rank").cast("long").alias("rank")
+    )

@@ -105,3 +105,60 @@ def test_kmeans_deterministic(spark):
     assert [(r.centroid_id, r.cvec) for r in a] == [
         (r.centroid_id, r.cvec) for r in b
     ]
+
+
+# --------------------------------------------------------------------- #
+# Product quantization
+# --------------------------------------------------------------------- #
+
+def _cluster_vectors(spark, n_per=20, dim=16):
+    """Two well-separated clusters around +1 and -1 poles."""
+    import numpy as np
+
+    rng = np.random.default_rng(47)
+    a = 1.0 + 0.05 * rng.standard_normal((n_per, dim))
+    b = -1.0 + 0.05 * rng.standard_normal((n_per, dim))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(a)]
+    rows += [(100 + i, [float(x) for x in v]) for i, v in enumerate(b)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), a
+
+
+def test_pq_codebooks_shape_and_determinism(spark):
+    from lshrs_spark.operators.knn import pq_codebooks
+
+    df, _ = _cluster_vectors(spark)
+    cb = pq_codebooks(df, m=4, k=4, dim=16, iterations=1)
+    rows = cb.collect()
+    assert len(rows) == 16                      # m=4 x k=4 (none empty here)
+    assert all(len(r.cvec) == 4 for r in rows)  # dsub = 16/4
+    again = {(r.j, r.code): tuple(r.cvec) for r in
+             pq_codebooks(df, m=4, k=4, dim=16, iterations=1).collect()}
+    assert {(r.j, r.code): tuple(r.cvec) for r in rows} == again
+
+
+def test_pq_encode_identical_vectors_share_codes(spark):
+    from lshrs_spark.operators.knn import pq_codebooks, pq_encode
+
+    # ids 1 and 2 are the k=2 init centroids — one per pole, so the
+    # codebook starts separated
+    rows = [(1, [1.0] * 16), (2, [-1.0] * 16), (3, [-1.0] * 16), (4, [1.0] * 16)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = pq_codebooks(df, m=4, k=2, dim=16, iterations=1)
+    codes = {(r.id, r.j): r.code for r in pq_encode(df, cb, m=4, dim=16).collect()}
+    assert len(codes) == 4 * 4                   # every (id, subspace) coded
+    for j in range(4):
+        assert codes[(1, j)] == codes[(4, j)]    # identical vectors
+        assert codes[(2, j)] == codes[(3, j)]
+        assert codes[(1, j)] != codes[(3, j)]    # opposite pole differs
+
+
+def test_pq_adc_topk_finds_query_cluster(spark):
+    from lshrs_spark.operators.knn import pq_adc_topk, pq_codebooks, pq_encode
+
+    df, a = _cluster_vectors(spark)
+    cb = pq_codebooks(df, m=4, k=4, dim=16, iterations=1)
+    codes = pq_encode(df, cb, m=4, dim=16)
+    got = pq_adc_topk([float(x) for x in a[0]], cb, codes, 10, m=4, dim=16).collect()
+    assert [r.rank for r in got] == list(range(1, 11))
+    assert all(r.id < 100 for r in got)          # all from the query's cluster
+    assert got[0].dist2 <= got[-1].dist2
