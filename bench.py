@@ -258,6 +258,44 @@ def main() -> None:
     ann_serve_p95_ms = lat_ivf[94] * 1000
     results["ann_ivf_served20x"] = lat_ivf[len(lat_ivf) // 2]
 
+    # 13. PQ compressed-scan ANN over the 20x corpus: codebooks trained
+    # on the 1x corpus, code table materialized once (the production
+    # stored layout), ADC query reads only (id, j, code) + an m x k
+    # distance table.
+    from lshrs_spark.operators.knn import pq_adc_topk, pq_codebooks, pq_encode
+
+    cb = pq_codebooks(emb, m=4, k=16, dim=64, iterations=1).cache()
+    cb.count()
+    codes = big.select(
+        F.col("vec_id"), F.col("embedding")
+    )
+    codes = pq_encode(codes, cb, m=4, dim=64).persist()
+    codes.count()
+    qv_list = [float(x) for x in qv]
+    pq_adc_topk(qv_list, cb, codes, 10, m=4, dim=64).count()  # warm
+    results["ann_pq_query20x"], _ = timed(
+        lambda: pq_adc_topk(qv_list, cb, codes, 10, m=4, dim=64).count(),
+        "ann_pq_query20x", warmup=False,
+    )
+
+    # 14. PQ served (no Spark job): the code table loads once, every
+    # query is one vectorized gather-sum over m bytes/doc.
+    from lshrs_spark.operators.knn import pq_write_store
+    from lshrs_spark.serving import PQServer
+
+    pq_store = os.path.join(tempfile.gettempdir(), "lshrs_bench_pq20x")
+    pq_write_store(big, cb, pq_store, m=4, dim=64)
+    psrv = PQServer.from_store(pq_store)
+    psrv.topk(qvecs[0], 10)  # warm
+    lat_pq = []
+    for q in qvecs:
+        t0 = time.time()
+        psrv.topk(q, 10)
+        lat_pq.append(time.time() - t0)
+    lat_pq.sort()
+    pq_serve_p95_ms = lat_pq[94] * 1000
+    results["ann_pq_served20x"] = lat_pq[len(lat_pq) // 2]
+
     total = sum(results.values())
     print(json.dumps({
         "metric": "headline_total",
@@ -273,6 +311,7 @@ def main() -> None:
         ),
         "single_query_p95_ms": round(serve_p95_ms, 2),
         "ann_query_p95_ms": round(ann_serve_p95_ms, 2),
+        "pq_query_p95_ms": round(pq_serve_p95_ms, 2),
         # BASELINE.md memory target (<2 GB): driver-process peak RSS.
         # Executor memory is the JVM's (local mode shares the process);
         # the python driver side is what we can measure portably.

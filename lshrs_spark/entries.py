@@ -2978,6 +2978,77 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_pq_recall",
+    f"""WITH sub AS (
+    SELECT e.vec_id::BIGINT AS id, js.j,
+           list_transform(e.embedding[js.j*16+1 : js.j*16+16],
+                          x -> x::DOUBLE) AS subv
+    FROM embeddings e, {_PQ_SUBS} js),
+ids AS (SELECT vec_id::BIGINT AS id,
+               row_number() OVER (ORDER BY vec_id) - 1 AS code
+        FROM embeddings ORDER BY vec_id LIMIT 8),
+c0 AS (SELECT s.j, ids.code,
+              list_transform(s.subv, x -> round(x, 5)) AS cvec
+       FROM sub s JOIN ids ON ids.id = s.id),
+a1 AS {_pq_assign_sql("c0")},
+m1 AS (SELECT a1.j, a1.code, dm.dim, round(avg(a1.subv[dm.dim]), 5) AS v
+       FROM a1, {_PQ_DIMS} dm GROUP BY a1.j, a1.code, dm.dim),
+c1 AS (SELECT j, code, list(v ORDER BY dim) AS cvec FROM m1 GROUP BY j, code),
+enc AS (SELECT id, j, code FROM (
+    SELECT s.id, s.j, c.code,
+           row_number() OVER (PARTITION BY s.id, s.j
+               ORDER BY {_pq_l2_sql("s.subv", "c.cvec")} ASC, c.code ASC) AS r
+    FROM sub s JOIN c1 c ON c.j = s.j) WHERE r = 1),
+q AS (SELECT js.j,
+             list_transform(e.embedding[js.j*16+1 : js.j*16+16],
+                            x -> x::DOUBLE) AS qv
+      FROM embeddings e, {_PQ_SUBS} js WHERE e.vec_id = 0),
+dtab AS (SELECT c.j, c.code, {_pq_l2_sql("q.qv", "c.cvec")} AS d
+         FROM c1 c JOIN q ON q.j = c.j),
+scored AS (SELECT id, round(sum(d), 5) AS dist2
+           FROM enc JOIN dtab USING (j, code) GROUP BY id),
+approx AS (SELECT id FROM scored ORDER BY dist2, id LIMIT 10),
+qfull AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+          FROM embeddings WHERE vec_id = 0),
+exact AS (SELECT e.vec_id::BIGINT AS id
+          FROM embeddings e, qfull
+          ORDER BY {_pq_l2_sql("list_transform(e.embedding, x -> x::DOUBLE)", "qfull.qv", 64)} ASC,
+                   e.vec_id ASC
+          LIMIT 10)
+SELECT round(count(*) / 10.0, 5) AS recall
+FROM approx JOIN exact USING (id)""",
+)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PQ/ADC result against the exact full-vector L2
+    top-10 — the quality gauge that decides whether an (m, k) codebook
+    config is usable before deploying the compressed layout."""
+    from .operators.knn import _l2sq, pq_adc_topk, pq_codebooks, pq_encode
+
+    emb = _emb(spark, sf_dir)
+    cb = pq_codebooks(emb, m=4, k=8, dim=64, iterations=1)
+    codes = pq_encode(emb, cb, m=4, dim=64)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).first().embedding]
+    approx = pq_adc_topk(qv, cb, codes, 10, m=4, dim=64).select("id")
+    qlit = F.array(*[F.lit(x) for x in qv])
+    exact = (
+        emb.select(
+            F.col("vec_id").cast("long").alias("id"),
+            _l2sq(
+                F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                F.transform(qlit, lambda x: x.cast("double")),
+            ).alias("_d"),
+        )
+        .orderBy(F.asc("_d"), F.asc("id"))
+        .limit(10)
+        .select("id")
+    )
+    return approx.join(exact, "id").agg(
+        F.round(F.count(F.lit(1)) / 10.0, 5).alias("recall")
+    )
+
+
+@register(
     "pipeline_domain_mix",
     """WITH doms AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source),
 w AS (SELECT source, n, floor(sqrt(n))::BIGINT AS wt FROM doms),
@@ -3104,6 +3175,7 @@ FAMILY: dict[str, str] = {
     # demoted twins
     "quant_topk": "ann_pq_topk",
     "quant_error": "ann_pq_topk",
+    "ann_pq_recall": "ann_pq_topk",
     # streaming twins
     "stream_event_type_agg": "stream_windowed_counts",
     "stream_session_counts": "stream_windowed_counts",

@@ -38,6 +38,7 @@ __all__ = [
     "pq_codebooks",
     "pq_encode",
     "pq_adc_topk",
+    "pq_write_store",
 ]
 
 
@@ -632,4 +633,50 @@ def pq_adc_topk(
     w = Window.orderBy(F.asc("dist2"), F.asc("id"))
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "id", "dist2", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def pq_write_store(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    path: str,
+    m: int = 4,
+    dim: int = 64,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the PQ layout: the code table ``(id, codes)`` with
+    ``codes[j]`` the subspace-j codebook code, written id-sorted so
+    row-group stats prune id lookups; the (tiny) codebooks go to
+    ``{path}/_codebooks`` (invisible to dataset discovery, same
+    convention as the IVF ``_centroids`` sidecar). At 100 TB this table
+    is m bytes per document — the scan a
+    :class:`~lshrs_spark.serving.PQServer` or Spark ADC query reads
+    instead of the float embeddings."""
+    enc = pq_encode(vectors, codebooks, m, dim, id_col=id_col,
+                    vector_col=vector_col)
+    wide = enc.groupBy("id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("j", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+    n = int(vectors.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    (
+        wide.repartitionByRange(n, "id")
+        .sortWithinPartitions("id")
+        .write.mode(mode)
+        .parquet(path)
+    )
+    (
+        codebooks.select(
+            F.col("j").cast("long"),
+            F.col("code").cast("long"),
+            F.col("cvec").cast("array<double>"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/_codebooks")
     )

@@ -37,7 +37,7 @@ import pyarrow.dataset as pads
 from .config import LSHConfig
 from .hashing import hash_vectors_local, hash_vectors_local_long
 
-__all__ = ["IndexServer", "IVFServer"]
+__all__ = ["IndexServer", "IVFServer", "PQServer"]
 
 
 def _fs_and_path(path: str):
@@ -411,6 +411,84 @@ class IVFServer:
             scores = np.where(norms > 0, vecs @ q / norms, np.nan)
         order = np.lexsort((ids, -np.nan_to_num(scores, nan=-np.inf),
                             np.isnan(scores)))[:k]
+        return [
+            (int(ids[i]), float(scores[i]), rank + 1)
+            for rank, i in enumerate(order)
+        ]
+
+
+class PQServer:
+    """No-Spark-job ANN serving over a stored PQ layout
+    (:func:`~lshrs_spark.operators.knn.pq_write_store`): the codebooks
+    (m x k x dsub, a few KB) and the code table (m small ints per
+    document) load into numpy at open; a query then
+
+    1. builds the m x k table of squared L2 distances from the query's
+       subvectors to every codebook centroid, and
+    2. scores every document with one vectorized gather-sum over the
+       code matrix — asymmetric distance computation, identical
+       rounding/tie-break contract to
+       :func:`~lshrs_spark.operators.knn.pq_adc_topk`.
+
+    The scan is bytes-per-document, so a corpus shard of 100M codes is
+    ~m*100 MB of memory and one fused numpy pass — the compressed-tier
+    twin of :class:`IVFServer` (which prunes partitions but reads float
+    vectors). At fleet scale, shard the code table across servers and
+    merge top-k; the per-shard math is exactly this class."""
+
+    def __init__(self, store_path: str) -> None:
+        self._store_path = store_path
+        cb = pads.dataset(
+            os.path.join(store_path, "_codebooks"), format="parquet"
+        ).to_table()
+        js = cb.column("j").to_numpy(zero_copy_only=False)
+        codes = cb.column("code").to_numpy(zero_copy_only=False)
+        cvecs = cb.column("cvec").to_numpy(zero_copy_only=False)
+        self._m = int(js.max()) + 1
+        self._k = int(codes.max()) + 1
+        self._dsub = len(cvecs[0])
+        # (m, k, dsub); absent (empty-cluster) codes stay +inf distance
+        self._cb = np.full((self._m, self._k, self._dsub), np.nan)
+        for j, c, v in zip(js, codes, cvecs):
+            self._cb[int(j), int(c)] = np.asarray(v, dtype=np.float64)
+        self._open()
+
+    def _open(self) -> None:
+        tbl = pads.dataset(self._store_path, format="parquet").to_table(
+            columns=["id", "codes"]
+        )
+        self._ids = tbl.column("id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        self._codes = np.stack(
+            tbl.column("codes").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        self._deleted = _read_tombstones(f"{self._store_path}/_deleted")
+
+    def refresh(self) -> None:
+        """Re-read the code table and the ``_deleted`` sidecar — same
+        contract as :meth:`IndexServer.refresh`."""
+        self._open()
+
+    @classmethod
+    def from_store(cls, store_path: str) -> "PQServer":
+        return cls(store_path)
+
+    def topk(self, vector: np.ndarray, k: int = 10) -> list:
+        """``[(id, dist2, rank)]`` — same rows as ``pq_adc_topk`` for
+        the stored corpus, zero JVM involvement."""
+        q = np.asarray(vector, dtype=np.float64).reshape(self._m, self._dsub)
+        diff = self._cb - q[:, None, :]            # (m, k, dsub)
+        dtab = np.einsum("mkd,mkd->mk", diff, diff)
+        dtab = np.nan_to_num(dtab, nan=np.inf)     # empty codes unreachable
+        scores = dtab[np.arange(self._m)[None, :], self._codes].sum(axis=1)
+        scores = np.round(scores, 5)
+        ids = self._ids
+        keep = _drop_deleted(ids, self._deleted)
+        ids, scores = ids[keep], scores[keep]
+        if len(ids) == 0:
+            return []
+        order = np.lexsort((ids, scores))[:k]
         return [
             (int(ids[i]), float(scores[i]), rank + 1)
             for rank, i in enumerate(order)

@@ -433,3 +433,47 @@ def test_ivf_compact_noop_without_tombstones(spark, tmp_path):
     ivf_write_store(emb, ivf_centroids_by_id(emb, 4), store)
     ivf_compact(spark, store)   # no sidecar: no-op, no error
     assert spark.read.parquet(store).count() == 50
+
+
+def test_pq_server_matches_spark_adc(spark, tmp_path):
+    """PQServer (no Spark job) returns the same rows as the Spark ADC
+    query over the same stored layout; ivf_delete tombstones apply at
+    refresh()."""
+    from lshrs_spark.operators.knn import (
+        ivf_delete,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+        pq_write_store,
+    )
+    from lshrs_spark.serving import PQServer
+
+    rng = np.random.default_rng(53)
+    n, dim = 400, 32
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cb = pq_codebooks(emb, m=4, k=8, dim=dim, iterations=1)
+    store = str(tmp_path / "pq")
+    pq_write_store(emb, cb, store, m=4, dim=dim)
+
+    q = [float(x) for x in vecs[7]]
+    codes = pq_encode(emb, cb, m=4, dim=dim)
+    want = [(r.id, r.dist2, r.rank) for r in
+            pq_adc_topk(q, cb, codes, 10, m=4, dim=dim).collect()]
+    srv = PQServer.from_store(store)
+    got = srv.topk(np.array(q), 10)
+    # ids + ranks exact; distances may differ by 1 ulp at the rounding
+    # boundary (numpy einsum vs Spark's sequential fold, both pre-round)
+    assert [(i, rk) for i, _, rk in got] == [(i, rk) for i, _, rk in want]
+    assert all(abs(a[1] - b[1]) < 2e-5 for a, b in zip(got, want))
+
+    top1 = got[0][0]
+    ivf_delete(store, [top1])           # generic _deleted sidecar
+    assert srv.topk(np.array(q), 10)[0][0] == top1   # stale until refresh
+    srv.refresh()
+    after = srv.topk(np.array(q), 10)
+    assert all(i != top1 for i, _, _ in after)
+    assert len(after) == 10
