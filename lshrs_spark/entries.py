@@ -3049,6 +3049,85 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivfpq_topk",
+    f"""WITH cent AS (SELECT vec_id::BIGINT AS centroid_id, embedding AS cvec
+             FROM embeddings WHERE vec_id < 16),
+assign AS (SELECT id, centroid_id FROM (
+    SELECT e.vec_id::BIGINT AS id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {cosine_sql("e.embedding", "c.cvec")} DESC,
+                        c.centroid_id ASC) AS r
+    FROM embeddings e CROSS JOIN cent c) WHERE r = 1),
+qf AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probes AS (SELECT centroid_id FROM (
+    SELECT c.centroid_id,
+           row_number() OVER (
+               ORDER BY {cosine_sql("qf.qv", "c.cvec")} DESC,
+                        c.centroid_id ASC) AS r
+    FROM cent c CROSS JOIN qf) WHERE r <= 4),
+sub AS (
+    SELECT e.vec_id::BIGINT AS id, js.j,
+           list_transform(e.embedding[js.j*16+1 : js.j*16+16],
+                          x -> x::DOUBLE) AS subv
+    FROM embeddings e, {_PQ_SUBS} js),
+ids AS (SELECT vec_id::BIGINT AS id,
+               row_number() OVER (ORDER BY vec_id) - 1 AS code
+        FROM embeddings ORDER BY vec_id LIMIT 8),
+c0 AS (SELECT s.j, ids.code,
+              list_transform(s.subv, x -> round(x, 5)) AS cvec
+       FROM sub s JOIN ids ON ids.id = s.id),
+a1 AS {_pq_assign_sql("c0")},
+m1 AS (SELECT a1.j, a1.code, dm.dim, round(avg(a1.subv[dm.dim]), 5) AS v
+       FROM a1, {_PQ_DIMS} dm GROUP BY a1.j, a1.code, dm.dim),
+c1 AS (SELECT j, code, list(v ORDER BY dim) AS cvec FROM m1 GROUP BY j, code),
+enc AS (SELECT id, j, code FROM (
+    SELECT s.id, s.j, c.code,
+           row_number() OVER (PARTITION BY s.id, s.j
+               ORDER BY {_pq_l2_sql("s.subv", "c.cvec")} ASC, c.code ASC) AS r
+    FROM sub s JOIN c1 c ON c.j = s.j) WHERE r = 1),
+qs AS (SELECT js.j,
+             list_transform(e.embedding[js.j*16+1 : js.j*16+16],
+                            x -> x::DOUBLE) AS qv
+      FROM embeddings e, {_PQ_SUBS} js WHERE e.vec_id = 0),
+dtab AS (SELECT c.j, c.code, {_pq_l2_sql("qs.qv", "c.cvec")} AS d
+         FROM c1 c JOIN qs ON qs.j = c.j),
+cand AS (SELECT a.id FROM assign a
+         JOIN probes p ON a.centroid_id = p.centroid_id),
+scored AS (SELECT enc.id, round(sum(d), 5) AS dist2
+           FROM enc JOIN cand ON cand.id = enc.id
+           JOIN dtab USING (j, code) GROUP BY enc.id)
+SELECT id, dist2,
+       row_number() OVER (ORDER BY dist2 ASC, id ASC)::BIGINT AS rank
+FROM scored ORDER BY dist2, id LIMIT 10""",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC against a STORED layout: the code table partitioned by
+    nearest-centroid assignment, query = partition-pruned scan (IVF) +
+    asymmetric distance over codes (PQ). The two prunings composed —
+    nprobe/K of the partitions read, m bytes per surviving document.
+    Oracle recomputes the assignment, the codebook training round, the
+    encoding, the probe set, and the ADC scoring."""
+    from .operators.knn import (
+        ivf_centroids_by_id,
+        ivfpq_topk_stored,
+        ivfpq_write_store,
+        pq_codebooks,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_centroids_by_id(emb, 16)
+    cb = pq_codebooks(emb, m=4, k=8, dim=64, iterations=1)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"lshrs_ivfpq_store_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    ivfpq_write_store(emb, cents, cb, path, m=4, dim=64)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).first().embedding]
+    return ivfpq_topk_stored(spark, path, cents, cb, qv, 10, 4, m=4, dim=64)
+
+
+@register(
     "pipeline_domain_mix",
     """WITH doms AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source),
 w AS (SELECT source, n, floor(sqrt(n))::BIGINT AS wt FROM doms),
@@ -3176,6 +3255,7 @@ FAMILY: dict[str, str] = {
     "quant_topk": "ann_pq_topk",
     "quant_error": "ann_pq_topk",
     "ann_pq_recall": "ann_pq_topk",
+    "ann_ivfpq_topk": "ann_pq_topk",
     # streaming twins
     "stream_event_type_agg": "stream_windowed_counts",
     "stream_session_counts": "stream_windowed_counts",

@@ -39,6 +39,8 @@ __all__ = [
     "pq_encode",
     "pq_adc_topk",
     "pq_write_store",
+    "ivfpq_write_store",
+    "ivfpq_topk_stored",
 ]
 
 
@@ -657,12 +659,7 @@ def pq_write_store(
     instead of the float embeddings."""
     enc = pq_encode(vectors, codebooks, m, dim, id_col=id_col,
                     vector_col=vector_col)
-    wide = enc.groupBy("id").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("j", "code"))),
-            lambda s: s["code"],
-        ).alias("codes")
-    )
+    wide = _pq_codes_wide(enc)
     n = int(vectors.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     (
         wide.repartitionByRange(n, "id")
@@ -680,3 +677,92 @@ def pq_write_store(
         .write.mode("overwrite")
         .parquet(f"{path}/_codebooks")
     )
+
+
+def _pq_codes_wide(enc: DataFrame) -> DataFrame:
+    """``(id, j, code)`` rows -> ``(id, codes)`` with codes[j] ordered
+    by subspace."""
+    return enc.groupBy("id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("j", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def ivfpq_write_store(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    path: str,
+    m: int = 4,
+    dim: int = 64,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """IVFADC layout — the two prunings composed: the code table
+    ``(id, codes)`` parquet-partitioned by nearest-centroid assignment.
+    A query prunes to ``nprobe/K`` of the PARTITIONS (IVF) and reads m
+    bytes per surviving document (PQ) — at 100 TB this is the layout
+    where a top-k query touches megabytes. Sidecars: ``_centroids`` +
+    ``_codebooks`` (both tiny, both invisible to dataset discovery)."""
+    assign = ivf_assign(vectors, centroids, id_col=id_col, vector_col=vector_col)
+    enc = pq_encode(vectors, codebooks, m, dim, id_col=id_col,
+                    vector_col=vector_col)
+    (
+        _pq_codes_wide(enc)
+        .join(assign, "id")
+        .write.mode(mode)
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+    (
+        centroids.select(
+            F.col("centroid_id").cast("long"),
+            F.col("cvec").cast("array<double>"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/_centroids")
+    )
+    (
+        codebooks.select(
+            F.col("j").cast("long"),
+            F.col("code").cast("long"),
+            F.col("cvec").cast("array<double>"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/_codebooks")
+    )
+
+
+def ivfpq_topk_stored(
+    spark,
+    store_path: str,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    query_vec,
+    k: int,
+    nprobe: int,
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """IVFADC query against a stored layout: probed centroid ids become
+    a partition-pruning filter on the code-table scan, then ADC scores
+    the surviving codes — :func:`pq_adc_topk` restricted to the probed
+    cells. ``(id, dist2, rank)``."""
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in query_vec])], "qid long, qvec array<float>"
+    ).select(F.col("qid"), _unit(F.col("qvec")).alias("_q"))
+    probe_cids = sorted(
+        int(r.centroid_id)
+        for r in _nearest_centroids(q, centroids, nprobe, "qid", "_q").collect()
+    )
+    store = spark.read.parquet(store_path).filter(
+        F.col("centroid_id").isin(probe_cids)  # -> PartitionFilters
+    )
+    enc = store.select("id", F.posexplode(F.col("codes")).alias("j", "code"))
+    return pq_adc_topk(query_vec, codebooks, enc, k, m, dim)

@@ -37,7 +37,7 @@ import pyarrow.dataset as pads
 from .config import LSHConfig
 from .hashing import hash_vectors_local, hash_vectors_local_long
 
-__all__ = ["IndexServer", "IVFServer", "PQServer"]
+__all__ = ["IndexServer", "IVFServer", "PQServer", "IVFPQServer"]
 
 
 def _fs_and_path(path: str):
@@ -438,19 +438,8 @@ class PQServer:
 
     def __init__(self, store_path: str) -> None:
         self._store_path = store_path
-        cb = pads.dataset(
-            os.path.join(store_path, "_codebooks"), format="parquet"
-        ).to_table()
-        js = cb.column("j").to_numpy(zero_copy_only=False)
-        codes = cb.column("code").to_numpy(zero_copy_only=False)
-        cvecs = cb.column("cvec").to_numpy(zero_copy_only=False)
-        self._m = int(js.max()) + 1
-        self._k = int(codes.max()) + 1
-        self._dsub = len(cvecs[0])
-        # (m, k, dsub); absent (empty-cluster) codes stay +inf distance
-        self._cb = np.full((self._m, self._k, self._dsub), np.nan)
-        for j, c, v in zip(js, codes, cvecs):
-            self._cb[int(j), int(c)] = np.asarray(v, dtype=np.float64)
+        self._cb = _load_codebooks(store_path)
+        self._m, self._k, self._dsub = self._cb.shape
         self._open()
 
     def _open(self) -> None:
@@ -477,17 +466,123 @@ class PQServer:
     def topk(self, vector: np.ndarray, k: int = 10) -> list:
         """``[(id, dist2, rank)]`` — same rows as ``pq_adc_topk`` for
         the stored corpus, zero JVM involvement."""
-        q = np.asarray(vector, dtype=np.float64).reshape(self._m, self._dsub)
-        diff = self._cb - q[:, None, :]            # (m, k, dsub)
-        dtab = np.einsum("mkd,mkd->mk", diff, diff)
-        dtab = np.nan_to_num(dtab, nan=np.inf)     # empty codes unreachable
-        scores = dtab[np.arange(self._m)[None, :], self._codes].sum(axis=1)
-        scores = np.round(scores, 5)
         ids = self._ids
         keep = _drop_deleted(ids, self._deleted)
-        ids, scores = ids[keep], scores[keep]
+        ids = ids[keep]
         if len(ids) == 0:
             return []
+        scores = _adc_scores(
+            self._cb, self._codes[keep],
+            np.asarray(vector, dtype=np.float64).reshape(-1),
+        )
+        order = np.lexsort((ids, scores))[:k]
+        return [
+            (int(ids[i]), float(scores[i]), rank + 1)
+            for rank, i in enumerate(order)
+        ]
+
+
+def _load_codebooks(store_path: str):
+    """``_codebooks`` sidecar -> (m, k, dsub) float64 array (NaN rows
+    for empty-cluster codes, which score +inf)."""
+    cb = pads.dataset(
+        os.path.join(store_path, "_codebooks"), format="parquet"
+    ).to_table()
+    js = cb.column("j").to_numpy(zero_copy_only=False)
+    codes = cb.column("code").to_numpy(zero_copy_only=False)
+    cvecs = cb.column("cvec").to_numpy(zero_copy_only=False)
+    m, k, dsub = int(js.max()) + 1, int(codes.max()) + 1, len(cvecs[0])
+    out = np.full((m, k, dsub), np.nan)
+    for j, c, v in zip(js, codes, cvecs):
+        out[int(j), int(c)] = np.asarray(v, dtype=np.float64)
+    return out
+
+
+def _adc_scores(cb: np.ndarray, codes: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Rounded ADC distances: (m,k,dsub) codebooks, (n,m) codes, flat
+    query — one vectorized gather-sum (the PQ scoring kernel)."""
+    m, _, dsub = cb.shape
+    qs = q.reshape(m, dsub)
+    diff = cb - qs[:, None, :]
+    dtab = np.einsum("mkd,mkd->mk", diff, diff)
+    dtab = np.nan_to_num(dtab, nan=np.inf)
+    return np.round(dtab[np.arange(m)[None, :], codes].sum(axis=1), 5)
+
+
+class IVFPQServer:
+    """No-Spark-job IVFADC serving over a stored
+    :func:`~lshrs_spark.operators.knn.ivfpq_write_store` layout — both
+    prunings composed: centroid probing selects ``nprobe/K`` of the
+    PARTITIONS (directory-level pruning, like :class:`IVFServer`), and
+    the surviving documents cost one code-table gather-sum each (m
+    bytes/doc, like :class:`PQServer`). This is the serving shape that
+    stays cheap when neither the float vectors NOR the full code table
+    fit a node: per query it reads a few partitions of a bytes-wide
+    table."""
+
+    def __init__(self, store_path: str) -> None:
+        self._store_path = store_path
+        cents = pads.dataset(
+            os.path.join(store_path, "_centroids"), format="parquet"
+        ).to_table()
+        self._cids = cents.column("centroid_id").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        cv = np.stack(cents.column("cvec").to_numpy(zero_copy_only=False))
+        norms = np.linalg.norm(cv, axis=1, keepdims=True)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            self._cunit = np.where(norms > 0, cv / norms, np.nan)
+        self._cb = _load_codebooks(store_path)
+        self._open()
+
+    def _open(self) -> None:
+        part = pads.partitioning(
+            pa.schema([pa.field("centroid_id", pa.int64())]), flavor="hive"
+        )
+        self._ds = pads.dataset(
+            self._store_path, format="parquet", partitioning=part
+        )
+        IndexServer._warm(self._ds)
+        self._deleted = _read_tombstones(f"{self._store_path}/_deleted")
+
+    def refresh(self) -> None:
+        self._open()
+
+    @classmethod
+    def from_store(cls, store_path: str) -> "IVFPQServer":
+        return cls(store_path)
+
+    def probe_centroids(self, vector: np.ndarray, nprobe: int) -> list[int]:
+        """Same ordering contract as :meth:`IVFServer.probe_centroids`."""
+        q = np.asarray(vector, dtype=np.float64).reshape(-1)
+        nq = np.linalg.norm(q)
+        if nq == 0:
+            raise ValueError("Cannot query with a zero vector")
+        scores = self._cunit @ (q / nq)
+        order = np.lexsort((self._cids, -np.nan_to_num(scores, nan=-np.inf),
+                            np.isnan(scores)))[:nprobe]
+        return [int(c) for c in self._cids[order]]
+
+    def topk(self, vector: np.ndarray, k: int = 10, nprobe: int = 4) -> list:
+        """``[(id, dist2, rank)]`` — same rows as ``ivfpq_topk_stored``
+        for a single query, zero JVM involvement."""
+        cids = self.probe_centroids(vector, nprobe)
+        tbl = self._ds.to_table(
+            columns=["id", "codes"],
+            filter=pads.field("centroid_id").isin(
+                pa.array(cids, type=pa.int64())
+            ),
+        )
+        ids = tbl.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _drop_deleted(ids, self._deleted)
+        ids = ids[keep]
+        if len(ids) == 0:
+            return []
+        codes = np.stack(
+            tbl.column("codes").to_numpy(zero_copy_only=False)[keep]
+        ).astype(np.int64)
+        q = np.asarray(vector, dtype=np.float64).reshape(-1)
+        scores = _adc_scores(self._cb, codes, q)
         order = np.lexsort((ids, scores))[:k]
         return [
             (int(ids[i]), float(scores[i]), rank + 1)

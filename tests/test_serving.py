@@ -477,3 +477,38 @@ def test_pq_server_matches_spark_adc(spark, tmp_path):
     after = srv.topk(np.array(q), 10)
     assert all(i != top1 for i, _, _ in after)
     assert len(after) == 10
+
+
+def test_ivfpq_server_matches_spark_stored_path(spark, tmp_path):
+    """IVFPQServer == ivfpq_topk_stored over the same store (ids+ranks
+    exact, distances within rounding ulp); partition pruning holds."""
+    from lshrs_spark.operators.knn import (
+        ivf_centroids_by_id,
+        ivfpq_topk_stored,
+        ivfpq_write_store,
+        pq_codebooks,
+    )
+    from lshrs_spark.serving import IVFPQServer
+
+    rng = np.random.default_rng(61)
+    n, dim = 500, 32
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = ivf_centroids_by_id(emb, 8)
+    cb = pq_codebooks(emb, m=4, k=8, dim=dim, iterations=1)
+    store = str(tmp_path / "ivfpq")
+    ivfpq_write_store(emb, cents, cb, store, m=4, dim=dim)
+
+    srv = IVFPQServer.from_store(store)
+    for qi in (3, 77, 240):
+        q = [float(x) for x in vecs[qi]]
+        want = [(r.id, r.rank) for r in
+                ivfpq_topk_stored(spark, store, cents, cb, q, 10, 3,
+                                  m=4, dim=dim).orderBy("rank").collect()]
+        got = srv.topk(np.array(q), 10, nprobe=3)
+        assert [(i, rk) for i, _, rk in got] == want, qi
+    # pruning: fewer partitions than centroids are touched
+    assert len(srv.probe_centroids(vecs[0], 3)) == 3
