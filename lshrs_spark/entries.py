@@ -3049,6 +3049,39 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bigram_logprob",
+    """WITH tokl AS (SELECT doc_id::BIGINT AS id, string_split(text, ' ') AS toks
+              FROM documents),
+tok AS (SELECT id, unnest(generate_series(1, len(toks))) AS pos, toks FROM tokl),
+tokp AS (SELECT id, pos, toks[pos] AS t,
+                CASE WHEN pos >= 2 THEN toks[pos-1] END AS t_prev
+         FROM tok),
+uni AS (SELECT t, count(*)::BIGINT AS cu FROM tokp GROUP BY t),
+big AS (SELECT t_prev, t, count(*)::BIGINT AS cb FROM tokp
+        WHERE t_prev IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT sum(cu)::DOUBLE AS s FROM uni),
+scored AS (SELECT p.id,
+                  CASE WHEN b.cb IS NOT NULL THEN b.cb::DOUBLE / pu.cu
+                       ELSE 0.4 * u.cu / t.s END AS prob
+           FROM tokp p
+           JOIN uni u ON u.t = p.t
+           JOIN uni pu ON pu.t = p.t_prev
+           LEFT JOIN big b ON b.t_prev = p.t_prev AND b.t = p.t
+           CROSS JOIN tot t
+           WHERE p.t_prev IS NOT NULL)
+SELECT id, round(avg(-ln(prob)), 5) AS avg_neg_logprob,
+       count(*)::BIGINT AS n_bigrams
+FROM scored GROUP BY id""",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram stupid-backoff quality scoring: mean -log P(w_i | w_{i-1})
+    under corpus bigram statistics with alpha=0.4 unigram backoff — the
+    LM upgrade of the unigram perplexity proxy (sees word-order
+    surprise, not just vocabulary rarity)."""
+    return X.bigram_logprob(_docs(spark, sf_dir))
+
+
+@register(
     "ann_ivfpq_topk",
     f"""WITH cent AS (SELECT vec_id::BIGINT AS centroid_id, embedding AS cvec
              FROM embeddings WHERE vec_id < 16),
@@ -3227,6 +3260,7 @@ FAMILY: dict[str, str] = {
     "dedup_simhash": "dedup_simhash_pairs",
     # text twins
     "text_token_topk": "text_stats",
+    "text_bigram_logprob": "text_unigram_logprob",
     "text_langid_accuracy": "text_langid",
     "text_repetition": "text_gopher_filter",
     # embeddings twins

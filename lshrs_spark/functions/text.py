@@ -332,3 +332,58 @@ def unigram_logprob(
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+def bigram_logprob(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+    broadcast_vocab: bool = True,
+):
+    """Bigram stupid-backoff quality score — the LM upgrade of
+    :func:`unigram_logprob`: per document, the mean of
+    ``-log P(w_i | w_{i-1})`` over positions ``i >= 2`` where
+
+    * ``P = count(w_{i-1} w_i) / count(w_{i-1})`` when the corpus has
+      seen the bigram, else
+    * ``P = alpha * count(w_i) / total_tokens`` (stupid backoff — no
+      normalization, the standard web-scale simplification).
+
+    Repetitive/templated text scores low surprise; shuffled-word salad
+    scores high — exactly the signal the unigram proxy cannot see.
+    Three corpus aggregations (unigrams, bigrams, total) + one join per
+    n-gram order back onto the position stream. ``broadcast_vocab`` has
+    the :func:`unigram_logprob` contract: the unigram AND bigram tables
+    grow with the corpus, so default-True is for bounded vocabularies
+    and the oracle path; False lets Catalyst/AQE sort-merge both."""
+    tok = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "t"),
+    )
+    prev = tok.select(
+        "id", (F.col("pos") + 1).alias("pos"), F.col("t").alias("t_prev")
+    )
+    pairs = tok.join(prev, ["id", "pos"])  # positions >= 2 only
+    uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cu"))
+    big = (
+        pairs.groupBy("t_prev", "t").agg(F.count(F.lit(1)).alias("cb"))
+    )
+    total = uni.agg(F.sum("cu").alias("s"))
+    prev_uni = uni.select(F.col("t").alias("t_prev"), F.col("cu").alias("cp"))
+    if broadcast_vocab:
+        uni, big, prev_uni = F.broadcast(uni), F.broadcast(big), F.broadcast(prev_uni)
+    p = F.when(
+        F.col("cb").isNotNull(), F.col("cb") / F.col("cp")
+    ).otherwise(F.lit(float(alpha)) * F.col("cu") / F.col("s"))
+    return (
+        pairs.join(big, ["t_prev", "t"], "left")
+        .join(prev_uni, "t_prev")
+        .join(uni, "t")
+        .join(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.round(F.avg(-F.log(p)), 5).alias("avg_neg_logprob"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )

@@ -265,3 +265,39 @@ def test_pii_scrub_is_pure_codegen(spark):
     )
     assert "Python" not in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Stupid-backoff bigram scoring against a hand-computed corpus:
+    seen bigrams use cb/c_prev, unseen back off to alpha * cu / total;
+    single-token docs emit no row. Broadcast hint opt-out like
+    unigram."""
+    import math
+
+    from lshrs_spark.functions.text import bigram_logprob
+    from lshrs_spark.streaming.ingest import scoped_session_conf
+
+    # corpus: "a b a b" (1), "a b" (2), "b z" (3), "q" (4)
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "b z"), (4, "q")],
+        "doc_id long, text string",
+    )
+    got = {r.id: (r.avg_neg_logprob, r.n_bigrams)
+           for r in bigram_logprob(docs).collect()}
+    # unigrams: a=3, b=4, z=1, q=1, total=9
+    # bigrams: (a,b)=3, (b,a)=1, (b,z)=1
+    p_ab = 3 / 3          # cb(a,b)=3 / cu(a)=3
+    p_ba = 1 / 4
+    p_bz = 1 / 4
+    d1 = -(math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3
+    assert got[1] == (round(d1, 5), 3)
+    assert got[2] == (round(-math.log(p_ab), 5), 1)
+    assert got[3] == (round(-math.log(p_bz), 5), 1)
+    assert 4 not in got                       # no bigram positions
+    with scoped_session_conf(
+        spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}
+    ):
+        plan = physical_plan(bigram_logprob(docs, broadcast_vocab=False))
+        assert "BroadcastHashJoin" not in plan.replace(
+            "BroadcastNestedLoopJoin", ""
+        ), plan
