@@ -3049,6 +3049,63 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_corpus_card",
+    """WITH base AS (SELECT count(*)::BIGINT AS n_docs,
+                sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+                round(avg(len(string_split(text, ' '))), 5) AS avg_doc_tokens,
+                count(DISTINCT text)::BIGINT AS n_distinct_texts,
+                count(DISTINCT lang)::BIGINT AS n_langs,
+                count(DISTINCT source)::BIGINT AS n_sources
+         FROM documents),
+top AS (SELECT lang AS top_lang, count(*)::BIGINT AS top_lang_docs
+        FROM documents GROUP BY lang
+        ORDER BY count(*) DESC, lang ASC LIMIT 1)
+SELECT n_docs, total_tokens, avg_doc_tokens,
+       round(1.0 - n_distinct_texts::DOUBLE / n_docs, 5) AS exact_dup_ratio,
+       n_langs, n_sources, top_lang,
+       round(top_lang_docs::DOUBLE / n_docs, 5) AS top_lang_share
+FROM base CROSS JOIN top""",
+)
+def text_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus card — the first thing a pipeline engineer asks of
+    a new corpus: size, token budget, exact-duplicate ratio, language
+    and source spread, dominant language share. One scan, two
+    aggregations, a broadcast of one row."""
+    docs = _docs(spark, sf_dir)
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(X.tokens_col(F.col("text")))).alias("total_tokens"),
+        F.round(F.avg(F.size(X.tokens_col(F.col("text")))), 5).alias(
+            "avg_doc_tokens"
+        ),
+        F.count_distinct(F.col("text")).alias("n_distinct_texts"),
+        F.count_distinct(F.col("lang")).alias("n_langs"),
+        F.count_distinct(F.col("source")).alias("n_sources"),
+    )
+    top = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("top_lang_docs"))
+        .orderBy(F.desc("top_lang_docs"), F.asc("lang"))
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), "top_lang_docs")
+    )
+    return base.crossJoin(F.broadcast(top)).select(
+        "n_docs",
+        "total_tokens",
+        "avg_doc_tokens",
+        F.round(
+            1.0 - F.col("n_distinct_texts") / F.col("n_docs"), 5
+        ).alias("exact_dup_ratio"),
+        "n_langs",
+        "n_sources",
+        "top_lang",
+        F.round(F.col("top_lang_docs") / F.col("n_docs"), 5).alias(
+            "top_lang_share"
+        ),
+    )
+
+
+@register(
     "text_bigram_logprob",
     """WITH tokl AS (SELECT doc_id::BIGINT AS id, string_split(text, ' ') AS toks
               FROM documents),
@@ -3261,6 +3318,7 @@ FAMILY: dict[str, str] = {
     # text twins
     "text_token_topk": "text_stats",
     "text_bigram_logprob": "text_unigram_logprob",
+    "text_corpus_card": "text_stats",
     "text_langid_accuracy": "text_langid",
     "text_repetition": "text_gopher_filter",
     # embeddings twins

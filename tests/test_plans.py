@@ -301,3 +301,29 @@ def test_bigram_logprob_hand_computed(spark):
         assert "BroadcastHashJoin" not in plan.replace(
             "BroadcastNestedLoopJoin", ""
         ), plan
+
+
+def test_ivfpq_stored_scan_is_partition_pruned(spark, emb, tmp_path):
+    """The IVFADC code-table scan must prune non-probed centroid
+    partitions (PartitionFilters) and read only (id, codes) — bytes per
+    document, no embedding column."""
+    from lshrs_spark.operators.knn import (
+        ivf_centroids_by_id,
+        ivfpq_topk_stored,
+        ivfpq_write_store,
+        pq_codebooks,
+    )
+
+    cents = ivf_centroids_by_id(emb, 8)
+    cb = pq_codebooks(emb, m=4, k=8, dim=64, iterations=1)
+    store = str(tmp_path / "ivfpq_store")
+    ivfpq_write_store(emb, cents, cb, store, m=4, dim=64)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).first().embedding]
+    out = ivfpq_topk_stored(spark, store, cents, cb, qv, 5, 2, m=4, dim=64)
+    plan = physical_plan(out)
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines, "code-table scan has no PartitionFilters section"
+    assert any("centroid_id" in l and "IN" in l.upper() for l in part_lines)
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert any("codes" in l and "embedding" not in l for l in schemas), schemas
