@@ -155,6 +155,24 @@ def main() -> None:
     )
     results["dedup_simhash"], _ = timed(lambda: simhash_table(docs).count(), "dedup_simhash")
 
+    # 6b. Exact-substring dedup (rolling 32-token spans, inverted-index
+    # join) and BPE token counting (distinct-word Arrow UDF + join-back).
+    from lshrs_spark.functions.bpe import DEFAULT_MERGES, bpe_token_counts
+    from lshrs_spark.operators.dedup import substring_span_pairs
+
+    def run_substring():
+        n = substring_span_pairs(docs, 32).count()
+        release_slots()   # span persist slot — same hygiene as minhash
+        return n
+
+    substring_span_pairs(docs.limit(100), 32).count()  # warm
+    results["dedup_substring"], _ = timed(run_substring, "dedup_substring")
+    bpe_token_counts(docs.limit(100), DEFAULT_MERGES).count()  # warm
+    results["text_bpe_counts"], _ = timed(
+        lambda: bpe_token_counts(docs, DEFAULT_MERGES).count(),
+        "text_bpe_counts",
+    )
+
     # 7. Text-analysis pass (quality + language-ID + fingerprint in one scan).
     from lshrs_spark.functions import text as X
 

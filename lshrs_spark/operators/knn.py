@@ -764,5 +764,6 @@ def ivfpq_topk_stored(
     store = spark.read.parquet(store_path).filter(
         F.col("centroid_id").isin(probe_cids)  # -> PartitionFilters
     )
+    store = _apply_ivf_tombstones(spark, store, store_path)
     enc = store.select("id", F.posexplode(F.col("codes")).alias("j", "code"))
     return pq_adc_topk(query_vec, codebooks, enc, k, m, dim)

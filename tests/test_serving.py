@@ -512,3 +512,50 @@ def test_ivfpq_server_matches_spark_stored_path(spark, tmp_path):
         assert [(i, rk) for i, _, rk in got] == want, qi
     # pruning: fewer partitions than centroids are touched
     assert len(srv.probe_centroids(vecs[0], 3)) == 3
+
+
+def test_ivfpq_delete_and_compact(spark, tmp_path):
+    """Tombstones apply to both the Spark IVFADC path and IVFPQServer;
+    ivf_compact works unchanged on the code-table store (it only needs
+    id + centroid_id) and serving is identical afterwards."""
+    from lshrs_spark.operators.knn import (
+        ivf_centroids_by_id,
+        ivf_compact,
+        ivf_delete,
+        ivfpq_topk_stored,
+        ivfpq_write_store,
+        pq_codebooks,
+    )
+    from lshrs_spark.serving import IVFPQServer
+
+    rng = np.random.default_rng(67)
+    n, dim = 300, 16
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = ivf_centroids_by_id(emb, 6)
+    cb = pq_codebooks(emb, m=4, k=8, dim=dim, iterations=1)
+    store = str(tmp_path / "ivfpq")
+    ivfpq_write_store(emb, cents, cb, store, m=4, dim=dim)
+
+    q = [float(x) for x in vecs[11]]
+    first = ivfpq_topk_stored(spark, store, cents, cb, q, 5, 6,
+                              m=4, dim=dim).orderBy("rank").first()
+    ivf_delete(store, [int(first.id)])
+    pre = [(r.id, r.rank) for r in
+           ivfpq_topk_stored(spark, store, cents, cb, q, 5, 6,
+                             m=4, dim=dim).orderBy("rank").collect()]
+    assert all(i != first.id for i, _ in pre)      # Spark path tombstone-aware
+
+    ivf_compact(spark, store)
+    import os
+    assert not os.path.exists(os.path.join(store, "_deleted"))
+    post = [(r.id, r.rank) for r in
+            ivfpq_topk_stored(spark, store, cents, cb, q, 5, 6,
+                              m=4, dim=dim).orderBy("rank").collect()]
+    assert post == pre
+    srv = IVFPQServer.from_store(store)
+    got = [(i, rk) for i, _, rk in srv.topk(np.array(q), 5, nprobe=6)]
+    assert got == pre
