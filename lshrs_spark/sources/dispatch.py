@@ -1,10 +1,13 @@
 """Format-string -> loader dispatch (reference S3: ``_resolve_loader``,
 ``/root/reference/lshrs/core/main.py:1159-1196``): case-insensitive,
 ``postgres``/``pg`` and ``parquet``/``pq`` aliases, ``ValueError`` on
-anything else."""
+anything else. Beyond the reference's two formats, JSONL (the ML-corpus
+interchange format) and CSV (array-string cells) dispatch to
+:mod:`.delimited`."""
 
 from __future__ import annotations
 
+from .delimited import load_csv_vectors, load_jsonl_vectors
 from .jdbc import load_postgres_vectors
 from .parquet import load_parquet_vectors
 
@@ -15,6 +18,9 @@ _LOADERS = {
     "pq": load_parquet_vectors,
     "postgres": load_postgres_vectors,
     "pg": load_postgres_vectors,
+    "jsonl": load_jsonl_vectors,
+    "json": load_jsonl_vectors,
+    "csv": load_csv_vectors,
 }
 
 
@@ -24,6 +30,6 @@ def resolve_loader(format: str):
     if loader is None:
         raise ValueError(
             f"Unsupported format: {format!r}. Supported formats: "
-            "'postgres' ('pg'), 'parquet' ('pq')"
+            "'postgres' ('pg'), 'parquet' ('pq'), 'jsonl' ('json'), 'csv'"
         )
     return loader

@@ -188,7 +188,7 @@ def test_create_signatures_parquet(spark, tmp_path, rng):
 
 def test_create_signatures_bad_format(make_lsh):
     with pytest.raises(ValueError, match="Unsupported format"):
-        make_lsh().create_signatures(format="csv")
+        make_lsh().create_signatures(format="avro")
 
 
 def test_create_signatures_missing_column(spark, tmp_path, make_lsh):

@@ -4,8 +4,10 @@ covers option plumbing, not execution)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
+from lshrs_spark import LSHRS
 from lshrs_spark.sources.dispatch import resolve_loader
 from lshrs_spark.sources.jdbc import build_pushdown_query, load_postgres_vectors
 from lshrs_spark.sources.parquet import load_parquet_vectors
@@ -20,7 +22,13 @@ def test_dispatch_aliases():
 
 def test_dispatch_unknown_format():
     with pytest.raises(ValueError, match="Unsupported format"):
-        resolve_loader("csv")
+        resolve_loader("avro")
+    # round-4: jsonl/csv are now first-class ingest formats
+    from lshrs_spark.sources.delimited import load_csv_vectors, load_jsonl_vectors
+
+    assert resolve_loader("jsonl") is load_jsonl_vectors
+    assert resolve_loader("JSON") is load_jsonl_vectors
+    assert resolve_loader("csv") is load_csv_vectors
 
 
 def test_pushdown_query_assembly():
@@ -127,3 +135,49 @@ def test_array_cells_cast_passthrough(spark):
     out = decode_vector_column(df, "embedding")
     assert dict(out.dtypes)["embedding"] == "array<float>"
     assert out.first().embedding == [1.0, 2.0]
+
+
+def test_create_signatures_jsonl(spark, tmp_path, rng):
+    src = str(tmp_path / "vectors.jsonl")
+    vecs = rng.standard_normal((15, 16)).astype(np.float32)
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "index long, vector array<float>",
+    ).coalesce(1).write.json(src)
+    lsh = LSHRS(spark, 16, num_perm=16, num_bands=4, rows_per_band=4)
+    lsh.create_signatures(format="jsonl", source=src)
+    assert lsh.stats()["indexed_ids"] == 15
+    assert lsh.get_top_k(vecs[4], 1) == [4]
+
+
+def test_create_signatures_csv_array_strings(spark, tmp_path, rng):
+    """CSV vector cells as delimited strings — plain, bracketed, and the
+    reference's brace convention all parse."""
+    src = str(tmp_path / "vectors_csv")
+    vecs = rng.standard_normal((9, 8)).astype(np.float32)
+    rows = []
+    for i, v in enumerate(vecs):
+        s = ",".join(f"{float(x):.6f}" for x in v)
+        if i % 3 == 1:
+            s = f"[{s}]"
+        elif i % 3 == 2:
+            s = "{" + s + "}"
+        rows.append((i, s))
+    spark.createDataFrame(rows, "index long, vector string").coalesce(
+        1
+    ).write.option("header", "true").csv(src)
+    lsh = LSHRS(spark, 8, num_perm=16, num_bands=4, rows_per_band=4)
+    lsh.create_signatures(format="csv", source=src)
+    assert lsh.stats()["indexed_ids"] == 9
+    assert lsh.get_top_k(vecs[7], 1) == [7]
+
+
+def test_jsonl_missing_column_raises(spark, tmp_path):
+    src = str(tmp_path / "bad.jsonl")
+    spark.createDataFrame([(1, "x")], "index long, other string").coalesce(
+        1
+    ).write.json(src)
+    from lshrs_spark.sources.delimited import load_jsonl_vectors
+
+    with pytest.raises(ValueError, match="Missing required columns"):
+        load_jsonl_vectors(spark, src)
