@@ -3049,6 +3049,31 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_covariance",
+    """WITH x AS (SELECT e.vec_id::BIGINT AS id, dm.pos AS i,
+                e.embedding[dm.pos]::DOUBLE AS x
+           FROM embeddings e,
+                (SELECT unnest(generate_series(1, 64)) AS pos) dm),
+exy AS (SELECT a.i, b.i AS j, avg(a.x * b.x) AS exy
+        FROM x a JOIN x b ON a.id = b.id AND a.i <= b.i
+        GROUP BY 1, 2),
+m AS (SELECT i, avg(x) AS m FROM x GROUP BY i)
+SELECT exy.i, exy.j, round(exy.exy - mi.m * mj.m, 5) AS cov
+FROM exy JOIN m mi ON mi.i = exy.i JOIN m mj ON mj.i = exy.j""",
+)
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance of the embedding coordinates — the
+    distributed O(n d^2) half of PCA/whitening (the d^3 eigensolve stays
+    driver-side in numpy, where iterative scalar math belongs). One
+    posexplode + id-equi-join + (i, j) average with map-side partial
+    aggregation; the shuffle carries d^2 cells per partition, never
+    n d^2 rows."""
+    from .operators.pca import covariance_matrix
+
+    return covariance_matrix(_emb(spark, sf_dir), round_decimals=5)
+
+
+@register(
     "text_corpus_card",
     """WITH base AS (SELECT count(*)::BIGINT AS n_docs,
                 sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
@@ -3323,6 +3348,7 @@ FAMILY: dict[str, str] = {
     "text_repetition": "text_gopher_filter",
     # embeddings twins
     "emb_label_centroids": "emb_kmeans",
+    "emb_covariance": "emb_kmeans",
     # relational twins
     "rel_orders_by_year": "rel_top_customers",
     "rel_distinct_counts": "sketch_distinct_users",

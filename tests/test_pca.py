@@ -1,0 +1,60 @@
+"""Covariance / PCA / projection: distributed aggregation vs numpy."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lshrs_spark.operators.pca import (
+    covariance_matrix,
+    pca_components,
+    pca_project,
+)
+
+
+def _corpus(spark, n=200, d=8, seed=71):
+    rng = np.random.default_rng(seed)
+    # anisotropic: one dominant direction, so PC1 is unambiguous
+    base = rng.standard_normal((n, d))
+    base[:, 0] *= 5.0
+    base[:, 1] *= 2.0
+    X = base @ np.linalg.qr(rng.standard_normal((d, d)))[0]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    )
+    return df, X.astype(np.float32).astype(np.float64)
+
+
+def test_covariance_matches_numpy(spark):
+    df, X = _corpus(spark)
+    got = {(r.i, r.j): r.cov for r in covariance_matrix(df).collect()}
+    want = np.cov(X, rowvar=False, bias=True)   # population covariance
+    for (i, j), c in got.items():
+        assert abs(c - want[i - 1, j - 1]) < 1e-6, (i, j)
+    d = X.shape[1]
+    assert len(got) == d * (d + 1) // 2          # upper triangle only
+
+
+def test_pca_components_deterministic_and_ordered(spark):
+    df, X = _corpus(spark)
+    comps, vals, means = pca_components(df, 3)
+    comps2, vals2, _ = pca_components(df, 3)
+    assert np.allclose(comps, comps2) and np.allclose(vals, vals2)
+    assert vals[0] >= vals[1] >= vals[2] > 0
+    assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-8)  # orthonormal
+    nw_vals, nw_vecs = np.linalg.eigh(np.cov(X, rowvar=False, bias=True))
+    assert abs(vals[0] - nw_vals[-1]) < 1e-5     # top eigenvalue agrees
+    assert abs(abs(comps[0] @ nw_vecs[:, -1]) - 1.0) < 1e-5
+
+
+def test_pca_project_matches_numpy(spark):
+    df, X = _corpus(spark)
+    comps, _, means = pca_components(df, 2)
+    got = {r.id: np.array(r.projected) for r in
+           pca_project(df, comps, means).collect()}
+    want = (X - X.mean(axis=0)) @ comps.T
+    for i, v in got.items():
+        assert np.allclose(v, want[i], atol=1e-5), i
+    # projected variance concentrates in PC1
+    P = np.stack([got[i] for i in sorted(got)])
+    assert P[:, 0].var() > P[:, 1].var()
