@@ -3049,6 +3049,33 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_substring_stats",
+    f"""WITH tok AS (SELECT doc_id::BIGINT AS id, string_split(text, ' ') AS toks
+             FROM documents),
+sp AS (SELECT id, unnest(generate_series(1, greatest(len(toks) - 31, 0))) AS pos,
+              toks
+       FROM tok),
+sph AS (SELECT id, pos::BIGINT AS pos,
+               {h48_sql("array_to_string(toks[pos:pos+31], ' ')")} AS h
+        FROM sp),
+mt AS (SELECT a.id AS id_a, b.id AS id_b, a.pos - b.pos AS diag
+       FROM sph a JOIN sph b ON a.h = b.h AND a.id < b.id),
+per AS (SELECT id_a, id_b, diag, count(*)::BIGINT AS cnt
+        FROM mt GROUP BY 1, 2, 3)
+SELECT id_a, id_b, sum(cnt)::BIGINT AS n_shared_spans,
+       count(*)::BIGINT AS n_alignments,
+       (max(cnt) + 31)::BIGINT AS longest_overlap_tokens
+FROM per GROUP BY 1, 2""",
+)
+def dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair exact-substring overlap summary: shared-span counts,
+    alignment-diagonal counts, and the longest contiguous overlap in
+    tokens — the explosion-safe decision record a dedup policy consumes
+    (one row per candidate pair, however many spans matched)."""
+    return D.substring_overlap_stats(_docs(spark, sf_dir), 32)
+
+
+@register(
     "emb_covariance",
     """WITH x AS (SELECT e.vec_id::BIGINT AS id, dm.pos AS i,
                 e.embedding[dm.pos]::DOUBLE AS x
@@ -3340,6 +3367,7 @@ FAMILY: dict[str, str] = {
     "dedup_minhash_sigs": "dedup_minhash_pairs",
     "dedup_minhash_quality": "dedup_minhash_pairs",
     "dedup_simhash": "dedup_simhash_pairs",
+    "dedup_substring_stats": "dedup_substring",
     # text twins
     "text_token_topk": "text_stats",
     "text_bigram_logprob": "text_unigram_logprob",

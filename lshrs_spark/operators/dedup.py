@@ -43,6 +43,7 @@ __all__ = [
     "ngram_contamination",
     "group_representatives",
     "substring_span_pairs",
+    "substring_overlap_stats",
 ]
 
 # Mersenne prime 2^31-1: universal-hash modulus small enough that
@@ -653,4 +654,41 @@ def group_representatives(
     return joined.groupBy("component").agg(
         F.expr("max_by(id, struct(_q, -id))").alias("rep_id"),
         F.count(F.lit(1)).alias("group_size"),
+    )
+
+
+def substring_overlap_stats(
+    df: DataFrame,
+    span_tokens: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_doc_freq: Optional[int] = None,
+) -> DataFrame:
+    """Aggregate :func:`substring_span_pairs` into the per-pair decision
+    record a dedup policy consumes: ``(id_a, id_b, n_shared_spans,
+    n_alignments, longest_overlap_tokens)``. Matches from one copied
+    region all lie on a single ALIGNMENT diagonal
+    (``span_start_a - span_start_b``), so ``longest_overlap_tokens =
+    max over alignments of (spans_on_alignment + span_tokens - 1)`` —
+    exact for a contiguously shared passage (the common case), an upper
+    bound when a diagonal has gaps. Output is one row per candidate
+    pair, however many spans matched — the explosion-safe view of the
+    positional operator."""
+    pairs = substring_span_pairs(
+        df, span_tokens, id_col, text_col, max_doc_freq=max_doc_freq
+    )
+    per_diag = (
+        pairs.withColumn(
+            "_diag", F.col("span_start_a") - F.col("span_start_b")
+        )
+        .groupBy("id_a", "id_b", "_diag")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    return per_diag.groupBy("id_a", "id_b").agg(
+        F.sum("_cnt").alias("n_shared_spans"),
+        F.count(F.lit(1)).alias("n_alignments"),
+        (F.max("_cnt") + F.lit(span_tokens - 1)).alias(
+            "longest_overlap_tokens"
+        ),
     )

@@ -29,7 +29,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["covariance_matrix", "pca_components", "pca_project"]
+__all__ = ["covariance_matrix", "pca_components", "pca_project", "pca_whiten"]
 
 
 def covariance_matrix(
@@ -150,4 +150,36 @@ def pca_project(
         dots.append(dot)
     return df.select(
         F.col(id_col).cast("long").alias("id"), F.array(*dots).alias(out_col)
+    )
+
+
+def pca_whiten(
+    df: DataFrame,
+    components: np.ndarray,
+    variances: np.ndarray,
+    mean: np.ndarray,
+    *,
+    eps: float = 1e-9,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    out_col: str = "whitened",
+    round_decimals: int | None = None,
+) -> DataFrame:
+    """PCA whitening: centered projection with each component scaled to
+    unit variance (``1/sqrt(lambda_k + eps)``) — the preprocessing that
+    makes SRP-LSH hyperplanes and PQ subspace codebooks see an isotropic
+    cloud instead of one dominated by the top principal directions.
+    Implemented by scaling the component rows driver-side and reusing
+    the codegen'd literal projection — same plan shape, zero extra
+    cost."""
+    comps = np.asarray(components, dtype=np.float64)
+    scale = 1.0 / np.sqrt(np.asarray(variances, dtype=np.float64) + eps)
+    return pca_project(
+        df,
+        comps * scale[:, None],
+        mean,
+        id_col=id_col,
+        vector_col=vector_col,
+        out_col=out_col,
+        round_decimals=round_decimals,
     )

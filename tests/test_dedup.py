@@ -267,3 +267,23 @@ def test_minhash_xxhash_mode(spark):
         assert not any(3 in p or 4 in p for p in pairs), mode
     with pytest.raises(ValueError, match="base_hash"):
         minhash_band_pairs(df, base_hash="sha1").collect()
+
+
+def test_substring_overlap_stats_longest_run(spark):
+    """One 40-token copied region at L=32 -> one alignment diagonal with
+    9 spans -> longest_overlap_tokens = 9 + 31 = 40 (exact)."""
+    from lshrs_spark.operators.dedup import substring_overlap_stats
+
+    shared = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, "a1 a2 a3 " + shared + " a4 a5"),
+        (2, "b1 " + shared + " b2 b3 b4 b5 b6"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = substring_overlap_stats(df, 32).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.n_shared_spans == 9
+    assert r.n_alignments == 1
+    assert r.longest_overlap_tokens == 40      # the true copied length

@@ -8,6 +8,7 @@ from lshrs_spark.operators.pca import (
     covariance_matrix,
     pca_components,
     pca_project,
+    pca_whiten,
 )
 
 
@@ -58,3 +59,12 @@ def test_pca_project_matches_numpy(spark):
     # projected variance concentrates in PC1
     P = np.stack([got[i] for i in sorted(got)])
     assert P[:, 0].var() > P[:, 1].var()
+
+
+def test_pca_whiten_unit_variance(spark):
+    df, X = _corpus(spark)
+    comps, vals, means = pca_components(df, 4)
+    W = np.stack([np.array(r.whitened) for r in
+                  pca_whiten(df, comps, vals, means).orderBy("id").collect()])
+    assert np.allclose(W.var(axis=0), 1.0, atol=1e-3)   # isotropic
+    assert np.allclose(W.mean(axis=0), 0.0, atol=1e-6)  # centered
