@@ -21,6 +21,10 @@ Spark-first split of the work:
   component, components inlined as literals — same recipe as the SRP
   projection oracle), so it runs inside whole-stage codegen with no
   Python and no shuffle.
+
+Reference scope note: the reference engine (mxngjxa/lshrs) has no
+dimensionality preprocessing — this module belongs to the
+beyond-reference pipeline surface.
 """
 
 from __future__ import annotations

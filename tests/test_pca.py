@@ -68,3 +68,40 @@ def test_pca_whiten_unit_variance(spark):
                   pca_whiten(df, comps, vals, means).orderBy("id").collect()])
     assert np.allclose(W.var(axis=0), 1.0, atol=1e-3)   # isotropic
     assert np.allclose(W.mean(axis=0), 0.0, atol=1e-6)  # centered
+
+
+def test_whitening_helps_pq_on_anisotropic_data(spark):
+    """The reason pca_whiten exists in this engine: on a strongly
+    anisotropic cloud, PQ codebooks trained on whitened vectors recall
+    at least as well as on raw vectors (subspace quantizers stop being
+    dominated by the top principal directions)."""
+    from lshrs_spark.operators.knn import pq_adc_topk, pq_codebooks, pq_encode
+
+    df, X = _corpus(spark, n=300, d=8, seed=83)
+
+    def recall(vec_df, vecs, vec_col):
+        cb = pq_codebooks(vec_df, m=4, k=8, dim=8, iterations=1,
+                          vector_col=vec_col, id_col="id")
+        codes = pq_encode(vec_df, cb, m=4, dim=8,
+                          vector_col=vec_col, id_col="id")
+        hits = 0
+        for qi in (5, 50, 150):
+            got = {r.id for r in
+                   pq_adc_topk([float(x) for x in vecs[qi]], cb, codes,
+                               10, m=4, dim=8).collect()}
+            d2 = ((vecs - vecs[qi]) ** 2).sum(axis=1)
+            exact = set(np.argsort(d2, kind="stable")[:10].tolist())
+            hits += len(got & exact)
+        return hits / 30.0
+
+    raw = df.selectExpr("vec_id AS id", "embedding")
+    r_raw = recall(raw, X, "embedding")
+
+    comps, vals, means = pca_components(df, 8)
+    wdf = pca_whiten(df, comps, vals, means)
+    W = np.stack([np.array(r.whitened) for r in wdf.orderBy("id").collect()])
+    r_white = recall(wdf, W, "whitened")
+    # whitening must not hurt, and both must be meaningfully better
+    # than chance (10/300)
+    assert r_white >= r_raw - 1e-9
+    assert r_white > 0.2 and r_raw > 0.03
