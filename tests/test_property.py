@@ -238,3 +238,72 @@ def test_unigram_logprob_orders_rare_above_common(spark):
     )
     got = {r.id: r.avg_neg_logprob for r in unigram_logprob(docs).collect()}
     assert got[0] < got[2] < got[1]         # common < mixed < rare surprise
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    word=st.text(alphabet="abcdef", min_size=0, max_size=12),
+    n_merges=st.integers(0, 20),
+    seed=st.integers(0, 1000),
+)
+def test_bpe_apply_invariants(word, n_merges, seed):
+    """apply_bpe: concatenation round-trips the word; token count is in
+    [1, len(word)] for non-empty words; idempotent re-application."""
+    import random
+
+    from lshrs_spark.functions.bpe import apply_bpe
+
+    rng = random.Random(seed)
+    alphabet = "abcdef"
+    pieces = list(alphabet) + [a + b for a in alphabet for b in alphabet]
+    merges = []
+    for _ in range(n_merges):
+        merges.append((rng.choice(pieces), rng.choice(pieces)))
+    ranks = {m: i for i, m in enumerate(merges)}
+    toks = apply_bpe(word, ranks)
+    assert "".join(toks) == word
+    if word:
+        assert 1 <= len(toks) <= len(word)
+    else:
+        assert toks == []
+    # re-encoding the produced tokens' concatenation is stable
+    assert apply_bpe("".join(toks), ranks) == toks
+
+
+def test_substring_spans_positionally_verified(spark):
+    """Every reported (id_a, id_b, pa, pb) corresponds to IDENTICAL
+    actual token spans (no hash-collision false positives on real
+    data), and a planted copy is never missed."""
+    import numpy as np
+
+    from lshrs_spark.operators.dedup import substring_span_pairs
+
+    rng = np.random.default_rng(97)
+    vocab = [f"v{i}" for i in range(50)]
+    texts = {}
+    for i in range(12):
+        texts[i] = [vocab[j] for j in rng.integers(0, 50, 30)]
+    planted = [vocab[j] for j in rng.integers(0, 50, 12)]
+    texts[3] = texts[3][:5] + planted + texts[3][5:23]
+    texts[9] = planted + [vocab[j] for j in rng.integers(0, 50, 18)]
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in texts.items()],
+        "doc_id long, text string",
+    )
+    L = 8
+    got = {(r.id_a, r.id_b, r.span_start_a, r.span_start_b)
+           for r in substring_span_pairs(df, L).collect()}
+    for (a, b, pa, pb) in got:
+        assert texts[a][pa - 1 : pa - 1 + L] == texts[b][pb - 1 : pb - 1 + L]
+    # exhaustive ground truth: no false negatives either
+    want = set()
+    for a in texts:
+        for b in texts:
+            if a >= b:
+                continue
+            for pa in range(len(texts[a]) - L + 1):
+                for pb in range(len(texts[b]) - L + 1):
+                    if texts[a][pa : pa + L] == texts[b][pb : pb + L]:
+                        want.add((a, b, pa + 1, pb + 1))
+    assert got == want
+    assert any(t[0] == 3 and t[1] == 9 for t in got)   # planted copy found
