@@ -30,6 +30,8 @@ __all__ = [
     "scoped_session_conf",
     "stream_dedup_ingest",
     "sliding_event_counts",
+    "stream_ivf_stage",
+    "ivf_absorb_staging",
 ]
 
 
@@ -400,3 +402,93 @@ def sliding_event_counts(
             )
         )
         return run_to_memory_table(agg, name=name)
+
+
+def stream_ivf_stage(
+    spark: SparkSession,
+    source_path: str,
+    staging_path: str,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    checkpoint: Optional[str] = None,
+    max_files_per_trigger: int = 1,
+):
+    """Continuous ANN ingest, stage 1 of the standard two-step: each
+    micro-batch of vectors lands in a replay-safe epoch-keyed staging
+    area (``{staging}/epoch=N``, overwrite per epoch — a retried batch
+    rewrites its own output, same contract as
+    :func:`stream_dedup_ingest`'s sinks). Absorb staged vectors into the
+    centroid-partitioned store with :func:`ivf_absorb_staging` on
+    whatever cadence serving freshness requires.
+
+    Staging exists because the store's layout key (nearest-centroid
+    assignment) is a JOIN against the centroid table, and the store is
+    read by partition-schema-strict servers — appending arbitrary epoch
+    directories inside it would break both replay idempotency and the
+    serving layout. Returns the started StreamingQuery."""
+    schema = spark.read.parquet(source_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+
+    def stage_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.select(
+                F.col(id_col).cast("long").alias("id"),
+                F.col(vector_col).alias("embedding"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{staging_path}/epoch={int(epoch_id)}")
+        )
+
+    writer = stream.writeStream.foreachBatch(stage_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def ivf_absorb_staging(
+    spark: SparkSession,
+    staging_path: str,
+    store_path: str,
+    centroids,
+) -> int:
+    """Stage 2: assign staged vectors to their nearest centroid and
+    append them into the centroid-partitioned IVF store, then clear the
+    staging area. IDEMPOTENT: staged ids already present in the store
+    are anti-joined away first, so a crash between absorb and the
+    staging cleanup (or a replayed stage epoch) cannot duplicate
+    vectors. Returns the number of vectors absorbed. A live
+    :class:`~lshrs_spark.serving.IVFServer` sees the new vectors at its
+    next ``refresh()``."""
+    import shutil
+
+    from ..operators.knn import ivf_assign
+
+    try:
+        staged = spark.read.option("basePath", staging_path).parquet(
+            staging_path
+        ).select("id", "embedding")
+    except Exception:
+        return 0  # nothing staged
+    try:
+        existing = spark.read.parquet(store_path).select("id")
+        staged = staged.join(existing, "id", "left_anti")
+    except Exception:
+        pass  # first absorb: store does not exist yet
+    staged = staged.localCheckpoint()  # count + write read ONE snapshot
+    n = staged.count()
+    if n:
+        assign = ivf_assign(staged, centroids, id_col="id",
+                            vector_col="embedding")
+        (
+            staged.join(assign, "id")
+            .write.mode("append")
+            .partitionBy("centroid_id")
+            .parquet(store_path)
+        )
+    shutil.rmtree(staging_path, ignore_errors=True)
+    return n

@@ -192,3 +192,56 @@ def test_stream_dedup_ingest_flags_cross_batch_duplicates(spark, tmp_path):
     # 4 admitted ids x (num_hashes=8 / rows_per_band=2)=4 band keys each;
     # a replayed append (vs overwrite) would double id 21's keys
     assert len(admitted_rows) == 16
+
+
+def test_stream_ivf_stage_and_absorb(spark, tmp_path):
+    """Continuous ANN ingest: micro-batches stage replay-safely, absorb
+    assigns + appends to the centroid-partitioned store idempotently,
+    and a live IVFServer sees new vectors after refresh()."""
+    import numpy as np
+
+    from lshrs_spark.operators.knn import ivf_centroids_by_id, ivf_write_store
+    from lshrs_spark.serving import IVFServer
+    from lshrs_spark.streaming.ingest import (
+        ivf_absorb_staging,
+        stream_ivf_stage,
+    )
+
+    rng = np.random.default_rng(73)
+    vecs = rng.standard_normal((120, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = ivf_centroids_by_id(df.filter("vec_id < 40"), 4)
+    store = str(tmp_path / "store")
+    ivf_write_store(df.filter("vec_id < 40"), cents, store)
+
+    src = tmp_path / "src"
+    df.filter("vec_id >= 40 AND vec_id < 80").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    df.filter("vec_id >= 80").coalesce(1).write.mode("append").parquet(str(src))
+    staging = str(tmp_path / "staging")
+    q = stream_ivf_stage(
+        spark, str(src), staging,
+        checkpoint=str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    srv = IVFServer.from_store(store)
+    assert ivf_absorb_staging(spark, staging, store, cents) == 80
+    ids = {r.id for r in spark.read.parquet(store).select("id").collect()}
+    assert ids == set(range(120))
+    srv.refresh()
+    got = srv.topk(vecs[100], 120, nprobe=4)
+    assert 100 in [i for i, _, _ in got]           # streamed vector served
+    # idempotent: re-staging already-absorbed ids absorbs nothing new
+    df.filter("vec_id >= 80").select(
+        F.col("vec_id").alias("id"), "embedding"
+    ).write.mode("overwrite").parquet(f"{staging}/epoch=99")
+    assert ivf_absorb_staging(spark, staging, store, cents) == 0
+    assert spark.read.parquet(store).count() == 120
