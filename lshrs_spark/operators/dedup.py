@@ -575,6 +575,7 @@ def substring_span_pairs(
     text_col: str = "text",
     *,
     max_doc_freq: Optional[int] = None,
+    base_hash: str = "h48",
 ) -> DataFrame:
     """Exact-substring dedup: ``(id_a, id_b, span_start_a,
     span_start_b)`` for every cross-document pair of identical
@@ -597,13 +598,23 @@ def substring_span_pairs(
     corpus token count, same as the tokenize pass."""
     if span_tokens < 2:
         raise ValueError("span_tokens must be >= 2")
+    if base_hash == "h48":
+        span_hash = h48(F.col("_s"))
+    elif base_hash == "xxhash64":
+        # JVM-native production mode — same rationale as the minhash
+        # family's base_hash (md5 stalls under heavy thread counts)
+        span_hash = F.xxhash64(F.col("_s"))
+    else:
+        raise ValueError(
+            f"base_hash must be 'h48' or 'xxhash64', got {base_hash!r}"
+        )
     sp = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.posexplode(token_shingles_col(F.col(text_col), span_tokens)).alias(
             "_p", "_s"
         ),
     ).select(
-        "id", (F.col("_p") + 1).cast("long").alias("pos"), h48(F.col("_s")).alias("h")
+        "id", (F.col("_p") + 1).cast("long").alias("pos"), span_hash.alias("h")
     )
     if max_doc_freq is not None:
         keep = (
@@ -664,6 +675,7 @@ def substring_overlap_stats(
     text_col: str = "text",
     *,
     max_doc_freq: Optional[int] = None,
+    base_hash: str = "h48",
 ) -> DataFrame:
     """Aggregate :func:`substring_span_pairs` into the per-pair decision
     record a dedup policy consumes: ``(id_a, id_b, n_shared_spans,
@@ -676,7 +688,8 @@ def substring_overlap_stats(
     pair, however many spans matched — the explosion-safe view of the
     positional operator."""
     pairs = substring_span_pairs(
-        df, span_tokens, id_col, text_col, max_doc_freq=max_doc_freq
+        df, span_tokens, id_col, text_col, max_doc_freq=max_doc_freq,
+        base_hash=base_hash,
     )
     per_diag = (
         pairs.withColumn(

@@ -287,3 +287,21 @@ def test_substring_overlap_stats_longest_run(spark):
     assert r.n_shared_spans == 9
     assert r.n_alignments == 1
     assert r.longest_overlap_tokens == 40      # the true copied length
+
+
+def test_substring_span_pairs_xxhash_mode(spark):
+    from lshrs_spark.operators.dedup import substring_span_pairs
+
+    shared = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, "a1 a2 a3 " + shared + " a4 a5"),
+         (2, "b1 " + shared + " b2 b3 b4 b5 b6")],
+        "doc_id long, text string",
+    )
+    want = {(r.id_a, r.id_b, r.span_start_a, r.span_start_b)
+            for r in substring_span_pairs(df, 32).collect()}
+    got = {(r.id_a, r.id_b, r.span_start_a, r.span_start_b)
+           for r in substring_span_pairs(df, 32, base_hash="xxhash64").collect()}
+    assert got == want                       # same matches, either hash
+    with pytest.raises(ValueError, match="base_hash"):
+        substring_span_pairs(df, 32, base_hash="crc").collect()
