@@ -3296,6 +3296,72 @@ def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("doc_id").cast("long").alias("id"), "source")
 
 
+@register(
+    "pipeline_shuffle_export",
+    f"""WITH s AS (
+  SELECT doc_id AS id,
+         {h48_sql("'shuffle42|' || doc_id::VARCHAR")} AS hkey
+  FROM documents
+  WHERE ({h48_sql("'sample42|' || doc_id::VARCHAR")} % 1000000) < 500000)
+SELECT id, (hkey % 4)::BIGINT AS shard,
+       row_number() OVER (PARTITION BY hkey % 4
+                          ORDER BY hkey, id)::BIGINT AS pos
+FROM s""",
+)
+def pipeline_shuffle_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export primitives end-to-end: deterministic 50%
+    hash-sample (stable under retries/repartitioning, unlike
+    ``DataFrame.sample``), hash shard assignment into 4 shards, and
+    seeded pseudo-random position within each shard — the reproducible
+    shuffle a pretraining data loader re-derives from (shard, seed)."""
+    from .operators import export as E
+
+    sampled = E.hash_sample(_docs(spark, sf_dir), 0.5, seed=42)
+    return E.shuffle_shards(sampled, 4, seed=42)
+
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({c}),"
+    "'[^a-z0-9 ]',' ','g'),' +',' ','g'))"
+)
+
+
+@register(
+    "text_line_dedup",
+    f"""WITH tok AS (SELECT doc_id AS id, string_split(text,' ') AS toks
+         FROM documents),
+lines AS (SELECT id, i-1 AS line_no,
+           array_to_string(list_slice(toks,(i-1)*4+1, i*4),' ') AS line
+          FROM tok,
+          unnest(generate_series(1, ceil(len(toks)/4)::INT)) AS t(i)),
+keyed AS (SELECT id, line_no, line,
+           {h48_sql(_NORM_SQL.format(c="line"))} AS key
+          FROM lines),
+ranked AS (SELECT *, count(*) OVER (PARTITION BY key) AS dup,
+                  row_number() OVER (PARTITION BY key
+                                     ORDER BY id, line_no) AS rn
+           FROM keyed),
+flags AS (SELECT id, line_no, line, (dup < 2 OR rn = 1) AS keep
+          FROM ranked)
+SELECT id,
+  coalesce(string_agg(CASE WHEN keep THEN line END, ' '
+                      ORDER BY line_no), '') AS clean_text,
+  count(*)::BIGINT AS n_lines,
+  sum(keep::INT)::BIGINT AS n_kept
+FROM flags GROUP BY id""",
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line-level dedup (the CCNet recipe): hash each
+    normalized line, drop every occurrence of a line seen >= 2 times
+    except the first in ``(doc_id, line_no)`` order, reassemble the
+    survivors. The test corpus has no newlines, so "lines" here are
+    non-overlapping 4-token segments (:func:`segment_lines`); on a real
+    web corpus use :func:`explode_lines` with the newline delimiter —
+    same dedup operator either way."""
+    lines = D.segment_lines(_docs(spark, sf_dir), tokens_per_line=4)
+    return D.line_dedup(lines, min_dup=2, keep_first=True)
+
+
 # --------------------------------------------------------------------- #
 # Driver correctness window curation
 # --------------------------------------------------------------------- #
@@ -3316,13 +3382,13 @@ DRIVER_WINDOW: list[str] = [
     # similarity join + dedup family
     "simjoin_lsh", "dedup_exact", "dedup_ngram_jaccard", "dedup_groups",
     "dedup_minhash_pairs", "dedup_simhash_pairs",
-    "dedup_substring", "dedup_incremental", "dedup_representative",
+    "dedup_substring", "dedup_incremental", "text_line_dedup",
     # ANN tiers (ann_batch ~ lsh_topk twin and ann_recall gauge are
     # past the window, local-gated)
     "ann_ivf", "ann_ivf_stored",
     # planner + quantization + pipeline ops
     "planner_config", "ann_pq_topk", "pipeline_pack",
-    "pipeline_stratified_sample", "text_bpe_tokens",
+    "pipeline_shuffle_export", "text_bpe_tokens",
     "pipeline_length_batches",
     # text analysis + corpus hygiene
     "text_stats", "text_quality", "text_langid", "text_fingerprint",
@@ -3349,6 +3415,13 @@ DRIVER_WINDOW: list[str] = [
 # new entry without doing one of the two fails at import, so an
 # unchecked family can no longer ship silently.
 FAMILY: dict[str, str] = {
+    # demoted round-5: group post-processing twin of the in-window
+    # connected-components representative (rotated out for the new
+    # line-dedup family)
+    "dedup_representative": "dedup_groups",
+    # demoted round-5: per-stratum exact sampling is covered by the new
+    # deterministic-sampling/export representative (r3 driver row on file)
+    "pipeline_stratified_sample": "pipeline_shuffle_export",
     # demoted round-4: near-twins of in-window representatives
     "lsh_persistence": "lsh_signatures",        # save/load round-trip of same index
     "dedup_simhash_pairs_wide": "dedup_simhash_pairs",  # num_blocks=8 variant
@@ -3393,8 +3466,8 @@ FAMILY: dict[str, str] = {
     "rel_scalar_subquery": "rel_semi_anti",
     "rel_salted_agg": "rel_salted_join",
     # pipeline / quant twins
-    "pipeline_split": "pipeline_stratified_sample",
-    "pipeline_domain_mix": "pipeline_stratified_sample",
+    "pipeline_split": "pipeline_shuffle_export",
+    "pipeline_domain_mix": "pipeline_shuffle_export",
     # quantization family: PQ (codebook quantization + ADC) is the
     # round-4 representative; the int8 scalar-quant entries are its
     # demoted twins

@@ -30,6 +30,7 @@ __all__ = [
     "PHONE_PATTERN",
     "chunk_documents",
     "unigram_logprob",
+    "normalize_text_col",
 ]
 
 
@@ -42,6 +43,17 @@ def h48(c: Column) -> Column:
 def tokens_col(text: Column) -> Column:
     """Whitespace tokenization (the corpus is space-separated tokens)."""
     return F.split(text, " ")
+
+
+def normalize_text_col(text: Column) -> Column:
+    """Dedup-key normalization (the CCNet recipe, ASCII subset):
+    lowercase, strip everything but ``[a-z0-9 ]``, collapse runs of
+    whitespace, trim. Used to hash lines/paragraphs so trivial
+    formatting differences don't defeat exact dedup. Pure codegen
+    (three regexp passes) — zero exchanges, and both regexes use only
+    character classes so Java regex and DuckDB's RE2 agree."""
+    cleaned = F.regexp_replace(F.lower(text), "[^a-z0-9 ]", " ")
+    return F.trim(F.regexp_replace(cleaned, " +", " "))
 
 
 def token_count_col(text: Column) -> Column:

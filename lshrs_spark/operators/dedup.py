@@ -44,6 +44,9 @@ __all__ = [
     "group_representatives",
     "substring_span_pairs",
     "substring_overlap_stats",
+    "explode_lines",
+    "segment_lines",
+    "line_dedup",
 ]
 
 # Mersenne prime 2^31-1: universal-hash modulus small enough that
@@ -704,4 +707,118 @@ def substring_overlap_stats(
         (F.max("_cnt") + F.lit(span_tokens - 1)).alias(
             "longest_overlap_tokens"
         ),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Line-level dedup (the CCNet recipe: hash normalized lines/paragraphs
+# corpus-wide, drop the duplicated ones — catches boilerplate headers,
+# navigation chrome, license blocks that document-level MinHash misses).
+# --------------------------------------------------------------------- #
+
+def explode_lines(
+    df: DataFrame,
+    delimiter: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(id, line_no, line)`` — one row per delimiter-separated line,
+    order preserved via ``posexplode``. Pure Catalyst; the at-scale
+    entry point for real web corpora (newline/paragraph delimited)."""
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(F.split(F.col(text_col), delimiter)).alias(
+            "line_no", "line"
+        ),
+    )
+
+
+def segment_lines(
+    df: DataFrame,
+    tokens_per_line: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(id, line_no, line)`` by cutting each document into
+    NON-overlapping ``tokens_per_line``-token segments — the stand-in
+    for :func:`explode_lines` on corpora without line structure (the
+    test tables are flat token streams). Pure Catalyst: split +
+    sequence + slice + posexplode, zero Python, zero exchanges."""
+    if tokens_per_line < 1:
+        raise ValueError("tokens_per_line must be >= 1")
+    toks = tokens_col(F.col(text_col))
+    k = F.lit(tokens_per_line)
+    n_seg = F.ceil(F.size(toks) / k).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice(toks, i * k + 1, tokens_per_line), " "),
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(segs).alias("line_no", "line"),
+    )
+
+
+def line_dedup(
+    lines: DataFrame,
+    *,
+    min_dup: int = 2,
+    keep_first: bool = True,
+    join_delimiter: str = " ",
+    base_hash: str = "h48",
+) -> DataFrame:
+    """Corpus-wide line dedup over an ``(id, line_no, line)`` frame
+    (from :func:`explode_lines` or :func:`segment_lines`).
+
+    A line whose NORMALIZED form (:func:`normalize_text_col`) occurs in
+    ``>= min_dup`` line slots corpus-wide is a duplicate; duplicates are
+    dropped everywhere except — when ``keep_first`` — their first
+    occurrence in ``(id, line_no)`` order. Returns one row per input
+    document: ``(id, clean_text, n_lines, n_kept)`` with surviving
+    lines re-joined in original order (``clean_text = ''`` when every
+    line was dropped).
+
+    Scale shape: one hash aggregation keyed on the 64-bit line hash
+    (count + min occurrence — partial aggregation applies), one
+    equi-join back on that hash (AQE-managed, never broadcast of
+    corpus-derived data), one reassembly aggregation keyed on doc id
+    whose per-group state is bounded by document length. No windows
+    over corpus-wide partitions, no driver materialization."""
+    from ..functions.text import normalize_text_col
+
+    keyed = lines.withColumn(
+        "_key", _base_hash(normalize_text_col(F.col("line")), base_hash)
+    )
+    stats = keyed.groupBy("_key").agg(
+        F.count(F.lit(1)).alias("_dup"),
+        F.min(F.struct("id", "line_no")).alias("_first"),
+    )
+    joined = keyed.join(stats, "_key")
+    kept_flag = (F.col("_dup") < min_dup) | (
+        F.lit(keep_first)
+        & (F.struct("id", "line_no") == F.col("_first"))
+    )
+    flagged = joined.select(
+        "id", "line_no", "line", kept_flag.alias("_keep")
+    )
+    return flagged.groupBy("id").agg(
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct("line_no", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s.line,
+                ),
+                join_delimiter,
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
     )

@@ -305,3 +305,64 @@ def test_substring_span_pairs_xxhash_mode(spark):
     assert got == want                       # same matches, either hash
     with pytest.raises(ValueError, match="base_hash"):
         substring_span_pairs(df, 32, base_hash="crc").collect()
+
+
+# --------------------------------------------------------------------- #
+# Line-level dedup
+# --------------------------------------------------------------------- #
+
+def test_segment_lines_shapes(spark):
+    df = spark.createDataFrame(
+        [(7, "a b c d e")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r.line_no, r.line) for r in D.segment_lines(df, 2).collect()
+    )
+    assert rows == [(0, "a b"), (1, "c d"), (2, "e")]
+
+
+def test_explode_lines_preserves_order(spark):
+    df = spark.createDataFrame(
+        [(1, "first line\nsecond line\nthird")], "doc_id long, text string"
+    )
+    rows = sorted((r.line_no, r.line) for r in D.explode_lines(df).collect())
+    assert rows == [(0, "first line"), (1, "second line"), (2, "third")]
+
+
+@pytest.fixture()
+def line_docs(spark):
+    # doc 0 and doc 1 share the line "dup dup"; doc 2 is all-unique;
+    # doc 3 duplicates the shared line AGAIN plus one unique line.
+    rows = [
+        (0, 0, "dup dup"), (0, 1, "only zero"),
+        (1, 0, "dup  DUP!"),               # normalizes to "dup dup"
+        (2, 0, "unique here"),
+        (3, 0, "dup dup"), (3, 1, "tail three"),
+    ]
+    return spark.createDataFrame(rows, "id long, line_no int, line string")
+
+
+def test_line_dedup_keep_first(line_docs):
+    out = {r.id: r for r in D.line_dedup(line_docs, keep_first=True).collect()}
+    # first occurrence (0,0) survives; (1,0) and (3,0) dropped
+    assert out[0].clean_text == "dup dup only zero"
+    assert out[0].n_lines == 2 and out[0].n_kept == 2
+    assert out[1].clean_text == "" and out[1].n_kept == 0
+    assert out[2].clean_text == "unique here"
+    assert out[3].clean_text == "tail three" and out[3].n_lines == 2
+
+
+def test_line_dedup_drop_all(line_docs):
+    out = {r.id: r for r in
+           D.line_dedup(line_docs, keep_first=False).collect()}
+    assert out[0].clean_text == "only zero"
+    assert out[3].clean_text == "tail three"
+
+
+def test_line_dedup_xxhash64_same_decisions(line_docs):
+    a = {(r.id, r.clean_text) for r in
+         D.line_dedup(line_docs, keep_first=True).collect()}
+    b = {(r.id, r.clean_text) for r in
+         D.line_dedup(line_docs, keep_first=True,
+                      base_hash="xxhash64").collect()}
+    assert a == b

@@ -1,0 +1,82 @@
+"""Training-export primitives: hash sampling, shard shuffle, writer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lshrs_spark.operators import export as E
+
+
+@pytest.fixture()
+def ids(spark):
+    return spark.range(0, 500).withColumnRenamed("id", "doc_id")
+
+
+def test_hash_sample_fraction_and_determinism(ids):
+    a = E.hash_sample(ids, 0.5)
+    b = E.hash_sample(ids.repartition(7), 0.5)
+    got_a = sorted(r.doc_id for r in a.collect())
+    got_b = sorted(r.doc_id for r in b.collect())
+    assert got_a == got_b                      # partition-layout independent
+    assert 0.35 < len(got_a) / 500 < 0.65
+
+
+def test_hash_sample_composes_with_distinct_salts(ids):
+    outer = E.hash_sample(ids, 0.5, salt="stage1")
+    inner = E.hash_sample(outer, 0.5, salt="stage2")
+    n = inner.count()
+    assert 0.1 < n / 500 < 0.4                 # ~25%
+    # same salt twice is idempotent, not compounding
+    again = E.hash_sample(outer, 0.5, salt="stage1")
+    assert again.count() == outer.count()
+
+
+def test_hash_sample_bounds(ids):
+    assert E.hash_sample(ids, 0.0).count() == 0
+    assert E.hash_sample(ids, 1.0).count() == 500
+    with pytest.raises(ValueError):
+        E.hash_sample(ids, 1.5)
+
+
+def test_shuffle_shards_partitions_positions(ids):
+    out = E.shuffle_shards(ids, 4)
+    rows = out.collect()
+    assert len(rows) == 500
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for positions in by_shard.values():        # dense 1..n per shard
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_shuffle_shards_seed_changes_order(ids):
+    a = {(r.id, r.shard, r.pos) for r in E.shuffle_shards(ids, 4, seed=1).collect()}
+    b = {(r.id, r.shard, r.pos) for r in E.shuffle_shards(ids, 4, seed=2).collect()}
+    assert a != b
+    # same seed reproduces exactly
+    c = {(r.id, r.shard, r.pos) for r in E.shuffle_shards(ids, 4, seed=1).collect()}
+    assert a == c
+
+
+def test_shuffle_shards_xxhash64_valid(ids):
+    out = E.shuffle_shards(ids, 4, base_hash="xxhash64")
+    assert out.count() == 500
+    assert out.agg(F.min("shard"), F.max("shard")).first() == (0, 3)
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id") \
+        .withColumn("text", F.concat(F.lit("doc "), F.col("doc_id")))
+    path = str(tmp_path / "shards")
+    E.write_training_shards(df, path, 4, seed=7)
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    assert set(r.shard for r in back.select("shard").distinct().collect()) \
+        == {0, 1, 2, 3}
+    # within each shard file, rows sit in seeded shuffle order
+    key = E.shuffle_key_col(F.col("doc_id"), seed=7, base_hash="xxhash64")
+    one = back.filter(F.col("shard") == 0).withColumn("_k", key)
+    vals = [r._k for r in one.collect()]       # parquet row order preserved
+    assert vals == sorted(vals)
