@@ -3190,9 +3190,9 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bigram_logprob(_docs(spark, sf_dir))
 
 
-@register(
-    "ann_ivfpq_topk",
-    f"""WITH cent AS (SELECT vec_id::BIGINT AS centroid_id, embedding AS cvec
+# Shared IVFADC oracle pipeline: centroid set, assignment, probe set,
+# PQ training round, encoding, query distance table, ADC scoring.
+_IVFPQ_CTES = f"""cent AS (SELECT vec_id::BIGINT AS centroid_id, embedding AS cvec
              FROM embeddings WHERE vec_id < 16),
 assign AS (SELECT id, centroid_id FROM (
     SELECT e.vec_id::BIGINT AS id, c.centroid_id,
@@ -3237,7 +3237,12 @@ cand AS (SELECT a.id FROM assign a
          JOIN probes p ON a.centroid_id = p.centroid_id),
 scored AS (SELECT enc.id, round(sum(d), 5) AS dist2
            FROM enc JOIN cand ON cand.id = enc.id
-           JOIN dtab USING (j, code) GROUP BY enc.id)
+           JOIN dtab USING (j, code) GROUP BY enc.id)"""
+
+
+@register(
+    "ann_ivfpq_topk",
+    f"""WITH {_IVFPQ_CTES}
 SELECT id, dist2,
        row_number() OVER (ORDER BY dist2 ASC, id ASC)::BIGINT AS rank
 FROM scored ORDER BY dist2, id LIMIT 10""",
@@ -3267,6 +3272,47 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = [float(x) for x in
           emb.filter(F.col("vec_id") == 0).first().embedding]
     return ivfpq_topk_stored(spark, path, cents, cb, qv, 10, 4, m=4, dim=64)
+
+
+@register(
+    "ann_ivfpq_refined",
+    f"""WITH {_IVFPQ_CTES},
+short AS (SELECT id FROM scored ORDER BY dist2, id LIMIT 30),
+ex AS (SELECT s.id,
+              round({cosine_sql("e.embedding", "qf.qv")}, 5) AS score
+       FROM short s JOIN embeddings e ON e.vec_id = s.id, qf)
+SELECT id, score,
+       row_number() OVER (ORDER BY score DESC, id ASC)::BIGINT AS rank
+FROM ex ORDER BY score DESC, id LIMIT 10""",
+)
+def ann_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC + refine (the FAISS ``IndexRefine`` pattern): the stored
+    code table produces a 30-candidate shortlist from compressed codes,
+    then the shortlist's FULL vectors — 30 rows, fetched by broadcast
+    semi-join — are exact-cosine re-ranked for the final top-10.
+    Quantization error decides which candidates are seen, never their
+    final order."""
+    from .operators.knn import (
+        ivf_centroids_by_id,
+        ivfpq_refined_topk,
+        ivfpq_write_store,
+        pq_codebooks,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_centroids_by_id(emb, 16)
+    cb = pq_codebooks(emb, m=4, k=8, dim=64, iterations=1)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"lshrs_ivfpq_store_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    ivfpq_write_store(emb, cents, cb, path, m=4, dim=64)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).first().embedding]
+    return ivfpq_refined_topk(
+        spark, path, cents, cb, emb, qv, 10,
+        shortlist_size=30, nprobe=4, m=4, dim=64,
+    )
 
 
 @register(
@@ -3475,6 +3521,7 @@ FAMILY: dict[str, str] = {
     "quant_error": "ann_pq_topk",
     "ann_pq_recall": "ann_pq_topk",
     "ann_ivfpq_topk": "ann_pq_topk",
+    "ann_ivfpq_refined": "ann_pq_topk",
     # streaming twins
     "stream_event_type_agg": "stream_windowed_counts",
     "stream_session_counts": "stream_windowed_counts",

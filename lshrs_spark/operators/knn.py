@@ -41,6 +41,8 @@ __all__ = [
     "pq_write_store",
     "ivfpq_write_store",
     "ivfpq_topk_stored",
+    "refine_topk",
+    "ivfpq_refined_topk",
 ]
 
 
@@ -767,3 +769,71 @@ def ivfpq_topk_stored(
     store = _apply_ivf_tombstones(spark, store, store_path)
     enc = store.select("id", F.posexplode(F.col("codes")).alias("j", "code"))
     return pq_adc_topk(query_vec, codebooks, enc, k, m, dim)
+
+
+def refine_topk(
+    shortlist: DataFrame,
+    vectors: DataFrame,
+    query_vec,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    round_decimals: int = 5,
+) -> DataFrame:
+    """Exact re-rank of an ANN shortlist (the FAISS ``IndexRefine``
+    stage): fetch the shortlist ids' full vectors, score exact cosine
+    against the query, return ``(id, score, rank)`` top-k.
+
+    The shortlist is bounded by the ANN k' (tens to hundreds of rows),
+    so it is explicitly broadcast — the vector fetch is a broadcast
+    semi-join against the corpus table (no shuffle of the corpus, and
+    with the id as the table's sort/partition key the scan prunes to
+    the matching files). Quantization error then only affects WHICH k'
+    candidates are seen, not their final ordering."""
+    ids = shortlist.select(F.col("id").cast("long").alias("id"))
+    q = F.array(*[F.lit(round(float(x), 7)) for x in query_vec])
+    fetched = vectors.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vector_col).alias("_v"),
+    ).join(F.broadcast(ids), "id")
+    scored = fetched.select(
+        "id",
+        F.round(
+            cosine_similarity(F.col("_v"), q), round_decimals
+        ).alias("score"),
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def ivfpq_refined_topk(
+    spark,
+    store_path: str,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    vectors: DataFrame,
+    query_vec,
+    k: int,
+    *,
+    shortlist_size: int = 30,
+    nprobe: int = 4,
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """IVFADC + refine: the stored IVFADC tier produces a
+    ``shortlist_size`` candidate list from compressed codes (nprobe/K
+    of the partitions read, m bytes per candidate), then
+    :func:`refine_topk` re-ranks those candidates with exact cosine
+    over their full vectors. The standard accuracy/cost split: the
+    code table answers "which few dozen", the vector table answers
+    "in what order" — only shortlist_size full vectors are ever
+    touched."""
+    short = ivfpq_topk_stored(
+        spark, store_path, centroids, codebooks, query_vec,
+        shortlist_size, nprobe, m=m, dim=dim,
+    )
+    return refine_topk(short, vectors, query_vec, k)

@@ -162,3 +162,39 @@ def test_pq_adc_topk_finds_query_cluster(spark):
     assert [r.rank for r in got] == list(range(1, 11))
     assert all(r.id < 100 for r in got)          # all from the query's cluster
     assert got[0].dist2 <= got[-1].dist2
+
+
+def test_refine_topk_matches_brute_force_on_full_shortlist(spark):
+    from lshrs_spark.operators.knn import brute_force_topk, refine_topk
+
+    df, a = _cluster_vectors(spark)
+    q = [float(x) for x in a[0]]
+    qdf = spark.createDataFrame([(0, q)], "qid long, qvec array<float>")
+    exact = brute_force_topk(df, qdf, 5)
+    # shortlist = ALL ids -> refine must reproduce the exact top-5
+    shortlist = df.select(df.vec_id.alias("id"))
+    got = refine_topk(shortlist, df, q, 5)
+    exact_ids = [r.id for r in exact.orderBy("rank").collect()]
+    got_ids = [r.id for r in got.orderBy("rank").collect()]
+    assert got_ids == exact_ids
+    got_scores = {r.id: r.score for r in got.collect()}
+    exact_scores = {r.id: round(r.score, 5) for r in exact.collect()}
+    for i in got_ids:
+        assert got_scores[i] == pytest.approx(exact_scores[i], abs=1e-5)
+
+
+def test_refine_topk_orders_by_exact_score_not_adc(spark):
+    from lshrs_spark.operators.knn import (
+        pq_adc_topk, pq_codebooks, pq_encode, refine_topk,
+    )
+
+    df, a = _cluster_vectors(spark)
+    q = [float(x) for x in a[0]]
+    cb = pq_codebooks(df, m=4, k=4, dim=16, iterations=1)
+    codes = pq_encode(df, cb, m=4, dim=16)
+    short = pq_adc_topk(q, cb, codes, 15, m=4, dim=16)
+    got = refine_topk(short, df, q, 5).orderBy("rank").collect()
+    assert len(got) == 5
+    scores = [r.score for r in got]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.id < 100 for r in got)          # query's cluster only
