@@ -3343,6 +3343,67 @@ def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_semantic_dedup",
+    f"""WITH cent AS (SELECT vec_id::BIGINT AS centroid_id, embedding AS cvec
+             FROM embeddings WHERE vec_id < 16),
+assign AS (SELECT id, centroid_id FROM (
+    SELECT e.vec_id::BIGINT AS id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {cosine_sql("e.embedding", "c.cvec")} DESC,
+                        c.centroid_id ASC) AS r
+    FROM embeddings e CROSS JOIN cent c) WHERE r = 1),
+av AS (SELECT a.id, a.centroid_id, e.embedding AS v
+       FROM assign a JOIN embeddings e ON e.vec_id = a.id),
+sims AS (SELECT a.id,
+                round(max({cosine_sql("a.v", "b.v")}), 5) AS max_sim_lower
+         FROM av a JOIN av b ON a.centroid_id = b.centroid_id
+                            AND a.id > b.id
+         GROUP BY a.id)
+SELECT av.id, av.centroid_id, s.max_sim_lower,
+       (s.max_sim_lower IS NULL OR s.max_sim_lower < 0.5) AS keep
+FROM av LEFT JOIN sims s ON s.id = av.id""",
+)
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster embeddings (16 deterministic centroids), then
+    inside each cluster drop vectors whose cosine to a lower-id mate
+    reaches 0.5 — semantic near-duplicates that share no n-grams. The
+    quadratic term is per-cluster, never corpus-wide."""
+    from .operators.knn import ivf_centroids_by_id
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_centroids_by_id(emb, 16)
+    return D.semantic_dedup(emb, cents, 0.5)
+
+
+@register(
+    "dedup_soft_weight",
+    f"""WITH RECURSIVE {_JACCARD_CTES},
+edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs WHERE jaccard >= 0.5
+          UNION SELECT id_b, id_a FROM jpairs WHERE jaccard >= 0.5),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+comp AS (SELECT src AS id, min(dst)::BIGINT AS component
+         FROM reach GROUP BY src),
+gs AS (SELECT component, count(*)::BIGINT AS group_size
+       FROM comp GROUP BY component)
+SELECT c.id, c.component, g.group_size,
+       round(1.0 / g.group_size, 5) AS weight
+FROM comp c JOIN gs g USING (component)""",
+)
+def dedup_soft_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: every document kept, weighted ``1/|duplicate
+    cluster|`` over the Jaccard>=0.5 near-dup components — a cluster
+    contributes one document's worth of sampling mass instead of being
+    hard-deleted."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, 0.5, n=3)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("id"))
+    return D.soft_dedup_weights(D.connected_components(pairs, nodes))
+
+
+@register(
     "pipeline_shuffle_export",
     f"""WITH s AS (
   SELECT doc_id AS id,
@@ -3431,7 +3492,7 @@ DRIVER_WINDOW: list[str] = [
     "dedup_substring", "dedup_incremental", "text_line_dedup",
     # ANN tiers (ann_batch ~ lsh_topk twin and ann_recall gauge are
     # past the window, local-gated)
-    "ann_ivf", "ann_ivf_stored",
+    "ann_ivf", "emb_semantic_dedup",
     # planner + quantization + pipeline ops
     "planner_config", "ann_pq_topk", "pipeline_pack",
     "pipeline_shuffle_export", "text_bpe_tokens",
@@ -3465,9 +3526,13 @@ FAMILY: dict[str, str] = {
     # connected-components representative (rotated out for the new
     # line-dedup family)
     "dedup_representative": "dedup_groups",
+    "dedup_soft_weight": "dedup_groups",
     # demoted round-5: per-stratum exact sampling is covered by the new
     # deterministic-sampling/export representative (r3 driver row on file)
     "pipeline_stratified_sample": "pipeline_shuffle_export",
+    # demoted round-5: stored-layout variant of the in-window IVF rep
+    # (r3 driver row on file), rotated out for the SemDeDup family
+    "ann_ivf_stored": "ann_ivf",
     # demoted round-4: near-twins of in-window representatives
     "lsh_persistence": "lsh_signatures",        # save/load round-trip of same index
     "dedup_simhash_pairs_wide": "dedup_simhash_pairs",  # num_blocks=8 variant

@@ -47,6 +47,8 @@ __all__ = [
     "explode_lines",
     "segment_lines",
     "line_dedup",
+    "soft_dedup_weights",
+    "semantic_dedup",
 ]
 
 # Mersenne prime 2^31-1: universal-hash modulus small enough that
@@ -821,4 +823,92 @@ def line_dedup(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+    )
+
+
+def soft_dedup_weights(
+    components: DataFrame, *, round_decimals: int = 5
+) -> DataFrame:
+    """Soft dedup: instead of dropping near-duplicates, keep every
+    document with sampling weight ``1 / |its duplicate cluster|`` so a
+    cluster contributes one document's worth of probability mass to the
+    training mixture (the down-weighting alternative the RefinedWeb /
+    data-mixing literature uses when hard deletion is too lossy).
+
+    Input: ``(id, component)`` from :func:`connected_components`.
+    Output: ``(id, component, group_size, weight)``. One hash
+    aggregation on the component id + one equi-join back — per-task
+    state bounded by cluster count, never corpus size."""
+    sizes = components.groupBy("component").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return components.join(sizes, "component").select(
+        "id",
+        "component",
+        "group_size",
+        F.round(F.lit(1.0) / F.col("group_size"), round_decimals).alias(
+            "weight"
+        ),
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    round_decimals: int = 5,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings, then inside
+    each cluster drop every vector whose cosine to a LOWER-id
+    cluster-mate reaches ``threshold`` — semantic near-duplicates that
+    share no n-grams, which every lexical family above misses.
+
+    ``(id, centroid_id, max_sim_lower, keep)``: ``max_sim_lower`` is
+    the best similarity to a lower-id mate (NULL when alone in the
+    cluster), ``keep`` its comparison against the threshold after
+    rounding (so the decision is bit-stable cross-engine).
+
+    Scale shape: the pair join is keyed on ``centroid_id``, so the
+    quadratic term is ``sum(cluster_size^2)``, NOT corpus^2 — the
+    SemDeDup contract is to grow K with the corpus (cluster size stays
+    ~constant, e.g. 10-50k vectors), which keeps each join task
+    bounded; the centroid table stays broadcast-small throughout."""
+    from ..functions.vector import cosine_similarity
+    from .knn import ivf_assign
+
+    assign = ivf_assign(
+        vectors, centroids, id_col=id_col, vector_col=vector_col
+    )
+    av = assign.join(
+        vectors.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vector_col).alias("_v"),
+        ),
+        "id",
+    )
+    a, b = av.alias("a"), av.alias("b")
+    sims = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.id") > F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id"),
+            cosine_similarity(F.col("a._v"), F.col("b._v")).alias("_s"),
+        )
+        .groupBy("id")
+        .agg(F.round(F.max("_s"), round_decimals).alias("max_sim_lower"))
+    )
+    return av.select("id", "centroid_id").join(sims, "id", "left").select(
+        "id",
+        "centroid_id",
+        "max_sim_lower",
+        (
+            F.col("max_sim_lower").isNull()
+            | (F.col("max_sim_lower") < threshold)
+        ).alias("keep"),
     )

@@ -366,3 +366,42 @@ def test_line_dedup_xxhash64_same_decisions(line_docs):
          D.line_dedup(line_docs, keep_first=True,
                       base_hash="xxhash64").collect()}
     assert a == b
+
+
+def test_soft_dedup_weights(spark):
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        "id long, component long",
+    )
+    out = {r.id: (r.group_size, r.weight) for r in
+           D.soft_dedup_weights(comp).collect()}
+    assert out[1] == (3, pytest.approx(1 / 3, abs=1e-5))
+    assert out[2] == out[1] == out[3]
+    assert out[4] == (1, 1.0)
+    assert out[5] == (2, 0.5) == out[6]
+    # total mass = number of clusters
+    assert sum(w for _, w in out.values()) == pytest.approx(3.0, abs=1e-3)
+
+
+def test_semantic_dedup_drops_near_identical(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(16)
+    near = base + 0.01 * rng.standard_normal(16)     # semantic dup of base
+    far = -base
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in near]),
+        (2, [float(x) for x in far]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, [float(x) for x in base]), (1, [float(x) for x in far])],
+        "centroid_id long, cvec array<float>",
+    )
+    out = {r.id: r for r in D.semantic_dedup(emb, cents, 0.9).collect()}
+    assert out[0].keep                       # lowest id in its cluster
+    assert not out[1].keep                   # near-dup of 0, same cluster
+    assert out[1].max_sim_lower > 0.99
+    assert out[2].keep and out[2].max_sim_lower is None   # alone in cluster
