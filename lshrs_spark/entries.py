@@ -3343,6 +3343,46 @@ def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_bloom",
+    f"""WITH hs AS (SELECT i AS hi FROM generate_series(0, 2) t(i)),
+pos AS (SELECT DISTINCT
+          ({h48_sql("'bloom' || hi || '|' || user_id::VARCHAR")} % 2048) AS p
+        FROM events, hs),
+cand AS (SELECT c FROM generate_series(0, 299) t(c)),
+cpos AS (SELECT c,
+           ({h48_sql("'bloom' || hi || '|' || c::VARCHAR")} % 2048) AS p
+         FROM cand, hs),
+blm AS (SELECT c, bool_and(pos.p IS NOT NULL) AS bloom_member
+        FROM cpos LEFT JOIN pos USING (p) GROUP BY c)
+SELECT c::BIGINT AS user_id, b.bloom_member,
+       (c IN (SELECT user_id FROM events)) AS actual_member
+FROM cand JOIN blm b USING (c)""",
+)
+def sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Bloom filter: build a 2048-bit/3-hash filter over
+    the event user ids (bit_or word aggregation — the sketch is a
+    sparse word table, mergeable by union+bit_or), then probe ids
+    0..299 for membership. ``bloom_member=false`` is a guarantee of
+    absence; ``actual_member`` sits alongside so the (rare) false
+    positives are visible. The oracle rebuilds the identical filter
+    from the portable h48 positions."""
+    from .functions.sketch import bloom_build, bloom_probe
+
+    ev = _events(spark, sf_dir)
+    words = bloom_build(ev, "user_id", 2048, 3)
+    cand = spark.range(0, 300).select(F.col("id").alias("user_id"))
+    probed = bloom_probe(words, cand, "user_id", 2048, 3,
+                         out_col="bloom_member")
+    actual = ev.select(F.col("user_id").cast("long")).distinct() \
+        .withColumn("actual_member", F.lit(True))
+    return probed.join(actual, "user_id", "left").select(
+        "user_id",
+        "bloom_member",
+        F.coalesce("actual_member", F.lit(False)).alias("actual_member"),
+    )
+
+
+@register(
     "emb_semantic_dedup",
     f"""WITH cent AS (SELECT vec_id::BIGINT AS centroid_id, embedding AS cvec
              FROM embeddings WHERE vec_id < 16),
@@ -3510,7 +3550,7 @@ DRIVER_WINDOW: list[str] = [
     "rel_stats_corr", "rel_semi_anti",
     "rel_salted_join", "rel_events_sessionize", "rel_events_asof",
     # sketches + streaming + multimodal
-    "sketch_distinct_users", "stream_windowed_counts",
+    "sketch_bloom", "stream_windowed_counts",
     "stream_stateful_first", "multimodal_features",
 ]
 
@@ -3533,6 +3573,9 @@ FAMILY: dict[str, str] = {
     # demoted round-5: stored-layout variant of the in-window IVF rep
     # (r3 driver row on file), rotated out for the SemDeDup family
     "ann_ivf_stored": "ann_ivf",
+    # demoted round-5: KMV distinct-count (r3 driver row on file) swaps
+    # for the new Bloom-membership sketch representative
+    "sketch_distinct_users": "sketch_bloom",
     # demoted round-4: near-twins of in-window representatives
     "lsh_persistence": "lsh_signatures",        # save/load round-trip of same index
     "dedup_simhash_pairs_wide": "dedup_simhash_pairs",  # num_blocks=8 variant
@@ -3563,7 +3606,7 @@ FAMILY: dict[str, str] = {
     "emb_covariance": "emb_kmeans",
     # relational twins
     "rel_orders_by_year": "rel_top_customers",
-    "rel_distinct_counts": "sketch_distinct_users",
+    "rel_distinct_counts": "sketch_bloom",
     "rel_histogram": "rel_quantiles",
     "rel_ntile_quartiles": "rel_quantiles",
     "rel_event_quantiles": "rel_quantiles",

@@ -24,7 +24,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct", "KMV_HASH_SPACE"]
+__all__ = ["kmv_distinct", "KMV_HASH_SPACE", "bloom_build", "bloom_probe"]
 
 # functions.text.h48 hashes into [0, 2^48)
 KMV_HASH_SPACE = float(1 << 48)
@@ -60,3 +60,88 @@ def kmv_distinct(
         .cast("long")
     )
     return agg.select(*group_cols, est.alias(out_col))
+
+
+# --------------------------------------------------------------------- #
+# Bloom filter — set membership for pipeline hygiene (seen-URL /
+# seen-document probes) as a DataFrame-native sketch.
+# --------------------------------------------------------------------- #
+
+def _bloom_positions(value_col, m_bits: int, num_hashes: int):
+    """k deterministic bit positions for a value: ``h48('bloom{i}|' ||
+    value) % m_bits`` — portable, so any engine can rebuild the exact
+    same filter."""
+    from .text import h48
+
+    return F.array(*[
+        (h48(F.concat(F.lit(f"bloom{i}|"), value_col.cast("string")))
+         % m_bits).cast("long")
+        for i in range(num_hashes)
+    ])
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = 1 << 20,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Build a Bloom filter distributedly: ``(word, bits)`` — the
+    filter's NON-ZERO 64-bit words. Each value contributes
+    ``num_hashes`` bit positions; positions aggregate into words with
+    ``bit_or`` (map-side partial aggregation applies, so the shuffle
+    carries at most ``m_bits/64`` rows per partition regardless of
+    corpus size). The sparse word table IS the sketch — union two of
+    them and re-``bit_or`` to merge filters; at ``m_bits = 2^33``
+    (1 GiB, ~600M values at 1% FP with k=3) the full table is ~134M
+    rows and still a fraction of one executor's memory when densified
+    driver-side."""
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    pos = df.select(
+        F.explode(
+            _bloom_positions(F.col(value_col), m_bits, num_hashes)
+        ).alias("p")
+    )
+    return (
+        pos.select(
+            (F.col("p") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+
+
+def bloom_probe(
+    bloom_words: DataFrame,
+    candidates: DataFrame,
+    value_col: str,
+    m_bits: int = 1 << 20,
+    num_hashes: int = 3,
+    *,
+    out_col: str = "member",
+) -> DataFrame:
+    """Membership probe: candidates gain ``out_col`` (true = possibly
+    present, with the filter's FP rate; false = DEFINITELY absent —
+    the guarantee pipeline dedup relies on). Each candidate explodes to
+    its k positions, equi-joins the word table, and is a member iff
+    every position's bit is set. The word table is the small side —
+    left to AQE to broadcast when it fits."""
+    cand = candidates.withColumn(
+        "_ps", _bloom_positions(F.col(value_col), m_bits, num_hashes)
+    ).withColumn("_cid", F.monotonically_increasing_id())
+    pos = cand.select(
+        "_cid", F.explode("_ps").alias("p")
+    ).select(
+        "_cid",
+        (F.col("p") / 64).cast("long").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("m"),
+    )
+    hits = pos.join(bloom_words, "word", "left").select(
+        "_cid",
+        (F.col("bits").isNotNull()
+         & (F.col("bits").bitwiseAND(F.col("m")) != 0)).alias("_hit"),
+    )
+    verdict = hits.groupBy("_cid").agg(F.bool_and("_hit").alias(out_col))
+    return cand.join(verdict, "_cid").drop("_cid", "_ps")

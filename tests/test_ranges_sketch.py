@@ -98,3 +98,33 @@ def test_kmv_rejects_tiny_k(spark):
     df = spark.createDataFrame([(1,)], "v long")
     with pytest.raises(ValueError):
         kmv_distinct(df, [], h48(F.col("v").cast("string")), k=1)
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from lshrs_spark.functions.sketch import bloom_build, bloom_probe
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 100).select(F.col("id").alias("v"))
+    b = spark.range(500, 560).select(F.col("id").alias("v"))
+    wa, wb = bloom_build(a, "v", 1024, 3), bloom_build(b, "v", 1024, 3)
+    # merge = union + re-bit_or
+    merged = wa.union(wb).groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    cand = spark.range(0, 600).select(F.col("id").alias("v"))
+    got = {r.v: r.member for r in
+           bloom_probe(merged, cand, "v", 1024, 3).collect()}
+    # zero false negatives — every inserted value reports member
+    assert all(got[v] for v in range(0, 100))
+    assert all(got[v] for v in range(500, 560))
+    # absent values are mostly rejected (FP rate small but nonzero)
+    absent = [v for v in range(100, 500)]
+    fp = sum(got[v] for v in absent) / len(absent)
+    assert fp < 0.2
+
+
+def test_bloom_build_validates_m_bits(spark):
+    from lshrs_spark.functions.sketch import bloom_build
+    import pytest as _pt
+
+    df = spark.range(3).withColumnRenamed("id", "v")
+    with _pt.raises(ValueError):
+        bloom_build(df, "v", 1000, 3)
