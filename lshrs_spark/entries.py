@@ -3343,6 +3343,46 @@ def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_quality_classifier",
+    f"""WITH feats AS (
+  SELECT DISTINCT doc_id AS id,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         ({h48_sql("t")} % 1024) AS b
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        FROM documents)),
+nn AS (SELECT count(DISTINCT id)::DOUBLE AS n FROM feats),
+g1 AS (SELECT b, sum(0.5 - y) / nn.n AS g FROM feats, nn
+       GROUP BY b, nn.n),
+w1 AS (SELECT b, -0.5 * g AS w FROM g1),
+z2 AS (SELECT f.id, f.y, coalesce(sum(w1.w), 0) AS z
+       FROM feats f LEFT JOIN w1 USING (b) GROUP BY f.id, f.y),
+r2 AS (SELECT id, (1/(1+exp(-z)) - y) AS r FROM z2),
+g2 AS (SELECT f.b, sum(r2.r) / nn.n AS g FROM feats f
+       JOIN r2 USING (id), nn GROUP BY f.b, nn.n),
+w2 AS (SELECT coalesce(w1.b, g2.b) AS b,
+              coalesce(w1.w, 0) - 0.5 * coalesce(g2.g, 0) AS w
+       FROM w1 FULL JOIN g2 ON w1.b = g2.b),
+z3 AS (SELECT f.id, coalesce(sum(w2.w), 0) AS z
+       FROM feats f LEFT JOIN w2 USING (b) GROUP BY f.id)
+SELECT id, round(1/(1+exp(-z)), 5) AS prob FROM z3""",
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality classifier trained INSIDE Spark: hashed
+    bag-of-token features (h48 % 1024, binary presence), 2 full-batch
+    GD steps on logistic loss (lr=0.5, zero init), then every document
+    scored with the learned weights. Deterministic training, so the
+    oracle replays both gradient steps in SQL. Label here: lang='en'
+    (stand-in for a curated quality seed set)."""
+    from .operators import classifier as C
+
+    feats = C.hashed_features(
+        _docs(spark, sf_dir), F.col("lang") == "en", dim=1024
+    )
+    w = C.train_logreg_hashed(feats, steps=2, lr=0.5)
+    return C.score_logreg(feats, w)
+
+
+@register(
     "sketch_bloom",
     f"""WITH hs AS (SELECT i AS hi FROM generate_series(0, 2) t(i)),
 pos AS (SELECT DISTINCT
@@ -3538,7 +3578,8 @@ DRIVER_WINDOW: list[str] = [
     "pipeline_shuffle_export", "text_bpe_tokens",
     "pipeline_length_batches",
     # text analysis + corpus hygiene
-    "text_stats", "text_quality", "text_langid", "text_fingerprint",
+    "text_stats", "text_quality_classifier", "text_langid",
+    "text_fingerprint",
     "text_tfidf", "text_gopher_filter", "text_decontaminate",
     "text_pii_redact", "text_quality_filter", "text_chunk",
     "text_unigram_logprob",
@@ -3576,6 +3617,9 @@ FAMILY: dict[str, str] = {
     # demoted round-5: KMV distinct-count (r3 driver row on file) swaps
     # for the new Bloom-membership sketch representative
     "sketch_distinct_users": "sketch_bloom",
+    # demoted round-5: heuristic quality score (r1 driver row) is the
+    # stats-family twin; the learned classifier takes the quality slot
+    "text_quality": "text_stats",
     # demoted round-4: near-twins of in-window representatives
     "lsh_persistence": "lsh_signatures",        # save/load round-trip of same index
     "dedup_simhash_pairs_wide": "dedup_simhash_pairs",  # num_blocks=8 variant
