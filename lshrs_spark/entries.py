@@ -3549,6 +3549,274 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.line_dedup(lines, min_dup=2, keep_first=True)
 
 
+@register(
+    "sketch_cms",
+    f"""WITH hs AS (SELECT i AS hi FROM generate_series(0, 2) t(i)),
+cms AS (SELECT hi,
+          ({h48_sql("'cms' || hi || '|' || user_id::VARCHAR")} % 512) AS b,
+          count(*)::BIGINT AS c
+        FROM events, hs GROUP BY 1, 2),
+cand AS (SELECT DISTINCT user_id FROM events WHERE user_id < 60),
+cpos AS (SELECT user_id, hi,
+           ({h48_sql("'cms' || hi || '|' || user_id::VARCHAR")} % 512) AS b
+         FROM cand, hs),
+est AS (SELECT user_id, min(coalesce(c, 0))::BIGINT AS est_count
+        FROM cpos LEFT JOIN cms USING (hi, b) GROUP BY user_id),
+exact AS (SELECT user_id, count(*)::BIGINT AS exact_count
+          FROM events GROUP BY user_id)
+SELECT user_id::BIGINT AS user_id, est_count, exact_count
+FROM est JOIN exact USING (user_id)""",
+)
+def sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch: per-user event frequencies through a 3x512
+    sketch (small on purpose, so hash collisions — and the CMS
+    overcount guarantee ``est >= exact`` — are visible in the output),
+    probed for users 0..59 next to their exact counts. The sparse cell
+    table is built with one sum aggregation and is mergeable across
+    shards/days by union + re-sum; the oracle rebuilds the identical
+    sketch from the portable h48 cells."""
+    from .functions.sketch import cms_build, cms_query
+
+    ev = _events(spark, sf_dir)
+    cells = cms_build(ev, "user_id", width=512, depth=3)
+    cand = ev.filter(F.col("user_id") < 60).select("user_id").distinct()
+    est = cms_query(cells, cand, "user_id", width=512, depth=3,
+                    out_col="est_count")
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return est.join(exact, "user_id").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "est_count",
+        "exact_count",
+    )
+
+
+@register(
+    "stream_attribution_join",
+    """SELECT v.user_id::BIGINT AS user_id, v.event_id::BIGINT AS view_id,
+       c.event_id::BIGINT AS click_id,
+       floor((epoch_us(c.ts) - epoch_us(v.ts)) / 1000000)::BIGINT AS lag_sec
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE""",
+)
+def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks and an event-time range
+    predicate: click-to-view attribution within 30 minutes. The batch
+    oracle is the same join — stream-equals-batch is exactly the
+    correctness contract for append-mode stream-stream joins."""
+    from .streaming.ingest import stream_attribution_join as sj
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return sj(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "stream_dedup_counts",
+    """SELECT event_type, count(*)::BIGINT AS n,
+       sum(round(value * 100))::BIGINT AS value_cents
+FROM events GROUP BY 1""",
+)
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` on the event id upstream of a
+    per-type rollup — the exactly-once-per-key counting recipe for
+    at-least-once delivery. The source has unique ids, so the oracle is
+    the plain batch rollup (the operator must pass every unique row
+    through untouched); redelivery semantics are pytest-verified with a
+    duplicated source (`tests/test_streaming.py`)."""
+    from .streaming.ingest import stream_deduped_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return stream_deduped_counts(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "pipeline_corpus_diff",
+    f"""WITH oldc AS (SELECT doc_id AS id, {h48_sql("'v:' || text")} AS h
+            FROM documents),
+newc AS (
+  SELECT doc_id AS id,
+         {h48_sql("'v:' || (CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END)")} AS h
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS id, {h48_sql("'v:' || text")} AS h
+  FROM documents WHERE doc_id % 29 = 0)
+SELECT coalesce(o.id, n.id)::BIGINT AS id,
+  CASE WHEN o.id IS NULL THEN 'added'
+       WHEN n.id IS NULL THEN 'removed'
+       WHEN o.h = n.h THEN 'unchanged'
+       ELSE 'changed' END AS status
+FROM oldc o FULL OUTER JOIN newc n ON o.id = n.id""",
+)
+def pipeline_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff (the promotion gate for a
+    rebuilt training corpus): v2 is derived deterministically from the
+    documents table (every 17th doc removed, every 13th edited, every
+    29th re-added under a new id), then classified added / removed /
+    changed / unchanged by full-outer-joining 16-byte ``(id, hash)``
+    projections — payloads never shuffle."""
+    from .operators.diff import corpus_diff
+
+    docs = _docs(spark, sf_dir)
+    changed = F.when(
+        F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+    ).otherwise(F.col("text"))
+    v2 = docs.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id", changed.alias("text")
+    )
+    added = docs.filter(F.col("doc_id") % 29 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return corpus_diff(docs, v2.unionByName(added), content_cols=["text"])
+
+
+@register(
+    "text_clean",
+    """WITH dirty AS (SELECT doc_id AS id,
+         text || chr(0) || chr(8203) || '   tail' || repeat(chr(10), 4)
+              || 'end' AS d
+       FROM documents),
+c1 AS (SELECT id, d, regexp_replace(d,
+         '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{200B}-\\x{200D}\\x{FEFF}]',
+         '', 'g') AS s
+       FROM dirty),
+c2 AS (SELECT id, d, regexp_replace(s, '[ \\t]+', ' ', 'g') AS s2 FROM c1),
+c3 AS (SELECT id, d,
+         trim(regexp_replace(s2, '\\n{3,}', chr(10) || chr(10), 'g'))
+           AS clean_text
+       FROM c2)
+SELECT id, clean_text,
+       (length(d) - length(clean_text))::BIGINT AS n_removed
+FROM c3""",
+)
+def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time cleanup pass: each document is deliberately dirtied
+    (NUL + zero-width space + space run + blank-line run appended) and
+    then run through :func:`clean_text_col` — control/zero-width strip,
+    whitespace collapse, blank-line collapse, trim — all inside
+    whole-stage codegen. The shared RE2/Java-compatible patterns let
+    the oracle replay the cleanup byte-for-byte."""
+    docs = _docs(spark, sf_dir)
+    dirty = F.concat(
+        F.col("text"), F.lit("\x00\u200b   tail\n\n\n\nend")
+    )
+    clean = X.clean_text_col(dirty)
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        clean.alias("clean_text"),
+        (F.length(dirty) - F.length(clean)).cast("long").alias("n_removed"),
+    )
+
+
+@register(
+    "text_heavy_hitters",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+       FROM documents)
+SELECT token, count(*)::BIGINT AS n
+FROM tok GROUP BY token HAVING count(*) >= 100""",
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus-wide frequent tokens (count >= 100) through the
+    scalable two-pass shape: a zero-shuffle per-partition pigeonhole
+    prune (no false negatives by the averaging argument) followed by an
+    exact verify over only the surviving candidates. The oracle is the
+    plain ``HAVING count(*) >= 100`` — the prune is an optimization,
+    not an approximation, and must not change a single row."""
+    from .functions.sketch import heavy_hitters
+
+    tok = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    return heavy_hitters(tok, "token", 100)
+
+
+@register(
+    "multimodal_frame_sample",
+    # Video containers (4 frames of 2x2 P6 PPM; frame f's pixels =
+    # bytes [f*12, f*12+12) of the padded text), sampled every 2nd
+    # frame -> per-frame pixel means of frames 0 and 2, replayed by the
+    # oracle from plain ascii() like multimodal_features.
+    """SELECT doc_id AS id, fr.f::BIGINT AS frame_no,
+       round(list_avg(list_transform(generate_series(1, 12),
+             i -> ascii(substr(rpad(text, 48, ' '), fr.f * 12 + i, 1)))), 5)
+         AS mean_val
+FROM documents, (SELECT unnest([0, 2]) AS f) fr""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over multi-frame (video) payloads: each document
+    becomes a 4-frame VID0 container, ``frame_sample`` keeps every 2nd
+    frame (sampling BEFORE any decode work — the at-scale point), and
+    the kept frames flow through the ordinary image feature extractor.
+    Real container parse + real PPM decode, all Arrow-batched."""
+    from .multimodal import frame_sample, media_features, with_video_payload
+
+    vids = with_video_payload(
+        _docs(spark, sf_dir), num_frames=4, width=2, height=2
+    )
+    sampled = frame_sample(vids, every_k=2)
+    # composite key so per-frame identity survives the feature pass
+    keyed = sampled.select(
+        (F.col("id") * 10 + F.col("frame_no")).alias("id"), "payload"
+    )
+    return media_features(keyed).select(
+        F.expr("id div 10").cast("long").alias("id"),
+        (F.col("id") % 10).cast("long").alias("frame_no"),
+        F.round("mean_val", 5).alias("mean_val"),
+    )
+
+
+def _pr_iter(prev: str, out: str) -> str:
+    """One unrolled PageRank round in mean-1 normalization:
+    r'(v) = 0.15 + 0.85 * sum_{u->v} r(u)/deg(u)."""
+    return f"""{out} AS (
+  SELECT n.id, 0.15 + 0.85 * coalesce(s.s, 0.0) AS rank
+  FROM {prev} n LEFT JOIN (
+    SELECT e.dst AS id, sum(p.rank / d.degree) AS s
+    FROM edges e
+    JOIN {prev} p ON p.id = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) s USING (id))"""
+
+
+@register(
+    "graph_pagerank",
+    f"""WITH {_JACCARD_CTES},
+edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs WHERE jaccard >= 0.5
+          UNION SELECT id_b, id_a FROM jpairs WHERE jaccard >= 0.5),
+deg AS (SELECT src, count(*)::DOUBLE AS degree FROM edges GROUP BY src),
+r0 AS (SELECT doc_id AS id, 1.0 AS rank FROM documents),
+{_pr_iter("r0", "r1")},
+{_pr_iter("r1", "r2")},
+{_pr_iter("r2", "r3")}
+SELECT r3.id::BIGINT AS id,
+       coalesce(dg.degree, 0)::BIGINT AS degree,
+       round(r3.rank, 5) AS rank
+FROM r3 LEFT JOIN (SELECT src AS id, count(*) AS degree
+                   FROM edges GROUP BY src) dg USING (id)""",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality over the Jaccard>=0.5 near-dup graph: 3 synchronous
+    PageRank rounds (mean-1 normalization — corpus-size-independent
+    values, exact oracle replay) next to each node's degree. High-rank
+    nodes anchor duplicate clusters — a principled keep-this-copy
+    signal next to ``dedup_representative``'s min-hash choice; high
+    degree flags boilerplate hubs."""
+    from .operators.graph import degree_table, pagerank, symmetric_edges
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, 0.5, n=3)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("id"))
+    ranks = pagerank(pairs, nodes, damping=0.85, iterations=3)
+    deg = degree_table(symmetric_edges(pairs))
+    return ranks.join(deg, "id", "left").select(
+        "id",
+        F.coalesce(F.col("degree"), F.lit(0)).cast("long").alias("degree"),
+        F.round(F.col("rank"), 5).alias("rank"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # Driver correctness window curation
 # --------------------------------------------------------------------- #
@@ -3566,33 +3834,39 @@ DRIVER_WINDOW: list[str] = [
     # LSH core (S4/S5, H1-H6, Q1-Q9, M1/M3)
     "lsh_signatures", "lsh_index_stats", "lsh_topk", "lsh_topp",
     "knn_bruteforce", "lsh_delete",
-    # similarity join + dedup family
-    "simjoin_lsh", "dedup_exact", "dedup_ngram_jaccard", "dedup_groups",
+    # similarity join + dedup family (dedup_ngram_jaccard demoted
+    # round-6: shingle-inverted-index twin of the in-window minhash rep)
+    "simjoin_lsh", "dedup_exact", "dedup_groups",
     "dedup_minhash_pairs", "dedup_simhash_pairs",
     "dedup_substring", "dedup_incremental", "text_line_dedup",
     # ANN tiers (ann_batch ~ lsh_topk twin and ann_recall gauge are
     # past the window, local-gated)
     "ann_ivf", "emb_semantic_dedup",
-    # planner + quantization + pipeline ops
-    "planner_config", "ann_pq_topk", "pipeline_pack",
+    # planner + quantization + pipeline ops (text_tfidf demoted
+    # round-6: token-frequency-statistics twin of text_stats;
+    # pipeline_pack demoted round-6: prefix-sum family twin of the
+    # in-window length-batching rep — the graph family takes its slot)
+    "planner_config", "ann_pq_topk", "graph_pagerank",
     "pipeline_shuffle_export", "text_bpe_tokens",
-    "pipeline_length_batches",
+    "pipeline_length_batches", "pipeline_corpus_diff",
     # text analysis + corpus hygiene
     "text_stats", "text_quality_classifier", "text_langid",
-    "text_fingerprint",
-    "text_tfidf", "text_gopher_filter", "text_decontaminate",
+    "text_fingerprint", "text_clean",
+    "text_gopher_filter", "text_decontaminate",
     "text_pii_redact", "text_quality_filter", "text_chunk",
     "text_unigram_logprob",
     # embeddings analytics
     "emb_kmeans",
-    # relational suite
-    "rel_pricing_summary", "rel_top_customers", "rel_customer_setops",
+    # relational suite (rel_customer_setops and rel_stats_corr demoted
+    # round-6: set-membership ~ rel_semi_anti, stats agg ~ rel_quantiles)
+    "rel_pricing_summary", "rel_top_customers",
     "rel_sales_cube", "rel_events_json", "rel_quantiles",
-    "rel_stats_corr", "rel_semi_anti",
+    "rel_semi_anti",
     "rel_salted_join", "rel_events_sessionize", "rel_events_asof",
     # sketches + streaming + multimodal
-    "sketch_bloom", "stream_windowed_counts",
-    "stream_stateful_first", "multimodal_features",
+    "sketch_bloom", "sketch_cms", "stream_windowed_counts",
+    "stream_stateful_first", "stream_attribution_join",
+    "multimodal_features",
 ]
 
 # Family map — the import-time guard closing the "new operator lands past
@@ -3603,6 +3877,15 @@ DRIVER_WINDOW: list[str] = [
 # new entry without doing one of the two fails at import, so an
 # unchecked family can no longer ship silently.
 FAMILY: dict[str, str] = {
+    # demoted round-6 (all have r3 driver rows on file) to admit the
+    # CMS, stream-stream-join, corpus-diff, and text-clean families
+    "dedup_ngram_jaccard": "dedup_minhash_pairs",
+    "text_tfidf": "text_stats",
+    "rel_customer_setops": "rel_semi_anti",
+    "rel_stats_corr": "rel_quantiles",
+    # delivery-retry dedup rollup: stream-equals-batch twin of the
+    # in-window windowed-counts rep (redelivery pytest-verified)
+    "stream_dedup_counts": "stream_windowed_counts",
     # demoted round-5: group post-processing twin of the in-window
     # connected-components representative (rotated out for the new
     # line-dedup family)
@@ -3626,8 +3909,11 @@ FAMILY: dict[str, str] = {
     "rel_pivot": "rel_sales_cube",              # pivot ~ cube reshaping
     "rel_events_interval": "rel_events_asof",   # interval ~ as-of range join
     "dedup_embedding": "simjoin_lsh",           # banded cosine simjoin variant
-    "pipeline_training_prep": "pipeline_pack",  # composite of in-window ops
-    "pipeline_pack_bpe": "pipeline_pack",       # pack with BPE token budgets
+    # prefix-sum family (rep: pipeline_length_batches since round-6,
+    # when the graph family took pipeline_pack's window slot)
+    "pipeline_pack": "pipeline_length_batches",
+    "pipeline_training_prep": "pipeline_length_batches",
+    "pipeline_pack_bpe": "pipeline_length_batches",
     # LSH / ANN twins
     "lsh_signatures_sql": "lsh_signatures",
     "ann_batch": "lsh_topk",
@@ -3641,6 +3927,7 @@ FAMILY: dict[str, str] = {
     "dedup_substring_stats": "dedup_substring",
     # text twins
     "text_token_topk": "text_stats",
+    "text_heavy_hitters": "text_stats",
     "text_bigram_logprob": "text_unigram_logprob",
     "text_corpus_card": "text_stats",
     "text_langid_accuracy": "text_langid",
@@ -3674,6 +3961,8 @@ FAMILY: dict[str, str] = {
     "ann_pq_recall": "ann_pq_topk",
     "ann_ivfpq_topk": "ann_pq_topk",
     "ann_ivfpq_refined": "ann_pq_topk",
+    # multimodal twins (rep: multimodal_features)
+    "multimodal_frame_sample": "multimodal_features",
     # streaming twins
     "stream_event_type_agg": "stream_windowed_counts",
     "stream_session_counts": "stream_windowed_counts",

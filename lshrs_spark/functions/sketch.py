@@ -24,7 +24,10 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct", "KMV_HASH_SPACE", "bloom_build", "bloom_probe"]
+__all__ = [
+    "kmv_distinct", "KMV_HASH_SPACE", "bloom_build", "bloom_probe",
+    "cms_build", "cms_query", "heavy_hitters",
+]
 
 # functions.text.h48 hashes into [0, 2^48)
 KMV_HASH_SPACE = float(1 << 48)
@@ -145,3 +148,140 @@ def bloom_probe(
     )
     verdict = hits.groupBy("_cid").agg(F.bool_and("_hit").alias(out_col))
     return cand.join(verdict, "_cid").drop("_cid", "_ps")
+
+
+# --------------------------------------------------------------------- #
+# Count-Min sketch — approximate frequencies with a hard upper-bound
+# guarantee (est >= true, overestimate bounded by n/width per row).
+# --------------------------------------------------------------------- #
+
+def _cms_positions(value_col, width: int, depth: int):
+    """``depth`` deterministic (row, bucket) cells for a value:
+    ``bucket_i = h48('cms{i}|' || value) % width`` — portable, so any
+    engine rebuilds the identical sketch."""
+    from .text import h48
+
+    return F.array(*[
+        F.struct(
+            F.lit(i).alias("r"),
+            (h48(F.concat(F.lit(f"cms{i}|"), value_col.cast("string")))
+             % width).cast("long").alias("b"),
+        )
+        for i in range(depth)
+    ])
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    width: int = 1 << 16,
+    depth: int = 4,
+    *,
+    weight_col=None,
+) -> DataFrame:
+    """Build a Count-Min sketch distributedly: ``(r, b, c)`` — the
+    sketch's NON-ZERO cells. Each value increments one bucket per hash
+    row; cells aggregate with a plain sum (map-side partial agg, so the
+    shuffle carries at most ``depth * width`` rows per partition no
+    matter how many input rows). The sparse cell table IS the sketch:
+    union two and re-sum to merge — the mergeability that lets per-day
+    or per-shard sketches roll up without touching raw data. At
+    ``width = 2^20, depth = 4`` the dense table is 4M cells (~100 MB) —
+    trivially broadcastable — while counting an unbounded stream."""
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    cell = df.select(
+        F.explode(_cms_positions(F.col(value_col), width, depth)).alias("_c"),
+        w.alias("_w"),
+    )
+    return (
+        cell.select(F.col("_c.r").alias("r"), F.col("_c.b").alias("b"), "_w")
+        .groupBy("r", "b")
+        .agg(F.sum("_w").alias("c"))
+    )
+
+
+def cms_query(
+    cms_cells: DataFrame,
+    candidates: DataFrame,
+    value_col: str,
+    width: int = 1 << 16,
+    depth: int = 4,
+    *,
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Point-query the sketch: candidates gain ``out_col`` = the
+    minimum over their ``depth`` cells (a missing cell reads 0). The
+    estimate never undercounts; it overcounts by at most the hash
+    collisions in the lightest row. Cell table is the small side —
+    AQE broadcasts it when it fits."""
+    cand = candidates.withColumn(
+        "_cs", _cms_positions(F.col(value_col), width, depth)
+    ).withColumn("_cid", F.monotonically_increasing_id())
+    pos = cand.select("_cid", F.explode("_cs").alias("_c")).select(
+        "_cid", F.col("_c.r").alias("r"), F.col("_c.b").alias("b")
+    )
+    reads = pos.join(cms_cells, ["r", "b"], "left").select(
+        "_cid", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("_v")
+    )
+    est = reads.groupBy("_cid").agg(F.min("_v").alias(out_col))
+    return cand.join(est, "_cid").drop("_cid", "_cs")
+
+
+# --------------------------------------------------------------------- #
+# Exact heavy hitters — pigeonhole candidate prune + exact verify.
+# --------------------------------------------------------------------- #
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    threshold: int,
+    *,
+    out_col: str = "n",
+) -> DataFrame:
+    """EXACT set of values with global count >= ``threshold``, without
+    ever shuffling the full value stream.
+
+    Two passes:
+
+    1. *Pigeonhole prune*, zero shuffle: each partition counts its own
+       values in an Arrow batch (``mapInPandas``) and emits only those
+       with local count >= ``ceil(threshold / num_partitions)``. If a
+       value's global count >= threshold, its max partition count is >=
+       its average ``threshold/P``, so it MUST survive in at least one
+       partition — no false negatives, ever. Values spread thinly
+       (the long tail — the overwhelming majority of a 100 TB token
+       stream) die here, in the map stage.
+    2. *Exact verify*: semi-join the stream against the (small —
+       at most ``P * partition_rows / local_min``) candidate set, then
+       one count aggregation with the usual map-side combine. Only
+       candidate occurrences reach the shuffle.
+
+    The result is bit-identical to ``GROUP BY ... HAVING count(*) >=
+    threshold`` — the prune is an optimization, not an approximation.
+    """
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1 (got {threshold})")
+    values = df.select(value_col)
+    num_parts = max(1, values.rdd.getNumPartitions())
+    local_min = max(1, -(-threshold // num_parts))  # ceil
+    vc = value_col
+    schema = values.schema
+
+    def local_candidates(batches):
+        import pandas as pd
+
+        counts: dict = {}
+        for pdf in batches:
+            for v, c in pdf[vc].value_counts(dropna=True).items():
+                counts[v] = counts.get(v, 0) + int(c)
+        yield pd.DataFrame(
+            {vc: [v for v, c in counts.items() if c >= local_min]}
+        )
+
+    cand = values.mapInPandas(local_candidates, schema=schema).distinct()
+    return (
+        values.join(cand, vc, "left_semi")
+        .groupBy(vc)
+        .agg(F.count(F.lit(1)).alias(out_col))
+        .filter(F.col(out_col) >= threshold)
+    )

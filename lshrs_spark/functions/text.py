@@ -31,7 +31,18 @@ __all__ = [
     "chunk_documents",
     "unigram_logprob",
     "normalize_text_col",
+    "clean_text_col",
+    "CONTROL_CHAR_PATTERN",
 ]
+
+# C0 controls except \t\n, DEL, zero-widths (ZWSP/ZWNJ/ZWJ), BOM: the
+# bytes a crawler's HTML-to-text step leaks into web corpora. \x{...}
+# syntax parses identically in Java regex and DuckDB's RE2, so one
+# pattern string serves both engines.
+CONTROL_CHAR_PATTERN = (
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
+    "\\x{200B}-\\x{200D}\\x{FEFF}]"
+)
 
 
 def h48(c: Column) -> Column:
@@ -54,6 +65,21 @@ def normalize_text_col(text: Column) -> Column:
     character classes so Java regex and DuckDB's RE2 agree."""
     cleaned = F.regexp_replace(F.lower(text), "[^a-z0-9 ]", " ")
     return F.trim(F.regexp_replace(cleaned, " +", " "))
+
+
+def clean_text_col(text: Column) -> Column:
+    """Ingest-time text cleanup (the C4-style pre-filter pass, ASCII-safe
+    subset): strip control and zero-width characters
+    (:data:`CONTROL_CHAR_PATTERN`), collapse horizontal whitespace runs,
+    collapse 3+ blank lines to one blank line, trim. Unlike
+    :func:`normalize_text_col` (a DEDUP KEY — lossy by design) this is a
+    CONTENT transform: the cleaned text is what ships to training, so it
+    preserves case, punctuation, and paragraph structure. Pure codegen —
+    three regexp passes, zero exchanges, and every pattern is shared
+    verbatim with the DuckDB oracle (RE2/Java-common syntax only)."""
+    no_ctl = F.regexp_replace(text, CONTROL_CHAR_PATTERN, "")
+    one_space = F.regexp_replace(no_ctl, "[ \\t]+", " ")
+    return F.trim(F.regexp_replace(one_space, "\\n{3,}", "\n\n"))
 
 
 def token_count_col(text: Column) -> Column:

@@ -44,6 +44,11 @@ __all__ = [
     "decode_payload",
     "with_ppm_payload",
     "media_features",
+    "encode_video",
+    "decode_video",
+    "with_video_payload",
+    "frame_sample",
+    "media_resize",
 ]
 
 FEATURE_SCHEMA = (
@@ -401,3 +406,176 @@ def decode_image_stub(payload: bytes):
     from PIL import Image
 
     return Image.open(io.BytesIO(payload))
+
+
+# --------------------------------------------------------------------- #
+# Video plumbing: multi-frame containers, frame sampling, resize.
+# --------------------------------------------------------------------- #
+# Container format (deterministic, library-free): b"VID0" + u32 frame
+# count + per frame (u32 length + frame bytes). Frames are ordinary
+# single-image payloads (PPM here), so every image operator composes
+# with the sampled output.
+
+VIDEO_MAGIC = b"VID0"
+
+
+def encode_video(frames: list[bytes]) -> bytes:
+    out = [VIDEO_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        out.append(struct.pack("<I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def decode_video(payload: bytes) -> list[bytes]:
+    if payload[:4] != VIDEO_MAGIC:
+        raise ValueError("not a VID0 container")
+    n = struct.unpack_from("<I", payload, 4)[0]
+    pos, frames = 8, []
+    for _ in range(n):
+        ln = struct.unpack_from("<I", payload, pos)[0]
+        frames.append(payload[pos + 4:pos + 4 + ln])
+        pos += 4 + ln
+    return frames
+
+
+def with_video_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_frames: int = 4, width: int = 2, height: int = 2,
+) -> DataFrame:
+    """Deterministic multi-frame payloads from the documents table:
+    frame ``f`` is a P6 PPM whose pixels are bytes
+    ``[f*w*h*3, (f+1)*w*h*3)`` of the space-padded text — the
+    oracle replays every frame's pixel math from plain ``ascii()``."""
+    n = width * height * 3
+    header = F.lit(b"P6\n%d %d\n255\n" % (width, height))
+    frame_len = len(b"P6\n%d %d\n255\n" % (width, height)) + n
+    padded = F.rpad(F.col(text_col), n * num_frames, " ")
+    frames = [
+        F.concat(
+            F.lit(struct.pack("<I", frame_len)),
+            header,
+            F.encode(F.substring(padded, f * n + 1, n), "utf-8"),
+        )
+        for f in range(num_frames)
+    ]
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.concat(
+            F.lit(VIDEO_MAGIC + struct.pack("<I", num_frames)), *frames
+        ).alias("payload"),
+        F.lit("video/x-vid0").alias("mime"),
+    )
+
+
+def frame_sample(payload_df: DataFrame, every_k: int = 2) -> DataFrame:
+    """Sample every ``every_k``-th frame out of VID0 containers:
+    ``(id, frame_no, payload)`` with one row per KEPT frame, each
+    payload a standalone single-image payload. Arrow-batched
+    ``mapInPandas``; the batch fans out rows, so downstream per-frame
+    operators (features, resize) see an ordinary image table. At scale
+    the sampled table is ``1/every_k`` the byte volume of the source —
+    sampling BEFORE decode/feature work is the point."""
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1 (got {every_k})")
+    k = every_k
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, fnos, outs = [], [], []
+            for pid, payload in zip(pdf["id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != b"VID0":
+                    raise ValueError("unknown payload magic")
+                n = _struct.unpack_from("<I", b, 4)[0]
+                pos = 8
+                for f in range(n):
+                    ln = _struct.unpack_from("<I", b, pos)[0]
+                    if f % k == 0:
+                        ids.append(pid)
+                        fnos.append(f)
+                        outs.append(b[pos + 4:pos + 4 + ln])
+                    pos += 4 + ln
+            yield _pd.DataFrame(
+                {"id": ids, "frame_no": fnos, "payload": outs}
+            )
+
+    return payload_df.select("id", "payload").mapInPandas(
+        sample_batches, schema="id long, frame_no long, payload binary"
+    )
+
+
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of an ``(h, w, 3)`` uint8 array — pure
+    numpy index gather (the deterministic resize an oracle can replay;
+    swap in a real resampler where quality matters)."""
+    h, w = pixels.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return pixels[ys][:, xs]
+
+
+def media_resize(payload_df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Resize PPM payloads to ``out_w x out_h`` (nearest neighbor):
+    ``(id, payload, width, height)``, payloads re-encoded as P6 PPM.
+    Arrow-batched ``mapInPandas``; decode → index gather → re-encode is
+    all numpy, no per-row Python on the driver and no image libraries."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError("resize dimensions must be >= 1")
+    ow, oh = out_w, out_h
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        ws = b" \t\r\n\x0b\x0c"
+
+        def _ppm(b):
+            # same scanner contract as media_features' worker decoder
+            pos, vals = 2, []
+            while len(vals) < 3:
+                while b[pos] in ws:
+                    pos += 1
+                if b[pos:pos + 1] == b"#":
+                    while b[pos:pos + 1] not in (b"\n", b""):
+                        pos += 1
+                    continue
+                start = pos
+                while b[pos] not in ws:
+                    pos += 1
+                vals.append(int(b[start:pos]))
+            w, h, maxval = vals
+            if maxval != 255:
+                raise ValueError(f"unsupported PPM maxval {maxval}")
+            need = w * h * 3
+            data = b[pos + 1:pos + 1 + need]
+            if len(data) < need:
+                raise ValueError(f"PPM payload truncated: {len(data)} < {need}")
+            return w, h, _np.frombuffer(data, dtype=_np.uint8).reshape(h, w, 3)
+
+        for pdf in batches:
+            ids, outs = [], []
+            for pid, payload in zip(pdf["id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:2] != b"P6":
+                    raise ValueError("media_resize expects P6 PPM payloads")
+                w, h, px = _ppm(b)
+                ys = (_np.arange(oh) * h) // oh
+                xs = (_np.arange(ow) * w) // ow
+                resized = px[ys][:, xs]
+                ids.append(pid)
+                outs.append(
+                    b"P6\n%d %d\n255\n" % (ow, oh) + resized.tobytes()
+                )
+            yield _pd.DataFrame({
+                "id": ids, "payload": outs,
+                "width": [ow] * len(ids), "height": [oh] * len(ids),
+            })
+
+    return payload_df.select("id", "payload").mapInPandas(
+        resize_batches, schema="id long, payload binary, width long, height long"
+    )

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from ..functions.text import h48
 
 __all__ = ["shuffle_key_col", "hash_sample", "shuffle_shards",
-           "write_training_shards"]
+           "write_training_shards", "zorder_key_col", "write_clustered"]
 
 _DENOM = 1_000_000
 
@@ -134,3 +134,87 @@ def write_training_shards(
         .drop("_hkey")
     )
     out.write.mode("overwrite").partitionBy("shard").parquet(path)
+
+
+# --------------------------------------------------------------------- #
+# Clustered storage layout — data skipping for the at-rest corpus.
+# --------------------------------------------------------------------- #
+
+def zorder_key_col(
+    cols: list[tuple[Column, Column, Column]], bits: int = 16
+) -> Column:
+    """Z-order (Morton) key from ``(col, min, max)`` triples: each
+    column linearly bucketed to ``bits`` bits against its [min, max]
+    envelope, then bit-interleaved. Rows close in every clustered
+    dimension land close in key order, so range-partitioning by this
+    key gives parquet files narrow min/max envelopes in ALL the
+    clustered columns at once — multi-column data skipping from plain
+    parquet stats, no table format needed. Linear (not rank) bucketing
+    keeps the key a pure Catalyst expression of (value, min, max); pass
+    aggregated mins/maxes (one tiny agg job) or known domain bounds."""
+    if not cols:
+        raise ValueError("zorder_key_col needs at least one column")
+    n = len(cols)
+    scale = (1 << bits) - 1
+    interleaved = F.lit(0).cast("long")
+    for ci, (c, lo, hi) in enumerate(cols):
+        span = (hi.cast("double") - lo.cast("double"))
+        frac = F.when(span > 0, (c.cast("double") - lo.cast("double")) / span) \
+            .otherwise(F.lit(0.0))
+        bucket = F.least(
+            F.lit(scale), F.greatest(F.lit(0), F.floor(frac * scale))
+        ).cast("long")
+        # spread bucket bit b of column ci to interleaved bit b*n + ci
+        for b in range(bits):
+            interleaved = interleaved.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
+                    b * n + ci,
+                )
+            )
+    return interleaved
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    *,
+    num_files: int = 32,
+    zorder: bool = False,
+    zorder_bits: int = 8,
+) -> None:
+    """Lay the corpus out for scan pruning: range-partition into
+    ``num_files`` files on the cluster columns (or their z-order key)
+    and sort within each file. Every file then carries a NARROW min/max
+    envelope on the leading cluster column (disjoint ranges, guaranteed
+    by ``repartitionByRange``) — a filtered read skips whole files from
+    footer stats alone, which is what keeps a point/range query on a
+    100 TB at-rest corpus from scanning 100 TB. With ``zorder=True``
+    the key is the Morton interleave of ALL cluster columns, trading a
+    little per-column tightness for multi-dimension skipping."""
+    if not cluster_cols:
+        raise ValueError("cluster_cols must be non-empty")
+    if zorder:
+        bounds = df.agg(
+            *[f(c).alias(f"{f.__name__}_{c}")
+              for c in cluster_cols for f in (F.min, F.max)]
+        ).first()
+        key = zorder_key_col(
+            [
+                (F.col(c), F.lit(bounds[f"min_{c}"]), F.lit(bounds[f"max_{c}"]))
+                for c in cluster_cols
+            ],
+            bits=zorder_bits,
+        )
+        out = (
+            df.withColumn("_zkey", key)
+            .repartitionByRange(num_files, "_zkey")
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
+        )
+    else:
+        out = df.repartitionByRange(
+            num_files, *cluster_cols
+        ).sortWithinPartitions(*cluster_cols)
+    out.write.mode("overwrite").parquet(path)

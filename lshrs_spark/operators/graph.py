@@ -1,0 +1,101 @@
+"""Graph analytics over the near-duplicate pair graph.
+
+Dedup produces an edge list (:func:`~lshrs_spark.operators.dedup`
+``*_pairs`` operators); beyond collapsing it into components
+(``connected_components``), corpus curation wants per-node structure:
+degree (how promiscuous a document's similarity neighborhood is — high
+degree = boilerplate/template hub) and PageRank-style centrality (which
+representative "anchors" a duplicate cluster; a principled alternative
+to min-id when choosing which copy to keep).
+
+Scale shape: every iteration is one equi-join (edges ⋈ ranks on the
+source id) plus one sum aggregation keyed by the destination id — the
+standard Pregel-as-joins formulation. Edge and rank tables shuffle on
+the node id; on a real cluster, pre-partitioning both by id makes the
+per-iteration exchanges single-sided. Iteration count is FIXED and
+small (centrality ranking stabilizes in a few rounds; this is a
+curation signal, not a numerics exercise), so the lineage stays
+shallow — for deep iteration counts, materialize per round exactly as
+``connected_components`` does with its slot materializer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["symmetric_edges", "degree_table", "pagerank"]
+
+
+def symmetric_edges(pairs: DataFrame) -> DataFrame:
+    """Undirected ``(id_a, id_b)`` pairs as a deduplicated directed
+    ``(src, dst)`` edge list (each pair contributes both directions)."""
+    return (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+    )
+
+
+def degree_table(edges: DataFrame) -> DataFrame:
+    """``(id, degree)`` over a directed edge list — out-degree, which on
+    a symmetrized graph equals the undirected degree."""
+    return edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+
+def pagerank(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    *,
+    damping: float = 0.85,
+    iterations: int = 3,
+) -> DataFrame:
+    """Fixed-iteration synchronous PageRank over the undirected pair
+    graph, in mean-1 normalization: ranks start at 1.0 and update as
+    ``r'(v) = (1-d) + d * sum_{u->v} r(u)/deg(u)`` — no 1/N factors, so
+    the values are corpus-size-independent (an isolated node sits at
+    ``1-d``, a hub above 1) and an external engine replays the exact
+    arithmetic. Dangling mass is NOT redistributed: on a symmetrized
+    pair graph every non-isolated node has out-edges, and isolated
+    nodes' leaked mass only shifts the global mean, not the ranking.
+
+    ``nodes`` must carry column ``id``; ``pairs`` columns
+    ``id_a, id_b``. Returns ``(id, rank)``.
+    """
+    edges = symmetric_edges(pairs)
+    deg = degree_table(edges)
+    # (src, dst, deg) is iteration-invariant — compute once, reuse; at
+    # scale persist this partitioned by src so each round's join is a
+    # single-sided exchange.
+    contrib_edges = edges.join(deg, edges.src == deg.id).select(
+        "src", "dst", "degree"
+    )
+    ranks = nodes.select(F.col("id").cast("long").alias("id")).withColumn(
+        "rank", F.lit(1.0)
+    )
+    for _ in range(iterations):
+        contribs = (
+            contrib_edges.join(ranks, contrib_edges.src == ranks.id)
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("degree")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            ranks.select("id")
+            .join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

@@ -3,13 +3,13 @@
 ``postgres``/``pg`` and ``parquet``/``pq`` aliases, ``ValueError`` on
 anything else. Beyond the reference's two formats, JSONL (the ML-corpus
 interchange format) and CSV (array-string cells) dispatch to
-:mod:`.delimited`."""
+:mod:`.delimited`, and ORC to Spark's native reader."""
 
 from __future__ import annotations
 
 from .delimited import load_csv_vectors, load_jsonl_vectors
 from .jdbc import load_postgres_vectors
-from .parquet import load_parquet_vectors
+from .parquet import load_orc_vectors, load_parquet_vectors
 
 __all__ = ["resolve_loader"]
 
@@ -21,6 +21,7 @@ _LOADERS = {
     "jsonl": load_jsonl_vectors,
     "json": load_jsonl_vectors,
     "csv": load_csv_vectors,
+    "orc": load_orc_vectors,
 }
 
 
@@ -30,6 +31,7 @@ def resolve_loader(format: str):
     if loader is None:
         raise ValueError(
             f"Unsupported format: {format!r}. Supported formats: "
-            "'postgres' ('pg'), 'parquet' ('pq'), 'jsonl' ('json'), 'csv'"
+            "'postgres' ('pg'), 'parquet' ('pq'), 'jsonl' ('json'), "
+            "'csv', 'orc'"
         )
     return loader

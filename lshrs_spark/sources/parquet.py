@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["load_parquet_vectors"]
+__all__ = ["load_parquet_vectors", "load_orc_vectors"]
 
 
 def load_parquet_vectors(
@@ -34,6 +34,34 @@ def load_parquet_vectors(
     if missing:
         raise ValueError(
             f"Missing required columns in parquet source: {missing}; "
+            f"available: {df.columns}"
+        )
+    out = df.select(
+        F.col(index_column),
+        F.col(vector_column).cast("array<float>").alias(vector_column),
+    )
+    if limit is not None:
+        out = out.limit(limit)
+    return out, index_column, vector_column
+
+
+def load_orc_vectors(
+    spark: SparkSession,
+    source: str,
+    *,
+    index_column: str = "index",
+    vector_column: str = "vector",
+    limit: int | None = None,
+    **_ignored,
+) -> tuple[DataFrame, str, str]:
+    """ORC twin of :func:`load_parquet_vectors` — same contract, same
+    errors; Spark's native ORC reader brings the identical vectorized
+    scan / pruning / pushdown machinery (no extra packages)."""
+    df = spark.read.orc(source)
+    missing = [c for c in (index_column, vector_column) if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"Missing required columns in orc source: {missing}; "
             f"available: {df.columns}"
         )
     out = df.select(

@@ -404,6 +404,101 @@ def sliding_event_counts(
         return run_to_memory_table(agg, name=name)
 
 
+def stream_attribution_join(
+    spark: SparkSession,
+    source_path: str,
+    *,
+    left_type: str = "view",
+    right_type: str = "click",
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+    name: Optional[str] = None,
+) -> DataFrame:
+    """Stream-stream INNER join with an event-time range condition — the
+    attribution pattern: every ``right_type`` event (click) matched to
+    the same user's earlier ``left_type`` events (views) within
+    ``horizon``. Both sides carry watermarks AND the join predicate
+    bounds event time on both sides, so Spark derives a state watermark
+    and evicts matched/expired rows per micro-batch — join state is
+    O(events inside the horizon), not O(stream length), which is what
+    makes this run forever on an unbounded click stream. Returns
+    ``(user_id, view_id, click_id, lag_sec)``; session conf restored on
+    return.
+
+    Spark requires equality somewhere in a stream-stream join condition
+    for state keying — ``user_id`` is it here; the range predicate
+    prunes within the key's state."""
+    with scoped_session_conf(spark, _stream_run_conf(spark)):
+        left = (
+            load_file_stream(spark, source_path)
+            .filter(F.col("event_type") == left_type)
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", watermark)
+        )
+        right = (
+            load_file_stream(spark, source_path)
+            .filter(F.col("event_type") == right_type)
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("r_user_id"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", watermark)
+        )
+        joined = left.join(
+            right,
+            (F.col("user_id") == F.col("r_user_id"))
+            & (F.col("click_ts") >= F.col("view_ts"))
+            & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+            "inner",
+        ).select(
+            "user_id",
+            "view_id",
+            "click_id",
+            ((F.unix_micros("click_ts") - F.unix_micros("view_ts"))
+             / 1_000_000).cast("long").alias("lag_sec"),
+        )
+        return run_to_memory_table(joined, output_mode="append", name=name)
+
+
+def stream_deduped_counts(
+    spark: SparkSession,
+    source_path: str,
+    *,
+    key_cols: Optional[list] = None,
+    watermark: str = "1 hour",
+    name: Optional[str] = None,
+) -> DataFrame:
+    """Exactly-once-per-key counting on an at-least-once stream:
+    ``dropDuplicatesWithinWatermark`` on the event id discards redelivered
+    rows (state bounded by the watermark horizon — old keys are evicted,
+    unlike plain ``dropDuplicates`` whose key state grows forever), then
+    a per-type count. Complements :func:`stream_dedup_ingest`, which
+    dedups document CONTENT against a persistent corpus; this one dedups
+    delivery RETRIES inside the stream itself. Session conf restored on
+    return."""
+    key_cols = key_cols or ["event_id"]
+    with scoped_session_conf(spark, _stream_run_conf(spark)):
+        stream = (
+            load_file_stream(spark, source_path)
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(key_cols)
+        )
+        # One stateful operator per query: the dedup stream lands in the
+        # sink (append — rows emit as they pass the dedup state), the
+        # rollup runs batch-side over the sink table, exactly as a
+        # production job would aggregate the deduped landing zone.
+        deduped = run_to_memory_table(stream, output_mode="append", name=name)
+        return deduped.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+
+
 def stream_ivf_stage(
     spark: SparkSession,
     source_path: str,

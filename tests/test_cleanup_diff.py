@@ -1,0 +1,75 @@
+"""corpus_diff snapshot classification and clean_text_col cleanup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lshrs_spark.functions.text import clean_text_col
+from lshrs_spark.operators.diff import (
+    content_hash_col,
+    corpus_diff,
+    corpus_diff_summary,
+)
+
+
+def test_corpus_diff_classifies_all_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "bravo"), (3, "charlie")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "bravo EDITED"), (4, "delta")], ["doc_id", "text"]
+    )
+    got = {r.id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    summary = {r.status: r.n for r in
+               corpus_diff_summary(corpus_diff(old, new)).collect()}
+    assert summary == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_corpus_diff_multi_column_and_null_safety(spark):
+    # (text='a', lang=NULL) vs (text='a', lang='') must hash apart, and
+    # a text containing the separator must not alias a column boundary
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "a\x1f", "x")], ["doc_id", "text", "lang"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a", ""), (2, "a", "\x1fx")], ["doc_id", "text", "lang"]
+    )
+    got = {r.id: r.status for r in
+           corpus_diff(old, new, content_cols=["text", "lang"]).collect()}
+    assert got == {1: "changed", 2: "changed"}
+
+
+def test_corpus_diff_xxhash64_mode(spark):
+    old = spark.createDataFrame([(1, "same"), (2, "old")], ["doc_id", "text"])
+    new = spark.createDataFrame([(1, "same"), (2, "new")], ["doc_id", "text"])
+    got = {r.id: r.status for r in
+           corpus_diff(old, new, base_hash="xxhash64").collect()}
+    assert got == {1: "unchanged", 2: "changed"}
+
+
+def test_content_hash_distinguishes_empty_and_null(spark):
+    df = spark.createDataFrame([("", ), (None, )], "text string")
+    hashes = [r.h for r in
+              df.select(content_hash_col(["text"]).alias("h")).collect()]
+    assert hashes[0] != hashes[1]
+
+
+def test_clean_text_col_strips_and_collapses(spark):
+    cases = [
+        # control chars + DEL removed
+        ("a\x00b\x07c\x7fd", "abcd"),
+        # zero-widths (ZWSP/ZWJ/BOM) removed
+        ("a​b‍c﻿d", "abcd"),
+        # horizontal whitespace runs collapse; \t treated as whitespace
+        ("a  \t  b", "a b"),
+        # 3+ newlines collapse to a paragraph break; 2 stay
+        ("a\n\n\n\n\nb", "a\n\nb"),
+        ("a\n\nb", "a\n\nb"),
+        # trim, but preserve case and punctuation (content transform)
+        ("  Hello, World!  ", "Hello, World!"),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], ["text"])
+    got = [r.c for r in
+           df.select(clean_text_col(F.col("text")).alias("c")).collect()]
+    assert got == [want for _, want in cases]

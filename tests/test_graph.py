@@ -1,0 +1,62 @@
+"""PageRank / degree over near-dup pair graphs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lshrs_spark.operators.graph import (
+    degree_table,
+    pagerank,
+    symmetric_edges,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, ["id_a", "id_b"])
+
+
+def _nodes(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], ["id"])
+
+
+def test_pagerank_hand_computed_path_graph(spark):
+    # path 1-2-3: deg(1)=deg(3)=1, deg(2)=2; mean-1 init r=1
+    # round 1: r(1)=r(3)=0.15+0.85*(1/2)=0.575, r(2)=0.15+0.85*2=1.85
+    # round 2: r(1)=r(3)=0.15+0.85*(1.85/2)=0.93625
+    #          r(2)=0.15+0.85*(0.575+0.575)=1.1275
+    got = {
+        r.id: r.rank
+        for r in pagerank(
+            _pairs(spark, [(1, 2), (2, 3)]), _nodes(spark, [1, 2, 3]),
+            iterations=2,
+        ).collect()
+    }
+    assert got[1] == pytest.approx(0.93625)
+    assert got[2] == pytest.approx(1.1275)
+    assert got[3] == pytest.approx(0.93625)
+    # no isolated nodes -> no dangling leak: total mass conserved at N
+    assert sum(got.values()) == pytest.approx(3.0)
+
+
+def test_pagerank_star_center_outranks_leaves_isolated_at_floor(spark):
+    pairs = _pairs(spark, [(0, i) for i in range(1, 6)])
+    got = {
+        r.id: r.rank
+        for r in pagerank(pairs, _nodes(spark, list(range(7))),
+                          iterations=3).collect()
+    }
+    assert all(got[0] > got[i] for i in range(1, 6))
+    # node 6 is isolated: rank fixed at the (1-d) floor
+    assert got[6] == pytest.approx(0.15)
+
+
+def test_degree_table_symmetrized(spark):
+    deg = {
+        r.id: r.degree
+        for r in degree_table(
+            symmetric_edges(_pairs(spark, [(1, 2), (2, 3), (1, 2)]))
+        ).collect()
+    }
+    # duplicate pair collapses; undirected degree on both endpoints
+    assert deg == {1: 1, 2: 2, 3: 1}

@@ -149,3 +149,60 @@ def test_malformed_payloads_fail_identically_on_both_paths(spark):
         df = spark.createDataFrame([(0, bad)], "id long, payload binary")
         with pytest.raises(Exception, match=msg):
             media_features(df).collect()
+
+
+def test_video_container_roundtrip():
+    from lshrs_spark.multimodal import decode_video, encode_video
+
+    frames = [b"frame0", b"", b"a longer frame payload \x00\xff"]
+    assert decode_video(encode_video(frames)) == frames
+    with pytest.raises(ValueError):
+        decode_video(b"nope")
+
+
+def test_frame_sample_keeps_every_kth(spark):
+    from lshrs_spark.multimodal import (
+        decode_ppm,
+        frame_sample,
+        with_video_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 48), (2, "b" * 48)], ["doc_id", "text"]
+    )
+    vids = with_video_payload(docs, num_frames=4, width=2, height=2)
+    got = frame_sample(vids, every_k=2).collect()
+    assert sorted((r.id, r.frame_no) for r in got) == [
+        (1, 0), (1, 2), (2, 0), (2, 2)
+    ]
+    # sampled frames are standalone, decodable PPMs
+    w, h, px = decode_ppm(bytes(got[0].payload))
+    assert (w, h, px.shape) == (2, 2, (2, 2, 3))
+    with pytest.raises(ValueError):
+        frame_sample(vids, every_k=0)
+
+
+def test_media_resize_nearest_neighbor(spark):
+    import numpy as np
+
+    from lshrs_spark.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        media_resize,
+        resize_nearest,
+    )
+
+    # 4x4 image with distinct per-pixel values
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    df = spark.createDataFrame([(7, bytearray(encode_ppm(px)))],
+                               "id long, payload binary")
+    out = media_resize(df, 2, 2).collect()[0]
+    assert (out.width, out.height) == (2, 2)
+    _, _, got = decode_ppm(bytes(out.payload))
+    # nearest-neighbor picks rows/cols 0 and 2
+    assert (got == px[[0, 2]][:, [0, 2]]).all()
+    # driver-side helper agrees with the worker path
+    assert (resize_nearest(px, 2, 2) == got).all()
+    # upscale: every source pixel replicated, lossless downscale-back
+    up = resize_nearest(px, 8, 8)
+    assert (resize_nearest(up, 4, 4) == px).all()

@@ -327,3 +327,57 @@ def test_ivfpq_stored_scan_is_partition_pruned(spark, emb, tmp_path):
     assert any("centroid_id" in l and "IN" in l.upper() for l in part_lines)
     schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert any("codes" in l and "embedding" not in l for l in schemas), schemas
+
+
+def test_corpus_diff_shuffles_hashes_not_payloads(spark):
+    """The snapshot diff must project each side down to (id, hash)
+    BEFORE the full-outer join — document text crossing the exchange
+    would turn a 100 TB diff into a 100 TB shuffle."""
+    from lshrs_spark.operators.diff import corpus_diff
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical_plan(corpus_diff(docs, docs))
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+    ]
+    assert join_lines, plan
+    # join keys are the ids alone; hash columns ride as 8-byte payload
+    assert all("text#" not in ln for ln in join_lines)
+    # the exchanges (one per side) carry only id + hash: in formatted
+    # output each "(n) Exchange" node's columns are on its Input line
+    import re as _re
+
+    lines = plan.splitlines()
+    ex_inputs = [
+        lines[i + 1]
+        for i, ln in enumerate(lines)
+        if _re.match(r"\(\d+\) Exchange", ln) and i + 1 < len(lines)
+    ]
+    assert ex_inputs and all("text#" not in ln for ln in ex_inputs)
+
+
+def test_cms_build_partial_aggregates_before_shuffle(spark):
+    """The sketch's sum aggregation must map-side combine: the exchange
+    then carries at most depth*width cells per partition, independent of
+    input row count."""
+    from lshrs_spark.functions.sketch import cms_build
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    import re as _re
+
+    r = plan_report(cms_build(ev, "user_id", 512, 3))
+    assert r["partial_aggregate"]
+    # exactly one exchange node (formatted plans print each node twice —
+    # tree summary + "(n) Exchange" detail header; count the headers)
+    assert len(_re.findall(r"\(\d+\) Exchange", r["plan"])) == 1
+
+
+def test_clean_text_is_pure_codegen(spark):
+    """Cleanup runs in the scan's project — zero exchanges, no Python."""
+    from lshrs_spark.functions.text import clean_text_col
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical_plan(docs.select(clean_text_col(F.col("text"))))
+    assert "Exchange" not in plan
+    assert "Python" not in plan

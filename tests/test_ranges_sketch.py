@@ -128,3 +128,58 @@ def test_bloom_build_validates_m_bits(spark):
     df = spark.range(3).withColumnRenamed("id", "v")
     with _pt.raises(ValueError):
         bloom_build(df, "v", 1000, 3)
+
+
+def test_cms_never_undercounts_and_exact_when_wide(spark):
+    from lshrs_spark.functions.sketch import cms_build, cms_query
+
+    rows = [("a",)] * 50 + [("b",)] * 7 + [(f"x{i}",) for i in range(40)]
+    df = spark.createDataFrame(rows, ["v"])
+    exact = {r.v: r.n for r in
+             df.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()}
+    cand = df.select("v").distinct()
+    # tiny sketch: collisions certain, but est >= exact for EVERY key
+    tight = cms_query(cms_build(df, "v", 16, 3), cand, "v", 16, 3)
+    for r in tight.collect():
+        assert r.est_count >= exact[r.v]
+    # wide sketch: no collisions at this cardinality -> exact counts
+    wide = cms_query(cms_build(df, "v", 1 << 14, 4), cand, "v", 1 << 14, 4)
+    for r in wide.collect():
+        assert r.est_count == exact[r.v]
+
+
+def test_cms_merge_is_union_resum(spark):
+    from lshrs_spark.functions.sketch import cms_build
+
+    a = spark.range(0, 200).select((F.col("id") % 13).cast("string").alias("v"))
+    b = spark.range(0, 100).select((F.col("id") % 7).cast("string").alias("v"))
+    whole = cms_build(a.union(b), "v", 64, 3)
+    merged = (
+        cms_build(a, "v", 64, 3).union(cms_build(b, "v", 64, 3))
+        .groupBy("r", "b").agg(F.sum("c").alias("c"))
+    )
+    assert sorted(map(tuple, whole.collect())) == \
+        sorted(map(tuple, merged.collect()))
+
+
+def test_cms_weighted_counts(spark):
+    from lshrs_spark.functions.sketch import cms_build, cms_query
+
+    df = spark.createDataFrame([("a", 5), ("a", 2), ("b", 10)], ["v", "w"])
+    cells = cms_build(df, "v", 1 << 12, 3, weight_col="w")
+    got = {r.v: r.est_count for r in
+           cms_query(cells, df.select("v").distinct(), "v", 1 << 12, 3).collect()}
+    assert got == {"a": 7, "b": 10}
+
+
+def test_heavy_hitters_exact_and_partition_independent(spark):
+    from lshrs_spark.functions.sketch import heavy_hitters
+
+    rows = [("hot",)] * 40 + [("warm",)] * 10 + [(f"t{i}",) for i in range(60)]
+    df = spark.createDataFrame(rows, ["v"])
+    for parts in (1, 7):
+        got = {r.v: r.n for r in
+               heavy_hitters(df.repartition(parts), "v", 10).collect()}
+        assert got == {"hot": 40, "warm": 10}
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "v", 0)

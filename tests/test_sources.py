@@ -181,3 +181,28 @@ def test_jsonl_missing_column_raises(spark, tmp_path):
 
     with pytest.raises(ValueError, match="Missing required columns"):
         load_jsonl_vectors(spark, src)
+
+
+def test_create_signatures_orc(spark, tmp_path, rng):
+    src = str(tmp_path / "vectors_orc")
+    vecs = rng.standard_normal((12, 16)).astype(np.float32)
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "index long, vector array<float>",
+    ).coalesce(1).write.orc(src)
+    lsh = LSHRS(spark, 16, num_perm=16, num_bands=4, rows_per_band=4)
+    lsh.create_signatures(format="orc", source=src)
+    assert lsh.stats()["indexed_ids"] == 12
+    assert lsh.get_top_k(vecs[3], 1) == [3]
+
+
+def test_orc_missing_column_raises(spark, tmp_path):
+    import pytest as _pt
+
+    src = str(tmp_path / "bad_orc")
+    spark.createDataFrame([(1, "x")], "index long, notvector string") \
+        .coalesce(1).write.orc(src)
+    from lshrs_spark.sources.dispatch import resolve_loader
+
+    with _pt.raises(ValueError, match="Missing required columns"):
+        resolve_loader("orc")(spark, src)

@@ -245,3 +245,68 @@ def test_stream_ivf_stage_and_absorb(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{staging}/epoch=99")
     assert ivf_absorb_staging(spark, staging, store, cents) == 0
     assert spark.read.parquet(store).count() == 120
+
+
+def _write_events(spark, path, rows):
+    import datetime as dt  # noqa: F401
+
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_stream_attribution_join_equals_batch(spark, tmp_path):
+    import datetime as dt
+
+    from lshrs_spark.streaming.ingest import stream_attribution_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: one view, one click inside the horizon, one outside
+        (1, t0, 1, "view", 1.0),
+        (2, t0 + 10 * m, 1, "click", 1.0),
+        (3, t0 + 40 * m, 1, "click", 1.0),
+        # user 2: view with no click
+        (4, t0, 2, "view", 1.0),
+        # user 3: click with no view
+        (5, t0, 3, "click", 1.0),
+        # user 4: two views funnel into one click (both within horizon)
+        (6, t0, 4, "view", 1.0),
+        (7, t0 + 5 * m, 4, "view", 1.0),
+        (8, t0 + 20 * m, 4, "click", 1.0),
+    ]
+    src = str(tmp_path / "events_attr.parquet")
+    _write_events(spark, src, rows)
+    got = sorted(
+        (r.user_id, r.view_id, r.click_id, r.lag_sec)
+        for r in stream_attribution_join(spark, src).collect()
+    )
+    assert got == [
+        (1, 1, 2, 600),
+        (4, 6, 8, 1200),
+        (4, 7, 8, 900),
+    ]
+
+
+def test_stream_deduped_counts_drops_redelivered(spark, tmp_path):
+    import datetime as dt
+
+    from lshrs_spark.streaming.ingest import stream_deduped_counts
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    base = [
+        (1, t0, 1, "view", 1.0),
+        (2, t0, 1, "click", 2.0),
+        (3, t0, 2, "view", 3.0),
+    ]
+    # at-least-once delivery: every row arrives twice with the same id
+    src = str(tmp_path / "events_dup.parquet")
+    _write_events(spark, src, base + base)
+    got = {
+        r.event_type: (r.n, r.value_cents)
+        for r in stream_deduped_counts(spark, src).collect()
+    }
+    assert got == {"view": (2, 400), "click": (1, 200)}
