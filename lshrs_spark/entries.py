@@ -3733,6 +3733,81 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_enrich",
+    """WITH dim AS (SELECT DISTINCT event_type,
+                    length(event_type)::BIGINT AS weight FROM events)
+SELECT e.event_type, count(*)::BIGINT AS n,
+       (count(*) * max(d.weight))::BIGINT AS weighted
+FROM events e JOIN dim d USING (event_type)
+GROUP BY e.event_type""",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins a broadcast
+    dimension table (derived batch-side from the same data so it is
+    reproducible at any SF) each micro-batch, then rolls up — the
+    clickstream-times-account-table topology, with the static side
+    broadcast so the stream never shuffles for the join."""
+    from .streaming.ingest import stream_static_enrich as enrich
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    dim = (
+        _events(spark, sf_dir)
+        .select("event_type").distinct()
+        .withColumn("weight", F.length("event_type").cast("long"))
+    )
+    enriched = enrich(
+        spark, f"{sf_dir}/events.parquet", dim, "event_type"
+    )
+    return enriched.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) * F.max("weight")).cast("long").alias("weighted"),
+    )
+
+
+@register(
+    "source_vectorgen",
+    f"""WITH ids AS (SELECT i AS vec_id FROM generate_series(0, 499) t(i)),
+comp AS (SELECT vec_id, j,
+           (({h48_sql("'vg42|' || vec_id::VARCHAR || '|' || j::VARCHAR")}
+             % 2000001) - 1000000) / 1000000.0 AS v
+         FROM ids, generate_series(0, 7) s(j))
+SELECT vec_id::BIGINT AS vec_id,
+       ({h48_sql("'vglabel42|' || vec_id::VARCHAR")} % 16)::BIGINT AS label,
+       round(max(CASE WHEN j = 0 THEN v END) * 1000000)::BIGINT AS e0_micro,
+       round(sum(v) * 1000000)::BIGINT AS esum_micro
+FROM comp GROUP BY vec_id""",
+)
+def source_vectorgen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python Data Source API (Spark 4): a generator source that
+    synthesizes each partition's id range executor-side — zero I/O, so
+    benchmark corpora of any size cost only compute. Values come from
+    the shared portable h48 hash, so the oracle regenerates the
+    identical corpus from ``(seed, n, dim)`` and checks it component
+    for component — no parquet involved anywhere."""
+    from .sources.pydatasource import register_vectorgen
+
+    register_vectorgen(spark)
+    df = (
+        spark.read.format("vectorgen")
+        .option("n", 500).option("dim", 8).option("seed", 42)
+        .load()
+    )
+    esum = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x
+    )
+    # components are exact multiples of 1e-6, so 5-decimal rounding
+    # lands on half-way ties where engines' rounding modes differ;
+    # integer micros are tie-free and exact on both sides
+    return df.select(
+        "vec_id",
+        "label",
+        F.round(F.element_at("embedding", 1) * 1000000)
+        .cast("long").alias("e0_micro"),
+        F.round(esum * 1000000).cast("long").alias("esum_micro"),
+    )
+
+
+@register(
     "multimodal_frame_sample",
     # Video containers (4 frames of 2x2 P6 PPM; frame f's pixels =
     # bytes [f*12, f*12+12) of the padded text), sampled every 2nd
@@ -3836,9 +3911,11 @@ DRIVER_WINDOW: list[str] = [
     "knn_bruteforce", "lsh_delete",
     # similarity join + dedup family (dedup_ngram_jaccard demoted
     # round-6: shingle-inverted-index twin of the in-window minhash rep)
+    # (dedup_incremental demoted round-6: stored-band-key twin of the
+    # in-window minhash rep — the python-datasource family takes its slot)
     "simjoin_lsh", "dedup_exact", "dedup_groups",
     "dedup_minhash_pairs", "dedup_simhash_pairs",
-    "dedup_substring", "dedup_incremental", "text_line_dedup",
+    "dedup_substring", "source_vectorgen", "text_line_dedup",
     # ANN tiers (ann_batch ~ lsh_topk twin and ann_recall gauge are
     # past the window, local-gated)
     "ann_ivf", "emb_semantic_dedup",
@@ -3923,6 +4000,7 @@ FAMILY: dict[str, str] = {
     "simjoin_exact": "simjoin_lsh",
     "dedup_minhash_sigs": "dedup_minhash_pairs",
     "dedup_minhash_quality": "dedup_minhash_pairs",
+    "dedup_incremental": "dedup_minhash_pairs",
     "dedup_simhash": "dedup_simhash_pairs",
     "dedup_substring_stats": "dedup_substring",
     # text twins
@@ -3965,6 +4043,7 @@ FAMILY: dict[str, str] = {
     "multimodal_frame_sample": "multimodal_features",
     # streaming twins
     "stream_event_type_agg": "stream_windowed_counts",
+    "stream_static_enrich": "stream_windowed_counts",
     "stream_session_counts": "stream_windowed_counts",
     "stream_sliding_counts": "stream_windowed_counts",
 }

@@ -465,6 +465,26 @@ def stream_attribution_join(
         return run_to_memory_table(joined, output_mode="append", name=name)
 
 
+def stream_static_enrich(
+    spark: SparkSession,
+    source_path: str,
+    dim_df: DataFrame,
+    on: str,
+    *,
+    name: Optional[str] = None,
+) -> DataFrame:
+    """Stream-static join: every micro-batch equi-joins the (small,
+    finite) dimension table — Spark re-plans the static side per batch,
+    so a broadcast hint on ``dim_df`` keeps the join shuffle-free
+    stream-side at any scale (the standard enrichment topology:
+    clickstream x account table). Returns the enriched stream driven to
+    completion; session conf restored."""
+    with scoped_session_conf(spark, _stream_run_conf(spark)):
+        stream = load_file_stream(spark, source_path)
+        enriched = stream.join(F.broadcast(dim_df), on)
+        return run_to_memory_table(enriched, output_mode="append", name=name)
+
+
 def stream_deduped_counts(
     spark: SparkSession,
     source_path: str,

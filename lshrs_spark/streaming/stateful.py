@@ -109,3 +109,100 @@ def _stream_first_seen(spark, source_path, name):
         )
     )
     return run_to_memory_table(out, output_mode="update", name=name)
+
+
+# --------------------------------------------------------------------- #
+# transformWithState (Spark 4 arbitrary-state v2): typed state handles
+# (value/list/map), timers, TTL — RocksDB-backed.
+# --------------------------------------------------------------------- #
+
+def _make_totals_processor():
+    """Build the StatefulProcessor NESTED so cloudpickle ships the class
+    by value (same worker-import rationale as `_make_first_seen_fn`)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class RunningTotalsProcessor(StatefulProcessor):
+        """Per-user running totals in a typed ValueState: the v2 API's
+        state is schema'd and column-addressable (RocksDB row per key),
+        unlike applyInPandasWithState's single opaque tuple."""
+
+        def init(self, handle):
+            self._state = handle.getValueState(
+                "totals", "n bigint, cents bigint, last_us bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            n, cents, last = 0, 0, None
+            if self._state.exists():
+                prev = self._state.get()
+                n, cents, last = int(prev[0]), int(prev[1]), int(prev[2])
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+                mx = int(pdf["t_us"].max())
+                last = mx if last is None else max(last, mx)
+            self._state.update((n, cents, last))
+            yield _pd.DataFrame(
+                {"user_id": [int(key[0])], "n": [n],
+                 "cents": [cents], "last_us": [last]}
+            )
+
+        def close(self):
+            pass
+
+    return RunningTotalsProcessor()
+
+
+def stream_user_totals(
+    spark: SparkSession,
+    source_path: str,
+    *,
+    name: Optional[str] = None,
+) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-state v2 operator (typed state handles, timers,
+    TTL; RocksDB state store). Each micro-batch updates the user's
+    ValueState and emits the new totals; over a finite stream the final
+    update per user equals the batch aggregation, which is what the
+    oracle checks. Session conf (including the RocksDB provider the v2
+    operator requires) is scoped and restored.
+
+    ENVIRONMENT-GATED (like the live-PostgreSQL path): the v2 operator's
+    Python driver worker speaks protobuf to the JVM; without the
+    ``protobuf`` package the query crashes deep inside Spark, so this
+    fails fast with the actionable error instead."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(its state server speaks protobuf to the JVM); install "
+            "protobuf to use stream_user_totals — "
+            "applyInPandasWithState (stream_first_seen) covers custom "
+            "stateful operators without it"
+        ) from e
+    from .ingest import _stream_run_conf, run_to_memory_table, scoped_session_conf
+
+    from pyspark.sql import functions as F
+
+    conf = _stream_run_conf(spark)
+    conf["spark.sql.streaming.stateStore.providerClass"] = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    with scoped_session_conf(spark, conf):
+        name = name or f"tws_{uuid.uuid4().hex[:8]}"
+        stream = load_file_stream(spark, source_path).select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.unix_micros("ts").alias("t_us"),
+        )
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_make_totals_processor(),
+            outputStructType="user_id long, n long, cents long, last_us long",
+            outputMode="Update",
+            timeMode="None",
+        )
+        return run_to_memory_table(out, output_mode="update", name=name)

@@ -60,3 +60,29 @@ def test_degree_table_symmetrized(spark):
     }
     # duplicate pair collapses; undirected degree on both endpoints
     assert deg == {1: 1, 2: 2, 3: 1}
+
+
+def test_pagerank_invariants_random_graphs(spark):
+    """Mass conservation (no isolated nodes -> sum == N) and the
+    (1-d) floor hold on arbitrary graphs, not just hand-picked ones."""
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n = 24
+        edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(40)}
+        edges = [(a, b) for a, b in edges if a != b]
+        covered = {v for e in edges for v in e}
+        got = {
+            r.id: r.rank
+            for r in pagerank(
+                _pairs(spark, edges), _nodes(spark, list(range(n))),
+                iterations=3,
+            ).collect()
+        }
+        assert all(v >= 0.15 - 1e-12 for v in got.values())
+        mass = sum(got[v] for v in covered)
+        assert mass == pytest.approx(len(covered), rel=1e-9)
+        for v in range(n):
+            if v not in covered:
+                assert got[v] == pytest.approx(0.15)

@@ -307,3 +307,11 @@ def test_substring_spans_positionally_verified(spark):
                         want.add((a, b, pa + 1, pb + 1))
     assert got == want
     assert any(t[0] == 3 and t[1] == 9 for t in got)   # planted copy found
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.binary(max_size=64), max_size=8))
+def test_video_container_roundtrip_any_frames(frames):
+    from lshrs_spark.multimodal import decode_video, encode_video
+
+    assert decode_video(encode_video(frames)) == frames

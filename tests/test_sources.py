@@ -206,3 +206,28 @@ def test_orc_missing_column_raises(spark, tmp_path):
 
     with _pt.raises(ValueError, match="Missing required columns"):
         resolve_loader("orc")(spark, src)
+
+
+def test_python_datasource_vectorgen(spark):
+    import hashlib
+
+    from lshrs_spark.sources.pydatasource import register_vectorgen
+
+    register_vectorgen(spark)
+    df = (
+        spark.read.format("vectorgen")
+        .option("n", 120).option("dim", 4).option("seed", 7)
+        .option("numpartitions", 5)
+        .load()
+    )
+    assert df.count() == 120
+    assert df.rdd.getNumPartitions() == 5
+    assert df.select("vec_id").distinct().count() == 120
+    # values replay from the portable hash alone — no stored data
+    r = df.filter("vec_id = 11").first()
+    h48 = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:12], 16)  # noqa: E731
+    assert list(r.embedding) == [
+        (h48(f"vg7|11|{j}") % 2_000_001 - 1_000_000) / 1_000_000.0
+        for j in range(4)
+    ]
+    assert r.label == h48("vglabel7|11") % 16

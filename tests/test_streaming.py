@@ -310,3 +310,51 @@ def test_stream_deduped_counts_drops_redelivered(spark, tmp_path):
         for r in stream_deduped_counts(spark, src).collect()
     }
     assert got == {"view": (2, 400), "click": (1, 200)}
+
+
+def test_stream_user_totals_tws(spark, tmp_path):
+    """transformWithStateInPandas (arbitrary-state v2) — runs only where
+    protobuf is installed (its state server speaks protobuf to the JVM);
+    otherwise assert the fast actionable gate instead of Spark's deep
+    worker crash."""
+    import datetime as dt
+
+    from lshrs_spark.streaming.stateful import stream_user_totals
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 1, "view", 1.0),
+        (2, t0 + dt.timedelta(minutes=1), 1, "click", 2.5),
+        (3, t0, 2, "view", 3.0),
+    ]
+    src = str(tmp_path / "events_tws.parquet")
+    _write_events(spark, src, rows)
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            stream_user_totals(spark, src)
+        return
+    got = {r.user_id: (r.n, r.cents, r.last_us)
+           for r in stream_user_totals(spark, src).collect()}
+    assert got[1] == (2, 350, int(rows[1][1].timestamp() * 1_000_000))
+    assert got[2] == (1, 300, int(t0.timestamp() * 1_000_000))
+
+
+def test_stream_static_enrich_equals_batch_join(spark, tmp_path):
+    import datetime as dt
+
+    from lshrs_spark.streaming.ingest import stream_static_enrich
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, 1, "view", 1.0), (2, t0, 2, "click", 2.0),
+            (3, t0, 3, "view", 3.0)]
+    src = str(tmp_path / "events_enrich.parquet")
+    _write_events(spark, src, rows)
+    dim = spark.createDataFrame(
+        [("view", 10), ("click", 20)], ["event_type", "weight"]
+    )
+    got = stream_static_enrich(spark, src, dim, "event_type")
+    assert sorted((r.event_id, r.weight) for r in got.collect()) == [
+        (1, 10), (2, 20), (3, 10)
+    ]
