@@ -187,6 +187,33 @@ def main() -> None:
 
     results["text_pipeline"], _ = timed(run_text, "text_pipeline")
 
+    # 7b. Corpus-ops pass over the same documents: exact heavy hitters
+    # (zero-shuffle pigeonhole prune + verify), snapshot diff (16-byte
+    # hash shuffle, payloads stay put), near-dup graph centrality
+    # (3 PageRank rounds over the banded minhash pair graph).
+    from lshrs_spark.functions.sketch import heavy_hitters
+    from lshrs_spark.operators.diff import corpus_diff
+    from lshrs_spark.operators.graph import pagerank
+
+    tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    results["text_heavy_hitters"], _ = timed(
+        lambda: heavy_hitters(tok, "token", 100).count(), "text_heavy_hitters"
+    )
+    v2 = docs.filter(F.col("doc_id") % 17 != 0)
+    results["corpus_diff"], _ = timed(
+        lambda: corpus_diff(docs, v2).count(), "corpus_diff"
+    )
+
+    def run_pagerank():
+        pairs = minhash_band_pairs(docs, num_hashes=8, rows_per_band=2,
+                                   base_hash="xxhash64")
+        nodes = docs.select(F.col("doc_id").cast("long").alias("id"))
+        n = pagerank(pairs, nodes, iterations=3).count()
+        release_slots()  # pagerank's per-invocation edge persist slot
+        return n
+
+    results["graph_pagerank"], _ = timed(run_pagerank, "graph_pagerank")
+
     # 8. Streaming ingest of the events stream (complete-mode agg).
     from lshrs_spark.streaming.ingest import stream_aggregate_complete
 

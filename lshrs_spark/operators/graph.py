@@ -66,13 +66,21 @@ def pagerank(
     ``nodes`` must carry column ``id``; ``pairs`` columns
     ``id_a, id_b``. Returns ``(id, rank)``.
     """
+    import uuid
+
+    from ..cache import persist_slot
+
     edges = symmetric_edges(pairs)
     deg = degree_table(edges)
-    # (src, dst, deg) is iteration-invariant — compute once, reuse; at
-    # scale persist this partitioned by src so each round's join is a
+    # (src, dst, deg) is iteration-invariant — persist it EAGERLY (own
+    # slot per invocation) so the pair-generation subtree (a banded
+    # dedup join upstream) runs once, not once per iteration side; at
+    # scale additionally pre-partition by src so each round's join is a
     # single-sided exchange.
-    contrib_edges = edges.join(deg, edges.src == deg.id).select(
-        "src", "dst", "degree"
+    contrib_edges = persist_slot(
+        edges.join(deg, edges.src == deg.id).select("src", "dst", "degree"),
+        f"graph.pagerank.{uuid.uuid4().hex[:12]}",
+        eager=True,
     )
     ranks = nodes.select(F.col("id").cast("long").alias("id")).withColumn(
         "rank", F.lit(1.0)
