@@ -27,7 +27,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_aggregate", "salted_join"]
+__all__ = ["salted_aggregate", "salted_join", "skew_report"]
 
 
 def _content_salt(df: DataFrame, num_salts: int,
@@ -134,3 +134,52 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
     )
     return l.join(r, [*on, "_salt"], how).drop("_salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    *,
+    hot_threshold_rows: int = 100_000,
+    target_group_rows: int = 100_000,
+) -> DataFrame:
+    """Pre-flight skew detector for a planned join/aggregation key:
+    ``(key..., n, share_ppm, suggested_salts)`` — one row per HOT key
+    (count >= ``hot_threshold_rows``), with its parts-per-million share
+    of the input and the salt factor that brings its reduce-side group
+    back under ``target_group_rows``. Built on the exact heavy-hitters
+    pass (zero-shuffle pigeonhole prune + verify), so the full key
+    stream is never shuffled just to find out whether it is skewed —
+    which is what makes running this as a routine pre-flight on 100 TB
+    inputs affordable. Feed hot keys to :func:`salted_join` /
+    :func:`salted_aggregate`, or trust AQE's skew-join split and use
+    this as the monitoring signal."""
+    from ..functions.sketch import heavy_hitters
+
+    key_cols = list(key_cols)
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    # composite keys: pigeonhole over the concatenated key, then split
+    keyed = df.select(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+        .alias("_k"),
+        *key_cols,
+    )
+    hot = heavy_hitters(
+        keyed.select("_k"), "_k", hot_threshold_rows, out_col="n"
+    )
+    total = df.count()
+    parts = F.split(F.col("_k"), "\x1f")
+    return hot.select(
+        *[
+            F.element_at(parts, i + 1).alias(c)
+            for i, c in enumerate(key_cols)
+        ],
+        "n",
+        (F.col("n") * 1_000_000 / F.lit(max(1, total))).cast("long")
+        .alias("share_ppm"),
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.col("n") / F.lit(target_group_rows)),
+        ).cast("long").alias("suggested_salts"),
+    )

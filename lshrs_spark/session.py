@@ -25,3 +25,30 @@ def get_spark(app_name: str = "lshrs_spark", *, cpus: int | None = None) -> Spar
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+def right_size_shuffle(
+    df,
+    *,
+    target_partition_mb: int = 128,
+    set_conf: bool = True,
+) -> int:
+    """Recommend (and by default set) ``spark.sql.shuffle.partitions``
+    from the Catalyst size estimate of ``df``'s optimized plan, so each
+    reduce partition lands near ``target_partition_mb`` — the knob that
+    decides whether a 100 TB shuffle spills (too few partitions) or
+    drowns in task overhead (too many). Floor: the cluster's default
+    parallelism, so small inputs still use every core. AQE's partition
+    coalescing then trims the tail downward at runtime; this sets the
+    UPPER bound AQE works under, which AQE itself cannot raise."""
+    if target_partition_mb < 1:
+        raise ValueError("target_partition_mb must be >= 1")
+    spark = df.sparkSession
+    size_bytes = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    floor = spark.sparkContext.defaultParallelism
+    parts = max(floor, -(-size_bytes // (target_partition_mb << 20)))
+    if set_conf:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    return parts

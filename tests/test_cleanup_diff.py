@@ -73,3 +73,11 @@ def test_clean_text_col_strips_and_collapses(spark):
     got = [r.c for r in
            df.select(clean_text_col(F.col("text")).alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_corpus_diff_empty_sides(spark):
+    old = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"])
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert {r.status for r in corpus_diff(old, empty).collect()} == {"removed"}
+    assert {r.status for r in corpus_diff(empty, old).collect()} == {"added"}
+    assert corpus_diff(empty, empty).count() == 0

@@ -86,3 +86,10 @@ def test_pagerank_invariants_random_graphs(spark):
         for v in range(n):
             if v not in covered:
                 assert got[v] == pytest.approx(0.15)
+
+
+def test_pagerank_no_edges_all_floor(spark):
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    got = [r.rank for r in
+           pagerank(empty, _nodes(spark, [1, 2, 3])).collect()]
+    assert got == pytest.approx([0.15, 0.15, 0.15])

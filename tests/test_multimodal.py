@@ -206,3 +206,12 @@ def test_media_resize_nearest_neighbor(spark):
     # upscale: every source pixel replicated, lossless downscale-back
     up = resize_nearest(px, 8, 8)
     assert (resize_nearest(up, 4, 4) == px).all()
+
+
+def test_frame_sample_empty_video(spark):
+    from lshrs_spark.multimodal import encode_video, frame_sample
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_video([])))], "id long, payload binary"
+    )
+    assert frame_sample(df, every_k=2).count() == 0

@@ -183,3 +183,15 @@ def test_heavy_hitters_exact_and_partition_independent(spark):
         assert got == {"hot": 40, "warm": 10}
     with pytest.raises(ValueError):
         heavy_hitters(df, "v", 0)
+
+
+def test_cms_and_heavy_hitters_empty_input(spark):
+    from lshrs_spark.functions.sketch import cms_build, cms_query, heavy_hitters
+
+    empty = spark.createDataFrame([], "v string")
+    cells = cms_build(empty, "v", 64, 3)
+    assert cells.count() == 0
+    cand = spark.createDataFrame([("x",)], ["v"])
+    got = cms_query(cells, cand, "v", 64, 3).collect()
+    assert [r.est_count for r in got] == [0]
+    assert heavy_hitters(empty, "v", 5).count() == 0

@@ -94,3 +94,44 @@ def test_salted_join_matches_plain_join(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="inner/left"):
         salted_join(left, right, ["k"], how="full")
+
+
+def test_skew_report_finds_hot_keys_and_salts(spark):
+    from lshrs_spark.operators.skew import skew_report
+
+    rows = [("hot", "a")] * 500 + [("warm", "b")] * 120 + \
+        [(f"t{i}", "c") for i in range(50)]
+    df = spark.createDataFrame(rows, ["k1", "k2"])
+    got = {
+        (r.k1, r.k2): (r.n, r.share_ppm, r.suggested_salts)
+        for r in skew_report(
+            df, ["k1", "k2"],
+            hot_threshold_rows=100, target_group_rows=100,
+        ).collect()
+    }
+    assert set(got) == {("hot", "a"), ("warm", "b")}
+    n, ppm, salts = got[("hot", "a")]
+    assert (n, salts) == (500, 5)
+    assert ppm == 500 * 1_000_000 // 670
+    assert got[("warm", "b")][2] == 2
+    with pytest.raises(ValueError):
+        skew_report(df, [])
+
+
+def test_right_size_shuffle_floor_and_scale(spark):
+    from pyspark.sql import functions as F
+
+    from lshrs_spark.session import right_size_shuffle
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    floor = spark.sparkContext.defaultParallelism
+    # tiny input: recommendation floors at the cluster parallelism
+    assert right_size_shuffle(docs, set_conf=False) == floor
+    # blown-up plan estimate: the recommendation scales with bytes/target
+    wide = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    for _ in range(3):
+        wide = wide.union(wide)
+    big = right_size_shuffle(wide, target_partition_mb=1, set_conf=False)
+    assert big >= floor
+    with pytest.raises(ValueError):
+        right_size_shuffle(docs, target_partition_mb=0)

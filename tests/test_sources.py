@@ -231,3 +231,33 @@ def test_python_datasource_vectorgen(spark):
         for j in range(4)
     ]
     assert r.label == h48("vglabel7|11") % 16
+
+
+def test_python_datasource_fast_mode_scale(spark):
+    from lshrs_spark import LSHConfig
+    from lshrs_spark.operators.index import build_index
+    from lshrs_spark.sources.pydatasource import register_vectorgen
+
+    register_vectorgen(spark)
+
+    def rd(n, parts):
+        return (
+            spark.read.format("vectorgen")
+            .option("n", n).option("dim", 32).option("seed", 9)
+            .option("numpartitions", parts).option("mode", "fast")
+            .load()
+        )
+
+    # id-stable under any partitioning (pure function of seed, id, j)
+    a = rd(2000, 3).filter("vec_id = 123").first()
+    b = rd(2000, 8).filter("vec_id = 123").first()
+    assert list(a.embedding) == list(b.embedding) and a.label == b.label
+    assert all(-1.0 <= x < 1.0 for x in a.embedding)
+    # a generated corpus feeds the index build like any parquet corpus
+    df = rd(50_000, 8)
+    cfg = LSHConfig(dim=32, num_perm=32, num_bands=4, rows_per_band=8, seed=1)
+    idx = build_index(
+        df.selectExpr("vec_id", "cast(embedding as array<float>) AS embedding"),
+        cfg, "vec_id", "embedding",
+    )
+    assert idx.count() == 50_000 * 4
