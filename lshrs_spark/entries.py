@@ -3733,6 +3733,37 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lsh_store_segments",
+    f"WITH {_SIGS} SELECT id, band, sig FROM sigs",
+)
+def lsh_store_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented (LSM-style) index store: two ingest batches committed
+    as immutable segments with manifest snapshots, then read back as
+    the live view — which must equal the monolithic signature table
+    (and therefore the SQL oracle) exactly. Covers append + manifest
+    commit + multi-segment union in one driver row; time travel,
+    tombstones, compaction, and pruning are pytest-verified
+    (`tests/test_store.py`)."""
+    import shutil
+
+    from .store import SegmentedIndexStore
+
+    emb = _emb(spark, sf_dir)
+    root = os.path.join(
+        tempfile.gettempdir(), f"lshrs_segstore_{os.path.basename(sf_dir)}"
+    )
+    shutil.rmtree(root, ignore_errors=True)  # overwrite semantics per run
+    st = SegmentedIndexStore.create(spark, root)
+    st.append(build_index(
+        emb.filter(F.col("vec_id") % 2 == 0), ORACLE_CFG, "vec_id", "embedding"
+    ), bucket_partitions=8)
+    st.append(build_index(
+        emb.filter(F.col("vec_id") % 2 == 1), ORACLE_CFG, "vec_id", "embedding"
+    ), bucket_partitions=8)
+    return st.read().select("id", "band", "sig")
+
+
+@register(
     "stream_static_enrich",
     """WITH dim AS (SELECT DISTINCT event_type,
                     length(event_type)::BIGINT AS weight FROM events)
@@ -3982,6 +4013,7 @@ FAMILY: dict[str, str] = {
     "text_quality": "text_stats",
     # demoted round-4: near-twins of in-window representatives
     "lsh_persistence": "lsh_signatures",        # save/load round-trip of same index
+    "lsh_store_segments": "lsh_signatures",     # segmented-store view of same index
     "dedup_simhash_pairs_wide": "dedup_simhash_pairs",  # num_blocks=8 variant
     "rel_pivot": "rel_sales_cube",              # pivot ~ cube reshaping
     "rel_events_interval": "rel_events_asof",   # interval ~ as-of range join

@@ -37,7 +37,7 @@ import pyarrow.dataset as pads
 from .config import LSHConfig
 from .hashing import hash_vectors_local, hash_vectors_local_long
 
-__all__ = ["IndexServer", "IVFServer", "PQServer", "IVFPQServer"]
+__all__ = ["IndexServer", "SegmentedIndexServer", "IVFServer", "PQServer", "IVFPQServer"]
 
 
 def _fs_and_path(path: str):
@@ -588,3 +588,48 @@ class IVFPQServer:
             (int(ids[i]), float(scores[i]), rank + 1)
             for rank, i in enumerate(order)
         ]
+
+
+class SegmentedIndexServer(IndexServer):
+    """:class:`IndexServer` over a :class:`~lshrs_spark.store.
+    SegmentedIndexStore` root: segments resolve through the CURRENT
+    manifest into one pyarrow union dataset (per-segment hive/row-group
+    pruning intact), manifest tombstones become the serving-side delete
+    filter, and :meth:`refresh` re-reads the manifest — so the server
+    follows store commits (append / delete_ids / compact) without
+    restarts, and never lists directories (manifest-only discovery, the
+    property that makes it object-store safe)."""
+
+    def __init__(self, store_root: str, cfg: LSHConfig, **kw) -> None:
+        kw.setdefault("deleted_path", None)
+        super().__init__(store_root, cfg, **kw)
+
+    def _open_index(self, root: str) -> pads.Dataset:  # type: ignore[override]
+        filesystem, p = _fs_and_path(root)
+        with filesystem.open_input_stream(f"{p}/manifest/CURRENT") as f:
+            v = int(f.read().decode().strip())
+        with filesystem.open_input_stream(f"{p}/manifest/v_{v}.json") as f:
+            self._manifest = json.load(f)
+        children = [
+            pads.dataset(f"{root}/{s}", format="parquet", partitioning="hive")
+            for s in self._manifest["segments"]
+        ]
+        if not children:
+            return pads.dataset(
+                pa.table({
+                    "sig": pa.array([], pa.int64()),
+                    "id": pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int32()),
+                })
+            )
+        return children[0] if len(children) == 1 else pads.dataset(children)
+
+    def _load_deleted(self) -> Optional[np.ndarray]:  # type: ignore[override]
+        ids: list[np.ndarray] = []
+        for t in self._manifest.get("tombstones", []):
+            arr = _read_tombstones(f"{self._index_path}/{t}")
+            if arr is not None:
+                ids.append(arr)
+        if not ids:
+            return None
+        return np.unique(np.concatenate(ids)).astype(np.int64)

@@ -519,6 +519,50 @@ def stream_deduped_counts(
         )
 
 
+def stream_segmented_ingest(
+    spark: SparkSession,
+    source_path: str,
+    store_root: str,
+    cfg: LSHConfig,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    checkpoint: Optional[str] = None,
+    max_files_per_trigger: int = 1,
+    bucket_partitions: Optional[int] = None,
+):
+    """Stream vectors into a :class:`~lshrs_spark.store.
+    SegmentedIndexStore`: each micro-batch commits one epoch-keyed
+    immutable segment (replay-safe — a retried batch rewrites its own
+    segment, the manifest gains it once), and every commit is a new
+    manifest version a :class:`~lshrs_spark.serving.
+    SegmentedIndexServer` picks up on ``refresh()``. The continuous-
+    ingest topology end to end: stream -> segments -> snapshot-isolated
+    serving, with ``compact()`` as the periodic maintenance step.
+    Returns the started StreamingQuery."""
+    from ..store import SegmentedIndexStore
+
+    store = SegmentedIndexStore.create(spark, store_root)
+    schema = spark.read.parquet(source_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+
+    def ingest_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        idx = build_index(batch_df, cfg, id_col, vector_col)
+        kw = {}
+        if bucket_partitions:
+            kw["bucket_partitions"] = bucket_partitions
+        store.append_epoch(idx, epoch_id, **kw)
+
+    writer = stream.writeStream.foreachBatch(ingest_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def stream_ivf_stage(
     spark: SparkSession,
     source_path: str,
