@@ -3733,6 +3733,51 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_data_quality",
+    """WITH n AS (SELECT count(*) AS n_rows,
+        sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS v_id_null,
+        sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 0 ELSE 0 END)
+          + sum(CASE WHEN NOT (text IS NOT NULL AND length(text) > 0)
+                THEN 1 ELSE 0 END) AS v_text,
+        sum(CASE WHEN NOT (lang IS NOT NULL AND
+                           lang IN ('en', 'de', 'fr', 'es', 'xx'))
+                THEN 1 ELSE 0 END) AS v_lang,
+        sum(CASE WHEN NOT (n_chars = length(text)) THEN 1 ELSE 0 END)
+          AS v_nchars,
+        sum(CASE WHEN NOT (n_chars >= 200) THEN 1 ELSE 0 END) AS v_min200,
+        count(*) - count(DISTINCT doc_id) AS v_id_uniq
+      FROM documents)
+SELECT r.rule, n.n_rows::BIGINT AS n_rows, r.v::BIGINT AS n_violations,
+       (r.v = 0) AS passed
+FROM n, LATERAL (VALUES
+  ('doc_id_not_null', v_id_null), ('doc_id_unique', v_id_uniq),
+  ('text_present', v_text), ('lang_in_domain', v_lang),
+  ('n_chars_consistent', v_nchars), ('min_200_chars', v_min200))
+  r(rule, v)""",
+)
+def pipeline_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract gate over the documents table: id presence +
+    uniqueness, payload presence, language domain, metadata consistency
+    (``n_chars`` vs actual length), and a deliberately strict minimum-
+    size rule so a FAILING row is visible in the report. All row rules
+    ride one aggregation pass; the report is one row per rule."""
+    from .operators.quality import check_constraints, row_rule, unique_rule
+
+    docs = _docs(spark, sf_dir)
+    return check_constraints(docs, [
+        row_rule("doc_id_not_null", F.col("doc_id").isNotNull()),
+        unique_rule("doc_id_unique", "doc_id"),
+        row_rule("text_present",
+                 F.col("text").isNotNull() & (F.length("text") > 0)),
+        row_rule("lang_in_domain",
+                 F.col("lang").isin("en", "de", "fr", "es", "xx")),
+        row_rule("n_chars_consistent",
+                 F.col("n_chars") == F.length("text")),
+        row_rule("min_200_chars", F.col("n_chars") >= 200),
+    ])
+
+
+@register(
     "lsh_store_segments",
     f"WITH {_SIGS} SELECT id, band, sig FROM sigs",
 )
@@ -4063,6 +4108,8 @@ FAMILY: dict[str, str] = {
     # pipeline / quant twins
     "pipeline_split": "pipeline_shuffle_export",
     "pipeline_domain_mix": "pipeline_shuffle_export",
+    # promotion-gate family (rep: pipeline_corpus_diff)
+    "pipeline_data_quality": "pipeline_corpus_diff",
     # quantization family: PQ (codebook quantization + ADC) is the
     # round-4 representative; the int8 scalar-quant entries are its
     # demoted twins
