@@ -3733,6 +3733,39 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_nfc",
+    # Each document gains a decomposed suffix (e + combining acute,
+    # o + combining diaeresis); NFC must compose them to é / ö. Both
+    # engines implement the same Unicode mapping (unicodedata vs
+    # utf8proc), checked on length and the normalized tail.
+    """SELECT doc_id AS id,
+       length(nfc_normalize(text || ' caf' || chr(101) || chr(769)
+              || ' c' || chr(111) || chr(776) || 'rdinate'))::BIGINT
+         AS n_chars_nfc,
+       right(nfc_normalize(text || ' caf' || chr(101) || chr(769)
+             || ' c' || chr(111) || chr(776) || 'rdinate'), 14) AS tail
+FROM documents""",
+)
+def text_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization: decomposed combining sequences
+    appended to each document must compose (``e``+U+0301 -> ``é``),
+    shrinking the character count — the canonicalization step that
+    makes multilingual exact-dedup keys stable across crawler
+    encodings."""
+    docs = _docs(spark, sf_dir)
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" caf" + "e\u0301" + " c" + "o\u0308" + "rdinate"),  # decomposed
+    )
+    norm = X.nfc_normalize_col(dirty)
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        F.length(norm).cast("long").alias("n_chars_nfc"),
+        F.substring(norm, -14, 14).alias("tail"),
+    )
+
+
+@register(
     "pipeline_data_quality",
     """WITH n AS (SELECT count(*) AS n_rows,
         sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS v_id_null,
@@ -4083,6 +4116,7 @@ FAMILY: dict[str, str] = {
     # text twins
     "text_token_topk": "text_stats",
     "text_heavy_hitters": "text_stats",
+    "text_nfc": "text_clean",
     "text_bigram_logprob": "text_unigram_logprob",
     "text_corpus_card": "text_stats",
     "text_langid_accuracy": "text_langid",

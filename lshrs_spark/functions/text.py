@@ -33,6 +33,7 @@ __all__ = [
     "normalize_text_col",
     "clean_text_col",
     "CONTROL_CHAR_PATTERN",
+    "nfc_normalize_col",
 ]
 
 # C0 controls except \t\n, DEL, zero-widths (ZWSP/ZWNJ/ZWJ), BOM: the
@@ -80,6 +81,29 @@ def clean_text_col(text: Column) -> Column:
     no_ctl = F.regexp_replace(text, CONTROL_CHAR_PATTERN, "")
     one_space = F.regexp_replace(no_ctl, "[ \\t]+", " ")
     return F.trim(F.regexp_replace(one_space, "\\n{3,}", "\n\n"))
+
+
+def nfc_normalize_col(text: Column) -> Column:
+    """Unicode NFC normalization — composes decomposed sequences
+    (``e`` + U+0301 -> ``é``) so visually-identical strings hash and
+    dedup identically; a prerequisite for exact dedup on multilingual
+    web text, where crawlers emit both forms. This module is otherwise
+    pure Catalyst, but Spark has no NFC expression, so this one runs as
+    an Arrow-batched pandas UDF over ``unicodedata`` (the Unicode
+    reference algorithm — DuckDB's ``nfc_normalize`` computes the
+    identical mapping, which is what the oracle checks)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):  # pragma: no cover - executed on workers
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x)
+            if x is not None else None
+        )
+
+    return _nfc(text)
 
 
 def token_count_col(text: Column) -> Column:

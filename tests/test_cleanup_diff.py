@@ -81,3 +81,19 @@ def test_corpus_diff_empty_sides(spark):
     assert {r.status for r in corpus_diff(old, empty).collect()} == {"removed"}
     assert {r.status for r in corpus_diff(empty, old).collect()} == {"added"}
     assert corpus_diff(empty, empty).count() == 0
+
+
+def test_nfc_normalize_composes_and_preserves(spark):
+    from lshrs_spark.functions.text import nfc_normalize_col
+
+    cases = [
+        ("café", "café"),        # e + combining acute -> é
+        ("öl", "öl"),            # o + diaeresis -> ö
+        ("é", "é"),               # already composed: identity
+        ("plain ascii", "plain ascii"),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "text string")
+    got = [r.c for r in
+           df.select(nfc_normalize_col(F.col("text")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
