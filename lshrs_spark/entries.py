@@ -3733,6 +3733,37 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_bloom_join",
+    """WITH vip AS (SELECT DISTINCT user_id FROM events
+                    WHERE event_type = 'purchase' AND value > 90)
+SELECT e.user_id::BIGINT AS user_id, count(*)::BIGINT AS n,
+       sum(round(e.value * 100))::BIGINT AS value_cents
+FROM events e JOIN vip USING (user_id)
+WHERE e.event_type = 'view'
+GROUP BY e.user_id""",
+)
+def rel_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom-runtime-filter join: big-side rows (view events)
+    with provably no partner in the selective small side (high-value
+    purchasers) are dropped before the join shuffle; false positives
+    are rejected by the join itself, so the result is bit-identical to
+    the plain join — which is exactly what the oracle computes."""
+    from .functions.sketch import bloom_prefilter_join
+
+    ev = _events(spark, sf_dir)
+    vip = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 90))
+        .select("user_id").distinct()
+    )
+    views = ev.filter(F.col("event_type") == "view")
+    joined = bloom_prefilter_join(views, vip, "user_id", m_bits=4096)
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    ).select(F.col("user_id").cast("long"), "n", "value_cents")
+
+
+@register(
     "text_nfc",
     # Each document gains a decomposed suffix (e + combining acute,
     # o + combining diaeresis); NFC must compose them to é / ö. Both
@@ -4139,6 +4170,7 @@ FAMILY: dict[str, str] = {
     "rel_gapfill_daily": "rel_events_sessionize",
     "rel_scalar_subquery": "rel_semi_anti",
     "rel_salted_agg": "rel_salted_join",
+    "rel_bloom_join": "sketch_bloom",  # bloom-filter join pruning
     # pipeline / quant twins
     "pipeline_split": "pipeline_shuffle_export",
     "pipeline_domain_mix": "pipeline_shuffle_export",

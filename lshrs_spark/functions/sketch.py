@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "kmv_distinct", "KMV_HASH_SPACE", "bloom_build", "bloom_probe",
-    "cms_build", "cms_query", "heavy_hitters",
+    "bloom_prefilter_join", "cms_build", "cms_query", "heavy_hitters",
 ]
 
 # functions.text.h48 hashes into [0, 2^48)
@@ -225,6 +225,39 @@ def cms_query(
     )
     est = reads.groupBy("_cid").agg(F.min("_v").alias(out_col))
     return cand.join(est, "_cid").drop("_cid", "_cs")
+
+
+def bloom_prefilter_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    *,
+    m_bits: int = 1 << 20,
+    num_hashes: int = 3,
+    how: str = "inner",
+) -> DataFrame:
+    """Join with an explicit Bloom runtime filter: the small side's
+    join keys build a Bloom word table, the big side is probed and rows
+    that DEFINITELY have no partner (filter guarantee) are dropped
+    BEFORE the join shuffle. With a selective small side this turns a
+    100 TB shuffle into a shuffle of just the matching sliver — the
+    explicit, tunable version of the engine's own runtime bloom
+    pushdown, for when you need to control ``m_bits``/FP rate or the
+    join is one AQE will not inject a filter into. False positives only
+    add rows that the join itself then rejects — the result is
+    bit-identical to the plain join. Only match-REQUIRING join types
+    are allowed: an outer join through the prefilter would drop the
+    very unmatched rows it is supposed to keep."""
+    if how not in ("inner", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"bloom_prefilter_join supports inner/left_semi joins, "
+            f"got {how!r} — an outer join would lose pruned rows"
+        )
+    words = bloom_build(small.select(on), on, m_bits, num_hashes)
+    probed = bloom_probe(words, big, on, m_bits, num_hashes,
+                         out_col="_bloom_hit")
+    pruned = probed.filter(F.col("_bloom_hit")).drop("_bloom_hit")
+    return pruned.join(small, on, how)
 
 
 # --------------------------------------------------------------------- #

@@ -195,3 +195,26 @@ def test_cms_and_heavy_hitters_empty_input(spark):
     got = cms_query(cells, cand, "v", 64, 3).collect()
     assert [r.est_count for r in got] == [0]
     assert heavy_hitters(empty, "v", 5).count() == 0
+
+
+def test_bloom_prefilter_join_equals_plain_join(spark):
+    from lshrs_spark.functions.sketch import bloom_prefilter_join
+
+    big = spark.range(0, 2000).select((F.col("id") % 500).alias("k"),
+                                      F.col("id").alias("payload"))
+    small = spark.createDataFrame([(3,), (499,), (7,)], ["k"])
+    got = bloom_prefilter_join(big, small, "k", m_bits=1024)
+    want = big.join(small, "k")
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    # outer variants keep the guarantee too
+    got_l = bloom_prefilter_join(big, small, "k", m_bits=1024, how="left_semi")
+    assert got_l.count() == big.join(small, "k", "left_semi").count()
+
+
+def test_bloom_prefilter_join_rejects_outer(spark):
+    from lshrs_spark.functions.sketch import bloom_prefilter_join
+
+    big = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="outer"):
+        bloom_prefilter_join(big, big, "k", how="left")
