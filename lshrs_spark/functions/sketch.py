@@ -127,27 +127,32 @@ def bloom_probe(
 ) -> DataFrame:
     """Membership probe: candidates gain ``out_col`` (true = possibly
     present, with the filter's FP rate; false = DEFINITELY absent —
-    the guarantee pipeline dedup relies on). Each candidate explodes to
-    its k positions, equi-joins the word table, and is a member iff
-    every position's bit is set. The word table is the small side —
-    left to AQE to broadcast when it fits."""
-    cand = candidates.withColumn(
-        "_ps", _bloom_positions(F.col(value_col), m_bits, num_hashes)
-    ).withColumn("_cid", F.monotonically_increasing_id())
-    pos = cand.select(
-        "_cid", F.explode("_ps").alias("p")
+    the guarantee pipeline dedup relies on). Each DISTINCT candidate
+    value explodes to its k positions, equi-joins the word table, and
+    is a member iff every position's bit is set; verdicts join back to
+    the candidate rows BY VALUE. The value is the only correlation key
+    anywhere — no positional ids, so a partial stage recompute (fetch
+    failure) can never mispair the two sides, and duplicate candidate
+    values probe once. The word table is the small side — left to AQE
+    to broadcast when it fits."""
+    vals = candidates.select(value_col).distinct()
+    pos = vals.select(
+        value_col,
+        F.explode(
+            _bloom_positions(F.col(value_col), m_bits, num_hashes)
+        ).alias("p"),
     ).select(
-        "_cid",
+        value_col,
         (F.col("p") / 64).cast("long").alias("word"),
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("m"),
     )
     hits = pos.join(bloom_words, "word", "left").select(
-        "_cid",
+        value_col,
         (F.col("bits").isNotNull()
          & (F.col("bits").bitwiseAND(F.col("m")) != 0)).alias("_hit"),
     )
-    verdict = hits.groupBy("_cid").agg(F.bool_and("_hit").alias(out_col))
-    return cand.join(verdict, "_cid").drop("_cid", "_ps")
+    verdict = hits.groupBy(value_col).agg(F.bool_and("_hit").alias(out_col))
+    return candidates.join(verdict, value_col)
 
 
 # --------------------------------------------------------------------- #
@@ -212,19 +217,22 @@ def cms_query(
     """Point-query the sketch: candidates gain ``out_col`` = the
     minimum over their ``depth`` cells (a missing cell reads 0). The
     estimate never undercounts; it overcounts by at most the hash
-    collisions in the lightest row. Cell table is the small side —
-    AQE broadcasts it when it fits."""
-    cand = candidates.withColumn(
-        "_cs", _cms_positions(F.col(value_col), width, depth)
-    ).withColumn("_cid", F.monotonically_increasing_id())
-    pos = cand.select("_cid", F.explode("_cs").alias("_c")).select(
-        "_cid", F.col("_c.r").alias("r"), F.col("_c.b").alias("b")
-    )
+    collisions in the lightest row. Estimates compute per DISTINCT
+    value and join back by value — the same no-positional-ids rule as
+    :func:`bloom_probe` (deterministic under stage recompute). Cell
+    table is the small side — AQE broadcasts it when it fits."""
+    vals = candidates.select(value_col).distinct()
+    pos = vals.select(
+        value_col,
+        F.explode(
+            _cms_positions(F.col(value_col), width, depth)
+        ).alias("_c"),
+    ).select(value_col, F.col("_c.r").alias("r"), F.col("_c.b").alias("b"))
     reads = pos.join(cms_cells, ["r", "b"], "left").select(
-        "_cid", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("_v")
+        value_col, F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("_v")
     )
-    est = reads.groupBy("_cid").agg(F.min("_v").alias(out_col))
-    return cand.join(est, "_cid").drop("_cid", "_cs")
+    est = reads.groupBy(value_col).agg(F.min("_v").alias(out_col))
+    return candidates.join(est, value_col)
 
 
 def bloom_prefilter_join(
