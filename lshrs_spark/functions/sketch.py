@@ -278,6 +278,7 @@ def heavy_hitters(
     threshold: int,
     *,
     out_col: str = "n",
+    max_tracked: int = 1 << 22,
 ) -> DataFrame:
     """EXACT set of values with global count >= ``threshold``, without
     ever shuffling the full value stream.
@@ -291,32 +292,61 @@ def heavy_hitters(
        its average ``threshold/P``, so it MUST survive in at least one
        partition — no false negatives, ever. Values spread thinly
        (the long tail — the overwhelming majority of a 100 TB token
-       stream) die here, in the map stage.
-    2. *Exact verify*: semi-join the stream against the (small —
-       at most ``P * partition_rows / local_min``) candidate set, then
-       one count aggregation with the usual map-side combine. Only
-       candidate occurrences reach the shuffle.
+       stream) die here, in the map stage. Per-partition state is
+       BOUNDED: when the tracked table exceeds ``max_tracked`` keys, a
+       batch Misra-Gries step subtracts the overflow quantile from all
+       counts and drops the non-positive — the classic undercount-only
+       summary, so the emit threshold is lowered by the total amount
+       subtracted and the no-false-negative guarantee survives the
+       prune (a few extra candidates just flow into pass 2).
+    2. *Exact verify*: semi-join the stream against the (small)
+       candidate set, then one count aggregation with the usual
+       map-side combine. Only candidate occurrences reach the shuffle.
 
     The result is bit-identical to ``GROUP BY ... HAVING count(*) >=
     threshold`` — the prune is an optimization, not an approximation.
     """
     if threshold < 1:
         raise ValueError(f"threshold must be >= 1 (got {threshold})")
+    if max_tracked < 1:
+        raise ValueError(f"max_tracked must be >= 1 (got {max_tracked})")
     values = df.select(value_col)
     num_parts = max(1, values.rdd.getNumPartitions())
     local_min = max(1, -(-threshold // num_parts))  # ceil
     vc = value_col
     schema = values.schema
+    cap = max_tracked
 
     def local_candidates(batches):
         import pandas as pd
 
         counts: dict = {}
+        slack = 0  # total Misra-Gries undercount applied so far
         for pdf in batches:
             for v, c in pdf[vc].value_counts(dropna=True).items():
                 counts[v] = counts.get(v, 0) + int(c)
+            if len(counts) > cap:
+                # batch MG step: subtract the k-th smallest count so at
+                # most cap survive; every surviving count is undercounted
+                # by exactly `sub`, every dropped value by at most `sub`
+                vals = sorted(counts.values())
+                sub = vals[len(vals) - cap]
+                counts = {v: c - sub for v, c in counts.items() if c > sub}
+                slack += sub
+                if slack >= local_min:
+                    # a value dropped by MG could have a true local
+                    # count in [local_min, slack] — emitting only the
+                    # tracked table would silently lose it. Exactness
+                    # is the contract: refuse, don't approximate.
+                    raise ValueError(
+                        "heavy_hitters: max_tracked too small for this "
+                        f"threshold/partition size (MG slack {slack} >= "
+                        f"local threshold {local_min}) — raise "
+                        "max_tracked, raise threshold, or repartition "
+                        "into smaller partitions"
+                    )
         yield pd.DataFrame(
-            {vc: [v for v, c in counts.items() if c >= local_min]}
+            {vc: [v for v, c in counts.items() if c >= local_min - slack]}
         )
 
     cand = values.mapInPandas(local_candidates, schema=schema).distinct()

@@ -218,3 +218,33 @@ def test_bloom_prefilter_join_rejects_outer(spark):
     big = spark.range(3).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="outer"):
         bloom_prefilter_join(big, big, "k", how="left")
+
+
+def test_heavy_hitters_bounded_tracking_stays_exact(spark):
+    """With a tiny max_tracked the Misra-Gries prune kicks in on every
+    batch — the result must STILL equal the plain GROUP BY/HAVING."""
+    from lshrs_spark.functions.sketch import heavy_hitters
+
+    rows = [("hot",)] * 60 + [("warm",)] * 25 + \
+        [(f"tail{i}",) for i in range(300)]
+    df = spark.createDataFrame(rows, ["v"]).repartition(3)
+    got = {r.v: r.n for r in
+           heavy_hitters(df, "v", 20, max_tracked=8).collect()}
+    assert got == {"hot": 60, "warm": 25}
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "v", 5, max_tracked=0)
+
+
+def test_heavy_hitters_refuses_unsound_prune(spark):
+    """When MG slack would reach the local threshold, dropped values
+    could have qualified — the operator must refuse, not approximate."""
+    from pyspark.sql import functions as F2
+
+    from lshrs_spark.functions.sketch import heavy_hitters
+
+    # one partition, low threshold, huge tail with repeated evictions
+    df = spark.range(0, 3000).select(
+        (F2.col("id") % 1500).cast("string").alias("v")
+    ).coalesce(1)
+    with pytest.raises(Exception, match="max_tracked too small"):
+        heavy_hitters(df, "v", 2, max_tracked=4).collect()
