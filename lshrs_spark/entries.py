@@ -3733,6 +3733,33 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_negatives",
+    f"""WITH ord AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS o
+            FROM documents),
+nn AS (SELECT count(*) AS n FROM documents),
+cand AS (SELECT a.doc_id AS anchor_id, j.j AS neg_rank, a.o AS ao,
+          1 + ({h48_sql("'neg42|' || a.doc_id::VARCHAR || '|' || j.j::VARCHAR")}
+               % ((SELECT n FROM nn) - 1)) AS c
+         FROM ord a, (SELECT i AS j FROM generate_series(0, 3) t(i)) j),
+pick AS (SELECT anchor_id, neg_rank,
+           CASE WHEN c >= ao THEN c + 1 ELSE c END AS co FROM cand)
+SELECT p.anchor_id::BIGINT AS anchor_id, p.neg_rank::BIGINT AS neg_rank,
+       o2.doc_id::BIGINT AS negative_id
+FROM pick p JOIN ord o2 ON o2.o = p.co""",
+)
+def pipeline_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: 4
+    hash-drawn negatives per anchor, uniform over the corpus excluding
+    the anchor itself (skip-self shift), resolved through the two-stage
+    distributed ordinal — no ``rand()``, no all-pairs join, no
+    single-partition window. The oracle replays every draw from the
+    shared h48 hash and a ``row_number`` ordinal."""
+    from .operators.export import negative_samples
+
+    return negative_samples(_docs(spark, sf_dir), 4, seed=42)
+
+
+@register(
     "rel_bloom_join",
     """WITH vip AS (SELECT DISTINCT user_id FROM events
                     WHERE event_type = 'purchase' AND value > 90)
@@ -4174,6 +4201,7 @@ FAMILY: dict[str, str] = {
     # pipeline / quant twins
     "pipeline_split": "pipeline_shuffle_export",
     "pipeline_domain_mix": "pipeline_shuffle_export",
+    "pipeline_negatives": "pipeline_shuffle_export",
     # promotion-gate family (rep: pipeline_corpus_diff)
     "pipeline_data_quality": "pipeline_corpus_diff",
     # quantization family: PQ (codebook quantization + ADC) is the

@@ -35,7 +35,8 @@ from pyspark.sql import functions as F
 from ..functions.text import h48
 
 __all__ = ["shuffle_key_col", "hash_sample", "shuffle_shards",
-           "write_training_shards", "zorder_key_col", "write_clustered"]
+           "write_training_shards", "zorder_key_col", "write_clustered",
+           "negative_samples"]
 
 _DENOM = 1_000_000
 
@@ -218,3 +219,59 @@ def write_clustered(
             num_files, *cluster_cols
         ).sortWithinPartitions(*cluster_cols)
     out.write.mode("overwrite").parquet(path)
+
+
+def negative_samples(
+    df: DataFrame,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """``k`` deterministic pseudo-random negatives per anchor —
+    contrastive-training pairs without ``rand()`` (stable under stage
+    retry) and without any all-pairs join. Each (anchor, slot) hashes
+    to a candidate ordinal in ``[1, n]\\{anchor's ordinal}`` (the
+    classic skip-self shift keeps the draw uniform), and the ordinal
+    resolves to a document through the two-stage distributed ordinal —
+    no single-partition window anywhere. Sampling is with replacement
+    ACROSS slots (two slots may draw the same negative) and exclusive
+    of the anchor itself. Returns ``(anchor_id, neg_rank, negative_id)``.
+    """
+    from ..cache import release_slots  # noqa: F401  (documented below)
+    from .prefix import running_total
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    n = df.count()
+    if n < 2:
+        raise ValueError("need at least 2 rows to draw negatives")
+    # 1-based distributed ordinal over the stable id order; the persist
+    # slot it creates is freed by cache.release_slots()
+    ords = running_total(
+        df.select(F.col(id_col)).withColumn("_one", F.lit(1)),
+        id_col, "_one", out_col="_ord",
+    ).select(F.col(id_col), F.col("_ord"))
+    anchors = ords.select(
+        F.col(id_col).alias("anchor_id"), F.col("_ord").alias("_aord")
+    ).withColumn("neg_rank", F.explode(F.array(*[F.lit(j) for j in range(k)])))
+    draw = h48(
+        F.concat(
+            F.lit(f"neg{seed}|"),
+            F.col("anchor_id").cast("string"),
+            F.lit("|"),
+            F.col("neg_rank").cast("string"),
+        )
+    ) % (n - 1) + 1  # uniform in [1, n-1]
+    picked = anchors.withColumn(
+        "_cord",
+        F.when(draw >= F.col("_aord"), draw + 1).otherwise(draw),
+    )
+    negs = ords.select(
+        F.col(id_col).alias("negative_id"), F.col("_ord").alias("_cord")
+    )
+    return picked.join(negs, "_cord").select(
+        F.col("anchor_id").cast("long"),
+        F.col("neg_rank").cast("long"),
+        F.col("negative_id").cast("long"),
+    )

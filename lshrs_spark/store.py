@@ -163,7 +163,9 @@ class SegmentedIndexStore:
         union of that manifest's segments minus its tombstones. The
         union is segment-pruned per probe exactly like a single
         directory; the anti-join's tombstone side is tiny (ids only)
-        and broadcasts."""
+        and broadcasts. Plan size grows with the segment count — run
+        :meth:`compact` on the usual LSM cadence (e.g. when segments
+        exceed a few hundred) to fold the union back to one input."""
         m = self.manifest(version)
         if not m["segments"]:
             return self.spark.createDataFrame(

@@ -80,3 +80,30 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
     one = back.filter(F.col("shard") == 0).withColumn("_k", key)
     vals = [r._k for r in one.collect()]       # parquet row order preserved
     assert vals == sorted(vals)
+
+
+def test_negative_samples_properties(spark):
+    from lshrs_spark.cache import release_slots
+    from lshrs_spark.operators.export import negative_samples
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], ["doc_id"])
+    got = negative_samples(docs, 3, seed=7).collect()
+    release_slots()
+    assert len(got) == 40 * 3
+    for r in got:
+        assert r.negative_id != r.anchor_id       # never self
+        assert 0 <= r.negative_id < 40
+    # deterministic: second run identical
+    again = negative_samples(docs, 3, seed=7).collect()
+    release_slots()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # different seed -> different draws (overwhelmingly)
+    other = negative_samples(docs, 3, seed=8).collect()
+    release_slots()
+    assert sorted(map(tuple, other)) != sorted(map(tuple, got))
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        negative_samples(docs, 0)
+    with _pt.raises(ValueError):
+        negative_samples(docs.limit(1), 2)
