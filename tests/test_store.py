@@ -152,3 +152,33 @@ def test_stream_segmented_ingest_and_serving(spark, tmp_path, rng):
     st.delete_ids([7])
     srv.refresh()
     assert srv.get_top_k(vecs[7], 1) != [7]
+
+
+def test_commit_is_atomic_under_partial_failure(spark, tmp_path, rng):
+    """A crash between writing the manifest file and flipping CURRENT
+    must leave readers on the old version — the commit IS the pointer
+    flip, not the manifest write."""
+    import json
+
+    root = str(tmp_path / "store")
+    st = SegmentedIndexStore.create(spark, root)
+    idx, _ = _batch(spark, rng, list(range(5)))
+    st.append(idx)
+    assert st.current_version() == 1
+
+    # simulate a writer that died after the manifest write: v_2.json
+    # exists (referencing a segment that was never finished) but
+    # CURRENT still says 1
+    with open(os.path.join(root, "manifest", "v_2.json"), "w") as f:
+        json.dump({"version": 2,
+                   "segments": ["segments/halfwritten"],
+                   "tombstones": []}, f)
+
+    reader = SegmentedIndexStore(spark, root)
+    assert reader.current_version() == 1          # old snapshot intact
+    assert reader.read().count() == idx.count()   # and fully readable
+    # the next real commit supersedes the orphaned manifest
+    idx2, _ = _batch(spark, rng, list(range(5, 8)))
+    v = reader.append(idx2)
+    assert v == 2  # overwrites the orphan atomically (os.replace)
+    assert reader.read().count() == idx.count() + idx2.count()
