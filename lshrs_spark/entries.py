@@ -3732,6 +3732,77 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(tok, "token", 100)
 
 
+# Integer micro-unit quality score (same components and weights as the
+# float quality_score_cols heuristic, term-wise floor-quantized):
+# 0.3*min(1,nt/50) -> 600*min(nt,50); 0.2*stop_ratio -> 20000*s//nt;
+# 0.3*alpha_ratio -> 30000*p//nc; 0.2*(1-min(1,|atl-5|/5)) ->
+# 20000 - min(20000, 4000*|nc+1-6nt|//nt). Every term is pure integer
+# arithmetic, so ANY engine ranks documents identically — float ulps
+# are not a reproducible sort key (bit-drift observed between Spark and
+# DuckDB at the 1e-5 boundary).
+_QUALITY_U_SQL = """(
+    600 * least(len(toks), 50)
+  + (20000 * len(list_filter(toks, t ->
+        list_contains(['the','a','and','of','to'], t)))) // len(toks)
+  + (30000 * (length(text)
+      - length(regexp_replace(text, '[a-z ]', '', 'g')))) // length(text)
+  + 20000 - least(20000,
+      (4000 * abs(length(text) + 1 - 6 * len(toks))) // len(toks))
+)::BIGINT"""
+
+
+@register(
+    "pipeline_token_budget",
+    f"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+         FROM documents),
+scored AS (SELECT doc_id AS id, {_QUALITY_U_SQL} AS quality,
+            len(toks)::BIGINT AS n_tokens
+           FROM tok),
+cum AS (SELECT id, quality, n_tokens,
+          sum(n_tokens) OVER (ORDER BY quality DESC, id
+                              ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM scored)
+SELECT id::BIGINT AS id, quality, n_tokens,
+       cum_tokens::BIGINT AS cum_tokens
+FROM cum WHERE cum_tokens <= 10000""",
+)
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-first curation under a 10k-token budget: documents ranked
+    by an integer micro-unit quality score (same components/weights as
+    the float heuristic, term-wise floor quantization — integer
+    arithmetic is the only ordering every engine reproduces exactly),
+    kept greedily until the budget fills. The cumulative count is the
+    two-stage distributed prefix sum; the oracle is the plain window
+    cumsum being reproduced."""
+    from .operators.prefix import token_budget_select
+
+    docs = _docs(spark, sf_dir)
+    toks = X.tokens_col(F.col("text"))
+    nt = F.size(toks).cast("long")
+    nc = F.length("text").cast("long")
+    nstop = F.size(F.filter(
+        toks, lambda t: t.isin("the", "a", "and", "of", "to")
+    )).cast("long")
+    nalpha = nc - F.length(F.regexp_replace(F.col("text"), "[a-z ]", ""))
+    u = F.abs(nc + 1 - 6 * nt)
+    # floor of an exact small-integer quotient: the products stay far
+    # below 2^53, so the double division is exact and floor matches
+    # integer floor division in any engine
+    q_u = (
+        600 * F.least(nt, F.lit(50))
+        + F.floor((20000 * nstop) / nt).cast("long")
+        + F.floor((30000 * nalpha) / nc).cast("long")
+        + (20000 - F.least(F.lit(20000),
+                           F.floor((4000 * u) / nt).cast("long")))
+    )
+    scored = docs.select(
+        F.col("doc_id"),
+        q_u.cast("long").alias("quality_u"),
+        nt.alias("n_tokens"),
+    )
+    return token_budget_select(scored, 10000, quality_col="quality_u")
+
+
 @register(
     "pipeline_negatives",
     f"""WITH ord AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS o
@@ -4159,6 +4230,7 @@ FAMILY: dict[str, str] = {
     "pipeline_pack": "pipeline_length_batches",
     "pipeline_training_prep": "pipeline_length_batches",
     "pipeline_pack_bpe": "pipeline_length_batches",
+    "pipeline_token_budget": "pipeline_length_batches",
     # LSH / ANN twins
     "lsh_signatures_sql": "lsh_signatures",
     "ann_batch": "lsh_topk",

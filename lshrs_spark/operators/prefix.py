@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["running_total", "pack_sequences", "stratified_sample",
-           "length_grouped_batches", "sqrt_domain_mix"]
+           "length_grouped_batches", "sqrt_domain_mix",
+           "token_budget_select"]
 
 _RT_INVOCATION = itertools.count()
 
@@ -261,4 +262,40 @@ def length_grouped_batches(
                 "padding_waste"
             ),
         )
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Best-first corpus curation under a token budget: order documents
+    by ``(quality DESC, id)`` and keep the prefix whose cumulative
+    token count fits ``budget`` (documents are atomic — the first one
+    that would overflow is excluded, not split). The cumulative count
+    is the two-stage distributed prefix sum over a struct order key —
+    one range shuffle, no single-partition window, any id width.
+
+    ``quality_col`` should be integer-quantized by the caller (e.g.
+    ``floor(score * 1e5)``) when scores come from float arithmetic:
+    ordering must be EXACTLY reproducible across runs/engines, and a
+    float's last ulp is not a stable tiebreak. Returns
+    ``(id, quality, n_tokens, cum_tokens)`` for the selected set."""
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(quality_col).cast("long").alias("quality"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    )
+    keyed = base.withColumn(
+        "_okey", F.struct((-F.col("quality")).alias("nq"), F.col("id"))
+    )
+    cum = running_total(keyed, "_okey", "n_tokens", out_col="cum_tokens")
+    return cum.filter(F.col("cum_tokens") <= budget).select(
+        "id", "quality", "n_tokens", "cum_tokens"
     )

@@ -216,3 +216,26 @@ def test_sqrt_domain_mix_small_domain_floor(spark):
               .groupBy("source").count().collect()}
     assert counts["single"] == 1
     assert counts["huge"] <= 900
+
+
+def test_token_budget_select_greedy_prefix(spark):
+    from lshrs_spark.cache import release_slots
+    from lshrs_spark.operators.prefix import token_budget_select
+
+    rows = [  # (id, quality, tokens)
+        (1, 90, 40), (2, 80, 50), (3, 80, 30), (4, 70, 100), (5, 60, 10),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "quality", "n_tokens"])
+    got = sorted(
+        (r.id, r.cum_tokens)
+        for r in token_budget_select(df, 120).collect()
+    )
+    release_slots()
+    # order: 1 (40), 2 (90 — quality tie broken by id), 3 (120);
+    # 4 would overflow and is excluded WITHOUT splitting; 5 (130) is
+    # past the overflowing doc so the prefix ends
+    assert got == [(1, 40), (2, 90), (3, 120)]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        token_budget_select(df, -1)
