@@ -15,7 +15,7 @@ import uuid
 from contextlib import contextmanager
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import LSHConfig
@@ -463,6 +463,70 @@ def stream_attribution_join(
              / 1_000_000).cast("long").alias("lag_sec"),
         )
         return run_to_memory_table(joined, output_mode="append", name=name)
+
+
+def windowed_counts_with_late_stats(
+    spark: SparkSession,
+    source_path: str,
+    *,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    name: Optional[str] = None,
+) -> tuple[DataFrame, int]:
+    """Watermarked tumbling window counts in UPDATE mode, one file per
+    micro-batch, returning ``(result, n_dropped_late)`` — the
+    operational signal a production stream owner alarms on:
+    ``numRowsDroppedByWatermark`` summed over the run's state
+    operators. Data loss from mis-sized watermarks is silent unless the
+    pipeline surfaces this number next to its outputs; here it rides
+    the same return value."""
+    with scoped_session_conf(spark, _stream_run_conf(spark)):
+        schema = spark.read.parquet(source_path).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(source_path)
+        )
+        for f in schema.fields:
+            if f.name == "ts" and f.dataType.typeName() == "long":
+                stream = stream.withColumn(
+                    "ts", F.expr("timestamp_micros(ts div 1000)")
+                )
+            elif f.name == "ts" and f.dataType.typeName() == "timestamp_ntz":
+                stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        agg = (
+            stream.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.unix_timestamp(F.col("w.start")).alias("window_start"),
+                "event_type",
+                "n",
+            )
+        )
+        qname = name or f"late_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            dropped = 0
+            for prog in q.recentProgress:
+                for op in (prog.get("stateOperators") or []):
+                    dropped += int(op.get("numRowsDroppedByWatermark", 0))
+        finally:
+            q.stop()
+        # update-mode memory sink appends every emitted update; the
+        # latest row per key is the final count
+        tbl = spark.table(qname)
+        w = Window.partitionBy("window_start", "event_type")
+        latest = tbl.withColumn("_max_n", F.max("n").over(w)).filter(
+            F.col("n") == F.col("_max_n")
+        ).drop("_max_n").distinct()
+        return latest, dropped
 
 
 def stream_static_enrich(

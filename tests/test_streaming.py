@@ -358,3 +358,50 @@ def test_stream_static_enrich_equals_batch_join(spark, tmp_path):
     assert sorted((r.event_id, r.weight) for r in got.collect()) == [
         (1, 10), (2, 20), (3, 10)
     ]
+
+
+def test_windowed_counts_surface_dropped_late_rows(spark, tmp_path):
+    import datetime as dt
+    import os as _os
+    import time as _time
+
+    from lshrs_spark.streaming.ingest import windowed_counts_with_late_stats
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    src = str(tmp_path / "late_events")
+    _os.makedirs(src, exist_ok=True)
+
+    def write_file(name, rows, mtime):
+        sub = str(tmp_path / f"tmp_{name}")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        ).coalesce(1).write.mode("overwrite").parquet(sub)
+        import shutil
+
+        part = [f for f in _os.listdir(sub) if f.endswith(".parquet")][0]
+        dst = f"{src}/{name}.parquet"
+        shutil.copy(f"{sub}/{part}", dst)
+        _os.utime(dst, (mtime, mtime))
+
+    # batches 1-2: fresh events 2h in — the watermark a batch runs
+    # under comes from data one COMMITTED batch back, so two fresh
+    # batches guarantee the late batch executes under wm ~ t0+1h30
+    f1 = [(1, t0 + dt.timedelta(hours=2), 1, "view", 1.0)]
+    f2 = [(2, t0 + dt.timedelta(hours=2, minutes=5), 2, "view", 1.0)]
+    # batch 3: events at t0, far behind the watermark -> dropped
+    late = [(3, t0, 3, "view", 1.0), (4, t0, 4, "click", 1.0)]
+    now = _time.time()
+    write_file("b0", f1, now - 180)
+    write_file("b1", f2, now - 120)
+    write_file("b2", late, now - 60)
+
+    result, dropped = windowed_counts_with_late_stats(
+        spark, src, window="1 hour", watermark="30 minutes"
+    )
+    assert dropped == 2
+    got = {(r.window_start, r.event_type): r.n for r in result.collect()}
+    # only the fresh window survives, with both fresh events
+    fresh_ws = int((t0 + dt.timedelta(hours=2)).timestamp())
+    assert got == {(fresh_ws, "view"): 2}
