@@ -3732,6 +3732,35 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(tok, "token", 100)
 
 
+@register(
+    "text_char_entropy",
+    f"""WITH c AS (SELECT doc_id, text, length(text)::DOUBLE AS n
+        FROM documents),
+hist AS (SELECT doc_id, n,
+    list_transform(string_split('{X.ENTROPY_ALPHABET}', ''),
+        ch -> (length(text) - length(replace(text, ch, '')))::DOUBLE)
+      AS counts
+  FROM c)
+SELECT doc_id AS id,
+  round(list_sum(list_transform(
+      list_append(counts, n - list_sum(counts)),
+      v -> CASE WHEN v > 0 THEN -(v / n) * log2(v / n) ELSE 0.0 END)), 5)
+    AS entropy_bits
+FROM hist""",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the
+    gibberish/boilerplate signal. The histogram is the length-replace
+    trick over a fixed alphabet plus an "other" bucket, so the whole
+    measurement is codegen expressions in one scan projection: no char
+    explode, no shuffle, no Python."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        F.round(X.char_entropy_col(F.col("text")), 5).alias("entropy_bits"),
+    )
+
+
 # Integer micro-unit quality score (same components and weights as the
 # float quality_score_cols heuristic, term-wise floor-quantized):
 # 0.3*min(1,nt/50) -> 600*min(nt,50); 0.2*stop_ratio -> 20000*s//nt;
@@ -4247,6 +4276,7 @@ FAMILY: dict[str, str] = {
     "text_token_topk": "text_stats",
     "text_heavy_hitters": "text_stats",
     "text_nfc": "text_clean",
+    "text_char_entropy": "text_stats",
     "text_bigram_logprob": "text_unigram_logprob",
     "text_corpus_card": "text_stats",
     "text_langid_accuracy": "text_langid",

@@ -34,7 +34,13 @@ __all__ = [
     "clean_text_col",
     "CONTROL_CHAR_PATTERN",
     "nfc_normalize_col",
+    "char_entropy_col",
+    "ENTROPY_ALPHABET",
 ]
+
+# the tracked alphabet for char_entropy_col; everything else pools into
+# one "other" bucket
+ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
 
 # C0 controls except \t\n, DEL, zero-widths (ZWSP/ZWNJ/ZWJ), BOM: the
 # bytes a crawler's HTML-to-text step leaks into web corpora. \x{...}
@@ -104,6 +110,30 @@ def nfc_normalize_col(text: Column) -> Column:
         )
 
     return _nfc(text)
+
+
+def char_entropy_col(text: Column, alphabet: str = ENTROPY_ALPHABET) -> Column:
+    """Shannon entropy of the character distribution in bits — the
+    classic gibberish/boilerplate detector (natural English sits near
+    4.1; base64 blobs higher, repeated padding near 0). The histogram
+    uses the length-replace trick — ``count(ch) = len(s) -
+    len(replace(s, ch, ''))`` per alphabet character, plus one pooled
+    "other" bucket — so the whole computation is codegen expressions in
+    a single scan projection: no explode (which would turn a 100 TB
+    corpus into a quadrillion-row char table), no shuffle, no Python."""
+    n = F.length(text).cast("double")
+    counts = [
+        (F.length(text) - F.length(F.replace(text, F.lit(ch)))).cast("double")
+        for ch in alphabet
+    ]
+    other = n - sum(counts[1:], counts[0])
+    term = lambda c: F.when(  # noqa: E731
+        c > 0, -(c / n) * F.log2(c / n)
+    ).otherwise(F.lit(0.0))
+    h = term(other)
+    for c in counts:
+        h = h + term(c)
+    return F.when(n > 0, h).otherwise(F.lit(0.0))
 
 
 def token_count_col(text: Column) -> Column:

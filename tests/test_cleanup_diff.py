@@ -97,3 +97,25 @@ def test_nfc_normalize_composes_and_preserves(spark):
     got = [r.c for r in
            df.select(nfc_normalize_col(F.col("text")).alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from lshrs_spark.functions.text import char_entropy_col
+
+    cases = [
+        ("aaaa", 0.0),                     # one symbol: zero entropy
+        ("abab", 1.0),                     # two equiprobable symbols
+        ("abcd", 2.0),                     # four equiprobable symbols
+        ("", 0.0),                         # empty: defined as 0
+        ("!!!!", 0.0),                     # all-"other" pools into one bucket
+        ("a!b?", None),                    # a, b, other(x2): 1.5 bits
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], ["text"])
+    got = [r.h for r in
+           df.select(char_entropy_col(F.col("text")).alias("h")).collect()]
+    for (s, want), h in zip(cases, got):
+        if want is None:
+            want = -(0.25 * math.log2(0.25) * 2 + 0.5 * math.log2(0.5))
+        assert abs(h - want) < 1e-9, (s, h)
