@@ -3732,6 +3732,60 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(tok, "token", 100)
 
 
+_REACH_SQL = """
+WITH RECURSIVE reach(src, dst, depth) AS (
+  SELECT id, id, 0 FROM {nodes}
+  UNION ALL
+  SELECT r.src, e.dst, r.depth + 1
+  FROM reach r JOIN {edges} e ON r.dst = e.src
+  WHERE r.depth < 3)
+SELECT src AS id, count(DISTINCT dst) AS n_reach_3hop
+FROM reach GROUP BY src"""
+
+
+@register(
+    "rel_recursive_reach",
+    f"""WITH RECURSIVE {_JACCARD_CTES},
+edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs WHERE jaccard >= 0.5
+          UNION SELECT id_b, id_a FROM jpairs WHERE jaccard >= 0.5),
+nodes AS (SELECT doc_id AS id FROM documents),
+reach(src, dst, depth) AS (
+  SELECT id, id, 0 FROM nodes
+  UNION ALL
+  SELECT r.src, e.dst, r.depth + 1
+  FROM reach r JOIN edges e ON r.dst = e.src
+  WHERE r.depth < 3)
+SELECT src::BIGINT AS id, count(DISTINCT dst)::BIGINT AS n_reach_3hop
+FROM reach GROUP BY src""",
+)
+def rel_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE on SPARK SQL (4.1): 3-hop distinct reachability
+    over the near-dup graph — the SAME ``WITH RECURSIVE`` text both
+    engines run (Spark requires UNION ALL recursion, so the depth guard
+    bounds the fixpoint; DuckDB executes the identical guarded form).
+    SQL-surface parity demo: the scalable closure operator remains
+    ``connected_components``' pointer jumping — UNION ALL recursion
+    enumerates PATHS, which explodes on high-degree hubs."""
+    from .operators import dedup as D2
+
+    docs = _docs(spark, sf_dir)
+    pairs = D2.ngram_jaccard_pairs(docs, 0.5, n=3)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).distinct()
+    nodes = docs.select(F.col("doc_id").cast("long").alias("id"))
+    edges.createOrReplaceTempView("reach_edges_v")
+    nodes.createOrReplaceTempView("reach_nodes_v")
+    out = spark.sql(
+        _REACH_SQL.format(nodes="reach_nodes_v", edges="reach_edges_v")
+    )
+    return out.select(
+        F.col("id").cast("long"), F.col("n_reach_3hop").cast("long")
+    )
+
+
 @register(
     "text_char_entropy",
     f"""WITH c AS (SELECT doc_id, text, length(text)::DOUBLE AS n
@@ -4235,6 +4289,7 @@ FAMILY: dict[str, str] = {
     # line-dedup family)
     "dedup_representative": "dedup_groups",
     "dedup_soft_weight": "dedup_groups",
+    "rel_recursive_reach": "dedup_groups",  # SQL-surface twin of CC
     # demoted round-5: per-stratum exact sampling is covered by the new
     # deterministic-sampling/export representative (r3 driver row on file)
     "pipeline_stratified_sample": "pipeline_shuffle_export",
