@@ -381,3 +381,33 @@ def test_clean_text_is_pure_codegen(spark):
     plan = physical_plan(docs.select(clean_text_col(F.col("text"))))
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_negative_samples_no_allpairs_join(spark):
+    """The docstring promises no all-pairs join — hold it to that: no
+    cartesian/nested-loop node anywhere in the plan."""
+    from lshrs_spark.cache import release_slots
+    from lshrs_spark.operators.export import negative_samples
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical_plan(negative_samples(docs, 2))
+    release_slots()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_token_budget_no_single_partition_exchange(spark):
+    """The cumulative count must come from the two-stage prefix sum —
+    a SinglePartition exchange would be the 100 TB bottleneck the
+    operator exists to avoid."""
+    from lshrs_spark.cache import release_slots
+    from lshrs_spark.operators.prefix import token_budget_select
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        F.col("n_chars").alias("quality"),
+        F.col("n_chars").alias("n_tokens"),
+    )
+    plan = physical_plan(token_budget_select(docs, 1000))
+    release_slots()
+    assert "SinglePartition" not in plan
