@@ -32,6 +32,7 @@ from ..functions.text import h48, token_shingles_col, tokens_col
 __all__ = [
     "exact_dedup",
     "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "minhash_params",
     "minhash_signatures",
     "minhash_band_keys",
@@ -126,6 +127,74 @@ def ngram_jaccard_pairs(
         .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    threshold: float,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_doc_freq: Optional[int] = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with DIRECTIONAL n-gram containment — the
+    quote/inclusion detector symmetric Jaccard misses.
+
+    ``C(A in B) = |G(A) ∩ G(B)| / |G(A)|``: a short document quoted
+    verbatim inside a long one scores ~1.0 containment while its Jaccard
+    (``inter / union``) stays far below any dedup threshold, so
+    Jaccard-only batteries admit the duplicate. Returns both directions
+    (``c_ab`` = share of A's shingles found in B, ``c_ba`` = the
+    reverse) and keeps pairs where either direction reaches
+    ``threshold``.
+
+    Same inverted-index join shape as :func:`ngram_jaccard_pairs` — the
+    shuffle key is the shingle, never a document pair, so the pair space
+    stays output-bound; ``max_doc_freq`` is the identical stop-shingle
+    cap for hot-shingle skew. The scores are exact small-integer
+    quotients (IEEE division is correctly rounded in every engine), so
+    the threshold cut is engine-stable without quantization.
+    """
+    sh = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(
+            F.array_distinct(token_shingles_col(F.col(text_col), n))
+        ).alias("s"),
+    )
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("s")
+        )
+        sh = sh.join(rare, "s")
+    # three consumers (sizes + both self-join sides); slot-bounded persist
+    sh = persist_slot(sh, "dedup.containment_shingles", eager=True)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="s")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    c_ab = F.col("inter") / F.col("na")
+    c_ba = F.col("inter") / F.col("nb")
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")),
+            "id_b",
+        )
+        .select("id_a", "id_b", c_ab.alias("c_ab"), c_ba.alias("c_ba"))
+        .filter(F.greatest(F.col("c_ab"), F.col("c_ba")) >= threshold)
     )
 
 

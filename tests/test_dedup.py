@@ -34,6 +34,39 @@ def test_ngram_jaccard_identical_is_one(docs):
     assert (3, 4) not in pairs
 
 
+def test_containment_catches_quote_inclusion(spark):
+    # doc 1 is a verbatim quote of doc 0 inside a much longer document:
+    # containment(A in B) ~ 1.0 while Jaccard stays below any threshold
+    quote = "alpha beta gamma delta epsilon"
+    rows = [
+        (0, quote),
+        (1, quote + " plus lots of extra framing words surrounding the "
+            "quoted passage that dilute the union considerably indeed"),
+        (2, "totally different words here now ok fine"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {(r.id_a, r.id_b): (r.c_ab, r.c_ba) for r in
+            D.ngram_containment_pairs(docs, 0.9, n=3).collect()}
+    assert (0, 1) in cont
+    c_ab, c_ba = cont[(0, 1)]
+    assert c_ab == pytest.approx(1.0)      # all of A's shingles are in B
+    assert c_ba < 0.5                      # B is mostly not A
+    jac = {(r.id_a, r.id_b): r.jaccard for r in
+           D.ngram_jaccard_pairs(docs, 0.0, n=3).collect()}
+    assert jac[(0, 1)] < 0.5               # Jaccard alone would miss it
+    assert not any(2 in p for p in cont)
+
+
+def test_containment_direction_matches_sizes(docs):
+    # c_ab = inter/|A|, c_ba = inter/|B|; identical docs -> (1.0, 1.0)
+    cont = {(r.id_a, r.id_b): (r.c_ab, r.c_ba) for r in
+            D.ngram_containment_pairs(docs, 0.1, n=3).collect()}
+    assert cont[(0, 1)] == (pytest.approx(1.0), pytest.approx(1.0))
+    # near dup of 0: 4 shingles each, 3 shared -> 0.75 both directions
+    assert cont[(0, 2)] == (pytest.approx(0.75), pytest.approx(0.75))
+    assert (3, 4) not in cont
+
+
 def test_minhash_identical_docs_share_all_bands(docs):
     pairs = {(r.id_a, r.id_b) for r in
              D.minhash_band_pairs(docs, num_hashes=8, rows_per_band=2).collect()}

@@ -411,3 +411,20 @@ def test_token_budget_no_single_partition_exchange(spark):
     plan = physical_plan(token_budget_select(docs, 1000))
     release_slots()
     assert "SinglePartition" not in plan
+
+
+def test_bm25_topk_is_heap_not_global_sort(spark):
+    """BM25 retrieval must end in TakeOrderedAndProject (per-partition
+    heaps + driver merge of k-row heads) — a global Sort before the
+    LIMIT would shuffle the whole scored corpus at 100 TB. The corpus
+    constants must reach the scorer as a broadcast, not a sort-merge."""
+    import re
+
+    from lshrs_spark.entries import QUERIES
+
+    df = QUERIES["text_bm25_topk"](spark, SF)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert not re.findall(r"\(\d+\) Sort\b", plan), "global sort crept in"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
