@@ -1139,6 +1139,57 @@ def rel_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rel_events_ohlc",
+    """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+        lpad(epoch_us(ts)::VARCHAR, 20, '0') || '|' ||
+        lpad(event_id::VARCHAR, 20, '0') AS ok
+    FROM events)
+SELECT event_type, epoch(bucket)::BIGINT AS bucket_s,
+       round(arg_min(value, ok), 5) AS open_v,
+       round(arg_max(value, ok), 5) AS close_v,
+       round(min(value), 5) AS low_v,
+       round(max(value), 5) AS high_v,
+       count(*)::BIGINT AS n
+FROM e GROUP BY event_type, bucket""",
+)
+def rel_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling (the hypertable-rollup shape): hourly
+    OHLC per event type — open/close by event time, low/high, count —
+    in ONE hash aggregation (``min_by``/``max_by``; no window, no
+    second shuffle, partial aggregation map-side). The order key is a
+    zero-padded ``(unix_micros, event_id)`` string, so open/close are
+    deterministic even under timestamp ties and free of any id-width
+    assumption (both engines compare the same fixed-width text)."""
+    ev = _events(spark, sf_dir)
+    ok = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("bucket"),
+            "value",
+            ok.alias("ok"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.round(F.min_by("value", F.col("ok")), 5).alias("open_v"),
+            F.round(F.max_by("value", F.col("ok")), 5).alias("close_v"),
+            F.round(F.min("value"), 5).alias("low_v"),
+            F.round(F.max("value"), 5).alias("high_v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            F.unix_seconds(F.col("bucket").cast("timestamp")).alias("bucket_s"),
+            "open_v", "close_v", "low_v", "high_v", "n",
+        )
+    )
+
+
 # --------------------------------------------------------------------- #
 # Stateful streaming + SQL surface + date functions
 # --------------------------------------------------------------------- #
@@ -2066,6 +2117,77 @@ def pipeline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang", split.alias("split")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").cast("long").alias("min_doc_id"),
+    )
+
+
+@register(
+    "pipeline_weighted_sample",
+    f"""WITH k AS (SELECT doc_id, n_chars::DOUBLE AS w,
+        ({h48_sql("'ws42|' || doc_id::VARCHAR")} + 1.0) / 281474976710656.0 AS u
+      FROM documents),
+s AS (SELECT doc_id, w::BIGINT AS weight, ln(u) / w AS key FROM k)
+SELECT doc_id, weight, round(key * 1000000.0, 5) AS key_e6
+FROM s ORDER BY key DESC, doc_id LIMIT 20""",
+)
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement: 20 documents
+    drawn with probability proportional to ``n_chars`` via the
+    Efraimidis–Spirakis exponential key ``ln(u)/w`` (u = seeded-hash
+    uniform). The oracle replays every draw from the shared h48 hash;
+    keys are reported in micro-units so the 5-dp rounding keeps
+    precision. The Spark plan is a per-row projection + distributed
+    top-k heap (see :func:`operators.export.weighted_sample`) — the
+    scalable form of a weighted reservoir."""
+    from .operators.export import weighted_sample
+
+    docs = _docs(spark, sf_dir)
+    out = weighted_sample(docs, 20, "n_chars", id_col="doc_id", seed=42)
+    return out.select(
+        "doc_id", "weight",
+        F.round(F.col("key") * 1000000.0, 5).alias("key_e6"),
+    )
+
+
+@register(
+    "pipeline_group_split",
+    f"""WITH RECURSIVE {_JACCARD_CTES},
+edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs WHERE jaccard >= 0.5
+          UNION SELECT id_b, id_a FROM jpairs WHERE jaccard >= 0.5),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+b AS (SELECT id, component,
+        {h48_sql("'gsplit42|' || component::VARCHAR")} % 100 AS bucket
+      FROM comp)
+SELECT id::BIGINT AS doc_id, component::BIGINT AS component,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+FROM b""",
+)
+def pipeline_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: the unit of assignment is the
+    near-duplicate CLUSTER (connected component of the Jaccard>=0.5
+    graph), not the document — a doc-level hash split puts near-copies
+    of the same page on both sides of the train/test boundary, which is
+    exactly the contamination dedup exists to prevent. Every member of
+    a component hashes to the same 80/10/10 bucket by construction
+    (the bucket is a function of the component id alone)."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, 0.5, n=3)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("id"))
+    comp = D.connected_components(pairs, nodes)
+    bucket = X.h48(
+        F.concat(F.lit("gsplit42|"), F.col("component").cast("string"))
+    ) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return comp.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        split.alias("split"),
     )
 
 
@@ -4498,6 +4620,14 @@ FAMILY: dict[str, str] = {
     # pipeline / quant twins
     "pipeline_split": "pipeline_shuffle_export",
     "pipeline_domain_mix": "pipeline_shuffle_export",
+    # deterministic-sampling family: exponential-key weighted draw and
+    # the component-level leakage-safe split are hash-split twins of the
+    # in-window export representative
+    "pipeline_weighted_sample": "pipeline_shuffle_export",
+    "pipeline_group_split": "pipeline_shuffle_export",
+    # time-series family: OHLC downsample is the rollup twin of the
+    # in-window as-of-join representative
+    "rel_events_ohlc": "rel_events_asof",
     "pipeline_negatives": "pipeline_shuffle_export",
     # promotion-gate family (rep: pipeline_corpus_diff)
     "pipeline_data_quality": "pipeline_corpus_diff",

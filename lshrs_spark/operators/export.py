@@ -36,7 +36,7 @@ from ..functions.text import h48
 
 __all__ = ["shuffle_key_col", "hash_sample", "shuffle_shards",
            "write_training_shards", "zorder_key_col", "write_clustered",
-           "negative_samples"]
+           "negative_samples", "weighted_sample"]
 
 _DENOM = 1_000_000
 
@@ -219,6 +219,50 @@ def write_clustered(
             num_files, *cluster_cols
         ).sortWithinPartitions(*cluster_cols)
     out.write.mode("overwrite").parquet(path)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (top-``k`` by
+    weight-biased priority): the Efraimidis–Spirakis exponential-key
+    scheme, ``key = ln(u) / w`` with ``u`` a seeded-hash uniform in
+    (0, 1] — each item's inclusion probability is proportional to its
+    weight, and the whole draw replays bit-for-bit from (seed, id)
+    alone (no ``rand()``, stable under stage retry and repartitioning).
+
+    Scale shape: the key is a per-row projection (zero shuffles) and the
+    cut is ``TakeOrderedAndProject`` — per-partition k-row heaps merged
+    on the driver, never a global sort. That IS the distributed weighted
+    reservoir: each partition keeps its local top-k candidates, the
+    merge is k*num_partitions rows.
+
+    Returns ``(id, weight, key)`` for the k selected rows, key
+    descending. Weights must be positive; ties impossible (distinct ids
+    give distinct 48-bit hashes with overwhelming probability, and
+    doc-id is the final tiebreak).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    u = (
+        h48(F.concat(F.lit(f"ws{seed}|"), F.col(id_col).cast("string")))
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 48))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("weight"),
+            key.alias("key"),
+        )
+        .orderBy(F.desc("key"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def negative_samples(

@@ -34,3 +34,54 @@ def test_backward_match_and_ties(frames):
 def test_rows_preserved(frames):
     left, right = frames
     assert asof_join(left, right, ["k"], left_ts="t", right_ts="t").count() == left.count()
+
+
+def test_events_ohlc_hand_computed(spark):
+    """OHLC rollup: open/close resolve by (ts, event_id) — including the
+    timestamp-tie case — low/high/n are plain aggregates."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # one hour bucket, type 'a': a timestamp TIE at the open
+        (1, base, "a", 5.0),
+        (0, base, "a", 7.0),            # same ts, smaller id -> open
+        (2, base + dt.timedelta(minutes=30), "a", 1.0),
+        (3, base + dt.timedelta(minutes=59), "a", 9.0),
+        # next hour, type 'a'
+        (4, base + dt.timedelta(hours=1), "a", 2.0),
+        # type 'b'
+        (5, base, "b", 4.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    tmp = "/tmp/ohlc_test_events.parquet"
+    ev.write.mode("overwrite").parquet(tmp)
+
+    import lshrs_spark.entries as EN
+
+    real_events = EN._events
+
+    def fake_events(spark_, sf_dir):
+        return spark_.read.parquet(tmp)
+
+    EN._events = fake_events
+    try:
+        out = {(r.event_type, r.bucket_s): r
+               for r in EN.QUERIES["rel_events_ohlc"](spark, "unused").collect()}
+    finally:
+        EN._events = real_events
+    a0 = out[("a", int(base.replace(tzinfo=dt.timezone.utc).timestamp()))]
+    assert (a0.open_v, a0.close_v, a0.low_v, a0.high_v, a0.n) == (
+        7.0, 9.0, 1.0, 9.0, 4
+    )
+    a1 = out[("a", int((base + dt.timedelta(hours=1))
+                       .replace(tzinfo=dt.timezone.utc).timestamp()))]
+    assert (a1.open_v, a1.close_v, a1.n) == (2.0, 2.0, 1)
+    b0 = out[("b", int(base.replace(tzinfo=dt.timezone.utc).timestamp()))]
+    assert (b0.open_v, b0.close_v, b0.low_v, b0.high_v, b0.n) == (
+        4.0, 4.0, 4.0, 4.0, 1
+    )

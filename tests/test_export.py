@@ -107,3 +107,52 @@ def test_negative_samples_properties(spark):
         negative_samples(docs, 0)
     with _pt.raises(ValueError):
         negative_samples(docs.limit(1), 2)
+
+
+def test_weighted_sample_deterministic_and_complete(ids):
+    w = ids.withColumn("n_chars", F.col("doc_id") % 7 + 1)
+    a = E.weighted_sample(w, 20, "n_chars").collect()
+    b = E.weighted_sample(w, 20, "n_chars").collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]  # replayable
+    assert len(a) == 20
+    assert all(r.key < 0 for r in a)          # ln(u)/w with u in (0,1]
+    keys = [r.key for r in a]
+    assert keys == sorted(keys, reverse=True)  # top-k descending
+    # k >= n returns everything
+    assert E.weighted_sample(w, 600, "n_chars").count() == 500
+
+
+def test_weighted_sample_bias_toward_heavy_rows(spark):
+    # two weight classes, 10:1 — across 20 independent draws of 10-of-100
+    # the heavy half must dominate the selections (E[heavy] ~ 9.2/10)
+    rows = [(i, 100 if i < 50 else 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    heavy = total = 0
+    for seed in range(20):
+        picked = E.weighted_sample(df, 10, "w", seed=seed).collect()
+        heavy += sum(1 for r in picked if r.doc_id < 50)
+        total += len(picked)
+    assert total == 200
+    assert heavy / total > 0.75, f"heavy share {heavy/total}"
+
+
+def test_weighted_sample_rejects_bad_k(ids):
+    with pytest.raises(ValueError, match="k must be"):
+        E.weighted_sample(ids.withColumn("w", F.lit(1)), 0, "w")
+
+
+def test_group_split_never_straddles_near_dup_pairs(spark):
+    """The leakage-safety invariant: every Jaccard>=0.5 pair lands in
+    ONE split (a doc-level hash split violates this by design)."""
+    from lshrs_spark.entries import QUERIES
+    from lshrs_spark.operators import dedup as D
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["pipeline_group_split"](spark, sf)
+    split_of = {r.doc_id: r.split for r in out.collect()}
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = D.ngram_jaccard_pairs(docs, 0.5, n=3).collect()
+    assert pairs, "fixture should contain near-dup pairs"
+    for p in pairs:
+        assert split_of[p.id_a] == split_of[p.id_b], (p.id_a, p.id_b)
+    assert set(split_of.values()) >= {"train"}
