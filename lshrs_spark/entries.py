@@ -1451,6 +1451,62 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("label", "dim", F.round("centroid", 5).alias("centroid"))
 
 
+@register(
+    "emb_outlier_filter",
+    f"""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+cen AS (SELECT e.label, d.d, avg(e.embedding[d.d]::DOUBLE) AS c
+        FROM embeddings e CROSS JOIN dims d GROUP BY e.label, d.d),
+cv AS (SELECT label, list(c ORDER BY d) AS cvec FROM cen GROUP BY label),
+s AS (SELECT e.vec_id, e.label::BIGINT AS label,
+        round({cosine_sql("e.embedding", "cv.cvec")}, 5) AS cos
+      FROM embeddings e JOIN cv ON cv.label = e.label),
+t AS (SELECT quantile_cont(cos, 0.10) AS thr FROM s)
+SELECT vec_id, label, cos, round(thr, 5) AS threshold
+FROM s, t WHERE cos <= thr""",
+)
+def emb_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-coherence outlier detection: flag embeddings in the BOTTOM
+    decile of cosine similarity to their own label centroid — the
+    standard mislabeled-example / noisy-pair screen before contrastive
+    training. Threshold is data-dependent (exact 10th percentile over
+    the 5-dp-rounded scores, the engine-portable cutoff recipe of
+    ``text_quality_filter``).
+
+    Scale shape: centroids come from one posexplode aggregation
+    (shuffle keyed by (label, dim) — bounded by labels x dims, not
+    corpus size), assembled into arrays via an order-struct sort, and
+    BROADCAST back; scoring is a per-row ``zip_with`` fold, no second
+    shuffle over the corpus. The oracle recomputes centroid, cosine,
+    and percentile from first principles."""
+    emb = _emb(spark, sf_dir)
+    vals = emb.select("label", F.posexplode("embedding").alias("d0", "v"))
+    cend = vals.groupBy("label", "d0").agg(
+        F.avg(F.col("v").cast("double")).alias("c")
+    )
+    cen = cend.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d0", "c"))),
+            lambda s: s.c,
+        ).alias("cvec")
+    )
+    scored = (
+        emb.join(F.broadcast(cen), "label")
+        .select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("cvec")), 5
+            ).alias("cos"),
+        )
+    )
+    thr = scored.agg(F.expr("percentile(cos, 0.10)").alias("thr"))
+    return (
+        scored.join(F.broadcast(thr))
+        .filter(F.col("cos") <= F.col("thr"))
+        .select("vec_id", "label", "cos", F.round("thr", 5).alias("threshold"))
+    )
+
+
 # --------------------------------------------------------------------- #
 # Range/interval join (SURVEY §2.6 gap: reference has no range joins)
 # --------------------------------------------------------------------- #
@@ -1967,9 +2023,10 @@ def _bm25_score_sql() -> str:
     )
 
 
-@register(
-    "text_bm25_topk",
-    f"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+# Shared scored-documents CTE chain: (doc_id, matched, s) for every
+# document matching >= 1 query term. Reused by the plain top-k entry and
+# the RRF hybrid entry.
+_BM25_SCORED_CTES = f"""tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 pd AS (SELECT doc_id, len(toks)::DOUBLE AS dl,
        {", ".join(f"len(list_filter(toks, x -> x = '{t}'))::DOUBLE AS tf{i}"
                   for i, t in enumerate(_BM25_TERMS))}
@@ -1982,32 +2039,14 @@ scored AS (SELECT doc_id,
         ({" + ".join(f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)"
                      for i in range(len(_BM25_TERMS)))})::BIGINT AS matched,
         {_bm25_score_sql()} AS s
-    FROM pd CROSS JOIN c WHERE tf0 + tf1 + tf2 + tf3 > 0)
-SELECT doc_id, matched, round(s, 5) AS bm25
-FROM scored ORDER BY s DESC, doc_id LIMIT 10""",
-)
-def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 keyword retrieval: top-10 documents for the 4-term
-    query ``vector hash join stream`` (k1=1.2, b=0.75).
+    FROM pd CROSS JOIN c WHERE tf0 + tf1 + tf2 + tf3 > 0)"""
 
-    Plan shape (the 100 TB story): per-document tf/dl come from ONE
-    projection over the scan — ``size(filter(tokens, ...))`` per query
-    term, no explode, no shuffle; corpus constants (N, total tokens,
-    per-term df) are a single-row aggregate broadcast back; documents
-    matching no query term are pruned BEFORE scoring (the inverted-index
-    candidate cut, expressed as a scan filter); the final top-10 is
-    TakeOrderedAndProject (per-partition heaps + driver merge of 10-row
-    heads), never a global sort. For large query workloads the
-    postings-index machinery (:func:`ngram_jaccard_pairs`-style explode
-    + equi-join on term) amortizes the scan across queries.
 
-    Cross-engine ordering: the scoring expression is the SAME text on
-    both engines with fixed association (see :func:`_bm25_score_sql`);
-    the only cut is the LIMIT 10, and rank-10 vs rank-11 differ by
-    ~7e-4 at sf0.01 — far above any ulp drift.
-    """
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_BM25_SCORED_CTES``: ``(doc_id, matched, s)``."""
     docs = _docs(spark, sf_dir)
     toks = X.tokens_col(F.col("text"))
+
     def _tf(term: str):
         # closure factory: F.filter inspects lambda arity, so a
         # default-arg two-parameter lambda would receive the element
@@ -2033,7 +2072,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched = sum(
         (F.col(f"tf{i}") > 0).cast("long") for i in range(nterms)
     ).cast("long")
-    scored = (
+    return (
         pd.filter(sum(F.col(f"tf{i}") for i in range(nterms)) > 0)
         .crossJoin(F.broadcast(consts))
         .select(
@@ -2042,10 +2081,112 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_bm25_score_sql()).alias("s"),
         )
     )
+
+
+@register(
+    "text_bm25_topk",
+    f"""WITH {_BM25_SCORED_CTES}
+SELECT doc_id, matched, round(s, 5) AS bm25
+FROM scored ORDER BY s DESC, doc_id LIMIT 10""",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword retrieval: top-10 documents for the 4-term
+    query ``vector hash join stream`` (k1=1.2, b=0.75).
+
+    Plan shape (the 100 TB story): per-document tf/dl come from ONE
+    projection over the scan — ``size(filter(tokens, ...))`` per query
+    term, no explode, no shuffle; corpus constants (N, total tokens,
+    per-term df) are a single-row aggregate broadcast back; documents
+    matching no query term are pruned BEFORE scoring (the inverted-index
+    candidate cut, expressed as a scan filter); the final top-10 is
+    TakeOrderedAndProject (per-partition heaps + driver merge of 10-row
+    heads), never a global sort. For large query workloads the
+    postings-index machinery (:func:`ngram_jaccard_pairs`-style explode
+    + equi-join on term) amortizes the scan across queries.
+
+    Cross-engine ordering: the scoring expression is the SAME text on
+    both engines with fixed association (see :func:`_bm25_score_sql`);
+    the only cut is the LIMIT 10, and rank-10 vs rank-11 differ by
+    ~7e-4 at sf0.01 — far above any ulp drift.
+    """
+    scored = _bm25_scored(spark, sf_dir)
     return (
         scored.orderBy(F.desc("s"), F.asc("doc_id"))
         .limit(10)
         .select("doc_id", "matched", F.round("s", 5).alias("bm25"))
+    )
+
+
+@register(
+    "text_hybrid_rrf",
+    f"""WITH {_BM25_SCORED_CTES},
+bR AS (SELECT doc_id AS id,
+              row_number() OVER (ORDER BY s DESC, doc_id) AS rb
+       FROM scored QUALIFY rb <= 50),
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+cS AS (SELECT e.vec_id AS id, {cosine_sql("e.embedding", "qv.embedding")} AS score
+       FROM embeddings e CROSS JOIN qv),
+cR AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rc
+       FROM cS QUALIFY rc <= 50),
+f AS (SELECT coalesce(bR.id, cR.id) AS id,
+        coalesce(1.0 / (60 + rb), 0.0) + coalesce(1.0 / (60 + rc), 0.0) AS fused,
+        coalesce(rb, -1) AS rb, coalesce(rc, -1) AS rc
+      FROM bR FULL OUTER JOIN cR ON bR.id = cR.id)
+SELECT id::BIGINT AS id, rb::BIGINT AS bm25_rank, rc::BIGINT AS cos_rank,
+       round(fused * 1000, 5) AS rrf_m
+FROM f ORDER BY fused DESC, id LIMIT 10""",
+)
+def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion: BM25 top-50 (4-term
+    keyword query) fused with cosine top-50 (query vector 0; corpus
+    convention doc_id == vec_id) as ``1/(60+rank_bm25) +
+    1/(60+rank_cos)`` — the standard score-free fusion needing no
+    cross-modality calibration. Ranks are INTEGERS, so the fused score
+    is the same exact small-rational double on both engines and the
+    final cut cannot drift. Scale shape: each modality's shortlist is
+    its own scalable top-k (distributed heap / LSH-prunable); fusion
+    joins two k-row lists — broadcast-trivial — so hybrid costs no more
+    than the cheaper modality's full pass."""
+    scored = _bm25_scored(spark, sf_dir)
+    wb = Window.orderBy(F.desc("s"), F.asc("doc_id"))
+    br = (
+        scored.withColumn("rb", F.row_number().over(wb))
+        .filter(F.col("rb") <= 50)
+        .select(F.col("doc_id").alias("id"), "rb")
+    )
+    emb = _emb(spark, sf_dir)
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    )
+    cs = emb.crossJoin(qv).select(
+        F.col("vec_id").alias("id"),
+        cosine_similarity(F.col("embedding"), F.col("qvec")).alias("score"),
+    )
+    wc = Window.orderBy(F.desc("score"), F.asc("id"))
+    cr = (
+        cs.withColumn("rc", F.row_number().over(wc))
+        .filter(F.col("rc") <= 50)
+        .select("id", "rc")
+    )
+    fused = (
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rb")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rc")), F.lit(0.0))
+    )
+    f = br.join(cr, "id", "full").select(
+        "id",
+        fused.alias("fused"),
+        F.coalesce(F.col("rb"), F.lit(-1)).cast("long").alias("bm25_rank"),
+        F.coalesce(F.col("rc"), F.lit(-1)).cast("long").alias("cos_rank"),
+    )
+    return (
+        f.orderBy(F.desc("fused"), F.asc("id"))
+        .limit(10)
+        .select(
+            F.col("id").cast("long").alias("id"),
+            "bm25_rank",
+            "cos_rank",
+            F.round(F.col("fused") * 1000, 5).alias("rrf_m"),
+        )
     )
 
 
@@ -2240,6 +2381,49 @@ def rel_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).over(run).alias("run_cents"),
         F.sum(cents).over(last3).alias("sum3_cents"),
         F.coalesce(gap.cast("long"), F.lit(-1)).alias("next_gap_days"),
+    )
+
+
+@register(
+    "rel_window_trailing",
+    """WITH base AS (
+  SELECT event_id, user_id, epoch_us(ts)::BIGINT // 1000000 AS t_s,
+         round(value * 100)::BIGINT AS cents
+  FROM events)
+SELECT event_id, user_id,
+       sum(cents) OVER w::BIGINT AS trailing_cents,
+       count(*) OVER w::BIGINT AS n_trailing
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY t_s
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""",
+)
+def rel_window_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (the class ROWS frames can't express):
+    per user, total spend and event count over the TRAILING HOUR of
+    event time at every event. RANGE frames are tie-safe by
+    construction — peers at the same timestamp share one frame, so no
+    ordering tiebreak is needed — and exact integer cents keep the sum
+    engine-portable. One shuffle on user_id; the frame is evaluated by
+    a sliding two-pointer pass within each partition, not a per-row
+    rescan."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_id",
+        "user_id",
+        # integer floor division (`div`), exactly the oracle's `//`
+        F.expr("unix_micros(ts) div 1000000").alias("t_s"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_s")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        F.sum("cents").over(w).alias("trailing_cents"),
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
     )
 
 
@@ -3867,6 +4051,43 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_attribution_outer",
+    """WITH m AS (SELECT max(ts) AS mt FROM events),
+v AS (SELECT user_id, event_id, ts FROM events, m
+      WHERE event_type = 'view' AND ts <= mt - INTERVAL 2 HOUR),
+c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click')
+SELECT v.user_id::BIGINT AS user_id, v.event_id::BIGINT AS view_id,
+       coalesce(c.event_id, -1)::BIGINT AS click_id,
+       coalesce(floor((epoch_us(c.ts) - epoch_us(v.ts)) / 1000000),
+                -1)::BIGINT AS lag_sec,
+       epoch_us(v.ts)::BIGINT AS view_us
+FROM v LEFT JOIN c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE""",
+)
+def stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join: attribution including the views
+    that never converted (``click_id = -1``). Outer rows only emit once
+    the state watermark proves no future click can match — the newest
+    ``watermark + horizon`` (1.5 h) of event time never closes on a
+    finite stream — so both engines report the CLOSED portion only:
+    views older than ``max(ts) - 2 h``. The batch oracle is the plain
+    left range join under the same cutoff; stream-equals-batch on it is
+    exactly the append-mode outer-join contract (null emission driven
+    by watermark-based state eviction, exercised end-to-end)."""
+    from .streaming.ingest import stream_attribution_join as sj
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cutoff_us = (
+        _events(spark, sf_dir)
+        .agg((F.unix_micros(F.max("ts")) - 7_200_000_000).alias("c"))
+        .first()["c"]
+    )
+    out = sj(spark, f"{sf_dir}/events.parquet", how="left_outer")
+    return out.filter(F.col("view_us") <= F.lit(cutoff_us))
+
+
+@register(
     "stream_dedup_counts",
     """SELECT event_type, count(*)::BIGINT AS n,
        sum(round(value * 100))::BIGINT AS value_cents
@@ -4591,6 +4812,9 @@ FAMILY: dict[str, str] = {
     # fingerprint is the content-hash-key twin of the in-window exact-
     # dedup representative — the BM25 retrieval family takes its slot
     "text_fingerprint": "dedup_exact",
+    # retrieval family: rank fusion composes the in-window BM25 rep
+    # with the cosine shortlist (both components driver-checked)
+    "text_hybrid_rrf": "text_bm25_topk",
     "text_heavy_hitters": "text_stats",
     "text_nfc": "text_clean",
     "text_char_entropy": "text_stats",
@@ -4601,6 +4825,9 @@ FAMILY: dict[str, str] = {
     # embeddings twins
     "emb_label_centroids": "emb_kmeans",
     "emb_covariance": "emb_kmeans",
+    # centroid-distance outlier screen: label-centroid twin of the
+    # in-window kmeans representative
+    "emb_outlier_filter": "emb_kmeans",
     # relational twins
     "rel_orders_by_year": "rel_top_customers",
     "rel_distinct_counts": "sketch_bloom",
@@ -4613,6 +4840,8 @@ FAMILY: dict[str, str] = {
     "rel_grouping_sets": "rel_sales_cube",
     "rel_brand_nation_profit": "rel_pricing_summary",
     "rel_window_running": "rel_events_sessionize",
+    # time-RANGE frame twin of the window/sessionize family
+    "rel_window_trailing": "rel_events_sessionize",
     "rel_gapfill_daily": "rel_events_sessionize",
     "rel_scalar_subquery": "rel_semi_anti",
     "rel_salted_agg": "rel_salted_join",
@@ -4644,6 +4873,9 @@ FAMILY: dict[str, str] = {
     # streaming twins
     "stream_event_type_agg": "stream_windowed_counts",
     "stream_static_enrich": "stream_windowed_counts",
+    # outer variant of the in-window stream-stream range-join rep:
+    # same state machinery plus watermark-driven null emission
+    "stream_attribution_outer": "stream_attribution_join",
     "stream_session_counts": "stream_windowed_counts",
     "stream_sliding_counts": "stream_windowed_counts",
 }

@@ -412,9 +412,10 @@ def stream_attribution_join(
     right_type: str = "click",
     horizon: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
     name: Optional[str] = None,
 ) -> DataFrame:
-    """Stream-stream INNER join with an event-time range condition — the
+    """Stream-stream join with an event-time range condition — the
     attribution pattern: every ``right_type`` event (click) matched to
     the same user's earlier ``left_type`` events (views) within
     ``horizon``. Both sides carry watermarks AND the join predicate
@@ -425,9 +426,20 @@ def stream_attribution_join(
     ``(user_id, view_id, click_id, lag_sec)``; session conf restored on
     return.
 
+    ``how="left_outer"`` additionally emits every UNMATCHED view — but
+    only once the state watermark passes ``view_ts + horizon`` (Spark
+    must prove no future click can still match before it may emit the
+    null row), so outer results for the newest events trail by
+    ``watermark + horizon`` of event time. The outer output carries
+    ``view_us`` and sentinel ``click_id = lag_sec = -1`` for no-match
+    rows (nullable ints degrade to float64 in pandas, poisoning schema
+    comparison).
+
     Spark requires equality somewhere in a stream-stream join condition
     for state keying — ``user_id`` is it here; the range predicate
     prunes within the key's state."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer' (got {how!r})")
     with scoped_session_conf(spark, _stream_run_conf(spark)):
         left = (
             load_file_stream(spark, source_path)
@@ -454,14 +466,29 @@ def stream_attribution_join(
             (F.col("user_id") == F.col("r_user_id"))
             & (F.col("click_ts") >= F.col("view_ts"))
             & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
-            "inner",
-        ).select(
-            "user_id",
-            "view_id",
-            "click_id",
-            ((F.unix_micros("click_ts") - F.unix_micros("view_ts"))
-             / 1_000_000).cast("long").alias("lag_sec"),
+            how,
         )
+        if how == "inner":
+            joined = joined.select(
+                "user_id",
+                "view_id",
+                "click_id",
+                ((F.unix_micros("click_ts") - F.unix_micros("view_ts"))
+                 / 1_000_000).cast("long").alias("lag_sec"),
+            )
+        else:
+            joined = joined.select(
+                "user_id",
+                "view_id",
+                F.coalesce(F.col("click_id"), F.lit(-1)).cast("long")
+                .alias("click_id"),
+                F.coalesce(
+                    ((F.unix_micros("click_ts") - F.unix_micros("view_ts"))
+                     / 1_000_000).cast("long"),
+                    F.lit(-1),
+                ).alias("lag_sec"),
+                F.unix_micros("view_ts").alias("view_us"),
+            )
         return run_to_memory_table(joined, output_mode="append", name=name)
 
 

@@ -291,6 +291,43 @@ def test_stream_attribution_join_equals_batch(spark, tmp_path):
     ]
 
 
+def test_stream_attribution_left_outer_emits_unmatched(spark, tmp_path):
+    """Unmatched views emit (click_id=-1) once the state watermark
+    passes view_ts + horizon — a far-future event advances it; views
+    inside the unclosed tail must NOT emit a premature null row."""
+    import datetime as dt
+
+    from lshrs_spark.streaming.ingest import stream_attribution_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, t0, 1, "view", 1.0),            # converts
+        (2, t0 + 10 * m, 1, "click", 1.0),
+        (3, t0, 2, "view", 1.0),            # never converts -> null row
+        (4, t0, 3, "click", 1.0),           # click without view: no row
+        # watermark driver: advances both sides' event time far past
+        # t0 + horizon + watermark, closing the window for users 1-3
+        (5, t0 + 600 * m, 9, "view", 1.0),
+        (6, t0 + 600 * m, 9, "click", 1.0),
+    ]
+    src = str(tmp_path / "events_attr_outer.parquet")
+    _write_events(spark, src, rows)
+    out = stream_attribution_join(spark, src, how="left_outer")
+    got = sorted(
+        (r.user_id, r.view_id, r.click_id, r.lag_sec) for r in out.collect()
+    )
+    # user 9's view sits inside the unclosed tail: its (matched) row
+    # emits immediately via the inner path, never as a null
+    assert got == [
+        (1, 1, 2, 600),
+        (2, 3, -1, -1),
+        (9, 5, 6, 0),
+    ]
+    with pytest.raises(ValueError, match="how must be"):
+        stream_attribution_join(spark, src, how="full_outer")
+
+
 def test_stream_deduped_counts_drops_redelivered(spark, tmp_path):
     import datetime as dt
 
