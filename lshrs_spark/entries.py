@@ -2428,6 +2428,94 @@ def rel_window_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_funnel",
+    """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+       WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= v.tv
+        AND e.ts <= v.tv + INTERVAL 1 DAY GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= c.tc
+        AND e.ts <= c.tc + INTERVAL 1 DAY GROUP BY e.user_id)
+SELECT 1::BIGINT AS stage, 'view' AS name, (SELECT count(*) FROM v)::BIGINT AS users
+UNION ALL
+SELECT 2, 'click', (SELECT count(*) FROM c)
+UNION ALL
+SELECT 3, 'purchase', (SELECT count(*) FROM p)""",
+)
+def rel_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): a user
+    advances a stage only with an event AT OR AFTER their first
+    qualifying event of the previous stage — the sequence constraint
+    plain per-type counts miss (a purchase before any view does not
+    convert). Each stage is one equi-join on user_id + min-aggregation;
+    no window over the event stream, so the shuffles stay keyed by user
+    and partial-aggregate map-side."""
+    ev = _events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("tv"))
+            & (F.col("ts") <= F.col("tv") + F.expr("INTERVAL 1 DAY"))
+        )
+        .groupBy("user_id").agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("tc"))
+            & (F.col("ts") <= F.col("tc") + F.expr("INTERVAL 1 DAY"))
+        )
+        .groupBy("user_id").agg(F.min("ts").alias("tp"))
+    )
+
+    def stage(n, name, df):
+        return df.agg(
+            F.lit(n).cast("long").alias("stage"),
+            F.lit(name).alias("name"),
+            F.count(F.lit(1)).alias("users"),
+        )
+
+    return stage(1, "view", v).union(stage(2, "click", c)).union(
+        stage(3, "purchase", p)
+    )
+
+
+@register(
+    "rel_unpivot",
+    """WITH w AS (SELECT year(o_orderdate)::BIGINT AS o_year,
+        sum(round(o_totalprice * 100))::BIGINT AS sum_cents,
+        count(*)::BIGINT AS n_orders,
+        max(round(o_totalprice * 100))::BIGINT AS max_cents
+    FROM orders GROUP BY 1)
+SELECT o_year, metric, value
+FROM w UNPIVOT (value FOR metric IN (sum_cents, n_orders, max_cents))""",
+)
+def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-year revenue metrics back to long
+    ``(year, metric, value)`` rows — the inverse reshaping of
+    ``rel_pivot``, exercised through Spark's native ``unpivot`` operator
+    (a zero-shuffle Expand node: each input row fans out to one row per
+    metric column, no exchange)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = o.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        F.sum(cents).alias("sum_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max(cents).alias("max_cents"),
+    )
+    return w.unpivot(
+        ["o_year"], ["sum_cents", "n_orders", "max_cents"], "metric", "value"
+    )
+
+
+@register(
     "rel_ntile_quartiles",
     """WITH q AS (
   SELECT c_mktsegment,
@@ -4783,6 +4871,10 @@ FAMILY: dict[str, str] = {
     "lsh_store_segments": "lsh_signatures",     # segmented-store view of same index
     "dedup_simhash_pairs_wide": "dedup_simhash_pairs",  # num_blocks=8 variant
     "rel_pivot": "rel_sales_cube",              # pivot ~ cube reshaping
+    "rel_unpivot": "rel_sales_cube",            # melt ~ inverse reshaping
+    # ordered-sequence funnel: event-order analytics twin of the
+    # in-window sessionize representative
+    "rel_funnel": "rel_events_sessionize",
     "rel_events_interval": "rel_events_asof",   # interval ~ as-of range join
     "dedup_embedding": "simjoin_lsh",           # banded cosine simjoin variant
     # prefix-sum family (rep: pipeline_length_batches since round-6,

@@ -95,13 +95,26 @@ def write_index(
     mode: str = "overwrite",
     partition_by_band: bool = True,
     bucket_partitions: Optional[int] = None,
+    bloom_filter: bool = False,
+    bloom_ndv: int = 1_000_000,
 ) -> None:
     """Persist the bucket table in a probe-optimal layout: range-partition
     + sort by ``(band, sig)`` so every file covers a contiguous signature
     range. Parquet min/max row-group stats then let a probe with pushed
     ``(band, sig)`` predicates skip almost every file — this layout is
     what makes single-query latency independent of index size (the Redis
-    keyspace lookup of the reference, re-expressed as storage pruning)."""
+    keyspace lookup of the reference, re-expressed as storage pruning).
+
+    ``bloom_filter=True`` additionally writes a parquet column Bloom
+    filter on ``sig`` (sized for ``bloom_ndv`` distinct values per row
+    group). Min/max stats only prune row groups whose RANGE excludes the
+    probe key; a Bloom filter skips row groups whose range covers the
+    key but which don't CONTAIN it — the case that dominates in
+    unsorted/appended layouts (per-micro-batch streaming appends before
+    :func:`compact_index` restores the sorted layout) and in sorted
+    files holding sparse high-cardinality ranges. Costs ~1 byte/value
+    of extra footer payload; readers that ignore Bloom filters are
+    unaffected."""
     n = bucket_partitions or int(
         index_df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
@@ -109,6 +122,10 @@ def write_index(
         "band", "sig"
     )
     writer = out.write.mode(mode)
+    if bloom_filter:
+        writer = writer.option(
+            "parquet.bloom.filter.enabled#sig", "true"
+        ).option("parquet.bloom.filter.expected.ndv#sig", str(bloom_ndv))
     if partition_by_band:
         writer = writer.partitionBy("band")
     writer.parquet(path)

@@ -122,11 +122,18 @@ def stream_index_vectors(
     vector_col: str = "embedding",
     checkpoint: Optional[str] = None,
     max_files_per_trigger: int = 1,
+    bloom_filter: bool = False,
 ):
     """Stream a directory of vector parquet files into the bucket index.
 
     Returns the started StreamingQuery; caller drives it
     (``processAllAvailable`` in tests, ``awaitTermination`` in prod).
+
+    ``bloom_filter=True`` writes a parquet Bloom filter on ``sig`` in
+    every appended file: micro-batch appends are UNSORTED (no range
+    layout until ``compact_index`` runs), so min/max row-group stats
+    barely prune point probes — the Bloom filter is what keeps serving
+    reads cheap between compactions.
     """
     schema = spark.read.parquet(source_path).schema
     stream = (
@@ -139,7 +146,12 @@ def stream_index_vectors(
         # sig_kind derived from cfg (long when rows_per_band < 64, else
         # binary) so wide-band configs stream correctly too
         idx = build_index(batch_df, cfg, id_col, vector_col)
-        idx.write.mode("append").parquet(index_path)
+        w = idx.write.mode("append")
+        if bloom_filter:
+            w = w.option("parquet.bloom.filter.enabled#sig", "true").option(
+                "parquet.bloom.filter.expected.ndv#sig", "1000000"
+            )
+        w.parquet(index_path)
 
     writer = stream.writeStream.foreachBatch(ingest_batch)
     if checkpoint:

@@ -93,3 +93,62 @@ def test_write_clustered_validates_cols(spark, tmp_path):
         write_clustered(docs, str(tmp_path / "x"), [])
     with pytest.raises(ValueError):
         zorder_key_col([])
+
+
+def _bloom_offsets(spark, path_glob):
+    """Per-file bloom-filter offset of the `sig` column, read from the
+    parquet footer via the JVM reader (pyarrow 16 has no bloom API)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    out = []
+    for f in sorted(glob.glob(path_glob)):
+        jpath = jvm.org.apache.hadoop.fs.Path(f)
+        footer = jvm.org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+            conf, jpath
+        )
+        for b in range(footer.getBlocks().size()):
+            blk = footer.getBlocks().get(b)
+            for j in range(blk.getColumns().size()):
+                c = blk.getColumns().get(j)
+                if "sig" in str(c.getPath()):
+                    out.append(c.getBloomFilterOffset())
+    return out
+
+
+def test_write_index_bloom_filter_lands_in_footer(spark, tmp_path):
+    """bloom_filter=True must produce a parquet Bloom filter on `sig`
+    (point-probe skipping for row groups whose min/max RANGE covers the
+    key but which don't contain it); default stays bloom-free; reads
+    are identical either way.
+
+    The sig column must OVERFLOW parquet's dictionary encoding for a
+    Bloom filter to be written at all (parquet-mr skips blooms on fully
+    dictionary-encoded row groups — the dictionary already gives exact
+    membership, so the flag only pays off at scale). Synthetic
+    high-cardinality sigs model that; the real sf0.001 index is tiny
+    enough to stay dictionary-encoded, where the flag is a no-op by
+    design."""
+    from lshrs_spark.operators.index import read_index, write_index
+
+    idx = spark.range(300_000).select(
+        (F.col("id") % 4).cast("int").alias("band"),
+        (F.col("id") * 2654435761 % (2 ** 61)).alias("sig"),
+        F.col("id"),
+    )
+    plain = str(tmp_path / "idx_plain")
+    bloomed = str(tmp_path / "idx_bloom")
+    write_index(idx, plain, bucket_partitions=2)
+    write_index(
+        idx, bloomed, bucket_partitions=2,
+        bloom_filter=True, bloom_ndv=300_000,
+    )
+
+    offs_plain = _bloom_offsets(spark, f"{plain}/band=*/*.parquet")
+    offs_bloom = _bloom_offsets(spark, f"{bloomed}/band=*/*.parquet")
+    assert offs_plain and all(o == -1 for o in offs_plain)
+    assert offs_bloom and all(o > 0 for o in offs_bloom)
+
+    chk = lambda p: read_index(spark, p).agg(  # noqa: E731
+        F.sum(F.col("sig") % 1000003), F.count("*")
+    ).collect()
+    assert chk(plain) == chk(bloomed)
