@@ -2427,6 +2427,42 @@ def rel_window_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LATERAL_SQL = """SELECT c.c_custkey, o.o_orderkey, o.cents
+FROM {customer} c, LATERAL (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM {orders} WHERE o_custkey = c.c_custkey
+  ORDER BY cents DESC, o_orderkey LIMIT 2) o"""
+
+
+@register(
+    "rel_lateral_topn",
+    _LATERAL_SQL.format(customer="customer", orders="orders"),
+)
+def rel_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — each
+    customer's top-2 orders by value, the per-row dependent-join SQL
+    surface (Spark 4 decorrelates it to a join + per-key WindowGroupLimit
+    rather than executing the subquery per row). The SAME SQL text runs
+    on both engines; ordering is on exact integer cents, so the per-key
+    cut cannot drift."""
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView(
+        "lateral_customer_v"
+    )
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "lateral_orders_v"
+    )
+    out = spark.sql(
+        _LATERAL_SQL.format(
+            customer="lateral_customer_v", orders="lateral_orders_v"
+        )
+    )
+    return out.select(
+        F.col("c_custkey").cast("long"),
+        F.col("o_orderkey").cast("long"),
+        "cents",
+    )
+
+
 @register(
     "rel_funnel",
     """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
@@ -4875,6 +4911,9 @@ FAMILY: dict[str, str] = {
     # ordered-sequence funnel: event-order analytics twin of the
     # in-window sessionize representative
     "rel_funnel": "rel_events_sessionize",
+    # dependent-join SQL surface: per-key top-n twin of the in-window
+    # top-customers representative
+    "rel_lateral_topn": "rel_top_customers",
     "rel_events_interval": "rel_events_asof",   # interval ~ as-of range join
     "dedup_embedding": "simjoin_lsh",           # banded cosine simjoin variant
     # prefix-sum family (rep: pipeline_length_batches since round-6,

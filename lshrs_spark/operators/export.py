@@ -36,7 +36,7 @@ from ..functions.text import h48
 
 __all__ = ["shuffle_key_col", "hash_sample", "shuffle_shards",
            "write_training_shards", "zorder_key_col", "write_clustered",
-           "negative_samples", "weighted_sample"]
+           "negative_samples", "weighted_sample", "write_webdataset"]
 
 _DENOM = 1_000_000
 
@@ -219,6 +219,95 @@ def write_clustered(
             num_files, *cluster_cols
         ).sortWithinPartitions(*cluster_cols)
     out.write.mode("overwrite").parquet(path)
+
+
+def write_webdataset(
+    df: DataFrame,
+    path: str,
+    num_shards: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+    ext: str = "txt",
+) -> DataFrame:
+    """WebDataset-style export: ``num_shards`` tar files, each holding
+    its shard's documents as ``{pos:09d}.{id}.{ext}`` members in seeded
+    shuffle order — the sequential-read training-delivery format (a
+    loader streams one tar per worker; no random I/O, no parquet
+    decoder on the hot path).
+
+    Determinism end-to-end: shard membership and member order come from
+    :func:`shuffle_shards` (seeded hash, no ``rand()``), and tar
+    metadata (mtime/uid/gid/mode) is pinned, so re-running the export
+    produces BYTE-IDENTICAL shards — a corpus release can be content-
+    hashed and diffed. Each tar is written to a temp name and renamed,
+    so a crashed export never leaves a half-written shard visible.
+
+    Scale shape: one exchange keyed by shard (the groupBy), then each
+    task serializes exactly one tar; parallelism = ``num_shards``, so
+    scale shard count with the corpus (~1-10k docs per shard keeps tar
+    sizes loader-friendly). ``path`` must be a filesystem every
+    executor can reach (local/NFS/fuse mount); returns the manifest
+    ``(shard, n_members, total_bytes)``.
+    """
+    import os
+
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    os.makedirs(path, exist_ok=True)
+    ordered = shuffle_shards(df, num_shards, seed, id_col).join(
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(text_col).alias("_payload"),
+        ),
+        "id",
+    )
+
+    out_dir = str(path)
+    ext_name = str(ext)
+
+    def _write_shard(pdf):
+        # self-contained (worker cannot import lshrs_spark): only str
+        # params and stdlib captured
+        import io
+        import os as _os
+        import tarfile
+
+        import pandas as _pd
+
+        pdf = pdf.sort_values(["pos", "id"])
+        shard = int(pdf["shard"].iloc[0])
+        buf = io.BytesIO()
+        total = 0
+        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tar:
+            for _, row in pdf.iterrows():
+                data = str(row["_payload"]).encode("utf-8")
+                info = tarfile.TarInfo(
+                    name=f"{int(row['pos']):09d}.{int(row['id'])}.{ext_name}"
+                )
+                info.size = len(data)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.mode = 0o644
+                tar.addfile(info, io.BytesIO(data))
+                total += len(data)
+        final = _os.path.join(out_dir, f"shard-{shard:05d}.tar")
+        tmp = final + ".inprogress"
+        with open(tmp, "wb") as f:
+            f.write(buf.getvalue())
+        _os.replace(tmp, final)
+        return _pd.DataFrame(
+            {
+                "shard": [shard],
+                "n_members": [len(pdf)],
+                "total_bytes": [total],
+            }
+        )
+
+    return ordered.groupBy("shard").applyInPandas(
+        _write_shard, schema="shard long, n_members long, total_bytes long"
+    )
 
 
 def weighted_sample(

@@ -156,3 +156,42 @@ def test_group_split_never_straddles_near_dup_pairs(spark):
     for p in pairs:
         assert split_of[p.id_a] == split_of[p.id_b], (p.id_a, p.id_b)
     assert set(split_of.values()) >= {"train"}
+
+
+def test_webdataset_round_trip_and_determinism(spark, tmp_path):
+    """Tar shards must contain every document exactly once, in seeded
+    shuffle order, and re-exporting must be byte-identical."""
+    import glob
+    import hashlib
+    import tarfile
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d1 = str(tmp_path / "wds1")
+    d2 = str(tmp_path / "wds2")
+    m1 = {r.shard: (r.n_members, r.total_bytes)
+          for r in E.write_webdataset(docs, d1, 4).collect()}
+    m2 = {r.shard: (r.n_members, r.total_bytes)
+          for r in E.write_webdataset(docs, d2, 4).collect()}
+    assert m1 == m2 and set(m1) == {0, 1, 2, 3}
+    assert sum(n for n, _ in m1.values()) == docs.count()
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    seen = {}
+    for f in sorted(glob.glob(f"{d1}/shard-*.tar")):
+        with tarfile.open(f) as tar:
+            names = tar.getnames()
+            assert names == sorted(names)  # members in shuffle order
+            for mem in tar.getmembers():
+                pos, doc_id, ext = mem.name.split(".")
+                assert ext == "txt"
+                seen[int(doc_id)] = tar.extractfile(mem).read().decode()
+    assert seen == texts  # every doc exactly once, payload intact
+
+    h = lambda d: [  # noqa: E731
+        hashlib.md5(open(f, "rb").read()).hexdigest()
+        for f in sorted(glob.glob(f"{d}/shard-*.tar"))
+    ]
+    assert h(d1) == h(d2)  # byte-identical release
+
+    with pytest.raises(ValueError, match="num_shards"):
+        E.write_webdataset(docs, str(tmp_path / "bad"), 0)
