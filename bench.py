@@ -312,6 +312,12 @@ def main() -> None:
     srv.get_top_k(qvecs[0], 10)  # warm
     lat = serve_latencies(lambda q: srv.get_top_k(q, 10), qvecs)
     serve_p95_ms = lat[94] * 1000
+    # Batch serving: all 100 queries through ONE pruned read (shared
+    # buckets collapse); reported amortized per query.
+    batch_min, _ = timed(
+        lambda: srv.get_top_k_batch(qvecs, 10), "served20x_batch100", reps=2
+    )
+    results["served20x_batch100_per_query"] = batch_min / len(qvecs)
     results["single_topk_served20x"] = lat[len(lat) // 2]
 
     # 12. ANN serving twin: stored IVF layout over the 20x corpus,

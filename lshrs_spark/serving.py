@@ -244,6 +244,72 @@ class IndexServer:
         order = np.argsort(-counts, kind="stable")[:topk]
         return [int(i) for i in ids[order]]
 
+    def get_top_k_batch(
+        self, vectors, topk: int = 10
+    ) -> list[list[int]]:
+        """Batch form of :meth:`get_top_k`: ONE pruned index read for all
+        queries instead of one per query. All queries' ``(band, sig)``
+        pairs are hashed vectorized and OR-ed into a single scan filter
+        (duplicate pairs collapse, so co-bucketed queries share I/O);
+        the matched rows are grouped once by bucket and each query then
+        aggregates its own buckets in memory. Amortizes footer pruning,
+        filter evaluation, and read syscalls across the batch — the
+        serving twin of the Spark path's batch probe plan. Result i is
+        exactly ``get_top_k(vectors[i], topk)``."""
+        if topk <= 0:
+            raise ValueError("top_k must be positive")
+        if len(vectors) == 0:
+            return []
+        mat = np.stack([self._prepare_vector(v) for v in vectors])
+        nbands = self.cfg.num_bands
+        if self.cfg.use_long_sig:
+            sigs = hash_vectors_local_long(mat, self.cfg)  # (nq, bands)
+            keys = [
+                (b, int(sigs[q, b]))
+                for q in range(len(mat))
+                for b in range(nbands)
+            ]
+        else:
+            sigsb = hash_vectors_local(mat, self.cfg)
+            keys = [
+                (b, bytes(sigsb[q][b]))
+                for q in range(len(mat))
+                for b in range(nbands)
+            ]
+        band = pads.field("band")
+        sig = pads.field("sig")
+        expr = None
+        for b, s in set(keys):
+            clause = (band == b) & (sig == s)
+            expr = clause if expr is None else (expr | clause)
+        tbl = self._ds.to_table(columns=["band", "sig", "id"], filter=expr)
+        ids = tbl.column("id").to_numpy(zero_copy_only=False)
+        keep = _drop_deleted(ids, self._deleted)
+        ids = ids[keep]
+        bands_col = tbl.column("band").to_numpy(zero_copy_only=False)[keep]
+        sigs_col = tbl.column("sig").to_pylist()
+        sigs_col = [s for s, k in zip(sigs_col, keep) if k]
+        buckets: dict = {}
+        for b, s, i in zip(bands_col, sigs_col, ids):
+            s = bytes(s) if isinstance(s, (bytes, bytearray)) else int(s)
+            buckets.setdefault((int(b), s), []).append(i)
+        out = []
+        for q in range(len(mat)):
+            qids = [
+                buckets.get(keys[q * nbands + b])
+                for b in range(nbands)
+            ]
+            flat = [i for lst in qids if lst for i in lst]
+            if not flat:
+                out.append([])
+                continue
+            uids, counts = np.unique(
+                np.asarray(flat, dtype=np.int64), return_counts=True
+            )
+            order = np.argsort(-counts, kind="stable")[:topk]
+            out.append([int(i) for i in uids[order]])
+        return out
+
     def query(
         self,
         vector: np.ndarray,

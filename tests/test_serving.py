@@ -559,3 +559,45 @@ def test_ivfpq_delete_and_compact(spark, tmp_path):
     srv = IVFPQServer.from_store(store)
     got = [(i, rk) for i, _, rk in srv.topk(np.array(q), 5, nprobe=6)]
     assert got == pre
+
+
+def test_batch_topk_matches_per_query(saved_index):
+    """get_top_k_batch must equal a per-query loop — same dedup of
+    shared buckets, same (-collisions, id) ordering — and one scan."""
+    path, lsh, vecs, rng = saved_index
+    srv = IndexServer.from_saved(path)
+    qs = [
+        (vecs[rng.integers(0, len(vecs))]
+         + 0.1 * rng.standard_normal(vecs.shape[1])).astype(np.float32)
+        for _ in range(20)
+    ] + [vecs[0], vecs[0]]  # duplicate queries share every bucket
+    batch = srv.get_top_k_batch(qs, 10)
+    solo = [srv.get_top_k(q, 10) for q in qs]
+    assert batch == solo
+    assert batch[-1] == batch[-2]
+    assert srv.get_top_k_batch([], 10) == []
+    with pytest.raises(ValueError, match="top_k"):
+        srv.get_top_k_batch(qs[:1], 0)
+
+
+def test_batch_topk_binary_sigs_and_tombstones(spark, tmp_path):
+    from lshrs_spark.core import LSHRS
+
+    rng = np.random.default_rng(77)
+    n, d = 400, 24
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    lsh = LSHRS(spark, d, num_perm=128, num_bands=2, rows_per_band=64)
+    assert not lsh.cfg.use_long_sig
+    lsh.index(list(range(n)), vecs)
+    path = str(tmp_path / "batchbin")
+    lsh.save_to_disk(path)
+    srv = IndexServer.from_saved(path)
+    qs = [vecs[i] for i in (0, 3, 7)]
+    assert srv.get_top_k_batch(qs, 5) == [srv.get_top_k(q, 5) for q in qs]
+    # tombstone one id that currently serves for query 0
+    victim = srv.get_top_k(vecs[0], 5)[0]
+    lsh.delete([victim])
+    srv.refresh()
+    after = srv.get_top_k_batch(qs, 5)
+    assert victim not in after[0]
+    assert after == [srv.get_top_k(q, 5) for q in qs]
