@@ -452,12 +452,32 @@ class IVFServer:
                             np.isnan(scores)))[:nprobe]
         return [int(c) for c in self._cids[order]]
 
+    @staticmethod
+    def _score_blocks(vecs, norms, cids_col, block_order, q):
+        """Cosine scores computed ONE CENTROID BLOCK AT A TIME in a fixed
+        per-block shape: BLAS accumulation order depends on the matrix
+        extents, so scoring a query's rows inside a larger batch matrix
+        would drift in the last ulp vs the single-query path. Per-block
+        matmuls see identical shapes in both paths — bit-equal scores
+        (the differential test compares ``==``)."""
+        scores = np.empty(len(vecs), dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            for c in block_order:
+                idx = np.flatnonzero(cids_col == c)
+                if len(idx) == 0:
+                    continue
+                blk = vecs[idx] @ q
+                scores[idx] = np.where(
+                    norms[idx] > 0, blk / norms[idx], np.nan
+                )
+        return scores
+
     def topk(self, vector: np.ndarray, k: int = 10, nprobe: int = 4) -> list:
         """``[(id, score, rank)]`` — same rows as `ivf_topk_stored` for a
         single query, with zero JVM involvement."""
         cids = self.probe_centroids(vector, nprobe)
         tbl = self._ds.to_table(
-            columns=["id", "embedding"],
+            columns=["centroid_id", "id", "embedding"],
             filter=pads.field("centroid_id").isin(
                 pa.array(cids, type=pa.int64())
             ),
@@ -467,20 +487,77 @@ class IVFServer:
         ids = ids[keep]
         if len(ids) == 0:
             return []
+        cids_col = tbl.column("centroid_id").to_numpy(
+            zero_copy_only=False
+        )[keep]
         vecs = np.stack(
             tbl.column("embedding").to_numpy(zero_copy_only=False)[keep]
         ).astype(np.float64)
         q = np.asarray(vector, dtype=np.float64).reshape(-1)
         q = q / np.linalg.norm(q)
         norms = np.linalg.norm(vecs, axis=1)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            scores = np.where(norms > 0, vecs @ q / norms, np.nan)
+        scores = self._score_blocks(vecs, norms, cids_col, cids, q)
         order = np.lexsort((ids, -np.nan_to_num(scores, nan=-np.inf),
                             np.isnan(scores)))[:k]
         return [
             (int(ids[i]), float(scores[i]), rank + 1)
             for rank, i in enumerate(order)
         ]
+
+    def topk_batch(
+        self, vectors, k: int = 10, nprobe: int = 4
+    ) -> list[list]:
+        """Batch form of :meth:`topk`: the UNION of all queries' probed
+        partitions is read once (queries landing on the same centroids
+        share the read — the common case for clustered query traffic),
+        vectors are grouped by centroid and normalized once, and each
+        query then scores only ITS probed centroids' blocks. Result i is
+        exactly ``topk(vectors[i], k, nprobe)``."""
+        if len(vectors) == 0:
+            return []
+        probes = [self.probe_centroids(v, nprobe) for v in vectors]
+        union = sorted({c for p in probes for c in p})
+        tbl = self._ds.to_table(
+            columns=["centroid_id", "id", "embedding"],
+            filter=pads.field("centroid_id").isin(
+                pa.array(union, type=pa.int64())
+            ),
+        )
+        ids = tbl.column("id").to_numpy(zero_copy_only=False)
+        keep = _drop_deleted(ids, self._deleted)
+        ids = ids[keep]
+        cids_col = tbl.column("centroid_id").to_numpy(zero_copy_only=False)[keep]
+        out: list[list] = []
+        if len(ids) == 0:
+            return [[] for _ in vectors]
+        vecs = np.stack(
+            tbl.column("embedding").to_numpy(zero_copy_only=False)
+        ).astype(np.float64)[keep]
+        norms = np.linalg.norm(vecs, axis=1)
+        by_cid = {c: np.flatnonzero(cids_col == c) for c in union}
+        for v, pcids in zip(vectors, probes):
+            idx = np.concatenate([by_cid[c] for c in pcids]) if pcids else \
+                np.empty(0, dtype=np.int64)
+            if len(idx) == 0:
+                out.append([])
+                continue
+            q = np.asarray(v, dtype=np.float64).reshape(-1)
+            q = q / np.linalg.norm(q)
+            # per-centroid-block scoring, same block shapes as topk()'s
+            # read of the same partitions -> bit-equal scores
+            scores = self._score_blocks(
+                vecs[idx], norms[idx], cids_col[idx], pcids, q
+            )
+            sel_ids = ids[idx]
+            order = np.lexsort(
+                (sel_ids, -np.nan_to_num(scores, nan=-np.inf),
+                 np.isnan(scores))
+            )[:k]
+            out.append([
+                (int(sel_ids[i]), float(scores[i]), rank + 1)
+                for rank, i in enumerate(order)
+            ])
+        return out
 
 
 class PQServer:

@@ -601,3 +601,22 @@ def test_batch_topk_binary_sigs_and_tombstones(spark, tmp_path):
     after = srv.get_top_k_batch(qs, 5)
     assert victim not in after[0]
     assert after == [srv.get_top_k(q, 5) for q in qs]
+
+
+def test_ivf_batch_topk_matches_per_query(ivf_store):
+    """topk_batch must equal the per-query loop exactly (same probed
+    partitions, same (score desc, id asc) ordering, same floats)."""
+    from lshrs_spark.serving import IVFServer
+
+    path, df, cents, vecs, rng = ivf_store
+    srv = IVFServer.from_store(path)
+    qs = [
+        (vecs[rng.integers(0, len(vecs))]
+         + 0.1 * rng.standard_normal(vecs.shape[1])).astype(np.float32)
+        for _ in range(12)
+    ] + [vecs[0], vecs[0]]  # co-probed duplicates share the read
+    batch = srv.topk_batch(qs, 10, nprobe=4)
+    solo = [srv.topk(q, 10, nprobe=4) for q in qs]
+    assert batch == solo
+    assert batch[-1] == batch[-2]
+    assert srv.topk_batch([], 10) == []
