@@ -221,6 +221,16 @@ def main() -> None:
 
     results["text_pipeline"], _ = timed(run_text, "text_pipeline")
 
+    # 7a. Hybrid retrieval: BM25 (one scan projection + broadcast corpus
+    # constants + TakeOrderedAndProject) fused with the cosine shortlist
+    # by Reciprocal Rank Fusion — the full keyword+vector search path.
+    from lshrs_spark.entries import QUERIES as _ENTRY_QUERIES
+
+    results["text_hybrid_rrf"], _ = timed(
+        lambda: _ENTRY_QUERIES["text_hybrid_rrf"](spark, SF_DIR).count(),
+        "text_hybrid_rrf",
+    )
+
     # 7b. Corpus-ops pass over the same documents: exact heavy hitters
     # (zero-shuffle pigeonhole prune + verify), snapshot diff (16-byte
     # hash shuffle, payloads stay put), near-dup graph centrality

@@ -3,12 +3,14 @@
 ``postgres``/``pg`` and ``parquet``/``pq`` aliases, ``ValueError`` on
 anything else. Beyond the reference's two formats, JSONL (the ML-corpus
 interchange format) and CSV (array-string cells) dispatch to
-:mod:`.delimited`, and ORC to Spark's native reader."""
+:mod:`.delimited`, ORC to Spark's native reader, and ``.npy`` matrices
+to the range-parallel mmap loader in :mod:`.npy`."""
 
 from __future__ import annotations
 
 from .delimited import load_csv_vectors, load_jsonl_vectors
 from .jdbc import load_postgres_vectors
+from .npy import load_npy_vectors
 from .parquet import load_orc_vectors, load_parquet_vectors
 
 __all__ = ["resolve_loader"]
@@ -22,6 +24,8 @@ _LOADERS = {
     "json": load_jsonl_vectors,
     "csv": load_csv_vectors,
     "orc": load_orc_vectors,
+    "npy": load_npy_vectors,
+    "numpy": load_npy_vectors,
 }
 
 
@@ -32,6 +36,6 @@ def resolve_loader(format: str):
         raise ValueError(
             f"Unsupported format: {format!r}. Supported formats: "
             "'postgres' ('pg'), 'parquet' ('pq'), 'jsonl' ('json'), "
-            "'csv', 'orc'"
+            "'csv', 'orc', 'npy' ('numpy')"
         )
     return loader

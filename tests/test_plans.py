@@ -428,3 +428,26 @@ def test_bm25_topk_is_heap_not_global_sort(spark):
     assert not re.findall(r"\(\d+\) Sort\b", plan), "global sort crept in"
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    """Fact-to-dims star join (customer -> nation -> region + orders):
+    every dimension table must reach the fact scan as a broadcast — a
+    sort-merge against a 5-row dims table at 100 TB would shuffle the
+    entire fact side for nothing."""
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    r = spark.read.parquet(f"{SF}/region.parquet")
+    q = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+             .alias("cents"))
+    )
+    rep = plan_report(q)
+    assert rep["has_broadcast_join"]
+    assert not rep["has_sortmerge_join"], "a dim fell back to sort-merge"
+    assert rep["partial_aggregate"]

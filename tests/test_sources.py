@@ -261,3 +261,41 @@ def test_python_datasource_fast_mode_scale(spark):
         cfg, "vec_id", "embedding",
     )
     assert idx.count() == 50_000 * 4
+
+
+def test_npy_loader_round_trip_and_dispatch(spark, tmp_path):
+    """mmap-range .npy loader: row ids = row index, float32 payloads
+    exact, limit respected, 1-D rejected, dispatch + LSHRS ingest."""
+    import numpy as np
+
+    from lshrs_spark.core import LSHRS
+    from lshrs_spark.sources.dispatch import resolve_loader
+    from lshrs_spark.sources.npy import load_npy_vectors
+
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((257, 16)).astype(np.float32)
+    p = str(tmp_path / "emb.npy")
+    np.save(p, mat)
+
+    df, idc, vcc = load_npy_vectors(
+        spark, p, index_column="vec_id", vector_column="v", partitions=4
+    )
+    rows = {r.vec_id: np.array(r.v, dtype=np.float32) for r in df.collect()}
+    assert len(rows) == 257
+    assert np.array_equal(rows[0], mat[0]) and np.array_equal(rows[256], mat[256])
+
+    df2, _, _ = load_npy_vectors(spark, p, limit=10)
+    assert df2.count() == 10
+
+    assert resolve_loader("npy") is load_npy_vectors
+    assert resolve_loader("NumPy") is load_npy_vectors
+
+    with pytest.raises(ValueError, match="2-D"):
+        bad = str(tmp_path / "bad.npy")
+        np.save(bad, np.arange(5.0))
+        load_npy_vectors(spark, bad)
+
+    lsh = LSHRS(spark, 16, num_perm=16, num_bands=4, rows_per_band=4)
+    lsh.create_signatures(format="npy", source=p,
+                          index_column="vec_id", vector_column="v")
+    assert lsh.stats()["indexed_ids"] == 257
