@@ -3020,6 +3020,80 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CASCADE_STAGES = [
+    ("min_tokens", 1), ("mean_word_len", 2), ("max_tokens", 3),
+    ("has_en_marker", 4), ("distinct_ratio", 5),
+]
+
+
+@register(
+    "pipeline_hygiene_cascade",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),
+f AS (SELECT doc_id, len(toks)::DOUBLE AS nt, length(text)::DOUBLE AS nc,
+  len(list_distinct(toks))::DOUBLE AS nd,
+  len(list_filter(toks, t -> list_contains(['the','a','and','of','to'], t))) AS s_en
+ FROM tok),
+r AS (SELECT doc_id, nt >= 20 AS r1, ((nc - (nt - 1)) / nt) <= 4.6 AS r2,
+  nt <= 80 AS r3, s_en > 0 AS r4, (nd / nt) >= 0.42 AS r5 FROM f),
+agg AS (SELECT count(*)::BIGINT AS total,
+  sum(r1::INT)::BIGINT AS s1,
+  sum((r1 AND r2)::INT)::BIGINT AS s2,
+  sum((r1 AND r2 AND r3)::INT)::BIGINT AS s3,
+  sum((r1 AND r2 AND r3 AND r4)::INT)::BIGINT AS s4,
+  sum((r1 AND r2 AND r3 AND r4 AND r5)::INT)::BIGINT AS s5 FROM r)
+SELECT 1::BIGINT AS stage, 'min_tokens' AS rule, total AS n_in, s1 AS n_out FROM agg
+UNION ALL SELECT 2, 'mean_word_len', s1, s2 FROM agg
+UNION ALL SELECT 3, 'max_tokens', s2, s3 FROM agg
+UNION ALL SELECT 4, 'has_en_marker', s3, s4 FROM agg
+UNION ALL SELECT 5, 'distinct_ratio', s4, s5 FROM agg""",
+)
+def pipeline_hygiene_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan hygiene filter CASCADE with per-rule attrition
+    accounting: five ordered rules (token-count floor/cap, mean word
+    length, English-marker presence, distinct-token diversity) evaluated
+    as pure projections over a SINGLE scan, with one aggregation
+    producing the whole per-stage in/out funnel (500 -> 457 -> 313 ->
+    242 -> 234 -> 159 at sf0.01) — the attrition report every corpus
+    release needs, at the cost of one pass regardless of rule count.
+    Every rule compares exact rationals of small integers, so the
+    funnel is engine-exact. A failing rule's docs are counted at the
+    FIRST rule they fail (cascade semantics), mirroring how a staged
+    pipeline would actually drop them."""
+    docs = _docs(spark, sf_dir)
+    toks = X.tokens_col(F.col("text"))
+    nt = F.size(toks).cast("double")
+    nc = F.length("text").cast("double")
+    nd = F.size(F.array_distinct(toks)).cast("double")
+    markers = F.array(*[F.lit(m) for m in X.LANG_MARKERS["en"]])
+    s_en = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+    r1 = nt >= 20
+    r2 = ((nc - (nt - 1)) / nt) <= 4.6
+    r3 = nt <= 80
+    r4 = s_en > 0
+    r5 = (nd / nt) >= 0.42
+    flags = docs.select(
+        r1.alias("r1"), (r1 & r2).alias("p2"), (r1 & r2 & r3).alias("p3"),
+        (r1 & r2 & r3 & r4).alias("p4"),
+        (r1 & r2 & r3 & r4 & r5).alias("p5"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col("r1").cast("long")).alias("s1"),
+        F.sum(F.col("p2").cast("long")).alias("s2"),
+        F.sum(F.col("p3").cast("long")).alias("s3"),
+        F.sum(F.col("p4").cast("long")).alias("s4"),
+        F.sum(F.col("p5").cast("long")).alias("s5"),
+    )
+    names = [r for r, _ in _CASCADE_STAGES]
+    stack = ", ".join(
+        f"{i + 1}L, '{rule}', {'total' if i == 0 else f's{i}'}, s{i + 1}"
+        for i, rule in enumerate(names)
+    )
+    return agg.selectExpr(
+        f"stack(5, {stack}) AS (stage, rule, n_in, n_out)"
+    )
+
+
 @register(
     "rel_event_quantiles",
     """SELECT event_type,
@@ -4937,6 +5011,9 @@ FAMILY: dict[str, str] = {
     # partial-overlap family: directional containment is the inclusion-
     # oriented twin of the in-window substring-span representative
     "dedup_containment": "dedup_substring",
+    # attrition/data-quality reporting family (per-rule funnel) — twin
+    # of the in-window corpus-diff promotion-gate representative
+    "pipeline_hygiene_cascade": "pipeline_corpus_diff",
     # text twins
     "text_token_topk": "text_stats",
     # demoted round-7 (r3 driver row on file): the h48 rolling-hash doc

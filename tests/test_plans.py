@@ -451,3 +451,17 @@ def test_star_join_broadcasts_all_dims(spark):
     assert rep["has_broadcast_join"]
     assert not rep["has_sortmerge_join"], "a dim fell back to sort-merge"
     assert rep["partial_aggregate"]
+
+
+def test_hygiene_cascade_single_scan_single_agg(spark):
+    """The whole five-rule attrition funnel must cost ONE scan of the
+    corpus and one aggregation — rule count must not multiply passes."""
+    import re
+
+    from lshrs_spark.entries import QUERIES
+
+    plan = physical_plan(QUERIES["pipeline_hygiene_cascade"](spark, SF))
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, plan
+    # one partial + one final hash aggregate pair, single exchange
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
