@@ -1452,6 +1452,40 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_norm_stats",
+    """WITH n AS (SELECT vec_id,
+        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings)
+SELECT count(*)::BIGINT AS n_vectors,
+       sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+       round(min(nrm), 5) AS min_norm,
+       round(quantile_cont(nrm, 0.5), 5) AS p50_norm,
+       round(quantile_cont(nrm, 0.95), 5) AS p95_norm,
+       round(max(nrm), 5) AS max_norm
+FROM n""",
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm QC card: vector count, zero-vector count, and the
+    norm distribution (min/p50/p95/max) — the first check before any
+    cosine-based pipeline (zero vectors break normalization; a bimodal
+    norm distribution usually means mixed encoders). One scan, one
+    aggregation; the norm is the same ``sqrt(dot(x, x))`` double
+    formula the cosine oracle uses."""
+    from .functions.vector import l2_norm
+
+    emb = _emb(spark, sf_dir)
+    n = emb.select(l2_norm(F.col("embedding")).alias("nrm"))
+    return n.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum((F.col("nrm") == 0).cast("long")).alias("n_zero"),
+        F.round(F.min("nrm"), 5).alias("min_norm"),
+        F.round(F.expr("percentile(nrm, 0.5)"), 5).alias("p50_norm"),
+        F.round(F.expr("percentile(nrm, 0.95)"), 5).alias("p95_norm"),
+        F.round(F.max("nrm"), 5).alias("max_norm"),
+    )
+
+
+@register(
     "emb_outlier_filter",
     f"""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS d),
 cen AS (SELECT e.label, d.d, avg(e.embedding[d.d]::DOUBLE) AS c
@@ -4286,6 +4320,32 @@ def stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_ohlc",
+    """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+        lpad(epoch_us(ts)::VARCHAR, 20, '0') || '|' ||
+        lpad(event_id::VARCHAR, 20, '0') AS ok
+    FROM events)
+SELECT event_type, epoch(bucket)::BIGINT AS bucket_s,
+       round(arg_min(value, ok), 5) AS open_v,
+       round(arg_max(value, ok), 5) AS close_v,
+       round(min(value), 5) AS low_v,
+       round(max(value), 5) AS high_v,
+       count(*)::BIGINT AS n
+FROM e GROUP BY event_type, bucket""",
+)
+def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``rel_events_ohlc``: the hourly OHLC rollup
+    maintained incrementally over the watermarked event stream —
+    stream-equals-batch is the correctness contract, and the oracle is
+    the SAME batch SQL. ``min_by``/``max_by`` keep one running tuple
+    per (type, hour) of state, not the window's rows."""
+    from .streaming.ingest import stream_ohlc_hourly
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return stream_ohlc_hourly(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
     "stream_dedup_counts",
     """SELECT event_type, count(*)::BIGINT AS n,
        sum(round(value * 100))::BIGINT AS value_cents
@@ -5036,6 +5096,7 @@ FAMILY: dict[str, str] = {
     # centroid-distance outlier screen: label-centroid twin of the
     # in-window kmeans representative
     "emb_outlier_filter": "emb_kmeans",
+    "emb_norm_stats": "emb_kmeans",  # embedding QC card, same family
     # relational twins
     "rel_orders_by_year": "rel_top_customers",
     "rel_distinct_counts": "sketch_bloom",
@@ -5084,6 +5145,8 @@ FAMILY: dict[str, str] = {
     # outer variant of the in-window stream-stream range-join rep:
     # same state machinery plus watermark-driven null emission
     "stream_attribution_outer": "stream_attribution_join",
+    # streaming twin of the batch OHLC rollup; windowed-agg family
+    "stream_ohlc": "stream_windowed_counts",
     "stream_session_counts": "stream_windowed_counts",
     "stream_sliding_counts": "stream_windowed_counts",
 }

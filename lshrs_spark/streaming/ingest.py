@@ -202,6 +202,48 @@ def stream_aggregate_complete(
         )
 
 
+def stream_ohlc_hourly(
+    spark: SparkSession,
+    source_path: str,
+    *,
+    watermark: str = "1 hour",
+    name: Optional[str] = None,
+) -> DataFrame:
+    """Streaming hypertable rollup: hourly per-type OHLC (open/close by
+    event time via ``min_by``/``max_by`` on a zero-padded
+    ``(unix_micros, event_id)`` text key, low/high/count) over the
+    watermarked event stream — the batch ``rel_events_ohlc`` semantics,
+    maintained incrementally (complete mode on the finite test stream;
+    the watermark bounds state at scale). ``min_by``/``max_by`` are
+    plain aggregates, so the streaming state per (type, window) is one
+    running tuple, not the window's rows."""
+    with scoped_session_conf(spark, _stream_run_conf(spark)):
+        stream = load_file_stream(spark, source_path)
+        ok = F.concat(
+            F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+            F.lit("|"),
+            F.lpad(F.col("event_id").cast("string"), 20, "0"),
+        )
+        agg = (
+            stream.withColumn("ok", ok)
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+            .agg(
+                F.round(F.min_by("value", F.col("ok")), 5).alias("open_v"),
+                F.round(F.max_by("value", F.col("ok")), 5).alias("close_v"),
+                F.round(F.min("value"), 5).alias("low_v"),
+                F.round(F.max("value"), 5).alias("high_v"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "event_type",
+                F.unix_timestamp(F.col("w.start")).alias("bucket_s"),
+                "open_v", "close_v", "low_v", "high_v", "n",
+            )
+        )
+        return run_to_memory_table(agg, name=name)
+
+
 def windowed_event_counts(
     spark: SparkSession,
     source_path: str,
