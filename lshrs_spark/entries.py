@@ -888,6 +888,33 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_audio_features",
+    """SELECT doc_id AS id, 'wav' AS kind, 16000::BIGINT AS sample_rate,
+       48::BIGINT AS n_samples,
+       round(list_avg(list_transform(generate_series(1, 48),
+             i -> ascii(substr(rpad(text, 48, ' '), i, 1)))), 5) AS mean_abs
+FROM documents""",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode path: mono 16-bit PCM WAV payloads built in
+    pure Catalyst (constant RIFF header + int16-LE sample interleave —
+    no UDF on the encode side), then parsed by the numpy RIFF/fmt/data
+    decoder inside Arrow-batched ``mapInPandas``. The oracle recomputes
+    the decoded mean-|sample| from ``ascii()`` per position — the
+    samples ARE the text bytes, so the whole decode chain is verified
+    byte-for-byte."""
+    from .multimodal import media_features, with_wav_payload
+
+    payloads = with_wav_payload(_docs(spark, sf_dir))
+    return media_features(payloads).select(
+        "id", "kind",
+        F.lit(16000).cast("long").alias("sample_rate"),
+        "n_samples",
+        F.round("mean_val", 5).alias("mean_abs"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # ANN tier 3: IVF partition pruning + recall measurement
 # --------------------------------------------------------------------- #
@@ -5139,6 +5166,8 @@ FAMILY: dict[str, str] = {
     "ann_ivfpq_refined": "ann_pq_topk",
     # multimodal twins (rep: multimodal_features)
     "multimodal_frame_sample": "multimodal_features",
+    # real-WAV decode twin of the in-window media-features rep
+    "multimodal_audio_features": "multimodal_features",
     # streaming twins
     "stream_event_type_agg": "stream_windowed_counts",
     "stream_static_enrich": "stream_windowed_counts",

@@ -282,6 +282,34 @@ def with_ppm_payload(
     )
 
 
+def with_wav_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n_samples: int = 48, sample_rate: int = 16000,
+) -> DataFrame:
+    """Deterministic REAL audio payloads from the documents table: a
+    mono 16-bit PCM WAV whose samples are the first ``n_samples``
+    utf-8 bytes of the (space-padded) text. The 44-byte RIFF header is
+    a constant for fixed (rate, n_samples) and the int16
+    little-endian sample encoding of byte values < 128 is each text
+    byte followed by 0x00 — so the whole payload is PURE CATALYST
+    (literal header concat + a regexp interleave), no UDF, and the
+    oracle recomputes the decoded samples from ``ascii()`` per
+    position."""
+    header = bytes(encode_wav(
+        np.zeros(n_samples, dtype=np.int16), sample_rate
+    ))[:44]
+    padded = F.substring(F.rpad(F.col(text_col), n_samples, " "), 1, n_samples)
+    # int16 LE of an ASCII byte v is (v, 0x00): interleave a NUL after
+    # every character, then encode — bytes are preserved 1:1 by utf-8
+    # for the ASCII range
+    body = F.encode(F.regexp_replace(padded, "(.)", "$1\u0000"), "utf-8")
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.concat(F.lit(header), body).alias("payload"),
+        F.lit("audio/wav").alias("mime"),
+    )
+
+
 def media_features(payload_df: DataFrame) -> DataFrame:
     """REAL decode feature extraction over binary payloads (PPM/BMP/WAV
     sniffed by magic), Arrow-batched via mapInPandas. Each batch decodes

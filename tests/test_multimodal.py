@@ -215,3 +215,19 @@ def test_frame_sample_empty_video(spark):
         [(1, bytearray(encode_video([])))], "id long, payload binary"
     )
     assert frame_sample(df, every_k=2).count() == 0
+
+
+def test_wav_payload_pure_catalyst_round_trip(spark):
+    """with_wav_payload builds byte-exact WAV files without any UDF:
+    decode_wav must recover the text bytes as int16 samples."""
+    from lshrs_spark.multimodal import decode_wav, with_wav_payload
+
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (1, "x" * 100)], "doc_id long, text string"
+    )
+    rows = {r.id: bytes(r.payload) for r in with_wav_payload(docs).collect()}
+    for i, txt in ((0, "hello world"), (1, "x" * 100)):
+        rate, samples = decode_wav(rows[i])
+        assert rate == 16000 and samples.shape == (48, 1)
+        want = [ord(c) for c in (txt + " " * 48)[:48]]
+        assert list(samples[:, 0]) == want
