@@ -253,6 +253,29 @@ class LSHRS:
         cands = candidates(self.index_df, qsigs)
         return _probe_top_k(cands, top_k)
 
+    def get_top_k_batch(
+        self, vectors: Sequence[np.ndarray], topk: int = 10
+    ) -> list[list[int]]:
+        """List-of-vectors convenience over :meth:`query_batch`: hashes
+        the whole batch driver-side (no Spark job for the signatures),
+        probes the index in ONE plan, and returns result ``i`` ==
+        ``get_top_k(vectors[i], topk)``. The amortized-latency twin of
+        :meth:`serving.IndexServer.get_top_k_batch` for when the index
+        lives in the session rather than on disk."""
+        if topk <= 0:
+            raise ValueError("top_k must be positive")
+        if len(vectors) == 0:
+            return []
+        mat = np.stack([self._prepare_vector(v) for v in vectors])
+        qsigs = query_signatures_df(
+            self.spark, mat, self.cfg, sig_kind=self._sig_kind
+        )
+        rows = _probe_top_k(candidates(self.index_df, qsigs), topk).collect()
+        out: list[list[int]] = [[] for _ in range(len(vectors))]
+        for r in sorted(rows, key=lambda r: (r.qid, r.rank)):
+            out[r.qid].append(int(r.id))
+        return out
+
     # ------------------------------------------------------------------ #
     # maintenance (M1-M3)
     # ------------------------------------------------------------------ #

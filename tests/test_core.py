@@ -290,3 +290,20 @@ def test_index_large_driver_batch_arrow_path(spark):
            for r in df.filter(F.col("vec_id") < 50).collect()}
     for i in range(50):
         assert np.array_equal(got[i], vecs[i])
+
+
+def test_get_top_k_batch_matches_loop(spark, rng):
+    import numpy as np
+
+    from lshrs_spark.core import LSHRS
+
+    vecs = rng.standard_normal((300, 24)).astype(np.float32)
+    lsh = LSHRS(spark, 24, num_perm=32, num_bands=8, rows_per_band=4)
+    lsh.index(list(range(300)), vecs)
+    qs = [vecs[i] for i in (0, 7, 99)] + [vecs[0]]
+    batch = lsh.get_top_k_batch(qs, 5)
+    assert batch == [lsh.get_top_k(q, 5) for q in qs]
+    assert batch[0] == batch[-1]
+    assert lsh.get_top_k_batch([], 5) == []
+    with pytest.raises(ValueError, match="top_k"):
+        lsh.get_top_k_batch(qs, 0)

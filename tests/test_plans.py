@@ -465,3 +465,47 @@ def test_hygiene_cascade_single_scan_single_agg(spark):
     assert len(scans) == 1, plan
     # one partial + one final hash aggregate pair, single exchange
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """AQE must split the hot partition of a skewed sort-merge join at
+    RUNTIME (SortMergeJoin(skew=true) + 'AQEShuffleRead … skewed' in the
+    final adaptive plan). forceOptimizeSkewedJoin is needed here because
+    the downstream hash aggregation imposes a distribution requirement
+    that the split would violate without an extra shuffle — the
+    documented Spark tradeoff our salting operators exist to avoid
+    statically."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 10 < 9, 0)
+            .otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        small = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = big.join(small, "k").groupBy("k").agg(F.count("*").alias("n"))
+        rows = {r.k: r.n for r in j.collect()}  # executes THIS plan
+        assert rows[0] == 360_000  # hot key correct despite the split
+        final = spark._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "simple"
+        )
+        assert "skew=true" in final, final
+        assert "skewed" in final  # AQEShuffleRead skew-split read
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
