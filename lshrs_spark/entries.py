@@ -2010,6 +2010,80 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_at_k(approx, exact, 10)
 
 
+def _ivf_curve_sql() -> str:
+    """nprobe -> recall@10 sweep: shared centroid/assignment/exact CTEs
+    + one probes/candidates/approx/hits chain per nprobe setting."""
+    base = f"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec
+              FROM embeddings WHERE vec_id < 16),
+assign AS (SELECT id, centroid_id FROM (
+    SELECT e.vec_id AS id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {cosine_sql("e.embedding", "c.cvec")} DESC, c.centroid_id ASC) AS r
+    FROM embeddings e CROSS JOIN cent c) WHERE r = 1),
+qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+pranks AS (SELECT qid, centroid_id, r FROM (
+    SELECT qv.qid, c.centroid_id,
+           row_number() OVER (PARTITION BY qv.qid
+               ORDER BY {cosine_sql("qv.qe", "c.cvec")} DESC, c.centroid_id ASC) AS r
+    FROM cent c CROSS JOIN qv)),
+exact AS (SELECT qid, id FROM (
+    SELECT qv.qid, e.vec_id AS id,
+           row_number() OVER (PARTITION BY qv.qid
+               ORDER BY {cosine_sql("e.embedding", "qv.qe")} DESC, e.vec_id ASC) AS rank
+    FROM embeddings e CROSS JOIN qv) WHERE rank <= 10)"""
+    arms = []
+    selects = []
+    for p in (1, 2, 4, 8):
+        arms.append(f"""cand{p} AS (SELECT pr.qid, a.id FROM pranks pr
+    JOIN assign a USING (centroid_id) WHERE pr.r <= {p}),
+approx{p} AS (SELECT qid, id FROM (
+    SELECT cand{p}.qid, cand{p}.id,
+           row_number() OVER (PARTITION BY cand{p}.qid
+               ORDER BY {cosine_sql("e.embedding", "qv.qe")} DESC, cand{p}.id ASC) AS rank
+    FROM cand{p} JOIN embeddings e ON e.vec_id = cand{p}.id
+              JOIN qv ON qv.qid = cand{p}.qid) WHERE rank <= 10),
+hits{p} AS (SELECT a.qid, count(*) AS h FROM approx{p} a
+    JOIN exact e USING (qid, id) GROUP BY a.qid),
+per_q{p} AS (SELECT e.qid, count(*) AS n, any_value(coalesce(h.h, 0)) AS h
+    FROM exact e LEFT JOIN hits{p} h ON h.qid = e.qid GROUP BY e.qid, h.h)""")
+        selects.append(
+            f"SELECT {p}::BIGINT AS nprobe, round(avg(h::DOUBLE / n), 5) AS recall"
+            f" FROM per_q{p}"
+        )
+    return base + ",\n" + ",\n".join(arms) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("ann_ivf_recall_curve", _ivf_curve_sql())
+def ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve: recall@10 vs ``nprobe`` in {1, 2, 4, 8}
+    (16 centroids, 10 queries) — the coverage/cost dial an operator
+    actually turns at 100 TB (probed fraction = nprobe/K of the bytes).
+    The oracle replays every arm of the sweep from first principles, so
+    the monotone recall-vs-cost tradeoff itself is differential-tested,
+    not just one operating point."""
+    from .operators.knn import (
+        brute_force_topk,
+        ivf_centroids_by_id,
+        ivf_topk,
+        recall_at_k,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_centroids_by_id(emb, 16)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = brute_force_topk(emb, queries, 10)
+    out = None
+    for p in (1, 2, 4, 8):
+        approx = ivf_topk(emb, cents, queries, k=10, nprobe=p)
+        r = recall_at_k(approx, exact, 10).select(
+            F.lit(p).cast("long").alias("nprobe"), "recall"
+        )
+        out = r if out is None else out.union(r)
+    return out
+
+
 @register(
     "text_tfidf",
     """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
@@ -5088,6 +5162,7 @@ FAMILY: dict[str, str] = {
     "ann_batch": "lsh_topk",
     "ann_recall": "ann_ivf",
     "ann_ivf_recall": "ann_ivf",
+    "ann_ivf_recall_curve": "ann_ivf",  # nprobe sweep of the same gauge
     # simjoin / dedup twins and gauges
     "simjoin_exact": "simjoin_lsh",
     "dedup_minhash_sigs": "dedup_minhash_pairs",
