@@ -732,6 +732,54 @@ class IVFPQServer:
             for rank, i in enumerate(order)
         ]
 
+    def topk_batch(
+        self, vectors, k: int = 10, nprobe: int = 4
+    ) -> list[list]:
+        """Batch form of :meth:`topk`: the union of all queries' probed
+        partitions is read once; each query then gather-sums only ITS
+        probed centroids' code rows. ADC scoring is per-row with a fixed
+        ``m`` extent, so batch scores are bit-equal to the single-query
+        path with no per-block care needed (unlike
+        :meth:`IVFServer.topk_batch`'s BLAS matmuls)."""
+        if len(vectors) == 0:
+            return []
+        probes = [self.probe_centroids(v, nprobe) for v in vectors]
+        union = sorted({c for p in probes for c in p})
+        tbl = self._ds.to_table(
+            columns=["centroid_id", "id", "codes"],
+            filter=pads.field("centroid_id").isin(
+                pa.array(union, type=pa.int64())
+            ),
+        )
+        ids = tbl.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _drop_deleted(ids, self._deleted)
+        ids = ids[keep]
+        if len(ids) == 0:
+            return [[] for _ in vectors]
+        cids_col = tbl.column("centroid_id").to_numpy(
+            zero_copy_only=False
+        )[keep]
+        codes = np.stack(
+            tbl.column("codes").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)[keep]
+        by_cid = {c: np.flatnonzero(cids_col == c) for c in union}
+        out: list[list] = []
+        for v, pcids in zip(vectors, probes):
+            idx = np.concatenate([by_cid[c] for c in pcids]) if pcids else \
+                np.empty(0, dtype=np.int64)
+            if len(idx) == 0:
+                out.append([])
+                continue
+            q = np.asarray(v, dtype=np.float64).reshape(-1)
+            scores = _adc_scores(self._cb, codes[idx], q)
+            sel_ids = ids[idx]
+            order = np.lexsort((sel_ids, scores))[:k]
+            out.append([
+                (int(sel_ids[i]), float(scores[i]), rank + 1)
+                for rank, i in enumerate(order)
+            ])
+        return out
+
 
 class SegmentedIndexServer(IndexServer):
     """:class:`IndexServer` over a :class:`~lshrs_spark.store.

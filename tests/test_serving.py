@@ -620,3 +620,32 @@ def test_ivf_batch_topk_matches_per_query(ivf_store):
     assert batch == solo
     assert batch[-1] == batch[-2]
     assert srv.topk_batch([], 10) == []
+
+
+def test_ivfpq_batch_topk_matches_per_query(spark, tmp_path):
+    from lshrs_spark.operators.knn import (
+        ivf_centroids_by_id,
+        ivfpq_write_store,
+        pq_codebooks,
+    )
+    from lshrs_spark.serving import IVFPQServer
+
+    rng = np.random.default_rng(62)
+    n, dim = 400, 32
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = ivf_centroids_by_id(emb, 8)
+    cb = pq_codebooks(emb, m=4, k=8, dim=dim, iterations=1)
+    store = str(tmp_path / "ivfpq_batch")
+    ivfpq_write_store(emb, cents, cb, store, m=4, dim=dim)
+
+    srv = IVFPQServer.from_store(store)
+    qs = [vecs[i] for i in (3, 77, 240)] + [vecs[3]]
+    batch = srv.topk_batch(qs, 10, nprobe=3)
+    solo = [srv.topk(q, 10, nprobe=3) for q in qs]
+    assert batch == solo          # bit-equal: fixed-extent ADC rows
+    assert batch[0] == batch[-1]
+    assert srv.topk_batch([], 10) == []
