@@ -1217,6 +1217,56 @@ def rel_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rel_events_asof_fwd",
+    """WITH purchases AS (
+  SELECT user_id, event_id, epoch_us(ts)::BIGINT AS t
+  FROM events WHERE event_type = 'purchase'),
+clicks AS (
+  SELECT user_id, epoch_us(ts)::BIGINT AS t, value FROM events
+  WHERE event_type = 'click'),
+nxt AS (SELECT p.event_id, p.user_id, p.t, c.t AS ct, c.value,
+               row_number() OVER (PARTITION BY p.event_id
+                   ORDER BY c.t, c.value, c.t) AS r
+        FROM purchases p JOIN clicks c
+          ON c.user_id = p.user_id AND c.t >= p.t)
+SELECT p.event_id, p.user_id, p.t AS purchase_us,
+       coalesce(n.ct, -1)::BIGINT AS next_click_us,
+       round(coalesce(n.value, 0) * 100)::BIGINT AS next_click_cents
+FROM purchases p LEFT JOIN (SELECT * FROM nxt WHERE r = 1) n
+  ON n.event_id = p.event_id""",
+)
+def rel_events_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for every purchase, the user's NEXT click at
+    or after it — the follow-up-behavior lookup (``direction="forward"``
+    of the same one-shuffle union+window plan as the backward entry;
+    ties at the same instant resolve by ascending value tuple, which the
+    oracle's ``row_number`` ordering mirrors)."""
+    from .operators.asof import asof_join
+
+    ev = _events(spark, sf_dir).withColumn("t", F.unix_micros("ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "t"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "t", "value"
+    )
+    joined = asof_join(
+        purchases, clicks, ["user_id"], left_ts="t", right_ts="t",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("t").alias("purchase_us"),
+        F.coalesce(F.col("t_right"), F.lit(-1)).cast("long")
+        .alias("next_click_us"),
+        F.round(F.coalesce(F.col("value_right"), F.lit(0.0)) * 100)
+        .cast("long")
+        .alias("next_click_cents"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # Stateful streaming + SQL surface + date functions
 # --------------------------------------------------------------------- #
@@ -5228,6 +5278,7 @@ FAMILY: dict[str, str] = {
     # time-series family: OHLC downsample is the rollup twin of the
     # in-window as-of-join representative
     "rel_events_ohlc": "rel_events_asof",
+    "rel_events_asof_fwd": "rel_events_asof",  # forward direction twin
     "pipeline_negatives": "pipeline_shuffle_export",
     # promotion-gate family (rep: pipeline_corpus_diff)
     "pipeline_data_quality": "pipeline_corpus_diff",

@@ -34,11 +34,24 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: Optional[Sequence[str]] = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of left join. Returns every ``left`` row plus, for each
-    of ``value_cols`` (default: all non-key, non-ts right columns), the
-    value from the latest right row with ``right_ts <= left_ts`` (null if
-    none), and ``{right_ts}{suffix}`` with the matched timestamp."""
+    """As-of left join. Returns every ``left`` row plus, for each of
+    ``value_cols`` (default: all non-key, non-ts right columns), the
+    value from the matched right row (null if none) and
+    ``{right_ts}{suffix}`` with the matched timestamp.
+
+    ``direction="backward"`` (default) matches the LATEST right row with
+    ``right_ts <= left_ts`` (ties among right rows at the same instant:
+    greatest value tuple wins). ``direction="forward"`` matches the
+    EARLIEST right row with ``right_ts >= left_ts`` (ties: smallest
+    value tuple wins) — the next-event lookup (e.g. next click after a
+    purchase). Both are the same one-shuffle union + running-window
+    plan, just scanned from opposite ends of each key's timeline."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward' (got {direction!r})"
+        )
     on = list(on)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (*on, right_ts)]
@@ -69,19 +82,40 @@ def asof_join(
         *[F.col(f"{c}{suffix}") for c in value_cols],
         F.col(f"{right_ts}{suffix}"),
     )
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("_ts"), F.col("_side"), tie)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = [
-        F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-        for c in value_cols
-    ] + [
-        F.last(F.col(f"{right_ts}{suffix}"), ignorenulls=True)
-        .over(w)
-        .alias(f"{right_ts}{suffix}")
-    ]
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_ts"), F.col("_side"), tie)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carried = [
+            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
+            .alias(f"{c}{suffix}")
+            for c in value_cols
+        ] + [
+            F.last(F.col(f"{right_ts}{suffix}"), ignorenulls=True)
+            .over(w)
+            .alias(f"{right_ts}{suffix}")
+        ]
+    else:
+        # forward: left rows sort BEFORE right rows at the same instant
+        # (side desc: 1 then 0), so a right row at exactly left_ts is
+        # inside the [current, unbounded following] frame; ties among
+        # right rows resolve by ascending value tuple (first() wins)
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_ts"), F.col("_side").desc(), tie)
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        carried = [
+            F.first(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
+            .alias(f"{c}{suffix}")
+            for c in value_cols
+        ] + [
+            F.first(F.col(f"{right_ts}{suffix}"), ignorenulls=True)
+            .over(w)
+            .alias(f"{right_ts}{suffix}")
+        ]
     out = u.select(*on, "_ts", "_side", *[F.col(c) for c in left_cols], *carried)
     return (
         out.filter(F.col("_side") == 1)

@@ -85,3 +85,36 @@ def test_events_ohlc_hand_computed(spark):
     assert (b0.open_v, b0.close_v, b0.low_v, b0.high_v, b0.n) == (
         4.0, 4.0, 4.0, 4.0, 1
     )
+
+
+def test_forward_asof_next_event(spark, frames):
+    left, right = frames
+    out = {(r.k, r.t): (r.t_right, r.rv_right) for r in
+           asof_join(left, right, ["k"], left_ts="t", right_ts="t",
+                     direction="forward").collect()}
+    # k=1: left t=100 -> earliest right >= 100; left t=200 -> right >= 200
+    rts = sorted((r.t, r.rv) for r in right.filter("k = 1").collect())
+    nxt100 = next(((t, v) for t, v in rts if t >= 100), (None, None))
+    nxt200 = next(((t, v) for t, v in rts if t >= 200), (None, None))
+    assert out[(1, 100)] == nxt100
+    assert out[(1, 200)] == nxt200
+    # no future right row -> nulls
+    for (k, t), (mt, mv) in out.items():
+        future = [r for r in right.collect() if r.k == k and r.t >= t]
+        if not future:
+            assert mt is None and mv is None
+
+
+def test_forward_asof_same_instant_inclusive(spark):
+    left = spark.createDataFrame([(1, 100, "l")], "k long, t long, lv string")
+    right = spark.createDataFrame([(1, 100, "r")], "k long, t long, rv string")
+    row = asof_join(left, right, ["k"], left_ts="t", right_ts="t",
+                    direction="forward").first()
+    assert row.t_right == 100 and row.rv_right == "r"
+
+
+def test_asof_rejects_bad_direction(spark, frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, ["k"], left_ts="t", right_ts="t",
+                  direction="nearest")
