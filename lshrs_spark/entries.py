@@ -2135,6 +2135,76 @@ def ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_pmi_pairs",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+big AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+        FROM tok, unnest(generate_series(1, len(toks)-1)) t(i)
+        WHERE len(toks) >= 2),
+pc AS (SELECT w1, w2, count(*)::BIGINT AS c FROM big GROUP BY 1, 2),
+uc AS (SELECT w1 AS w, sum(c)::DOUBLE AS cw FROM pc GROUP BY 1),
+vc AS (SELECT w2 AS w, sum(c)::DOUBLE AS cv FROM pc GROUP BY 1),
+tot AS (SELECT sum(c)::DOUBLE AS n FROM pc),
+pmi AS (SELECT pc.w1, pc.w2, pc.c,
+    ln((pc.c * tot.n) / (uc.cw * vc.cv)) AS pmi
+  FROM pc JOIN uc ON uc.w = pc.w1 JOIN vc ON vc.w = pc.w2 CROSS JOIN tot
+  WHERE pc.c >= 5)
+SELECT w1, w2, c, round(pmi, 5) AS pmi
+FROM pmi ORDER BY pmi DESC, w1, w2 LIMIT 20""",
+)
+def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent token pairs by pointwise
+    mutual information (min count 5) — the phrase/merge-candidate
+    signal a tokenizer-vocabulary pass runs over the corpus. One bigram
+    explode feeds the pair, left-margin, and right-margin counts; the
+    PMI argument is an exact integer rational, so only ``ln`` is
+    transcendental and ties fall to the (w1, w2) tiebreak identically
+    on both engines. Scale: shuffles key on the bigram/token — never a
+    doc pair — and the cut is a 20-row TakeOrdered."""
+    docs = _docs(spark, sf_dir)
+    toks = X.tokens_col(F.col("text"))
+    big = (
+        docs.select(toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(element_at(toks, i) AS w1, "
+                    "element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    pc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    uc = pc.groupBy(F.col("w1").alias("w")).agg(
+        F.sum("c").cast("double").alias("cw")
+    )
+    vc = pc.groupBy(F.col("w2").alias("w")).agg(
+        F.sum("c").cast("double").alias("cv")
+    )
+    tot = F.broadcast(pc.agg(F.sum("c").cast("double").alias("n")))
+    pmi = (
+        pc.filter(F.col("c") >= 5)
+        .join(uc, pc.w1 == uc.w)
+        .drop("w")
+        .join(vc, pc.w2 == vc.w)
+        .drop("w")
+        .crossJoin(tot)
+        .select(
+            "w1", "w2", "c",
+            F.log((F.col("c") * F.col("n")) / (F.col("cw") * F.col("cv")))
+            .alias("pmi"),
+        )
+    )
+    return (
+        pmi.orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+        .select("w1", "w2", "c", F.round("pmi", 5).alias("pmi"))
+    )
+
+
+@register(
     "text_tfidf",
     """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
 tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
@@ -5239,6 +5309,9 @@ FAMILY: dict[str, str] = {
     "text_nfc": "text_clean",
     "text_char_entropy": "text_stats",
     "text_bigram_logprob": "text_unigram_logprob",
+    # bigram-statistics family: PMI collocations share the bigram
+    # explode/count machinery with the in-window logprob rep's family
+    "text_pmi_pairs": "text_unigram_logprob",
     "text_corpus_card": "text_stats",
     "text_langid_accuracy": "text_langid",
     "text_repetition": "text_gopher_filter",
