@@ -1529,6 +1529,103 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_quantile_clip",
+    """WITH dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+vals AS (SELECT d.d, e.embedding[d.d]::DOUBLE AS v
+         FROM embeddings e CROSS JOIN dims d),
+pct AS (SELECT d, quantile_cont(v, 0.01) AS lo, quantile_cont(v, 0.99) AS hi
+        FROM vals GROUP BY d)
+SELECT p.d::BIGINT AS dim, round(p.lo, 5) AS lo, round(p.hi, 5) AS hi,
+  sum(CASE WHEN v.v < p.lo OR v.v > p.hi THEN 1 ELSE 0 END)::BIGINT
+    AS n_clipped
+FROM pct p JOIN vals v ON v.d = p.d GROUP BY p.d, p.lo, p.hi""",
+)
+def emb_quantile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension winsorization envelope: exact p1/p99 per embedding
+    dimension plus how many cells each clip would touch — the
+    outlier-robust scaling pass run before quantization or PQ training
+    (a single extreme cell otherwise stretches that dimension's whole
+    code range). One posexplode feeds both the percentile aggregation
+    (keyed by dim — 64 groups, not corpus-sized) and the clip count;
+    the tiny envelope broadcasts back for the counting join."""
+    emb = _emb(spark, sf_dir)
+    vals = emb.select(F.posexplode("embedding").alias("d0", "vf")).select(
+        (F.col("d0") + 1).alias("d"), F.col("vf").cast("double").alias("v")
+    )
+    pct = vals.groupBy("d").agg(
+        F.expr("percentile(v, 0.01)").alias("lo"),
+        F.expr("percentile(v, 0.99)").alias("hi"),
+    )
+    return (
+        vals.join(F.broadcast(pct), "d")
+        .groupBy("d", "lo", "hi")
+        .agg(
+            F.sum(
+                ((F.col("v") < F.col("lo")) | (F.col("v") > F.col("hi")))
+                .cast("long")
+            ).alias("n_clipped")
+        )
+        .select(
+            F.col("d").cast("long").alias("dim"),
+            F.round("lo", 5).alias("lo"),
+            F.round("hi", 5).alias("hi"),
+            "n_clipped",
+        )
+    )
+
+
+@register(
+    "rel_events_retention",
+    """WITH p AS (SELECT user_id, date_trunc('day', ts) AS d FROM events
+       WHERE event_type = 'purchase'),
+fw AS (SELECT user_id, min(d) AS cohort FROM p GROUP BY user_id),
+act AS (SELECT DISTINCT p.user_id, f.cohort,
+        ((epoch(p.d)::BIGINT - epoch(f.cohort)::BIGINT) // 604800) AS k
+        FROM p JOIN fw f USING (user_id)),
+coh AS (SELECT cohort, count(*)::BIGINT AS cohort_size FROM fw GROUP BY cohort)
+SELECT epoch(a.cohort)::BIGINT AS cohort_s, a.k, count(*)::BIGINT AS n_active,
+       any_value(c.cohort_size) AS cohort_size
+FROM act a JOIN coh c USING (cohort) GROUP BY a.cohort, a.k""",
+)
+def rel_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST purchase
+    day, counted as active in each subsequent week-offset ``k`` — the
+    standard product-analytics triangle, all exact integer arithmetic
+    (epoch-seconds floor division). Two aggregations + one equi-join on
+    user_id; nothing shuffles on more than (cohort, k) afterward."""
+    ev = _events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    )
+    fw = p.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    act = (
+        p.join(fw, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.expr(
+                "(unix_seconds(d) - unix_seconds(cohort)) div 604800"
+            ).alias("k"),
+        )
+        .distinct()
+    )
+    coh = fw.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        act.join(coh, "cohort")
+        .groupBy("cohort", "k")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.any_value("cohort_size").alias("cohort_size"),
+        )
+        .select(
+            F.unix_seconds(F.col("cohort").cast("timestamp"))
+            .alias("cohort_s"),
+            "k", "n_active", "cohort_size",
+        )
+    )
+
+
+@register(
     "emb_norm_stats",
     """WITH n AS (SELECT vec_id,
         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -5322,6 +5419,9 @@ FAMILY: dict[str, str] = {
     # in-window kmeans representative
     "emb_outlier_filter": "emb_kmeans",
     "emb_norm_stats": "emb_kmeans",  # embedding QC card, same family
+    "emb_quantile_clip": "emb_kmeans",  # preprocessing envelope, same family
+    # cohort analytics: event-time bucketing twin of the sessionize rep
+    "rel_events_retention": "rel_events_sessionize",
     # relational twins
     "rel_orders_by_year": "rel_top_customers",
     "rel_distinct_counts": "sketch_bloom",
