@@ -1529,6 +1529,115 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_scd2_merge",
+    """WITH cust AS (SELECT c_custkey AS k, round(c_acctbal * 100)::BIGINT AS cents
+        FROM customer),
+hist AS (SELECT k, cents, 1::BIGINT AS valid_from, -1::BIGINT AS valid_to FROM cust),
+upd AS (
+  SELECT k, cents + 10000 AS cents FROM cust WHERE k % 7 = 0
+  UNION ALL SELECT k, cents FROM cust WHERE k % 5 = 0 AND k % 7 <> 0
+  UNION ALL SELECT k + 1000000 AS k, k AS cents FROM cust WHERE k % 31 = 0),
+j AS (SELECT h.k AS hk, h.cents AS hc, h.valid_from AS hf,
+             u.k AS uk, u.cents AS uc
+      FROM hist h FULL OUTER JOIN upd u ON u.k = h.k)
+SELECT hk::BIGINT AS k, hc AS cents, hf AS valid_from,
+       CASE WHEN uk IS NOT NULL AND uc IS DISTINCT FROM hc
+            THEN 2 ELSE -1 END::BIGINT AS valid_to
+FROM j WHERE hk IS NOT NULL
+UNION ALL
+SELECT uk::BIGINT, uc, 2::BIGINT, -1::BIGINT
+FROM j WHERE (uk IS NOT NULL AND hk IS NOT NULL AND uc IS DISTINCT FROM hc)
+   OR hk IS NULL""",
+)
+def rel_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE-2 merge
+    (:func:`operators.diff.scd2_apply`): a CDC batch against the
+    customer dimension — every 7th key's balance changes (old row
+    closes at version 2, new open row starts), every 5th key arrives
+    UNCHANGED (must pass through untouched — the eqNullSafe no-op
+    path), every 31st key is brand new. The oracle recomputes the full
+    versioned table from the same synthetic batch; all values exact
+    integer cents/versions."""
+    from .operators.diff import scd2_apply
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("k"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    hist = cust.select(
+        "k", "cents",
+        F.lit(1).cast("long").alias("valid_from"),
+        F.lit(-1).cast("long").alias("valid_to"),
+    )
+    upd = (
+        cust.filter(F.col("k") % 7 == 0)
+        .select("k", (F.col("cents") + 10000).alias("cents"))
+        .unionByName(
+            cust.filter((F.col("k") % 5 == 0) & (F.col("k") % 7 != 0))
+            .select("k", "cents")
+        )
+        .unionByName(
+            cust.filter(F.col("k") % 31 == 0)
+            .select((F.col("k") + 1000000).alias("k"), F.col("k").alias("cents"))
+        )
+    )
+    out = scd2_apply(hist, upd, ["k"], ["cents"], version=2)
+    return out.select(
+        F.col("k").cast("long"),
+        F.col("cents").cast("long"),
+        F.col("valid_from").cast("long"),
+        F.col("valid_to").cast("long"),
+    )
+
+
+@register(
+    "pipeline_source_divergence",
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+        FROM documents),
+sc AS (SELECT source, t, count(*)::DOUBLE AS c FROM tok GROUP BY 1, 2),
+stot AS (SELECT source, sum(c) AS n FROM sc GROUP BY 1),
+gc AS (SELECT t, sum(c) AS c FROM sc GROUP BY 1),
+gtot AS (SELECT sum(c) AS n FROM gc),
+terms AS (SELECT s.source, (s.c / st.n) AS p, (g.c / gt.n) AS q
+  FROM sc s JOIN stot st USING (source) JOIN gc g USING (t) CROSS JOIN gtot gt),
+kl AS (SELECT source, sum(p * ln(p / q)) AS kl FROM terms GROUP BY source)
+SELECT source, round(kl, 5) AS kl_to_corpus FROM kl""",
+)
+def pipeline_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing diagnostic: per-source KL divergence of the
+    source's unigram distribution from the corpus-wide one — the
+    outlier-source detector a mixing pass runs before setting weights
+    (a source whose KL spikes is either a different register or
+    contamination). One token explode feeds the per-source and global
+    counts; every probability is an exact integer rational, leaving
+    ``ln`` the only transcendental per term."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "source", F.explode(X.tokens_col(F.col("text"))).alias("t")
+    )
+    sc = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    stot = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    gc = sc.groupBy("t").agg(F.sum("c").alias("gcc"))
+    gtot = F.broadcast(gc.agg(F.sum("gcc").alias("gn")))
+    terms = (
+        sc.join(stot, "source")
+        .join(gc, "t")
+        .crossJoin(gtot)
+        .select(
+            "source",
+            (F.col("c") / F.col("n")).alias("p"),
+            (F.col("gcc") / F.col("gn")).alias("q"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 5)
+        .alias("kl_to_corpus")
+    )
+
+
+@register(
     "emb_quantile_clip",
     """WITH dims AS (SELECT unnest(generate_series(1, 64)) AS d),
 vals AS (SELECT d.d, e.embedding[d.d]::DOUBLE AS v
@@ -5393,6 +5502,8 @@ FAMILY: dict[str, str] = {
     # attrition/data-quality reporting family (per-rule funnel) — twin
     # of the in-window corpus-diff promotion-gate representative
     "pipeline_hygiene_cascade": "pipeline_corpus_diff",
+    # SCD2 versioned-merge: change-tracking twin of the corpus-diff rep
+    "rel_scd2_merge": "pipeline_corpus_diff",
     # text twins
     "text_token_topk": "text_stats",
     # demoted round-7 (r3 driver row on file): the h48 rolling-hash doc
@@ -5443,6 +5554,8 @@ FAMILY: dict[str, str] = {
     # pipeline / quant twins
     "pipeline_split": "pipeline_shuffle_export",
     "pipeline_domain_mix": "pipeline_shuffle_export",
+    # mixing diagnostics: per-source distribution distance, same family
+    "pipeline_source_divergence": "pipeline_shuffle_export",
     # deterministic-sampling family: exponential-key weighted draw and
     # the component-level leakage-safe split are hash-split twins of the
     # in-window export representative

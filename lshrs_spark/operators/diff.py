@@ -23,7 +23,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["content_hash_col", "corpus_diff", "corpus_diff_summary"]
+__all__ = ["content_hash_col", "corpus_diff", "corpus_diff_summary",
+           "scd2_apply"]
 
 
 def content_hash_col(content_cols: Sequence[str], *, base_hash: str = "h48"):
@@ -75,3 +76,68 @@ def corpus_diff_summary(diff: DataFrame) -> DataFrame:
     """Roll the per-document statuses up to ``(status, n)`` — the
     4-row promotion-gate report."""
     return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+def scd2_apply(
+    history: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    tracked: Sequence[str],
+    *,
+    version: int,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    open_marker: int = -1,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge: apply an UPSERT batch of
+    ``updates`` to a versioned ``history`` table, returning the new
+    history. Every change is recorded, nothing overwritten:
+
+    * tracked-value change  -> the open row CLOSES (``valid_to =
+      version``) and a new open row starts (``valid_from = version``);
+    * brand-new key         -> one open row at ``version``;
+    * unchanged / absent key-> rows pass through untouched (absent keys
+      are NOT deletes — updates are partial batches, the norm for CDC
+      feeds; model deletes as a tracked status column).
+
+    ``history`` carries ``keys + tracked + (valid_from, valid_to)`` with
+    ``valid_to = open_marker`` on current rows; versions are caller-
+    supplied integers (load ids / epoch days), so the whole merge is
+    exact arithmetic. Scale shape: ONE equi-join on the key between the
+    open slice and the batch plus unions — closed history never joins
+    anything, so cost tracks the ACTIVE dimension size, not the
+    accumulated history.
+    """
+    keys = list(keys)
+    tracked = list(tracked)
+    closed = history.filter(F.col(to_col) != open_marker)
+    cur = history.filter(F.col(to_col) == open_marker)
+    upd = updates.select(
+        *[F.col(k).alias(f"_u_{k}") for k in keys],
+        *[F.col(c).alias(f"_u_{c}") for c in tracked],
+    )
+    cond = [F.col(k) == F.col(f"_u_{k}") for k in keys]
+    j = cur.join(upd, cond, "full")
+    matched = F.col(keys[0]).isNotNull() & F.col(f"_u_{keys[0]}").isNotNull()
+    differs = F.lit(False)
+    for c in tracked:
+        differs = differs | ~F.col(c).eqNullSafe(F.col(f"_u_{c}"))
+    changed = matched & differs
+    # old rows: closed when changed, passed through otherwise
+    old_rows = j.filter(F.col(keys[0]).isNotNull()).select(
+        *keys, *tracked,
+        F.col(from_col),
+        F.when(changed, F.lit(version)).otherwise(F.col(to_col)).alias(to_col),
+    )
+    # new open rows: changed values + brand-new keys
+    new_rows = j.filter(
+        changed | (F.col(keys[0]).isNull() & F.col(f"_u_{keys[0]}").isNotNull())
+    ).select(
+        *[F.col(f"_u_{k}").alias(k) for k in keys],
+        *[F.col(f"_u_{c}").alias(c) for c in tracked],
+        F.lit(version).alias(from_col),
+        F.lit(open_marker).alias(to_col),
+    )
+    return closed.select(*keys, *tracked, from_col, to_col).unionByName(
+        old_rows
+    ).unionByName(new_rows)

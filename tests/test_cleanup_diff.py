@@ -119,3 +119,32 @@ def test_char_entropy_known_values(spark):
         if want is None:
             want = -(0.25 * math.log2(0.25) * 2 + 0.5 * math.log2(0.5))
         assert abs(h - want) < 1e-9, (s, h)
+
+
+def test_scd2_two_generations(spark):
+    """Apply two CDC batches: closed rows never change again, a twice-
+    updated key carries three versions chaining valid_from/valid_to,
+    unchanged batch rows are no-ops, new keys open at their version."""
+    from lshrs_spark.operators.diff import scd2_apply
+
+    hist = spark.createDataFrame(
+        [(1, 100, 1, -1), (2, 200, 1, -1), (3, 300, 1, -1)],
+        "k long, cents long, valid_from long, valid_to long",
+    )
+    b1 = spark.createDataFrame(
+        [(1, 150), (2, 200), (4, 400)], "k long, cents long"
+    )  # 1 changes, 2 unchanged, 4 new
+    h2 = scd2_apply(hist, b1, ["k"], ["cents"], version=2)
+    rows2 = {(r.k, r.valid_from): (r.cents, r.valid_to) for r in h2.collect()}
+    assert rows2[(1, 1)] == (100, 2) and rows2[(1, 2)] == (150, -1)
+    assert rows2[(2, 1)] == (200, -1)          # unchanged: untouched
+    assert rows2[(3, 1)] == (300, -1)          # absent from batch: kept
+    assert rows2[(4, 2)] == (400, -1)
+
+    b2 = spark.createDataFrame([(1, 175)], "k long, cents long")
+    h3 = scd2_apply(h2, b2, ["k"], ["cents"], version=3)
+    rows3 = {(r.k, r.valid_from): (r.cents, r.valid_to) for r in h3.collect()}
+    assert rows3[(1, 1)] == (100, 2)           # closed history immutable
+    assert rows3[(1, 2)] == (150, 3)           # second change closes v2
+    assert rows3[(1, 3)] == (175, -1)
+    assert len(rows3) == 6
