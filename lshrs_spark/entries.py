@@ -1529,6 +1529,84 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_rfm_segments",
+    """WITH m AS (SELECT max(o_orderdate) AS mx FROM orders),
+rfm AS (SELECT o_custkey AS k,
+    date_diff('day', max(o_orderdate)::DATE, (SELECT mx FROM m)::DATE)::BIGINT
+      AS rec_days,
+    count(*)::BIGINT AS freq,
+    sum(round(o_totalprice * 100))::BIGINT AS mon_cents
+  FROM orders GROUP BY 1),
+thr AS (SELECT
+    quantile_disc(rec_days, 0.25) AS r1, quantile_disc(rec_days, 0.5) AS r2,
+    quantile_disc(rec_days, 0.75) AS r3,
+    quantile_disc(freq, 0.25) AS f1, quantile_disc(freq, 0.5) AS f2,
+    quantile_disc(freq, 0.75) AS f3,
+    quantile_disc(mon_cents, 0.25) AS m1, quantile_disc(mon_cents, 0.5) AS m2,
+    quantile_disc(mon_cents, 0.75) AS m3
+  FROM rfm)
+SELECT (1 + (rec_days > r1)::INT + (rec_days > r2)::INT
+          + (rec_days > r3)::INT)::BIGINT AS r,
+       (1 + (freq > f1)::INT + (freq > f2)::INT + (freq > f3)::INT)::BIGINT AS f,
+       (1 + (mon_cents > m1)::INT + (mon_cents > m2)::INT
+          + (mon_cents > m3)::INT)::BIGINT AS m,
+       count(*)::BIGINT AS n_customers, min(k)::BIGINT AS min_k
+FROM rfm CROSS JOIN thr GROUP BY 1, 2, 3""",
+)
+def rel_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quartile codes) — the classic marketing-analytics cube, built the
+    SCALABLE way: quartile boundaries come from ``percentile_disc``
+    (one broadcast 1-row aggregate; disc selects an ACTUAL data value,
+    so integer comparisons against it are engine-exact — interpolated
+    quantiles of integers can land ulp-close to data values and flip
+    bucket membership) and bucketing is a pure projection. No global
+    ntile window, no single-partition exchange."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    mx = F.broadcast(o.agg(F.max("o_orderdate").alias("mx")))
+    rfm = (
+        o.crossJoin(mx)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.datediff(
+                F.to_date(F.max("mx")), F.to_date(F.max("o_orderdate"))
+            ).cast("long").alias("rec_days"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("mon_cents"),
+        )
+    )
+    thr = F.broadcast(rfm.agg(*[
+        F.expr(
+            f"percentile_disc({p}) WITHIN GROUP (ORDER BY {c})"
+        ).alias(f"{c[0]}{i}")
+        for c in ("rec_days", "freq", "mon_cents")
+        for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+    ]))
+
+    def seg(col, pfx):
+        return (
+            F.lit(1)
+            + (F.col(col) > F.col(f"{pfx}1")).cast("int")
+            + (F.col(col) > F.col(f"{pfx}2")).cast("int")
+            + (F.col(col) > F.col(f"{pfx}3")).cast("int")
+        ).cast("long")
+
+    return (
+        rfm.crossJoin(thr)
+        .groupBy(
+            seg("rec_days", "r").alias("r"),
+            seg("freq", "f").alias("f"),
+            seg("mon_cents", "m").alias("m"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("k").cast("long").alias("min_k"),
+        )
+    )
+
+
+@register(
     "rel_scd2_merge",
     """WITH cust AS (SELECT c_custkey AS k, round(c_acctbal * 100)::BIGINT AS cents
         FROM customer),
@@ -5538,6 +5616,8 @@ FAMILY: dict[str, str] = {
     "rel_distinct_counts": "sketch_bloom",
     "rel_histogram": "rel_quantiles",
     "rel_ntile_quartiles": "rel_quantiles",
+    # quartile-bucketing family: RFM cube is the disc-quantile twin
+    "rel_rfm_segments": "rel_quantiles",
     "rel_event_quantiles": "rel_quantiles",
     "rel_string_funcs": "rel_events_json",
     "rel_date_math_funcs": "rel_events_json",
