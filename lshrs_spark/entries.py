@@ -1529,6 +1529,91 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_market_basket",
+    """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT count(DISTINCT o)::DOUBLE AS n FROM b),
+ic AS (SELECT p, count(*)::BIGINT AS c FROM b GROUP BY 1),
+pairs AS (SELECT a.p AS p1, c.p AS p2, count(*)::BIGINT AS cc
+  FROM b a JOIN b c ON a.o = c.o AND a.p < c.p GROUP BY 1, 2),
+lift AS (SELECT p1, p2, cc, (cc * n.n) / (i1.c * i2.c) AS lift
+  FROM pairs JOIN ic i1 ON i1.p = p1 JOIN ic i2 ON i2.p = p2 CROSS JOIN n
+  WHERE cc >= 3)
+SELECT p1::BIGINT AS p1, p2::BIGINT AS p2, cc, round(lift, 5) AS lift
+FROM lift ORDER BY lift DESC, p1, p2 LIMIT 15""",
+)
+def rel_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: top part pairs by LIFT
+    (co-occurrence count >= 3). The pair space comes from a self-join
+    keyed on the ORDER (bounded by basket size — never an item-item
+    cross join); lift = (cc * N) / (c1 * c2) is an exact integer
+    rational, so ranking and exact TIES (present in this corpus)
+    resolve identically on both engines via the (p1, p2) tiebreak."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    b = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n = F.broadcast(b.agg(F.countDistinct("o").cast("double").alias("n")))
+    ic = b.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    a = b.alias("a")
+    c = b.alias("c")
+    pairs = (
+        a.join(c, (F.col("a.o") == F.col("c.o")) & (F.col("a.p") < F.col("c.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("c.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("cc"))
+        .filter(F.col("cc") >= 3)
+    )
+    lift = (
+        pairs.join(ic.select(F.col("p").alias("p1"), F.col("c").alias("c1")), "p1")
+        .join(ic.select(F.col("p").alias("p2"), F.col("c").alias("c2")), "p2")
+        .crossJoin(n)
+        .select(
+            "p1", "p2", "cc",
+            ((F.col("cc") * F.col("n")) / (F.col("c1") * F.col("c2")))
+            .alias("lift"),
+        )
+    )
+    return (
+        lift.orderBy(F.desc("lift"), "p1", "p2")
+        .limit(15)
+        .select(
+            F.col("p1").cast("long"), F.col("p2").cast("long"),
+            "cc", F.round("lift", 5).alias("lift"),
+        )
+    )
+
+
+@register(
+    "pipeline_quota_sample",
+    f"""WITH r AS (SELECT doc_id, source,
+        row_number() OVER (PARTITION BY source
+            ORDER BY {h48_sql("'quota42|' || doc_id::VARCHAR")}, doc_id) AS rk
+    FROM documents)
+SELECT source, count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS min_doc_id
+FROM r WHERE rk <= 10 GROUP BY source""",
+)
+def pipeline_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced rehydration: EXACTLY 10 documents per source, chosen by
+    deterministic hash order (replayable, partition-layout-independent)
+    — the per-stratum QUOTA complement of fractional stratified
+    sampling (a mixing recipe that says "equal parts per source" needs
+    counts, not rates). The window partitions by source, so per-task
+    state is one stratum; WindowGroupLimit prunes each partition to its
+    quota before any shuffle-out."""
+    docs = _docs(spark, sf_dir)
+    key = X.h48(F.concat(F.lit("quota42|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+    )
+
+
+@register(
     "rel_rfm_segments",
     """WITH m AS (SELECT max(o_orderdate) AS mx FROM orders),
 rfm AS (SELECT o_custkey AS k,
@@ -5636,6 +5721,12 @@ FAMILY: dict[str, str] = {
     "pipeline_domain_mix": "pipeline_shuffle_export",
     # mixing diagnostics: per-source distribution distance, same family
     "pipeline_source_divergence": "pipeline_shuffle_export",
+    # per-stratum quota draw: deterministic-sampling family
+    "pipeline_quota_sample": "pipeline_shuffle_export",
+    # basket-pair lift: co-occurrence-statistics family (pair counting
+    # over a grouping key + exact-rational association score) — same
+    # family as text_pmi_pairs, repped by the in-window logprob entry
+    "rel_market_basket": "text_unigram_logprob",
     # deterministic-sampling family: exponential-key weighted draw and
     # the component-level leakage-safe split are hash-split twins of the
     # in-window export representative
