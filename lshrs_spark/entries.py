@@ -1529,6 +1529,104 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_pair_distance_hist",
+    f"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+pick AS (SELECT vec_id AS i,
+        ({h48_sql("'pair42|' || vec_id::VARCHAR")} % (SELECT n FROM nn)) AS j
+    FROM embeddings),
+pairs AS (SELECT i, j FROM pick WHERE i <> j),
+sc AS (SELECT p.i, p.j, {cosine_sql("a.embedding", "b.embedding")} AS cos
+  FROM pairs p JOIN embeddings a ON a.vec_id = p.i
+               JOIN embeddings b ON b.vec_id = p.j)
+SELECT floor(cos * 10)::BIGINT AS bucket, count(*)::BIGINT AS n,
+  round(min(cos), 5) AS lo, round(max(cos), 5) AS hi
+FROM sc GROUP BY 1""",
+)
+def emb_pair_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intrinsic-difficulty gauge: histogram of cosine similarity over
+    ONE deterministic hash-drawn pair per vector (skip-self) — a
+    distribution hugging 0 means LSH banding will prune well; heavy
+    positive mass predicts dense buckets and argues for more bands or
+    IVF. The pair draw replays from the shared h48 hash (no rand(), no
+    all-pairs join: exactly n pairs for n vectors)."""
+    emb = _emb(spark, sf_dir)
+    n = F.broadcast(emb.agg(F.count(F.lit(1)).alias("nn")))
+    pick = (
+        emb.crossJoin(n)
+        .select(
+            F.col("vec_id").alias("i"),
+            (X.h48(F.concat(F.lit("pair42|"), F.col("vec_id").cast("string")))
+             % F.col("nn")).alias("j"),
+        )
+        .filter(F.col("i") != F.col("j"))
+    )
+    a = emb.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
+    sc = (
+        pick.join(a, "i")
+        .join(b, "j")
+        .select(cosine_similarity(F.col("va"), F.col("vb")).alias("cos"))
+    )
+    return sc.groupBy(
+        F.floor(F.col("cos") * 10).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("cos"), 5).alias("lo"),
+        F.round(F.max("cos"), 5).alias("hi"),
+    )
+
+
+@register(
+    "rel_revenue_pareto",
+    f"""WITH rev AS (SELECT o_custkey AS k,
+        sum(round(o_totalprice * 100))::BIGINT AS cents FROM orders GROUP BY 1),
+thr AS (SELECT {", ".join(f"quantile_disc(cents, 0.{i}) AS q{i}" for i in range(1, 10))}
+        FROM rev),
+b AS (SELECT k, cents,
+        (1 + {" + ".join(f"(cents > q{i})::INT" for i in range(1, 10))})::BIGINT
+          AS decile
+      FROM rev CROSS JOIN thr),
+tot AS (SELECT sum(cents)::DOUBLE AS t FROM rev)
+SELECT decile, count(*)::BIGINT AS n_customers, sum(cents)::BIGINT AS cents,
+  round(sum(cents) / tot.t, 5) AS share
+FROM b CROSS JOIN tot GROUP BY decile, tot.t""",
+)
+def rel_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration by customer decile (the Pareto question:
+    how much do the top spenders carry) — built scalably: decile
+    boundaries are nine ``percentile_disc`` values broadcast from one
+    1-row aggregate (actual data values, so the integer-cents
+    comparisons are engine-exact) and bucketing is a pure projection —
+    no global cumulative window, no single-partition exchange."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rev = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    thr = F.broadcast(rev.agg(*[
+        F.expr(f"percentile_disc(0.{i}) WITHIN GROUP (ORDER BY cents)")
+        .alias(f"q{i}")
+        for i in range(1, 10)
+    ]))
+    tot = F.broadcast(rev.agg(F.sum("cents").cast("double").alias("t")))
+    decile = sum(
+        (F.col("cents") > F.col(f"q{i}")).cast("int") for i in range(1, 10)
+    ) + F.lit(1)
+    return (
+        rev.crossJoin(thr)
+        .crossJoin(tot)
+        .groupBy(decile.cast("long").alias("decile"), F.col("t"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("cents"),
+        )
+        .select(
+            "decile", "n_customers", "cents",
+            F.round(F.col("cents") / F.col("t"), 5).alias("share"),
+        )
+    )
+
+
+@register(
     "rel_market_basket",
     """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
 n AS (SELECT count(DISTINCT o)::DOUBLE AS n FROM b),
@@ -5703,6 +5801,10 @@ FAMILY: dict[str, str] = {
     "rel_ntile_quartiles": "rel_quantiles",
     # quartile-bucketing family: RFM cube is the disc-quantile twin
     "rel_rfm_segments": "rel_quantiles",
+    "rel_revenue_pareto": "rel_quantiles",  # decile share, same family
+    # sampled-pair distribution gauge: similarity-measure family of the
+    # in-window brute-force cosine representative
+    "emb_pair_distance_hist": "knn_bruteforce",
     "rel_event_quantiles": "rel_quantiles",
     "rel_string_funcs": "rel_events_json",
     "rel_date_math_funcs": "rel_events_json",
