@@ -128,6 +128,43 @@ def lsh_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lsh_bucket_histogram",
+    f"""WITH {_SIGS},
+bucket AS (SELECT band, sig, count(*)::BIGINT AS n FROM sigs GROUP BY band, sig),
+tot AS (SELECT sum(n)::DOUBLE AS t FROM bucket)
+SELECT bucket.n AS bucket_size, count(*)::BIGINT AS n_buckets,
+       (bucket.n * count(*))::BIGINT AS entries,
+       round((bucket.n * count(*)) / tot.t, 5) AS entry_share
+FROM bucket CROSS JOIN tot GROUP BY bucket.n, tot.t""",
+)
+def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-health gauge: the bucket-SIZE distribution across the whole
+    index (how many buckets hold 1, 2, ... n entries, and what share of
+    all entries sits at each size). A long tail here is the probe-time
+    skew signal — candidates per query scale with the occupancy of the
+    probed buckets, so mass concentrating in big buckets says re-plan
+    (more rows per band) before latency says it in production. Two
+    aggregations, keys (band, sig) then n — both shuffle-bounded by
+    bucket count, never corpus size."""
+    idx = build_index(_emb(spark, sf_dir), ORACLE_CFG, "vec_id", "embedding")
+    bucket = idx.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.broadcast(bucket.agg(F.sum("n").cast("double").alias("t")))
+    return (
+        bucket.crossJoin(tot)
+        .groupBy(F.col("n").alias("bucket_size"), F.col("t"))
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .select(
+            "bucket_size",
+            "n_buckets",
+            (F.col("bucket_size") * F.col("n_buckets")).alias("entries"),
+            F.round(
+                (F.col("bucket_size") * F.col("n_buckets")) / F.col("t"), 5
+            ).alias("entry_share"),
+        )
+    )
+
+
 # --------------------------------------------------------------------- #
 # Q1-Q4: probe -> collision count -> order -> limit (SURVEY §2.3)
 # --------------------------------------------------------------------- #
@@ -5746,6 +5783,8 @@ FAMILY: dict[str, str] = {
     "pipeline_token_budget": "pipeline_length_batches",
     # LSH / ANN twins
     "lsh_signatures_sql": "lsh_signatures",
+    # occupancy-distribution twin of the in-window per-band stats rep
+    "lsh_bucket_histogram": "lsh_index_stats",
     "ann_batch": "lsh_topk",
     "ann_recall": "ann_ivf",
     "ann_ivf_recall": "ann_ivf",
