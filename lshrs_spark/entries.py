@@ -1749,6 +1749,43 @@ def pipeline_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_orders_yoy",
+    """WITH m AS (SELECT year(o_orderdate)::BIGINT AS y,
+        month(o_orderdate)::BIGINT AS mo,
+        sum(round(o_totalprice * 100))::BIGINT AS cents
+    FROM orders GROUP BY 1, 2)
+SELECT a.y, a.mo, a.cents, coalesce(b.cents, -1)::BIGINT AS prev_year_cents
+FROM m a LEFT JOIN m b ON b.y = a.y - 1 AND b.mo = a.mo""",
+)
+def rel_orders_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year seasonality: monthly revenue next to the same
+    month one year earlier — via a self-join on the (year-1, month) key
+    rather than a 12-row LAG window (the join is exact under missing
+    months, where a fixed-offset lag silently misaligns). Exact integer
+    cents; the aggregated table is months-sized, so the self-join is
+    broadcast-trivial at any corpus scale."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    b = m.select(
+        (F.col("y") + 1).alias("y"), F.col("mo"),
+        F.col("cents").alias("prev_year_cents"),
+    )
+    return (
+        m.join(F.broadcast(b), ["y", "mo"], "left")
+        .select(
+            "y", "mo", "cents",
+            F.coalesce("prev_year_cents", F.lit(-1)).cast("long")
+            .alias("prev_year_cents"),
+        )
+    )
+
+
+@register(
     "rel_rfm_segments",
     """WITH m AS (SELECT max(o_orderdate) AS mx FROM orders),
 rfm AS (SELECT o_custkey AS k,
@@ -5841,6 +5878,9 @@ FAMILY: dict[str, str] = {
     # quartile-bucketing family: RFM cube is the disc-quantile twin
     "rel_rfm_segments": "rel_quantiles",
     "rel_revenue_pareto": "rel_quantiles",  # decile share, same family
+    # calendar-bucketed aggregate + offset self-join: time-bucket
+    # analytics family of the in-window orders/top-customers rep
+    "rel_orders_yoy": "rel_top_customers",
     # sampled-pair distribution gauge: similarity-measure family of the
     # in-window brute-force cosine representative
     "emb_pair_distance_hist": "knn_bruteforce",
