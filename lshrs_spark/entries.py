@@ -1566,6 +1566,52 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_centroid_stability",
+    f"""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+halves AS (SELECT vec_id, label, embedding, (vec_id % 2) AS h FROM embeddings),
+cen AS (SELECT label, h, d.d, avg(embedding[d.d]::DOUBLE) AS c
+        FROM halves CROSS JOIN dims d GROUP BY 1, 2, 3),
+cv AS (SELECT label, h, list(c ORDER BY d) AS v FROM cen GROUP BY 1, 2),
+pairs AS (SELECT a.label, a.v AS v0, b.v AS v1 FROM cv a JOIN cv b
+          ON a.label = b.label AND a.h = 0 AND b.h = 1)
+SELECT label::BIGINT AS label,
+  round(list_dot_product(v0, v1) /
+        (sqrt(list_dot_product(v0, v0)) * sqrt(list_dot_product(v1, v1))), 5)
+    AS cos_halves
+FROM pairs""",
+)
+def emb_centroid_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-stability gauge: split each label's members into two
+    deterministic halves (id parity) and measure the cosine between the
+    half-centroids — a label whose halves don't even agree with each
+    other is not a coherent cluster (its centroid is noise, and
+    centroid-based ops — outlier screens, SemDeDup, IVF residuals —
+    will behave arbitrarily on it). Same posexplode-aggregate shape as
+    the centroid entries, keyed by (label, half, dim)."""
+    emb = _emb(spark, sf_dir)
+    vals = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("h"),
+        F.posexplode("embedding").alias("d0", "v"),
+    )
+    cen = vals.groupBy("label", "h", "d0").agg(
+        F.avg(F.col("v").cast("double")).alias("c")
+    )
+    cv = cen.groupBy("label", "h").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d0", "c"))), lambda s: s.c
+        ).alias("v")
+    )
+    a = cv.filter(F.col("h") == 0).select("label", F.col("v").alias("v0"))
+    b = cv.filter(F.col("h") == 1).select("label", F.col("v").alias("v1"))
+    return a.join(b, "label").select(
+        F.col("label").cast("long").alias("label"),
+        F.round(cosine_similarity(F.col("v0"), F.col("v1")), 5)
+        .alias("cos_halves"),
+    )
+
+
+@register(
     "emb_pair_distance_hist",
     f"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
 pick AS (SELECT vec_id AS i,
@@ -5868,6 +5914,7 @@ FAMILY: dict[str, str] = {
     "emb_outlier_filter": "emb_kmeans",
     "emb_norm_stats": "emb_kmeans",  # embedding QC card, same family
     "emb_quantile_clip": "emb_kmeans",  # preprocessing envelope, same family
+    "emb_centroid_stability": "emb_kmeans",  # cluster-coherence gauge
     # cohort analytics: event-time bucketing twin of the sessionize rep
     "rel_events_retention": "rel_events_sessionize",
     # relational twins
