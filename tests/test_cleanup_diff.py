@@ -148,3 +148,49 @@ def test_scd2_two_generations(spark):
     assert rows3[(1, 2)] == (150, 3)           # second change closes v2
     assert rows3[(1, 3)] == (175, -1)
     assert len(rows3) == 6
+
+
+def test_scd2_randomized_invariants(spark):
+    """Randomized multi-batch SCD2 run checked against a driver-side
+    reference simulation plus structural invariants: exactly one open
+    row per live key, version chains contiguous, closed rows immutable."""
+    import numpy as np
+
+    from lshrs_spark.operators.diff import scd2_apply
+
+    rng = np.random.default_rng(2024)
+    keys = list(range(50))
+    hist = spark.createDataFrame(
+        [(k, int(rng.integers(0, 5)), 1, -1) for k in keys],
+        "k long, cents long, valid_from long, valid_to long",
+    )
+    # driver-side reference: key -> list of [cents, from, to]
+    ref = {k: [[r.cents, 1, -1]] for k, r in
+           zip(keys, hist.orderBy("k").collect())}
+    for version in (2, 3, 4, 5):
+        batch = [
+            (int(k), int(rng.integers(0, 5)))
+            for k in rng.choice(60, size=20, replace=False)  # some new keys
+        ]
+        hist = scd2_apply(
+            hist, spark.createDataFrame(batch, "k long, cents long"),
+            ["k"], ["cents"], version=version,
+        )
+        for k, cents in batch:
+            if k not in ref:
+                ref[k] = [[cents, version, -1]]
+            elif ref[k][-1][0] != cents:
+                ref[k][-1][2] = version
+                ref[k].append([cents, version, -1])
+    rows = hist.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.k, []).append([r.cents, r.valid_from, r.valid_to])
+    for k in got:
+        got[k].sort(key=lambda x: x[1])
+        # one open row per key, chains contiguous
+        opens = [x for x in got[k] if x[2] == -1]
+        assert len(opens) == 1, (k, got[k])
+        for a, b in zip(got[k], got[k][1:]):
+            assert a[2] == b[1], (k, got[k])
+    assert got == ref

@@ -438,3 +438,19 @@ def test_semantic_dedup_drops_near_identical(spark):
     assert not out[1].keep                   # near-dup of 0, same cluster
     assert out[1].max_sim_lower > 0.99
     assert out[2].keep and out[2].max_sim_lower is None   # alone in cluster
+
+
+def test_containment_jaccard_inequalities_on_corpus(spark):
+    """For every pair: J <= min(c_ab, c_ba) and max containment >= J —
+    the set-algebra invariants that tie the two operators together,
+    checked over the real test corpus."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    jac = {(r.id_a, r.id_b): r.jaccard for r in
+           D.ngram_jaccard_pairs(docs, 0.0, n=3).collect()}
+    cont = {(r.id_a, r.id_b): (r.c_ab, r.c_ba) for r in
+            D.ngram_containment_pairs(docs, 0.0, n=3).collect()}
+    assert set(jac) == set(cont) and jac, "pair sets must coincide"
+    for p, j in jac.items():
+        c_ab, c_ba = cont[p]
+        assert j <= min(c_ab, c_ba) + 1e-12, (p, j, cont[p])
+        assert max(c_ab, c_ba) >= j - 1e-12
