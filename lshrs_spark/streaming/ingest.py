@@ -321,6 +321,83 @@ def _session_event_counts(spark, source_path, gap, name):
     return run_to_memory_table(agg, name=name)
 
 
+def stream_scd2_ingest(
+    spark: SparkSession,
+    source_path: str,
+    table_path: str,
+    keys,
+    tracked,
+    *,
+    base_version: int = 2,
+    checkpoint: Optional[str] = None,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming dimension maintenance: each micro-batch of updates is
+    applied to the SCD2 history table at ``{table_path}/current`` via
+    :func:`~lshrs_spark.operators.diff.scd2_apply` with ``version =
+    base_version + epoch_id``.
+
+    Replay-safe BY CONSTRUCTION: the version derives from the epoch id,
+    and ``scd2_apply`` at a fixed version is idempotent — a retried
+    batch finds its changes already recorded at that same version (the
+    open row already carries the batch value), so re-applying is a
+    no-op rather than a duplicate version. Each apply writes to a
+    ``v{epoch}`` directory and repoints a ``_CURRENT`` marker, so a
+    crash mid-write never corrupts the readable table (single-writer,
+    like every streaming sink here; micro-batches are serialized by the
+    engine). Returns the started StreamingQuery."""
+    import os as _os
+
+    keys = list(keys)
+    tracked = list(tracked)
+    schema = spark.read.parquet(source_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+    from ..operators.diff import scd2_apply
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        marker = _os.path.join(table_path, "_CURRENT")
+        if _os.path.exists(marker):
+            with open(marker) as fh:
+                cur_dir = fh.read().strip()
+            hist = spark.read.parquet(_os.path.join(table_path, cur_dir))
+        else:
+            hist = (
+                batch_df.select(
+                    *keys, *tracked,
+                    F.lit(0).cast("long").alias("valid_from"),
+                    F.lit(-1).cast("long").alias("valid_to"),
+                ).limit(0)
+            )
+        out = scd2_apply(
+            hist, batch_df.select(*keys, *tracked), keys, tracked,
+            version=base_version + epoch_id,
+        )
+        vdir = f"v{epoch_id}"
+        out.write.mode("overwrite").parquet(_os.path.join(table_path, vdir))
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(vdir)
+        _os.replace(tmp, marker)
+
+    writer = stream.writeStream.foreachBatch(apply_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_scd2_table(spark: SparkSession, table_path: str) -> DataFrame:
+    """Current SCD2 history as of the last committed micro-batch."""
+    import os as _os
+
+    with open(_os.path.join(table_path, "_CURRENT")) as fh:
+        cur = fh.read().strip()
+    return spark.read.parquet(_os.path.join(table_path, cur))
+
+
 def stream_dedup_ingest(
     spark: SparkSession,
     source_path: str,

@@ -442,3 +442,60 @@ def test_windowed_counts_surface_dropped_late_rows(spark, tmp_path):
     # only the fresh window survives, with both fresh events
     fresh_ws = int((t0 + dt.timedelta(hours=2)).timestamp())
     assert got == {(fresh_ws, "view"): 2}
+
+
+def test_stream_scd2_ingest_matches_batch_and_replays(spark, tmp_path):
+    """Two micro-batches of dimension updates through stream_scd2_ingest
+    must equal the same scd2_apply sequence in batch; re-applying a
+    batch at ITS OWN version (the replay case: version = epoch id) is a
+    no-op."""
+    import os
+    import time
+
+    from lshrs_spark.operators.diff import scd2_apply
+    from lshrs_spark.streaming.ingest import (
+        read_scd2_table,
+        stream_scd2_ingest,
+    )
+
+    src = str(tmp_path / "dim_updates")
+    b0 = spark.createDataFrame([(1, 100), (2, 200)], "k long, cents long")
+    b1 = spark.createDataFrame([(1, 150), (3, 300)], "k long, cents long")
+    b0.coalesce(1).write.mode("append").parquet(src)
+    table = str(tmp_path / "scd2_table")
+    q = stream_scd2_ingest(
+        spark, src, table, ["k"], ["cents"],
+        checkpoint=str(tmp_path / "ckpt"), max_files_per_trigger=2,
+    )
+    try:
+        q.processAllAvailable()
+        b1.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        (r.k, r.cents, r.valid_from, r.valid_to)
+        for r in read_scd2_table(spark, table).collect()
+    )
+    # batch reference: epoch 0 -> version 2, epoch 1 -> version 3
+    hist = b0.select(
+        "k", "cents",
+        F.lit(2).cast("long").alias("valid_from"),
+        F.lit(-1).cast("long").alias("valid_to"),
+    ).limit(0)
+    hist = scd2_apply(hist, b0, ["k"], ["cents"], version=2)
+    hist = scd2_apply(hist, b1, ["k"], ["cents"], version=3)
+    want = sorted(
+        (r.k, r.cents, r.valid_from, r.valid_to) for r in hist.collect()
+    )
+    assert got == want
+    # replay idempotency: re-applying b1 at version 3 changes nothing
+    replay = scd2_apply(
+        read_scd2_table(spark, table), b1, ["k"], ["cents"], version=3
+    )
+    got2 = sorted(
+        (r.k, r.cents, r.valid_from, r.valid_to) for r in replay.collect()
+    )
+    assert got2 == want
