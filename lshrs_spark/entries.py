@@ -1972,6 +1972,59 @@ def rel_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_template_detect",
+    """WITH d AS (SELECT source,
+      CASE WHEN doc_id % 5 = 0
+           THEN 'click here to subscribe now ' || text ELSE text END AS t
+    FROM documents),
+lead3 AS (SELECT source,
+      concat_ws(' ', string_split(t, ' ')[1], string_split(t, ' ')[2],
+                string_split(t, ' ')[3]) AS opening
+    FROM d),
+cnt AS (SELECT source, opening, count(*)::BIGINT AS c FROM lead3 GROUP BY 1, 2),
+tot AS (SELECT source, sum(c)::BIGINT AS n FROM cnt GROUP BY 1),
+ranked AS (SELECT c.source, c.opening, c.c, t.n,
+    row_number() OVER (PARTITION BY c.source ORDER BY c.c DESC, c.opening) AS r
+  FROM cnt c JOIN tot t USING (source))
+SELECT source, opening, c AS n_docs_sharing, round(c::DOUBLE / n, 5) AS share
+FROM ranked WHERE r = 1""",
+)
+def text_template_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/template detection: the most common document OPENING
+    (leading 3-gram) per source and the share of documents carrying it —
+    a share far above 1/n_docs means a banner/template wrapper the
+    cleaning pass should strip (every fifth document here carries a
+    planted subscription banner, which the detector surfaces at ~20%
+    share; the corpus_diff synthesized-revision pattern keeps the
+    oracle in lockstep). Shuffle keys are (source, opening); the
+    per-source argmax is a WindowGroupLimit, ties by opening."""
+    docs = _docs(spark, sf_dir)
+    t = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit("click here to subscribe now "), F.col("text")),
+    ).otherwise(F.col("text"))
+    toks = F.split(t, " ")
+    opening = F.concat_ws(
+        " ", toks.getItem(0), toks.getItem(1), toks.getItem(2)
+    )
+    cnt = docs.select("source", opening.alias("opening")).groupBy(
+        "source", "opening"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("opening"))
+    return (
+        cnt.join(tot, "source")
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "source", "opening",
+            F.col("c").alias("n_docs_sharing"),
+            F.round(F.col("c").cast("double") / F.col("n"), 5).alias("share"),
+        )
+    )
+
+
+@register(
     "pipeline_source_divergence",
     """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
         FROM documents),
@@ -5899,6 +5952,8 @@ FAMILY: dict[str, str] = {
     "text_heavy_hitters": "text_stats",
     "text_nfc": "text_clean",
     "text_char_entropy": "text_stats",
+    # boilerplate-opening detector: token-frequency-statistics family
+    "text_template_detect": "text_stats",
     "text_bigram_logprob": "text_unigram_logprob",
     # bigram-statistics family: PMI collocations share the bigram
     # explode/count machinery with the in-window logprob rep's family
