@@ -3157,6 +3157,47 @@ def pipeline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_epoch_plan",
+    f"""WITH e AS (SELECT 1 AS epoch UNION ALL SELECT 2),
+keyed AS (SELECT e.epoch, doc_id,
+    {h48_sql("'shuffle' || (40 + e.epoch)::VARCHAR || '|' || doc_id::VARCHAR")}
+      AS hkey
+  FROM documents CROSS JOIN e),
+pos AS (SELECT epoch, doc_id, hkey % 4 AS shard,
+    row_number() OVER (PARTITION BY epoch, hkey % 4 ORDER BY hkey, doc_id) AS pos
+  FROM keyed)
+SELECT epoch::BIGINT AS epoch, shard::BIGINT AS shard,
+       count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS first_doc,
+       min(doc_id * pos)::BIGINT AS order_probe
+FROM pos GROUP BY 1, 2""",
+)
+def pipeline_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch training order plan: every epoch reshuffles the SAME
+    corpus into a different deterministic order (seed = base + epoch),
+    so any worker can re-derive epoch e's batch stream from (seed, e)
+    alone — no stored permutations, no rand(). The ``order_probe``
+    aggregate (min of doc_id x position) pins the within-shard ORDER
+    into the oracle comparison, not just membership. Same
+    shard-then-window shape as :func:`operators.export.shuffle_shards`;
+    per-task state is one (epoch, shard)."""
+    from .operators.export import shuffle_shards
+
+    docs = _docs(spark, sf_dir)
+    out = None
+    for epoch in (1, 2):
+        s = shuffle_shards(docs, 4, seed=40 + epoch).select(
+            F.lit(epoch).cast("long").alias("epoch"),
+            F.col("shard"), F.col("id"), F.col("pos"),
+        )
+        out = s if out is None else out.unionByName(s)
+    return out.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("id").alias("first_doc"),
+        F.min(F.col("id") * F.col("pos")).alias("order_probe"),
+    )
+
+
+@register(
     "pipeline_weighted_sample",
     f"""WITH k AS (SELECT doc_id, n_chars::DOUBLE AS w,
         ({h48_sql("'ws42|' || doc_id::VARCHAR")} + 1.0) / 281474976710656.0 AS u
@@ -6006,6 +6047,8 @@ FAMILY: dict[str, str] = {
     "pipeline_source_divergence": "pipeline_shuffle_export",
     # per-stratum quota draw: deterministic-sampling family
     "pipeline_quota_sample": "pipeline_shuffle_export",
+    # per-epoch reshuffle plan: deterministic-order family
+    "pipeline_epoch_plan": "pipeline_shuffle_export",
     # basket-pair lift: co-occurrence-statistics family (pair counting
     # over a grouping key + exact-rational association score) — same
     # family as text_pmi_pairs, repped by the in-window logprob entry
