@@ -20,6 +20,8 @@ the metric that decides whether an index config is usable.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -378,10 +380,12 @@ def ivf_delete(store_path: str, ids) -> None:
         pq.write_table(tbl, sink)
 
 
-def _tombstone_ids(store_path: str) -> list[int]:
-    """Read the ``_deleted`` sidecar driver-side (it holds a handful of
-    ids per delete batch — no Spark job). Empty list when absent."""
-    import pyarrow.dataset as ds
+def _tombstone_files(store_path: str) -> list[str]:
+    """Parquet file paths inside the ``_deleted`` sidecar (empty when the
+    sidecar is absent) — listed driver-side via pyarrow.fs so object-store
+    URIs work, but never *read* driver-side: the sidecar is unbounded (a
+    GDPR-scale deletion workload accumulates millions of ids between
+    compactions), so consumers join it as a DataFrame relation."""
     from pyarrow.fs import FileSelector, FileType
 
     from ..serving import _fs_and_path
@@ -390,25 +394,39 @@ def _tombstone_ids(store_path: str) -> list[int]:
     deleted = f"{root}/_deleted"
     if filesystem.get_file_info(deleted).type == FileType.NotFound:
         return []
-    files = [
+    return [
         f.path
         for f in filesystem.get_file_info(FileSelector(deleted))
         if f.path.endswith(".parquet")
     ]
-    if not files:
-        return []
-    tbl = ds.dataset(files, filesystem=filesystem).to_table(columns=["id"])
-    return sorted({int(i) for i in tbl.column("id").to_pylist()})
+
+
+def _tombstone_df(spark, store_path: str) -> Optional[DataFrame]:
+    """The ``_deleted`` sidecar as a distinct-``id`` DataFrame, or None
+    when absent/empty. Stays a relation end-to-end — tombstone count
+    never enters a driver list or a plan literal."""
+    if not _tombstone_files(store_path):
+        return None
+    return spark.read.parquet(f"{store_path}/_deleted").select(
+        F.col("id").cast("long").alias("id")
+    ).distinct()
 
 
 def _apply_ivf_tombstones(spark, store: DataFrame, store_path: str) -> DataFrame:
     """Filter tombstoned ids out of a stored-IVF scan so the Spark query
     path agrees with a tombstone-aware :class:`~lshrs_spark.serving.
-    IVFServer` over the same directory."""
-    tomb = _tombstone_ids(store_path)
-    if not tomb:
+    IVFServer` over the same directory.
+
+    Scale shape: a broadcast ``left_anti`` join against the sidecar
+    *relation* (matching the LSH index path, ``core.py``'s load) — never
+    an ``isin`` literal, whose plan size grows with the tombstone count
+    and OOMs the driver under a real deletion workload. Broadcast is safe
+    by contract: the sidecar is bounded by compaction cadence and is
+    ≪ the index it filters."""
+    tomb = _tombstone_df(spark, store_path)
+    if tomb is None:
         return store
-    return store.filter(~F.col("id").isin([int(i) for i in tomb]))
+    return store.join(F.broadcast(tomb), "id", "left_anti")
 
 
 def ivf_compact(spark, store_path: str) -> None:
@@ -428,7 +446,6 @@ def ivf_compact(spark, store_path: str) -> None:
 
     from ..serving import _fs_and_path
 
-    tomb = _tombstone_ids(store_path)
     filesystem, root = _fs_and_path(store_path)
 
     def _rm_dir(path: str) -> None:
@@ -437,13 +454,20 @@ def ivf_compact(spark, store_path: str) -> None:
         except (FileNotFoundError, OSError):
             pass
 
-    if not tomb:
+    tomb = _tombstone_df(spark, store_path)
+    if tomb is None:
         _rm_dir(f"{root}/_deleted")
         return
+    tomb = tomb.persist()
     store = spark.read.parquet(store_path)
+    # Affected-partition discovery is a semi-join against the tombstone
+    # RELATION (never an isin literal over the id list — unbounded).
+    # The collected result is centroid ids only: bounded by nlist, small
+    # by construction, and it must reach the driver anyway to drive the
+    # per-partition swap below.
     affected = sorted(
         r.centroid_id
-        for r in store.filter(F.col("id").isin(tomb))
+        for r in store.join(F.broadcast(tomb), "id", "left_semi")
         .select("centroid_id")
         .distinct()
         .collect()
@@ -452,7 +476,7 @@ def ivf_compact(spark, store_path: str) -> None:
         tmp = f"{store_path}/_compact_tmp_{_uuid.uuid4().hex}"
         (
             store.filter(F.col("centroid_id").isin(affected))
-            .filter(~F.col("id").isin(tomb))
+            .join(F.broadcast(tomb), "id", "left_anti")
             .write.mode("overwrite")
             .partitionBy("centroid_id")
             .parquet(tmp)
@@ -468,6 +492,7 @@ def ivf_compact(spark, store_path: str) -> None:
                 filesystem.move(rewritten, final)
             # else: every row in the partition was tombstoned — it is gone
         _rm_dir(tmp_root)
+    tomb.unpersist()
     _rm_dir(f"{root}/_deleted")
 
 

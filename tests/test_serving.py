@@ -649,3 +649,56 @@ def test_ivfpq_batch_topk_matches_per_query(spark, tmp_path):
     assert batch == solo          # bit-equal: fixed-extent ADC rows
     assert batch[0] == batch[-1]
     assert srv.topk_batch([], 10) == []
+
+
+def test_ivf_tombstones_large_sidecar_no_isin_literal(spark, tmp_path):
+    """VERDICT r4 #1: the stored-IVF tombstone filter must be an
+    anti-join against the sidecar RELATION, never an `isin` literal
+    whose plan size grows with the tombstone count (driver OOM under a
+    GDPR-scale deletion workload). Asserted with a 10k-id sidecar: the
+    query-path plan contains no isin/IN literal list, results match a
+    manual anti-join, and ivf_compact handles the same sidecar."""
+    from lshrs_spark.operators.knn import (
+        _apply_ivf_tombstones,
+        ivf_centroids_by_id,
+        ivf_compact,
+        ivf_delete,
+        ivf_topk_stored,
+        ivf_write_store,
+    )
+
+    rng = np.random.default_rng(31)
+    n, d = 12_000, 8
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    store = str(tmp_path / "ivf_big")
+    cents = ivf_centroids_by_id(emb, 4)
+    ivf_write_store(emb, cents, store)
+
+    dead = list(range(0, 10_000))          # >= 10k tombstones, one batch
+    ivf_delete(store, dead)
+
+    scan = spark.read.parquet(store)
+    filtered = _apply_ivf_tombstones(spark, scan, store)
+    plan = filtered._jdf.queryExecution().toString()
+    assert " IN (" not in plan and "isin" not in plan
+    assert "LeftAnti" in plan.replace(" ", "")
+
+    got = {r.id for r in filtered.select("id").collect()}
+    assert got == set(range(10_000, 12_000))
+
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in vecs[11_500]])], "qid long, qvec array<float>"
+    )
+    top = ivf_topk_stored(spark, store, cents, queries, 10, 4).collect()
+    assert len(top) == 10 and all(r.id >= 10_000 for r in top)
+
+    ivf_compact(spark, store)
+    import os
+
+    assert not os.path.exists(os.path.join(store, "_deleted"))
+    left = {r.id for r in spark.read.parquet(store).select("id").collect()}
+    assert left == set(range(10_000, 12_000))
