@@ -66,6 +66,13 @@ def timed(fn, name: str | None = None, *, warmup: bool = True, reps: int = REPS,
     return min(times), out
 
 
+def p95_index(n: int) -> int:
+    """Index of the p95 order statistic for an n-element sorted list —
+    computed from the length (lat[94] hardcoded the 100-query case and
+    silently mis-reported any other size)."""
+    return min(n - 1, int(0.95 * n))
+
+
 def serve_latencies(fn, queries, *, loops: int = 2):
     """Per-query serving latencies for the p95 contract, best-of-``loops``
     full passes (compared at the p95): a host-level stall window during
@@ -73,6 +80,7 @@ def serve_latencies(fn, queries, *, loops: int = 2):
     regression. Within the winning pass the distribution is untouched —
     p95 still reflects 100 consecutive real queries."""
     best = None
+    i95 = p95_index(len(queries))
     for _ in range(loops):
         lat = []
         for q in queries:
@@ -80,7 +88,7 @@ def serve_latencies(fn, queries, *, loops: int = 2):
             fn(q)
             lat.append(time.perf_counter() - t0)
         lat.sort()
-        if best is None or lat[94] < best[94]:
+        if best is None or lat[i95] < best[i95]:
             best = lat
     return best
 
@@ -321,7 +329,7 @@ def main() -> None:
     ]
     srv.get_top_k(qvecs[0], 10)  # warm
     lat = serve_latencies(lambda q: srv.get_top_k(q, 10), qvecs)
-    serve_p95_ms = lat[94] * 1000
+    serve_p95_ms = lat[p95_index(len(lat))] * 1000
     # Batch serving: all 100 queries through ONE pruned read (shared
     # buckets collapse); reported amortized per query.
     batch_min, _ = timed(
@@ -340,7 +348,7 @@ def main() -> None:
     isrv = IVFServer.from_store(ivf_store)
     isrv.topk(qvecs[0], 10, 4)  # warm
     lat_ivf = serve_latencies(lambda q: isrv.topk(q, 10, 4), qvecs)
-    ann_serve_p95_ms = lat_ivf[94] * 1000
+    ann_serve_p95_ms = lat_ivf[p95_index(len(lat_ivf))] * 1000
     results["ann_ivf_served20x"] = lat_ivf[len(lat_ivf) // 2]
 
     # 13. PQ compressed-scan ANN over the 20x corpus: codebooks trained
@@ -373,7 +381,7 @@ def main() -> None:
     psrv = PQServer.from_store(pq_store)
     psrv.topk(qvecs[0], 10)  # warm
     lat_pq = serve_latencies(lambda q: psrv.topk(q, 10), qvecs)
-    pq_serve_p95_ms = lat_pq[94] * 1000
+    pq_serve_p95_ms = lat_pq[p95_index(len(lat_pq))] * 1000
     results["ann_pq_served20x"] = lat_pq[len(lat_pq) // 2]
 
     total = sum(results.values())

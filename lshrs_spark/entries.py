@@ -927,10 +927,15 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_audio_features",
+    # non-ASCII clamps to 32 (space) exactly like with_wav_payload's
+    # enforced ASCII contract — codepoints <= 127 pass through.
     """SELECT doc_id AS id, 'wav' AS kind, 16000::BIGINT AS sample_rate,
        48::BIGINT AS n_samples,
        round(list_avg(list_transform(generate_series(1, 48),
-             i -> ascii(substr(rpad(text, 48, ' '), i, 1)))), 5) AS mean_abs
+             i -> CASE WHEN ascii(substr(rpad(text, 48, ' '), i, 1)) > 127
+                  THEN 32
+                  ELSE ascii(substr(rpad(text, 48, ' '), i, 1)) END)), 5)
+           AS mean_abs
 FROM documents""",
 )
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -299,10 +299,16 @@ def with_wav_payload(
         np.zeros(n_samples, dtype=np.int16), sample_rate
     ))[:44]
     padded = F.substring(F.rpad(F.col(text_col), n_samples, " "), 1, n_samples)
-    # int16 LE of an ASCII byte v is (v, 0x00): interleave a NUL after
-    # every character, then encode — bytes are preserved 1:1 by utf-8
-    # for the ASCII range
-    body = F.encode(F.regexp_replace(padded, "(.)", "$1\u0000"), "utf-8")
+    # The ASCII-only contract is ENFORCED here, not just documented: a
+    # char > 0x7F encodes multi-byte under utf-8 and would silently
+    # desync the body length from the header's declared data size, so
+    # non-ASCII maps to space (0x20) first. int16 LE of an ASCII byte v
+    # is (v, 0x00): interleave a NUL after every character — with (?s)
+    # so '.' also matches line terminators (a newline otherwise skips
+    # its NUL and corrupts every later sample) — then encode; bytes are
+    # preserved 1:1 by utf-8 for the ASCII range.
+    ascii_only = F.regexp_replace(padded, "[^\x00-\x7F]", " ")
+    body = F.encode(F.regexp_replace(ascii_only, "(?s)(.)", "$1\u0000"), "utf-8")
     return df.select(
         F.col(id_col).cast("long").alias("id"),
         F.concat(F.lit(header), body).alias("payload"),

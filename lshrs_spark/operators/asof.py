@@ -82,21 +82,21 @@ def asof_join(
         *[F.col(f"{c}{suffix}") for c in value_cols],
         F.col(f"{right_ts}{suffix}"),
     )
+    # Carry ONE struct of (value_cols, ts) with a single ignorenulls
+    # window call so every output column comes from the SAME matched
+    # right row — independent per-column carries would fill a NULL cell
+    # of the matched row from a *different* right row (torn match). The
+    # when() guard makes left rows contribute NULL: a struct whose
+    # fields are all NULL is itself non-NULL and would defeat
+    # ignorenulls.
+    rstruct = F.when(F.col("_side") == 0, tie)
     if direction == "backward":
         w = (
             Window.partitionBy(*on)
             .orderBy(F.col("_ts"), F.col("_side"), tie)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        carried = [
-            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
-            .alias(f"{c}{suffix}")
-            for c in value_cols
-        ] + [
-            F.last(F.col(f"{right_ts}{suffix}"), ignorenulls=True)
-            .over(w)
-            .alias(f"{right_ts}{suffix}")
-        ]
+        matched = F.last(rstruct, ignorenulls=True).over(w)
     else:
         # forward: left rows sort BEFORE right rows at the same instant
         # (side desc: 1 then 0), so a right row at exactly left_ts is
@@ -107,18 +107,23 @@ def asof_join(
             .orderBy(F.col("_ts"), F.col("_side").desc(), tie)
             .rowsBetween(0, Window.unboundedFollowing)
         )
-        carried = [
-            F.first(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
-            .alias(f"{c}{suffix}")
-            for c in value_cols
-        ] + [
-            F.first(F.col(f"{right_ts}{suffix}"), ignorenulls=True)
-            .over(w)
-            .alias(f"{right_ts}{suffix}")
-        ]
-    out = u.select(*on, "_ts", "_side", *[F.col(c) for c in left_cols], *carried)
+        matched = F.first(rstruct, ignorenulls=True).over(w)
+    out = u.select(
+        *on, "_ts", "_side", *[F.col(c) for c in left_cols],
+        matched.alias("_rmatch"),
+    )
     return (
         out.filter(F.col("_side") == 1)
-        .withColumnRenamed("_ts", left_ts)
-        .drop("_side")
+        .select(
+            *on,
+            F.col("_ts").alias(left_ts),
+            *[F.col(c) for c in left_cols],
+            *[
+                F.col("_rmatch").getField(f"{c}{suffix}").alias(f"{c}{suffix}")
+                for c in value_cols
+            ],
+            F.col("_rmatch")
+            .getField(f"{right_ts}{suffix}")
+            .alias(f"{right_ts}{suffix}"),
+        )
     )

@@ -103,35 +103,59 @@ def scd2_apply(
     ``history`` carries ``keys + tracked + (valid_from, valid_to)`` with
     ``valid_to = open_marker`` on current rows; versions are caller-
     supplied integers (load ids / epoch days), so the whole merge is
-    exact arithmetic. Scale shape: ONE equi-join on the key between the
-    open slice and the batch plus unions — closed history never joins
-    anything, so cost tracks the ACTIVE dimension size, not the
-    accumulated history.
+    exact arithmetic. NULL key values are legitimate: presence after the
+    full-outer join is tracked with explicit flag columns (never key
+    nullability) and keys join null-safely (``<=>`` — still an
+    equi-join). Duplicate keys within one batch are collapsed before the
+    merge (greatest tracked-value tuple wins, deterministically) — one
+    open row per key is the SCD2 invariant. Scale shape: ONE equi-join
+    on the key between the open slice and the batch plus unions — closed
+    history never joins anything, so cost tracks the ACTIVE dimension
+    size, not the accumulated history.
     """
     keys = list(keys)
     tracked = list(tracked)
     closed = history.filter(F.col(to_col) != open_marker)
-    cur = history.filter(F.col(to_col) == open_marker)
-    upd = updates.select(
-        *[F.col(k).alias(f"_u_{k}") for k in keys],
-        *[F.col(c).alias(f"_u_{c}") for c in tracked],
+    # Explicit presence flags on BOTH join sides: inferring presence
+    # from keys[0] nullability misclassifies a legitimately-NULL key
+    # value (its open row would be treated as absent and dropped).
+    cur = history.filter(F.col(to_col) == open_marker).withColumn(
+        "_h_present", F.lit(True)
     )
-    cond = [F.col(k) == F.col(f"_u_{k}") for k in keys]
+    # Per-batch key uniqueness is a merge precondition (two open rows
+    # for one key is not representable); duplicate keys in one batch
+    # would fan the join out into multiple open rows. Collapse them
+    # deterministically: greatest tracked-value tuple wins.
+    upd = (
+        updates.groupBy(*[F.col(k).alias(f"_u_{k}") for k in keys])
+        .agg(
+            F.max(F.struct(*[F.col(c) for c in tracked])).alias("_u_vals")
+        )
+        .select(
+            *[F.col(f"_u_{k}") for k in keys],
+            *[F.col("_u_vals").getField(c).alias(f"_u_{c}") for c in tracked],
+            F.lit(True).alias("_u_present"),
+        )
+    )
+    cond = [F.col(k).eqNullSafe(F.col(f"_u_{k}")) for k in keys]
     j = cur.join(upd, cond, "full")
-    matched = F.col(keys[0]).isNotNull() & F.col(f"_u_{keys[0]}").isNotNull()
+    matched = (
+        F.col("_h_present").isNotNull() & F.col("_u_present").isNotNull()
+    )
     differs = F.lit(False)
     for c in tracked:
         differs = differs | ~F.col(c).eqNullSafe(F.col(f"_u_{c}"))
     changed = matched & differs
     # old rows: closed when changed, passed through otherwise
-    old_rows = j.filter(F.col(keys[0]).isNotNull()).select(
+    old_rows = j.filter(F.col("_h_present").isNotNull()).select(
         *keys, *tracked,
         F.col(from_col),
         F.when(changed, F.lit(version)).otherwise(F.col(to_col)).alias(to_col),
     )
     # new open rows: changed values + brand-new keys
     new_rows = j.filter(
-        changed | (F.col(keys[0]).isNull() & F.col(f"_u_{keys[0]}").isNotNull())
+        changed
+        | (F.col("_h_present").isNull() & F.col("_u_present").isNotNull())
     ).select(
         *[F.col(f"_u_{k}").alias(k) for k in keys],
         *[F.col(f"_u_{c}").alias(c) for c in tracked],

@@ -53,6 +53,7 @@ def pagerank(
     *,
     damping: float = 0.85,
     iterations: int = 3,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Fixed-iteration synchronous PageRank over the undirected pair
     graph, in mean-1 normalization: ranks start at 1.0 and update as
@@ -65,6 +66,14 @@ def pagerank(
 
     ``nodes`` must carry column ``id``; ``pairs`` columns
     ``id_a, id_b``. Returns ``(id, rank)``.
+
+    Lineage is BOUNDED: every ``checkpoint_every`` rounds the rank
+    table is ``localCheckpoint``-ed (eager), truncating the plan — at
+    the small default iteration count this never fires, but a deep run
+    (30+ rounds) would otherwise accumulate every prior round's joins
+    into one Catalyst plan whose analysis/execution cost grows per
+    round. Values are bit-identical either way (checkpointing replays
+    nothing — it materializes the same partitions).
     """
     import uuid
 
@@ -82,10 +91,15 @@ def pagerank(
         f"graph.pagerank.{uuid.uuid4().hex[:12]}",
         eager=True,
     )
-    ranks = nodes.select(F.col("id").cast("long").alias("id")).withColumn(
-        "rank", F.lit(1.0)
-    )
-    for _ in range(iterations):
+    # The per-round left side is the ITERATION-INVARIANT node-id table,
+    # not `ranks.select("id")`: referencing the prior round's ranks on
+    # both join sides doubles the plan subtree per round (exponential
+    # analysis cost — 30 rounds would embed 2^30 join nodes); with a
+    # single reference the plan grows linearly and the periodic
+    # checkpoint keeps even that bounded.
+    ids = nodes.select(F.col("id").cast("long").alias("id"))
+    ranks = ids.withColumn("rank", F.lit(1.0))
+    for i in range(iterations):
         contribs = (
             contrib_edges.join(ranks, contrib_edges.src == ranks.id)
             .select(
@@ -95,15 +109,15 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            ranks.select("id")
-            .join(contribs, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-                ).alias("rank"),
-            )
+        ranks = ids.join(contribs, "id", "left").select(
+            "id",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
         )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and (
+            i + 1
+        ) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

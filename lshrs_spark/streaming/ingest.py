@@ -337,15 +337,18 @@ def stream_scd2_ingest(
     :func:`~lshrs_spark.operators.diff.scd2_apply` with ``version =
     base_version + epoch_id``.
 
-    Replay-safe BY CONSTRUCTION: the version derives from the epoch id,
-    and ``scd2_apply`` at a fixed version is idempotent — a retried
-    batch finds its changes already recorded at that same version (the
-    open row already carries the batch value), so re-applying is a
-    no-op rather than a duplicate version. Each apply writes to a
-    ``v{epoch}`` directory and repoints a ``_CURRENT`` marker, so a
-    crash mid-write never corrupts the readable table (single-writer,
-    like every streaming sink here; micro-batches are serialized by the
-    engine). Returns the started StreamingQuery."""
+    Replay-safe: the version derives from the epoch id, and a retried
+    batch whose ``_CURRENT`` marker already points at ``v{epoch}``
+    short-circuits — the apply completed before the crash and only the
+    checkpoint commit was lost (re-running would read and overwrite the
+    same path, which Spark refuses, wedging the query). A crash BEFORE
+    the marker repoint leaves ``_CURRENT`` on the prior version, so the
+    retry rebuilds ``v{epoch}`` from unchanged input — idempotent
+    (``scd2_apply`` at a fixed version re-derives the same rows). Each
+    apply writes to a ``v{epoch}`` directory and repoints the marker
+    atomically, so a crash mid-write never corrupts the readable table
+    (single-writer, like every streaming sink here; micro-batches are
+    serialized by the engine). Returns the started StreamingQuery."""
     import os as _os
 
     keys = list(keys)
@@ -360,9 +363,21 @@ def stream_scd2_ingest(
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         marker = _os.path.join(table_path, "_CURRENT")
+        vdir = f"v{epoch_id}"
+        cur_dir = None
         if _os.path.exists(marker):
             with open(marker) as fh:
                 cur_dir = fh.read().strip()
+        # Replay short-circuit: if the marker already points at this
+        # epoch's directory, the batch was fully applied before the
+        # crash (marker repoints only after the write completed) and
+        # only the checkpoint commit was lost. Without this, the retry
+        # would read v{epoch} while mode('overwrite')-writing the same
+        # path — Spark refuses ("cannot overwrite a path that is also
+        # being read from") and the query wedges permanently.
+        if cur_dir == vdir:
+            return
+        if cur_dir is not None:
             hist = spark.read.parquet(_os.path.join(table_path, cur_dir))
         else:
             hist = (
@@ -376,7 +391,6 @@ def stream_scd2_ingest(
             hist, batch_df.select(*keys, *tracked), keys, tracked,
             version=base_version + epoch_id,
         )
-        vdir = f"v{epoch_id}"
         out.write.mode("overwrite").parquet(_os.path.join(table_path, vdir))
         tmp = marker + ".tmp"
         with open(tmp, "w") as fh:

@@ -118,3 +118,26 @@ def test_asof_rejects_bad_direction(spark, frames):
     with pytest.raises(ValueError, match="direction"):
         asof_join(left, right, ["k"], left_ts="t", right_ts="t",
                   direction="nearest")
+
+
+def test_asof_null_cell_not_torn_backward(spark):
+    """ADVICE r4: a NULL cell in the matched right row must stay NULL —
+    per-column ignorenulls carries used to fill it from an OLDER right
+    row, mixing values of two rows into one match."""
+    left = spark.createDataFrame([(1, 10)], "k int, ts int")
+    right = spark.createDataFrame(
+        [(1, 3, 9, 7), (1, 5, 1, None)],
+        "k int, ts int, v1 int, v2 int",
+    )
+    row = asof_join(left, right, ["k"]).collect()[0]
+    assert (row.v1_right, row.v2_right, row.ts_right) == (1, None, 5)
+
+
+def test_asof_null_cell_not_torn_forward(spark):
+    left = spark.createDataFrame([(1, 1)], "k int, ts int")
+    right = spark.createDataFrame(
+        [(1, 2, None, 5), (1, 4, 8, 6)],
+        "k int, ts int, v1 int, v2 int",
+    )
+    row = asof_join(left, right, ["k"], direction="forward").collect()[0]
+    assert (row.v1_right, row.v2_right, row.ts_right) == (None, 5, 2)

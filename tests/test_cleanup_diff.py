@@ -194,3 +194,43 @@ def test_scd2_randomized_invariants(spark):
         for a, b in zip(got[k], got[k][1:]):
             assert a[2] == b[1], (k, got[k])
     assert got == ref
+
+
+def test_scd2_null_key_value_is_a_real_key(spark):
+    """ADVICE r4: presence is tracked with explicit flags, so a
+    legitimately-NULL key value keeps its history row and matches
+    null-safely against a NULL-keyed update."""
+    from lshrs_spark.operators.diff import scd2_apply
+
+    hist = spark.createDataFrame(
+        [(None, 10, 1, -1), ("a", 20, 1, -1)],
+        "k string, cents int, valid_from int, valid_to int",
+    )
+    upd = spark.createDataFrame([(None, 11)], "k string, cents int")
+    out = scd2_apply(hist, upd, ["k"], ["cents"], version=2)
+    rows = {(r.k, r.cents, r.valid_from, r.valid_to) for r in out.collect()}
+    assert rows == {
+        (None, 10, 1, 2),   # NULL-keyed open row closed, not dropped
+        (None, 11, 2, -1),  # new open row for the NULL key
+        ("a", 20, 1, -1),   # untouched key passes through
+    }
+
+
+def test_scd2_duplicate_batch_keys_collapse_to_one_open_row(spark):
+    from lshrs_spark.operators.diff import scd2_apply
+
+    hist = spark.createDataFrame(
+        [("a", 1, 1, -1)], "k string, cents int, valid_from int, valid_to int"
+    )
+    upd = spark.createDataFrame(
+        [("a", 5), ("a", 9), ("b", 3), ("b", 3)], "k string, cents int"
+    )
+    out = scd2_apply(hist, upd, ["k"], ["cents"], version=2)
+    rows = {(r.k, r.cents, r.valid_from, r.valid_to) for r in out.collect()}
+    # greatest tracked tuple wins deterministically; exactly one open
+    # row per key
+    assert rows == {
+        ("a", 1, 1, 2), ("a", 9, 2, -1), ("b", 3, 2, -1),
+    }
+    open_rows = [r for r in out.collect() if r.valid_to == -1]
+    assert len(open_rows) == 2

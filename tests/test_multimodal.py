@@ -231,3 +231,25 @@ def test_wav_payload_pure_catalyst_round_trip(spark):
         assert rate == 16000 and samples.shape == (48, 1)
         want = [ord(c) for c in (txt + " " * 48)[:48]]
         assert list(samples[:, 0]) == want
+
+
+def test_wav_payload_newline_and_non_ascii_safe(spark):
+    """ADVICE r4: '.' without (?s) skips line terminators (their NUL
+    never interleaves -> body shorter than the header claims) and
+    non-ASCII chars encode multi-byte. Newlines now carry through as
+    sample value 10; non-ASCII clamps to 32 (space), keeping the body
+    exactly 2*n_samples bytes."""
+    from lshrs_spark.multimodal import decode_wav, with_wav_payload
+
+    df = spark.createDataFrame(
+        [(1, "ab\ncd"), (2, "héllo☃")],  # newline, é, snowman
+        "doc_id long, text string",
+    )
+    rows = {r.id: bytes(r.payload)
+            for r in with_wav_payload(df, n_samples=8).collect()}
+    for payload in rows.values():
+        assert len(payload) == 44 + 2 * 8        # header + int16 samples
+    rate, s1 = decode_wav(rows[1])
+    assert list(s1) == [97, 98, 10, 99, 100, 32, 32, 32]
+    _, s2 = decode_wav(rows[2])
+    assert list(s2) == [104, 32, 108, 108, 111, 32, 32, 32]

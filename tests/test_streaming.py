@@ -499,3 +499,61 @@ def test_stream_scd2_ingest_matches_batch_and_replays(spark, tmp_path):
         (r.k, r.cents, r.valid_from, r.valid_to) for r in replay.collect()
     )
     assert got2 == want
+
+
+def test_stream_scd2_retry_after_marker_repoint_short_circuits(
+    spark, tmp_path
+):
+    """ADVICE r4 (medium): crash between the _CURRENT repoint and the
+    checkpoint commit means the engine replays the epoch. The replayed
+    apply must short-circuit (marker already at v{epoch}) instead of
+    reading v{epoch} while overwrite-writing the same path — which
+    Spark refuses, wedging the query permanently. Simulated by deleting
+    the epoch's commit file and restarting the stream."""
+    import os
+    import time
+
+    from lshrs_spark.streaming.ingest import (
+        read_scd2_table,
+        stream_scd2_ingest,
+    )
+
+    src = str(tmp_path / "dim_updates")
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "scd2_table")
+    b0 = spark.createDataFrame([(1, 100), (2, 200)], "k long, cents long")
+    b0.coalesce(1).write.mode("append").parquet(src)
+    q = stream_scd2_ingest(
+        spark, src, table, ["k"], ["cents"], checkpoint=ckpt,
+        max_files_per_trigger=2,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    want = sorted(
+        (r.k, r.cents, r.valid_from, r.valid_to)
+        for r in read_scd2_table(spark, table).collect()
+    )
+    # lose the commit for epoch 0: marker points at v0, engine replays 0
+    commits = os.path.join(ckpt, "commits")
+    last = max(f for f in os.listdir(commits) if not f.startswith("."))
+    os.remove(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")   # hadoop checksum sidecar
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    q = stream_scd2_ingest(
+        spark, src, table, ["k"], ["cents"], checkpoint=ckpt,
+        max_files_per_trigger=2,
+    )
+    try:
+        q.processAllAvailable()          # replays epoch 0 — must not wedge
+        assert q.exception() is None
+    finally:
+        q.stop()
+    got = sorted(
+        (r.k, r.cents, r.valid_from, r.valid_to)
+        for r in read_scd2_table(spark, table).collect()
+    )
+    assert got == want
