@@ -957,6 +957,57 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_image_phash",
+    # Recomputes the whole decode->hash->pair chain from the text bytes:
+    # payloads are 7x8 P6 PPMs whose pixels are the first 168 utf-8
+    # bytes of the padded text (documents are pure ASCII), so pixel
+    # luma = sum of 3 ascii() codepoints; dHash bit r*6+c is the
+    # horizontal gradient sign; pairs by exact 48-bit Hamming <= 6.
+    # The oracle brute-forces all pairs (fine at sf0.01); the Spark
+    # side MUST find the identical set through pigeonhole banding.
+    """WITH px AS (
+  SELECT doc_id AS id,
+    list_transform(generate_series(0, 55),
+      p -> ascii(substr(t, p*3+1, 1)) + ascii(substr(t, p*3+2, 1))
+           + ascii(substr(t, p*3+3, 1))) AS luma
+  FROM (SELECT doc_id, rpad(text, 168, ' ') AS t FROM documents)
+),
+fp AS (
+  SELECT id, flatten(list_transform(generate_series(0, 7), r ->
+      list_transform(generate_series(0, 5), c ->
+        CASE WHEN luma[r*7+c+1] > luma[r*7+c+2] THEN 1 ELSE 0 END))) AS bits
+  FROM px
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         list_sum(list_transform(generate_series(1, 48),
+           i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END))::BIGINT
+           AS hamming
+  FROM fp a JOIN fp b ON a.id < b.id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6""",
+)
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by perceptual dHash — the standard
+    image-dedup pass of a multimodal training pipeline (VERDICT r4 #3).
+    REAL decode path: P6 PPM payloads built in pure Catalyst from the
+    documents table, decoded + hashed in Arrow-batched ``mapInPandas``
+    (:func:`~lshrs_spark.multimodal.dhash_table`: 8x7 luma grid,
+    horizontal gradient signs, 48-bit pack), then EXACT Hamming-banded
+    pairs via the pigeonhole ``(block, value)`` equi-join shared with
+    SimHash — never an all-pairs join. The oracle recomputes hash and
+    distance from ``ascii()`` arithmetic and brute-forces the pair
+    space, so banding recall is verified to be exactly 1."""
+    from .multimodal import with_ppm_payload
+    from .operators.dedup import image_dhash_pairs
+
+    payloads = with_ppm_payload(_docs(spark, sf_dir), width=7, height=8)
+    return image_dhash_pairs(payloads, max_hamming=6).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
 # --------------------------------------------------------------------- #
 # ANN tier 3: IVF partition pruning + recall measurement
 # --------------------------------------------------------------------- #
@@ -5883,7 +5934,7 @@ DRIVER_WINDOW: list[str] = [
     # round-6: token-frequency-statistics twin of text_stats;
     # pipeline_pack demoted round-6: prefix-sum family twin of the
     # in-window length-batching rep — the graph family takes its slot)
-    "planner_config", "ann_pq_topk", "graph_pagerank",
+    "planner_config", "ann_ivfpq_topk", "graph_pagerank",
     "pipeline_shuffle_export", "text_bpe_tokens",
     "pipeline_length_batches", "pipeline_corpus_diff",
     # text analysis + corpus hygiene (text_fingerprint demoted round-7:
@@ -5891,19 +5942,19 @@ DRIVER_WINDOW: list[str] = [
     # the BM25 retrieval-ranking family takes its slot)
     "text_stats", "text_quality_classifier", "text_langid",
     "text_bm25_topk", "text_clean",
-    "text_gopher_filter", "text_decontaminate",
+    "multimodal_audio_features", "text_decontaminate",
     "text_pii_redact", "text_quality_filter", "text_chunk",
     "text_unigram_logprob",
     # embeddings analytics
     "emb_kmeans",
     # relational suite (rel_customer_setops and rel_stats_corr demoted
     # round-6: set-membership ~ rel_semi_anti, stats agg ~ rel_quantiles)
-    "rel_pricing_summary", "rel_top_customers",
-    "rel_sales_cube", "rel_events_json", "rel_quantiles",
+    "rel_scd2_merge", "rel_top_customers",
+    "rel_sales_cube", "text_hybrid_rrf", "rel_quantiles",
     "rel_semi_anti",
     "rel_salted_join", "rel_events_sessionize", "rel_events_asof",
     # sketches + streaming + multimodal
-    "sketch_bloom", "sketch_cms", "stream_windowed_counts",
+    "sketch_bloom", "dedup_image_phash", "stream_windowed_counts",
     "stream_stateful_first", "stream_attribution_join",
     "multimodal_features",
 ]
@@ -5984,17 +6035,12 @@ FAMILY: dict[str, str] = {
     # attrition/data-quality reporting family (per-rule funnel) — twin
     # of the in-window corpus-diff promotion-gate representative
     "pipeline_hygiene_cascade": "pipeline_corpus_diff",
-    # SCD2 versioned-merge: change-tracking twin of the corpus-diff rep
-    "rel_scd2_merge": "pipeline_corpus_diff",
     # text twins
     "text_token_topk": "text_stats",
     # demoted round-7 (r3 driver row on file): the h48 rolling-hash doc
     # fingerprint is the content-hash-key twin of the in-window exact-
     # dedup representative — the BM25 retrieval family takes its slot
     "text_fingerprint": "dedup_exact",
-    # retrieval family: rank fusion composes the in-window BM25 rep
-    # with the cosine shortlist (both components driver-checked)
-    "text_hybrid_rrf": "text_bm25_topk",
     "text_heavy_hitters": "text_stats",
     "text_nfc": "text_clean",
     "text_char_entropy": "text_stats",
@@ -6006,7 +6052,10 @@ FAMILY: dict[str, str] = {
     "text_pmi_pairs": "text_unigram_logprob",
     "text_corpus_card": "text_stats",
     "text_langid_accuracy": "text_langid",
-    "text_repetition": "text_gopher_filter",
+    "text_repetition": "text_quality_filter",
+    # demoted round-5 (r4 driver row on file): heuristic-threshold
+    # quality battery twin of the learned quality-filter rep
+    "text_gopher_filter": "text_quality_filter",
     # embeddings twins
     "emb_label_centroids": "emb_kmeans",
     "emb_covariance": "emb_kmeans",
@@ -6021,6 +6070,9 @@ FAMILY: dict[str, str] = {
     # relational twins
     "rel_orders_by_year": "rel_top_customers",
     "rel_distinct_counts": "sketch_bloom",
+    # demoted round-5 (r4 driver row on file): mergeable-sketch
+    # family twin of the Bloom representative
+    "sketch_cms": "sketch_bloom",
     "rel_histogram": "rel_quantiles",
     "rel_ntile_quartiles": "rel_quantiles",
     # quartile-bucketing family: RFM cube is the disc-quantile twin
@@ -6033,11 +6085,17 @@ FAMILY: dict[str, str] = {
     # in-window brute-force cosine representative
     "emb_pair_distance_hist": "knn_bruteforce",
     "rel_event_quantiles": "rel_quantiles",
-    "rel_string_funcs": "rel_events_json",
-    "rel_date_math_funcs": "rel_events_json",
+    # scalar-function surface over the events table (r4 driver row on
+    # file for the demoted JSON rep); events family
+    "rel_events_json": "rel_events_sessionize",
+    "rel_string_funcs": "rel_events_sessionize",
+    "rel_date_math_funcs": "rel_events_sessionize",
     "rel_rollup": "rel_sales_cube",
     "rel_grouping_sets": "rel_sales_cube",
-    "rel_brand_nation_profit": "rel_pricing_summary",
+    "rel_brand_nation_profit": "rel_sales_cube",
+    # demoted round-5 (r4 driver row on file): plain agg subsumed by
+    # the cube representative
+    "rel_pricing_summary": "rel_sales_cube",
     "rel_window_running": "rel_events_sessionize",
     # time-RANGE frame twin of the window/sessionize family
     "rel_window_trailing": "rel_events_sessionize",
@@ -6073,15 +6131,15 @@ FAMILY: dict[str, str] = {
     # quantization family: PQ (codebook quantization + ADC) is the
     # round-4 representative; the int8 scalar-quant entries are its
     # demoted twins
-    "quant_topk": "ann_pq_topk",
-    "quant_error": "ann_pq_topk",
-    "ann_pq_recall": "ann_pq_topk",
-    "ann_ivfpq_topk": "ann_pq_topk",
-    "ann_ivfpq_refined": "ann_pq_topk",
+    "quant_topk": "ann_ivfpq_topk",
+    "quant_error": "ann_ivfpq_topk",
+    "ann_pq_recall": "ann_ivfpq_topk",
+    # demoted round-5 (r4 driver row on file): flat-PQ scoring is a
+    # sub-plan of the promoted IVFADC representative
+    "ann_pq_topk": "ann_ivfpq_topk",
+    "ann_ivfpq_refined": "ann_ivfpq_topk",
     # multimodal twins (rep: multimodal_features)
     "multimodal_frame_sample": "multimodal_features",
-    # real-WAV decode twin of the in-window media-features rep
-    "multimodal_audio_features": "multimodal_features",
     # streaming twins
     "stream_event_type_agg": "stream_windowed_counts",
     "stream_static_enrich": "stream_windowed_counts",

@@ -49,6 +49,8 @@ __all__ = [
     "with_video_payload",
     "frame_sample",
     "media_resize",
+    "dhash48",
+    "dhash_table",
 ]
 
 FEATURE_SCHEMA = (
@@ -612,4 +614,139 @@ def media_resize(payload_df: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
     return payload_df.select("id", "payload").mapInPandas(
         resize_batches, schema="id long, payload binary, width long, height long"
+    )
+
+
+# --------------------------------------------------------------------- #
+# Perceptual hashing: image near-duplicate fingerprints
+# --------------------------------------------------------------------- #
+# dHash (difference hash) is the standard image-dedup pass of a
+# multimodal training pipeline: sample the decoded image down to a tiny
+# luma grid and record, per row, whether each pixel is brighter than its
+# right neighbor. Near-identical images (recompression, slight crops,
+# brightness shifts) agree on most gradient signs, so near-dups sit
+# within a small Hamming distance. 48 bits (8 rows x 6 gradients from a
+# 7-column grid) keeps the fingerprint inside the same safe integer
+# range as the repo's other portable hashes (h48 / SimHash), so a SQL
+# oracle replays it exactly and the pigeonhole banding machinery
+# (`operators.dedup.simhash_blocks`) applies unchanged.
+
+DHASH_GRID_ROWS = 8
+DHASH_GRID_COLS = 7
+DHASH_BITS = DHASH_GRID_ROWS * (DHASH_GRID_COLS - 1)  # 48
+
+
+def dhash48(pixels: np.ndarray) -> int:
+    """Driver-side reference dHash of an ``(h, w, 3)`` uint8 array —
+    the differential twin of the worker-side batch implementation in
+    :func:`dhash_table`. Nearest-neighbor sampling onto the 8x7 grid
+    (``row r -> r*h//8``, ``col c -> c*w//7`` — identity when the image
+    IS 7x8), integer luma = r+g+b, bit ``r*6+c`` set iff
+    ``luma(r, c) > luma(r, c+1)``."""
+    h, w = pixels.shape[0], pixels.shape[1]
+    rr = [(r * h) // DHASH_GRID_ROWS for r in range(DHASH_GRID_ROWS)]
+    cc = [(c * w) // DHASH_GRID_COLS for c in range(DHASH_GRID_COLS)]
+    luma = pixels.astype(np.int64).sum(axis=2)
+    grid = luma[np.ix_(rr, cc)]
+    out = 0
+    for r in range(DHASH_GRID_ROWS):
+        for c in range(DHASH_GRID_COLS - 1):
+            if grid[r, c] > grid[r, c + 1]:
+                out |= 1 << (r * (DHASH_GRID_COLS - 1) + c)
+    return out
+
+
+def dhash_table(payload_df: DataFrame) -> DataFrame:
+    """``(id, dhash)`` — 48-bit perceptual difference hash over binary
+    image payloads (P6 PPM / 24bpp BMP sniffed by magic), decoded and
+    hashed inside Arrow-batched ``mapInPandas``: no per-row Python, no
+    external media libraries, and the whole pass is a narrow map over
+    the payload column (scale shape: embarrassingly parallel, output is
+    16 bytes/row). Feed the result to
+    :func:`~lshrs_spark.operators.dedup.image_dhash_pairs` for the
+    Hamming-banded near-dup join."""
+
+    # NESTED so cloudpickle ships everything by value — workers cannot
+    # import lshrs_spark when the driver owns the session (see
+    # media_features for the same pattern).
+    def dhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        G_ROWS, G_COLS = 8, 7
+
+        def _ppm(b):
+            # same scanner as media_features' decoder: '#' comments,
+            # single whitespace after maxval, pixel data may start with
+            # a whitespace-valued byte
+            ws = b" \t\r\n\x0b\x0c"
+            pos, vals = 2, []
+            while len(vals) < 3:
+                while b[pos] in ws:
+                    pos += 1
+                if b[pos:pos + 1] == b"#":
+                    while b[pos:pos + 1] not in (b"\n", b""):
+                        pos += 1
+                    continue
+                start = pos
+                while b[pos:pos + 1] and b[pos] not in ws:
+                    pos += 1
+                vals.append(int(b[start:pos]))
+            w, h = vals[0], vals[1]
+            off = pos + 1
+            px = _np.frombuffer(b[off:off + w * h * 3], dtype=_np.uint8)
+            if px.size != w * h * 3:
+                raise ValueError("truncated PPM body")
+            return px.reshape(h, w, 3)
+
+        def _bmp(b):
+            off = _struct.unpack_from("<I", b, 10)[0]
+            w = _struct.unpack_from("<i", b, 18)[0]
+            h_raw = _struct.unpack_from("<i", b, 22)[0]
+            h = abs(h_raw)
+            bpp = _struct.unpack_from("<H", b, 28)[0]
+            comp = _struct.unpack_from("<I", b, 30)[0]
+            if bpp != 24 or comp != 0:
+                raise ValueError(
+                    f"unsupported BMP (bpp={bpp}, compression={comp})"
+                )
+            row = w * 3
+            stride = row + (4 - row % 4) % 4
+            rows = [
+                _np.frombuffer(
+                    b[off + i * stride:off + i * stride + row], _np.uint8
+                ).reshape(w, 3)
+                for i in range(h)
+            ]
+            if h_raw > 0:       # positive height = bottom-up file order
+                rows.reverse()  # -> top-down, same orientation as PPM
+            return _np.stack(rows) if rows else _np.empty((0, 0, 3), _np.uint8)
+
+        def _one(b):
+            b = bytes(b)
+            if b[:2] == b"P6":
+                px = _ppm(b)
+            elif b[:2] == b"BM":
+                px = _bmp(b)
+            else:
+                raise ValueError("dhash_table: payload is not PPM/BMP")
+            h, w = px.shape[0], px.shape[1]
+            rr = [(r * h) // G_ROWS for r in range(G_ROWS)]
+            cc = [(c * w) // G_COLS for c in range(G_COLS)]
+            luma = px.astype(_np.int64).sum(axis=2)
+            grid = luma[_np.ix_(rr, cc)]
+            left, right = grid[:, :-1], grid[:, 1:]
+            bits = (left > right).astype(_np.int64).reshape(-1)
+            return int((bits << _np.arange(G_ROWS * (G_COLS - 1))).sum())
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "id": pdf["id"].astype("int64"),
+                "dhash": [_one(p) for p in pdf["payload"]],
+            })
+
+    return payload_df.select("id", "payload").mapInPandas(
+        dhash_batches, schema="id long, dhash long"
     )

@@ -40,6 +40,8 @@ __all__ = [
     "minhash_pairs_against",
     "simhash_table",
     "simhash_pairs",
+    "hamming_banded_pairs",
+    "image_dhash_pairs",
     "connected_components",
     "ngram_contamination",
     "group_representatives",
@@ -465,18 +467,46 @@ def simhash_pairs(
     (e.g. millions of near-empty documents whose fingerprints share a
     block of zeros); ``None`` keeps the result exact."""
     sim = simhash_table(df, id_col, text_col)
+    return hamming_banded_pairs(
+        sim, hash_col="simhash", bits=SIMHASH_BITS, max_hamming=max_hamming,
+        num_blocks=num_blocks, max_block_size=max_block_size,
+        slot="dedup.simhash_tbl",
+    )
+
+
+def hamming_banded_pairs(
+    tbl: DataFrame,
+    *,
+    hash_col: str,
+    bits: int,
+    max_hamming: int,
+    num_blocks: Optional[int] = None,
+    max_block_size: Optional[int] = None,
+    slot: str = "dedup.hamming_tbl",
+) -> DataFrame:
+    """EXACT Hamming-neighbor pairs ``(id_a < id_b, hamming)`` over any
+    ``(id, <hash_col>)`` fingerprint table — the pigeonhole-banded core
+    shared by :func:`simhash_pairs` (text) and
+    :func:`image_dhash_pairs` (images). Self-join key is
+    ``(block_idx, block_value)``, never a data column, so a hot value
+    cannot make the pair space quadratic; ``max_block_size`` caps
+    degenerate buckets (documented recall tradeoff), ``None`` stays
+    exact."""
     # feeds both sides of the self-join: persist (lineage kept) via the
-    # bounded slot registry so the token-hash pipeline runs once
-    sim = persist_slot(sim, "dedup.simhash_tbl", eager=True)
-    blocks = simhash_blocks(max_hamming, num_blocks=num_blocks)
+    # bounded slot registry so the fingerprint pipeline runs once
+    tbl = persist_slot(
+        tbl.select(F.col("id"), F.col(hash_col).alias("_h")), slot,
+        eager=True,
+    )
+    blocks = simhash_blocks(max_hamming, bits=bits, num_blocks=num_blocks)
     nb = len(blocks)
     vals = [
-        F.expr(f"shiftright(simhash, {start}) & {(1 << ln) - 1}").alias(f"v{i}")
+        F.expr(f"shiftright(_h, {start}) & {(1 << ln) - 1}").alias(f"v{i}")
         for i, (start, ln) in enumerate(blocks)
     ]
     stack = ", ".join(f"{i}, v{i}" for i in range(nb))
-    bands = sim.select("id", "simhash", *vals).selectExpr(
-        "id", "simhash", f"stack({nb}, {stack}) AS (blk, val)"
+    bands = tbl.select("id", "_h", *vals).selectExpr(
+        "id", "_h", f"stack({nb}, {stack}) AS (blk, val)"
     )
     if max_block_size is not None:
         cap = (
@@ -495,12 +525,38 @@ def simhash_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+            F.col("a._h").alias("ha"),
+            F.col("b._h").alias("hb"),
         )
         .distinct()  # a pair can collide on several blocks — count once
         .select("id_a", "id_b", dist.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def image_dhash_pairs(
+    payload_df: DataFrame,
+    max_hamming: int = 6,
+    *,
+    num_blocks: Optional[int] = None,
+    max_block_size: Optional[int] = None,
+) -> DataFrame:
+    """EXACT image near-duplicate pairs ``(id_a < id_b, hamming)`` by
+    48-bit perceptual dHash (:func:`~lshrs_spark.multimodal.
+    dhash_table`: Arrow-batched decode of PPM/BMP payloads, 8x7 luma
+    grid, horizontal gradient signs) within Hamming distance
+    ``max_hamming`` — the standard image-dedup pass of a multimodal
+    training pipeline, found with the same pigeonhole banding as
+    :func:`simhash_pairs`: recompressed/brightness-shifted copies agree
+    on most gradient signs, and the ``(block, value)`` equi-join keeps
+    the candidate space linear in the number of genuinely-colliding
+    fingerprints. ``payload_df`` carries ``(id, payload)``."""
+    from ..multimodal import DHASH_BITS, dhash_table
+
+    return hamming_banded_pairs(
+        dhash_table(payload_df), hash_col="dhash", bits=DHASH_BITS,
+        max_hamming=max_hamming, num_blocks=num_blocks,
+        max_block_size=max_block_size, slot="dedup.image_dhash_tbl",
     )
 
 

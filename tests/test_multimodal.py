@@ -253,3 +253,96 @@ def test_wav_payload_newline_and_non_ascii_safe(spark):
     assert list(s1) == [97, 98, 10, 99, 100, 32, 32, 32]
     _, s2 = decode_wav(rows[2])
     assert list(s2) == [104, 32, 108, 108, 111, 32, 32, 32]
+
+
+def test_dhash48_reference_known_grid():
+    """Hand-computed dHash on a 7x8 identity-grid image: bit r*6+c set
+    iff luma(r,c) > luma(r,c+1)."""
+    from lshrs_spark.multimodal import dhash48
+
+    px = np.zeros((8, 7, 3), dtype=np.uint8)
+    px[0, 0] = (10, 0, 0)          # luma row0: 10,0,0,... -> bit 0 set
+    px[3, 2] = (0, 5, 1)           # luma row3 col2=6 > col3=0 -> bit 3*6+2
+    want = (1 << 0) | (1 << (3 * 6 + 2))
+    assert dhash48(px) == want
+
+
+def test_dhash48_nearest_neighbor_sampling_identity_vs_scaled():
+    """A 14x16 image that block-replicates a 7x8 image hashes
+    identically — nearest-neighbor grid sampling hits the same pixels."""
+    from lshrs_spark.multimodal import dhash48
+
+    rng = np.random.default_rng(7)
+    small = rng.integers(0, 256, size=(8, 7, 3), dtype=np.uint8)
+    big = np.repeat(np.repeat(small, 2, axis=0), 2, axis=1)
+    assert dhash48(big) == dhash48(small)
+
+
+def test_dhash_table_matches_driver_reference(spark):
+    """Worker-side batch dHash == driver-side dhash48 on real PPM
+    payloads built from document text (differential test)."""
+    from lshrs_spark.multimodal import (
+        decode_ppm,
+        dhash48,
+        dhash_table,
+        with_ppm_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} " * 20) for i in range(20)]
+        + [(100, "")],
+        "doc_id long, text string",
+    )
+    payloads = with_ppm_payload(docs, width=7, height=8)
+    got = {r.id: r.dhash for r in dhash_table(payloads).collect()}
+    for r in payloads.collect():
+        _, _, px = decode_ppm(bytes(r.payload))
+        assert got[r.id] == dhash48(px), r.id
+    assert len(got) == 21
+
+
+def test_dhash_bmp_matches_ppm_orientation(spark):
+    """The same pixels as PPM and (bottom-up) BMP hash identically —
+    the BMP decoder restores top-down row order."""
+    from lshrs_spark.multimodal import dhash_table, encode_bmp, encode_ppm
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(8, 7, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(px))), (2, bytearray(encode_bmp(px)))],
+        "id long, payload binary",
+    )
+    got = {r.id: r.dhash for r in dhash_table(df).collect()}
+    assert got[1] == got[2]
+
+
+def test_image_dhash_pairs_exact_banding(spark):
+    """Near-identical images (1 flipped gradient bit) pair up with the
+    right Hamming distance; unrelated images don't; result equals the
+    brute-force distance over all pairs (pigeonhole exactness)."""
+    from lshrs_spark.multimodal import dhash48, encode_ppm
+    from lshrs_spark.operators.dedup import image_dhash_pairs
+
+    rng = np.random.default_rng(13)
+    base = rng.integers(0, 256, size=(8, 7, 3), dtype=np.uint8)
+    near = base.copy()
+    near[0, 0] = (255, 255, 255)       # perturb a couple of gradients
+    other = rng.integers(0, 256, size=(8, 7, 3), dtype=np.uint8)
+    imgs = {1: base, 2: near, 3: other}
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_ppm(p))) for i, p in imgs.items()],
+        "id long, payload binary",
+    )
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in image_dhash_pairs(df, max_hamming=6).collect()}
+    # brute force over the driver-side reference hashes
+    hs = {i: dhash48(p) for i, p in imgs.items()}
+    want = {}
+    for a in imgs:
+        for b in imgs:
+            if a < b:
+                d = bin(hs[a] ^ hs[b]).count("1")
+                if d <= 6:
+                    want[(a, b)] = d
+    assert got == want
+    assert (1, 2) in got               # the near-dup pair is found
