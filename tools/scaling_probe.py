@@ -9,6 +9,16 @@ Usage:  python tools/scaling_probe.py [--queries 100] [--dim 64]
 Prints ONE JSON line:
   {"sizes": [...], "bucket_rows": [...], "p50_ms": [...], "p95_ms": [...]}
 
+--job shuffle instead probes the SHUFFLE-HEAVY batch lines
+(simjoin_lsh, dedup_minhash_xxh, graph_pagerank) at 1x and 10x the
+sf0.1 corpus and reports the time-vs-rows slope (VERDICT r4 #4): each
+10x corpus is 10 disjoint "dialects" of the base corpus — per-copy
+letter/sign scrambles keep the WITHIN-copy near-dup structure while
+making cross-copy similarity vanish, so the output (pairs) grows ~10x
+too and slope ~= t(10x)/t(1x) reads directly as the engine's scaling
+exponent (10 = linear on a fixed-size machine, lower = sublinear
+thanks to fixed overheads amortizing).
+
 Run on an idle machine; the p95s use best-of-2 passes (same rationale
 as bench.py — host stall windows would otherwise read as scaling).
 """
@@ -33,13 +43,132 @@ from lshrs_spark.serving import IndexServer
 from lshrs_spark.session import get_spark
 
 
+def _scramble_docs(docs, k):
+    """Copy ``k`` of the documents table: ids shifted to a disjoint
+    range and every vowel rotated by a per-copy offset — a bijection on
+    tokens, so the copy's INTERNAL duplicate/near-dup structure equals
+    the original's while cross-copy shingle overlap collapses (the 10x
+    corpus is 10x the work, not a 10-copy duplicate cluster per doc)."""
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    rot = alpha[k % 26:] + alpha[:k % 26]     # distinct for k = 0..25
+    return docs.select(
+        (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+        F.translate(F.col("text"), alpha, rot).alias("text"),
+    )
+
+
+def _scramble_emb(emb, k, dim):
+    """Copy ``k`` of the embeddings: ids shifted, every third-ish
+    component sign-flipped by a per-copy pattern — within-copy cosines
+    are preserved exactly (a fixed orthogonal transform), cross-copy
+    cosines collapse toward 0."""
+    if k == 0:
+        return emb
+    # per-copy PRNG sign vector: a diagonal orthogonal transform, so
+    # WITHIN-copy cosines are preserved exactly, while two copies'
+    # patterns agree on only ~dim/2 coordinates — cross-copy cosine
+    # concentrates around 0 (structured window patterns left too much
+    # agreement and produced cross-copy pairs above the join threshold)
+    signs = np.random.default_rng(1000 + k).choice([-1.0, 1.0], size=dim)
+    flips = F.array(*[F.lit(float(s)) for s in signs])
+    return emb.select(
+        (F.col("vec_id") + F.lit(k * 10_000_000)).alias("vec_id"),
+        F.zip_with(
+            F.col("embedding"), flips, lambda x, s: (x * s).cast("float")
+        ).alias("embedding"),
+    )
+
+
+def shuffle_main(args) -> None:
+    import time as _time
+
+    from lshrs_spark.cache import release_slots
+    from lshrs_spark.operators.dedup import minhash_band_pairs
+    from lshrs_spark.operators.graph import pagerank
+    from lshrs_spark.operators.simjoin import similarity_join
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark = get_spark("shuffle_scaling_probe", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    sj_cfg = LSHConfig(dim=64, num_perm=128, num_bands=16,
+                       rows_per_band=8, seed=42)
+
+    out = {"sf_dir": sf_dir, "cpus": cpus, "scales": [1, 10], "jobs": {}}
+    for mult in (1, 10):
+        docs = docs0
+        emb = emb0
+        if mult > 1:
+            for k in range(1, mult):
+                docs = docs.unionByName(_scramble_docs(docs0, k))
+                emb = emb.unionByName(_scramble_emb(emb0, k, args.dim))
+        docs = docs.repartition(cpus).persist()
+        emb = emb.repartition(cpus).persist()
+        nd, ne = docs.count(), emb.count()
+
+        def timed_best(fn, reps=3):
+            best, rows = None, None
+            for _ in range(reps):
+                release_slots()
+                t0 = _time.perf_counter()
+                rows = fn()
+                dt = _time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            return best, rows
+
+        jobs = {
+            # 0.6, not bench.py's 0.4: at 0.4 this corpus admits
+            # ~0.05% of RANDOM pairs, so the qualifying-pair space is
+            # inherently quadratic in corpus size and the probe would
+            # measure output growth, not engine scaling. At 0.6 only
+            # genuine near-dups qualify and rows_out stays ~linear.
+            "simjoin_lsh": lambda: similarity_join(
+                emb, sj_cfg, 0.6, max_bucket_size=2000, cache_index=True
+            ).count(),
+            "dedup_minhash_xxh": lambda: minhash_band_pairs(
+                docs, num_hashes=8, rows_per_band=2, base_hash="xxhash64"
+            ).count(),
+            "graph_pagerank": lambda: pagerank(
+                minhash_band_pairs(docs, num_hashes=8, rows_per_band=2,
+                                   base_hash="xxhash64"),
+                docs.select(F.col("doc_id").cast("long").alias("id")),
+                iterations=3,
+            ).count(),
+        }
+        for name, fn in jobs.items():
+            fn()  # warm codegen/JIT once per scale
+            t, rows = timed_best(fn)
+            rec = out["jobs"].setdefault(
+                name, {"rows_in": [], "t_sec": [], "rows_out": []}
+            )
+            rec["rows_in"].append(nd if name != "simjoin_lsh" else ne)
+            rec["t_sec"].append(round(t, 3))
+            rec["rows_out"].append(rows)
+        docs.unpersist()
+        emb.unpersist()
+    for name, rec in out["jobs"].items():
+        rec["slope_10x"] = round(rec["t_sec"][1] / rec["t_sec"][0], 2)
+    print(json.dumps(out))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--queries", type=int, default=100)
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--base", type=int, default=2000,
                     help="vectors at 1x scale")
+    ap.add_argument("--job", choices=["serving", "shuffle"],
+                    default="serving")
     args = ap.parse_args()
+    if args.job == "shuffle":
+        shuffle_main(args)
+        return
 
     cfg = LSHConfig(dim=args.dim, num_perm=128, num_bands=8,
                     rows_per_band=16, seed=42)
