@@ -197,6 +197,17 @@ def main() -> None:
     )
     results["dedup_simhash"], _ = timed(lambda: simhash_table(docs).count(), "dedup_simhash")
 
+    # 6a. Image near-dup dedup: Catalyst PPM payload build -> Arrow
+    # decode + 48-bit dHash -> pigeonhole Hamming-banded pair join.
+    from lshrs_spark.multimodal import with_ppm_payload
+    from lshrs_spark.operators.dedup import image_dhash_pairs
+
+    ppm = with_ppm_payload(docs, width=7, height=8)
+    results["dedup_image_phash"], _ = timed(
+        lambda: image_dhash_pairs(ppm, max_hamming=6).count(),
+        "dedup_image_phash",
+    )
+
     # 6b. Exact-substring dedup (rolling 32-token spans, inverted-index
     # join) and BPE token counting (distinct-word Arrow UDF + join-back).
     from lshrs_spark.functions.bpe import DEFAULT_MERGES, bpe_token_counts

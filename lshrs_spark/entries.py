@@ -957,16 +957,14 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_image_phash",
-    # Recomputes the whole decode->hash->pair chain from the text bytes:
-    # payloads are 7x8 P6 PPMs whose pixels are the first 168 utf-8
-    # bytes of the padded text (documents are pure ASCII), so pixel
-    # luma = sum of 3 ascii() codepoints; dHash bit r*6+c is the
-    # horizontal gradient sign; pairs by exact 48-bit Hamming <= 6.
-    # The oracle brute-forces all pairs (fine at sf0.01); the Spark
-    # side MUST find the identical set through pigeonhole banding.
-    """WITH px AS (
+# Recomputes the whole decode->hash->pair chain from the text bytes:
+# payloads are 7x8 P6 PPMs whose pixels are the first 168 utf-8 bytes of
+# the padded text (documents are pure ASCII), so pixel luma = sum of 3
+# ascii() codepoints; dHash bit r*6+c is the horizontal gradient sign;
+# pairs by exact 48-bit Hamming <= 6. The oracle brute-forces all pairs
+# (fine at sf0.01); the Spark side MUST find the identical set through
+# pigeonhole banding. Shared by the pair and group entries.
+_DHASH_CTES = """px AS (
   SELECT doc_id AS id,
     list_transform(generate_series(0, 55),
       p -> ascii(substr(t, p*3+1, 1)) + ascii(substr(t, p*3+2, 1))
@@ -979,14 +977,19 @@ fp AS (
         CASE WHEN luma[r*7+c+1] > luma[r*7+c+2] THEN 1 ELSE 0 END))) AS bits
   FROM px
 ),
-pairs AS (
+dpairs AS (
   SELECT a.id AS id_a, b.id AS id_b,
          list_sum(list_transform(generate_series(1, 48),
            i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END))::BIGINT
            AS hamming
   FROM fp a JOIN fp b ON a.id < b.id
-)
-SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6""",
+)"""
+
+
+@register(
+    "dedup_image_phash",
+    f"""WITH {_DHASH_CTES}
+SELECT id_a, id_b, hamming FROM dpairs WHERE hamming <= 6""",
 )
 def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate detection by perceptual dHash — the standard
@@ -1006,6 +1009,33 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dhash_pairs(payloads, max_hamming=6).select(
         "id_a", "id_b", "hamming"
     )
+
+
+@register(
+    "dedup_image_groups",
+    f"""WITH RECURSIVE {_DHASH_CTES},
+edges AS (SELECT id_a AS src, id_b AS dst FROM dpairs WHERE hamming <= 6
+          UNION SELECT id_b, id_a FROM dpairs WHERE hamming <= 6),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+SELECT src AS id, min(dst)::BIGINT AS component FROM reach GROUP BY src""",
+)
+def dedup_image_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image duplicate CLUSTERS: perceptual-dHash near-dup pairs
+    (:func:`dedup_image_phash`'s chain) collapsed into connected
+    components via pointer-jumping min-label propagation — the
+    keep-one-per-cluster decision input for a multimodal dedup pass.
+    Oracle = recursive-CTE closure over the brute-forced pair set."""
+    from .multimodal import with_ppm_payload
+    from .operators.dedup import connected_components, image_dhash_pairs
+
+    docs = _docs(spark, sf_dir)
+    payloads = with_ppm_payload(docs, width=7, height=8)
+    pairs = image_dhash_pairs(payloads, max_hamming=6)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("id"))
+    return connected_components(pairs, nodes)
 
 
 # --------------------------------------------------------------------- #
@@ -1050,6 +1080,59 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ivf_topk(emb, cents, queries, k=10, nprobe=4)
     return out.select(
         "id", F.round("score", 5).alias("score"), F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register(
+    "ann_ivf_filtered",
+    f"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec
+         FROM embeddings WHERE vec_id < 16),
+felig AS (SELECT vec_id, embedding FROM embeddings WHERE label % 4 = 1),
+assign AS (SELECT id, centroid_id FROM (
+    SELECT e.vec_id AS id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {cosine_sql("e.embedding", "c.cvec")} DESC,
+                        c.centroid_id ASC) AS r
+    FROM felig e CROSS JOIN cent c) WHERE r = 1),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probes AS (SELECT centroid_id FROM (
+    SELECT c.centroid_id,
+           row_number() OVER (ORDER BY {cosine_sql("q.qv", "c.cvec")} DESC,
+                              c.centroid_id ASC) AS r
+    FROM cent c CROSS JOIN q) WHERE r <= 4),
+cand AS (SELECT a.id FROM assign a
+         JOIN probes p ON a.centroid_id = p.centroid_id),
+scored AS (SELECT cand.id AS id, {cosine_sql("e.embedding", "q.qv")} AS score
+           FROM cand JOIN embeddings e ON e.vec_id = cand.id CROSS JOIN q),
+ranked AS (SELECT id, score,
+                  row_number() OVER (ORDER BY score DESC, id ASC) AS rank
+           FROM scored)
+SELECT id, round(score, 5) AS score, rank FROM ranked WHERE rank <= 10""",
+)
+def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN — top-k under a metadata predicate (here ``label %
+    4 = 1``, a stand-in for any attribute filter), the
+    vector-search-with-WHERE-clause shape every retrieval product needs.
+    The predicate is applied to the CANDIDATE side *before* centroid
+    assignment and ranking (pre-filtering), so the query always returns
+    ``k`` eligible results when the probed cells hold that many —
+    post-filtering a top-k underfills exactly when the filter is
+    selective. Scale shape: the predicate is an ordinary column
+    predicate, so on a stored layout it pushes down to the scan and
+    COMPOSES with centroid partition pruning (two independent
+    row-group prunings); the rest is the standard IVF probe."""
+    from .operators.knn import ivf_centroids_by_id, ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_centroids_by_id(emb, 16)
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    eligible = emb.filter(F.col("label") % 4 == 1)
+    out = ivf_topk(eligible, cents, queries, k=10, nprobe=4)
+    return out.select(
+        "id", F.round("score", 5).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
@@ -5980,6 +6063,8 @@ FAMILY: dict[str, str] = {
     # connected-components representative (rotated out for the new
     # line-dedup family)
     "dedup_representative": "dedup_groups",
+    # image-dHash pair graph collapsed by the same pointer-jumping CC
+    "dedup_image_groups": "dedup_groups",
     "dedup_soft_weight": "dedup_groups",
     "rel_recursive_reach": "dedup_groups",  # SQL-surface twin of CC
     # demoted round-5: per-stratum exact sampling is covered by the new
@@ -6022,6 +6107,8 @@ FAMILY: dict[str, str] = {
     "ann_recall": "ann_ivf",
     "ann_ivf_recall": "ann_ivf",
     "ann_ivf_recall_curve": "ann_ivf",  # nprobe sweep of the same gauge
+    # metadata-predicate pre-filter composed with the same IVF probe
+    "ann_ivf_filtered": "ann_ivf",
     # simjoin / dedup twins and gauges
     "simjoin_exact": "simjoin_lsh",
     "dedup_minhash_sigs": "dedup_minhash_pairs",
