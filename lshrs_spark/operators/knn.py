@@ -20,7 +20,7 @@ the metric that decides whether an index config is usable.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -204,6 +204,7 @@ def ivf_write_store(
     vector_col: str = "embedding",
     mode: str = "overwrite",
     store_centroids: bool = True,
+    extra_cols: Sequence[str] = (),
 ) -> None:
     """Materialize the IVF layout: the corpus written to parquet
     **partitioned by nearest-centroid assignment** — at 100 TB the
@@ -221,6 +222,10 @@ def ivf_write_store(
         vectors.select(
             F.col(id_col).cast("long").alias("id"),
             F.col(vector_col).alias("embedding"),
+            # metadata columns ride along in the same layout so a
+            # filtered query (ivf_topk_stored extra_filter) can push
+            # its predicate into the scan beside the partition pruning
+            *[F.col(c) for c in extra_cols],
         )
         .join(assign, "id")
         .write.mode(mode)
@@ -252,10 +257,21 @@ def ivf_topk_stored(
     *,
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    extra_filter=None,
 ) -> DataFrame:
     """IVF query against a stored layout (``ivf_write_store``): probed
     centroid ids become a partition-pruning ``isin`` filter on the scan —
-    identical results to :func:`ivf_topk`, a fraction of the I/O."""
+    identical results to :func:`ivf_topk`, a fraction of the I/O.
+
+    ``extra_filter`` (optional Column) is the FILTERED-ANN hook — a
+    metadata predicate over columns stored in the layout
+    (``ivf_write_store(extra_cols=...)``). It is applied to the scan
+    itself, so Catalyst pushes it into the parquet reader
+    (``PushedFilters`` + row-group stats skipping) where it COMPOSES
+    with the centroid partition pruning: two independent prunings on
+    one scan, and because the predicate cuts candidates BEFORE
+    ranking, the query never underfills ``k`` the way post-filtering a
+    top-k does."""
     q = queries.select(
         F.col(qid_col).cast("long").alias("qid"), _unit(F.col(qvec_col)).alias("_q")
     )
@@ -271,6 +287,8 @@ def ivf_topk_stored(
     store = spark.read.parquet(store_path).filter(
         F.col("centroid_id").isin(probe_cids)  # -> PartitionFilters on the scan
     )
+    if extra_filter is not None:
+        store = store.filter(extra_filter)     # -> PushedFilters on the scan
     store = _apply_ivf_tombstones(spark, store, store_path)
     v = store.select(
         F.col("centroid_id").cast("long").alias("centroid_id"),

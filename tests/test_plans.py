@@ -509,3 +509,22 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_image_dhash_pairs_banded_no_cartesian(spark):
+    """The image near-dup join must stay a (blk, val) equi-join — a
+    cartesian/broadcast-nested-loop product over payloads would be the
+    100 TB catastrophe this operator exists to avoid."""
+    from lshrs_spark.multimodal import with_ppm_payload
+    from lshrs_spark.operators.dedup import image_dhash_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = image_dhash_pairs(
+        with_ppm_payload(docs, width=7, height=8), max_hamming=6
+    )
+    plan = physical_plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the self-join key is the band tuple, never a payload column
+    assert "blk" in plan and "val" in plan
+    pairs.count()  # and it executes

@@ -702,3 +702,46 @@ def test_ivf_tombstones_large_sidecar_no_isin_literal(spark, tmp_path):
     assert not os.path.exists(os.path.join(store, "_deleted"))
     left = {r.id for r in spark.read.parquet(store).select("id").collect()}
     assert left == set(range(10_000, 12_000))
+
+
+def test_ivf_stored_filtered_ann_pushdown_and_results(spark, tmp_path):
+    """Filtered ANN on the STORED layout: a metadata predicate passed
+    as extra_filter reaches the parquet reader (PushedFilters) beside
+    the centroid PartitionFilters, and results equal the in-memory
+    ivf_topk over the pre-filtered corpus."""
+    from lshrs_spark.operators.knn import (
+        ivf_centroids_by_id,
+        ivf_topk,
+        ivf_topk_stored,
+        ivf_write_store,
+    )
+
+    rng = np.random.default_rng(37)
+    n, d = 600, 16
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], i % 5) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label long",
+    )
+    cents = ivf_centroids_by_id(emb, 8)
+    store = str(tmp_path / "ivf_meta")
+    ivf_write_store(emb, cents, store, extra_cols=["label"])
+
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in vecs[123]])], "qid long, qvec array<float>"
+    )
+    from pyspark.sql import functions as F
+
+    got = ivf_topk_stored(
+        spark, store, cents, queries, 10, 8,
+        extra_filter=F.col("label") == 2,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "EqualTo(label,2)" in plan
+    assert "PartitionFilters" in plan
+
+    want = ivf_topk(emb.filter(F.col("label") == 2), cents, queries, 10, 8)
+    g = sorted((r.qid, r.id, round(r.score, 6), r.rank) for r in got.collect())
+    w = sorted((r.qid, r.id, round(r.score, 6), r.rank) for r in want.collect())
+    assert g == w and len(g) == 10
+    assert all(t[1] % 5 == 2 for t in g)
