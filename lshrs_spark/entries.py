@@ -3224,6 +3224,36 @@ def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_phrase_search",
+    # Token semantics on both sides: split on ' ' and count positions i
+    # where toks[i..i+1] equals the phrase — NOT a LIKE substring match
+    # (which could cross token boundaries).
+    """SELECT id, n_matches FROM (
+  SELECT doc_id AS id,
+         len(list_filter(generate_series(1, len(toks) - 1),
+             i -> toks[i] = 'key' AND toks[i+1] = 'scan'))::BIGINT
+           AS n_matches
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+WHERE n_matches > 0""",
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ('key scan') by positional-posting
+    intersection: the inverted index ``(id, pos, tok)`` is built once
+    (:func:`~lshrs_spark.functions.text.token_postings` — at scale,
+    stored bucketed by token), and each phrase query equi-joins its
+    tokens' posting lists on ``(id, pos - offset)`` — cost tracks the
+    phrase tokens' posting sizes, never the corpus. The oracle rescans
+    with token-boundary semantics, so the index path is verified to
+    miss nothing and match nothing extra."""
+    from .functions.text import phrase_search, token_postings
+
+    postings = token_postings(_docs(spark, sf_dir))
+    return phrase_search(postings, ["key", "scan"]).select(
+        "id", F.col("n_matches").cast("long").alias("n_matches")
+    )
+
+
 _KM_DIMS = "(SELECT unnest(generate_series(1, 64)) AS d)"
 
 
@@ -6129,6 +6159,9 @@ FAMILY: dict[str, str] = {
     # dedup representative — the BM25 retrieval family takes its slot
     "text_fingerprint": "dedup_exact",
     "text_heavy_hitters": "text_stats",
+    # retrieval family: phrase queries answer from the positional
+    # posting index; ranking rep is the in-window BM25 entry
+    "text_phrase_search": "text_bm25_topk",
     "text_nfc": "text_clean",
     "text_char_entropy": "text_stats",
     # boilerplate-opening detector: token-frequency-statistics family

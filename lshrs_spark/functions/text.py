@@ -36,6 +36,8 @@ __all__ = [
     "nfc_normalize_col",
     "char_entropy_col",
     "ENTROPY_ALPHABET",
+    "token_postings",
+    "phrase_search",
 ]
 
 # the tracked alphabet for char_entropy_col; everything else pools into
@@ -479,3 +481,39 @@ def bigram_logprob(
             F.count(F.lit(1)).alias("n_bigrams"),
         )
     )
+
+
+def token_postings(
+    df: "DataFrame", id_col: str = "doc_id", text_col: str = "text"
+) -> "DataFrame":
+    """``(id, pos, tok)`` — the positional inverted index over
+    whitespace tokens. Build ONCE (store partitioned/bucketed by
+    ``tok`` at scale) and answer any number of phrase queries against
+    it; the posting table is the narrow 3-column shape a 100 TB corpus
+    search runs on, never the documents themselves."""
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+
+
+def phrase_search(
+    postings: "DataFrame", phrase: "Sequence[str]"
+) -> "DataFrame":
+    """``(id, n_matches)`` — documents containing the exact consecutive
+    token ``phrase``, with occurrence counts, via posting-list
+    intersection: token *i*'s postings shift their positions by ``-i``
+    and equi-join on ``(id, pos)``, so a match is an all-tokens
+    position agreement. Cost is proportional to the SUM of the phrase
+    tokens' posting sizes (the rarest token prunes the join after the
+    first intersection) — the corpus is never rescanned per query."""
+    phrase = list(phrase)
+    if not phrase:
+        raise ValueError("phrase must contain at least one token")
+    cur = postings.filter(F.col("tok") == phrase[0]).select("id", "pos")
+    for i, tok in enumerate(phrase[1:], start=1):
+        nxt = postings.filter(F.col("tok") == tok).select(
+            "id", (F.col("pos") - i).alias("pos")
+        )
+        cur = cur.join(nxt, ["id", "pos"])
+    return cur.groupBy("id").agg(F.count(F.lit(1)).alias("n_matches"))

@@ -472,15 +472,31 @@ class IVFServer:
                 )
         return scores
 
-    def topk(self, vector: np.ndarray, k: int = 10, nprobe: int = 4) -> list:
+    @staticmethod
+    def _probe_filter(cids, where):
+        """Dataset filter: probed-centroid isin (directory pruning)
+        AND-composed with an optional ``(column, value)`` metadata
+        equality — the FILTERED-ANN hook, served from the same layout
+        when it was written with ``extra_cols``. The predicate is
+        pushed into the pyarrow parquet reader (row-group statistics
+        pruning), mirroring ``ivf_topk_stored(extra_filter=...)``; the
+        filter applies BEFORE ranking, so k never underfills the way
+        post-filtering a top-k does."""
+        flt = pads.field("centroid_id").isin(pa.array(cids, type=pa.int64()))
+        if where is not None:
+            col, val = where
+            flt = flt & (pads.field(col) == val)
+        return flt
+
+    def topk(self, vector: np.ndarray, k: int = 10, nprobe: int = 4,
+             where=None) -> list:
         """``[(id, score, rank)]`` — same rows as `ivf_topk_stored` for a
-        single query, with zero JVM involvement."""
+        single query, with zero JVM involvement. ``where=(col, value)``
+        serves a filtered-ANN query (see :meth:`_probe_filter`)."""
         cids = self.probe_centroids(vector, nprobe)
         tbl = self._ds.to_table(
             columns=["centroid_id", "id", "embedding"],
-            filter=pads.field("centroid_id").isin(
-                pa.array(cids, type=pa.int64())
-            ),
+            filter=self._probe_filter(cids, where),
         )
         ids = tbl.column("id").to_numpy(zero_copy_only=False)
         keep = _drop_deleted(ids, self._deleted)
@@ -505,7 +521,7 @@ class IVFServer:
         ]
 
     def topk_batch(
-        self, vectors, k: int = 10, nprobe: int = 4
+        self, vectors, k: int = 10, nprobe: int = 4, where=None
     ) -> list[list]:
         """Batch form of :meth:`topk`: the UNION of all queries' probed
         partitions is read once (queries landing on the same centroids
@@ -519,9 +535,7 @@ class IVFServer:
         union = sorted({c for p in probes for c in p})
         tbl = self._ds.to_table(
             columns=["centroid_id", "id", "embedding"],
-            filter=pads.field("centroid_id").isin(
-                pa.array(union, type=pa.int64())
-            ),
+            filter=self._probe_filter(union, where),
         )
         ids = tbl.column("id").to_numpy(zero_copy_only=False)
         keep = _drop_deleted(ids, self._deleted)
@@ -733,7 +747,7 @@ class IVFPQServer:
         ]
 
     def topk_batch(
-        self, vectors, k: int = 10, nprobe: int = 4
+        self, vectors, k: int = 10, nprobe: int = 4, where=None
     ) -> list[list]:
         """Batch form of :meth:`topk`: the union of all queries' probed
         partitions is read once; each query then gather-sums only ITS

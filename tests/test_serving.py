@@ -745,3 +745,51 @@ def test_ivf_stored_filtered_ann_pushdown_and_results(spark, tmp_path):
     w = sorted((r.qid, r.id, round(r.score, 6), r.rank) for r in want.collect())
     assert g == w and len(g) == 10
     assert all(t[1] % 5 == 2 for t in g)
+
+
+def test_ivf_server_filtered_where_matches_spark_path(spark, tmp_path):
+    """Filtered ANN at the SERVING layer: IVFServer.topk(where=) reads
+    the same layout with the metadata predicate pushed into the
+    pyarrow reader and returns the same rows as the Spark
+    ivf_topk_stored(extra_filter=) path."""
+    from pyspark.sql import functions as F
+
+    from lshrs_spark.operators.knn import (
+        ivf_centroids_by_id,
+        ivf_topk_stored,
+        ivf_write_store,
+    )
+    from lshrs_spark.serving import IVFServer
+
+    rng = np.random.default_rng(41)
+    n, d = 500, 16
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], i % 3) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label long",
+    )
+    cents = ivf_centroids_by_id(emb, 8)
+    store = str(tmp_path / "ivf_where")
+    ivf_write_store(emb, cents, store, extra_cols=["label"])
+
+    srv = IVFServer.from_store(store)
+    q = vecs[77]
+    got = srv.topk(q, 10, nprobe=8, where=("label", 1))
+    assert len(got) == 10 and all(i % 3 == 1 for i, _, _ in got)
+
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in q])], "qid long, qvec array<float>"
+    )
+    want = [
+        (r.id, round(r.score, 9), r.rank)
+        for r in ivf_topk_stored(
+            spark, store, cents, queries, 10, 8,
+            extra_filter=F.col("label") == 1,
+        ).orderBy("rank").collect()
+    ]
+    assert [(i, round(s, 9), rk) for i, s, rk in got] == want
+
+    # batch path agrees with the solo path under the same filter
+    batch = srv.topk_batch([q, vecs[5]], 10, nprobe=8, where=("label", 1))
+    assert batch[0] == got
+    assert all(i % 3 == 1 for i, _, _ in batch[1])
