@@ -6048,8 +6048,8 @@ DRIVER_WINDOW: list[str] = [
     # pipeline_pack demoted round-6: prefix-sum family twin of the
     # in-window length-batching rep — the graph family takes its slot)
     "planner_config", "ann_ivfpq_topk", "graph_pagerank",
-    "pipeline_shuffle_export", "text_bpe_tokens",
-    "pipeline_length_batches", "pipeline_corpus_diff",
+    "pipeline_weighted_sample", "text_bpe_tokens",
+    "pipeline_length_batches", "pipeline_hygiene_cascade",
     # text analysis + corpus hygiene (text_fingerprint demoted round-7:
     # content-hash fingerprinting twin of the in-window exact-dedup rep —
     # the BM25 retrieval-ranking family takes its slot)
@@ -6099,7 +6099,7 @@ FAMILY: dict[str, str] = {
     "rel_recursive_reach": "dedup_groups",  # SQL-surface twin of CC
     # demoted round-5: per-stratum exact sampling is covered by the new
     # deterministic-sampling/export representative (r3 driver row on file)
-    "pipeline_stratified_sample": "pipeline_shuffle_export",
+    "pipeline_stratified_sample": "pipeline_weighted_sample",
     # demoted round-5: stored-layout variant of the in-window IVF rep
     # (r3 driver row on file), rotated out for the SemDeDup family
     "ann_ivf_stored": "ann_ivf",
@@ -6149,9 +6149,10 @@ FAMILY: dict[str, str] = {
     # partial-overlap family: directional containment is the inclusion-
     # oriented twin of the in-window substring-span representative
     "dedup_containment": "dedup_substring",
-    # attrition/data-quality reporting family (per-rule funnel) — twin
-    # of the in-window corpus-diff promotion-gate representative
-    "pipeline_hygiene_cascade": "pipeline_corpus_diff",
+    # demoted round-5 (driver rows r4 on file): the corpus-diff rep
+    # hands the promotion-gate family slot to the per-rule attrition
+    # funnel (never driver-checked before)
+    "pipeline_corpus_diff": "pipeline_hygiene_cascade",
     # text twins
     "text_token_topk": "text_stats",
     # demoted round-7 (r3 driver row on file): the h48 rolling-hash doc
@@ -6224,14 +6225,14 @@ FAMILY: dict[str, str] = {
     "rel_salted_agg": "rel_salted_join",
     "rel_bloom_join": "sketch_bloom",  # bloom-filter join pruning
     # pipeline / quant twins
-    "pipeline_split": "pipeline_shuffle_export",
-    "pipeline_domain_mix": "pipeline_shuffle_export",
+    "pipeline_split": "pipeline_weighted_sample",
+    "pipeline_domain_mix": "pipeline_weighted_sample",
     # mixing diagnostics: per-source distribution distance, same family
-    "pipeline_source_divergence": "pipeline_shuffle_export",
+    "pipeline_source_divergence": "pipeline_weighted_sample",
     # per-stratum quota draw: deterministic-sampling family
-    "pipeline_quota_sample": "pipeline_shuffle_export",
+    "pipeline_quota_sample": "pipeline_weighted_sample",
     # per-epoch reshuffle plan: deterministic-order family
-    "pipeline_epoch_plan": "pipeline_shuffle_export",
+    "pipeline_epoch_plan": "pipeline_weighted_sample",
     # basket-pair lift: co-occurrence-statistics family (pair counting
     # over a grouping key + exact-rational association score) — same
     # family as text_pmi_pairs, repped by the in-window logprob entry
@@ -6239,15 +6240,18 @@ FAMILY: dict[str, str] = {
     # deterministic-sampling family: exponential-key weighted draw and
     # the component-level leakage-safe split are hash-split twins of the
     # in-window export representative
-    "pipeline_weighted_sample": "pipeline_shuffle_export",
-    "pipeline_group_split": "pipeline_shuffle_export",
+    # demoted round-5 (driver rows r1-r4 on file): the hash-split export
+    # rep hands the deterministic-sampling family slot to the
+    # exponential-key weighted reservoir (never driver-checked before)
+    "pipeline_shuffle_export": "pipeline_weighted_sample",
+    "pipeline_group_split": "pipeline_weighted_sample",
     # time-series family: OHLC downsample is the rollup twin of the
     # in-window as-of-join representative
     "rel_events_ohlc": "rel_events_asof",
     "rel_events_asof_fwd": "rel_events_asof",  # forward direction twin
-    "pipeline_negatives": "pipeline_shuffle_export",
-    # promotion-gate family (rep: pipeline_corpus_diff)
-    "pipeline_data_quality": "pipeline_corpus_diff",
+    "pipeline_negatives": "pipeline_weighted_sample",
+    # promotion-gate family (rep: pipeline_hygiene_cascade since r5)
+    "pipeline_data_quality": "pipeline_hygiene_cascade",
     # quantization family: PQ (codebook quantization + ADC) is the
     # round-4 representative; the int8 scalar-quant entries are its
     # demoted twins
