@@ -42,6 +42,7 @@ __all__ = [
     "simhash_pairs",
     "hamming_banded_pairs",
     "image_dhash_pairs",
+    "image_dhash_band_keys",
     "connected_components",
     "ngram_contamination",
     "group_representatives",
@@ -1036,4 +1037,35 @@ def semantic_dedup(
             F.col("max_sim_lower").isNull()
             | (F.col("max_sim_lower") < threshold)
         ).alias("keep"),
+    )
+
+
+def image_dhash_band_keys(
+    payload_df: DataFrame,
+    max_hamming: int = 6,
+    *,
+    num_blocks: Optional[int] = None,
+) -> DataFrame:
+    """``(id, band, sig)`` — perceptual-dHash pigeonhole blocks as
+    band keys, the image twin of :func:`minhash_band_keys`: two images
+    within Hamming distance ``max_hamming`` are GUARANTEED to share at
+    least one key (pigeonhole over ``max_hamming + 1`` blocks), so a
+    key-store join finds every near-dup; a shared key does not prove
+    distance <= threshold (same candidate semantics as the MinHash
+    keys). Plugs straight into
+    :func:`~lshrs_spark.streaming.ingest.stream_dedup_ingest` via
+    ``key_fn`` for streaming image ingest dedup."""
+    from ..multimodal import DHASH_BITS, dhash_table
+
+    tbl = dhash_table(payload_df)
+    blocks = simhash_blocks(max_hamming, bits=DHASH_BITS,
+                            num_blocks=num_blocks)
+    nb = len(blocks)
+    vals = [
+        F.expr(f"shiftright(dhash, {start}) & {(1 << ln) - 1}").alias(f"v{i}")
+        for i, (start, ln) in enumerate(blocks)
+    ]
+    stack = ", ".join(f"{i}, v{i}" for i in range(nb))
+    return tbl.select("id", *vals).selectExpr(
+        "id", f"stack({nb}, {stack}) AS (band, sig)"
     )

@@ -423,11 +423,19 @@ def stream_dedup_ingest(
     seed: int = 42,
     checkpoint: Optional[str] = None,
     max_files_per_trigger: int = 1,
+    key_fn=None,
 ):
     """Streaming incremental dedup — the production ingest shape: each
     micro-batch of documents is MinHash-banded and joined against the
     ACCUMULATED corpus band-key store (parquet at
-    ``{state_path}/band_keys``) before admission. Batch docs that share
+    ``{state_path}/band_keys``) before admission.
+
+    ``key_fn`` (optional) swaps the key generator: any callable
+    ``batch_df -> (id, band, sig)`` plugs a different modality into the
+    same store/join/replay machinery — e.g.
+    :func:`~lshrs_spark.operators.dedup.image_dhash_band_keys` for
+    STREAMING IMAGE DEDUP over binary payload batches (perceptual
+    dHash blocks as band keys). Default: MinHash over ``text``. Batch docs that share
     a band with the stored corpus are recorded as ``(new_id,
     corpus_id)`` candidate pairs under ``{state_path}/duplicates`` and
     NOT admitted; clean docs append their band keys to the store.
@@ -463,10 +471,14 @@ def stream_dedup_ingest(
         .parquet(source_path)
     )
 
+    if key_fn is None:
+        def key_fn(batch_df):
+            return minhash_band_keys(
+                batch_df, num_hashes, rows_per_band, n, seed=seed
+            )
+
     def dedup_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        keys = minhash_band_keys(
-            batch_df, num_hashes, rows_per_band, n, seed=seed
-        ).persist()
+        keys = key_fn(batch_df).persist()
         dups = None
         try:
             try:

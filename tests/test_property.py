@@ -315,3 +315,57 @@ def test_video_container_roundtrip_any_frames(frames):
     from lshrs_spark.multimodal import decode_video, encode_video
 
     assert decode_video(encode_video(frames)) == frames
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(7, 24),
+    h=st.integers(8, 24),
+    shift=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_dhash_invariant_under_brightness_shift(w, h, shift, seed):
+    """dHash is a gradient-SIGN fingerprint: adding a constant to every
+    pixel (no clipping) preserves every bit — the brightness-shift
+    robustness that makes it a perceptual near-dup hash rather than a
+    content hash."""
+    from lshrs_spark.multimodal import dhash48
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256 - shift, size=(h, w, 3), dtype=np.uint8)
+    shifted = (px + shift).astype(np.uint8)   # no wraparound by draw range
+    assert dhash48(px) == dhash48(shifted)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=1, max_size=12),
+        min_size=1, max_size=8,
+    ),
+    p1=st.sampled_from("ab"),
+    p2=st.sampled_from("ab"),
+)
+def test_phrase_search_matches_reference_counts(spark, docs, p1, p2):
+    """phrase_search == a python sliding-window count over every random
+    token document (including overlapping occurrences: 'a a a' contains
+    'a a' twice)."""
+    from lshrs_spark.functions.text import phrase_search, token_postings
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.id: r.n_matches
+        for r in phrase_search(token_postings(df), [p1, p2]).collect()
+    }
+    want = {}
+    for i, toks in enumerate(docs):
+        n = sum(
+            1 for j in range(len(toks) - 1)
+            if toks[j] == p1 and toks[j + 1] == p2
+        )
+        if n:
+            want[i] = n
+    assert got == want

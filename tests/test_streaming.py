@@ -557,3 +557,60 @@ def test_stream_scd2_retry_after_marker_repoint_short_circuits(
         for r in read_scd2_table(spark, table).collect()
     )
     assert got == want
+
+
+def test_stream_image_dedup_ingest_blocks_near_dup_payloads(spark, tmp_path):
+    """Streaming IMAGE dedup: the generic key_fn hook plugs perceptual
+    dHash block keys into the same accumulated-store machinery. A
+    later batch's near-identical image is recorded as a duplicate and
+    not admitted; a genuinely different image is admitted."""
+    import time
+
+    import numpy as np
+
+    from lshrs_spark.multimodal import dhash48, encode_ppm
+    from lshrs_spark.operators.dedup import image_dhash_band_keys
+    from lshrs_spark.streaming.ingest import stream_dedup_ingest
+
+    rng = np.random.default_rng(53)
+    base = rng.integers(0, 256, size=(8, 7, 3), dtype=np.uint8)
+    near = base.copy()
+    near[0, 0] = (255, 255, 255)
+    other = rng.integers(0, 256, size=(8, 7, 3), dtype=np.uint8)
+    # near must actually be a near-dup of base for the test's premise
+    assert bin(dhash48(base) ^ dhash48(near)).count("1") <= 6
+
+    src = str(tmp_path / "img_stream")
+    b0 = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(base)))], "id long, payload binary"
+    )
+    b1 = spark.createDataFrame(
+        [(2, bytearray(encode_ppm(near))), (3, bytearray(encode_ppm(other)))],
+        "id long, payload binary",
+    )
+    b0.coalesce(1).write.mode("append").parquet(src)
+    state = str(tmp_path / "img_state")
+    q = stream_dedup_ingest(
+        spark, src, state,
+        checkpoint=str(tmp_path / "ckpt"), max_files_per_trigger=2,
+        key_fn=lambda df: image_dhash_band_keys(df, max_hamming=6),
+    )
+    try:
+        q.processAllAvailable()
+        b1.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    admitted = {
+        r.id for r in spark.read.parquet(f"{state}/band_keys")
+        .select("id").distinct().collect()
+    }
+    dups = {
+        (r.new_id, r.corpus_id)
+        for r in spark.read.parquet(f"{state}/duplicates").collect()
+    }
+    assert 1 in admitted and 3 in admitted
+    assert 2 not in admitted
+    assert (2, 1) in dups
