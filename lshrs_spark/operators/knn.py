@@ -746,18 +746,28 @@ def ivfpq_write_store(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     mode: str = "overwrite",
+    extra_cols: Sequence[str] = (),
 ) -> None:
     """IVFADC layout — the two prunings composed: the code table
     ``(id, codes)`` parquet-partitioned by nearest-centroid assignment.
     A query prunes to ``nprobe/K`` of the PARTITIONS (IVF) and reads m
     bytes per surviving document (PQ) — at 100 TB this is the layout
     where a top-k query touches megabytes. Sidecars: ``_centroids`` +
-    ``_codebooks`` (both tiny, both invisible to dataset discovery)."""
+    ``_codebooks`` (both tiny, both invisible to dataset discovery).
+    ``extra_cols`` metadata columns ride along for filtered serving
+    (:meth:`~lshrs_spark.serving.IVFPQServer.topk` ``where=``)."""
     assign = ivf_assign(vectors, centroids, id_col=id_col, vector_col=vector_col)
     enc = pq_encode(vectors, codebooks, m, dim, id_col=id_col,
                     vector_col=vector_col)
+    meta = vectors.select(
+        F.col(id_col).cast("long").alias("id"),
+        *[F.col(c) for c in extra_cols],
+    )
+    wide = _pq_codes_wide(enc)
+    if extra_cols:
+        wide = wide.join(meta, "id")
     (
-        _pq_codes_wide(enc)
+        wide
         .join(assign, "id")
         .write.mode(mode)
         .partitionBy("centroid_id")

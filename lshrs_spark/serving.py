@@ -720,15 +720,18 @@ class IVFPQServer:
                             np.isnan(scores)))[:nprobe]
         return [int(c) for c in self._cids[order]]
 
-    def topk(self, vector: np.ndarray, k: int = 10, nprobe: int = 4) -> list:
+    def topk(self, vector: np.ndarray, k: int = 10, nprobe: int = 4,
+             where=None) -> list:
         """``[(id, dist2, rank)]`` — same rows as ``ivfpq_topk_stored``
-        for a single query, zero JVM involvement."""
+        for a single query, zero JVM involvement. ``where=(col, value)``
+        serves a filtered-ANN query over metadata columns stored with
+        ``ivfpq_write_store(extra_cols=...)`` — the predicate joins the
+        centroid pruning inside the pyarrow reader, exactly like
+        :meth:`IVFServer.topk`."""
         cids = self.probe_centroids(vector, nprobe)
         tbl = self._ds.to_table(
             columns=["id", "codes"],
-            filter=pads.field("centroid_id").isin(
-                pa.array(cids, type=pa.int64())
-            ),
+            filter=IVFServer._probe_filter(cids, where),
         )
         ids = tbl.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
         keep = _drop_deleted(ids, self._deleted)

@@ -793,3 +793,37 @@ def test_ivf_server_filtered_where_matches_spark_path(spark, tmp_path):
     batch = srv.topk_batch([q, vecs[5]], 10, nprobe=8, where=("label", 1))
     assert batch[0] == got
     assert all(i % 3 == 1 for i, _, _ in batch[1])
+
+
+def test_ivfpq_server_filtered_where(spark, tmp_path):
+    """Filtered ANN on the IVFADC tier: metadata columns stored beside
+    the code table; where= serves only eligible ids and equals the
+    unfiltered result restricted to the predicate."""
+    from lshrs_spark.operators.knn import (
+        ivf_centroids_by_id,
+        ivfpq_write_store,
+        pq_codebooks,
+    )
+    from lshrs_spark.serving import IVFPQServer
+
+    rng = np.random.default_rng(47)
+    n, dim = 400, 32
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], i % 4) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label long",
+    )
+    cents = ivf_centroids_by_id(emb, 8)
+    cb = pq_codebooks(emb, m=4, k=8, dim=dim, iterations=1)
+    store = str(tmp_path / "ivfpq_meta")
+    ivfpq_write_store(emb, cents, cb, store, m=4, dim=dim,
+                      extra_cols=["label"])
+
+    srv = IVFPQServer.from_store(store)
+    q = vecs[200]
+    got = srv.topk(q, 10, nprobe=8, where=("label", 3))
+    assert len(got) == 10 and all(i % 4 == 3 for i, _, _ in got)
+    # equals the unfiltered ADC ranking restricted to eligible ids
+    full = srv.topk(q, n, nprobe=8)
+    want = [(i, d) for i, d, _ in full if i % 4 == 3][:10]
+    assert [(i, d) for i, d, _ in got] == want
