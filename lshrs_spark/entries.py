@@ -5196,6 +5196,51 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_semantic_decontaminate",
+    f"""SELECT e.vec_id::BIGINT AS id,
+       round(max({cosine_sql("e.embedding", "b.bvec")}), 5) AS max_bench_sim,
+       round(max({cosine_sql("e.embedding", "b.bvec")}), 5) >= 0.35
+           AS contaminated
+FROM embeddings e CROSS JOIN
+     (SELECT embedding AS bvec FROM embeddings WHERE vec_id < 25) b
+WHERE e.vec_id >= 25
+GROUP BY e.vec_id""",
+)
+def emb_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding-space
+    complement of the n-gram :func:`text_decontaminate`: a paraphrased
+    benchmark item shares no 8-gram with its source but sits at high
+    cosine, so each corpus embedding is scored by its max similarity to
+    the (small, broadcast) benchmark set and flagged at 0.35. Scale
+    shape: benchmarks are tiny by definition, so the broadcast cross
+    join is ONE corpus scan with no shuffle on the corpus side — the
+    right plan at 100 TB (an LSH/IVF shortlist only becomes worthwhile
+    when the benchmark side outgrows broadcast range). The 5-dp
+    rounding happens BEFORE the threshold cut on both engines, the
+    established cross-engine float-cut pattern."""
+    from .functions.vector import dot_product, unit_or_null
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= 25).select(
+        F.col("vec_id").cast("long").alias("id"),
+        unit_or_null(F.col("embedding")).alias("_v"),
+    )
+    bench = emb.filter(F.col("vec_id") < 25).select(
+        unit_or_null(F.col("embedding")).alias("_b")
+    )
+    sim = F.round(F.max(dot_product(F.col("_v"), F.col("_b"))), 5)
+    return (
+        corpus.crossJoin(F.broadcast(bench))
+        .groupBy("id")
+        .agg(sim.alias("max_bench_sim"))
+        .select(
+            "id", "max_bench_sim",
+            (F.col("max_bench_sim") >= 0.35).alias("contaminated"),
+        )
+    )
+
+
+@register(
     "dedup_soft_weight",
     f"""WITH RECURSIVE {_JACCARD_CTES},
 edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs WHERE jaccard >= 0.5
@@ -6163,6 +6208,9 @@ FAMILY: dict[str, str] = {
     # retrieval family: phrase queries answer from the positional
     # posting index; ranking rep is the in-window BM25 entry
     "text_phrase_search": "text_bm25_topk",
+    # decontamination family: embedding-space twin of the in-window
+    # n-gram benchmark-overlap representative
+    "emb_semantic_decontaminate": "text_decontaminate",
     "text_nfc": "text_clean",
     "text_char_entropy": "text_stats",
     # boilerplate-opening detector: token-frequency-statistics family
