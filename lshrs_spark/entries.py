@@ -4529,6 +4529,34 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_chunk_overlap",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+n AS (SELECT doc_id, t, len(t) AS n FROM tok),
+c AS (SELECT doc_id, t, n,
+             unnest(generate_series(0,
+                 greatest(1, (n - 16 + 47) // 48) - 1)) AS chunk_id
+      FROM n),
+ch AS (SELECT doc_id,
+              list_aggregate(t[1 + chunk_id*48 : least(chunk_id*48 + 64, n)],
+                             'string_agg', ' ') AS chunk_text
+       FROM c)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared_chunks
+FROM ch a JOIN ch b ON a.chunk_text = b.chunk_text AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 1""",
+)
+def dedup_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity dedup: document pairs sharing an IDENTICAL
+    64-token chunk window — the long-document case where a copied
+    section rides inside otherwise-different texts and neither
+    doc-level hashing nor short-shingle Jaccard flags it. Inverted
+    index on the chunk, output-bound pair space
+    (:func:`~lshrs_spark.operators.dedup.chunk_overlap_pairs`)."""
+    return D.chunk_overlap_pairs(
+        _docs(spark, sf_dir), chunk_tokens=64, overlap=16, min_shared=1
+    ).select("id_a", "id_b", F.col("shared_chunks").cast("long").alias("shared_chunks"))
+
+
+@register(
     "text_unigram_logprob",
     """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
 freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
@@ -6194,6 +6222,8 @@ FAMILY: dict[str, str] = {
     # partial-overlap family: directional containment is the inclusion-
     # oriented twin of the in-window substring-span representative
     "dedup_containment": "dedup_substring",
+    # chunk-window overlap: span-granularity twin of the substring rep
+    "dedup_chunk_overlap": "dedup_substring",
     # demoted round-5 (driver rows r4 on file): the corpus-diff rep
     # hands the promotion-gate family slot to the per-rule attrition
     # funnel (never driver-checked before)

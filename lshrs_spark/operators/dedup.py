@@ -43,6 +43,7 @@ __all__ = [
     "hamming_banded_pairs",
     "image_dhash_pairs",
     "image_dhash_band_keys",
+    "chunk_overlap_pairs",
     "connected_components",
     "ngram_contamination",
     "group_representatives",
@@ -1068,4 +1069,52 @@ def image_dhash_band_keys(
     stack = ", ".join(f"{i}, v{i}" for i in range(nb))
     return tbl.select("id", *vals).selectExpr(
         "id", f"stack({nb}, {stack}) AS (band, sig)"
+    )
+
+
+def chunk_overlap_pairs(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    *,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: Optional[int] = None,
+) -> DataFrame:
+    """``(id_a < id_b, shared_chunks)`` — document pairs sharing at
+    least ``min_shared`` IDENTICAL token chunks (the
+    :func:`~lshrs_spark.functions.text.chunk_documents` windows): the
+    chunk-granularity dedup pass for long documents, where a copied
+    section rides inside otherwise-different texts and neither
+    doc-level hashing nor short-shingle Jaccard flags it. Same
+    inverted-index shape as every dedup here — the join key is the
+    chunk text, never a doc pair, so the pair space stays output-bound;
+    ``max_doc_freq`` is the stop-chunk cap for boilerplate skew (a
+    chunk appearing in m docs contributes m^2 join rows). At
+    production scale key the join by ``xxhash64(chunk_text)`` and
+    verify equality on collision; the exact text key here is what the
+    SQL oracle replays."""
+    from ..functions.text import chunk_documents
+
+    ch = chunk_documents(
+        df, chunk_tokens=chunk_tokens, overlap=overlap,
+        id_col=id_col, text_col=text_col,
+    ).select("id", "chunk_text")
+    if max_doc_freq is not None:
+        rare = (
+            ch.groupBy("chunk_text")
+            .agg(F.count_distinct("id").alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("chunk_text")
+        )
+        ch = ch.join(rare, "chunk_text")
+    a = ch.alias("a")
+    b = ch.alias("b")
+    return (
+        a.join(b, "chunk_text")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_chunks"))
+        .filter(F.col("shared_chunks") >= min_shared)
     )

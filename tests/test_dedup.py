@@ -454,3 +454,35 @@ def test_containment_jaccard_inequalities_on_corpus(spark):
         c_ab, c_ba = cont[p]
         assert j <= min(c_ab, c_ba) + 1e-12, (p, j, cont[p])
         assert max(c_ab, c_ba) >= j - 1e-12
+
+
+def test_chunk_overlap_pairs_and_stop_chunk_cap(spark):
+    """Shared 64-token chunks pair docs; max_doc_freq drops boilerplate
+    chunks shared by too many docs."""
+    from lshrs_spark.operators.dedup import chunk_overlap_pairs
+
+    section = " ".join(f"w{i}" for i in range(64))      # one exact chunk
+    boiler = " ".join(f"b{i}" for i in range(64))       # in EVERY doc
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " " + section + " unique one text here"),
+            (2, boiler + " " + section + " entirely different words"),
+            (3, boiler + " nothing else shared with the others at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.shared_chunks
+        for r in chunk_overlap_pairs(docs, 64, 0, min_shared=1).collect()
+    }
+    # boiler chunk pairs everyone; section only pairs 1-2
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    assert got[(1, 2)] >= 2                    # boiler + section
+
+    capped = {
+        (r.id_a, r.id_b): r.shared_chunks
+        for r in chunk_overlap_pairs(
+            docs, 64, 0, min_shared=1, max_doc_freq=2
+        ).collect()
+    }
+    assert set(capped) == {(1, 2)}             # boiler (3 docs) dropped
