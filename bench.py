@@ -395,6 +395,24 @@ def main() -> None:
     pq_serve_p95_ms = lat_pq[p95_index(len(lat_pq))] * 1000
     results["ann_pq_served20x"] = lat_pq[len(lat_pq) // 2]
 
+    # 10. BM25 keyword serving: stored postings layout, no Spark job.
+    from lshrs_spark.functions.text import bm25_index_write
+    from lshrs_spark.serving import BM25Server
+
+    bm25_store = os.path.join(tempfile.gettempdir(), "lshrs_bench_bm25")
+    results["bm25_index_build"], _ = timed(
+        lambda: bm25_index_write(docs, bm25_store, num_buckets=32),
+        "bm25_index_build", reps=1,
+    )
+    bsrv = BM25Server(bm25_store)
+    term_sets = [
+        ["vector", "hash", "join", "stream"],
+        ["table", "scan"], ["query", "filter", "sort"], ["agg", "window"],
+    ] * 25
+    lat_bm = serve_latencies(lambda t: bsrv.search(t, 10), term_sets)
+    bm25_serve_p95_ms = lat_bm[p95_index(len(lat_bm))] * 1000
+    results["bm25_served"] = lat_bm[len(lat_bm) // 2]
+
     total = sum(results.values())
     print(json.dumps({
         "metric": "headline_total",
@@ -411,6 +429,7 @@ def main() -> None:
         "single_query_p95_ms": round(serve_p95_ms, 2),
         "ann_query_p95_ms": round(ann_serve_p95_ms, 2),
         "pq_query_p95_ms": round(pq_serve_p95_ms, 2),
+        "bm25_query_p95_ms": round(bm25_serve_p95_ms, 2),
         # BASELINE.md memory target (<2 GB): driver-process peak RSS.
         # Executor memory is the JVM's (local mode shares the process);
         # the python driver side is what we can measure portably.

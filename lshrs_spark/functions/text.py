@@ -38,6 +38,8 @@ __all__ = [
     "ENTROPY_ALPHABET",
     "token_postings",
     "phrase_search",
+    "h48_py",
+    "bm25_index_write",
 ]
 
 # the tracked alphabet for char_entropy_col; everything else pools into
@@ -517,3 +519,57 @@ def phrase_search(
         )
         cur = cur.join(nxt, ["id", "pos"])
     return cur.groupBy("id").agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+def h48_py(s: str) -> int:
+    """Driver-side python twin of :func:`h48` (shared with the Python
+    Data Source generator) — lets no-Spark-job consumers (e.g.
+    :class:`~lshrs_spark.serving.BM25Server`) recompute the same
+    bucket keys the Spark writer used."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def bm25_index_write(
+    df: "DataFrame",
+    path: str,
+    *,
+    num_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a BM25 postings layout for no-Spark-job keyword
+    serving (:class:`~lshrs_spark.serving.BM25Server`): rows
+    ``(tok, id, tf, dl)`` parquet-partitioned by ``bucket =
+    h48(tok) % num_buckets`` and sorted by ``(tok, id)`` within files —
+    a query term reads ONE bucket directory (directory pruning) and
+    its row groups prune on the sorted ``tok`` min/max stats. Doc
+    length rides denormalized on every posting (the standard trick: no
+    doc-table lookup at query time). Sidecar ``_stats`` holds the
+    corpus constants (n_docs, total_len, num_buckets)."""
+    toks = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    postings = (
+        tf.join(dl, "id")
+        .withColumn("bucket", F.pmod(h48(F.col("tok")), F.lit(num_buckets)))
+        .select("bucket", "tok", "id", "tf", "dl")
+    )
+    (
+        postings.repartition(F.col("bucket"))
+        .sortWithinPartitions("tok", "id")
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+        F.lit(num_buckets).cast("long").alias("num_buckets"),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/_stats")

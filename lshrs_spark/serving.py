@@ -37,7 +37,7 @@ import pyarrow.dataset as pads
 from .config import LSHConfig
 from .hashing import hash_vectors_local, hash_vectors_local_long
 
-__all__ = ["IndexServer", "SegmentedIndexServer", "IVFServer", "PQServer", "IVFPQServer"]
+__all__ = ["IndexServer", "SegmentedIndexServer", "IVFServer", "PQServer", "IVFPQServer", "BM25Server"]
 
 
 def _fs_and_path(path: str):
@@ -841,3 +841,72 @@ class SegmentedIndexServer(IndexServer):
         if not ids:
             return None
         return np.unique(np.concatenate(ids)).astype(np.int64)
+
+
+class BM25Server:
+    """No-Spark-job keyword retrieval over a stored postings layout
+    (:func:`~lshrs_spark.functions.text.bm25_index_write`) — the text
+    twin of :class:`IndexServer`: each query term reads exactly one
+    ``bucket=N/`` partition via pyarrow (directory pruning; row groups
+    additionally prune on the sorted ``tok`` min/max stats), scores
+    accumulate in numpy, and the Okapi BM25 formula is the SAME
+    arithmetic (k1=1.2, b=0.75, identical association) as the Spark
+    `text_bm25_topk` scoring expression, so the two paths rank
+    identically. Per-query cost tracks the query terms' posting sizes,
+    never the corpus."""
+
+    def __init__(self, path: str) -> None:
+        self._path = path
+        stats = pads.dataset(
+            os.path.join(path, "_stats"), format="parquet"
+        ).to_table()
+        self._n = float(stats.column("n_docs")[0].as_py())
+        self._ll = float(stats.column("total_len")[0].as_py())
+        self._num_buckets = int(stats.column("num_buckets")[0].as_py())
+        part = pads.partitioning(
+            pa.schema([pa.field("bucket", pa.int64())]), flavor="hive"
+        )
+        self._ds = pads.dataset(path, format="parquet", partitioning=part)
+        IndexServer._warm(self._ds)
+
+    def refresh(self) -> None:
+        self.__init__(self._path)
+
+    def _postings(self, term: str):
+        from .functions.text import h48_py
+
+        b = h48_py(term) % self._num_buckets
+        tbl = self._ds.to_table(
+            columns=["id", "tf", "dl"],
+            filter=(pads.field("bucket") == b) & (pads.field("tok") == term),
+        )
+        return (
+            tbl.column("id").to_numpy(zero_copy_only=False).astype(np.int64),
+            tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.float64),
+            tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.float64),
+        )
+
+    def search(self, terms, k: int = 10) -> list:
+        """``[(id, matched, score, rank)]`` — BM25 top-k for the bag of
+        query ``terms``; ``matched`` = how many distinct query terms the
+        document contains. Ties break by ascending id, like the Spark
+        path."""
+        import math
+
+        avg = self._ll / self._n
+        scores: dict[int, float] = {}
+        matched: dict[int, int] = {}
+        for term in terms:
+            ids, tf, dl = self._postings(term)
+            df = float(len(ids))
+            idf = math.log(1.0 + (self._n - df + 0.5) / (df + 0.5))
+            contrib = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / avg))
+            for i, c in zip(ids, contrib):
+                i = int(i)
+                scores[i] = scores.get(i, 0.0) + float(c)
+                matched[i] = matched.get(i, 0) + 1
+        order = sorted(scores, key=lambda i: (-scores[i], i))[:k]
+        return [
+            (i, matched[i], scores[i], rank + 1)
+            for rank, i in enumerate(order)
+        ]

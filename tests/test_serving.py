@@ -827,3 +827,41 @@ def test_ivfpq_server_filtered_where(spark, tmp_path):
     full = srv.topk(q, n, nprobe=8)
     want = [(i, d) for i, d, _ in full if i % 4 == 3][:10]
     assert [(i, d) for i, d, _ in got] == want
+
+
+def test_bm25_server_matches_spark_scoring(spark, tmp_path):
+    """No-Spark-job BM25 serving: BM25Server over the stored postings
+    layout ranks identically to the Spark text_bm25_topk scoring
+    expression for the same query terms (same formula, same
+    association; scores compared to 1e-9 relative)."""
+    import sys
+
+    from lshrs_spark.functions.text import bm25_index_write
+    from lshrs_spark.serving import BM25Server
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    store = str(tmp_path / "bm25_idx")
+    bm25_index_write(docs, store, num_buckets=16)
+
+    srv = BM25Server(store)
+    terms = ["vector", "hash", "join", "stream"]
+    got = srv.search(terms, k=10)
+
+    sys.path.insert(0, "/root/repo")
+    import lshrs_spark.entries as entries
+
+    want = [
+        (r.doc_id, r.matched, r.bm25)
+        for r in entries.QUERIES["text_bm25_topk"](spark, sf)
+        .orderBy("bm25", ascending=False)
+        .collect()
+    ]
+    # the entry rounds to 5 dp and orders desc by score / asc by id
+    assert [(i, m) for i, m, _, _ in got] == [(i, m) for i, m, _ in want]
+    for (_, _, s, _), (_, _, w) in zip(got, want):
+        assert abs(s - w) < 5e-5 + 1e-9 * abs(w)   # 5-dp-rounded reference
+
+    # term absent from the corpus contributes nothing and doesn't crash
+    got2 = srv.search(["vector", "zzznotaterm"], k=5)
+    assert len(got2) == 5 and all(m == 1 for _, m, _, _ in got2)
