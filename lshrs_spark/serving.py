@@ -855,22 +855,27 @@ class BM25Server:
     identically. Per-query cost tracks the query terms' posting sizes,
     never the corpus."""
 
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, *, epochs: bool = False) -> None:
         self._path = path
+        self._epochs = epochs
         stats = pads.dataset(
             os.path.join(path, "_stats"), format="parquet"
         ).to_table()
-        self._n = float(stats.column("n_docs")[0].as_py())
-        self._ll = float(stats.column("total_len")[0].as_py())
+        # one row for a batch build; one row PER EPOCH for the streaming
+        # layout (stream_bm25_ingest) — corpus constants are additive,
+        # so summing covers both.
+        self._n = float(sum(v.as_py() for v in stats.column("n_docs")))
+        self._ll = float(sum(v.as_py() for v in stats.column("total_len")))
         self._num_buckets = int(stats.column("num_buckets")[0].as_py())
-        part = pads.partitioning(
-            pa.schema([pa.field("bucket", pa.int64())]), flavor="hive"
-        )
+        fields = [pa.field("bucket", pa.int64())]
+        if epochs:
+            fields = [pa.field("epoch", pa.int64())] + fields
+        part = pads.partitioning(pa.schema(fields), flavor="hive")
         self._ds = pads.dataset(path, format="parquet", partitioning=part)
         IndexServer._warm(self._ds)
 
     def refresh(self) -> None:
-        self.__init__(self._path)
+        self.__init__(self._path, epochs=self._epochs)
 
     def _postings(self, term: str):
         from .functions.text import h48_py

@@ -32,6 +32,7 @@ __all__ = [
     "sliding_event_counts",
     "stream_ivf_stage",
     "ivf_absorb_staging",
+    "stream_bm25_ingest",
 ]
 
 
@@ -899,3 +900,71 @@ def ivf_absorb_staging(
         )
     shutil.rmtree(staging_path, ignore_errors=True)
     return n
+
+
+def stream_bm25_ingest(
+    spark: SparkSession,
+    source_path: str,
+    index_path: str,
+    *,
+    num_buckets: int = 32,
+    checkpoint: Optional[str] = None,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming BM25 index maintenance: each micro-batch of documents
+    appends its postings under ``{index_path}/epoch={n}/bucket={m}/``
+    and its corpus-constant deltas under ``{index_path}/_stats/
+    epoch={n}/`` — an append-only keyword index a live
+    :class:`~lshrs_spark.serving.BM25Server(..., epochs=True)` picks up
+    at its next ``refresh()`` (stats rows are additive, so the server
+    just sums them; a query term still reads only its bucket
+    directories across epochs).
+
+    Replay-safe: both sinks are epoch-keyed ``mode('overwrite')``
+    paths, so a retried micro-batch rewrites exactly its own output —
+    the same idempotency contract as every streaming sink here. Run
+    :func:`~lshrs_spark.functions.text.bm25_index_write` over the full
+    corpus periodically to compact epochs into one sorted layout.
+    Returns the started StreamingQuery."""
+    from ..functions.text import h48
+
+    schema = spark.read.parquet(source_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+
+    def index_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        toks = batch_df.select(
+            F.col("doc_id").cast("long").alias("id"),
+            F.explode(F.split(F.col("text"), " ")).alias("tok"),
+        )
+        tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+        dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+        postings = (
+            tf.join(dl, "id")
+            .withColumn(
+                "bucket", F.pmod(h48(F.col("tok")), F.lit(num_buckets))
+            )
+            .select("bucket", "tok", "id", "tf", "dl")
+        )
+        (
+            postings.repartition(F.col("bucket"))
+            .sortWithinPartitions("tok", "id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{index_path}/epoch={int(epoch_id)}")
+        )
+        dl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_len"),
+            F.lit(num_buckets).cast("long").alias("num_buckets"),
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{index_path}/_stats/epoch={int(epoch_id)}"
+        )
+
+    writer = stream.writeStream.foreachBatch(index_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

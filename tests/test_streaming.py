@@ -614,3 +614,55 @@ def test_stream_image_dedup_ingest_blocks_near_dup_payloads(spark, tmp_path):
     assert 1 in admitted and 3 in admitted
     assert 2 not in admitted
     assert (2, 1) in dups
+
+
+def test_stream_bm25_ingest_serves_like_batch_index(spark, tmp_path):
+    """Streaming BM25 maintenance: epoch-keyed postings + additive
+    stats. After two micro-batches, BM25Server(epochs=True) over the
+    streamed layout ranks identically to a batch bm25_index_write over
+    the full corpus."""
+    import time
+
+    from lshrs_spark.functions.text import bm25_index_write
+    from lshrs_spark.serving import BM25Server
+    from lshrs_spark.streaming.ingest import stream_bm25_ingest
+
+    rows = [
+        (i, f"alpha beta doc{i} " * 3 + ("vector hash " * (i % 3)))
+        for i in range(40)
+    ]
+    src = str(tmp_path / "docs")
+    half = 20
+    spark.createDataFrame(rows[:half], "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    idx = str(tmp_path / "bm25_stream")
+    q = stream_bm25_ingest(
+        spark, src, idx, num_buckets=8,
+        checkpoint=str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            rows[half:], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    srv = BM25Server(idx, epochs=True)
+    batch_store = str(tmp_path / "bm25_batch")
+    bm25_index_write(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        batch_store, num_buckets=8,
+    )
+    ref = BM25Server(batch_store)
+    for terms in (["vector", "hash"], ["alpha"], ["doc3", "beta"]):
+        got = srv.search(terms, k=15)
+        want = ref.search(terms, k=15)
+        assert [(i, m) for i, m, _, _ in got] == [(i, m) for i, m, _ in
+                                                  [(i, m, s) for i, m, s, _ in want]]
+        for (_, _, s, _), (_, _, w, _) in zip(got, want):
+            assert abs(s - w) < 1e-12 + 1e-9 * abs(w)
