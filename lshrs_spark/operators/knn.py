@@ -693,6 +693,7 @@ def pq_write_store(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     mode: str = "overwrite",
+    extra_cols: Sequence[str] = (),
 ) -> None:
     """Materialize the PQ layout: the code table ``(id, codes)`` with
     ``codes[j]`` the subspace-j codebook code, written id-sorted so
@@ -705,6 +706,14 @@ def pq_write_store(
     enc = pq_encode(vectors, codebooks, m, dim, id_col=id_col,
                     vector_col=vector_col)
     wide = _pq_codes_wide(enc)
+    if extra_cols:
+        wide = wide.join(
+            vectors.select(
+                F.col(id_col).cast("long").alias("id"),
+                *[F.col(c) for c in extra_cols],
+            ),
+            "id",
+        )
     n = int(vectors.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     (
         wide.repartitionByRange(n, "id")

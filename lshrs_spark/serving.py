@@ -600,15 +600,19 @@ class PQServer:
         self._open()
 
     def _open(self) -> None:
-        tbl = pads.dataset(self._store_path, format="parquet").to_table(
-            columns=["id", "codes"]
-        )
+        ds = pads.dataset(self._store_path, format="parquet")
+        tbl = ds.to_table()   # id, codes, plus any extra_cols metadata
         self._ids = tbl.column("id").to_numpy(zero_copy_only=False).astype(
             np.int64
         )
         self._codes = np.stack(
             tbl.column("codes").to_numpy(zero_copy_only=False)
         ).astype(np.int64)
+        self._meta = {
+            name: tbl.column(name).to_numpy(zero_copy_only=False)
+            for name in tbl.schema.names
+            if name not in ("id", "codes")
+        }
         self._deleted = _read_tombstones(f"{self._store_path}/_deleted")
 
     def refresh(self) -> None:
@@ -620,11 +624,18 @@ class PQServer:
     def from_store(cls, store_path: str) -> "PQServer":
         return cls(store_path)
 
-    def topk(self, vector: np.ndarray, k: int = 10) -> list:
+    def topk(self, vector: np.ndarray, k: int = 10, where=None) -> list:
         """``[(id, dist2, rank)]`` — same rows as ``pq_adc_topk`` for
-        the stored corpus, zero JVM involvement."""
+        the stored corpus, zero JVM involvement. ``where=(col, value)``
+        masks to metadata-eligible documents (columns stored via
+        ``pq_write_store(extra_cols=...)``) BEFORE ranking — the
+        flat-tier filtered-ANN hook, completing the filtered story
+        across all serving tiers."""
         ids = self._ids
         keep = _drop_deleted(ids, self._deleted)
+        if where is not None:
+            col, val = where
+            keep = keep & (self._meta[col] == val)
         ids = ids[keep]
         if len(ids) == 0:
             return []

@@ -865,3 +865,30 @@ def test_bm25_server_matches_spark_scoring(spark, tmp_path):
     # term absent from the corpus contributes nothing and doesn't crash
     got2 = srv.search(["vector", "zzznotaterm"], k=5)
     assert len(got2) == 5 and all(m == 1 for _, m, _, _ in got2)
+
+
+def test_pq_server_filtered_where(spark, tmp_path):
+    """Filtered ANN on the flat-PQ tier: metadata columns ride in the
+    code table; where= equals the unfiltered ADC ranking restricted to
+    eligible ids."""
+    from lshrs_spark.operators.knn import pq_codebooks, pq_write_store
+    from lshrs_spark.serving import PQServer
+
+    rng = np.random.default_rng(59)
+    n, dim = 300, 32
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], i % 2) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label long",
+    )
+    cb = pq_codebooks(emb, m=4, k=8, dim=dim, iterations=1)
+    store = str(tmp_path / "pq_meta")
+    pq_write_store(emb, cb, store, m=4, dim=dim, extra_cols=["label"])
+
+    srv = PQServer.from_store(store)
+    q = vecs[150]
+    got = srv.topk(q, 10, where=("label", 0))
+    assert len(got) == 10 and all(i % 2 == 0 for i, _, _ in got)
+    full = srv.topk(q, n)
+    want = [(i, d) for i, d, _ in full if i % 2 == 0][:10]
+    assert [(i, d) for i, d, _ in got] == want
