@@ -539,6 +539,7 @@ def bm25_index_write(
     id_col: str = "doc_id",
     text_col: str = "text",
     mode: str = "overwrite",
+    store_positions: bool = False,
 ) -> None:
     """Materialize a BM25 postings layout for no-Spark-job keyword
     serving (:class:`~lshrs_spark.serving.BM25Server`): rows
@@ -548,17 +549,27 @@ def bm25_index_write(
     its row groups prune on the sorted ``tok`` min/max stats. Doc
     length rides denormalized on every posting (the standard trick: no
     doc-table lookup at query time). Sidecar ``_stats`` holds the
-    corpus constants (n_docs, total_len, num_buckets)."""
+    corpus constants (n_docs, total_len, num_buckets).
+    ``store_positions=True`` additionally stores each posting's sorted
+    token positions — the POSITIONAL index that lets
+    :meth:`~lshrs_spark.serving.BM25Server.phrase` answer exact phrase
+    queries from the same layout (costs one int array per posting)."""
     toks = df.select(
         F.col(id_col).cast("long").alias("id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
     )
-    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    aggs = [F.count(F.lit(1)).alias("tf")]
+    if store_positions:
+        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+    tf = toks.groupBy("id", "tok").agg(*aggs)
     dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    cols = ["bucket", "tok", "id", "tf", "dl"] + (
+        ["positions"] if store_positions else []
+    )
     postings = (
         tf.join(dl, "id")
         .withColumn("bucket", F.pmod(h48(F.col("tok")), F.lit(num_buckets)))
-        .select("bucket", "tok", "id", "tf", "dl")
+        .select(*cols)
     )
     (
         postings.repartition(F.col("bucket"))

@@ -888,19 +888,54 @@ class BM25Server:
     def refresh(self) -> None:
         self.__init__(self._path, epochs=self._epochs)
 
-    def _postings(self, term: str):
+    def _postings(self, term: str, columns=("id", "tf", "dl")):
         from .functions.text import h48_py
 
         b = h48_py(term) % self._num_buckets
         tbl = self._ds.to_table(
-            columns=["id", "tf", "dl"],
+            columns=list(columns),
             filter=(pads.field("bucket") == b) & (pads.field("tok") == term),
         )
+        return tbl
+
+    def _scored_postings(self, term: str):
+        tbl = self._postings(term)
         return (
             tbl.column("id").to_numpy(zero_copy_only=False).astype(np.int64),
             tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.float64),
             tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.float64),
         )
+
+    def phrase(self, terms) -> dict:
+        """``{id: n_matches}`` — exact consecutive-phrase occurrences
+        per document, by positional posting-list intersection (the
+        layout must be written with ``store_positions=True``): term
+        *i*'s positions shift by ``-i`` and all terms must agree — the
+        no-Spark-job twin of
+        :func:`~lshrs_spark.functions.text.phrase_search`, same cost
+        shape (the query terms' posting sizes, never the corpus)."""
+        terms = list(terms)
+        if not terms:
+            raise ValueError("phrase must contain at least one token")
+        acc: dict[int, set] = {}
+        for i, term in enumerate(terms):
+            tbl = self._postings(term, columns=("id", "positions"))
+            ids = tbl.column("id").to_numpy(zero_copy_only=False)
+            plists = tbl.column("positions").to_pylist()
+            cur = {
+                int(d): {p - i for p in ps} for d, ps in zip(ids, plists)
+            }
+            if i == 0:
+                acc = cur
+            else:
+                acc = {
+                    d: acc[d] & cur[d]
+                    for d in acc.keys() & cur.keys()
+                    if acc[d] & cur[d]
+                }
+            if not acc:
+                return {}
+        return {d: len(ps) for d, ps in acc.items()}
 
     def search(self, terms, k: int = 10) -> list:
         """``[(id, matched, score, rank)]`` — BM25 top-k for the bag of
@@ -913,7 +948,7 @@ class BM25Server:
         scores: dict[int, float] = {}
         matched: dict[int, int] = {}
         for term in terms:
-            ids, tf, dl = self._postings(term)
+            ids, tf, dl = self._scored_postings(term)
             df = float(len(ids))
             idf = math.log(1.0 + (self._n - df + 0.5) / (df + 0.5))
             contrib = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / avg))

@@ -892,3 +892,38 @@ def test_pq_server_filtered_where(spark, tmp_path):
     full = srv.topk(q, n)
     want = [(i, d) for i, d, _ in full if i % 2 == 0][:10]
     assert [(i, d) for i, d, _ in got] == want
+
+
+def test_bm25_server_phrase_matches_spark_phrase_search(spark, tmp_path):
+    """Positional postings serve exact phrase queries; counts equal the
+    Spark phrase_search operator (overlapping occurrences included)."""
+    from lshrs_spark.functions.text import (
+        bm25_index_write,
+        phrase_search,
+        token_postings,
+    )
+    from lshrs_spark.serving import BM25Server
+
+    docs = spark.createDataFrame(
+        [
+            (1, "key scan key scan fast"),
+            (2, "scan key nothing here"),
+            (3, "a key scan a a a"),
+            (4, "key key key"),
+        ],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "bm25_pos")
+    bm25_index_write(docs, store, num_buckets=8, store_positions=True)
+    srv = BM25Server(store)
+
+    got = srv.phrase(["key", "scan"])
+    want = {
+        r.id: r.n_matches
+        for r in phrase_search(token_postings(docs), ["key", "scan"]).collect()
+    }
+    assert got == want == {1: 2, 3: 1}
+    assert srv.phrase(["key", "key"]) == {4: 2}       # overlapping
+    assert srv.phrase(["nothing", "missing"]) == {}
+    # BM25 scoring still works on the positional layout
+    assert len(srv.search(["key"], k=4)) == 4
