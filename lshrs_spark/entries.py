@@ -1554,6 +1554,51 @@ def rel_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderpriority")
+
+
+@register(
+    "rel_column_profile",
+    " UNION ALL ".join(
+        f"""SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,
+       (count(*) - count({c}))::BIGINT AS n_nulls,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       min({c})::VARCHAR AS min_val, max({c})::VARCHAR AS max_val
+FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def rel_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler — the data-quality card every ingest
+    step starts from: per column (row count, nulls, exact distinct
+    count, min/max) over the orders table in a SINGLE aggregation.
+    Scale shape: one scan, one aggregation job; Spark plans the
+    multiple exact count-distincts with an Expand (row multiplier =
+    #profiled columns), so profile very wide tables in column groups.
+    min/max surface as strings so one schema carries mixed column
+    types (limited here to integer/varchar columns — float and
+    timestamp FORMATTING differs between engines)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    aggs = [F.count(F.lit(1)).alias("nr")]
+    for i, c in enumerate(_PROFILE_COLS):
+        aggs += [
+            F.count(F.col(c)).alias(f"nn{i}"),
+            F.count_distinct(F.col(c)).alias(f"nd{i}"),
+            F.min(F.col(c)).cast("string").alias(f"mn{i}"),
+            F.max(F.col(c)).cast("string").alias(f"mx{i}"),
+        ]
+    prof = orders.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nr, nr - nn{i}, nd{i}, mn{i}, mx{i}"
+        for i, c in enumerate(_PROFILE_COLS)
+    )
+    return prof.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
+    )
+
+
 @register(
     "rel_histogram",
     """SELECT (round(o_totalprice * 100)::BIGINT // 5000000) AS bucket,
@@ -6273,6 +6318,8 @@ FAMILY: dict[str, str] = {
     # family twin of the Bloom representative
     "sketch_cms": "sketch_bloom",
     "rel_histogram": "rel_quantiles",
+    # one-pass stats card: column-statistics family
+    "rel_column_profile": "rel_quantiles",
     "rel_ntile_quartiles": "rel_quantiles",
     # quartile-bucketing family: RFM cube is the disc-quantile twin
     "rel_rfm_segments": "rel_quantiles",

@@ -917,6 +917,11 @@ class BM25Server:
         terms = list(terms)
         if not terms:
             raise ValueError("phrase must contain at least one token")
+        if "positions" not in self._ds.schema.names:
+            raise ValueError(
+                "phrase queries need a positional layout — write the "
+                "index with bm25_index_write(store_positions=True)"
+            )
         acc: dict[int, set] = {}
         for i, term in enumerate(terms):
             tbl = self._postings(term, columns=("id", "positions"))

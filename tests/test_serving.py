@@ -927,3 +927,16 @@ def test_bm25_server_phrase_matches_spark_phrase_search(spark, tmp_path):
     assert srv.phrase(["nothing", "missing"]) == {}
     # BM25 scoring still works on the positional layout
     assert len(srv.search(["key"], k=4)) == 4
+
+
+def test_bm25_phrase_requires_positional_layout(spark, tmp_path):
+    from lshrs_spark.functions.text import bm25_index_write
+    from lshrs_spark.serving import BM25Server
+
+    docs = spark.createDataFrame(
+        [(1, "key scan")], "doc_id long, text string"
+    )
+    store = str(tmp_path / "bm25_nopos")
+    bm25_index_write(docs, store, num_buckets=4)   # no positions
+    with pytest.raises(ValueError, match="store_positions"):
+        BM25Server(store).phrase(["key", "scan"])
