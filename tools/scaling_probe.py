@@ -9,7 +9,12 @@ Usage:  python tools/scaling_probe.py [--queries 100] [--dim 64]
 Prints ONE JSON line:
   {"sizes": [...], "bucket_rows": [...], "p50_ms": [...], "p95_ms": [...]}
 
---job shuffle instead probes the SHUFFLE-HEAVY batch lines
+--job shuffle instead probes the SHUFFLE-HEAVY batch lines (--scales
+picks the multipliers, default 1,10 — note that probing much past 10x
+with the FIXED banding config stops measuring the engine: bucket
+occupancy grows with the corpus, so per-bucket candidate pairs grow
+quadratically; a real deployment re-tunes rows_per_band upward with
+corpus size to keep bucket selectivity constant)
 (simjoin_lsh, dedup_minhash_xxh, graph_pagerank) at 1x and 10x the
 sf0.1 corpus and reports the time-vs-rows slope (VERDICT r4 #4): each
 10x corpus is 10 disjoint "dialects" of the base corpus — per-copy
@@ -100,8 +105,9 @@ def shuffle_main(args) -> None:
     sj_cfg = LSHConfig(dim=64, num_perm=128, num_bands=16,
                        rows_per_band=8, seed=42)
 
-    out = {"sf_dir": sf_dir, "cpus": cpus, "scales": [1, 10], "jobs": {}}
-    for mult in (1, 10):
+    scales = [int(s) for s in args.scales.split(",")]
+    out = {"sf_dir": sf_dir, "cpus": cpus, "scales": scales, "jobs": {}}
+    for mult in scales:
         docs = docs0
         emb = emb0
         if mult > 1:
@@ -153,7 +159,9 @@ def shuffle_main(args) -> None:
         docs.unpersist()
         emb.unpersist()
     for name, rec in out["jobs"].items():
-        rec["slope_10x"] = round(rec["t_sec"][1] / rec["t_sec"][0], 2)
+        rec["slopes"] = [
+            round(t / rec["t_sec"][0], 2) for t in rec["t_sec"][1:]
+        ]
     print(json.dumps(out))
 
 
@@ -165,6 +173,8 @@ def main() -> None:
                     help="vectors at 1x scale")
     ap.add_argument("--job", choices=["serving", "shuffle"],
                     default="serving")
+    ap.add_argument("--scales", default="1,10",
+                    help="comma-separated corpus multipliers (shuffle job)")
     args = ap.parse_args()
     if args.job == "shuffle":
         shuffle_main(args)
