@@ -369,3 +369,47 @@ def test_phrase_search_matches_reference_counts(spark, docs, p1, p2):
         if n:
             want[i] = n
     assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 20)),
+        min_size=1, max_size=12,
+    ),
+    right=st.lists(
+        st.tuples(
+            st.integers(1, 3), st.integers(0, 20),
+            st.one_of(st.none(), st.integers(0, 5)),
+            st.one_of(st.none(), st.integers(0, 5)),
+        ),
+        min_size=0, max_size=12,
+    ),
+)
+def test_asof_backward_matches_reference_with_nulls(spark, left, right):
+    """asof_join(backward) == a python reference on random data with
+    NULL value cells: the matched right row's values are taken
+    VERBATIM (a NULL cell stays NULL — the r4 torn-match fix), match =
+    latest right ts <= left ts, ties by greatest (v1, v2, ts) tuple."""
+    from lshrs_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(left, "k int, ts int")
+    rdf = spark.createDataFrame(right, "k int, ts int, v1 int, v2 int")
+    got = sorted(
+        (r.k, r.ts, r.v1_right, r.v2_right, r.ts_right)
+        for r in asof_join(ldf, rdf, ["k"]).collect()
+    )
+
+    def key(row):  # greatest value tuple wins on ts ties (NULLS FIRST asc)
+        _, ts, v1, v2 = row
+        return (ts, (v1 is not None, v1), (v2 is not None, v2))
+
+    want = []
+    for k, lts in left:
+        cands = [r for r in right if r[0] == k and r[1] <= lts]
+        if cands:
+            m = max(cands, key=key)
+            want.append((k, lts, m[2], m[3], m[1]))
+        else:
+            want.append((k, lts, None, None, None))
+    assert got == sorted(want)
