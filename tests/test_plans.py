@@ -528,3 +528,49 @@ def test_image_dhash_pairs_banded_no_cartesian(spark):
     # the self-join key is the band tuple, never a payload column
     assert "blk" in plan and "val" in plan
     pairs.count()  # and it executes
+
+
+def test_phrase_search_is_equijoin_on_postings(spark):
+    """Phrase intersection must be an (id, pos) equi-join over the
+    token-filtered postings — never a cartesian over documents."""
+    from lshrs_spark.functions.text import phrase_search, token_postings
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = phrase_search(token_postings(docs), ["key", "scan"])
+    plan = physical_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    out.count()
+
+
+def test_semantic_decontaminate_broadcasts_bench_side(spark):
+    """The benchmark side must broadcast (one corpus scan, no shuffle
+    of the corpus before scoring) — the plan that survives 100 TB."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import lshrs_spark.entries as entries
+
+    out = entries.QUERIES["emb_semantic_decontaminate"](spark, SF)
+    plan = physical_plan(out)
+    assert "BroadcastNestedLoopJoin" in plan   # tiny bench side broadcast
+    assert out.count() > 0
+
+
+def test_bm25_postings_read_prunes_to_one_bucket(spark, tmp_path):
+    """A query term's posting read must touch only its own bucket=N/
+    directory — the directory-pruning contract of the layout."""
+    from lshrs_spark.functions.text import bm25_index_write, h48_py
+    from lshrs_spark.serving import BM25Server
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    store = str(tmp_path / "bm25_prune")
+    bm25_index_write(docs, store, num_buckets=16)
+    srv = BM25Server(store)
+    import pyarrow.dataset as pads
+
+    b = h48_py("table") % 16
+    frags = list(srv._ds.get_fragments(
+        filter=(pads.field("bucket") == b) & (pads.field("tok") == "table")
+    ))
+    assert frags and all(f"bucket={b}/" in f.path for f in frags)
