@@ -232,12 +232,26 @@ class IndexServer:
             return ids.astype(np.int64), np.empty(0, dtype=np.int64)
         return np.unique(ids, return_counts=True)
 
-    def get_top_k(self, vector: np.ndarray, topk: int = 10) -> list[int]:
+    def get_top_k(self, vector: np.ndarray, topk: int = 10,
+                  eligible_ids=None) -> list[int]:
         """Ids ordered by ``(-collisions, id)`` — identical result contract
-        to :meth:`LSHRS.get_top_k` / `top_k(candidates_from_path(...))`."""
+        to :meth:`LSHRS.get_top_k` / `top_k(candidates_from_path(...))`.
+
+        ``eligible_ids`` (optional array-like) is the filtered-query
+        hook for this tier: the LSH bucket layout stores no metadata
+        columns (entries are ``(band, sig, id)``), so the caller
+        resolves its predicate to an id set (from whatever metadata
+        store owns it) and candidates are masked BEFORE the top-k cut —
+        never post-filtering a shortened result."""
         if topk <= 0:
             raise ValueError("top_k must be positive")
         ids, counts = self.candidate_counts(vector)
+        if eligible_ids is not None:
+            keep = np.isin(
+                ids, np.asarray(sorted(set(int(i) for i in eligible_ids)),
+                                dtype=np.int64)
+            )
+            ids, counts = ids[keep], counts[keep]
         # np.unique returns ids ascending; stable-sorting by -counts keeps
         # the ascending-id order inside each collision-count tie — exactly
         # the reference's (-collisions, id) ordering.

@@ -940,3 +940,32 @@ def test_bm25_phrase_requires_positional_layout(spark, tmp_path):
     bm25_index_write(docs, store, num_buckets=4)   # no positions
     with pytest.raises(ValueError, match="store_positions"):
         BM25Server(store).phrase(["key", "scan"])
+
+
+def test_index_server_eligible_ids_mask(spark, tmp_path):
+    """LSH-tier filtered query: eligible_ids masks candidates before
+    the top-k cut, so the result is the unfiltered ranking restricted
+    to the eligible set (never an underfilled post-filter)."""
+    from lshrs_spark.config import LSHConfig
+    from lshrs_spark.operators.index import build_index, write_index
+    from lshrs_spark.serving import IndexServer
+
+    rng = np.random.default_rng(61)
+    n, d = 400, 32
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cfg = LSHConfig(dim=d, num_perm=64, num_bands=8, rows_per_band=8,
+                    seed=42)
+    store = str(tmp_path / "lsh_mask")
+    write_index(build_index(emb, cfg, "vec_id", "embedding"), store)
+    srv = IndexServer(store, cfg)
+
+    q = vecs[42]
+    evens = [i for i in range(n) if i % 2 == 0]
+    got = srv.get_top_k(q, 10, eligible_ids=evens)
+    assert all(i % 2 == 0 for i in got)
+    full = srv.get_top_k(q, n)
+    assert got == [i for i in full if i % 2 == 0][:10]
