@@ -2884,6 +2884,65 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_at_k(approx, exact, 10)
 
 
+@register(
+    "ann_ivf_filtered_recall",
+    f"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec
+              FROM embeddings WHERE vec_id < 16),
+felig AS (SELECT vec_id, embedding FROM embeddings WHERE label % 4 = 1),
+assign AS (SELECT id, centroid_id FROM (
+    SELECT e.vec_id AS id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {cosine_sql("e.embedding", "c.cvec")} DESC, c.centroid_id ASC) AS r
+    FROM felig e CROSS JOIN cent c) WHERE r = 1),
+qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+probes AS (SELECT qid, centroid_id FROM (
+    SELECT qv.qid, c.centroid_id,
+           row_number() OVER (PARTITION BY qv.qid
+               ORDER BY {cosine_sql("qv.qe", "c.cvec")} DESC, c.centroid_id ASC) AS r
+    FROM cent c CROSS JOIN qv) WHERE r <= 4),
+cand AS (SELECT p.qid, a.id FROM probes p JOIN assign a USING (centroid_id)),
+approx AS (SELECT qid, id FROM (
+    SELECT cand.qid, cand.id,
+           row_number() OVER (PARTITION BY cand.qid
+               ORDER BY {cosine_sql("e.embedding", "qv.qe")} DESC, cand.id ASC) AS rank
+    FROM cand JOIN embeddings e ON e.vec_id = cand.id
+              JOIN qv ON qv.qid = cand.qid) WHERE rank <= 10),
+exact AS (SELECT qid, id FROM (
+    SELECT qv.qid, e.vec_id AS id,
+           row_number() OVER (PARTITION BY qv.qid
+               ORDER BY {cosine_sql("e.embedding", "qv.qe")} DESC, e.vec_id ASC) AS rank
+    FROM felig e CROSS JOIN qv) WHERE rank <= 10),
+hits AS (SELECT a.qid, count(*) AS h FROM approx a JOIN exact e USING (qid, id)
+         GROUP BY a.qid),
+per_q AS (SELECT e.qid, count(*) AS n, any_value(coalesce(h.h, 0)) AS h
+          FROM exact e LEFT JOIN hits h ON h.qid = e.qid GROUP BY e.qid, h.h)
+SELECT round(avg(h::DOUBLE / n), 5) AS recall FROM per_q""",
+)
+def ann_ivf_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of FILTERED IVF against filtered brute force — the
+    gauge that tells a user whether metadata filtering degrades the
+    probe's coverage: the nprobe cells are chosen in the FULL centroid
+    space while eligible documents may cluster unevenly, so filtered
+    recall can differ from `ann_ivf_recall`'s unfiltered dial and
+    should be measured per predicate class."""
+    from .operators.knn import (
+        brute_force_topk,
+        ivf_centroids_by_id,
+        ivf_topk,
+        recall_at_k,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_centroids_by_id(emb, 16)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    eligible = emb.filter(F.col("label") % 4 == 1)
+    approx = ivf_topk(eligible, cents, queries, k=10, nprobe=4)
+    exact = brute_force_topk(eligible, queries, 10)
+    return recall_at_k(approx, exact, 10)
+
+
 def _ivf_curve_sql() -> str:
     """nprobe -> recall@10 sweep: shared centroid/assignment/exact CTEs
     + one probes/candidates/approx/hits chain per nprobe setting."""
@@ -6257,6 +6316,7 @@ FAMILY: dict[str, str] = {
     "ann_ivf_recall_curve": "ann_ivf",  # nprobe sweep of the same gauge
     # metadata-predicate pre-filter composed with the same IVF probe
     "ann_ivf_filtered": "ann_ivf",
+    "ann_ivf_filtered_recall": "ann_ivf",
     # simjoin / dedup twins and gauges
     "simjoin_exact": "simjoin_lsh",
     "dedup_minhash_sigs": "dedup_minhash_pairs",

@@ -8,7 +8,10 @@ Five families, each designed so the DuckDB oracle can recompute it:
   shingle (the inverted-index trick: no O(n²) pair space);
 * MinHash LSH — k universal-hash minima over shingle hashes, banded into
   join keys (the classic Broder scheme, computed with portable integer
-  arithmetic shared with the SQL oracle);
+  arithmetic shared with the SQL oracle); pick ``(num_hashes,
+  rows_per_band)`` with :func:`lshrs_spark.planner.get_optimal_config`
+  — the S-curve ``P = 1-(1-s^r)^b`` applies to MinHash banding
+  verbatim with ``s`` = Jaccard similarity;
 * SimHash     — 48-bit per-document fingerprint by per-bit majority over
   token hashes; near-dup pairs by Hamming distance;
 * embedding   — cosine near-dup via :mod:`simjoin`.
