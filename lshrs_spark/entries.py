@@ -462,6 +462,51 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_source_matrix",
+    f"""WITH {_minhash_ctes()},
+bands AS ({_MBANDS}),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*)::BIGINT AS n_pairs
+FROM pairs p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+GROUP BY 1, 2""",
+)
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — WHICH sources copy from which:
+    the MinHash near-dup pairs joined back to each side's ``source``
+    and rolled up per unordered source pair. The curation signal behind
+    source-level policy (a mirror site shows up as a heavy off-diagonal
+    cell; heavy diagonals are internal boilerplate). Scale shape: the
+    pair list is the already-output-bound banded join; the two source
+    lookups are id equi-joins against the narrow (id, source)
+    projection; the final rollup is #source^2-bounded."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_band_pairs(
+        docs, num_hashes=8, rows_per_band=2, n=3, seed=42
+    )
+    src = docs.select(F.col("doc_id").cast("long").alias("id"), "source")
+    withs = (
+        pairs.join(src.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("source", "sa"), "id_a")
+        .join(src.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("source", "sb"), "id_b")
+    )
+    return (
+        withs.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 # --------------------------------------------------------------------- #
 # SimHash dedup (M5)
 # --------------------------------------------------------------------- #
@@ -6320,6 +6365,8 @@ FAMILY: dict[str, str] = {
     # simjoin / dedup twins and gauges
     "simjoin_exact": "simjoin_lsh",
     "dedup_minhash_sigs": "dedup_minhash_pairs",
+    # per-source-pair rollup of the same banded pair list
+    "dedup_source_matrix": "dedup_minhash_pairs",
     "dedup_minhash_quality": "dedup_minhash_pairs",
     "dedup_incremental": "dedup_minhash_pairs",
     "dedup_simhash": "dedup_simhash_pairs",
