@@ -69,8 +69,12 @@ def timed(fn, name: str | None = None, *, warmup: bool = True, reps: int = REPS,
 def p95_index(n: int) -> int:
     """Index of the p95 order statistic for an n-element sorted list —
     computed from the length (lat[94] hardcoded the 100-query case and
-    silently mis-reported any other size)."""
-    return min(n - 1, int(0.95 * n))
+    silently mis-reported any other size). ceil(0.95*n)-1 generalizes
+    lat[94] exactly: 94 for n=100 (int(0.95*n) would give 95 — the p96
+    statistic — and the list maximum for small n)."""
+    import math
+
+    return max(0, math.ceil(0.95 * n) - 1)
 
 
 def serve_latencies(fn, queries, *, loops: int = 2):

@@ -40,6 +40,8 @@ __all__ = [
     "phrase_search",
     "h48_py",
     "bm25_index_write",
+    "bm25_postings",
+    "bm25_stats_row",
 ]
 
 # the tracked alphabet for char_entropy_col; everything else pools into
@@ -553,7 +555,54 @@ def bm25_index_write(
     ``store_positions=True`` additionally stores each posting's sorted
     token positions — the POSITIONAL index that lets
     :meth:`~lshrs_spark.serving.BM25Server.phrase` answer exact phrase
-    queries from the same layout (costs one int array per posting)."""
+    queries from the same layout (costs one int array per posting).
+
+    Only ``mode='overwrite'`` is supported: an append would have to
+    merge the ``_stats`` corpus constants too, and silently
+    overwriting them with the last batch's would make every served
+    score wrong — incremental maintenance is
+    :func:`~lshrs_spark.streaming.ingest.stream_bm25_ingest`'s job
+    (epoch-keyed layout, additive stats)."""
+    if mode != "overwrite":
+        raise ValueError(
+            "bm25_index_write supports mode='overwrite' only — use "
+            "stream_bm25_ingest for incremental maintenance"
+        )
+    postings, dl = bm25_postings(
+        df, num_buckets, id_col=id_col, text_col=text_col,
+        store_positions=store_positions,
+    )
+    # dl feeds both the postings write (denormalized) and the stats
+    # row; persist so the tokenize+aggregate pipeline runs once
+    dl = dl.persist()
+    try:
+        (
+            postings.repartition(F.col("bucket"))
+            .sortWithinPartitions("tok", "id")
+            .write.mode(mode)
+            .partitionBy("bucket")
+            .parquet(path)
+        )
+        bm25_stats_row(dl, num_buckets).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/_stats")
+    finally:
+        dl.unpersist()
+
+
+def bm25_postings(
+    df: "DataFrame",
+    num_buckets: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    store_positions: bool = False,
+):
+    """``(postings, dl)`` — the shared postings pipeline behind the
+    batch writer (:func:`bm25_index_write`) and the streaming
+    maintainer (:func:`~lshrs_spark.streaming.ingest.
+    stream_bm25_ingest`): ONE definition of the layout schema and the
+    bucket key, so the two writers cannot drift apart."""
     toks = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
@@ -571,16 +620,14 @@ def bm25_index_write(
         .withColumn("bucket", F.pmod(h48(F.col("tok")), F.lit(num_buckets)))
         .select(*cols)
     )
-    (
-        postings.repartition(F.col("bucket"))
-        .sortWithinPartitions("tok", "id")
-        .write.mode(mode)
-        .partitionBy("bucket")
-        .parquet(path)
-    )
-    stats = dl.agg(
+    return postings, dl
+
+
+def bm25_stats_row(dl: "DataFrame", num_buckets: int) -> "DataFrame":
+    """One-row corpus constants ``(n_docs, total_len, num_buckets)``
+    from the per-doc length table."""
+    return dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_len"),
         F.lit(num_buckets).cast("long").alias("num_buckets"),
     )
-    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/_stats")

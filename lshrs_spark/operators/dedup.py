@@ -504,15 +504,8 @@ def hamming_banded_pairs(
         eager=True,
     )
     blocks = simhash_blocks(max_hamming, bits=bits, num_blocks=num_blocks)
-    nb = len(blocks)
-    vals = [
-        F.expr(f"shiftright(_h, {start}) & {(1 << ln) - 1}").alias(f"v{i}")
-        for i, (start, ln) in enumerate(blocks)
-    ]
-    stack = ", ".join(f"{i}, v{i}" for i in range(nb))
-    bands = tbl.select("id", "_h", *vals).selectExpr(
-        "id", "_h", f"stack({nb}, {stack}) AS (blk, val)"
-    )
+    bands = _band_key_rows(tbl, "_h", blocks, keep=("_h",),
+                           out_cols=("blk", "val"))
     if max_block_size is not None:
         cap = (
             bands.groupBy("blk", "val")
@@ -1044,6 +1037,26 @@ def semantic_dedup(
     )
 
 
+def _band_key_rows(tbl, hash_col, blocks, *, keep=(), out_cols):
+    """``(id, *keep, <out_cols[0]>, <out_cols[1]>)`` — the pigeonhole
+    block extraction shared by :func:`hamming_banded_pairs` (self-join
+    banding) and :func:`image_dhash_band_keys` (streaming key store):
+    ONE definition of the shiftright/mask/stack construction, so the
+    two consumers cannot drift apart."""
+    nb = len(blocks)
+    vals = [
+        F.expr(
+            f"shiftright({hash_col}, {start}) & {(1 << ln) - 1}"
+        ).alias(f"v{i}")
+        for i, (start, ln) in enumerate(blocks)
+    ]
+    stack = ", ".join(f"{i}, v{i}" for i in range(nb))
+    return tbl.select("id", *keep, *vals).selectExpr(
+        "id", *keep,
+        f"stack({nb}, {stack}) AS ({out_cols[0]}, {out_cols[1]})",
+    )
+
+
 def image_dhash_band_keys(
     payload_df: DataFrame,
     max_hamming: int = 6,
@@ -1064,15 +1077,7 @@ def image_dhash_band_keys(
     tbl = dhash_table(payload_df)
     blocks = simhash_blocks(max_hamming, bits=DHASH_BITS,
                             num_blocks=num_blocks)
-    nb = len(blocks)
-    vals = [
-        F.expr(f"shiftright(dhash, {start}) & {(1 << ln) - 1}").alias(f"v{i}")
-        for i, (start, ln) in enumerate(blocks)
-    ]
-    stack = ", ".join(f"{i}, v{i}" for i in range(nb))
-    return tbl.select("id", *vals).selectExpr(
-        "id", f"stack({nb}, {stack}) AS (band, sig)"
-    )
+    return _band_key_rows(tbl, "dhash", blocks, out_cols=("band", "sig"))
 
 
 def chunk_overlap_pairs(

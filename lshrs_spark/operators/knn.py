@@ -460,8 +460,6 @@ def ivf_compact(spark, store_path: str) -> None:
     the new compacted state, never a half-rewritten partition visible
     without its tombstones. File ops go through pyarrow.fs — works for
     object-store URIs. No-op when the sidecar is absent/empty."""
-    import uuid as _uuid
-
     from ..serving import _fs_and_path
 
     filesystem, root = _fs_and_path(store_path)
@@ -477,6 +475,16 @@ def ivf_compact(spark, store_path: str) -> None:
         _rm_dir(f"{root}/_deleted")
         return
     tomb = tomb.persist()
+    try:
+        _ivf_compact_body(spark, store_path, tomb, filesystem, root, _rm_dir)
+    finally:
+        tomb.unpersist()
+    _rm_dir(f"{root}/_deleted")
+
+
+def _ivf_compact_body(spark, store_path, tomb, filesystem, root, _rm_dir):
+    import uuid as _uuid
+
     store = spark.read.parquet(store_path)
     # Affected-partition discovery is a semi-join against the tombstone
     # RELATION (never an isin literal over the id list — unbounded).
@@ -510,8 +518,6 @@ def ivf_compact(spark, store_path: str) -> None:
                 filesystem.move(rewritten, final)
             # else: every row in the partition was tombstoned — it is gone
         _rm_dir(tmp_root)
-    tomb.unpersist()
-    _rm_dir(f"{root}/_deleted")
 
 
 # --------------------------------------------------------------------- #

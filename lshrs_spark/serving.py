@@ -789,9 +789,7 @@ class IVFPQServer:
         union = sorted({c for p in probes for c in p})
         tbl = self._ds.to_table(
             columns=["centroid_id", "id", "codes"],
-            filter=pads.field("centroid_id").isin(
-                pa.array(union, type=pa.int64())
-            ),
+            filter=IVFServer._probe_filter(union, where),
         )
         ids = tbl.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
         keep = _drop_deleted(ids, self._deleted)
@@ -966,7 +964,10 @@ class BM25Server:
         avg = self._ll / self._n
         scores: dict[int, float] = {}
         matched: dict[int, int] = {}
-        for term in terms:
+        # distinct terms, first-seen order: a duplicated query token
+        # must not double a document's contribution (the `matched`
+        # contract counts DISTINCT query terms)
+        for term in dict.fromkeys(terms):
             ids, tf, dl = self._scored_postings(term)
             df = float(len(ids))
             idf = math.log(1.0 + (self._n - df + 0.5) / (df + 0.5))

@@ -926,7 +926,7 @@ def stream_bm25_ingest(
     :func:`~lshrs_spark.functions.text.bm25_index_write` over the full
     corpus periodically to compact epochs into one sorted layout.
     Returns the started StreamingQuery."""
-    from ..functions.text import h48
+    from ..functions.text import bm25_postings, bm25_stats_row
 
     schema = spark.read.parquet(source_path).schema
     stream = (
@@ -936,33 +936,24 @@ def stream_bm25_ingest(
     )
 
     def index_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        toks = batch_df.select(
-            F.col("doc_id").cast("long").alias("id"),
-            F.explode(F.split(F.col("text"), " ")).alias("tok"),
-        )
-        tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-        dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
-        postings = (
-            tf.join(dl, "id")
-            .withColumn(
-                "bucket", F.pmod(h48(F.col("tok")), F.lit(num_buckets))
+        # shared pipeline with the batch writer: one definition of the
+        # layout schema and bucket key, so the streamed epochs stay
+        # readable by the same BM25Server
+        postings, dl = bm25_postings(batch_df, num_buckets)
+        dl = dl.persist()
+        try:
+            (
+                postings.repartition(F.col("bucket"))
+                .sortWithinPartitions("tok", "id")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(f"{index_path}/epoch={int(epoch_id)}")
             )
-            .select("bucket", "tok", "id", "tf", "dl")
-        )
-        (
-            postings.repartition(F.col("bucket"))
-            .sortWithinPartitions("tok", "id")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(f"{index_path}/epoch={int(epoch_id)}")
-        )
-        dl.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("dl").alias("total_len"),
-            F.lit(num_buckets).cast("long").alias("num_buckets"),
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{index_path}/_stats/epoch={int(epoch_id)}"
-        )
+            bm25_stats_row(dl, num_buckets).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{index_path}/_stats/epoch={int(epoch_id)}")
+        finally:
+            dl.unpersist()
 
     writer = stream.writeStream.foreachBatch(index_batch)
     if checkpoint:

@@ -969,3 +969,53 @@ def test_index_server_eligible_ids_mask(spark, tmp_path):
     assert all(i % 2 == 0 for i in got)
     full = srv.get_top_k(q, n)
     assert got == [i for i in full if i % 2 == 0][:10]
+
+
+def test_review_fixes_bm25_and_ivfpq_batch_where(spark, tmp_path):
+    """Code-review regressions: (a) duplicated query terms must not
+    double a document's BM25 contribution; (b) IVFPQServer.topk_batch
+    must honor where= like topk does; (c) bm25_index_write rejects
+    append mode (it would corrupt the _stats corpus constants);
+    (d) bench's p95_index generalizes lat[94] exactly."""
+    from lshrs_spark.functions.text import bm25_index_write
+    from lshrs_spark.operators.knn import (
+        ivf_centroids_by_id,
+        ivfpq_write_store,
+        pq_codebooks,
+    )
+    from lshrs_spark.serving import BM25Server, IVFPQServer
+
+    docs = spark.createDataFrame(
+        [(1, "key lock key"), (2, "key door")], "doc_id long, text string"
+    )
+    store = str(tmp_path / "bm25_dup")
+    bm25_index_write(docs, store, num_buckets=4)
+    srv = BM25Server(store)
+    assert srv.search(["key", "key"], 5) == srv.search(["key"], 5)
+    assert all(m == 1 for _, m, _, _ in srv.search(["key", "key"], 5))
+    with pytest.raises(ValueError, match="overwrite"):
+        bm25_index_write(docs, store, mode="append")
+
+    rng = np.random.default_rng(67)
+    n, dim = 200, 16
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], i % 2) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label long",
+    )
+    cents = ivf_centroids_by_id(emb, 4)
+    cb = pq_codebooks(emb, m=4, k=4, dim=dim, iterations=1)
+    pstore = str(tmp_path / "ivfpq_where")
+    ivfpq_write_store(emb, cents, cb, pstore, m=4, dim=dim,
+                      extra_cols=["label"])
+    psrv = IVFPQServer.from_store(pstore)
+    q = vecs[100]
+    batch = psrv.topk_batch([q], 10, nprobe=4, where=("label", 1))
+    assert batch[0] == psrv.topk(q, 10, nprobe=4, where=("label", 1))
+    assert all(i % 2 == 1 for i, _, _ in batch[0])
+
+    import bench
+
+    assert bench.p95_index(100) == 94
+    assert bench.p95_index(20) == 18
+    assert bench.p95_index(1) == 0

@@ -102,6 +102,11 @@ def shuffle_main(args) -> None:
     emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
+    if args.dim != 64:
+        raise SystemExit(
+            "--job shuffle probes the fixed bench corpus (64-d "
+            "embeddings); --dim applies to the serving probe only"
+        )
     sj_cfg = LSHConfig(dim=64, num_perm=128, num_bands=16,
                        rows_per_band=8, seed=42)
 
