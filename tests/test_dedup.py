@@ -486,3 +486,25 @@ def test_chunk_overlap_pairs_and_stop_chunk_cap(spark):
         ).collect()
     }
     assert set(capped) == {(1, 2)}             # boiler (3 docs) dropped
+
+
+def test_hamming_banded_pairs_block_size_cap(spark):
+    """max_block_size drops degenerate band buckets (documented recall
+    tradeoff): a swarm of identical fingerprints stops producing
+    quadratic pairs, while pairs outside the hot bucket survive."""
+    from lshrs_spark.operators.dedup import hamming_banded_pairs
+
+    rows = [(i, 0) for i in range(50)]          # 50 identical hashes
+    rows += [(100, 7), (101, 7)]                # one small honest pair
+    tbl = spark.createDataFrame(rows, "id long, h long")
+    exact = hamming_banded_pairs(
+        tbl, hash_col="h", bits=48, max_hamming=2,
+        slot="dedup.cap_test_a",
+    )
+    assert exact.count() == (50 * 49) // 2 + 1
+    capped = hamming_banded_pairs(
+        tbl, hash_col="h", bits=48, max_hamming=2, max_block_size=10,
+        slot="dedup.cap_test_b",
+    )
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(100, 101)}                  # hot bucket dropped whole
