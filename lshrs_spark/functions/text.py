@@ -501,6 +501,30 @@ def token_postings(
     )
 
 
+def _phrase_term_order(
+    postings: "DataFrame", phrase: "Sequence[str]"
+) -> "list[tuple[int, str]]":
+    """``[(original_index, token)]`` in ascending document-frequency
+    order — the intersection schedule :func:`phrase_search` runs.
+    Position shifts commute (token *i* always shifts by ``-i``
+    regardless of processing order), so reordering is free; starting
+    from the RAREST token makes every intermediate at most that
+    token's posting size. One tiny aggregate over the phrase tokens'
+    postings (≤ len(phrase) rows collected) prices the schedule; a
+    token absent from the corpus counts 0 and sorts first, so the
+    empty result short-circuits the whole chain. Ties break by
+    original index (equal-df runs keep phrase order)."""
+    phrase = list(phrase)
+    counts = {
+        r["tok"]: r["n"]
+        for r in postings.filter(F.col("tok").isin(phrase))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return sorted(
+        enumerate(phrase), key=lambda it: (counts.get(it[1], 0), it[0])
+    )
+
+
 def phrase_search(
     postings: "DataFrame", phrase: "Sequence[str]"
 ) -> "DataFrame":
@@ -508,18 +532,21 @@ def phrase_search(
     token ``phrase``, with occurrence counts, via posting-list
     intersection: token *i*'s postings shift their positions by ``-i``
     and equi-join on ``(id, pos)``, so a match is an all-tokens
-    position agreement. Cost is proportional to the SUM of the phrase
-    tokens' posting sizes (the rarest token prunes the join after the
-    first intersection) — the corpus is never rescanned per query."""
+    position agreement. Terms intersect RAREST-FIRST
+    (:func:`_phrase_term_order`): the first intermediate is the rarest
+    token's postings and every later join is bounded by it, so a
+    phrase leading with a near-stop word ("the quick brown fox") costs
+    the rare token's posting size, never the stop word's — the corpus
+    is never rescanned per query."""
     phrase = list(phrase)
     if not phrase:
         raise ValueError("phrase must contain at least one token")
-    cur = postings.filter(F.col("tok") == phrase[0]).select("id", "pos")
-    for i, tok in enumerate(phrase[1:], start=1):
+    cur = None
+    for i, tok in _phrase_term_order(postings, phrase):
         nxt = postings.filter(F.col("tok") == tok).select(
             "id", (F.col("pos") - i).alias("pos")
         )
-        cur = cur.join(nxt, ["id", "pos"])
+        cur = nxt if cur is None else cur.join(nxt, ["id", "pos"])
     return cur.groupBy("id").agg(F.count(F.lit(1)).alias("n_matches"))
 
 

@@ -37,7 +37,24 @@ import pyarrow.dataset as pads
 from .config import LSHConfig
 from .hashing import hash_vectors_local, hash_vectors_local_long
 
-__all__ = ["IndexServer", "SegmentedIndexServer", "IVFServer", "PQServer", "IVFPQServer", "BM25Server"]
+__all__ = [
+    "IndexServer", "SegmentedIndexServer", "IVFServer", "PQServer",
+    "IVFPQServer", "BM25Server", "prepare_eligible_ids",
+]
+
+
+def prepare_eligible_ids(eligible_ids) -> np.ndarray:
+    """Normalize a filtered-query id set to the sorted-unique int64
+    array :meth:`IndexServer.get_top_k` consumes directly. Callers
+    resolving a predicate once and issuing many queries should call
+    this ONCE and pass the result to every query — the per-query path
+    then does zero interpreter-level set work (an already-int64 ndarray
+    is used as-is)."""
+    arr = np.asarray(
+        eligible_ids if not isinstance(eligible_ids, (set, frozenset))
+        else list(eligible_ids)
+    )
+    return np.unique(arr.astype(np.int64, copy=False))
 
 
 def _fs_and_path(path: str):
@@ -242,15 +259,20 @@ class IndexServer:
         columns (entries are ``(band, sig, id)``), so the caller
         resolves its predicate to an id set (from whatever metadata
         store owns it) and candidates are masked BEFORE the top-k cut —
-        never post-filtering a shortened result."""
+        never post-filtering a shortened result. An int64 ndarray
+        (see :func:`prepare_eligible_ids`) is used as-is, so callers
+        issuing many queries against one predicate pay the set
+        normalization once, not per query."""
         if topk <= 0:
             raise ValueError("top_k must be positive")
         ids, counts = self.candidate_counts(vector)
         if eligible_ids is not None:
-            keep = np.isin(
-                ids, np.asarray(sorted(set(int(i) for i in eligible_ids)),
-                                dtype=np.int64)
-            )
+            if not (
+                isinstance(eligible_ids, np.ndarray)
+                and eligible_ids.dtype == np.int64
+            ):
+                eligible_ids = prepare_eligible_ids(eligible_ids)
+            keep = np.isin(ids, eligible_ids)
             ids, counts = ids[keep], counts[keep]
         # np.unique returns ids ascending; stable-sorting by -counts keeps
         # the ascending-id order inside each collision-count tie — exactly
@@ -887,9 +909,25 @@ class BM25Server:
         # one row for a batch build; one row PER EPOCH for the streaming
         # layout (stream_bm25_ingest) — corpus constants are additive,
         # so summing covers both.
-        self._n = float(sum(v.as_py() for v in stats.column("n_docs")))
-        self._ll = float(sum(v.as_py() for v in stats.column("total_len")))
-        self._num_buckets = int(stats.column("num_buckets")[0].as_py())
+        # `or 0`: an empty corpus's stats row has total_len NULL
+        self._n = float(sum(v.as_py() or 0 for v in stats.column("n_docs")))
+        self._ll = float(
+            sum(v.as_py() or 0 for v in stats.column("total_len"))
+        )
+        nb = {int(v.as_py()) for v in stats.column("num_buckets")}
+        if len(nb) > 1:
+            # epochs written with differing bucket counts would hash a
+            # query term to the right bucket for SOME epochs only and
+            # silently drop the rest of its postings — refuse to serve.
+            # Streaming epochs must reuse the existing layout's bucket
+            # count (stream_bm25_ingest num_buckets= must match the
+            # compacted layout); bm25_compact() re-buckets a mixed
+            # layout into a single consistent count.
+            raise ValueError(
+                f"inconsistent num_buckets across _stats rows: {sorted(nb)}"
+                " — rewrite with bm25_compact() or rebuild with one count"
+            )
+        self._num_buckets = nb.pop() if nb else 1
         fields = [pa.field("bucket", pa.int64())]
         if epochs:
             fields = [pa.field("epoch", pa.int64())] + fields
@@ -900,15 +938,24 @@ class BM25Server:
     def refresh(self) -> None:
         self.__init__(self._path, epochs=self._epochs)
 
-    def _postings(self, term: str, columns=("id", "tf", "dl")):
+    def _term_filter(self, term: str) -> pads.Expression:
         from .functions.text import h48_py
 
         b = h48_py(term) % self._num_buckets
-        tbl = self._ds.to_table(
-            columns=list(columns),
-            filter=(pads.field("bucket") == b) & (pads.field("tok") == term),
-        )
-        return tbl
+        return (pads.field("bucket") == b) & (pads.field("tok") == term)
+
+    def _postings(self, term: str, columns=("id", "tf", "dl"),
+                  extra_filter: Optional[pads.Expression] = None):
+        flt = self._term_filter(term)
+        if extra_filter is not None:
+            flt = flt & extra_filter
+        return self._ds.to_table(columns=list(columns), filter=flt)
+
+    def _doc_freq(self, term: str) -> int:
+        """Posting-list length from a metadata-level count — no
+        ``positions`` column is materialized, so ranking terms by
+        rarity costs footer/stats work, not data reads."""
+        return self._ds.count_rows(filter=self._term_filter(term))
 
     def _scored_postings(self, term: str):
         tbl = self._postings(term)
@@ -925,7 +972,12 @@ class BM25Server:
         *i*'s positions shift by ``-i`` and all terms must agree — the
         no-Spark-job twin of
         :func:`~lshrs_spark.functions.text.phrase_search`, same cost
-        shape (the query terms' posting sizes, never the corpus)."""
+        shape: terms intersect RAREST-FIRST (position shifts commute,
+        so processing order is free), so every intermediate — and every
+        ``positions`` materialization after the first — is bounded by
+        the smallest posting list, not the first token's. A phrase
+        leading with a near-stop word ("the quick ...") costs the rare
+        token's postings, never the stop word's."""
         terms = list(terms)
         if not terms:
             raise ValueError("phrase must contain at least one token")
@@ -934,15 +986,27 @@ class BM25Server:
                 "phrase queries need a positional layout — write the "
                 "index with bm25_index_write(store_positions=True)"
             )
-        acc: dict[int, set] = {}
-        for i, term in enumerate(terms):
-            tbl = self._postings(term, columns=("id", "positions"))
+        # ascending document frequency (metadata-level counts; original
+        # index breaks ties so equal-df runs keep phrase order)
+        order = sorted(range(len(terms)),
+                       key=lambda i: (self._doc_freq(terms[i]), i))
+        acc: Optional[dict[int, set]] = None
+        for i in order:
+            # survivors of the intersection so far prune the READ too:
+            # a common term's postings (and positions lists) are fetched
+            # only for docs the rarest terms already matched.
+            extra = (
+                pads.field("id").isin(list(acc.keys()))
+                if acc is not None else None
+            )
+            tbl = self._postings(terms[i], columns=("id", "positions"),
+                                 extra_filter=extra)
             ids = tbl.column("id").to_numpy(zero_copy_only=False)
             plists = tbl.column("positions").to_pylist()
             cur = {
                 int(d): {p - i for p in ps} for d, ps in zip(ids, plists)
             }
-            if i == 0:
+            if acc is None:
                 acc = cur
             else:
                 acc = {
@@ -961,6 +1025,8 @@ class BM25Server:
         path."""
         import math
 
+        if self._n == 0:
+            return []  # empty corpus: no docs to rank (avoids 0-division)
         avg = self._ll / self._n
         scores: dict[int, float] = {}
         matched: dict[int, int] = {}

@@ -11,6 +11,7 @@ side (watermarks for late data)."""
 
 from __future__ import annotations
 
+import json
 import uuid
 from contextlib import contextmanager
 from typing import Optional
@@ -339,17 +340,28 @@ def stream_scd2_ingest(
     base_version + epoch_id``.
 
     Replay-safe: the version derives from the epoch id, and a retried
-    batch whose ``_CURRENT`` marker already points at ``v{epoch}``
-    short-circuits — the apply completed before the crash and only the
-    checkpoint commit was lost (re-running would read and overwrite the
-    same path, which Spark refuses, wedging the query). A crash BEFORE
-    the marker repoint leaves ``_CURRENT`` on the prior version, so the
-    retry rebuilds ``v{epoch}`` from unchanged input — idempotent
-    (``scd2_apply`` at a fixed version re-derives the same rows). Each
-    apply writes to a ``v{epoch}`` directory and repoints the marker
-    atomically, so a crash mid-write never corrupts the readable table
-    (single-writer, like every streaming sink here; micro-batches are
-    serialized by the engine). Returns the started StreamingQuery."""
+    batch whose ``_CURRENT`` marker already points at this epoch's
+    directory short-circuits — the apply completed before the crash and
+    only the checkpoint commit was lost (re-running would read and
+    overwrite the same path, which Spark refuses, wedging the query).
+    A crash BEFORE the marker repoint leaves ``_CURRENT`` on the prior
+    version, so the retry rebuilds the epoch from unchanged input —
+    idempotent (``scd2_apply`` at a fixed version re-derives the same
+    rows). Each apply writes to a ``v{epoch}-{run}`` directory and
+    repoints the marker atomically, so a crash mid-write never corrupts
+    the readable table (single-writer, like every streaming sink here;
+    micro-batches are serialized by the engine).
+
+    The directory/marker name carries an INCARNATION token (the
+    checkpoint's persistent query id, which survives restarts of the
+    same checkpoint but changes when the checkpoint is deleted and
+    recreated): epoch ids reset with a fresh checkpoint, and a bare
+    ``v{epoch}`` marker left by a prior incarnation would collide with
+    the new run's first epochs — the short-circuit would silently DROP
+    those batches. With the token in the name, a stale marker never
+    equals a new incarnation's directory, so the batch applies on top
+    of the retained history as a fresh write. Returns the started
+    StreamingQuery."""
     import os as _os
 
     keys = list(keys)
@@ -362,20 +374,45 @@ def stream_scd2_ingest(
     )
     from ..operators.diff import scd2_apply
 
+    _run_token: list = []
+
+    def run_token() -> str:
+        """Stable across restarts of the SAME checkpoint (its metadata
+        query id), fresh for a recreated checkpoint or checkpoint-less
+        run — the incarnation half of the replay short-circuit key."""
+        if _run_token:
+            return _run_token[0]
+        tok = None
+        if checkpoint:
+            meta = _os.path.join(checkpoint, "metadata")
+            try:
+                with open(meta) as fh:
+                    tok = json.loads(fh.read()).get("id")
+            except (OSError, ValueError):
+                tok = None
+        if tok is None:
+            tok = uuid.uuid4().hex
+        _run_token.append(str(tok).replace("-", "")[:12])
+        return _run_token[0]
+
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         marker = _os.path.join(table_path, "_CURRENT")
-        vdir = f"v{epoch_id}"
+        vdir = f"v{epoch_id}-{run_token()}"
         cur_dir = None
         if _os.path.exists(marker):
             with open(marker) as fh:
                 cur_dir = fh.read().strip()
         # Replay short-circuit: if the marker already points at this
-        # epoch's directory, the batch was fully applied before the
-        # crash (marker repoints only after the write completed) and
-        # only the checkpoint commit was lost. Without this, the retry
-        # would read v{epoch} while mode('overwrite')-writing the same
-        # path — Spark refuses ("cannot overwrite a path that is also
-        # being read from") and the query wedges permanently.
+        # epoch's directory FOR THIS INCARNATION, the batch was fully
+        # applied before the crash (marker repoints only after the
+        # write completed) and only the checkpoint commit was lost.
+        # Without this, the retry would read the directory while
+        # mode('overwrite')-writing the same path — Spark refuses
+        # ("cannot overwrite a path that is also being read from") and
+        # the query wedges permanently. A stale marker from a PRIOR
+        # incarnation (checkpoint deleted, epoch ids reset) carries a
+        # different token, so it can never match — that batch applies
+        # as a fresh write instead of being dropped.
         if cur_dir == vdir:
             return
         if cur_dir is not None:

@@ -543,6 +543,54 @@ def test_phrase_search_is_equijoin_on_postings(spark):
     out.count()
 
 
+def test_phrase_search_intersects_rarest_token_first(spark):
+    """VERDICT r5 #1: the intersection schedule must start from the
+    RAREST token so the first intermediate is its posting list, not a
+    stop word's — and a reordered schedule returns exactly the
+    phrase-order results (position shifts commute)."""
+    from lshrs_spark.functions.text import (
+        _phrase_term_order,
+        phrase_search,
+        token_postings,
+    )
+
+    rows = [(i, "the filler the padding the noise") for i in range(40)]
+    rows += [(100, "the quick brown fox"), (101, "a quick brown dog"),
+             (102, "the slow brown fox the quick step")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    postings = token_postings(docs)
+
+    # schedule: fox(2) quick(3) brown(3) the(42); ties keep phrase order
+    order = _phrase_term_order(postings, ["the", "quick", "brown", "fox"])
+    assert [tok for _, tok in order] == ["fox", "quick", "brown", "the"]
+    assert [i for i, _ in order] == [3, 1, 2, 0]
+    # a token absent from the corpus sorts first → empty short-circuit
+    order2 = _phrase_term_order(postings, ["the", "zzzmissing"])
+    assert order2[0] == (1, "zzzmissing")
+
+    got = {
+        r.id: r.n_matches
+        for r in phrase_search(
+            postings, ["the", "quick", "brown", "fox"]
+        ).collect()
+    }
+    assert got == {100: 1}
+    assert {
+        r.id: r.n_matches
+        for r in phrase_search(postings, ["the", "quick"]).collect()
+    } == {100: 1, 102: 1}
+    # duplicate tokens keep their per-occurrence shifts after reorder
+    dup = spark.createDataFrame(
+        [(1, "go stop go"), (2, "go go stop")], "doc_id long, text string"
+    )
+    assert {
+        r.id: r.n_matches
+        for r in phrase_search(
+            token_postings(dup), ["go", "stop", "go"]
+        ).collect()
+    } == {1: 1}
+
+
 def test_semantic_decontaminate_broadcasts_bench_side(spark):
     """The benchmark side must broadcast (one corpus scan, no shuffle
     of the corpus before scoring) — the plan that survives 100 TB."""

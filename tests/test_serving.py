@@ -1019,3 +1019,96 @@ def test_review_fixes_bm25_and_ivfpq_batch_where(spark, tmp_path):
     assert bench.p95_index(100) == 94
     assert bench.p95_index(20) == 18
     assert bench.p95_index(1) == 0
+
+
+def test_bm25_server_rejects_mixed_num_buckets(spark, tmp_path):
+    """ADVICE r5: epochs written with differing num_buckets would hash
+    query terms to the wrong bucket for the other epochs and silently
+    drop postings — the server must refuse to open such a layout."""
+    from lshrs_spark.functions.text import bm25_index_write
+    from lshrs_spark.serving import BM25Server
+
+    docs = spark.createDataFrame(
+        [(1, "key scan"), (2, "key door")], "doc_id long, text string"
+    )
+    store = str(tmp_path / "bm25_mixed")
+    bm25_index_write(docs, store, num_buckets=8)
+    assert BM25Server(store).search(["key"], 2)   # consistent: serves fine
+    # a second _stats row claiming a different bucket count (what a
+    # stream_bm25_ingest epoch with the wrong default would leave)
+    spark.createDataFrame(
+        [(1, 5, 16)], "n_docs long, total_len long, num_buckets long"
+    ).coalesce(1).write.parquet(f"{store}/_stats/epoch=9")
+    with pytest.raises(ValueError, match="num_buckets"):
+        BM25Server(store)
+
+
+def test_bm25_server_empty_corpus_search_returns_empty(spark, tmp_path):
+    """ADVICE r5: an index over zero documents must serve [] instead of
+    raising ZeroDivisionError on the avg-doc-length divide."""
+    from lshrs_spark.functions.text import bm25_index_write
+    from lshrs_spark.serving import BM25Server
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    store = str(tmp_path / "bm25_empty")
+    bm25_index_write(docs, store, num_buckets=4)
+    assert BM25Server(store).search(["key", "scan"], 5) == []
+
+
+def test_index_server_eligible_ids_precomputed_array(spark, tmp_path):
+    """ADVICE r5: a precomputed int64 ndarray (prepare_eligible_ids) is
+    consumed as-is — same result as the list form, no per-query set
+    rebuild in the serving hot path."""
+    from lshrs_spark.config import LSHConfig
+    from lshrs_spark.operators.index import build_index, write_index
+    from lshrs_spark.serving import IndexServer, prepare_eligible_ids
+
+    rng = np.random.default_rng(71)
+    n, d = 300, 32
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cfg = LSHConfig(dim=d, num_perm=64, num_bands=8, rows_per_band=8,
+                    seed=42)
+    store = str(tmp_path / "lsh_prearr")
+    write_index(build_index(emb, cfg, "vec_id", "embedding"), store)
+    srv = IndexServer(store, cfg)
+
+    evens = [i for i in range(n) if i % 2 == 0]
+    pre = prepare_eligible_ids(evens + evens)     # dupes collapse
+    assert pre.dtype == np.int64 and len(pre) == len(evens)
+    assert np.all(pre[:-1] < pre[1:])             # sorted unique
+    q = vecs[7]
+    assert srv.get_top_k(q, 10, eligible_ids=pre) == srv.get_top_k(
+        q, 10, eligible_ids=evens
+    )
+    # set / generator inputs normalize too
+    assert np.array_equal(prepare_eligible_ids(set(evens)), pre)
+
+
+def test_bm25_phrase_rarest_first_prunes_and_matches(spark, tmp_path):
+    """VERDICT r5 #1 (served path): a phrase LEADING with a near-stop
+    token must cost the rare token's postings, not the stop word's —
+    terms intersect in ascending document frequency, and later (common)
+    terms' positions are read only for surviving doc ids. Results are
+    identical to phrase order."""
+    from lshrs_spark.functions.text import bm25_index_write
+    from lshrs_spark.serving import BM25Server
+
+    rows = [(i, "the filler the padding the noise") for i in range(50)]
+    rows += [(100, "the quick brown fox"), (101, "a quick brown dog"),
+             (102, "the slow brown fox the quick step")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    store = str(tmp_path / "bm25_rare")
+    bm25_index_write(docs, store, num_buckets=8, store_positions=True)
+    srv = BM25Server(store)
+
+    # df("the")=52, df("quick")=3, df("fox")=2
+    assert srv._doc_freq("the") == 52 and srv._doc_freq("fox") == 2
+    assert srv.phrase(["the", "quick"]) == {100: 1, 102: 1}
+    assert srv.phrase(["the", "quick", "brown", "fox"]) == {100: 1}
+    # reversed/offset phrasing still anchored to original positions
+    assert srv.phrase(["quick", "brown", "fox"]) == {100: 1}
+    assert srv.phrase(["the", "zzzmissing"]) == {}

@@ -559,6 +559,67 @@ def test_stream_scd2_retry_after_marker_repoint_short_circuits(
     assert got == want
 
 
+def test_stream_scd2_fresh_checkpoint_does_not_drop_colliding_epoch(
+    spark, tmp_path
+):
+    """ADVICE r5 (low): after deleting the checkpoint and restarting,
+    epoch ids reset — a stale _CURRENT marker whose epoch number
+    happens to equal the replayed epoch's must NOT short-circuit (that
+    would silently drop the batch). The marker/directory name carries
+    the checkpoint's query id, so a new incarnation's v0 never equals
+    the old incarnation's v0."""
+    import os
+    import shutil
+    import time
+
+    from lshrs_spark.streaming.ingest import (
+        read_scd2_table,
+        stream_scd2_ingest,
+    )
+
+    src = str(tmp_path / "dim_updates")
+    table = str(tmp_path / "scd2_table")
+    b0 = spark.createDataFrame([(1, 100), (2, 200)], "k long, cents long")
+    b0.coalesce(1).write.mode("append").parquet(src)
+    q = stream_scd2_ingest(
+        spark, src, table, ["k"], ["cents"],
+        checkpoint=str(tmp_path / "ckpt1"), max_files_per_trigger=2,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    with open(os.path.join(table, "_CURRENT")) as fh:
+        marker1 = fh.read().strip()
+    assert marker1.startswith("v0-")   # epoch 0, incarnation 1
+
+    # incarnation 2: checkpoint gone, source replaced — the new stream's
+    # epoch 0 carries DIFFERENT data than the marker's epoch 0
+    shutil.rmtree(src)
+    b1 = spark.createDataFrame([(1, 150), (3, 300)], "k long, cents long")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    q = stream_scd2_ingest(
+        spark, src, table, ["k"], ["cents"],
+        checkpoint=str(tmp_path / "ckpt2"), max_files_per_trigger=2,
+    )
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+    with open(os.path.join(table, "_CURRENT")) as fh:
+        marker2 = fh.read().strip()
+    assert marker2.startswith("v0-") and marker2 != marker1
+    got = {
+        (r.k, r.cents, r.valid_to)
+        for r in read_scd2_table(spark, table).collect()
+    }
+    # b1 applied on top of the retained history, not dropped: k=1's 100
+    # closed, 150 current; k=3 admitted
+    assert (1, 150, -1) in got and (3, 300, -1) in got
+    assert any(k == 1 and c == 100 and vt != -1 for k, c, vt in got)
+
+
 def test_stream_image_dedup_ingest_blocks_near_dup_payloads(spark, tmp_path):
     """Streaming IMAGE dedup: the generic key_fn hook plugs perceptual
     dHash block keys into the same accumulated-store machinery. A
