@@ -617,6 +617,72 @@ def bm25_index_write(
         dl.unpersist()
 
 
+def bm25_compact(spark, path: str, *, num_buckets: "Optional[int]" = None) -> int:
+    """Fold a streamed BM25 epoch layout
+    (:func:`~lshrs_spark.streaming.ingest.stream_bm25_ingest`:
+    ``{path}/epoch=N/bucket=M/`` + one ``_stats`` row per epoch) back
+    into a single ``epoch=0`` with one sorted file set per bucket and
+    ONE collapsed ``_stats`` row — the postings twin of the LSH store's
+    ``compact()``. A long-running stream accumulates a partition and a
+    stats row per micro-batch; without compaction the layout degrades
+    into a small-files problem (every query term pays per-epoch file
+    opens). Returns the number of postings rows in the compacted
+    layout.
+
+    Bucket keys are RECOMPUTED at the target ``num_buckets`` (default:
+    the largest count any ``_stats`` row declares), so compaction also
+    repairs a layout whose epochs were written with differing bucket
+    counts — the mixed layout :class:`~lshrs_spark.serving.BM25Server`
+    refuses to open. Postings rows are unioned verbatim (streamed
+    epochs hold disjoint doc ids), so a server returns identical
+    rankings before and after; positions columns survive, so phrase
+    queries keep working. The compacted tree stays an EPOCHS layout
+    (``epoch=0``): live ``BM25Server(..., epochs=True)`` instances pick
+    it up at their next ``refresh()``, and the stream may keep
+    appending ``epoch=N`` on top (reusing this bucket count). The swap
+    is write-to-temp-sibling + rmtree + rename, the same ordering as
+    ``LSHRS.save_to_disk`` — run it from the single maintenance owner,
+    not concurrently with the ingest stream's own writes."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    stats = spark.read.parquet(f"{path}/_stats")
+    posts = spark.read.parquet(path)
+    if "epoch" not in posts.columns:
+        raise ValueError(
+            "bm25_compact expects a streamed epochs layout "
+            "(epoch=N/bucket=M) — a batch bm25_index_write layout is "
+            "already one sorted epoch"
+        )
+    srow = stats.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("total_len").cast("long").alias("total_len"),
+        F.max("num_buckets").cast("long").alias("max_nb"),
+    ).collect()[0]
+    nb = int(num_buckets or srow["max_nb"])
+    data_cols = [c for c in posts.columns if c not in ("epoch", "bucket")]
+    merged = posts.select(*data_cols).withColumn(
+        "bucket", F.pmod(h48(F.col("tok")), F.lit(nb))
+    )
+    tmp = f"{path}.tmp-{_uuid.uuid4().hex}"
+    (
+        merged.repartition(F.col("bucket"))
+        .sortWithinPartitions("tok", "id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{tmp}/epoch=0")
+    )
+    spark.createDataFrame(
+        [(int(srow["n_docs"] or 0), int(srow["total_len"] or 0), nb)],
+        "n_docs long, total_len long, num_buckets long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_stats/epoch=0")
+    n = spark.read.parquet(f"{tmp}/epoch=0").count()
+    _shutil.rmtree(path)
+    _os.rename(tmp, path)
+    return n
+
+
 def bm25_postings(
     df: "DataFrame",
     num_buckets: int,

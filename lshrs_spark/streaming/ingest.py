@@ -960,8 +960,13 @@ def stream_bm25_ingest(
     Replay-safe: both sinks are epoch-keyed ``mode('overwrite')``
     paths, so a retried micro-batch rewrites exactly its own output —
     the same idempotency contract as every streaming sink here. Run
-    :func:`~lshrs_spark.functions.text.bm25_index_write` over the full
-    corpus periodically to compact epochs into one sorted layout.
+    :func:`~lshrs_spark.functions.text.bm25_compact` on the usual LSM
+    cadence (e.g. when epochs exceed a few hundred) to fold the
+    accumulated per-micro-batch partitions and stats rows back into
+    ONE sorted epoch — rankings are preserved bit-identically and live
+    servers pick the folded tree up at their next ``refresh()``.
+    ``num_buckets`` must match the existing layout's count (the server
+    refuses mixed-bucket layouts; compaction re-buckets to repair one).
     Returns the started StreamingQuery."""
     from ..functions.text import bm25_postings, bm25_stats_row
 

@@ -727,3 +727,119 @@ def test_stream_bm25_ingest_serves_like_batch_index(spark, tmp_path):
                                                   [(i, m, s) for i, m, s, _ in want]]
         for (_, _, s, _), (_, _, w, _) in zip(got, want):
             assert abs(s - w) < 1e-12 + 1e-9 * abs(w)
+
+
+def _parquet_files(root):
+    import os
+
+    return [
+        os.path.join(d, f)
+        for d, _, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+
+
+def test_bm25_compact_preserves_rankings_and_shrinks_files(spark, tmp_path):
+    """VERDICT r5 #4: folding a streamed epoch layout into one sorted
+    epoch must return bit-identical rankings (disjoint doc ids union
+    verbatim; corpus constants are exact integer sums) while collapsing
+    the per-micro-batch partitions and _stats rows — the postings twin
+    of the LSH store's compact()."""
+    import time
+
+    from lshrs_spark.functions.text import bm25_compact
+    from lshrs_spark.serving import BM25Server
+    from lshrs_spark.streaming.ingest import stream_bm25_ingest
+
+    rows = [
+        (i, f"alpha beta doc{i} " * 3 + ("vector hash " * (i % 3)))
+        for i in range(30)
+    ]
+    src = str(tmp_path / "docs")
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        spark.createDataFrame(
+            rows[lo:hi], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)
+    idx = str(tmp_path / "bm25_epochs")
+    q = stream_bm25_ingest(
+        spark, src, idx, num_buckets=8,
+        checkpoint=str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    srv = BM25Server(idx, epochs=True)
+    queries = (["vector", "hash"], ["alpha"], ["doc3", "beta"])
+    before = [srv.search(t, k=15) for t in queries]
+    files_before = _parquet_files(idx)
+    rows_before = spark.read.parquet(idx).count()
+    assert spark.read.parquet(f"{idx}/_stats").count() == 3  # 1/epoch
+
+    n = bm25_compact(spark, idx)
+    assert n == rows_before                       # postings union verbatim
+    srv.refresh()
+    after = [srv.search(t, k=15) for t in queries]
+    assert after == before                        # bit-identical rankings
+    files_after = _parquet_files(idx)
+    assert len(files_after) < len(files_before)   # small-files folded
+    assert spark.read.parquet(f"{idx}/_stats").count() == 1
+    # a fresh server over the compacted tree agrees too
+    fresh = [BM25Server(idx, epochs=True).search(t, k=15) for t in queries]
+    assert fresh == before
+
+
+def test_bm25_compact_repairs_mixed_bucket_counts(spark, tmp_path):
+    """Epochs written with differing num_buckets (the refused-to-serve
+    layout) are re-bucketed into one consistent count by compaction;
+    positional postings survive, so phrase queries keep working."""
+    import pytest
+
+    from lshrs_spark.functions.text import (
+        bm25_compact,
+        bm25_postings,
+        bm25_stats_row,
+    )
+    from lshrs_spark.serving import BM25Server
+
+    idx = str(tmp_path / "bm25_mixed_epochs")
+    for epoch, nb, docs in (
+        (0, 4, [(1, "the quick brown fox"), (2, "the lazy dog")]),
+        (1, 8, [(3, "quick silver fox"), (4, "the brown bear")]),
+    ):
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        postings, dl = bm25_postings(df, nb, store_positions=True)
+        (
+            postings.repartition(F.col("bucket"))
+            .sortWithinPartitions("tok", "id")
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(f"{idx}/epoch={epoch}")
+        )
+        bm25_stats_row(dl, nb).coalesce(1).write.mode("overwrite").parquet(
+            f"{idx}/_stats/epoch={epoch}"
+        )
+    with pytest.raises(ValueError, match="num_buckets"):
+        BM25Server(idx, epochs=True)
+
+    bm25_compact(spark, idx)
+    srv = BM25Server(idx, epochs=True)
+    assert srv._num_buckets == 8                  # max count wins
+    got = srv.search(["quick", "fox"], k=4)
+    assert [i for i, _, _, _ in got] == [1, 3, 2, 4] or [
+        i for i, _, _, _ in got
+    ][:2] == [3, 1]                               # both epochs' docs found
+    assert {i for i, m, _, _ in got if m == 2} == {1, 3}
+    assert srv.phrase(["quick", "brown"]) == {1: 1}
+    # batch layouts are already one sorted epoch — refuse, don't mangle
+    from lshrs_spark.functions.text import bm25_index_write
+
+    batch = str(tmp_path / "bm25_batch_only")
+    bm25_index_write(
+        spark.createDataFrame([(1, "a b")], "doc_id long, text string"),
+        batch, num_buckets=4,
+    )
+    with pytest.raises(ValueError, match="epochs layout"):
+        bm25_compact(spark, batch)
