@@ -507,6 +507,64 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_minhash_recall",
+    f"""WITH {_minhash_ctes()},
+bands AS ({_MBANDS}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+jshd AS (SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+    FROM tok)),
+jsizes AS (SELECT doc_id, count(*) AS n FROM jshd GROUP BY doc_id),
+jinter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM jshd a JOIN jshd b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+truth AS (SELECT id_a, id_b
+          FROM jinter
+          JOIN jsizes sa ON sa.doc_id = id_a
+          JOIN jsizes sb ON sb.doc_id = id_b
+          WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5),
+hits AS (SELECT t.id_a FROM truth t JOIN cand c
+           ON t.id_a = c.id_a AND t.id_b = c.id_b)
+SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
+       (SELECT count(*) FROM hits)::BIGINT AS n_caught,
+       round((SELECT count(*) FROM hits)::DOUBLE /
+             nullif((SELECT count(*) FROM truth), 0), 5) AS recall""",
+)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding recall gauge for MinHash dedup — the filtered-ANN-style
+    health check (`ann_ivf_filtered_recall` is the vector twin): the
+    brute Jaccard >= 0.5 pair set (exact shingle inverted-index join,
+    the oracle computes the same from first principles) is the truth;
+    recall = the fraction the 4-band x 2-row banded candidate join
+    catches. 0.5 is exactly this (b, r)'s S-curve threshold
+    ``(1/b)^(1/r)`` from the same math `find_optimal_br`
+    (`planner.py:101`) searches, so the measured number tells a user
+    whether the planner's paper guarantee holds on THEIR corpus —
+    re-run per corpus before trusting a banding config at 100 TB, and
+    feed `get_optimal_config` a stricter false-negative budget if it
+    sags. Includes MinHash estimation error by construction (that is
+    the point: end-to-end pipeline recall, not the banding formula)."""
+    docs = _docs(spark, sf_dir)
+    truth = D.ngram_jaccard_pairs(docs, 0.5, n=3).select("id_a", "id_b")
+    cand = D.minhash_band_pairs(
+        docs, num_hashes=8, rows_per_band=2, n=3, seed=42
+    )
+    caught = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    nc = caught.agg(F.count(F.lit(1)).alias("n_caught"))
+    return nt.crossJoin(nc).select(
+        "n_true", "n_caught",
+        F.when(
+            F.col("n_true") > 0,
+            F.round(F.col("n_caught") / F.col("n_true"), 5),
+        ).alias("recall"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # SimHash dedup (M5)
 # --------------------------------------------------------------------- #
@@ -6260,11 +6318,19 @@ DRIVER_WINDOW: list[str] = [
     # (dedup_incremental demoted round-6: stored-band-key twin of the
     # in-window minhash rep — the python-datasource family takes its slot)
     "simjoin_lsh", "dedup_exact", "dedup_groups",
-    "dedup_minhash_pairs", "dedup_simhash_pairs",
-    "dedup_substring", "source_vectorgen", "text_line_dedup",
+    # round-6 rotation (r5 driver rows on file for all demoted twins):
+    # dedup_minhash_recall in / dedup_minhash_pairs out (the recall
+    # gauge computes the banded pairs AND grades them vs exact
+    # Jaccard); dedup_chunk_overlap in / dedup_substring out
+    # (rolling-span family); emb_semantic_decontaminate in /
+    # emb_semantic_dedup out (banded-embedding family)
+    "dedup_minhash_recall", "dedup_simhash_pairs",
+    "dedup_chunk_overlap", "source_vectorgen", "text_line_dedup",
     # ANN tiers (ann_batch ~ lsh_topk twin and ann_recall gauge are
-    # past the window, local-gated)
-    "ann_ivf", "emb_semantic_dedup",
+    # past the window, local-gated); round-6: ann_ivf_filtered in /
+    # ann_ivf out — the vector-search-with-WHERE shape earns the hard
+    # row, plain IVF is its sub-plan
+    "ann_ivf_filtered", "emb_semantic_decontaminate",
     # planner + quantization + pipeline ops (text_tfidf demoted
     # round-6: token-frequency-statistics twin of text_stats;
     # pipeline_pack demoted round-6: prefix-sum family twin of the
@@ -6275,8 +6341,11 @@ DRIVER_WINDOW: list[str] = [
     # text analysis + corpus hygiene (text_fingerprint demoted round-7:
     # content-hash fingerprinting twin of the in-window exact-dedup rep —
     # the BM25 retrieval-ranking family takes its slot)
+    # round-6: text_phrase_search in / text_bm25_topk out (positional
+    # retrieval earns the hard row; BM25 ranking stays covered via the
+    # in-window text_hybrid_rrf, which fuses a BM25 leg)
     "text_stats", "text_quality_classifier", "text_langid",
-    "text_bm25_topk", "text_clean",
+    "text_phrase_search", "text_clean",
     "multimodal_audio_features", "text_decontaminate",
     "text_pii_redact", "text_quality_filter", "text_chunk",
     "text_unigram_logprob",
@@ -6284,12 +6353,16 @@ DRIVER_WINDOW: list[str] = [
     "emb_kmeans",
     # relational suite (rel_customer_setops and rel_stats_corr demoted
     # round-6: set-membership ~ rel_semi_anti, stats agg ~ rel_quantiles)
+    # round-6: rel_column_profile in / rel_quantiles out (the one-pass
+    # profiler subsumes the quantile sketch as one of its columns)
     "rel_scd2_merge", "rel_top_customers",
-    "rel_sales_cube", "text_hybrid_rrf", "rel_quantiles",
+    "rel_sales_cube", "text_hybrid_rrf", "rel_column_profile",
     "rel_semi_anti",
     "rel_salted_join", "rel_events_sessionize", "rel_events_asof",
-    # sketches + streaming + multimodal
-    "sketch_bloom", "dedup_image_phash", "stream_windowed_counts",
+    # sketches + streaming + multimodal; round-6: dedup_image_groups in
+    # / dedup_image_phash out (the recursive-CTE cluster variant earns
+    # the hard row; the pair list is its sub-plan)
+    "sketch_bloom", "dedup_image_groups", "stream_windowed_counts",
     "stream_stateful_first", "stream_attribution_join",
     "multimodal_features",
 ]
@@ -6304,10 +6377,10 @@ DRIVER_WINDOW: list[str] = [
 FAMILY: dict[str, str] = {
     # demoted round-6 (all have r3 driver rows on file) to admit the
     # CMS, stream-stream-join, corpus-diff, and text-clean families
-    "dedup_ngram_jaccard": "dedup_minhash_pairs",
+    "dedup_ngram_jaccard": "dedup_minhash_recall",
     "text_tfidf": "text_stats",
     "rel_customer_setops": "rel_semi_anti",
-    "rel_stats_corr": "rel_quantiles",
+    "rel_stats_corr": "rel_column_profile",
     # delivery-retry dedup rollup: stream-equals-batch twin of the
     # in-window windowed-counts rep (redelivery pytest-verified)
     "stream_dedup_counts": "stream_windowed_counts",
@@ -6315,8 +6388,9 @@ FAMILY: dict[str, str] = {
     # connected-components representative (rotated out for the new
     # line-dedup family)
     "dedup_representative": "dedup_groups",
-    # image-dHash pair graph collapsed by the same pointer-jumping CC
-    "dedup_image_groups": "dedup_groups",
+    # demoted round-6 (r5 driver row on file): the dHash pair list is
+    # the sub-plan of the promoted image-cluster representative
+    "dedup_image_phash": "dedup_image_groups",
     "dedup_soft_weight": "dedup_groups",
     "rel_recursive_reach": "dedup_groups",  # SQL-surface twin of CC
     # demoted round-5: per-stratum exact sampling is covered by the new
@@ -6324,7 +6398,7 @@ FAMILY: dict[str, str] = {
     "pipeline_stratified_sample": "pipeline_weighted_sample",
     # demoted round-5: stored-layout variant of the in-window IVF rep
     # (r3 driver row on file), rotated out for the SemDeDup family
-    "ann_ivf_stored": "ann_ivf",
+    "ann_ivf_stored": "ann_ivf_filtered",
     # demoted round-5: KMV distinct-count (r3 driver row on file) swaps
     # for the new Bloom-membership sketch representative
     "sketch_distinct_users": "sketch_bloom",
@@ -6356,26 +6430,31 @@ FAMILY: dict[str, str] = {
     # occupancy-distribution twin of the in-window per-band stats rep
     "lsh_bucket_histogram": "lsh_index_stats",
     "ann_batch": "lsh_topk",
-    "ann_recall": "ann_ivf",
-    "ann_ivf_recall": "ann_ivf",
-    "ann_ivf_recall_curve": "ann_ivf",  # nprobe sweep of the same gauge
-    # metadata-predicate pre-filter composed with the same IVF probe
-    "ann_ivf_filtered": "ann_ivf",
-    "ann_ivf_filtered_recall": "ann_ivf",
+    "ann_recall": "ann_ivf_filtered",
+    "ann_ivf_recall": "ann_ivf_filtered",
+    "ann_ivf_recall_curve": "ann_ivf_filtered",  # nprobe sweep of the same gauge
+    # demoted round-6 (r5 driver row on file): plain IVF is the
+    # sub-plan of the promoted filtered-probe representative
+    "ann_ivf": "ann_ivf_filtered",
+    "ann_ivf_filtered_recall": "ann_ivf_filtered",
     # simjoin / dedup twins and gauges
     "simjoin_exact": "simjoin_lsh",
-    "dedup_minhash_sigs": "dedup_minhash_pairs",
+    "dedup_minhash_sigs": "dedup_minhash_recall",
     # per-source-pair rollup of the same banded pair list
-    "dedup_source_matrix": "dedup_minhash_pairs",
-    "dedup_minhash_quality": "dedup_minhash_pairs",
-    "dedup_incremental": "dedup_minhash_pairs",
+    "dedup_source_matrix": "dedup_minhash_recall",
+    "dedup_minhash_quality": "dedup_minhash_recall",
+    "dedup_incremental": "dedup_minhash_recall",
+    # demoted round-6 (r5 driver row on file): the recall gauge
+    # computes the same banded pair list AND grades it vs exact Jaccard
+    "dedup_minhash_pairs": "dedup_minhash_recall",
     "dedup_simhash": "dedup_simhash_pairs",
-    "dedup_substring_stats": "dedup_substring",
+    "dedup_substring_stats": "dedup_chunk_overlap",
     # partial-overlap family: directional containment is the inclusion-
     # oriented twin of the in-window substring-span representative
-    "dedup_containment": "dedup_substring",
-    # chunk-window overlap: span-granularity twin of the substring rep
-    "dedup_chunk_overlap": "dedup_substring",
+    "dedup_containment": "dedup_chunk_overlap",
+    # demoted round-6 (r5 driver row on file): rolling-span twin of the
+    # promoted chunk-window representative
+    "dedup_substring": "dedup_chunk_overlap",
     # demoted round-5 (driver rows r4 on file): the corpus-diff rep
     # hands the promotion-gate family slot to the per-rule attrition
     # funnel (never driver-checked before)
@@ -6387,12 +6466,14 @@ FAMILY: dict[str, str] = {
     # dedup representative — the BM25 retrieval family takes its slot
     "text_fingerprint": "dedup_exact",
     "text_heavy_hitters": "text_stats",
-    # retrieval family: phrase queries answer from the positional
-    # posting index; ranking rep is the in-window BM25 entry
-    "text_phrase_search": "text_bm25_topk",
-    # decontamination family: embedding-space twin of the in-window
-    # n-gram benchmark-overlap representative
-    "emb_semantic_decontaminate": "text_decontaminate",
+    # demoted round-6 (r5 driver row on file): BM25 ranking is the
+    # scoring twin of the promoted positional phrase representative
+    # (and stays exercised via the in-window hybrid-RRF fusion)
+    "text_bm25_topk": "text_phrase_search",
+    # demoted round-6 (r5 driver row on file): banded-embedding
+    # self-dedup is the symmetric twin of the promoted cross-corpus
+    # semantic decontamination representative
+    "emb_semantic_dedup": "emb_semantic_decontaminate",
     "text_nfc": "text_clean",
     "text_char_entropy": "text_stats",
     # boilerplate-opening detector: token-frequency-statistics family
@@ -6424,20 +6505,21 @@ FAMILY: dict[str, str] = {
     # demoted round-5 (r4 driver row on file): mergeable-sketch
     # family twin of the Bloom representative
     "sketch_cms": "sketch_bloom",
-    "rel_histogram": "rel_quantiles",
-    # one-pass stats card: column-statistics family
-    "rel_column_profile": "rel_quantiles",
-    "rel_ntile_quartiles": "rel_quantiles",
+    "rel_histogram": "rel_column_profile",
+    # demoted round-6 (r5 driver row on file): the quantile sketch is
+    # one column of the promoted one-pass profiler representative
+    "rel_quantiles": "rel_column_profile",
+    "rel_ntile_quartiles": "rel_column_profile",
     # quartile-bucketing family: RFM cube is the disc-quantile twin
-    "rel_rfm_segments": "rel_quantiles",
-    "rel_revenue_pareto": "rel_quantiles",  # decile share, same family
+    "rel_rfm_segments": "rel_column_profile",
+    "rel_revenue_pareto": "rel_column_profile",  # decile share, same family
     # calendar-bucketed aggregate + offset self-join: time-bucket
     # analytics family of the in-window orders/top-customers rep
     "rel_orders_yoy": "rel_top_customers",
     # sampled-pair distribution gauge: similarity-measure family of the
     # in-window brute-force cosine representative
     "emb_pair_distance_hist": "knn_bruteforce",
-    "rel_event_quantiles": "rel_quantiles",
+    "rel_event_quantiles": "rel_column_profile",
     # scalar-function surface over the events table (r4 driver row on
     # file for the demoted JSON rep); events family
     "rel_events_json": "rel_events_sessionize",

@@ -335,6 +335,15 @@ def minhash_band_pairs(
     MinHash band. ``base_hash='xxhash64'`` switches the whole pipeline
     to the JVM-native hash for production runs (see :func:`_base_hash`).
 
+    Choosing ``(num_hashes, rows_per_band)``: the banding S-curve
+    threshold is ``(1/b)^(1/r)`` — use
+    :func:`lshrs_spark.planner.find_optimal_br` /
+    ``get_optimal_config`` to pick the pair for a target Jaccard
+    threshold and false-rate budget, and measure the realized recall
+    on YOUR corpus with the ``dedup_minhash_recall`` gauge (exact
+    Jaccard truth vs these banded candidates) before trusting a
+    config at scale.
+
     Deliberately NOT persisted: the band-key pipeline is deterministic
     (md5 of content), so the two self-join sides recomputing it is
     correct, and measured cheaper AND far more stable than cycling an
