@@ -28,7 +28,13 @@ from pyspark.sql import functions as F
 from .config import LSHConfig
 from .hashing import hash_vectors_local_long, projection_matrix
 from .operators.index import build_index, read_index, validate_vectors, write_index
-from .operators.probe import candidates, query_signatures_df, rerank, top_p_cutoff
+from .operators.probe import (
+    candidates,
+    choose_probe_strategy,
+    query_signatures_df,
+    rerank,
+    top_p_cutoff,
+)
 from .operators.probe import top_k as _probe_top_k
 from .sources.dispatch import resolve_loader
 
@@ -245,12 +251,26 @@ class LSHRS:
         return self.query(vector, top_k=None, top_p=p)
 
     def query_batch(self, queries_df: DataFrame, *, top_k: int = 10,
-                    id_col: str = "qid", vector_col: str = "qvec") -> DataFrame:
+                    id_col: str = "qid", vector_col: str = "qvec",
+                    n_queries: Optional[int] = None,
+                    index_rows: Optional[int] = None) -> DataFrame:
         """Batch query as ONE Spark plan: ``(qid, id, collisions, rank)`` —
-        the shape the reference cannot express without a Python loop."""
+        the shape the reference cannot express without a Python loop.
+
+        Pass ``n_queries`` (and optionally ``index_rows``) when known to
+        route the probe join through
+        :func:`~lshrs_spark.operators.probe.choose_probe_strategy`: a
+        corpus-sized query batch then co-partitions both sides instead
+        of broadcasting a near-index-size probe to every task. Without
+        ``n_queries`` the probe side stays broadcast (the interactive
+        default — counting a DataFrame to pick a strategy would cost a
+        job)."""
         qsigs = build_index(queries_df, self.cfg, id_col, vector_col,
                             sig_kind=self._sig_kind).withColumnRenamed("id", "qid")
-        cands = candidates(self.index_df, qsigs)
+        strategy = "broadcast" if n_queries is None else choose_probe_strategy(
+            n_queries, self.cfg.num_bands, index_rows
+        )
+        cands = candidates(self.index_df, qsigs, strategy=strategy)
         return _probe_top_k(cands, top_k)
 
     def get_top_k_batch(
@@ -270,7 +290,13 @@ class LSHRS:
         qsigs = query_signatures_df(
             self.spark, mat, self.cfg, sig_kind=self._sig_kind
         )
-        rows = _probe_top_k(candidates(self.index_df, qsigs), topk).collect()
+        # batch size is driver-known here — let the cost rule pick the
+        # join regime (broadcast for interactive batches; shuffle when a
+        # caller feeds a corpus-scale list)
+        strategy = choose_probe_strategy(len(vectors), self.cfg.num_bands)
+        rows = _probe_top_k(
+            candidates(self.index_df, qsigs, strategy=strategy), topk
+        ).collect()
         out: list[list[int]] = [[] for _ in range(len(vectors))]
         for r in sorted(rows, key=lambda r: (r.qid, r.rank)):
             out[r.qid].append(int(r.id))

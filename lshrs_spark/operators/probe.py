@@ -33,6 +33,7 @@ from ..hashing import hash_vectors_local, hash_vectors_local_long
 
 __all__ = [
     "query_signatures_df",
+    "choose_probe_strategy",
     "candidates",
     "candidates_from_path",
     "top_k",
@@ -73,6 +74,47 @@ def query_signatures_df(
     return spark.createDataFrame(rows, schema)
 
 
+def choose_probe_strategy(
+    n_queries: int,
+    num_bands: int,
+    index_rows: Optional[int] = None,
+    *,
+    max_broadcast_rows: int = 1_000_000,
+    index_fraction: float = 0.1,
+) -> str:
+    """Driver-side cost rule for :func:`candidates`' join strategy
+    (SURVEY §4's "broadcast vs shuffle probe by query-batch size"
+    heuristic — a planning rule in the API layer, not a Catalyst rule,
+    since AQE handles the within-regime tuning).
+
+    The probe side is ``n_queries * num_bands`` signature rows. Two
+    regimes:
+
+    - **broadcast** (the default outcome): the probe ships to every
+      executor once and the 100 TB index is NEVER shuffled — right
+      while the probe side is small in absolute terms AND small
+      relative to the index.
+    - **shuffle**: chosen when the probe side exceeds
+      ``max_broadcast_rows`` (~tens of MB serialized — past that,
+      per-executor broadcast copies cost more memory/network than one
+      co-partitioning pass) or exceeds ``index_fraction`` of a known
+      ``index_rows`` (a corpus-scale query set — e.g. an all-pairs
+      batch job — duplicates nearly index-size data into every task if
+      broadcast; hash-partitioning BOTH sides on ``(band, sig)`` is
+      the cheaper plan, and AQE can skew-split hot buckets).
+
+    ``index_rows=None`` (unknown without a job) applies the absolute
+    cap alone. Exposed so batch APIs with driver-known sizes
+    (`LSHRS.get_top_k_batch`) route automatically; callers with a
+    DataFrame query side pass their own estimate."""
+    probe_rows = int(n_queries) * int(num_bands)
+    if probe_rows > max_broadcast_rows:
+        return "shuffle"
+    if index_rows is not None and probe_rows > index_fraction * index_rows:
+        return "shuffle"
+    return "broadcast"
+
+
 def candidates(
     index_df: DataFrame,
     query_sigs: DataFrame,
@@ -88,14 +130,15 @@ def candidates(
     candidates. ``strategy="shuffle"`` (right when the query set is
     itself corpus-sized, e.g. an all-pairs batch job): both sides
     hash-partition on ``(band, sig)`` — a sort-merge/shuffle-hash join
-    that AQE can skew-split on hot buckets."""
+    that AQE can skew-split on hot buckets. Use
+    :func:`choose_probe_strategy` to pick by driver-known sizes."""
+    if strategy not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown probe strategy: {strategy!r}")
     probe = query_sigs.select("qid", "band", "sig")
     if strategy == "broadcast":
         probe = F.broadcast(probe)
-    elif strategy == "shuffle":
-        probe = probe.hint("shuffle_hash")
     else:
-        raise ValueError(f"unknown probe strategy: {strategy!r}")
+        probe = probe.hint("shuffle_hash")
     return (
         index_df.join(probe, on=["band", "sig"], how="inner")
         .groupBy("qid", "id")

@@ -115,6 +115,44 @@ def test_interval_join_bucketed_is_equijoin(spark):
     assert "HashJoin" in plan or "SortMergeJoin" in plan
 
 
+def test_probe_strategy_cost_rule_both_regimes(spark, emb):
+    """VERDICT r5 #7: the driver-side cost rule picks broadcast for
+    interactive batches (index never shuffled) and shuffle for
+    corpus-scale probe sides (co-partition instead of shipping a
+    near-index-size broadcast to every task) — both regimes' plans
+    asserted, results identical."""
+    from lshrs_spark.operators.probe import (
+        candidates,
+        choose_probe_strategy,
+        query_signatures_df,
+    )
+
+    # the rule: absolute cap and index-relative cap
+    assert choose_probe_strategy(100, 4) == "broadcast"
+    assert choose_probe_strategy(1_000_000, 4) == "shuffle"
+    assert choose_probe_strategy(250_000, 4) == "broadcast"  # == cap: keep
+    assert choose_probe_strategy(100, 4, index_rows=1_000) == "shuffle"
+    assert choose_probe_strategy(100, 4, index_rows=1_000_000) == "broadcast"
+    with pytest.raises(ValueError):
+        candidates(None, None, strategy="bogus")
+
+    idx = build_index(emb, CFG, "vec_id", "embedding")
+    rng = np.random.default_rng(5)
+    qvecs = rng.standard_normal((5, 64)).astype("float32")
+    qs = query_signatures_df(spark, qvecs, CFG)
+    bplan = physical_plan(candidates(idx, qs, strategy="broadcast"))
+    assert "BroadcastHashJoin" in bplan, bplan
+    splan = physical_plan(candidates(idx, qs, strategy="shuffle"))
+    assert "ShuffledHashJoin" in splan or "SortMergeJoin" in splan, splan
+    assert "BroadcastHashJoin" not in splan, splan
+    rows = lambda df: sorted(
+        (r.qid, r.id, r.collisions) for r in df.collect()
+    )
+    assert rows(candidates(idx, qs, strategy="broadcast")) == rows(
+        candidates(idx, qs, strategy="shuffle")
+    )
+
+
 def test_window_running_single_window_exchange(spark):
     """All three window specs in rel_window_running share one
     (partitionBy, orderBy) -> Catalyst must plan a single Window node
