@@ -1028,22 +1028,32 @@ class BM25Server:
         if self._n == 0:
             return []  # empty corpus: no docs to rank (avoids 0-division)
         avg = self._ll / self._n
-        scores: dict[int, float] = {}
-        matched: dict[int, int] = {}
         # distinct terms, first-seen order: a duplicated query token
         # must not double a document's contribution (the `matched`
         # contract counts DISTINCT query terms)
+        id_parts: list[np.ndarray] = []
+        contrib_parts: list[np.ndarray] = []
         for term in dict.fromkeys(terms):
             ids, tf, dl = self._scored_postings(term)
+            if len(ids) == 0:
+                continue
             df = float(len(ids))
             idf = math.log(1.0 + (self._n - df + 0.5) / (df + 0.5))
             contrib = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / avg))
-            for i, c in zip(ids, contrib):
-                i = int(i)
-                scores[i] = scores.get(i, 0.0) + float(c)
-                matched[i] = matched.get(i, 0) + 1
-        order = sorted(scores, key=lambda i: (-scores[i], i))[:k]
+            id_parts.append(ids)
+            contrib_parts.append(contrib)
+        if not id_parts:
+            return []
+        # one vectorized merge instead of a per-posting Python loop:
+        # bincount accumulates weights in array order, which is term
+        # order per doc — the SAME addition sequence the dict-based
+        # accumulation performed, so scores are bit-identical
+        all_ids = np.concatenate(id_parts)
+        uids, inv = np.unique(all_ids, return_inverse=True)
+        scores = np.bincount(inv, weights=np.concatenate(contrib_parts))
+        matched = np.bincount(inv)  # each term holds a doc at most once
+        order = np.lexsort((uids, -scores))[:k]
         return [
-            (i, matched[i], scores[i], rank + 1)
+            (int(uids[i]), int(matched[i]), float(scores[i]), rank + 1)
             for rank, i in enumerate(order)
         ]

@@ -15,8 +15,9 @@ with the FIXED banding config stops measuring the engine: bucket
 occupancy grows with the corpus, so per-bucket candidate pairs grow
 quadratically; a real deployment re-tunes rows_per_band upward with
 corpus size to keep bucket selectivity constant)
-(simjoin_lsh, dedup_minhash_xxh, graph_pagerank) at 1x and 10x the
-sf0.1 corpus and reports the time-vs-rows slope (VERDICT r4 #4): each
+(simjoin_lsh, dedup_minhash_xxh, graph_pagerank, dedup_image_phash,
+bm25_index_build — the last two added per VERDICT r5 #3) at 1x and
+10x the sf0.1 corpus and reports the time-vs-rows slope (VERDICT r4 #4): each
 10x corpus is 10 disjoint "dialects" of the base corpus — per-copy
 letter/sign scrambles keep the WITHIN-copy near-dup structure while
 making cross-copy similarity vanish, so the output (pairs) grows ~10x
@@ -50,15 +51,22 @@ from lshrs_spark.session import get_spark
 
 def _scramble_docs(docs, k):
     """Copy ``k`` of the documents table: ids shifted to a disjoint
-    range and every vowel rotated by a per-copy offset — a bijection on
-    tokens, so the copy's INTERNAL duplicate/near-dup structure equals
-    the original's while cross-copy shingle overlap collapses (the 10x
-    corpus is 10x the work, not a 10-copy duplicate cluster per doc)."""
+    range and the alphabet mapped through a per-copy seeded RANDOM
+    PERMUTATION — a bijection on tokens, so the copy's INTERNAL
+    duplicate/near-dup structure equals the original's while
+    cross-copy shingle overlap collapses (the 10x corpus is 10x the
+    work, not a 10-copy duplicate cluster per doc). NOTE: any letter
+    bijection leaves SPACE positions unchanged, and spaces dominate
+    the pixel gradients of the text-derived PPM payloads — the image
+    job therefore uses an additional per-copy byte shift (see
+    shuffle_main) to decorrelate cross-copy dHashes."""
     alpha = "abcdefghijklmnopqrstuvwxyz"
-    rot = alpha[k % 26:] + alpha[:k % 26]     # distinct for k = 0..25
+    perm = "".join(
+        np.random.default_rng(500 + k).permutation(list(alpha))
+    )
     return docs.select(
         (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
-        F.translate(F.col("text"), alpha, rot).alias("text"),
+        F.translate(F.col("text"), alpha, perm).alias("text"),
     )
 
 
@@ -85,10 +93,13 @@ def _scramble_emb(emb, k, dim):
 
 
 def shuffle_main(args) -> None:
+    import shutil
     import time as _time
 
     from lshrs_spark.cache import release_slots
-    from lshrs_spark.operators.dedup import minhash_band_pairs
+    from lshrs_spark.functions.text import bm25_index_write
+    from lshrs_spark.multimodal import with_ppm_payload
+    from lshrs_spark.operators.dedup import image_dhash_pairs, minhash_band_pairs
     from lshrs_spark.operators.graph import pagerank
     from lshrs_spark.operators.simjoin import similarity_join
 
@@ -114,14 +125,34 @@ def shuffle_main(args) -> None:
     out = {"sf_dir": sf_dir, "cpus": cpus, "scales": scales, "jobs": {}}
     for mult in scales:
         docs = docs0
+        imgdocs = docs0
         emb = emb0
         if mult > 1:
             for k in range(1, mult):
-                docs = docs.unionByName(_scramble_docs(docs0, k))
+                sc = _scramble_docs(docs0, k)
+                docs = docs.unionByName(sc)
+                # IMAGE frame: additionally drop 2k leading chars per
+                # copy. Letter bijections leave SPACE positions — the
+                # dominant pixel gradients — untouched, so copies would
+                # collide under dHash (measured: 73% of same-doc
+                # cross-copy pairs within hamming 6, pair output 125x
+                # at 10x). A per-copy byte shift moves the space
+                # pattern through the 7x8 grid; pairwise shift deltas
+                # >= 2 measured ~0 residual collisions, so the image
+                # workload scales like the text one: 10x the docs, 10x
+                # the within-copy pairs.
+                imgdocs = imgdocs.unionByName(
+                    sc.withColumn(
+                        "text", F.col("text").substr(F.lit(2 * k + 1),
+                                                     F.lit(1 << 30))
+                    )
+                )
                 emb = emb.unionByName(_scramble_emb(emb0, k, args.dim))
         docs = docs.repartition(cpus).persist()
+        imgdocs = imgdocs.repartition(cpus).persist()
         emb = emb.repartition(cpus).persist()
         nd, ne = docs.count(), emb.count()
+        imgdocs.count()
 
         def timed_best(fn, reps=3):
             best, rows = None, None
@@ -151,7 +182,24 @@ def shuffle_main(args) -> None:
                 docs.select(F.col("doc_id").cast("long").alias("id")),
                 iterations=3,
             ).count(),
+            # VERDICT r5 #3: the two biggest new r5 bench lines.
+            # imgdocs (per-copy byte shift, see above) keeps the pair
+            # output linear so the slope reads engine scaling, not
+            # cross-copy collision growth.
+            "dedup_image_phash": lambda: image_dhash_pairs(
+                with_ppm_payload(imgdocs, width=7, height=8), max_hamming=6
+            ).count(),
+            "bm25_index_build": lambda: _bm25_build(docs),
         }
+
+        bm25_dir = tempfile.mkdtemp(prefix="lshrs_scaling_bm25_")
+
+        def _bm25_build(d):
+            # rewrite the same dir each rep (bench semantics: the
+            # timed unit is tokenize + bucket shuffle + sorted write)
+            bm25_index_write(d, bm25_dir, num_buckets=32)
+            return d.count()
+
         for name, fn in jobs.items():
             fn()  # warm codegen/JIT once per scale
             t, rows = timed_best(fn)
@@ -162,7 +210,9 @@ def shuffle_main(args) -> None:
             rec["t_sec"].append(round(t, 3))
             rec["rows_out"].append(rows)
         docs.unpersist()
+        imgdocs.unpersist()
         emb.unpersist()
+        shutil.rmtree(bm25_dir, ignore_errors=True)
     for name, rec in out["jobs"].items():
         rec["slopes"] = [
             round(t / rec["t_sec"][0], 2) for t in rec["t_sec"][1:]
