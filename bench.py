@@ -416,6 +416,15 @@ def main() -> None:
     lat_bm = serve_latencies(lambda t: bsrv.search(t, 10), term_sets)
     bm25_serve_p95_ms = lat_bm[p95_index(len(lat_bm))] * 1000
     results["bm25_served"] = lat_bm[len(lat_bm) // 2]
+    # batch API: one postings read per DISTINCT term across the batch
+    # (here 13 distinct terms serve 100 queries) — amortized per-query
+    t_bb = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        bsrv.search_batch(term_sets, 10)
+        dt = time.perf_counter() - t0
+        t_bb = dt if t_bb is None or dt < t_bb else t_bb
+    results["bm25_served_batch100_per_query"] = t_bb / len(term_sets)
 
     total = sum(results.values())
     print(json.dumps({

@@ -1018,36 +1018,30 @@ class BM25Server:
                 return {}
         return {d: len(ps) for d, ps in acc.items()}
 
-    def search(self, terms, k: int = 10) -> list:
-        """``[(id, matched, score, rank)]`` — BM25 top-k for the bag of
-        query ``terms``; ``matched`` = how many distinct query terms the
-        document contains. Ties break by ascending id, like the Spark
-        path."""
+    def _term_contrib(self, term: str):
+        """``(ids, contrib)`` — the term's posting doc ids and their
+        Okapi BM25 contributions (idf from this term's df, tf/dl
+        saturation with k1=1.2, b=0.75)."""
         import math
 
-        if self._n == 0:
-            return []  # empty corpus: no docs to rank (avoids 0-division)
+        ids, tf, dl = self._scored_postings(term)
+        if len(ids) == 0:
+            return ids, tf
         avg = self._ll / self._n
-        # distinct terms, first-seen order: a duplicated query token
-        # must not double a document's contribution (the `matched`
-        # contract counts DISTINCT query terms)
-        id_parts: list[np.ndarray] = []
-        contrib_parts: list[np.ndarray] = []
-        for term in dict.fromkeys(terms):
-            ids, tf, dl = self._scored_postings(term)
-            if len(ids) == 0:
-                continue
-            df = float(len(ids))
-            idf = math.log(1.0 + (self._n - df + 0.5) / (df + 0.5))
-            contrib = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / avg))
-            id_parts.append(ids)
-            contrib_parts.append(contrib)
-        if not id_parts:
-            return []
-        # one vectorized merge instead of a per-posting Python loop:
-        # bincount accumulates weights in array order, which is term
-        # order per doc — the SAME addition sequence the dict-based
-        # accumulation performed, so scores are bit-identical
+        df = float(len(ids))
+        idf = math.log(1.0 + (self._n - df + 0.5) / (df + 0.5))
+        contrib = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / avg))
+        return ids, contrib
+
+    @staticmethod
+    def _merge_topk(id_parts, contrib_parts, k: int) -> list:
+        """Per-term (ids, contrib) arrays -> ``[(id, matched, score,
+        rank)]``: one vectorized unique/bincount merge instead of a
+        per-posting Python loop. bincount accumulates weights in array
+        order, which is term order per doc — the SAME addition
+        sequence a dict-based accumulation performs, so scores are
+        bit-identical to the scalar path; ties break (-score, id) via
+        the stable lexsort."""
         all_ids = np.concatenate(id_parts)
         uids, inv = np.unique(all_ids, return_inverse=True)
         scores = np.bincount(inv, weights=np.concatenate(contrib_parts))
@@ -1057,3 +1051,53 @@ class BM25Server:
             (int(uids[i]), int(matched[i]), float(scores[i]), rank + 1)
             for rank, i in enumerate(order)
         ]
+
+    def search(self, terms, k: int = 10) -> list:
+        """``[(id, matched, score, rank)]`` — BM25 top-k for the bag of
+        query ``terms``; ``matched`` = how many distinct query terms the
+        document contains. Ties break by ascending id, like the Spark
+        path."""
+        if self._n == 0:
+            return []  # empty corpus: no docs to rank (avoids 0-division)
+        # distinct terms, first-seen order: a duplicated query token
+        # must not double a document's contribution (the `matched`
+        # contract counts DISTINCT query terms)
+        id_parts: list[np.ndarray] = []
+        contrib_parts: list[np.ndarray] = []
+        for term in dict.fromkeys(terms):
+            ids, contrib = self._term_contrib(term)
+            if len(ids):
+                id_parts.append(ids)
+                contrib_parts.append(contrib)
+        if not id_parts:
+            return []
+        return self._merge_topk(id_parts, contrib_parts, k)
+
+    def search_batch(self, term_lists, k: int = 10) -> list:
+        """Batch twin of :meth:`search` — ONE postings read per
+        DISTINCT term across the whole batch, so co-occurring query
+        terms (the common case in query logs) share bucket I/O: the
+        BM25 analogue of :meth:`IndexServer.get_top_k_batch`'s shared
+        pruned read. Result ``i`` is exactly
+        ``search(term_lists[i], k)``."""
+        term_lists = [list(t) for t in term_lists]
+        if self._n == 0:
+            return [[] for _ in term_lists]
+        cache: dict = {}
+        for terms in term_lists:
+            for t in dict.fromkeys(terms):
+                if t not in cache:
+                    cache[t] = self._term_contrib(t)
+        out = []
+        for terms in term_lists:
+            id_parts, contrib_parts = [], []
+            for t in dict.fromkeys(terms):
+                ids, contrib = cache[t]
+                if len(ids):
+                    id_parts.append(ids)
+                    contrib_parts.append(contrib)
+            out.append(
+                self._merge_topk(id_parts, contrib_parts, k)
+                if id_parts else []
+            )
+        return out

@@ -1088,6 +1088,48 @@ def test_index_server_eligible_ids_precomputed_array(spark, tmp_path):
     assert np.array_equal(prepare_eligible_ids(set(evens)), pre)
 
 
+def test_bm25_search_batch_matches_and_shares_term_reads(spark, tmp_path):
+    """search_batch result i == search(queries[i]) exactly, and each
+    DISTINCT term across the batch is read from the postings layout
+    once — the BM25 analogue of IndexServer.get_top_k_batch's shared
+    pruned read."""
+    from lshrs_spark.functions.text import bm25_index_write
+    from lshrs_spark.serving import BM25Server
+
+    rows = [
+        (i, f"alpha beta doc{i} " * 3 + ("vector hash " * (i % 3)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    store = str(tmp_path / "bm25_batchapi")
+    bm25_index_write(docs, store, num_buckets=8)
+    srv = BM25Server(store)
+
+    queries = [
+        ["vector", "hash"], ["alpha"], ["doc3", "beta"],
+        ["alpha", "alpha", "vector"], ["zzzmissing"], [],
+    ]
+    want = [srv.search(t, 7) for t in queries]
+
+    calls: list = []
+    orig = srv._postings
+
+    def counting(term, columns=("id", "tf", "dl"), extra_filter=None):
+        calls.append(term)
+        return orig(term, columns=columns, extra_filter=extra_filter)
+
+    srv._postings = counting
+    got = srv.search_batch(queries, 7)
+    assert got == want
+    assert sorted(calls) == sorted(set(calls))   # one read per term
+    assert len(calls) == 6  # vector hash alpha doc3 beta zzzmissing
+    # empty corpus: batch of empties
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    estore = str(tmp_path / "bm25_batchapi_empty")
+    bm25_index_write(empty, estore, num_buckets=4)
+    assert BM25Server(estore).search_batch(queries, 5) == [[]] * len(queries)
+
+
 def test_bm25_phrase_rarest_first_prunes_and_matches(spark, tmp_path):
     """VERDICT r5 #1 (served path): a phrase LEADING with a near-stop
     token must cost the rare token's postings, not the stop word's —
