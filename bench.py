@@ -417,7 +417,7 @@ def main() -> None:
     bm25_serve_p95_ms = lat_bm[p95_index(len(lat_bm))] * 1000
     results["bm25_served"] = lat_bm[len(lat_bm) // 2]
     # batch API: one postings read per DISTINCT term across the batch
-    # (here 13 distinct terms serve 100 queries) — amortized per-query
+    # (here 11 distinct terms serve 100 queries) — amortized per-query
     t_bb = None
     for _ in range(3):
         t0 = time.perf_counter()

@@ -64,6 +64,18 @@ def h48(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("long")
 
 
+def bm25_bucket_col(tok: Column, num_buckets: int) -> Column:
+    """THE bucket key of the BM25 postings layout — the single
+    definition every writer (:func:`bm25_postings` behind both the
+    batch and streaming writers, :func:`bm25_compact`'s re-bucketing)
+    must share, and whose python twin is ``h48_py(term) %
+    num_buckets`` in :meth:`~lshrs_spark.serving.BM25Server
+    ._term_filter`. A writer drifting from this formula would place
+    postings in buckets the server never reads — every query term
+    silently empty."""
+    return F.pmod(h48(tok), F.lit(num_buckets))
+
+
 def tokens_col(text: Column) -> Column:
     """Whitespace tokenization (the corpus is space-separated tokens)."""
     return F.split(text, " ")
@@ -513,12 +525,18 @@ def _phrase_term_order(
     postings (≤ len(phrase) rows collected) prices the schedule; a
     token absent from the corpus counts 0 and sorts first, so the
     empty result short-circuits the whole chain. Ties break by
-    original index (equal-df runs keep phrase order)."""
+    original index (equal-df runs keep phrase order). Document
+    frequency, not occurrence count: the intersection joins on
+    ``(id, pos)`` but its selectivity is driven by how many DOCUMENTS
+    a token reaches (a token repeated 1000x inside one document still
+    prunes to one id), and per-doc df is also what the served path's
+    ``BM25Server._doc_freq`` ranks by — the two paths schedule
+    alike."""
     phrase = list(phrase)
     counts = {
         r["tok"]: r["n"]
         for r in postings.filter(F.col("tok").isin(phrase))
-        .groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()
+        .groupBy("tok").agg(F.count_distinct("id").alias("n")).collect()
     }
     return sorted(
         enumerate(phrase), key=lambda it: (counts.get(it[1], 0), it[0])
@@ -621,7 +639,7 @@ def bm25_compact(spark, path: str, *, num_buckets: "Optional[int]" = None) -> in
     """Fold a streamed BM25 epoch layout
     (:func:`~lshrs_spark.streaming.ingest.stream_bm25_ingest`:
     ``{path}/epoch=N/bucket=M/`` + one ``_stats`` row per epoch) back
-    into a single ``epoch=0`` with one sorted file set per bucket and
+    into a single ``epoch=-1`` with one sorted file set per bucket and
     ONE collapsed ``_stats`` row — the postings twin of the LSH store's
     ``compact()``. A long-running stream accumulates a partition and a
     stats row per micro-batch; without compaction the layout degrades
@@ -629,20 +647,31 @@ def bm25_compact(spark, path: str, *, num_buckets: "Optional[int]" = None) -> in
     opens). Returns the number of postings rows in the compacted
     layout.
 
+    The compacted epoch id is ``-1`` — a value the stream's
+    non-negative epoch ids can NEVER write. That matters for the
+    epoch-id-reset case: restarting the stream with a FRESH checkpoint
+    restarts epochs at 0, and had compaction folded everything into
+    ``epoch=0``, that first micro-batch's ``mode('overwrite')`` write
+    would clobber the entire compacted corpus; at ``epoch=-1`` the new
+    epochs land alongside it instead. Compact only while the stream is
+    STOPPED with its checkpoint fully committed: a crash-replayed
+    (uncommitted) epoch would re-write its ``epoch=N`` directory after
+    its docs were already folded, double-counting them — the same
+    single-writer contract as ``LSHRS.save_to_disk``.
+
     Bucket keys are RECOMPUTED at the target ``num_buckets`` (default:
-    the largest count any ``_stats`` row declares), so compaction also
-    repairs a layout whose epochs were written with differing bucket
-    counts — the mixed layout :class:`~lshrs_spark.serving.BM25Server`
-    refuses to open. Postings rows are unioned verbatim (streamed
-    epochs hold disjoint doc ids), so a server returns identical
-    rankings before and after; positions columns survive, so phrase
-    queries keep working. The compacted tree stays an EPOCHS layout
-    (``epoch=0``): live ``BM25Server(..., epochs=True)`` instances pick
-    it up at their next ``refresh()``, and the stream may keep
-    appending ``epoch=N`` on top (reusing this bucket count). The swap
-    is write-to-temp-sibling + rmtree + rename, the same ordering as
-    ``LSHRS.save_to_disk`` — run it from the single maintenance owner,
-    not concurrently with the ingest stream's own writes."""
+    the largest count any ``_stats`` row declares) via the shared
+    :func:`bm25_bucket_col` definition, so compaction also repairs a
+    layout whose epochs were written with differing bucket counts —
+    the mixed layout :class:`~lshrs_spark.serving.BM25Server` refuses
+    to open. Postings rows are unioned verbatim (streamed epochs hold
+    disjoint doc ids), so a server returns identical rankings before
+    and after; positions columns survive, so phrase queries keep
+    working. The compacted tree stays an EPOCHS layout: live
+    ``BM25Server(..., epochs=True)`` instances pick it up at their
+    next ``refresh()``, and the stream may keep appending ``epoch=N``
+    on top (reusing this bucket count). The swap is
+    write-to-temp-sibling + rmtree + rename."""
     import os as _os
     import shutil as _shutil
     import uuid as _uuid
@@ -663,7 +692,7 @@ def bm25_compact(spark, path: str, *, num_buckets: "Optional[int]" = None) -> in
     nb = int(num_buckets or srow["max_nb"])
     data_cols = [c for c in posts.columns if c not in ("epoch", "bucket")]
     merged = posts.select(*data_cols).withColumn(
-        "bucket", F.pmod(h48(F.col("tok")), F.lit(nb))
+        "bucket", bm25_bucket_col(F.col("tok"), nb)
     )
     tmp = f"{path}.tmp-{_uuid.uuid4().hex}"
     (
@@ -671,13 +700,13 @@ def bm25_compact(spark, path: str, *, num_buckets: "Optional[int]" = None) -> in
         .sortWithinPartitions("tok", "id")
         .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(f"{tmp}/epoch=0")
+        .parquet(f"{tmp}/epoch=-1")
     )
     spark.createDataFrame(
         [(int(srow["n_docs"] or 0), int(srow["total_len"] or 0), nb)],
         "n_docs long, total_len long, num_buckets long",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_stats/epoch=0")
-    n = spark.read.parquet(f"{tmp}/epoch=0").count()
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_stats/epoch=-1")
+    n = spark.read.parquet(f"{tmp}/epoch=-1").count()
     _shutil.rmtree(path)
     _os.rename(tmp, path)
     return n
@@ -710,7 +739,7 @@ def bm25_postings(
     )
     postings = (
         tf.join(dl, "id")
-        .withColumn("bucket", F.pmod(h48(F.col("tok")), F.lit(num_buckets)))
+        .withColumn("bucket", bm25_bucket_col(F.col("tok"), num_buckets))
         .select(*cols)
     )
     return postings, dl

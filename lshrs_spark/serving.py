@@ -50,10 +50,12 @@ def prepare_eligible_ids(eligible_ids) -> np.ndarray:
     this ONCE and pass the result to every query — the per-query path
     then does zero interpreter-level set work (an already-int64 ndarray
     is used as-is)."""
-    arr = np.asarray(
-        eligible_ids if not isinstance(eligible_ids, (set, frozenset))
-        else list(eligible_ids)
-    )
+    if isinstance(eligible_ids, np.ndarray):
+        arr = eligible_ids
+    else:
+        # list() first: np.asarray on a generator/iterator/dict-view
+        # yields a 0-d object array and the int64 cast raises
+        arr = np.asarray(list(eligible_ids))
     return np.unique(arr.astype(np.int64, copy=False))
 
 

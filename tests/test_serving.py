@@ -1084,8 +1084,14 @@ def test_index_server_eligible_ids_precomputed_array(spark, tmp_path):
     assert srv.get_top_k(q, 10, eligible_ids=pre) == srv.get_top_k(
         q, 10, eligible_ids=evens
     )
-    # set / generator inputs normalize too
+    # set / generator / dict-view inputs normalize too
     assert np.array_equal(prepare_eligible_ids(set(evens)), pre)
+    assert np.array_equal(prepare_eligible_ids(i for i in evens), pre)
+    assert np.array_equal(
+        prepare_eligible_ids({i: None for i in evens}.keys()), pre
+    )
+    assert srv.get_top_k(q, 10, eligible_ids=(i for i in evens)) == \
+        srv.get_top_k(q, 10, eligible_ids=evens)
 
 
 def test_bm25_search_batch_matches_and_shares_term_reads(spark, tmp_path):

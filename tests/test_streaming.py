@@ -791,6 +791,31 @@ def test_bm25_compact_preserves_rankings_and_shrinks_files(spark, tmp_path):
     fresh = [BM25Server(idx, epochs=True).search(t, k=15) for t in queries]
     assert fresh == before
 
+    # epoch-id-reset safety: a restart with a FRESH checkpoint writes
+    # epoch=0 again — the compacted corpus lives at epoch=-1 (an id the
+    # stream can never produce), so the new micro-batch lands alongside
+    # it instead of clobbering it
+    import os
+
+    assert os.path.isdir(f"{idx}/epoch=-1")
+    spark.createDataFrame(
+        [(100, "vector hash newdoc alpha")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src + "_more")
+    q = stream_bm25_ingest(
+        spark, src + "_more", idx, num_buckets=8,
+        checkpoint=str(tmp_path / "ckpt_fresh"), max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    srv.refresh()
+    assert srv._n == 31                           # 30 compacted + 1 new
+    got = srv.search(["newdoc"], k=3)
+    assert [i for i, _, _, _ in got] == [100]
+    # old docs still ranked (compacted corpus survived the reset epoch)
+    assert [i for i, _, _, _ in srv.search(["doc3"], k=3)] == [3]
+
 
 def test_bm25_compact_repairs_mixed_bucket_counts(spark, tmp_path):
     """Epochs written with differing num_buckets (the refused-to-serve
