@@ -273,6 +273,111 @@ def lsh_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multiprobe_recall_sql() -> str:
+    """Oracle for the multi-probe recall gauge: recomputes, from the
+    same inlined hyperplanes as ``_SIGS``, each query's per-bit
+    projection MARGINS, ranks bits per band by ascending ``|margin|``
+    (ties by bit index — mirroring the stable argsort in
+    ``hashing.multiprobe_keys_local``), and XORs the top-2 flips into
+    extra probe keys."""
+    from .hashing import projection_matrix
+    from .oracle import _array_literal
+
+    proj = projection_matrix(ORACLE_CFG)
+    r = ORACLE_CFG.rows_per_band
+    margin_unions = " UNION ALL ".join(
+        f"SELECT qid, {b} AS band, {j} AS j, "
+        f"list_dot_product(qe, {_array_literal(proj[b * r + j])}) AS m FROM qv"
+        for b in range(ORACLE_CFG.num_bands) for j in range(r)
+    )
+    return f"""WITH {_SIGS},
+qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+qmargins AS ({margin_unions}),
+qsigs AS (SELECT qid, band,
+                 sum(CASE WHEN m > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS sig
+          FROM qmargins GROUP BY qid, band),
+flips AS (SELECT qid, band, j,
+                 row_number() OVER (PARTITION BY qid, band
+                     ORDER BY abs(m) ASC, j ASC) AS rk
+          FROM qmargins),
+pkeys AS (SELECT qid, band, sig FROM qsigs
+          UNION ALL
+          SELECT f.qid, f.band, xor(s.sig, (1::BIGINT << f.j))::BIGINT AS sig
+          FROM flips f JOIN qsigs s USING (qid, band) WHERE f.rk <= 2),
+ce AS (SELECT DISTINCT q.qid, s.id FROM qsigs q JOIN sigs s USING (band, sig)),
+cm AS (SELECT DISTINCT q.qid, s.id FROM pkeys q JOIN sigs s USING (band, sig)),
+bf AS (SELECT qid, id FROM (
+    SELECT qv.qid, e.vec_id AS id,
+           row_number() OVER (PARTITION BY qv.qid
+               ORDER BY {cosine_sql("e.embedding", "qv.qe")} DESC, e.vec_id ASC) AS rank
+    FROM embeddings e CROSS JOIN qv) WHERE rank <= 10),
+nq AS (SELECT count(*)::BIGINT AS n FROM qv)
+SELECT
+  round((SELECT count(*) FROM bf JOIN ce USING (qid, id))::DOUBLE
+        / (10 * (SELECT n FROM nq)), 5) AS recall_exact,
+  round((SELECT count(*) FROM bf JOIN cm USING (qid, id))::DOUBLE
+        / (10 * (SELECT n FROM nq)), 5) AS recall_multiprobe,
+  round((SELECT count(*) FROM ce)::DOUBLE
+        / (SELECT n FROM nq), 5) AS avg_cand_exact,
+  round((SELECT count(*) FROM cm)::DOUBLE
+        / (SELECT n FROM nq), 5) AS avg_cand_multiprobe"""
+
+
+@register("lsh_multiprobe_recall", _multiprobe_recall_sql())
+def lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH recall gauge (Lv et al., VLDB 2007): per band,
+    the 2 closest-margin single-bit-flip buckets are probed IN
+    ADDITION to the exact signature — the recall knob that costs
+    ``num_bands * 2`` extra pruned bucket lookups instead of more hash
+    tables (at 100 TB, more bands = a bigger index on disk; more
+    probes = a few extra row-group reads per query). Reports
+    recall@10 vs exact brute-force cosine, exact-probe vs
+    multi-probe, plus the average candidate-set sizes — the measured
+    recall/cost trade-off a user tunes ``multiprobe=`` by. The oracle
+    recomputes margins, flip ranking, and XORed probe keys from first
+    principles on the same inlined hyperplanes."""
+    import numpy as np
+
+    from .operators.knn import brute_force_topk
+    from .operators.probe import candidates, query_signatures_df
+
+    emb = _emb(spark, sf_dir)
+    idx = build_index(emb, ORACLE_CFG, "vec_id", "embedding")
+    qdf = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    qrows = sorted(qdf.collect(), key=lambda r: r.qid)   # k-bounded (10)
+    qids = [int(r.qid) for r in qrows]
+    qmat = np.asarray([r.qvec for r in qrows], dtype=np.float64)
+    nq = float(len(qids))
+    bf = brute_force_topk(emb, qdf, 10).select("qid", "id")
+    ce = candidates(
+        idx, query_signatures_df(spark, qmat, ORACLE_CFG, qids=qids)
+    ).select("qid", "id")
+    cm = candidates(
+        idx,
+        query_signatures_df(spark, qmat, ORACLE_CFG, qids=qids, multiprobe=2),
+    ).select("qid", "id")
+    he = bf.join(ce, ["qid", "id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("he")
+    )
+    hm = bf.join(cm, ["qid", "id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("hm")
+    )
+    ne = ce.agg(F.count(F.lit(1)).alias("ne"))
+    nm = cm.agg(F.count(F.lit(1)).alias("nm"))
+    return (
+        he.crossJoin(hm).crossJoin(ne).crossJoin(nm).select(
+            F.round(F.col("he") / F.lit(10.0 * nq), 5).alias("recall_exact"),
+            F.round(F.col("hm") / F.lit(10.0 * nq), 5).alias(
+                "recall_multiprobe"
+            ),
+            F.round(F.col("ne") / F.lit(nq), 5).alias("avg_cand_exact"),
+            F.round(F.col("nm") / F.lit(nq), 5).alias("avg_cand_multiprobe"),
+        )
+    )
+
+
 # --------------------------------------------------------------------- #
 # Similarity joins (M5): LSH-accelerated + exact baseline
 # --------------------------------------------------------------------- #
@@ -6429,6 +6534,9 @@ FAMILY: dict[str, str] = {
     "lsh_signatures_sql": "lsh_signatures",
     # occupancy-distribution twin of the in-window per-band stats rep
     "lsh_bucket_histogram": "lsh_index_stats",
+    # recall/cost gauge over the same probe machinery the in-window
+    # top-k rep exercises (new round-6; rotation candidate for r7)
+    "lsh_multiprobe_recall": "lsh_topk",
     "ann_batch": "lsh_topk",
     "ann_recall": "ann_ivf_filtered",
     "ann_ivf_recall": "ann_ivf_filtered",

@@ -48,6 +48,7 @@ __all__ = [
     "with_signatures",
     "hash_vectors_local",
     "hash_vectors_local_long",
+    "multiprobe_keys_local",
 ]
 
 # One broadcast per (spark app, config) — avoids re-broadcasting the matrix
@@ -215,3 +216,64 @@ def hash_vectors_local_long(vectors: np.ndarray, cfg: LSHConfig) -> np.ndarray:
     weights = 1 << np.arange(cfg.rows_per_band, dtype=np.int64)
     return bits.reshape(len(bits), cfg.num_bands, cfg.rows_per_band).astype(
         np.int64) @ weights
+
+
+def multiprobe_keys_local(
+    vectors: np.ndarray, cfg: LSHConfig, extra: int,
+    *, sig_kind: str | None = None,
+) -> list:
+    """EXTRA probe keys per query for multi-probe LSH (Lv et al.,
+    VLDB 2007): for each band, the ``extra`` single-bit-flip
+    perturbations of the band signature, flipping bits in ascending
+    ``|projection margin|`` order — the hyperplanes the query sits
+    closest to, i.e. the bits most likely to differ on a true
+    near-neighbor. Probing these buckets raises recall WITHOUT more
+    hash tables (bands) or a second index: the same O(1) pruned
+    lookups, just ``num_bands * extra`` more of them.
+
+    Returns one list per query of ``(band, sig)`` keys — the exact
+    signatures are NOT included (callers already have them from
+    ``hash_vectors_local[_long]``; this returns only the additions).
+    ``sig_kind`` follows the index layout: ``"long"`` (default when
+    ``rows_per_band < 64``) XORs the packed int64, ``"binary"`` flips
+    the bit inside the little-bitorder packed bytes."""
+    if extra < 0:
+        raise ValueError("extra must be >= 0")
+    if sig_kind is None:
+        sig_kind = "long" if cfg.use_long_sig else "binary"
+    vectors = np.atleast_2d(np.asarray(
+        vectors, dtype=np.float32 if cfg.dtype == "float32" else np.float64
+    ))
+    r = cfg.rows_per_band
+    extra = min(extra, r)
+    if extra == 0:
+        return [[] for _ in range(len(vectors))]
+    # same expression as _local_bits, so the perturbed signatures are
+    # flips of EXACTLY the bits hash_vectors_local[_long] produced
+    z = vectors @ projection_matrix(cfg).T
+    margins = np.abs(z).reshape(len(vectors), cfg.num_bands, r)
+    # stable: equal margins keep ascending bit order, matching the
+    # oracle's ORDER BY abs(margin), j
+    order = np.argsort(margins, axis=2, kind="stable")
+    out: list = []
+    if sig_kind == "long":
+        sigs = hash_vectors_local_long(vectors, cfg)
+        for i in range(len(vectors)):
+            keys = []
+            for b in range(cfg.num_bands):
+                for t in range(extra):
+                    j = int(order[i, b, t])
+                    keys.append((b, int(sigs[i, b]) ^ (1 << j)))
+            out.append(keys)
+    else:
+        sigsb = hash_vectors_local(vectors, cfg)
+        for i in range(len(vectors)):
+            keys = []
+            for b in range(cfg.num_bands):
+                for t in range(extra):
+                    j = int(order[i, b, t])
+                    ba = bytearray(sigsb[i][b])
+                    ba[j // 8] ^= 1 << (j % 8)
+                    keys.append((b, bytes(ba)))
+            out.append(keys)
+    return out

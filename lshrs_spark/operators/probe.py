@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 
 from ..config import LSHConfig
 from ..functions.vector import dot_product, l2_norm, l2_normalize
-from ..hashing import hash_vectors_local, hash_vectors_local_long
+from ..hashing import (
+    hash_vectors_local,
+    hash_vectors_local_long,
+    multiprobe_keys_local,
+)
 
 __all__ = [
     "query_signatures_df",
@@ -49,17 +53,25 @@ def query_signatures_df(
     *,
     qids: Optional[Sequence[int]] = None,
     sig_kind: Optional[str] = None,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Hash query vectors driver-side (tiny) into ``(qid, band, sig)``.
 
     For query batches coming from a DataFrame use ``build_index`` on it
     instead — this path avoids a Spark job for ad-hoc vectors.
-    """
+
+    ``multiprobe=T`` additionally emits, per band, the ``T``
+    closest-margin single-bit-flip perturbation keys
+    (:func:`~lshrs_spark.hashing.multiprobe_keys_local`) — multi-probe
+    LSH as EXTRA PROBE ROWS, so the downstream join/aggregation plans
+    are unchanged: a perturbed-bucket match counts as a collision like
+    any other, and recall rises without adding bands to the index."""
     if sig_kind is None:
         sig_kind = "long" if cfg.use_long_sig else "binary"
     vectors = np.atleast_2d(np.asarray(vectors))
     if qids is None:
         qids = range(len(vectors))
+    qids = list(qids)
     rows = []
     if sig_kind == "long":
         sigs = hash_vectors_local_long(vectors, cfg)
@@ -71,6 +83,11 @@ def query_signatures_df(
         for qid, row in zip(qids, sigsb):
             rows.extend((int(qid), b, bytes(s)) for b, s in enumerate(row))
         schema = "qid long, band int, sig binary"
+    if multiprobe:
+        extra = multiprobe_keys_local(vectors, cfg, multiprobe,
+                                      sig_kind=sig_kind)
+        for qid, keys in zip(qids, extra):
+            rows.extend((int(qid), b, s) for b, s in keys)
     return spark.createDataFrame(rows, schema)
 
 
@@ -153,6 +170,7 @@ def candidates_from_path(
     cfg: LSHConfig,
     *,
     qids: Optional[Sequence[int]] = None,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Probe a STORED index (written by ``write_index``) with storage
     pruning: the query signatures are hashed driver-side and turned into
@@ -160,10 +178,14 @@ def candidates_from_path(
     scan touches only the parquet files/row-groups whose ``(band, sig)``
     ranges can match — single-query latency stays flat as the index
     grows, the distributed analogue of the reference's O(bands) Redis
-    bucket lookups. Returns ``(qid, id, collisions)``."""
+    bucket lookups. ``multiprobe=T`` adds the T closest-margin
+    bit-flip keys per band to the pushed-down predicate (multi-probe
+    LSH — still O(bands * (1+T)) pruned lookups, recall up with no
+    index change). Returns ``(qid, id, collisions)``."""
     vectors = np.atleast_2d(np.asarray(vectors))
     if qids is None:
         qids = range(len(vectors))
+    qids = list(qids)
     if cfg.use_long_sig:
         sigs = hash_vectors_local_long(vectors, cfg)
         qrows = [
@@ -183,6 +205,16 @@ def candidates_from_path(
             for b, s in enumerate(row)
         ]
         schema = "qid long, band int, sig binary"
+    if multiprobe:
+        extra = multiprobe_keys_local(
+            vectors, cfg, multiprobe,
+            sig_kind="long" if cfg.use_long_sig else "binary",
+        )
+        qrows = qrows + [
+            (int(qid), b, s)
+            for qid, keys in zip(qids, extra)
+            for b, s in keys
+        ]
     index_df = spark.read.parquet(index_path)
     pred = None
     pairs = {(b, s) for _, b, s in qrows}

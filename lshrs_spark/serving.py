@@ -218,33 +218,50 @@ class IndexServer:
             raise ValueError("Cannot index or query a zero vector")
         return vec
 
-    def _bucket_filter(self, vec: np.ndarray) -> pads.Expression:
+    def _bucket_filter(self, vec: np.ndarray,
+                       multiprobe: int = 0) -> pads.Expression:
         """OR of per-band ``(band = b AND sig = s)`` equalities — the same
         predicate `candidates_from_path` pushes into the Spark scan,
-        evaluated here against cached parquet stats."""
+        evaluated here against cached parquet stats. ``multiprobe=T``
+        ORs in the T closest-margin bit-flip keys per band (multi-probe
+        LSH): ``num_bands * T`` extra pruned bucket reads, recall up
+        with no index change — the serving twin of the Spark path's
+        extra probe rows."""
+        from .hashing import multiprobe_keys_local
+
         band = pads.field("band")
         sig = pads.field("sig")
         if self.cfg.use_long_sig:
             sigs = hash_vectors_local_long(vec[None, :], self.cfg)[0]
-            clauses = [
-                (band == b) & (sig == int(s)) for b, s in enumerate(sigs)
-            ]
+            keys = [(b, int(s)) for b, s in enumerate(sigs)]
         else:
             sigsb = hash_vectors_local(vec[None, :], self.cfg)[0]
-            clauses = [
-                (band == b) & (sig == bytes(s)) for b, s in enumerate(sigsb)
+            keys = [(b, bytes(s)) for b, s in enumerate(sigsb)]
+        if multiprobe:
+            keys += [
+                (b, s if self.cfg.use_long_sig else bytes(s))
+                for b, s in multiprobe_keys_local(
+                    vec[None, :], self.cfg, multiprobe,
+                    sig_kind="long" if self.cfg.use_long_sig else "binary",
+                )[0]
             ]
+        clauses = [(band == b) & (sig == s) for b, s in keys]
         expr = clauses[0]
         for c in clauses[1:]:
             expr = expr | c
         return expr
 
-    def candidate_counts(self, vector: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    def candidate_counts(self, vector: np.ndarray,
+                         multiprobe: int = 0) -> tuple[np.ndarray, np.ndarray]:
         """``(ids, collisions)`` for one query vector — Q1+Q2 driver-side.
         Tombstoned ids (``_deleted`` sidecar) are filtered out, so a
-        delete is visible after :meth:`refresh` without re-saving."""
+        delete is visible after :meth:`refresh` without re-saving.
+        With ``multiprobe``, a perturbed-bucket match counts as a
+        collision like any exact-bucket match."""
         vec = self._prepare_vector(vector)
-        tbl = self._ds.to_table(columns=["id"], filter=self._bucket_filter(vec))
+        tbl = self._ds.to_table(
+            columns=["id"], filter=self._bucket_filter(vec, multiprobe)
+        )
         ids = tbl.column("id").to_numpy(zero_copy_only=False)
         ids = ids[_drop_deleted(ids, self._deleted)]
         if len(ids) == 0:
@@ -252,7 +269,7 @@ class IndexServer:
         return np.unique(ids, return_counts=True)
 
     def get_top_k(self, vector: np.ndarray, topk: int = 10,
-                  eligible_ids=None) -> list[int]:
+                  eligible_ids=None, *, multiprobe: int = 0) -> list[int]:
         """Ids ordered by ``(-collisions, id)`` — identical result contract
         to :meth:`LSHRS.get_top_k` / `top_k(candidates_from_path(...))`.
 
@@ -264,10 +281,12 @@ class IndexServer:
         never post-filtering a shortened result. An int64 ndarray
         (see :func:`prepare_eligible_ids`) is used as-is, so callers
         issuing many queries against one predicate pay the set
-        normalization once, not per query."""
+        normalization once, not per query. ``multiprobe=T`` probes the
+        T closest-margin bit-flip buckets per band too — the recall
+        knob for sparse result sets."""
         if topk <= 0:
             raise ValueError("top_k must be positive")
-        ids, counts = self.candidate_counts(vector)
+        ids, counts = self.candidate_counts(vector, multiprobe)
         if eligible_ids is not None:
             if not (
                 isinstance(eligible_ids, np.ndarray)

@@ -102,3 +102,51 @@ def test_band_matrices_are_float32_by_default():
     assert all(m.dtype == np.float32 for m in band_matrices(CFG))
     cfg64 = CFG.with_(dtype="float64")
     assert all(m.dtype == np.float64 for m in band_matrices(cfg64))
+
+
+def test_multiprobe_keys_flip_exactly_one_closest_margin_bit():
+    """Multi-probe perturbations: num_bands*extra keys per query, each
+    differing from the exact band signature in EXACTLY one bit, flipped
+    in ascending |projection margin| order."""
+    from lshrs_spark.config import LSHConfig
+    from lshrs_spark.hashing import (
+        hash_vectors_local,
+        hash_vectors_local_long,
+        multiprobe_keys_local,
+        projection_matrix,
+    )
+
+    cfg = LSHConfig(dim=16, num_perm=16, num_bands=4, rows_per_band=4,
+                    seed=42, dtype="float64")
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((5, 16))
+
+    exact = hash_vectors_local_long(vecs, cfg)
+    keys = multiprobe_keys_local(vecs, cfg, 2)
+    z = np.abs(vecs @ projection_matrix(cfg).T).reshape(5, 4, 4)
+    for i, qkeys in enumerate(keys):
+        assert len(qkeys) == 4 * 2
+        for b, sig in qkeys:
+            diff = int(exact[i, b]) ^ sig
+            assert diff != 0 and (diff & (diff - 1)) == 0   # one bit
+            j = diff.bit_length() - 1
+            # the flipped bit is among the 2 smallest margins of band b
+            order = np.argsort(z[i, b], kind="stable")[:2]
+            assert j in order
+    # extra=0 -> no keys; extra > rows_per_band clamps
+    assert multiprobe_keys_local(vecs, cfg, 0) == [[] for _ in range(5)]
+    assert all(
+        len(k) == 4 * 4 for k in multiprobe_keys_local(vecs, cfg, 99)
+    )
+
+    # binary kind agrees with the long kind bit-for-bit
+    kb = multiprobe_keys_local(vecs, cfg, 2, sig_kind="binary")
+    exact_b = hash_vectors_local(vecs, cfg)
+    for i in range(5):
+        longs = {(b, s) for b, s in keys[i]}
+        for b, sb in kb[i]:
+            as_long = int.from_bytes(sb, "little")
+            assert (b, as_long) in longs
+        assert len(kb[i]) == len(keys[i])
+    with pytest.raises(ValueError, match=">= 0"):
+        multiprobe_keys_local(vecs, cfg, -1)

@@ -114,3 +114,11 @@ def test_candidates_from_path_matches_in_memory(spark, tmp_path, rng):
     stored = {(r.qid, r.id): r.collisions for r in
               candidates_from_path(spark, path, q, cfg, qids=[0]).collect()}
     assert stored == mem and stored
+    # multiprobe: stored pushed-down path == in-memory path, superset
+    mem2 = {(r.qid, r.id): r.collisions for r in
+            candidates(idx, query_signatures_df(
+                spark, q, cfg, qids=[0], multiprobe=2)).collect()}
+    stored2 = {(r.qid, r.id): r.collisions for r in
+               candidates_from_path(
+                   spark, path, q, cfg, qids=[0], multiprobe=2).collect()}
+    assert stored2 == mem2 and set(mem) <= set(mem2)

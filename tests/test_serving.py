@@ -1094,6 +1094,58 @@ def test_index_server_eligible_ids_precomputed_array(spark, tmp_path):
         srv.get_top_k(q, 10, eligible_ids=evens)
 
 
+def test_index_server_multiprobe_matches_spark_and_raises_recall(
+    spark, tmp_path
+):
+    """Multi-probe serving: candidate sets are a superset of the
+    exact-probe sets, collision counts agree with the Spark path fed
+    the same perturbed probe rows, and the full-ranking contract
+    (-collisions, id) holds."""
+    from lshrs_spark.config import LSHConfig
+    from lshrs_spark.operators.index import build_index, write_index
+    from lshrs_spark.operators.probe import candidates, query_signatures_df
+    from lshrs_spark.serving import IndexServer
+
+    rng = np.random.default_rng(83)
+    n, d = 400, 32
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cfg = LSHConfig(dim=d, num_perm=64, num_bands=4, rows_per_band=16,
+                    seed=42)
+    idx = build_index(emb, cfg, "vec_id", "embedding")
+    store = str(tmp_path / "lsh_multiprobe")
+    write_index(idx, store)
+    srv = IndexServer(store, cfg)
+
+    for qi in (3, 77, 240):
+        q = vecs[qi]
+        ids0, c0 = srv.candidate_counts(q)
+        ids2, c2 = srv.candidate_counts(q, multiprobe=2)
+        assert set(ids0) <= set(ids2)            # superset, never fewer
+        # spark path with the same perturbed probe rows agrees exactly
+        sp = {
+            (r.id, r.collisions)
+            for r in candidates(
+                idx,
+                query_signatures_df(spark, q[None, :], cfg, multiprobe=2),
+            ).collect()
+        }
+        assert {(int(i), int(c)) for i, c in zip(ids2, c2)} == sp
+        got = srv.get_top_k(q, 10, multiprobe=2)
+        order = np.argsort(-c2, kind="stable")[:10]
+        assert got == [int(i) for i in ids2[order]]
+    # across many queries, multiprobe candidates strictly grow somewhere
+    grew = sum(
+        len(srv.candidate_counts(vecs[i], multiprobe=2)[0])
+        > len(srv.candidate_counts(vecs[i])[0])
+        for i in range(0, 60, 3)
+    )
+    assert grew > 0
+
+
 def test_bm25_search_batch_matches_and_shares_term_reads(spark, tmp_path):
     """search_batch result i == search(queries[i]) exactly, and each
     DISTINCT term across the batch is read from the postings layout
