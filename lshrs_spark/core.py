@@ -203,18 +203,21 @@ class LSHRS:
     # ------------------------------------------------------------------ #
 
     def query(self, vector: np.ndarray, *, top_k: Optional[int] = 10,
-              top_p: Optional[float] = None):
+              top_p: Optional[float] = None, multiprobe: int = 0):
         """Reference query contract (``main.py:524-658``): returns candidate
         ids ordered by ``(-collisions, id)``; with ``top_p`` set, returns
         ``(id, score)`` tuples reranked by exact cosine and cut to the
         proportional prefix ``max(1, ceil(n * top_p))`` (capped by
-        ``top_k``)."""
+        ``top_k``). ``multiprobe=T`` (beyond-reference recall knob)
+        additionally probes the T closest-margin bit-flip buckets per
+        band — multi-probe LSH; a perturbed-bucket match counts as a
+        collision like any other."""
         if top_k is not None and top_k <= 0:
             raise ValueError("top_k must be positive")
         if top_p is not None and not 0.0 < top_p <= 1.0:
             raise ValueError("top_p must be in (0, 1]")
         vec = self._prepare_vector(vector)
-        cands = self._candidates_df(vec)
+        cands = self._candidates_df(vec, multiprobe)
         if top_p is None:
             out = _probe_top_k(cands, top_k).orderBy("rank").select("id").collect()
             return [r.id for r in out]
@@ -244,8 +247,10 @@ class LSHRS:
         )
         return [(r.id, float(r.score)) for r in out]
 
-    def get_top_k(self, vector: np.ndarray, topk: int = 10) -> list[int]:
-        return self.query(vector, top_k=topk, top_p=None)
+    def get_top_k(self, vector: np.ndarray, topk: int = 10, *,
+                  multiprobe: int = 0) -> list[int]:
+        return self.query(vector, top_k=topk, top_p=None,
+                          multiprobe=multiprobe)
 
     def get_above_p(self, vector: np.ndarray, p: float = 0.95):
         return self.query(vector, top_k=None, top_p=p)
@@ -274,12 +279,14 @@ class LSHRS:
         return _probe_top_k(cands, top_k)
 
     def get_top_k_batch(
-        self, vectors: Sequence[np.ndarray], topk: int = 10
+        self, vectors: Sequence[np.ndarray], topk: int = 10, *,
+        multiprobe: int = 0,
     ) -> list[list[int]]:
         """List-of-vectors convenience over :meth:`query_batch`: hashes
         the whole batch driver-side (no Spark job for the signatures),
         probes the index in ONE plan, and returns result ``i`` ==
-        ``get_top_k(vectors[i], topk)``. The amortized-latency twin of
+        ``get_top_k(vectors[i], topk, multiprobe=multiprobe)``. The
+        amortized-latency twin of
         :meth:`serving.IndexServer.get_top_k_batch` for when the index
         lives in the session rather than on disk."""
         if topk <= 0:
@@ -288,7 +295,8 @@ class LSHRS:
             return []
         mat = np.stack([self._prepare_vector(v) for v in vectors])
         qsigs = query_signatures_df(
-            self.spark, mat, self.cfg, sig_kind=self._sig_kind
+            self.spark, mat, self.cfg, sig_kind=self._sig_kind,
+            multiprobe=multiprobe,
         )
         # batch size is driver-known here — let the cost rule pick the
         # join regime (broadcast for interactive batches; shuffle when a
@@ -560,8 +568,9 @@ class LSHRS:
         )
         self._mutations = 0
 
-    def _candidates_df(self, vec: np.ndarray) -> DataFrame:
-        qsigs = query_signatures_df(self.spark, vec, self.cfg, qids=[0])
+    def _candidates_df(self, vec: np.ndarray, multiprobe: int = 0) -> DataFrame:
+        qsigs = query_signatures_df(self.spark, vec, self.cfg, qids=[0],
+                                    multiprobe=multiprobe)
         return candidates(self.index_df, qsigs)
 
     def _prepare_vector(self, vector: np.ndarray) -> np.ndarray:

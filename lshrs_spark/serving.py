@@ -302,7 +302,7 @@ class IndexServer:
         return [int(i) for i in ids[order]]
 
     def get_top_k_batch(
-        self, vectors, topk: int = 10
+        self, vectors, topk: int = 10, *, multiprobe: int = 0
     ) -> list[list[int]]:
         """Batch form of :meth:`get_top_k`: ONE pruned index read for all
         queries instead of one per query. All queries' ``(band, sig)``
@@ -311,8 +311,12 @@ class IndexServer:
         the matched rows are grouped once by bucket and each query then
         aggregates its own buckets in memory. Amortizes footer pruning,
         filter evaluation, and read syscalls across the batch — the
-        serving twin of the Spark path's batch probe plan. Result i is
-        exactly ``get_top_k(vectors[i], topk)``."""
+        serving twin of the Spark path's batch probe plan.
+        ``multiprobe=T`` adds each query's T closest-margin bit-flip
+        keys per band to the shared filter. Result i is exactly
+        ``get_top_k(vectors[i], topk, multiprobe=multiprobe)``."""
+        from .hashing import multiprobe_keys_local
+
         if topk <= 0:
             raise ValueError("top_k must be positive")
         if len(vectors) == 0:
@@ -321,22 +325,27 @@ class IndexServer:
         nbands = self.cfg.num_bands
         if self.cfg.use_long_sig:
             sigs = hash_vectors_local_long(mat, self.cfg)  # (nq, bands)
-            keys = [
-                (b, int(sigs[q, b]))
+            qkeys = [
+                [(b, int(sigs[q, b])) for b in range(nbands)]
                 for q in range(len(mat))
-                for b in range(nbands)
             ]
         else:
             sigsb = hash_vectors_local(mat, self.cfg)
-            keys = [
-                (b, bytes(sigsb[q][b]))
+            qkeys = [
+                [(b, bytes(sigsb[q][b])) for b in range(nbands)]
                 for q in range(len(mat))
-                for b in range(nbands)
             ]
+        if multiprobe:
+            extra = multiprobe_keys_local(
+                mat, self.cfg, multiprobe,
+                sig_kind="long" if self.cfg.use_long_sig else "binary",
+            )
+            for q in range(len(mat)):
+                qkeys[q] = qkeys[q] + extra[q]
         band = pads.field("band")
         sig = pads.field("sig")
         expr = None
-        for b, s in set(keys):
+        for b, s in {k for keys in qkeys for k in keys}:
             clause = (band == b) & (sig == s)
             expr = clause if expr is None else (expr | clause)
         tbl = self._ds.to_table(columns=["band", "sig", "id"], filter=expr)
@@ -352,10 +361,7 @@ class IndexServer:
             buckets.setdefault((int(b), s), []).append(i)
         out = []
         for q in range(len(mat)):
-            qids = [
-                buckets.get(keys[q * nbands + b])
-                for b in range(nbands)
-            ]
+            qids = [buckets.get(k) for k in qkeys[q]]
             flat = [i for lst in qids if lst for i in lst]
             if not flat:
                 out.append([])

@@ -1144,6 +1144,26 @@ def test_index_server_multiprobe_matches_spark_and_raises_recall(
         for i in range(0, 60, 3)
     )
     assert grew > 0
+    # batch serving parity: result i == the single-query result
+    batch = srv.get_top_k_batch([vecs[3], vecs[77], vecs[240]], 10,
+                                multiprobe=2)
+    assert batch == [
+        srv.get_top_k(vecs[i], 10, multiprobe=2) for i in (3, 77, 240)
+    ]
+    # and the in-session LSHRS API carries the same knob end-to-end
+    from lshrs_spark import LSHRS
+
+    lsh = LSHRS(spark, d, num_perm=64, num_bands=4, rows_per_band=16,
+                seed=42)
+    lsh.index_dataframe(emb, "vec_id", "embedding")
+    for qi in (3, 240):
+        assert lsh.get_top_k(vecs[qi], 10, multiprobe=2) == srv.get_top_k(
+            vecs[qi], 10, multiprobe=2
+        )
+    assert lsh.get_top_k_batch([vecs[3], vecs[240]], 10, multiprobe=2) == [
+        srv.get_top_k(vecs[3], 10, multiprobe=2),
+        srv.get_top_k(vecs[240], 10, multiprobe=2),
+    ]
 
 
 def test_bm25_search_batch_matches_and_shares_term_reads(spark, tmp_path):
