@@ -379,6 +379,7 @@ class IndexServer:
         *,
         top_k: Optional[int] = 10,
         top_p: Optional[float] = None,
+        multiprobe: int = 0,
     ):
         """Full :meth:`LSHRS.query` contract without a Spark job.
 
@@ -386,14 +387,16 @@ class IndexServer:
         ``top_p`` set -> ``[(id, score)]`` reranked by exact cosine over
         the stored vector table, proportional-prefix cut
         ``max(1, ceil(n * top_p))`` capped by ``top_k``
-        (``lshrs/core/main.py:645-658``).
+        (``lshrs/core/main.py:645-658``). ``multiprobe=T`` widens the
+        candidate read to the T closest-margin bit-flip buckets per
+        band on both modes.
         """
         if top_k is not None and top_k <= 0:
             raise ValueError("top_k must be positive")
         if top_p is not None and not 0.0 < top_p <= 1.0:
             raise ValueError("top_p must be in (0, 1]")
         vec = self._prepare_vector(vector)
-        ids, counts = self.candidate_counts(vec)
+        ids, counts = self.candidate_counts(vec, multiprobe)
         if top_p is None:
             order = np.argsort(-counts, kind="stable")
             if top_k is not None:
