@@ -79,6 +79,38 @@ def _integrate(f, lo: float, hi: float) -> float:
     return float(half * np.sum(_GL_WEIGHTS * f(mid + half * _GL_NODES)))
 
 
+def compute_multiprobe_collision_probability(
+    similarity: float, b: int, r: int, extra: int
+) -> tuple[float, float]:
+    """``(lower, upper)`` bounds on ``P(>= 1 probed bucket collides)``
+    under multi-probe LSH with ``extra`` single-bit flips per band
+    (``hashing.multiprobe_keys_local``) — the planner-side companion
+    to the measured ``lsh_multiprobe_recall`` gauge. Same ``s``
+    convention as :func:`compute_collision_probability` (per-bit
+    agreement probability). A band's exact key matches with ``s^r``;
+    the single-bit-mismatch mass ``r*(1-s)*s^(r-1)`` is additionally
+    recovered only when the mismatched bit is among the ``extra``
+    flipped ones. Margin-guided flipping recovers at least the
+    uniform-choice fraction ``extra/r`` of that mass (LOWER bound) and
+    at most all of it (UPPER bound, perfect margin prediction —
+    tight in practice for near-threshold neighbors, whose mismatched
+    bit is almost always the closest-margin one). Two-bit mismatches
+    are never recovered by single-flip probes, so both bounds ignore
+    them. Use the bounds to size ``extra`` for a recall target before
+    paying for the measured gauge on a real corpus."""
+    if extra < 0:
+        raise ValueError("extra must be >= 0")
+    extra = min(extra, r)
+    p_exact = similarity**r
+    single = r * (1.0 - similarity) * similarity ** (r - 1)
+    lo_band = p_exact + (extra / r) * single
+    hi_band = p_exact + (single if extra else 0.0)
+    return (
+        1.0 - (1.0 - lo_band) ** b,
+        1.0 - (1.0 - hi_band) ** b,
+    )
+
+
 def compute_false_rates(b: int, r: int, threshold: float) -> tuple[float, float]:
     """(FP, FN) = (∫₀ᵗ P(s) ds, ∫ₜ¹ 1-P(s) ds), uniform-similarity model."""
     fp = _integrate(lambda s: _scurve(s, b, r), 0.0, threshold)

@@ -68,3 +68,35 @@ def test_config_analysis_report():
     assert 0 < rep["actual_threshold"] < 1
     assert math.isfinite(rep["false_positive_rate"])
     assert rep["collision_probability"][0.99] > rep["collision_probability"][0.1]
+
+
+def test_multiprobe_collision_probability_bounds():
+    """Planner-side multi-probe bounds: extra=0 degenerates to the
+    exact-probe S-curve, bounds are ordered and monotone in extra, and
+    extra=r makes them coincide (every single-mismatch recovered)."""
+    from lshrs_spark.planner import (
+        compute_collision_probability,
+        compute_multiprobe_collision_probability,
+    )
+
+    b, r = 8, 16
+    for s in (0.3, 0.6, 0.85, 0.95):
+        base = compute_collision_probability(s, b, r)
+        lo0, hi0 = compute_multiprobe_collision_probability(s, b, r, 0)
+        assert lo0 == hi0 == pytest.approx(base)
+        prev_lo = base
+        for extra in (1, 2, 4, 16):
+            lo, hi = compute_multiprobe_collision_probability(s, b, r, extra)
+            assert base <= lo <= hi <= 1.0
+            assert lo >= prev_lo - 1e-15          # monotone in extra
+            prev_lo = lo
+        lo_full, hi_full = compute_multiprobe_collision_probability(
+            s, b, r, r
+        )
+        assert lo_full == pytest.approx(hi_full)
+        # clamping: extra beyond r changes nothing
+        assert compute_multiprobe_collision_probability(
+            s, b, r, 99
+        ) == pytest.approx((lo_full, hi_full))
+    with pytest.raises(ValueError):
+        compute_multiprobe_collision_probability(0.5, b, r, -1)

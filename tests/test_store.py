@@ -148,6 +148,12 @@ def test_stream_segmented_ingest_and_serving(spark, tmp_path, rng):
     srv = SegmentedIndexServer(root, CFG)
     got = srv.get_top_k(vecs[7], 1)
     assert got == [7]
+    # the multiprobe knob rides the inherited probe path on the
+    # segmented tier too: never fewer candidates, self still first
+    ids0, _ = srv.candidate_counts(vecs[7])
+    ids2, _ = srv.candidate_counts(vecs[7], multiprobe=2)
+    assert set(ids0) <= set(ids2)
+    assert srv.get_top_k(vecs[7], 1, multiprobe=2) == [7]
     # a commit after server start becomes visible on refresh()
     st.delete_ids([7])
     srv.refresh()
