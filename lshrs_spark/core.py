@@ -300,8 +300,14 @@ class LSHRS:
         )
         # batch size is driver-known here — let the cost rule pick the
         # join regime (broadcast for interactive batches; shuffle when a
-        # caller feeds a corpus-scale list)
-        strategy = choose_probe_strategy(len(vectors), self.cfg.num_bands)
+        # caller feeds a corpus-scale list). The probe side holds
+        # (1 + multiprobe) signature rows per band, so the cost rule
+        # must see the multiplied count or it undercounts the broadcast
+        # payload by that factor.
+        keys_per_query = self.cfg.num_bands * (
+            1 + min(multiprobe, self.cfg.rows_per_band)
+        )
+        strategy = choose_probe_strategy(len(vectors), keys_per_query)
         rows = _probe_top_k(
             candidates(self.index_df, qsigs, strategy=strategy), topk
         ).collect()

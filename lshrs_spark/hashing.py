@@ -229,7 +229,10 @@ def multiprobe_keys_local(
     closest to, i.e. the bits most likely to differ on a true
     near-neighbor. Probing these buckets raises recall WITHOUT more
     hash tables (bands) or a second index: the same O(1) pruned
-    lookups, just ``num_bands * extra`` more of them.
+    lookups, just ``num_bands * extra`` more of them. Size ``extra``
+    with the analytic bounds of
+    :func:`lshrs_spark.planner.compute_multiprobe_collision_probability`
+    and validate on a corpus with the ``lsh_multiprobe_recall`` gauge.
 
     Returns one list per query of ``(band, sig)`` keys — the exact
     signatures are NOT included (callers already have them from
@@ -248,16 +251,20 @@ def multiprobe_keys_local(
     extra = min(extra, r)
     if extra == 0:
         return [[] for _ in range(len(vectors))]
-    # same expression as _local_bits, so the perturbed signatures are
-    # flips of EXACTLY the bits hash_vectors_local[_long] produced
+    # ONE projection pass: the same expression as _local_bits yields
+    # both the bits (sign) and the margins (magnitude), so the exact
+    # signatures are packed here from z rather than re-running the
+    # matmul inside hash_vectors_local[_long]
     z = vectors @ projection_matrix(cfg).T
+    bits = (z > 0).reshape(len(vectors), cfg.num_bands, r)
     margins = np.abs(z).reshape(len(vectors), cfg.num_bands, r)
     # stable: equal margins keep ascending bit order, matching the
     # oracle's ORDER BY abs(margin), j
     order = np.argsort(margins, axis=2, kind="stable")
     out: list = []
     if sig_kind == "long":
-        sigs = hash_vectors_local_long(vectors, cfg)
+        weights = 1 << np.arange(r, dtype=np.int64)
+        sigs = bits.astype(np.int64) @ weights          # (n, bands)
         for i in range(len(vectors)):
             keys = []
             for b in range(cfg.num_bands):
@@ -266,13 +273,13 @@ def multiprobe_keys_local(
                     keys.append((b, int(sigs[i, b]) ^ (1 << j)))
             out.append(keys)
     else:
-        sigsb = hash_vectors_local(vectors, cfg)
+        packed = np.packbits(bits, axis=2, bitorder="little")
         for i in range(len(vectors)):
             keys = []
             for b in range(cfg.num_bands):
                 for t in range(extra):
                     j = int(order[i, b, t])
-                    ba = bytearray(sigsb[i][b])
+                    ba = bytearray(bytes(packed[i, b]))
                     ba[j // 8] ^= 1 << (j % 8)
                     keys.append((b, bytes(ba)))
             out.append(keys)

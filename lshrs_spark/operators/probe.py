@@ -206,10 +206,7 @@ def candidates_from_path(
         ]
         schema = "qid long, band int, sig binary"
     if multiprobe:
-        extra = multiprobe_keys_local(
-            vectors, cfg, multiprobe,
-            sig_kind="long" if cfg.use_long_sig else "binary",
-        )
+        extra = multiprobe_keys_local(vectors, cfg, multiprobe)
         qrows = qrows + [
             (int(qid), b, s)
             for qid, keys in zip(qids, extra)

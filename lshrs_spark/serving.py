@@ -35,7 +35,11 @@ import pyarrow as pa
 import pyarrow.dataset as pads
 
 from .config import LSHConfig
-from .hashing import hash_vectors_local, hash_vectors_local_long
+from .hashing import (
+    hash_vectors_local,
+    hash_vectors_local_long,
+    multiprobe_keys_local,
+)
 
 __all__ = [
     "IndexServer", "SegmentedIndexServer", "IVFServer", "PQServer",
@@ -227,8 +231,6 @@ class IndexServer:
         LSH): ``num_bands * T`` extra pruned bucket reads, recall up
         with no index change — the serving twin of the Spark path's
         extra probe rows."""
-        from .hashing import multiprobe_keys_local
-
         band = pads.field("band")
         sig = pads.field("sig")
         if self.cfg.use_long_sig:
@@ -238,13 +240,8 @@ class IndexServer:
             sigsb = hash_vectors_local(vec[None, :], self.cfg)[0]
             keys = [(b, bytes(s)) for b, s in enumerate(sigsb)]
         if multiprobe:
-            keys += [
-                (b, s if self.cfg.use_long_sig else bytes(s))
-                for b, s in multiprobe_keys_local(
-                    vec[None, :], self.cfg, multiprobe,
-                    sig_kind="long" if self.cfg.use_long_sig else "binary",
-                )[0]
-            ]
+            keys += multiprobe_keys_local(vec[None, :], self.cfg,
+                                          multiprobe)[0]
         clauses = [(band == b) & (sig == s) for b, s in keys]
         expr = clauses[0]
         for c in clauses[1:]:
@@ -315,8 +312,6 @@ class IndexServer:
         ``multiprobe=T`` adds each query's T closest-margin bit-flip
         keys per band to the shared filter. Result i is exactly
         ``get_top_k(vectors[i], topk, multiprobe=multiprobe)``."""
-        from .hashing import multiprobe_keys_local
-
         if topk <= 0:
             raise ValueError("top_k must be positive")
         if len(vectors) == 0:
@@ -336,10 +331,7 @@ class IndexServer:
                 for q in range(len(mat))
             ]
         if multiprobe:
-            extra = multiprobe_keys_local(
-                mat, self.cfg, multiprobe,
-                sig_kind="long" if self.cfg.use_long_sig else "binary",
-            )
+            extra = multiprobe_keys_local(mat, self.cfg, multiprobe)
             for q in range(len(mat)):
                 qkeys[q] = qkeys[q] + extra[q]
         band = pads.field("band")
