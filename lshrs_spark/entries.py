@@ -1219,6 +1219,77 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _afp_ctes() -> str:
+    """Oracle CTEs recomputing the 36-bit audio fingerprint from
+    ``ascii()`` arithmetic: WAV samples ARE the clamped text bytes
+    (``with_wav_payload``'s enforced ASCII contract), band magnitudes
+    are exact integer dot products against the same fixed-point
+    DCT-II coefficients (``multimodal.afp_coeffs``), and pairs are
+    brute-forced over the full pair space — the Spark side must find
+    the identical set through pigeonhole banding."""
+    from .multimodal import AFP_BANDS, AFP_FRAME_LEN, AFP_FRAMES, afp_coeffs
+
+    co = afp_coeffs()
+    mags = []
+    for f in range(AFP_FRAMES):
+        for kk in range(AFP_BANDS):
+            terms = " + ".join(
+                f"({int(co[kk, n])})*s[{f * AFP_FRAME_LEN + n + 1}]"
+                for n in range(AFP_FRAME_LEN)
+            )
+            mags.append(f"abs({terms})::BIGINT AS m{f}_{kk}")
+    bits = []
+    pos = 0
+    for f in range(AFP_FRAMES):
+        for j in range(AFP_BANDS - 1):
+            bits.append(
+                f"(CASE WHEN m{f}_{j} > m{f}_{j + 1} "
+                f"THEN {1 << pos} ELSE 0 END)"
+            )
+            pos += 1
+    return f"""samp AS (
+  SELECT doc_id AS id,
+    list_transform(generate_series(1, 48),
+      i -> CASE WHEN ascii(substr(t, i, 1)) > 127 THEN 32
+           ELSE ascii(substr(t, i, 1)) END) AS s
+  FROM (SELECT doc_id, rpad(text, 48, ' ') AS t FROM documents)),
+mags AS (SELECT id, {", ".join(mags)} FROM samp),
+afp AS (SELECT id, ({" + ".join(bits)})::BIGINT AS fp FROM mags),
+apairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+  FROM afp a JOIN afp b ON a.id < b.id)"""
+
+
+@register(
+    "dedup_audio_fingerprint",
+    f"""WITH {_afp_ctes()}
+SELECT id_a, id_b, hamming FROM apairs WHERE hamming <= 3""",
+)
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection by perceptual fingerprint — the
+    audio member of the multimodal dedup battery (image twin:
+    `dedup_image_phash`). REAL decode path: mono 16-bit PCM WAV
+    payloads built in pure Catalyst from the documents table, decoded
+    + fingerprinted in Arrow-batched ``mapInPandas``
+    (:func:`~lshrs_spark.multimodal.audio_fingerprint_table`:
+    Chromaprint-style adjacent-band ordering signs over integer DCT-II
+    magnitudes — level-shift invariant, so re-leveled copies still
+    collide), then EXACT Hamming-banded pairs via the pigeonhole
+    ``(block, value)`` equi-join shared with SimHash and image dHash —
+    never an all-pairs join. The oracle recomputes fingerprints and
+    distances from ``ascii()`` arithmetic with the SAME fixed-point
+    integer coefficients and brute-forces the pair space, so banding
+    recall is verified to be exactly 1."""
+    from .multimodal import with_wav_payload
+    from .operators.dedup import audio_fingerprint_pairs
+
+    payloads = with_wav_payload(_docs(spark, sf_dir))
+    return audio_fingerprint_pairs(payloads, max_hamming=3).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
 @register(
     "dedup_image_groups",
     f"""WITH RECURSIVE {_DHASH_CTES},
@@ -6496,6 +6567,10 @@ FAMILY: dict[str, str] = {
     # demoted round-6 (r5 driver row on file): the dHash pair list is
     # the sub-plan of the promoted image-cluster representative
     "dedup_image_phash": "dedup_image_groups",
+    # audio twin of the image perceptual-hash family (new round-6;
+    # rotation candidate for r7): same banded-Hamming machinery over
+    # the WAV fingerprint instead of the pixel dHash
+    "dedup_audio_fingerprint": "dedup_image_groups",
     "dedup_soft_weight": "dedup_groups",
     "rel_recursive_reach": "dedup_groups",  # SQL-surface twin of CC
     # demoted round-5: per-stratum exact sampling is covered by the new

@@ -750,3 +750,127 @@ def dhash_table(payload_df: DataFrame) -> DataFrame:
     return payload_df.select("id", "payload").mapInPandas(
         dhash_batches, schema="id long, dhash long"
     )
+
+
+# --------------------------------------------------------------------- #
+# Audio perceptual fingerprint (near-dup dedup for audio payloads)
+# --------------------------------------------------------------------- #
+
+AFP_FRAMES = 6        # analysis frames over the clip head
+AFP_FRAME_LEN = 8     # samples per frame (48 samples total)
+AFP_BANDS = 7         # DCT-II bands k = 1..7 per frame (DC skipped)
+AFP_BITS = AFP_FRAMES * (AFP_BANDS - 1)   # 36-bit fingerprint
+AFP_COEF_SCALE = 1_000_000
+
+
+def afp_coeffs() -> np.ndarray:
+    """``(bands, frame_len)`` int64 DCT-II cosine coefficients in
+    fixed point (``round(cos(pi*k*(2n+1)/(2L)) * 1e6)``). Fixed-point
+    INTEGERS on purpose: band magnitudes become exact integer dot
+    products, so the Spark workers, the driver reference and the
+    DuckDB oracle compare identical ints — never floats whose last
+    ulp could flip a bit between engines."""
+    k = np.arange(1, AFP_BANDS + 1)[:, None]
+    n = np.arange(AFP_FRAME_LEN)[None, :]
+    return np.round(
+        np.cos(np.pi * k * (2 * n + 1) / (2 * AFP_FRAME_LEN))
+        * AFP_COEF_SCALE
+    ).astype(np.int64)
+
+
+def audio_fingerprint(samples) -> int:
+    """Driver-side reference fingerprint of a PCM sample array — the
+    differential twin of the worker-side batch implementation in
+    :func:`audio_fingerprint_table` (Chromaprint-style, public
+    technique: per frame, compare adjacent spectral-band magnitudes
+    and keep the SIGNS). Frame f's band magnitudes are
+    ``|sum_n coeff[k][n] * s[8f+n]|`` (integer DCT-II, DC skipped —
+    level shifts cancel in band energy); bit ``f*6 + j`` is set iff
+    band ``j+1``'s magnitude exceeds band ``j+2``'s. A re-encoded /
+    slightly re-leveled copy keeps most band ORDERINGS even when
+    absolute energies move — the audio analogue of dHash's gradient
+    signs. Uses the first 48 samples, zero-padded when shorter."""
+    need = AFP_FRAMES * AFP_FRAME_LEN
+    flat = np.asarray(samples, dtype=np.int64).reshape(-1)  # (n, ch) ok
+    s = np.zeros(need, dtype=np.int64)
+    m = min(flat.size, need)
+    s[:m] = flat[:m]
+    mags = np.abs(s.reshape(AFP_FRAMES, AFP_FRAME_LEN) @ afp_coeffs().T)
+    out = 0
+    for f in range(AFP_FRAMES):
+        for j in range(AFP_BANDS - 1):
+            if mags[f, j] > mags[f, j + 1]:
+                out |= 1 << (f * (AFP_BANDS - 1) + j)
+    return out
+
+
+def audio_fingerprint_table(payload_df: DataFrame) -> DataFrame:
+    """``(id, afp)`` — 36-bit perceptual audio fingerprint over binary
+    WAV payloads, decoded and hashed inside Arrow-batched
+    ``mapInPandas``: no per-row Python on the hot loop (one integer
+    matmul per batch), no external audio libraries, narrow map over
+    the payload column. Feed the result to
+    :func:`~lshrs_spark.operators.dedup.audio_fingerprint_pairs` for
+    the Hamming-banded near-dup join."""
+
+    # NESTED so cloudpickle ships everything by value — workers cannot
+    # import lshrs_spark when the driver owns the session (see
+    # media_features for the same pattern).
+    def afp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        FRAMES, FLEN, BANDS, SCALE = 6, 8, 7, 1_000_000
+        k = _np.arange(1, BANDS + 1)[:, None]
+        n = _np.arange(FLEN)[None, :]
+        coeffs = _np.round(
+            _np.cos(_np.pi * k * (2 * n + 1) / (2 * FLEN)) * SCALE
+        ).astype(_np.int64)
+
+        def _samples(b):
+            pos, rate, data = 12, None, None
+            while pos + 8 <= len(b):
+                cid = b[pos:pos + 4]
+                clen = _struct.unpack_from("<I", b, pos + 4)[0]
+                body = b[pos + 8:pos + 8 + clen]
+                if cid == b"fmt ":
+                    afmt, _, rate, _, _, bits = _struct.unpack_from(
+                        "<HHIIHH", body, 0
+                    )
+                    if afmt != 1 or bits != 16:
+                        raise ValueError(
+                            f"unsupported WAV (fmt={afmt}, bits={bits})"
+                        )
+                elif cid == b"data":
+                    data = body
+                pos += 8 + clen + (clen % 2)
+            if rate is None or data is None:
+                raise ValueError("WAV missing fmt/data chunk")
+            return _np.frombuffer(data, dtype="<i2")
+
+        need = FRAMES * FLEN
+        for pdf in batches:
+            mat = _np.zeros((len(pdf), need), dtype=_np.int64)
+            for row, payload in enumerate(pdf["payload"]):
+                s = _samples(bytes(payload))
+                m = min(s.size, need)
+                mat[row, :m] = s[:m].astype(_np.int64)
+            mags = _np.abs(
+                mat.reshape(len(pdf), FRAMES, FLEN) @ coeffs.T
+            )  # (rows, frames, bands)
+            bits = mags[:, :, :-1] > mags[:, :, 1:]   # (rows, frames, 6)
+            weights = (
+                1 << _np.arange(FRAMES * (BANDS - 1), dtype=_np.int64)
+            )
+            afp = (
+                bits.reshape(len(pdf), -1).astype(_np.int64) @ weights
+            )
+            yield _pd.DataFrame(
+                {"id": pdf["id"].astype("int64"), "afp": afp}
+            )
+
+    return payload_df.select("id", "payload").mapInPandas(
+        afp_batches, schema="id long, afp long"
+    )

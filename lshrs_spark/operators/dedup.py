@@ -567,6 +567,33 @@ def image_dhash_pairs(
     )
 
 
+def audio_fingerprint_pairs(
+    payload_df: DataFrame,
+    max_hamming: int = 3,
+    *,
+    num_blocks: Optional[int] = None,
+    max_block_size: Optional[int] = None,
+) -> DataFrame:
+    """EXACT audio near-duplicate pairs ``(id_a < id_b, hamming)`` by
+    36-bit perceptual fingerprint
+    (:func:`~lshrs_spark.multimodal.audio_fingerprint_table`:
+    Arrow-batched WAV decode, integer DCT-II band magnitudes per
+    frame, adjacent-band ordering signs) within Hamming distance
+    ``max_hamming`` — the audio member of the multimodal dedup battery
+    (image twin: :func:`image_dhash_pairs`), found with the same
+    pigeonhole ``(block, value)`` banding: a re-encoded or re-leveled
+    copy keeps most band orderings, and the equi-join keeps the
+    candidate space linear in genuinely-colliding fingerprints.
+    ``payload_df`` carries ``(id, payload)``."""
+    from ..multimodal import AFP_BITS, audio_fingerprint_table
+
+    return hamming_banded_pairs(
+        audio_fingerprint_table(payload_df), hash_col="afp",
+        bits=AFP_BITS, max_hamming=max_hamming, num_blocks=num_blocks,
+        max_block_size=max_block_size, slot="dedup.audio_afp_tbl",
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,
@@ -1087,6 +1114,26 @@ def image_dhash_band_keys(
     blocks = simhash_blocks(max_hamming, bits=DHASH_BITS,
                             num_blocks=num_blocks)
     return _band_key_rows(tbl, "dhash", blocks, out_cols=("band", "sig"))
+
+
+def audio_fingerprint_band_keys(
+    payload_df: DataFrame,
+    max_hamming: int = 3,
+    *,
+    num_blocks: Optional[int] = None,
+) -> DataFrame:
+    """``(id, band, sig)`` — audio-fingerprint pigeonhole blocks as
+    band keys, the audio twin of :func:`image_dhash_band_keys`: two
+    clips within Hamming distance ``max_hamming`` are GUARANTEED to
+    share at least one key. Plugs straight into
+    :func:`~lshrs_spark.streaming.ingest.stream_dedup_ingest` via
+    ``key_fn`` for streaming audio ingest dedup."""
+    from ..multimodal import AFP_BITS, audio_fingerprint_table
+
+    tbl = audio_fingerprint_table(payload_df)
+    blocks = simhash_blocks(max_hamming, bits=AFP_BITS,
+                            num_blocks=num_blocks)
+    return _band_key_rows(tbl, "afp", blocks, out_cols=("band", "sig"))
 
 
 def chunk_overlap_pairs(

@@ -346,3 +346,62 @@ def test_image_dhash_pairs_exact_banding(spark):
                     want[(a, b)] = d
     assert got == want
     assert (1, 2) in got               # the near-dup pair is found
+
+
+def test_audio_fingerprint_table_matches_driver_reference(spark):
+    """Worker-side batch fingerprint == driver-side audio_fingerprint
+    on real WAV payloads built from document text (differential test),
+    and a DC level shift leaves the fingerprint unchanged (band k>=1
+    magnitudes are mean-invariant up to coefficient rounding)."""
+    from lshrs_spark.multimodal import (
+        audio_fingerprint,
+        audio_fingerprint_table,
+        decode_wav,
+        with_wav_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} " * 5) for i in range(20)]
+        + [(100, "")],
+        "doc_id long, text string",
+    )
+    payloads = with_wav_payload(docs)
+    got = {r.id: r.afp for r in audio_fingerprint_table(payloads).collect()}
+    for r in payloads.collect():
+        _, samples = decode_wav(bytes(r.payload))
+        assert got[r.id] == audio_fingerprint(samples), r.id
+    assert len(got) == 21
+    # level-shift invariance on the reference
+    s = [ord(c) for c in "batch part spark line column order".ljust(48)[:48]]
+    assert audio_fingerprint(s) == audio_fingerprint([x + 7 for x in s])
+
+
+def test_audio_fingerprint_pairs_exact_banding(spark):
+    """Near-identical clips pair with the right Hamming distance;
+    unrelated clips don't; result equals the brute-force distance over
+    all pairs (pigeonhole exactness over the 36-bit space)."""
+    from lshrs_spark.multimodal import audio_fingerprint, encode_wav
+    from lshrs_spark.operators.dedup import audio_fingerprint_pairs
+
+    rng = np.random.default_rng(17)
+    base = rng.integers(-3000, 3000, size=48).astype(np.int16)
+    near = base.copy()
+    near[:4] = base[:4] + 50           # perturb one frame slightly
+    other = rng.integers(-3000, 3000, size=48).astype(np.int16)
+    clips = {1: base, 2: near, 3: other}
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_wav(c))) for i, c in clips.items()],
+        "id long, payload binary",
+    )
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in audio_fingerprint_pairs(df, max_hamming=8).collect()}
+    fps = {i: audio_fingerprint(c) for i, c in clips.items()}
+    want = {}
+    for a in clips:
+        for b in clips:
+            if a < b:
+                d = bin(fps[a] ^ fps[b]).count("1")
+                if d <= 8:
+                    want[(a, b)] = d
+    assert got == want
+    assert (1, 2) in got               # the near-dup pair is found

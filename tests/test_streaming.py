@@ -677,6 +677,64 @@ def test_stream_image_dedup_ingest_blocks_near_dup_payloads(spark, tmp_path):
     assert (2, 1) in dups
 
 
+def test_stream_audio_dedup_ingest_blocks_near_dup_payloads(
+    spark, tmp_path
+):
+    """Streaming AUDIO dedup: the same generic key_fn hook plugs the
+    perceptual audio-fingerprint block keys into the accumulated-store
+    machinery — a later batch's re-leveled near-identical clip is
+    recorded as a duplicate and not admitted; a different clip is."""
+    import time
+
+    import numpy as np
+
+    from lshrs_spark.multimodal import audio_fingerprint, encode_wav
+    from lshrs_spark.operators.dedup import audio_fingerprint_band_keys
+    from lshrs_spark.streaming.ingest import stream_dedup_ingest
+
+    rng = np.random.default_rng(59)
+    base = rng.integers(-3000, 3000, size=48).astype(np.int16)
+    near = (base + 40).astype(np.int16)       # re-leveled copy
+    other = rng.integers(-3000, 3000, size=48).astype(np.int16)
+    assert bin(
+        audio_fingerprint(base) ^ audio_fingerprint(near)
+    ).count("1") <= 3
+
+    src = str(tmp_path / "wav_stream")
+    spark.createDataFrame(
+        [(1, bytearray(encode_wav(base)))], "id long, payload binary"
+    ).coalesce(1).write.mode("append").parquet(src)
+    state = str(tmp_path / "wav_state")
+    q = stream_dedup_ingest(
+        spark, src, state,
+        checkpoint=str(tmp_path / "ckpt"), max_files_per_trigger=2,
+        key_fn=lambda df: audio_fingerprint_band_keys(df, max_hamming=3),
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(2, bytearray(encode_wav(near))),
+             (3, bytearray(encode_wav(other)))],
+            "id long, payload binary",
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    admitted = {
+        r.id for r in spark.read.parquet(f"{state}/band_keys")
+        .select("id").distinct().collect()
+    }
+    dups = {
+        (r.new_id, r.corpus_id)
+        for r in spark.read.parquet(f"{state}/duplicates").collect()
+    }
+    assert 1 in admitted and 3 in admitted
+    assert 2 not in admitted
+    assert (2, 1) in dups
+
+
 def test_stream_bm25_ingest_serves_like_batch_index(spark, tmp_path):
     """Streaming BM25 maintenance: epoch-keyed postings + additive
     stats. After two micro-batches, BM25Server(epochs=True) over the
