@@ -1219,6 +1219,60 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _vfp_sql() -> str:
+    """Oracle for frame-hash video dedup: replays, per frame, the SAME
+    pixel/luma/gradient math as the image-dHash oracle at the frame's
+    byte offset in the padded text, then brute-forces the
+    shared-distinct-hash counts over all clip pairs (stop-frame cap
+    ``<= 50`` applied identically)."""
+    terms = " + ".join(
+        f"(CASE WHEN luma[{r * 7 + c + 1}] > luma[{r * 7 + c + 2}] "
+        f"THEN {1 << (r * 6 + c)} ELSE 0 END)"
+        for r in range(8) for c in range(6)
+    )
+    return f"""WITH vluma AS (
+  SELECT doc_id AS id, fno,
+    list_transform(generate_series(0, 55),
+      p -> ascii(substr(t, off + p*3 + 1, 1))
+           + ascii(substr(t, off + p*3 + 2, 1))
+           + ascii(substr(t, off + p*3 + 3, 1))) AS luma
+  FROM (SELECT doc_id, rpad(text, 504, ' ') AS t FROM documents)
+  CROSS JOIN (VALUES (0, 0), (1, 168), (2, 336)) AS fr(fno, off)),
+vfp AS (SELECT id, fno, ({terms})::BIGINT AS fp FROM vluma),
+vhashes AS (SELECT DISTINCT id, fp FROM vfp),
+vkept AS (SELECT h.id, h.fp FROM vhashes h
+          JOIN (SELECT fp FROM vhashes GROUP BY fp
+                HAVING count(*) <= 50) s USING (fp))
+SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS shared_frames
+FROM vkept a JOIN vkept b ON a.fp = b.fp AND a.id < b.id
+GROUP BY 1, 2"""
+
+
+@register("dedup_video_frames", _vfp_sql())
+def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate detection by frame-hash overlap — the
+    video member of the multimodal dedup battery (image:
+    `dedup_image_phash`, audio: `dedup_audio_fingerprint`). REAL
+    decode path: 3-frame VID0 containers of 7x8 P6 PPM frames built
+    in pure Catalyst from the documents table, frame-sampled and
+    per-frame dHashed in Arrow-batched ``mapInPandas``, then clips
+    joined on EXACT frame-hash equality with a stop-frame cap (a hash
+    in > 50 clips — the blank tail frame here; black frames / title
+    cards in production — is dropped: quadratic join mass, zero dedup
+    signal). ``shared_frames`` counts distinct shared hashes. The
+    oracle replays the per-frame pixel math from ``ascii()``
+    arithmetic and brute-forces all clip pairs."""
+    from .multimodal import with_video_payload
+    from .operators.dedup import video_near_dup_pairs
+
+    payloads = with_video_payload(
+        _docs(spark, sf_dir), num_frames=3, width=7, height=8
+    )
+    return video_near_dup_pairs(
+        payloads, min_shared_frames=1, max_hash_freq=50
+    ).select("id_a", "id_b", "shared_frames")
+
+
 def _afp_ctes() -> str:
     """Oracle CTEs recomputing the 36-bit audio fingerprint from
     ``ascii()`` arithmetic: WAV samples ARE the clamped text bytes
@@ -6571,6 +6625,9 @@ FAMILY: dict[str, str] = {
     # rotation candidate for r7): same banded-Hamming machinery over
     # the WAV fingerprint instead of the pixel dHash
     "dedup_audio_fingerprint": "dedup_image_groups",
+    # video twin (new round-6): frame-sampled per-frame dHash joined
+    # on exact hash equality with a stop-frame cap
+    "dedup_video_frames": "dedup_image_groups",
     "dedup_soft_weight": "dedup_groups",
     "rel_recursive_reach": "dedup_groups",  # SQL-surface twin of CC
     # demoted round-5: per-stratum exact sampling is covered by the new

@@ -656,15 +656,21 @@ def dhash48(pixels: np.ndarray) -> int:
     return out
 
 
-def dhash_table(payload_df: DataFrame) -> DataFrame:
-    """``(id, dhash)`` — 48-bit perceptual difference hash over binary
-    image payloads (P6 PPM / 24bpp BMP sniffed by magic), decoded and
-    hashed inside Arrow-batched ``mapInPandas``: no per-row Python, no
-    external media libraries, and the whole pass is a narrow map over
-    the payload column (scale shape: embarrassingly parallel, output is
-    16 bytes/row). Feed the result to
+def dhash_table(
+    payload_df: DataFrame, extra_cols: tuple = ()
+) -> DataFrame:
+    """``(id, *extra_cols, dhash)`` — 48-bit perceptual difference hash
+    over binary image payloads (P6 PPM / 24bpp BMP sniffed by magic),
+    decoded and hashed inside Arrow-batched ``mapInPandas``: no
+    per-row Python, no external media libraries, and the whole pass is
+    a narrow map over the payload column (scale shape: embarrassingly
+    parallel, output is 16 bytes/row). ``extra_cols`` names long-typed
+    columns carried through unchanged (e.g. ``frame_no`` when hashing
+    a :func:`frame_sample` table, where ``id`` alone is not unique).
+    Feed the result to
     :func:`~lshrs_spark.operators.dedup.image_dhash_pairs` for the
     Hamming-banded near-dup join."""
+    extra_cols = tuple(extra_cols)
 
     # NESTED so cloudpickle ships everything by value — workers cannot
     # import lshrs_spark when the driver owns the session (see
@@ -742,13 +748,16 @@ def dhash_table(payload_df: DataFrame) -> DataFrame:
             return int((bits << _np.arange(G_ROWS * (G_COLS - 1))).sum())
 
         for pdf in batches:
-            yield _pd.DataFrame({
-                "id": pdf["id"].astype("int64"),
-                "dhash": [_one(p) for p in pdf["payload"]],
-            })
+            out = {"id": pdf["id"].astype("int64")}
+            for c in extra_cols:
+                out[c] = pdf[c].astype("int64")
+            out["dhash"] = [_one(p) for p in pdf["payload"]]
+            yield _pd.DataFrame(out)
 
-    return payload_df.select("id", "payload").mapInPandas(
-        dhash_batches, schema="id long, dhash long"
+    schema = "id long, " + "".join(f"{c} long, " for c in extra_cols) + \
+        "dhash long"
+    return payload_df.select("id", *extra_cols, "payload").mapInPandas(
+        dhash_batches, schema=schema
     )
 
 

@@ -1136,6 +1136,62 @@ def audio_fingerprint_band_keys(
     return _band_key_rows(tbl, "afp", blocks, out_cols=("band", "sig"))
 
 
+def video_near_dup_pairs(
+    payload_df: DataFrame,
+    *,
+    every_k: int = 1,
+    min_shared_frames: int = 1,
+    max_hash_freq: Optional[int] = None,
+) -> DataFrame:
+    """``(id_a < id_b, shared_frames)`` — video near-duplicate pairs by
+    FRAME-HASH overlap, the video member of the multimodal dedup
+    battery (image: :func:`image_dhash_pairs`, audio:
+    :func:`audio_fingerprint_pairs`): sample every ``every_k``-th
+    frame out of the VID0 containers, perceptual-dHash each frame
+    (Arrow-batched decode), and join clips on EXACT frame-hash
+    equality — ``shared_frames`` counts the DISTINCT hash values two
+    clips share, the standard frame-fingerprint shingle signal
+    (re-encoded copies and clips sharing stretches of footage collide
+    on their common frames).
+
+    Scale shape: the join key is the 48-bit hash value, never the
+    payload, and sampling happens BEFORE decode, so the joined table
+    is ``1/every_k`` of the frame volume at 16 bytes/row.
+    ``max_hash_freq`` is the stop-frame cap: a hash appearing in more
+    than that many clips (black frames, title cards, test patterns)
+    would contribute quadratic join rows while carrying no dedup
+    signal — capped hashes are dropped from BOTH the join and the
+    shared counts (documented approximation; ``None`` stays exact).
+    ``payload_df`` carries ``(id, payload)`` VID0 containers."""
+    from ..multimodal import dhash_table, frame_sample
+
+    frames = frame_sample(payload_df, every_k)
+    fh = dhash_table(frames.select("id", "frame_no", "payload"),
+                     extra_cols=("frame_no",))
+    hashes = fh.select("id", "dhash").distinct()
+    if max_hash_freq is not None:
+        keep = (
+            hashes.groupBy("dhash")
+            .agg(F.count(F.lit(1)).alias("_hf"))
+            .filter(F.col("_hf") <= max_hash_freq)
+            .select("dhash")
+        )
+        hashes = hashes.join(keep, "dhash")
+    # feeds both self-join sides: persist via the bounded slot registry
+    hashes = persist_slot(hashes, "dedup.video_frame_hashes", eager=True)
+    a = hashes.alias("a")
+    b = hashes.alias("b")
+    return (
+        a.join(b, on="dhash")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared_frames)
+    )
+
+
 def chunk_overlap_pairs(
     df: DataFrame,
     chunk_tokens: int = 64,

@@ -405,3 +405,55 @@ def test_audio_fingerprint_pairs_exact_banding(spark):
                     want[(a, b)] = d
     assert got == want
     assert (1, 2) in got               # the near-dup pair is found
+
+
+def test_video_near_dup_pairs_shared_frames_and_stop_cap(spark):
+    """Clips sharing identical frames pair with the right
+    distinct-hash count; a frame hash present in more clips than
+    max_hash_freq (the boilerplate/black-frame cap) contributes no
+    pairs; dhash_table's extra_cols rides frame_no through."""
+    from lshrs_spark.multimodal import (
+        dhash_table,
+        encode_ppm,
+        encode_video,
+        frame_sample,
+    )
+    from lshrs_spark.operators.dedup import video_near_dup_pairs
+
+    rng = np.random.default_rng(23)
+    fa, fb, fc = (
+        rng.integers(0, 256, size=(8, 7, 3), dtype=np.uint8)
+        for _ in range(3)
+    )
+    blank = np.zeros((8, 7, 3), dtype=np.uint8)   # shared boilerplate
+    clips = {
+        1: [fa, fb, blank],
+        2: [fa, fb, blank],      # shares fa+fb with 1
+        3: [fa, fc, blank],      # shares fa with 1 and 2
+        4: [fc, fc, blank],      # shares fc with 3 (duplicated frame
+                                 # counts ONCE: distinct hash overlap)
+        5: [blank, blank, blank],  # only boilerplate — no pairs
+    }
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_video([bytes(encode_ppm(f)) for f in fs])))
+         for i, fs in clips.items()],
+        "id long, payload binary",
+    )
+    got = {
+        (r.id_a, r.id_b): r.shared_frames
+        for r in video_near_dup_pairs(df, max_hash_freq=4).collect()
+    }
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1, (3, 4): 1}
+    # without the cap the blank frame links EVERY clip pair
+    got_all = {
+        (r.id_a, r.id_b)
+        for r in video_near_dup_pairs(df).collect()
+    }
+    assert len(got_all) == 10                     # all C(5,2) pairs
+    # extra_cols passthrough: one hash row per (id, frame_no)
+    fh = dhash_table(
+        frame_sample(df, 1).select("id", "frame_no", "payload"),
+        extra_cols=("frame_no",),
+    )
+    rows = fh.collect()
+    assert len(rows) == 15 and {r.frame_no for r in rows} == {0, 1, 2}
