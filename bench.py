@@ -212,6 +212,27 @@ def main() -> None:
         "dedup_image_phash",
     )
 
+    # 6a'. Audio + video near-dup (round-6): WAV fingerprint banding and
+    # frame-hash overlap join — the rest of the multimodal dedup battery.
+    from lshrs_spark.multimodal import with_video_payload, with_wav_payload
+    from lshrs_spark.operators.dedup import (
+        audio_fingerprint_pairs,
+        video_near_dup_pairs,
+    )
+
+    wav = with_wav_payload(docs)
+    results["dedup_audio_fp"], _ = timed(
+        lambda: audio_fingerprint_pairs(wav, max_hamming=3).count(),
+        "dedup_audio_fp",
+    )
+    vid = with_video_payload(docs, num_frames=3, width=7, height=8)
+    results["dedup_video_frames"], _ = timed(
+        lambda: video_near_dup_pairs(
+            vid, min_shared_frames=1, max_hash_freq=50
+        ).count(),
+        "dedup_video_frames",
+    )
+
     # 6b. Exact-substring dedup (rolling 32-token spans, inverted-index
     # join) and BPE token counting (distinct-word Arrow UDF + join-back).
     from lshrs_spark.functions.bpe import DEFAULT_MERGES, bpe_token_counts

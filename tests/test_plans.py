@@ -568,6 +568,34 @@ def test_image_dhash_pairs_banded_no_cartesian(spark):
     pairs.count()  # and it executes
 
 
+def test_audio_video_dedup_plans_are_equijoins(spark):
+    """The new multimodal dedup members keep the battery's plan
+    contract: banded/hash-value equi-joins, never a cartesian or
+    payload-keyed join."""
+    from lshrs_spark.multimodal import with_video_payload, with_wav_payload
+    from lshrs_spark.operators.dedup import (
+        audio_fingerprint_pairs,
+        video_near_dup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ap = audio_fingerprint_pairs(with_wav_payload(docs), max_hamming=3)
+    plan = physical_plan(ap)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "blk" in plan and "val" in plan      # pigeonhole band key
+    ap.count()
+    vp = video_near_dup_pairs(
+        with_video_payload(docs, num_frames=3, width=7, height=8),
+        max_hash_freq=50,
+    )
+    plan = physical_plan(vp)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "dhash" in plan                      # hash-value join key
+    vp.count()
+
+
 def test_phrase_search_is_equijoin_on_postings(spark):
     """Phrase intersection must be an (id, pos) equi-join over the
     token-filtered postings — never a cartesian over documents."""
