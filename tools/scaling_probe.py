@@ -98,8 +98,17 @@ def shuffle_main(args) -> None:
 
     from lshrs_spark.cache import release_slots
     from lshrs_spark.functions.text import bm25_index_write
-    from lshrs_spark.multimodal import with_ppm_payload
-    from lshrs_spark.operators.dedup import image_dhash_pairs, minhash_band_pairs
+    from lshrs_spark.multimodal import (
+        with_ppm_payload,
+        with_video_payload,
+        with_wav_payload,
+    )
+    from lshrs_spark.operators.dedup import (
+        audio_fingerprint_pairs,
+        image_dhash_pairs,
+        minhash_band_pairs,
+        video_near_dup_pairs,
+    )
     from lshrs_spark.operators.graph import pagerank
     from lshrs_spark.operators.simjoin import similarity_join
 
@@ -188,6 +197,16 @@ def shuffle_main(args) -> None:
             # cross-copy collision growth.
             "dedup_image_phash": lambda: image_dhash_pairs(
                 with_ppm_payload(imgdocs, width=7, height=8), max_hamming=6
+            ).count(),
+            # r6 multimodal additions: the same imgdocs byte-shift
+            # frame decorrelates the audio samples and video frames
+            # across copies (spaces dominate these payloads too)
+            "dedup_audio_fp": lambda: audio_fingerprint_pairs(
+                with_wav_payload(imgdocs), max_hamming=3
+            ).count(),
+            "dedup_video_frames": lambda: video_near_dup_pairs(
+                with_video_payload(imgdocs, num_frames=3, width=7, height=8),
+                min_shared_frames=1, max_hash_freq=50,
             ).count(),
             "bm25_index_build": lambda: _bm25_build(docs),
         }
