@@ -255,6 +255,144 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# Maximum inner-product search (MIPS): magnitude-aware retrieval
+# --------------------------------------------------------------------- #
+
+# Deterministic de-normalization: the synthetic embeddings are unit-norm,
+# so a per-row weight in {1.0, 1.25, ..., 2.5} (exact binary fractions —
+# bit-identical across Spark and DuckDB) restores the magnitude signal
+# MIPS exists for.
+_MIPS_W_SQL = "(1.0 + (label % 7) * 0.25)"
+
+
+def _mips_weighted_col():
+    return F.transform(
+        F.col("embedding"),
+        lambda x: x.cast("double")
+        * (F.lit(1.0) + (F.col("label") % 7).cast("double") * F.lit(0.25)),
+    )
+
+
+@register(
+    "mips_topk",
+    f"""WITH wv AS (SELECT vec_id AS id,
+        list_transform(embedding::DOUBLE[], x -> x * {_MIPS_W_SQL}) AS v
+    FROM embeddings),
+qv AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+       FROM embeddings WHERE vec_id < 10),
+scored AS (SELECT qv.qid, wv.id, list_dot_product(qv.qe, wv.v) AS score
+           FROM wv CROSS JOIN qv),
+ranked AS (SELECT qid, id, score,
+                  row_number() OVER (PARTITION BY qid
+                      ORDER BY score DESC, id ASC) AS rank
+           FROM scored)
+SELECT qid, id, round(score, 5) AS score, rank
+FROM ranked WHERE rank <= 10""",
+)
+def mips_topk_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact maximum-inner-product top-10 for the first 10 queries over
+    magnitude-weighted vectors — the retrieval objective when vector
+    LENGTH carries signal (recommendation popularity priors, learned
+    relevance scales), which cosine's normalization would erase. Raw
+    dot-product scoring (`operators.knn.mips_topk`), query batch
+    broadcast, one corpus scan; the sublinear path is `mips_ivf_recall`'s
+    norm-augmentation reduction."""
+    from .operators.knn import mips_topk
+
+    emb = _emb(spark, sf_dir)
+    weighted = emb.withColumn("wvec", _mips_weighted_col())
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = mips_topk(weighted, queries, 10, vector_col="wvec")
+    return out.select(
+        "qid", "id",
+        F.round("score", 5).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@register(
+    "mips_ivf_recall",
+    f"""WITH wv AS (SELECT vec_id AS id,
+        list_transform(embedding::DOUBLE[], x -> x * {_MIPS_W_SQL}) AS v
+    FROM embeddings),
+mn AS (SELECT max(sqrt(list_dot_product(v, v))) AS m FROM wv),
+av AS (SELECT id,
+        list_append(v, sqrt(greatest(m * m - list_dot_product(v, v), 0.0)))
+          AS a
+       FROM wv CROSS JOIN mn),
+cent AS (SELECT id AS centroid_id, a AS cvec FROM av WHERE id < 16),
+assign AS (SELECT id, centroid_id FROM (
+    SELECT av.id, c.centroid_id,
+           row_number() OVER (PARTITION BY av.id
+               ORDER BY {cosine_sql("av.a", "c.cvec")} DESC,
+                        c.centroid_id ASC) AS r
+    FROM av CROSS JOIN cent c) WHERE r = 1),
+qv AS (SELECT vec_id AS qid, list_append(embedding::DOUBLE[], 0.0) AS qa,
+              embedding::DOUBLE[] AS qe
+       FROM embeddings WHERE vec_id < 10),
+probes AS (SELECT qid, centroid_id FROM (
+    SELECT qv.qid, c.centroid_id,
+           row_number() OVER (PARTITION BY qv.qid
+               ORDER BY {cosine_sql("qv.qa", "c.cvec")} DESC,
+                        c.centroid_id ASC) AS r
+    FROM cent c CROSS JOIN qv) WHERE r <= 4),
+cand AS (SELECT p.qid, a.id FROM probes p JOIN assign a USING (centroid_id)),
+approx AS (SELECT qid, id FROM (
+    SELECT cand.qid, cand.id,
+           row_number() OVER (PARTITION BY cand.qid
+               ORDER BY {cosine_sql("av.a", "qv.qa")} DESC,
+                        cand.id ASC) AS rank
+    FROM cand JOIN av ON av.id = cand.id
+              JOIN qv ON qv.qid = cand.qid) WHERE rank <= 10),
+exact AS (SELECT qid, id FROM (
+    SELECT qv.qid, wv.id,
+           row_number() OVER (PARTITION BY qv.qid
+               ORDER BY list_dot_product(qv.qe, wv.v) DESC, wv.id ASC)
+             AS rank
+    FROM wv CROSS JOIN qv) WHERE rank <= 10),
+hits AS (SELECT a.qid, count(*) AS h FROM approx a JOIN exact e
+         USING (qid, id) GROUP BY a.qid),
+per_q AS (SELECT e.qid, count(*) AS n, any_value(coalesce(h.h, 0)) AS h
+          FROM exact e LEFT JOIN hits h ON h.qid = e.qid GROUP BY e.qid, h.h)
+SELECT round(avg(h::DOUBLE / n), 5) AS recall FROM per_q""",
+)
+def mips_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of IVF-over-AUGMENTED vectors against exact MIPS — the
+    norm-augmentation reduction (Bachrach et al. 2014 / Shrivastava &
+    Li 2014, `operators.knn.mips_augment`: append sqrt(M^2-|x|^2) to
+    data, 0 to queries, making augmented-space cosine strictly monotone
+    in the inner product) composed UNCHANGED with the existing IVF
+    partition-pruning tier (16 centroids, nprobe=4). The oracle replays
+    the entire reduction + assignment + probe pipeline in SQL and
+    brute-forces the exact MIPS truth — proving both the reduction's
+    rank equivalence and the pruned tier's coverage on this corpus."""
+    from .operators.knn import (
+        ivf_centroids_by_id,
+        ivf_topk,
+        mips_augment,
+        mips_augment_query,
+        mips_topk,
+        recall_at_k,
+    )
+
+    emb = _emb(spark, sf_dir)
+    weighted = emb.withColumn("wvec", _mips_weighted_col())
+    aug = mips_augment(weighted, vector_col="wvec", out_col="avec")
+    cents = ivf_centroids_by_id(aug, 16, vector_col="avec")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    approx = ivf_topk(
+        aug, cents, mips_augment_query(queries), k=10, nprobe=4,
+        vector_col="avec",
+    )
+    exact = mips_topk(weighted, queries, 10, vector_col="wvec")
+    return recall_at_k(approx, exact, 10)
+
+
+# --------------------------------------------------------------------- #
 # M1: delete = left-anti join rewrite of the index
 # --------------------------------------------------------------------- #
 
@@ -6677,6 +6815,12 @@ FAMILY: dict[str, str] = {
     # sub-plan of the promoted filtered-probe representative
     "ann_ivf": "ann_ivf_filtered",
     "ann_ivf_filtered_recall": "ann_ivf_filtered",
+    # MIPS (new round-6; rotation candidates for r7): exact
+    # inner-product baseline shares knn_bruteforce's broadcast-scan
+    # shape; the augmented-IVF recall gauge rides the filtered-probe
+    # representative like the other IVF dials
+    "mips_topk": "knn_bruteforce",
+    "mips_ivf_recall": "ann_ivf_filtered",
     # simjoin / dedup twins and gauges
     "simjoin_exact": "simjoin_lsh",
     "dedup_minhash_sigs": "dedup_minhash_recall",

@@ -29,6 +29,9 @@ from ..functions.vector import cosine_similarity, dot_product, unit_or_null
 
 __all__ = [
     "brute_force_topk",
+    "mips_topk",
+    "mips_augment",
+    "mips_augment_query",
     "ivf_assign",
     "ivf_topk",
     "ivf_write_store",
@@ -78,6 +81,106 @@ def brute_force_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "id", "score", "rank")
+    )
+
+
+def mips_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Exact maximum-inner-product top-k per query:
+    ``(qid, id, score, rank)`` with ``score`` the RAW dot product — NO
+    normalization on either side. This is the retrieval objective when
+    vector MAGNITUDE carries signal (recommendation item popularity,
+    learned relevance scales, un-normalized two-tower outputs), where
+    cosine's normalization would throw the signal away. Same exact
+    baseline shape as :func:`brute_force_topk`: the query batch is
+    broadcast and the corpus is scanned once whatever the batch size.
+    For the sublinear path, :func:`mips_augment` turns ANY cosine tier
+    in this package into a MIPS index."""
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vector_col).alias("_v")
+    )
+    q = F.broadcast(queries.select(
+        F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("_q")
+    ))
+    scored = v.crossJoin(q).select(
+        "qid", "id", dot_product(F.col("_q"), F.col("_v")).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "id", "score", "rank")
+    )
+
+
+def mips_augment(
+    vectors: DataFrame,
+    *,
+    vector_col: str = "embedding",
+    out_col: Optional[str] = None,
+    max_norm: Optional[float] = None,
+) -> DataFrame:
+    """Norm-augmentation reduction from MIPS to cosine NN (public
+    technique: Bachrach et al., RecSys 2014 "Speeding up the Xbox
+    recommender"; Shrivastava & Li, NIPS 2014 ALSH): each data vector
+    ``x`` with ``|x| <= M`` gains one trailing component
+    ``sqrt(M^2 - |x|^2)``, making every augmented vector's norm exactly
+    ``M``; queries gain a literal ``0`` (:func:`mips_augment_query`).
+    Then ``cos(q_hat, x_hat) = (q . x) / (|q| * M)`` — strictly monotone
+    in the inner product — so EVERY cosine tier in this package
+    (SRP-LSH buckets, IVF partition pruning, PQ/IVFADC codes, the
+    serving tier) becomes a MIPS index with no operator changes.
+
+    ``max_norm=None`` computes ``M`` with one max aggregate (a single
+    driver-side scalar — bounded, not a data collect); pass a known
+    upper bound to keep the plan aggregate-free, e.g. when the corpus
+    publishes a norm cap or the caller batches repeated builds. The
+    augmented component is clamped at 0 for vectors at (or, through
+    float rounding, marginally above) the cap."""
+    from ..functions.vector import l2_norm
+
+    out_col = out_col or vector_col
+    if max_norm is None:
+        row = vectors.agg(
+            F.max(l2_norm(F.col(vector_col))).alias("m")
+        ).collect()[0]
+        max_norm = float(row["m"] or 0.0)
+    m2 = F.lit(float(max_norm) * float(max_norm))
+    pad = F.sqrt(F.greatest(
+        m2 - F.aggregate(
+            F.transform(F.col(vector_col), lambda x: x.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x * x,
+        ),
+        F.lit(0.0),
+    ))
+    return vectors.withColumn(
+        out_col,
+        F.concat(
+            F.transform(F.col(vector_col), lambda x: x.cast("double")),
+            F.array(pad),
+        ),
+    )
+
+
+def mips_augment_query(
+    queries: DataFrame, *, qvec_col: str = "qvec"
+) -> DataFrame:
+    """Query-side twin of :func:`mips_augment`: append a literal ``0``
+    so augmented-space cosine ranks by raw inner product."""
+    return queries.withColumn(
+        qvec_col,
+        F.concat(
+            F.transform(F.col(qvec_col), lambda x: x.cast("double")),
+            F.array(F.lit(0.0)),
+        ),
     )
 
 

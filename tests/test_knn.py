@@ -198,3 +198,91 @@ def test_refine_topk_orders_by_exact_score_not_adc(spark):
     scores = [r.score for r in got]
     assert scores == sorted(scores, reverse=True)
     assert all(r.id < 100 for r in got)          # query's cluster only
+
+
+def test_mips_topk_matches_numpy_and_differs_from_cosine(spark):
+    """Exact MIPS ranking == numpy argsort of raw dot products on
+    vectors whose MAGNITUDES disagree with their directions — and on
+    this construction the cosine top-1 is a different id, proving the
+    operator really ranks by inner product, not normalized similarity."""
+    from lshrs_spark.operators.knn import mips_topk
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(50, 8))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    q = base[0]
+    # id 1: nearly parallel to q but SHORT; id 2: 30-degrees off but LONG
+    vecs = base.copy()
+    vecs[1] = 0.1 * (q + 0.01 * base[3])
+    vecs[2] = 5.0 * (np.cos(np.pi / 6) * q + np.sin(np.pi / 6) * base[4])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    qdf = spark.createDataFrame(
+        [(0, [float(x) for x in q])], "qid long, qvec array<double>"
+    )
+    got = mips_topk(df, qdf, 10).orderBy("rank").collect()
+    dots = vecs @ q
+    want = sorted(range(50), key=lambda i: (-dots[i], i))[:10]
+    assert [r.id for r in got] == want
+    for r in got:
+        assert r.score == pytest.approx(dots[r.id], rel=1e-9)
+    assert got[0].id == 2                      # long vector wins MIPS
+    cos = brute_force_topk(df, qdf, 1).collect()[0]
+    assert cos.id != 2                         # ...but not cosine
+
+
+def test_mips_augment_reduction_is_rank_exact(spark):
+    """The norm-augmentation reduction: exact COSINE top-k over
+    augmented vectors returns the identical (id, rank) list as exact
+    MIPS over the originals — on every query of a random non-unit
+    corpus. Also: augmented norms are constant at M, and the query
+    augment appends exactly one zero."""
+    from lshrs_spark.functions.vector import l2_norm
+    from lshrs_spark.operators.knn import (
+        mips_augment, mips_augment_query, mips_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(60, 6)) * rng.uniform(0.2, 4.0, size=(60, 1))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(5)],
+        "qid long, qvec array<double>",
+    )
+    aug = mips_augment(df, out_col="avec")
+    norms = [
+        r.n for r in aug.select(l2_norm(F.col("avec")).alias("n")).collect()
+    ]
+    m = float(np.abs(np.linalg.norm(vecs, axis=1)).max())
+    assert all(n == pytest.approx(m, rel=1e-12) for n in norms)
+    qa = mips_augment_query(qdf)
+    row = qa.filter("qid = 0").collect()[0]
+    assert len(row.qvec) == 7 and row.qvec[-1] == 0.0
+
+    via_cosine = brute_force_topk(
+        aug, qa, 10, vector_col="avec"
+    ).select("qid", "id", "rank")
+    direct = mips_topk(df, qdf, 10).select("qid", "id", "rank")
+    assert sorted(map(tuple, via_cosine.collect())) == \
+        sorted(map(tuple, direct.collect()))
+
+
+def test_mips_augment_explicit_cap_and_clamp(spark):
+    """Passing max_norm skips the aggregate; a vector AT the cap gets a
+    zero pad (clamped, not NaN)."""
+    from lshrs_spark.operators.knn import mips_augment
+
+    df = spark.createDataFrame(
+        [(0, [3.0, 4.0]), (1, [0.3, 0.4])],
+        "vec_id long, embedding array<double>",
+    )
+    aug = {r.vec_id: r.avec for r in mips_augment(
+        df, out_col="avec", max_norm=5.0
+    ).collect()}
+    assert aug[0][-1] == pytest.approx(0.0)
+    assert aug[1][-1] == pytest.approx(np.sqrt(25.0 - 0.25), rel=1e-12)
