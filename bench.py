@@ -420,6 +420,38 @@ def main() -> None:
     pq_serve_p95_ms = lat_pq[p95_index(len(lat_pq))] * 1000
     results["ann_pq_served20x"] = lat_pq[len(lat_pq) // 2]
 
+    # 9b. MIPS through the cosine IVF tier (round-6): de-normalize,
+    # norm-augment, probe — the magnitude-aware retrieval path riding
+    # the existing partition pruning unchanged.
+    from lshrs_spark.operators.knn import (
+        ivf_centroids_by_id,
+        ivf_topk,
+        mips_augment,
+        mips_augment_query,
+    )
+
+    weighted = emb.withColumn(
+        "wvec",
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double")
+            * (F.lit(1.0) + (F.col("label") % 7).cast("double") * F.lit(0.25)),
+        ),
+    )
+    mips_aug = mips_augment(weighted, vector_col="wvec", out_col="avec")
+    mips_q = mips_augment_query(
+        emb.filter(F.col("vec_id") < 100).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+    )
+    mips_cents = ivf_centroids_by_id(mips_aug, 16, vector_col="avec")
+    results["mips_ivf_batch100"], _ = timed(
+        lambda: ivf_topk(
+            mips_aug, mips_cents, mips_q, k=10, nprobe=4, vector_col="avec"
+        ).count(),
+        "mips_ivf_batch100",
+    )
+
     # 10. BM25 keyword serving: stored postings layout, no Spark job.
     from lshrs_spark.functions.text import bm25_index_write
     from lshrs_spark.serving import BM25Server

@@ -688,3 +688,23 @@ def test_bm25_postings_read_prunes_to_one_bucket(spark, tmp_path):
         filter=(pads.field("bucket") == b) & (pads.field("tok") == "table")
     ))
     assert frags and all(f"bucket={b}/" in f.path for f in frags)
+
+
+def test_mips_topk_broadcasts_queries_single_corpus_scan(spark, emb):
+    """The exact-MIPS baseline keeps brute_force_topk's plan contract:
+    the query batch is broadcast (the one labeled exact cross join) and
+    the corpus is scanned once whatever the batch size."""
+    from lshrs_spark.operators.knn import mips_topk
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = mips_topk(emb, q, 5)
+    plan = physical_plan(out)
+    assert "BroadcastNestedLoopJoin" in plan
+    # two scans total (corpus + query slice) — formatted plans list
+    # each scan once in the tree and once in the detail section
+    assert plan.count("Location: InMemoryFileIndex") <= 2
+    # the per-query top-k is cut map-side before the one shuffle
+    assert "WindowGroupLimit" in plan
+    assert out.count() == 15

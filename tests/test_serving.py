@@ -1232,3 +1232,36 @@ def test_bm25_phrase_rarest_first_prunes_and_matches(spark, tmp_path):
     # reversed/offset phrasing still anchored to original positions
     assert srv.phrase(["quick", "brown", "fox"]) == {100: 1}
     assert srv.phrase(["the", "zzzmissing"]) == {}
+
+
+def test_ivf_server_serves_mips_via_augmentation(spark, tmp_path):
+    """End-to-end MIPS on the serving tier with ZERO serving changes:
+    store the IVF layout over norm-AUGMENTED vectors, append 0 to the
+    query, and the cosine-ranking IVFServer returns exactly the
+    maximum-inner-product top-k (all partitions probed => exact; the
+    reduction's monotonicity does the rest)."""
+    from lshrs_spark.operators.knn import (
+        ivf_centroids_by_id,
+        ivf_write_store,
+        mips_augment,
+    )
+    from lshrs_spark.serving import IVFServer
+
+    rng = np.random.default_rng(321)
+    n, d = 800, 16
+    vecs = rng.standard_normal((n, d)) * rng.uniform(0.2, 4.0, size=(n, 1))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    aug = mips_augment(df, out_col="avec")
+    cents = ivf_centroids_by_id(aug, 8, vector_col="avec")
+    path = str(tmp_path / "mips_store")
+    ivf_write_store(aug, cents, path, vector_col="avec")
+    srv = IVFServer.from_store(path)
+    for _ in range(4):
+        q = vecs[rng.integers(0, n)] + 0.05 * rng.standard_normal(d)
+        served = srv.topk(np.append(q, 0.0), k=10, nprobe=8)
+        dots = vecs @ q
+        want = sorted(range(n), key=lambda i: (-dots[i], i))[:10]
+        assert [i for i, _, _ in served] == want
