@@ -110,6 +110,12 @@ def shuffle_main(args) -> None:
         video_near_dup_pairs,
     )
     from lshrs_spark.operators.graph import pagerank
+    from lshrs_spark.operators.knn import (
+        ivf_centroids_by_id,
+        ivf_topk,
+        mips_augment,
+        mips_augment_query,
+    )
     from lshrs_spark.operators.simjoin import similarity_join
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -209,7 +215,34 @@ def shuffle_main(args) -> None:
                 min_shared_frames=1, max_hash_freq=50,
             ).count(),
             "bm25_index_build": lambda: _bm25_build(docs),
+            # r6 MIPS line: de-normalize + norm-augment + IVF probe
+            # (fixed 16 centroids / nprobe 4, matching bench.py — at
+            # 10x the corpus each probed partition holds 10x the rows,
+            # so the slope reads the pruned-scan scaling)
+            "mips_ivf_batch100": lambda: _mips_ivf(emb),
         }
+
+        def _mips_ivf(e):
+            weighted = e.withColumn(
+                "wvec",
+                F.transform(
+                    F.col("embedding"),
+                    lambda x: x.cast("double")
+                    * (F.lit(1.0)
+                       + (F.col("vec_id") % 7).cast("double") * F.lit(0.25)),
+                ),
+            )
+            aug = mips_augment(weighted, vector_col="wvec", out_col="avec")
+            q = mips_augment_query(
+                e.filter(F.col("vec_id") < 100).select(
+                    F.col("vec_id").alias("qid"),
+                    F.col("embedding").cast("array<double>").alias("qvec"),
+                )
+            )
+            cents = ivf_centroids_by_id(aug, 16, vector_col="avec")
+            return ivf_topk(
+                aug, cents, q, k=10, nprobe=4, vector_col="avec"
+            ).count()
 
         bm25_dir = tempfile.mkdtemp(prefix="lshrs_scaling_bm25_")
 
