@@ -8,9 +8,14 @@ pushdown, so this module translates the reference's loader options
 (``table``, ``index_column``, ``vector_column``, ``where_clause``,
 ``order_by``, ``limit``, ``fetch_query``) into a pushed-down JDBC query.
 
-No database is available in the test container, so the loader builds the
+No JDBC driver jar ships in the test container, so the loader builds the
 reader lazily and raises a clear error only when actually executed against
-a missing driver — the option-plumbing itself is unit-testable.
+a missing driver — the option-plumbing itself is unit-testable. The
+DECODERS and the pushdown SQL, however, are validated against a live
+scratch PostgreSQL server (the container ships server binaries):
+``tests/test_sources.py`` round-trips real[] literals, float32 bytea
+buffers and COPY CSV output through :func:`decode_vector_column`, and
+executes :func:`build_pushdown_query`'s exact string server-side.
 """
 
 from __future__ import annotations
