@@ -349,7 +349,12 @@ def pg_sock(tmp_path_factory):
     data, sock = os.path.join(root, "data"), os.path.join(root, "sock")
     os.makedirs(sock)
     import subprocess
-    subprocess.run(["chown", "-R", "nobody:nogroup", root], check=True)
+    r = subprocess.run(
+        ["chown", "-R", "nobody:nogroup", root], capture_output=True
+    )
+    if r.returncode != 0:
+        _sh.rmtree(root, ignore_errors=True)
+        pytest.skip("cannot hand the scratch dir to an unprivileged uid")
     try:
         r = _as_nobody([initdb, "-D", data, "-U", "lshrs", "--no-sync"])
         if r.returncode != 0:
