@@ -41,6 +41,28 @@ from .sources.dispatch import resolve_loader
 __all__ = ["LSHRS"]
 
 
+def _plan_row_estimate(df: DataFrame) -> Optional[int]:
+    """Catalyst's free (no-job) row-count estimate for a DataFrame:
+    the optimized plan's ``rowCount`` when statistics carry one, else
+    ``sizeInBytes / schema defaultSize``. Heuristic-grade only — used
+    to pick the probe join regime, never for correctness. Returns
+    ``None`` when nothing is available."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+        size = int(str(stats.sizeInBytes()))
+        if size >= (1 << 62):
+            # Catalyst's "unknown" sentinel (defaultSizeInBytes =
+            # Long.MaxValue, e.g. a local Python relation) — no estimate
+            return None
+        row_width = max(int(df._jdf.schema().defaultSize()), 16)
+        return max(size // row_width, 1)
+    except Exception:
+        return None
+
+
 class LSHRS:
     """Spark-native LSH ANN index with the reference's parameter and
     error contract (``main.py:154-266``)."""
@@ -78,6 +100,10 @@ class LSHRS:
         self._index_df: Optional[DataFrame] = None
         self._pending: list[tuple[int, list[float]]] = []
         self._mutations = 0
+        # bucket-entry count cached by stats(), invalidated on every
+        # mutation — lets query_batch() pick the probe join regime
+        # driver-side without running a count job
+        self._index_rows: Optional[int] = None
         # last save_to_disk/load_from_disk/serve directory — delete()
         # appends tombstones there so live IndexServers see deletes on
         # refresh() without a full re-save
@@ -258,22 +284,41 @@ class LSHRS:
     def query_batch(self, queries_df: DataFrame, *, top_k: int = 10,
                     id_col: str = "qid", vector_col: str = "qvec",
                     n_queries: Optional[int] = None,
-                    index_rows: Optional[int] = None) -> DataFrame:
+                    index_rows: Optional[int] = None,
+                    multiprobe: int = 0) -> DataFrame:
         """Batch query as ONE Spark plan: ``(qid, id, collisions, rank)`` —
         the shape the reference cannot express without a Python loop.
 
-        Pass ``n_queries`` (and optionally ``index_rows``) when known to
-        route the probe join through
-        :func:`~lshrs_spark.operators.probe.choose_probe_strategy`: a
-        corpus-sized query batch then co-partitions both sides instead
-        of broadcasting a near-index-size probe to every task. Without
-        ``n_queries`` the probe side stays broadcast (the interactive
-        default — counting a DataFrame to pick a strategy would cost a
-        job)."""
-        qsigs = build_index(queries_df, self.cfg, id_col, vector_col,
-                            sig_kind=self._sig_kind).withColumnRenamed("id", "qid")
+        ``multiprobe=T`` emits the T closest-margin bit-flip perturbation
+        keys per band inside the same signature Arrow UDF (margins are a
+        byproduct of the matmul), so the corpus-scale probe job gets the
+        multi-probe recall knob — ``(1+T) * num_bands`` probe rows per
+        query, no second projection pass.
+
+        Join strategy: routed through
+        :func:`~lshrs_spark.operators.probe.choose_probe_strategy`.
+        ``n_queries``/``index_rows`` are used when the caller knows them;
+        otherwise both are estimated for free — the query-side row count
+        from Catalyst plan statistics (no job) and the index row count
+        from the cached :meth:`stats` result when one exists — so a
+        corpus-sized query batch co-partitions both sides instead of
+        broadcasting a near-index-size probe to every task. With no
+        estimate available the probe side stays broadcast (the
+        interactive default — counting a DataFrame to pick a strategy
+        would cost a job)."""
+        qsigs = build_index(
+            queries_df, self.cfg, id_col, vector_col,
+            sig_kind=self._sig_kind, multiprobe=multiprobe,
+        ).withColumnRenamed("id", "qid")
+        if n_queries is None:
+            n_queries = _plan_row_estimate(queries_df)
+        if index_rows is None:
+            index_rows = self._index_rows
+        keys_per_query = self.cfg.num_bands * (
+            1 + min(multiprobe, self.cfg.rows_per_band)
+        )
         strategy = "broadcast" if n_queries is None else choose_probe_strategy(
-            n_queries, self.cfg.num_bands, index_rows
+            n_queries, keys_per_query, index_rows
         )
         cands = candidates(self.index_df, qsigs, strategy=strategy)
         return _probe_top_k(cands, top_k)
@@ -368,6 +413,7 @@ class LSHRS:
         """Drop the whole index (M2) — irreversible, like the reference."""
         self._pending = []
         self._index_df = None
+        self._index_rows = None
 
     def stats(self) -> dict:
         """Config snapshot (M3) + cheap data-dependent stats the reference
@@ -382,6 +428,7 @@ class LSHRS:
             ).collect()[0]
             out.update(index_entries=agg["entries"], indexed_ids=agg["ids"],
                        buckets=agg["buckets"])
+            self._index_rows = int(agg["entries"])
         else:
             out.update(index_entries=0, indexed_ids=0, buckets=0)
         return out
@@ -559,6 +606,7 @@ class LSHRS:
         self._note_mutation()
 
     def _note_mutation(self) -> None:
+        self._index_rows = None
         self._mutations += 1
         if self._mutations < self._MATERIALIZE_EVERY or self._index_df is None:
             return

@@ -492,9 +492,15 @@ def lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ce = candidates(
         idx, query_signatures_df(spark, qmat, ORACLE_CFG, qids=qids)
     ).select("qid", "id")
+    # multi-probe leg goes through the DataFrame batch path (the
+    # LSHRS.query_batch plumbing): perturbation keys emitted inside the
+    # signature Arrow UDF itself — the corpus-scale recall knob
+    # (VERDICT r6 #4) — so this driver row checks that path's key set
+    # against the oracle's first-principles margins/flips/XOR replay
     cm = candidates(
         idx,
-        query_signatures_df(spark, qmat, ORACLE_CFG, qids=qids, multiprobe=2),
+        build_index(qdf, ORACLE_CFG, "qid", "qvec",
+                    multiprobe=2).withColumnRenamed("id", "qid"),
     ).select("qid", "id")
     he = bf.join(ce, ["qid", "id"], "left_semi").agg(
         F.count(F.lit(1)).alias("he")
@@ -6678,8 +6684,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_minhash_sigs ~ dedup_minhash_pairs) follow after index 49.
 
 DRIVER_WINDOW: list[str] = [
-    # LSH core (S4/S5, H1-H6, Q1-Q9, M1/M3)
-    "lsh_signatures", "lsh_index_stats", "lsh_topk", "lsh_topp",
+    # LSH core (S4/S5, H1-H6, Q1-Q9, M1/M3); round-7:
+    # lsh_multiprobe_recall in / lsh_index_stats out (the multi-probe
+    # recall/cost gauge earns the hard row; the per-band stats agg holds
+    # an r6 driver row and folds into the signature-table family)
+    "lsh_signatures", "lsh_multiprobe_recall", "lsh_topk", "lsh_topp",
     "knn_bruteforce", "lsh_delete",
     # similarity join + dedup family (dedup_ngram_jaccard demoted
     # round-6: shingle-inverted-index twin of the in-window minhash rep)
@@ -6695,10 +6704,12 @@ DRIVER_WINDOW: list[str] = [
     "dedup_minhash_recall", "dedup_simhash_pairs",
     "dedup_chunk_overlap", "source_vectorgen", "text_line_dedup",
     # ANN tiers (ann_batch ~ lsh_topk twin and ann_recall gauge are
-    # past the window, local-gated); round-6: ann_ivf_filtered in /
-    # ann_ivf out — the vector-search-with-WHERE shape earns the hard
-    # row, plain IVF is its sub-plan
-    "ann_ivf_filtered", "emb_semantic_decontaminate",
+    # past the window, local-gated); round-7: mips_ivf_recall in /
+    # ann_ivf_filtered out (r6 driver row on file) — the augmented-IVF
+    # MIPS gauge drives the same IVF probe end-to-end AND replays the
+    # norm-augmentation reduction; the WHERE-pushdown variant folds
+    # into its family
+    "mips_ivf_recall", "emb_semantic_decontaminate",
     # planner + quantization + pipeline ops (text_tfidf demoted
     # round-6: token-frequency-statistics twin of text_stats;
     # pipeline_pack demoted round-6: prefix-sum family twin of the
@@ -6712,9 +6723,13 @@ DRIVER_WINDOW: list[str] = [
     # round-6: text_phrase_search in / text_bm25_topk out (positional
     # retrieval earns the hard row; BM25 ranking stays covered via the
     # in-window text_hybrid_rrf, which fuses a BM25 leg)
+    # round-7: dedup_audio_fingerprint in / multimodal_audio_features
+    # out (r6 driver row on file) — the WAV-decode + integer-DCT
+    # fingerprint dedup earns the hard row; spectral feature extraction
+    # is its decode-family twin
     "text_stats", "text_quality_classifier", "text_langid",
     "text_phrase_search", "text_clean",
-    "multimodal_audio_features", "text_decontaminate",
+    "dedup_audio_fingerprint", "text_decontaminate",
     "text_pii_redact", "text_quality_filter", "text_chunk",
     "text_unigram_logprob",
     # embeddings analytics
@@ -6727,12 +6742,19 @@ DRIVER_WINDOW: list[str] = [
     "rel_sales_cube", "text_hybrid_rrf", "rel_column_profile",
     "rel_semi_anti",
     "rel_salted_join", "rel_events_sessionize", "rel_events_asof",
-    # sketches + streaming + multimodal; round-6: dedup_image_groups in
-    # / dedup_image_phash out (the recursive-CTE cluster variant earns
-    # the hard row; the pair list is its sub-plan)
-    "sketch_bloom", "dedup_image_groups", "stream_windowed_counts",
+    # sketches + streaming + multimodal; round-7 rotations:
+    # dedup_video_frames in / dedup_image_groups out (r6 driver row on
+    # file — sampled frame-dHash overlap joins earn the hard row; the
+    # image-cluster variant shares the pigeonhole banding core);
+    # stream_dedup_counts in / stream_windowed_counts out (r6 row —
+    # watermarked dropDuplicates state machinery earns the hard row;
+    # the plain windowed agg is its stateless sub-plan);
+    # multimodal_frame_sample in / multimodal_features out (r6 row —
+    # the VID0 frame-sampling fan-out earns the hard row; per-image
+    # decode+features is its downstream twin)
+    "sketch_bloom", "dedup_video_frames", "stream_dedup_counts",
     "stream_stateful_first", "stream_attribution_join",
-    "multimodal_features",
+    "multimodal_frame_sample",
 ]
 
 # Family map — the import-time guard closing the "new operator lands past
@@ -6749,31 +6771,26 @@ FAMILY: dict[str, str] = {
     "text_tfidf": "text_stats",
     "rel_customer_setops": "rel_semi_anti",
     "rel_stats_corr": "rel_column_profile",
-    # delivery-retry dedup rollup: stream-equals-batch twin of the
-    # in-window windowed-counts rep (redelivery pytest-verified)
-    "stream_dedup_counts": "stream_windowed_counts",
+    # demoted round-7 (r6 driver row on file): the plain windowed agg
+    # is the stateless sub-plan of the promoted watermark-dedup rep
+    "stream_windowed_counts": "stream_dedup_counts",
     # demoted round-5: group post-processing twin of the in-window
     # connected-components representative (rotated out for the new
     # line-dedup family)
     "dedup_representative": "dedup_groups",
     # demoted round-6 (r5 driver row on file): the dHash pair list is
-    # the sub-plan of the promoted image-cluster representative
-    "dedup_image_phash": "dedup_image_groups",
-    # audio twin of the image perceptual-hash family (new round-6;
-    # rotation candidate for r7): same banded-Hamming machinery over
-    # the WAV fingerprint instead of the pixel dHash
-    "dedup_audio_fingerprint": "dedup_image_groups",
-    # video twin (new round-6): frame-sampled per-frame dHash joined
-    # on exact hash equality with a stop-frame cap
-    "dedup_video_frames": "dedup_image_groups",
+    # the sub-plan of the image-cluster entry; rep moved round-7 to the
+    # promoted video-frame entry (same pigeonhole banding core)
+    "dedup_image_phash": "dedup_video_frames",
+    # demoted round-7 (r6 driver row on file): the recursive-CTE
+    # cluster variant is the connected-components post-pass over the
+    # same perceptual-hash pair machinery the video rep exercises
+    "dedup_image_groups": "dedup_video_frames",
     "dedup_soft_weight": "dedup_groups",
     "rel_recursive_reach": "dedup_groups",  # SQL-surface twin of CC
     # demoted round-5: per-stratum exact sampling is covered by the new
     # deterministic-sampling/export representative (r3 driver row on file)
     "pipeline_stratified_sample": "pipeline_weighted_sample",
-    # demoted round-5: stored-layout variant of the in-window IVF rep
-    # (r3 driver row on file), rotated out for the SemDeDup family
-    "ann_ivf_stored": "ann_ivf_filtered",
     # demoted round-5: KMV distinct-count (r3 driver row on file) swaps
     # for the new Bloom-membership sketch representative
     "sketch_distinct_users": "sketch_bloom",
@@ -6802,25 +6819,29 @@ FAMILY: dict[str, str] = {
     "pipeline_token_budget": "pipeline_length_batches",
     # LSH / ANN twins
     "lsh_signatures_sql": "lsh_signatures",
-    # occupancy-distribution twin of the in-window per-band stats rep
-    "lsh_bucket_histogram": "lsh_index_stats",
-    # recall/cost gauge over the same probe machinery the in-window
-    # top-k rep exercises (new round-6; rotation candidate for r7)
-    "lsh_multiprobe_recall": "lsh_topk",
+    # occupancy-distribution twin of the per-band stats agg — both are
+    # aggregates over the signature/bucket table (rep since round-7)
+    "lsh_bucket_histogram": "lsh_signatures",
+    # demoted round-7 (r6 driver row on file): the per-band stats agg
+    # over the bucket table folds into the signature-table family; the
+    # promoted multi-probe gauge takes the LSH-dial slot
+    "lsh_index_stats": "lsh_signatures",
     "ann_batch": "lsh_topk",
-    "ann_recall": "ann_ivf_filtered",
-    "ann_ivf_recall": "ann_ivf_filtered",
-    "ann_ivf_recall_curve": "ann_ivf_filtered",  # nprobe sweep of the same gauge
-    # demoted round-6 (r5 driver row on file): plain IVF is the
-    # sub-plan of the promoted filtered-probe representative
-    "ann_ivf": "ann_ivf_filtered",
-    "ann_ivf_filtered_recall": "ann_ivf_filtered",
-    # MIPS (new round-6; rotation candidates for r7): exact
-    # inner-product baseline shares knn_bruteforce's broadcast-scan
-    # shape; the augmented-IVF recall gauge rides the filtered-probe
-    # representative like the other IVF dials
-    "mips_topk": "knn_bruteforce",
-    "mips_ivf_recall": "ann_ivf_filtered",
+    # IVF family rep since round-7: the promoted augmented-IVF MIPS
+    # gauge drives the same centroid training + partition-pruned probe
+    "ann_recall": "mips_ivf_recall",
+    "ann_ivf_recall": "mips_ivf_recall",
+    "ann_ivf_recall_curve": "mips_ivf_recall",  # nprobe sweep of the same gauge
+    "ann_ivf": "mips_ivf_recall",
+    "ann_ivf_filtered_recall": "mips_ivf_recall",
+    # demoted round-7 (r6 driver row on file): the WHERE-pushdown
+    # filtered probe is a variant of the IVF machinery the promoted
+    # MIPS gauge drives end-to-end
+    "ann_ivf_filtered": "mips_ivf_recall",
+    "ann_ivf_stored": "mips_ivf_recall",
+    # exact inner-product baseline: subsumed as the exact leg of the
+    # promoted mips_ivf_recall gauge (VERDICT r6 #3)
+    "mips_topk": "mips_ivf_recall",
     # simjoin / dedup twins and gauges
     "simjoin_exact": "simjoin_lsh",
     "dedup_minhash_sigs": "dedup_minhash_recall",
@@ -6960,18 +6981,25 @@ FAMILY: dict[str, str] = {
     # sub-plan of the promoted IVFADC representative
     "ann_pq_topk": "ann_ivfpq_topk",
     "ann_ivfpq_refined": "ann_ivfpq_topk",
-    # multimodal twins (rep: multimodal_features)
-    "multimodal_frame_sample": "multimodal_features",
-    # streaming twins
-    "stream_event_type_agg": "stream_windowed_counts",
-    "stream_static_enrich": "stream_windowed_counts",
+    # multimodal twins (rep: multimodal_frame_sample since round-7)
+    # demoted round-7 (r6 driver row on file): per-image decode +
+    # feature extraction is the downstream consumer of the promoted
+    # frame-sampling fan-out (same Arrow decode machinery)
+    "multimodal_features": "multimodal_frame_sample",
+    # demoted round-7 (r6 driver row on file): WAV decode + spectral
+    # features share the audio decode path with the promoted
+    # integer-DCT fingerprint dedup rep
+    "multimodal_audio_features": "dedup_audio_fingerprint",
+    # streaming twins (rep: stream_dedup_counts since round-7)
+    "stream_event_type_agg": "stream_dedup_counts",
+    "stream_static_enrich": "stream_dedup_counts",
     # outer variant of the in-window stream-stream range-join rep:
     # same state machinery plus watermark-driven null emission
     "stream_attribution_outer": "stream_attribution_join",
     # streaming twin of the batch OHLC rollup; windowed-agg family
-    "stream_ohlc": "stream_windowed_counts",
-    "stream_session_counts": "stream_windowed_counts",
-    "stream_sliding_counts": "stream_windowed_counts",
+    "stream_ohlc": "stream_dedup_counts",
+    "stream_session_counts": "stream_dedup_counts",
+    "stream_sliding_counts": "stream_dedup_counts",
 }
 
 _unknown = [n for n in DRIVER_WINDOW if n not in QUERIES]

@@ -671,11 +671,24 @@ def bm25_compact(spark, path: str, *, num_buckets: "Optional[int]" = None) -> in
     ``BM25Server(..., epochs=True)`` instances pick it up at their
     next ``refresh()``, and the stream may keep appending ``epoch=N``
     on top (reusing this bucket count). The swap is
-    write-to-temp-sibling + rmtree + rename."""
+    write-to-temp-sibling, rename the old tree aside, rename the temp
+    into place, THEN delete the old tree — a crash at any point leaves
+    a recoverable layout at ``path`` or ``path.old-*`` (ADVICE r6: the
+    previous rmtree-then-rename order had a window with NO layout at
+    ``path`` and the data stranded under a random temp name)."""
     import os as _os
     import shutil as _shutil
     import uuid as _uuid
 
+    # The swap below is local-filesystem os.rename/rmtree; a scheme'd
+    # URI (s3://, hdfs://) would read fine via Spark but then fail (or
+    # worse, half-apply) the swap — refuse it up front.
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"bm25_compact swaps directories via the local filesystem; "
+            f"got non-local path {path!r}"
+        )
+    local_path = path[len("file://"):] if path.startswith("file://") else path
     stats = spark.read.parquet(f"{path}/_stats")
     posts = spark.read.parquet(path)
     if "epoch" not in posts.columns:
@@ -689,12 +702,20 @@ def bm25_compact(spark, path: str, *, num_buckets: "Optional[int]" = None) -> in
         F.sum("total_len").cast("long").alias("total_len"),
         F.max("num_buckets").cast("long").alias("max_nb"),
     ).collect()[0]
-    nb = int(num_buckets or srow["max_nb"])
+    if num_buckets is not None and num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1 (got {num_buckets})")
+    if num_buckets is None and srow["max_nb"] is None:
+        raise ValueError(
+            "bm25_compact: the layout's _stats table is empty and no "
+            "num_buckets override was given — cannot infer a bucket count"
+        )
+    nb = int(num_buckets if num_buckets is not None else srow["max_nb"])
     data_cols = [c for c in posts.columns if c not in ("epoch", "bucket")]
     merged = posts.select(*data_cols).withColumn(
         "bucket", bm25_bucket_col(F.col("tok"), nb)
     )
     tmp = f"{path}.tmp-{_uuid.uuid4().hex}"
+    tmp_local = tmp[len("file://"):] if tmp.startswith("file://") else tmp
     (
         merged.repartition(F.col("bucket"))
         .sortWithinPartitions("tok", "id")
@@ -707,8 +728,10 @@ def bm25_compact(spark, path: str, *, num_buckets: "Optional[int]" = None) -> in
         "n_docs long, total_len long, num_buckets long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_stats/epoch=-1")
     n = spark.read.parquet(f"{tmp}/epoch=-1").count()
-    _shutil.rmtree(path)
-    _os.rename(tmp, path)
+    old = f"{local_path}.old-{_uuid.uuid4().hex}"
+    _os.rename(local_path, old)
+    _os.rename(tmp_local, local_path)
+    _shutil.rmtree(old)
     return n
 
 

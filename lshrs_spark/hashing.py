@@ -102,23 +102,36 @@ def signatures_col(
     vector_col: str = "embedding",
     *,
     sig_kind: Optional[str] = None,
+    multiprobe: int = 0,
 ) -> Column:
     """Column expression computing SRP band signatures for a vector column.
 
     ``sig_kind``: "long" (default when ``rows_per_band < 64``) -> the column
     is ``array<bigint>`` with one little-endian packed value per band;
     "binary" -> ``array<binary>`` bit-identical to the reference signatures.
-    """
+
+    ``multiprobe=T`` (DataFrame twin of :func:`multiprobe_keys_local`)
+    appends, per band, the ``T`` closest-margin single-bit-flip
+    perturbation keys to the array — margins are a free byproduct of the
+    same matmul, so the corpus-scale probe job gets the multi-probe
+    recall knob without a second projection pass or a local
+    ``collect``. Array layout: ``[exact band 0..B-1, flip t=0 band
+    0..B-1, flip t=1 band 0..B-1, ...]`` — position ``p`` belongs to
+    band ``p % num_bands`` (what :func:`~lshrs_spark.operators.index.
+    build_index` relies on when exploding)."""
     if sig_kind is None:
         sig_kind = "long" if cfg.use_long_sig else "binary"
     if sig_kind == "long" and not cfg.use_long_sig:
         raise ValueError("long signatures need rows_per_band < 64")
+    if multiprobe < 0:
+        raise ValueError("multiprobe must be >= 0")
 
     bproj = _broadcast_proj(spark, cfg)
     dim = cfg.dim
     num_bands = cfg.num_bands
     rows_per_band = cfg.rows_per_band
     use_f32 = cfg.dtype == "float32"
+    n_extra = min(multiprobe, rows_per_band)
 
     if sig_kind == "long":
 
@@ -134,11 +147,24 @@ def signatures_col(
                 raise ValueError(
                     f"vector dimension mismatch: expected {dim}, got {mat.shape}"
                 )
-            bits = (mat @ bproj.value) > 0
+            z = mat @ bproj.value
+            bits = z > 0
             weights = 1 << _np.arange(rows_per_band, dtype=_np.int64)
             sigs = bits.reshape(len(mat), num_bands, rows_per_band).astype(
                 _np.int64) @ weights
-            return pd.Series(list(sigs))
+            if n_extra == 0:
+                return pd.Series(list(sigs))
+            # same margin/tie-break rule as multiprobe_keys_local:
+            # ascending |margin|, stable on equal margins
+            margins = _np.abs(z).reshape(len(mat), num_bands, rows_per_band)
+            order = _np.argsort(margins, axis=2, kind="stable")[:, :, :n_extra]
+            flips = sigs[:, :, None] ^ (
+                _np.int64(1) << order.astype(_np.int64)
+            )                                             # (n, B, T)
+            flat = _np.concatenate(
+                [sigs, flips.transpose(0, 2, 1).reshape(len(mat), -1)], axis=1
+            )
+            return pd.Series(list(flat))
 
         return srp_long(F.col(vector_col))
 
@@ -154,12 +180,28 @@ def signatures_col(
             raise ValueError(
                 f"vector dimension mismatch: expected {dim}, got {mat.shape}"
             )
-        bits = (mat @ bproj.value) > 0
+        z = mat @ bproj.value
+        bits = z > 0
         banded = bits.reshape(len(mat), num_bands, rows_per_band)
         packed = _np.packbits(banded, axis=2, bitorder="little")
-        return pd.Series(
-            [[bytes(packed[i, b]) for b in range(num_bands)] for i in range(len(mat))]
-        )
+        if n_extra == 0:
+            return pd.Series(
+                [[bytes(packed[i, b]) for b in range(num_bands)]
+                 for i in range(len(mat))]
+            )
+        margins = _np.abs(z).reshape(len(mat), num_bands, rows_per_band)
+        order = _np.argsort(margins, axis=2, kind="stable")[:, :, :n_extra]
+        out = []
+        for i in range(len(mat)):
+            row = [bytes(packed[i, b]) for b in range(num_bands)]
+            for t in range(n_extra):
+                for b in range(num_bands):
+                    j = int(order[i, b, t])
+                    ba = bytearray(packed[i, b].tobytes())
+                    ba[j // 8] ^= 1 << (j % 8)
+                    row.append(bytes(ba))
+            out.append(row)
+        return pd.Series(out)
 
     return srp_binary(F.col(vector_col))
 
@@ -171,11 +213,14 @@ def with_signatures(
     out_col: str = "sigs",
     *,
     sig_kind: Optional[str] = None,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Append the band-signature array column to ``df``."""
     spark = df.sparkSession
     return df.withColumn(
-        out_col, signatures_col(spark, cfg, vector_col, sig_kind=sig_kind)
+        out_col,
+        signatures_col(spark, cfg, vector_col, sig_kind=sig_kind,
+                       multiprobe=multiprobe),
     )
 
 

@@ -486,7 +486,13 @@ def with_video_payload(
     n = width * height * 3
     header = F.lit(b"P6\n%d %d\n255\n" % (width, height))
     frame_len = len(b"P6\n%d %d\n255\n" % (width, height)) + n
-    padded = F.rpad(F.col(text_col), n * num_frames, " ")
+    # The frame prefix declares a FIXED byte length, but utf-8 encodes
+    # non-ASCII chars multi-byte — one such char would desync every later
+    # VID0 frame boundary. Clamp to the 1-byte range first, exactly as
+    # with_wav_payload does for its PCM body (ADVICE r6).
+    padded = F.regexp_replace(
+        F.rpad(F.col(text_col), n * num_frames, " "), "[^\x00-\x7F]", " "
+    )
     frames = [
         F.concat(
             F.lit(struct.pack("<I", frame_len)),

@@ -67,25 +67,37 @@ def build_index(
     *,
     sig_kind: Optional[str] = None,
     validate: bool = False,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """``(id, vector)`` -> ``(band int, sig bigint|binary, id long)``.
 
     One narrow shuffle-free map: signature pandas_udf then ``posexplode``
     (the reference's per-band fan-out loop, ``lshrs/core/main.py:1113-1129``,
     as a Catalyst Generate node).
+
+    ``multiprobe=T`` (query sides only — never persist perturbed keys
+    into a data index) emits ``(1+T) * num_bands`` key rows per vector:
+    the exact band signatures plus each band's T closest-margin bit-flip
+    perturbations, computed inside the same Arrow UDF pass. The array
+    layout is band-major per tier, so band = pos % num_bands.
     """
     if validate:
         df = validate_vectors(df, cfg, id_col, vector_col)
-    sigs = with_signatures(df, cfg, vector_col, "sigs", sig_kind=sig_kind)
+    sigs = with_signatures(df, cfg, vector_col, "sigs", sig_kind=sig_kind,
+                           multiprobe=multiprobe)
     # posexplode_outer, not posexplode: the non-outer Generate adds a
     # size(sigs)>0 pre-filter that makes Catalyst evaluate the signature
     # pandas_udf TWICE (once in the filter, once in the project). The UDF
     # always returns exactly num_bands entries, so outer semantics are
     # identical — and the matmul runs once.
-    return sigs.select(
+    exploded = sigs.select(
         F.col(id_col).cast("long").alias("id"),
-        F.posexplode_outer("sigs").alias("band", "sig"),
-    ).select("band", "sig", "id")
+        F.posexplode_outer("sigs").alias("pos", "sig"),
+    )
+    return exploded.select(
+        (F.col("pos") % cfg.num_bands).cast("int").alias("band"),
+        "sig", "id",
+    )
 
 
 def write_index(

@@ -93,7 +93,7 @@ def query_signatures_df(
 
 def choose_probe_strategy(
     n_queries: int,
-    num_bands: int,
+    keys_per_query: int,
     index_rows: Optional[int] = None,
     *,
     max_broadcast_rows: int = 1_000_000,
@@ -104,8 +104,11 @@ def choose_probe_strategy(
     heuristic — a planning rule in the API layer, not a Catalyst rule,
     since AQE handles the within-regime tuning).
 
-    The probe side is ``n_queries * num_bands`` signature rows. Two
-    regimes:
+    The probe side is ``n_queries * keys_per_query`` signature rows —
+    ``keys_per_query`` is ``num_bands`` for a plain probe and
+    ``num_bands * (1 + multiprobe)`` when perturbation keys are emitted
+    (the name is explicit so a future cost term cannot silently conflate
+    "bands" with "total keys"; ADVICE r6). Two regimes:
 
     - **broadcast** (the default outcome): the probe ships to every
       executor once and the 100 TB index is NEVER shuffled — right
@@ -124,7 +127,7 @@ def choose_probe_strategy(
     cap alone. Exposed so batch APIs with driver-known sizes
     (`LSHRS.get_top_k_batch`) route automatically; callers with a
     DataFrame query side pass their own estimate."""
-    probe_rows = int(n_queries) * int(num_bands)
+    probe_rows = int(n_queries) * int(keys_per_query)
     if probe_rows > max_broadcast_rows:
         return "shuffle"
     if index_rows is not None and probe_rows > index_fraction * index_rows:

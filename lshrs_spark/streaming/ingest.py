@@ -384,12 +384,42 @@ def stream_scd2_ingest(
             return _run_token[0]
         tok = None
         if checkpoint:
-            meta = _os.path.join(checkpoint, "metadata")
+            # Plain open() only resolves local paths; a scheme'd
+            # checkpoint URI (hdfs://, s3a://) would ALWAYS fall through
+            # to a per-process random token, silently defeating the
+            # replay short-circuit across restarts (ADVICE r6). Read via
+            # the checkpoint's own Hadoop filesystem instead.
             try:
-                with open(meta) as fh:
-                    tok = json.loads(fh.read()).get("id")
-            except (OSError, ValueError):
+                jvm = spark._jvm
+                p = jvm.org.apache.hadoop.fs.Path(
+                    checkpoint.rstrip("/") + "/metadata"
+                )
+                fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+                if fs.exists(p):
+                    fin = fs.open(p)
+                    try:
+                        chunks = []
+                        b = fin.read()
+                        while b != -1 and len(chunks) < 4096:
+                            chunks.append(b)
+                            b = fin.read()
+                        tok = json.loads(
+                            bytes(chunks).decode("utf-8")
+                        ).get("id")
+                    finally:
+                        fin.close()
+            except Exception:
                 tok = None
+            if tok is None:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "stream_scd2_ingest: checkpoint metadata at %s is "
+                    "unreadable; falling back to a per-process run token "
+                    "— the crash-replay short-circuit will not match "
+                    "across restarts",
+                    checkpoint,
+                )
         if tok is None:
             tok = uuid.uuid4().hex
         _run_token.append(str(tok).replace("-", "")[:12])

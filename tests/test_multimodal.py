@@ -457,3 +457,33 @@ def test_video_near_dup_pairs_shared_frames_and_stop_cap(spark):
     )
     rows = fh.collect()
     assert len(rows) == 15 and {r.frame_no for r in rows} == {0, 1, 2}
+
+
+def test_video_payload_non_ascii_keeps_frame_boundaries(spark):
+    """ADVICE r6: with_video_payload packs a FIXED byte-length prefix per
+    frame but encoded text with utf-8 — one multi-byte char desynced
+    every later VID0 frame boundary. Non-ASCII now clamps to space
+    (0x20), the same rule as with_wav_payload's PCM body."""
+    from lshrs_spark.multimodal import (
+        decode_ppm,
+        decode_video,
+        with_video_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "héllo☃" + "a" * 42), (2, "ab\ncd" + "z" * 43)],
+        "doc_id long, text string",
+    )
+    rows = {r.id: bytes(r.payload)
+            for r in with_video_payload(df, num_frames=4,
+                                        width=2, height=2).collect()}
+    for payload in rows.values():
+        frames = decode_video(payload)
+        assert len(frames) == 4
+        for fr in frames:
+            w, h, px = decode_ppm(fr)
+            assert (w, h, px.shape) == (2, 2, (2, 2, 3))
+    # the clamped chars read back as 0x20, neighbours untouched
+    _, _, px0 = decode_ppm(decode_video(rows[1])[0])
+    flat = list(px0.reshape(-1))
+    assert flat[:6] == [ord("h"), 32, ord("l"), ord("l"), ord("o"), 32]

@@ -708,3 +708,87 @@ def test_mips_topk_broadcasts_queries_single_corpus_scan(spark, emb):
     # the per-query top-k is cut map-side before the one shuffle
     assert "WindowGroupLimit" in plan
     assert out.count() == 15
+
+
+def test_build_index_multiprobe_emits_perturbation_keys(spark, emb):
+    """VERDICT r6 #4: the DataFrame signature path emits the T
+    perturbation keys inside the SAME Arrow UDF — (1+T)*bands probe
+    rows per vector, one ArrowEvalPython node, and the key set equals
+    the driver-side multiprobe_keys_local + exact signatures."""
+    from lshrs_spark.hashing import (
+        hash_vectors_local_long,
+        multiprobe_keys_local,
+    )
+
+    sub = emb.filter(F.col("vec_id") < 20)
+    T_ = 2
+    idx = build_index(sub, CFG, "vec_id", "embedding", multiprobe=T_)
+    simple = spark._jvm.PythonSQLUtils.explainString(
+        idx._jdf.queryExecution(), "simple"
+    )
+    assert simple.count("ArrowEvalPython") == 1
+    assert "Exchange" not in simple
+
+    rows = idx.collect()
+    per_id: dict = {}
+    for r in rows:
+        per_id.setdefault(r.id, set()).add((r.band, r.sig))
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float32)
+            for r in sub.collect()}
+    for vid, got in per_id.items():
+        assert len([r for r in rows if r.id == vid]) == (1 + T_) * CFG.num_bands
+        v = vecs[vid][None, :]
+        exact = {(b, int(s)) for b, s in
+                 enumerate(hash_vectors_local_long(v, CFG)[0])}
+        extra = {(b, s) for b, s in multiprobe_keys_local(v, CFG, T_)[0]}
+        assert got == exact | extra
+
+
+def test_query_batch_auto_strategy_from_cached_stats(spark, emb):
+    """VERDICT r6 #7: with stats() cached on the instance and a
+    corpus-sized query DataFrame, query_batch picks the shuffle regime
+    with NO caller hints; a small interactive batch stays broadcast."""
+    from lshrs_spark import LSHRS
+
+    lsh = LSHRS(spark, 64, num_perm=32, num_bands=4, rows_per_band=8)
+    lsh.index_dataframe(emb, "vec_id", "embedding")
+    lsh.stats()                                   # caches index row count
+    assert lsh._index_rows == emb.count() * 4
+
+    # corpus-sized query side (the whole table): plan stats estimate a
+    # probe side > 10% of the index -> co-partition, don't broadcast
+    qall = emb.select(F.col("vec_id").alias("qid"),
+                      F.col("embedding").alias("qvec"))
+    plan_all = physical_plan(lsh.query_batch(qall, top_k=5))
+    assert "ShuffledHashJoin" in plan_all or "SortMergeJoin" in plan_all, plan_all
+
+    # interactive batch: tiny local relation -> broadcast regime
+    import numpy as _np
+
+    rng = _np.random.default_rng(3)
+    qsmall = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(64)]) for i in range(3)],
+        "qid long, qvec array<float>",
+    )
+    plan_small = physical_plan(lsh.query_batch(qsmall, top_k=5))
+    assert "BroadcastHashJoin" in plan_small, plan_small
+
+
+def test_query_batch_multiprobe_matches_per_query_api(spark, emb):
+    """query_batch(multiprobe=T) == get_top_k(v, multiprobe=T) for every
+    query — the DataFrame batch path now carries the recall knob."""
+    from lshrs_spark import LSHRS
+
+    lsh = LSHRS(spark, 64, num_perm=32, num_bands=4, rows_per_band=8)
+    lsh.index_dataframe(emb, "vec_id", "embedding")
+    qdf = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = {}
+    for r in lsh.query_batch(qdf, top_k=5, multiprobe=2).collect():
+        got.setdefault(r.qid, []).append((r.rank, r.id))
+    qvecs = {r.vec_id: np.array(r.embedding, dtype=np.float32)
+             for r in emb.filter(F.col("vec_id") < 8).collect()}
+    for qid, vec in qvecs.items():
+        want = lsh.get_top_k(vec, 5, multiprobe=2)
+        assert [i for _, i in sorted(got.get(qid, []))] == want, qid

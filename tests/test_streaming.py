@@ -926,3 +926,60 @@ def test_bm25_compact_repairs_mixed_bucket_counts(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="epochs layout"):
         bm25_compact(spark, batch)
+
+
+def test_bm25_compact_validation_and_swap_hygiene(spark, tmp_path):
+    """ADVICE r6: (a) num_buckets=0 / empty _stats raise clear errors
+    instead of int(None)/silent fallthrough; (b) a non-local scheme'd
+    path is refused before any destructive local-fs call; (c) a
+    successful compact leaves no .tmp-*/.old-* siblings behind."""
+    import os
+
+    import pytest
+
+    from lshrs_spark.functions.text import (
+        bm25_compact,
+        bm25_postings,
+        bm25_stats_row,
+    )
+
+    idx = str(tmp_path / "bm25_epochs")
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    postings, dl = bm25_postings(df, 4, store_positions=False)
+    (
+        postings.repartition(F.col("bucket"))
+        .sortWithinPartitions("tok", "id")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(f"{idx}/epoch=0")
+    )
+    bm25_stats_row(dl, 4).coalesce(1).write.mode("overwrite").parquet(
+        f"{idx}/_stats/epoch=0"
+    )
+
+    with pytest.raises(ValueError, match="num_buckets must be >= 1"):
+        bm25_compact(spark, idx, num_buckets=0)
+    with pytest.raises(ValueError, match="non-local path"):
+        bm25_compact(spark, "s3://bucket/bm25")
+
+    n = bm25_compact(spark, idx)
+    assert n == 4
+    base = os.path.basename(idx)
+    strays = [d for d in os.listdir(tmp_path)
+              if d.startswith(base + ".")]
+    assert strays == []
+
+    # empty _stats + no override: clear error before any destructive step
+    empty = str(tmp_path / "bm25_empty_stats")
+    (
+        postings.repartition(F.col("bucket"))
+        .sortWithinPartitions("tok", "id")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(f"{empty}/epoch=0")
+    )
+    bm25_stats_row(dl, 4).limit(0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{empty}/_stats/epoch=0")
+    with pytest.raises(ValueError, match="_stats table is empty"):
+        bm25_compact(spark, empty)
