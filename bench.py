@@ -479,6 +479,25 @@ def main() -> None:
         t_bb = dt if t_bb is None or dt < t_bb else t_bb
     results["bm25_served_batch100_per_query"] = t_bb / len(term_sets)
 
+    # 11. Phrase batch serving: one positions read per DISTINCT term
+    # across 100 phrase queries (positional layout; setup untimed so
+    # bm25_index_build stays comparable round over round).
+    bm25_pos_store = os.path.join(tempfile.gettempdir(), "lshrs_bench_bm25p")
+    bm25_index_write(docs, bm25_pos_store, num_buckets=32,
+                     store_positions=True)
+    psrv = BM25Server(bm25_pos_store)
+    phrase_sets = [
+        ["vector", "hash"], ["table", "scan"],
+        ["query", "filter"], ["agg", "window"],
+    ] * 25
+    t_pb = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        psrv.phrase_batch(phrase_sets)
+        dt = time.perf_counter() - t0
+        t_pb = dt if t_pb is None or dt < t_pb else t_pb
+    results["bm25_phrase_batch100_per_query"] = t_pb / len(phrase_sets)
+
     total = sum(results.values())
     # BASELINE.md memory target (<2 GB): driver-process peak RSS.
     # Executor memory is the JVM's (local mode shares the process);

@@ -1417,6 +1417,64 @@ def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "shared_frames")
 
 
+def _vfp_hamming_sql(h: int) -> str:
+    """Oracle for Hamming-tolerant video dedup: same per-frame pixel
+    replay as ``_vfp_sql``, then clip pairs brute-forced from
+    PER-FRAME HAMMING DISTANCES — every (value_a, value_b) hash pair
+    within distance ``h`` (including equal values) counts once toward
+    ``shared_frames``."""
+    terms = " + ".join(
+        f"(CASE WHEN luma[{r * 7 + c + 1}] > luma[{r * 7 + c + 2}] "
+        f"THEN {1 << (r * 6 + c)} ELSE 0 END)"
+        for r in range(8) for c in range(6)
+    )
+    return f"""WITH vluma AS (
+  SELECT doc_id AS id, fno,
+    list_transform(generate_series(0, 55),
+      p -> ascii(substr(t, off + p*3 + 1, 1))
+           + ascii(substr(t, off + p*3 + 2, 1))
+           + ascii(substr(t, off + p*3 + 3, 1))) AS luma
+  FROM (SELECT doc_id, rpad(text, 504, ' ') AS t FROM documents)
+  CROSS JOIN (VALUES (0, 0), (1, 168), (2, 336)) AS fr(fno, off)),
+vfp AS (SELECT id, fno, ({terms})::BIGINT AS fp FROM vluma),
+vhashes AS (SELECT DISTINCT id, fp FROM vfp),
+vkept AS (SELECT h.id, h.fp FROM vhashes h
+          JOIN (SELECT fp FROM vhashes GROUP BY fp
+                HAVING count(*) <= 50) s USING (fp)),
+vvals AS (SELECT DISTINCT fp FROM vkept),
+vedges AS (SELECT a.fp AS va, b.fp AS vb FROM vvals a JOIN vvals b
+           ON bit_count(xor(a.fp, b.fp)) <= {h})
+SELECT a.id AS id_a, b.id AS id_b,
+       count(DISTINCT e.va::VARCHAR || '_' || e.vb::VARCHAR)::BIGINT
+         AS shared_frames
+FROM vkept a JOIN vedges e ON a.fp = e.va
+JOIN vkept b ON b.fp = e.vb AND a.id < b.id
+GROUP BY 1, 2"""
+
+
+@register("dedup_video_hamming", _vfp_hamming_sql(2))
+def dedup_video_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-TOLERANT video near-dup pairs (VERDICT r6 #5): a
+    re-encoded frame whose dHash drifts up to 2 bits still matches —
+    the distinct frame-hash values are routed through the shared
+    pigeonhole banding core (:func:`~lshrs_spark.operators.dedup.
+    hamming_banded_pairs`) before the clip-level aggregation, and
+    ``shared_frames`` counts distinct matched (value_a, value_b)
+    frame-hash pairs. Exact equality remains the ``max_hamming=0``
+    fast path (`dedup_video_frames`). The oracle brute-forces clip
+    pairs from per-frame Hamming distances over the replayed pixel
+    math."""
+    from .multimodal import with_video_payload
+    from .operators.dedup import video_near_dup_pairs
+
+    payloads = with_video_payload(
+        _docs(spark, sf_dir), num_frames=3, width=7, height=8
+    )
+    return video_near_dup_pairs(
+        payloads, min_shared_frames=1, max_hash_freq=50, max_hamming=2
+    ).select("id_a", "id_b", "shared_frames")
+
+
 def _afp_ctes() -> str:
     """Oracle CTEs recomputing the 36-bit audio fingerprint from
     ``ascii()`` arithmetic: WAV samples ARE the clamped text bytes
@@ -6786,6 +6844,10 @@ FAMILY: dict[str, str] = {
     # cluster variant is the connected-components post-pass over the
     # same perceptual-hash pair machinery the video rep exercises
     "dedup_image_groups": "dedup_video_frames",
+    # Hamming-tolerant twin of the in-window exact-equality video rep
+    # (new round-7, VERDICT r6 #5): same frame pipeline, values routed
+    # through the pigeonhole core before the clip aggregation
+    "dedup_video_hamming": "dedup_video_frames",
     "dedup_soft_weight": "dedup_groups",
     "rel_recursive_reach": "dedup_groups",  # SQL-surface twin of CC
     # demoted round-5: per-stratum exact sampling is covered by the new

@@ -1142,6 +1142,8 @@ def video_near_dup_pairs(
     every_k: int = 1,
     min_shared_frames: int = 1,
     max_hash_freq: Optional[int] = None,
+    max_hamming: int = 0,
+    num_blocks: Optional[int] = None,
 ) -> DataFrame:
     """``(id_a < id_b, shared_frames)`` — video near-duplicate pairs by
     FRAME-HASH overlap, the video member of the multimodal dedup
@@ -1162,9 +1164,24 @@ def video_near_dup_pairs(
     would contribute quadratic join rows while carrying no dedup
     signal — capped hashes are dropped from BOTH the join and the
     shared counts (documented approximation; ``None`` stays exact).
-    ``payload_df`` carries ``(id, payload)`` VID0 containers."""
-    from ..multimodal import dhash_table, frame_sample
+    ``payload_df`` carries ``(id, payload)`` VID0 containers.
 
+    ``max_hamming`` (VERDICT r6 #5): with the default 0, clips join on
+    exact hash equality (the fast path — no banding fan-out). With
+    ``max_hamming=h > 0``, a re-encoded frame whose dHash drifts up to
+    ``h`` bits still matches: the DISTINCT hash values are routed
+    through :func:`hamming_banded_pairs` (the pigeonhole core shared
+    with SimHash/image/audio — exact, never all-pairs), and
+    ``shared_frames`` counts the distinct matched ``(value_a,
+    value_b)`` frame-hash pairs between the two clips (which reduces
+    to the shared-distinct-value count at ``h=0``). The value-pair
+    table is bounded by real Hamming neighborhoods in fingerprint
+    space — corpus-size-independent — so the tolerant path keeps the
+    same inverted-index scale shape."""
+    from ..multimodal import DHASH_BITS, dhash_table, frame_sample
+
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0 (got {max_hamming})")
     frames = frame_sample(payload_df, every_k)
     fh = dhash_table(frames.select("id", "frame_no", "payload"),
                      extra_cols=("frame_no",))
@@ -1181,13 +1198,41 @@ def video_near_dup_pairs(
     hashes = persist_slot(hashes, "dedup.video_frame_hashes", eager=True)
     a = hashes.alias("a")
     b = hashes.alias("b")
+    if max_hamming == 0:
+        return (
+            a.join(b, on="dhash")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .groupBy(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+            )
+            .agg(F.count(F.lit(1)).alias("shared_frames"))
+            .filter(F.col("shared_frames") >= min_shared_frames)
+        )
+    # tolerant path: Hamming-match the DISTINCT hash VALUES first
+    # (pigeonhole-banded, exact), then expand to clip pairs
+    hv = hashes.select("dhash").distinct()
+    vp = hamming_banded_pairs(
+        hv.select(F.col("dhash").alias("id"), F.col("dhash").alias("_vh")),
+        hash_col="_vh", bits=DHASH_BITS, max_hamming=max_hamming,
+        num_blocks=num_blocks, slot="dedup.video_hash_values",
+    ).select("id_a", "id_b")
+    # symmetric closure + self edges: an A-side value matches a B-side
+    # value iff (va, vb) is an edge here
+    edges = (
+        vp.select(F.col("id_a").alias("va"), F.col("id_b").alias("vb"))
+        .union(vp.select(F.col("id_b").alias("va"),
+                         F.col("id_a").alias("vb")))
+        .union(hv.select(F.col("dhash").alias("va"),
+                         F.col("dhash").alias("vb")))
+    )
     return (
-        a.join(b, on="dhash")
+        a.join(edges, F.col("a.dhash") == F.col("va"))
+        .join(b, F.col("vb") == F.col("b.dhash"))
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
         )
-        .agg(F.count(F.lit(1)).alias("shared_frames"))
+        .agg(F.count_distinct("va", "vb").alias("shared_frames"))
         .filter(F.col("shared_frames") >= min_shared_frames)
     )
 

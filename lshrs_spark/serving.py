@@ -1040,6 +1040,57 @@ class BM25Server:
                 return {}
         return {d: len(ps) for d, ps in acc.items()}
 
+    def phrase_batch(self, phrases) -> list:
+        """Batch twin of :meth:`phrase` — ONE positions read per
+        DISTINCT term across the whole batch (query logs repeat phrase
+        terms just as they repeat bag terms), the phrase analogue of
+        :meth:`search_batch`'s shared postings read. Result ``i`` ==
+        ``phrase(phrases[i])``.
+
+        Trade-off vs the single-phrase path: :meth:`phrase` prunes
+        later terms' positions READS to the docs surviving the
+        intersection so far — that per-phrase pruning cannot be shared,
+        so the batch path reads each distinct term's full positions
+        once instead; intersection order (rarest-first by in-memory
+        posting length) still bounds every intermediate by the
+        smallest list."""
+        phrases = [list(p) for p in phrases]
+        if any(not p for p in phrases):
+            raise ValueError("phrase must contain at least one token")
+        if not phrases:
+            return []
+        if "positions" not in self._ds.schema.names:
+            raise ValueError(
+                "phrase queries need a positional layout — write the "
+                "index with bm25_index_write(store_positions=True)"
+            )
+        cache: dict = {}
+        for t in dict.fromkeys(t for p in phrases for t in p):
+            tbl = self._postings(t, columns=("id", "positions"))
+            ids = tbl.column("id").to_numpy(zero_copy_only=False)
+            plists = tbl.column("positions").to_pylist()
+            cache[t] = {int(d): set(ps) for d, ps in zip(ids, plists)}
+        out = []
+        for p in phrases:
+            order = sorted(range(len(p)),
+                           key=lambda i: (len(cache[p[i]]), i))
+            acc = None
+            for i in order:
+                cur = {d: {x - i for x in ps}
+                       for d, ps in cache[p[i]].items()}
+                if acc is None:
+                    acc = cur
+                else:
+                    acc = {
+                        d: acc[d] & cur[d]
+                        for d in acc.keys() & cur.keys()
+                        if acc[d] & cur[d]
+                    }
+                if not acc:
+                    break
+            out.append({d: len(ps) for d, ps in (acc or {}).items()})
+        return out
+
     def _term_contrib(self, term: str):
         """``(ids, contrib)`` — the term's posting doc ids and their
         Okapi BM25 contributions (idf from this term's df, tf/dl

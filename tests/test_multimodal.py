@@ -487,3 +487,38 @@ def test_video_payload_non_ascii_keeps_frame_boundaries(spark):
     _, _, px0 = decode_ppm(decode_video(rows[1])[0])
     flat = list(px0.reshape(-1))
     assert flat[:6] == [ord("h"), 32, ord("l"), ord("l"), ord("o"), 32]
+
+
+def test_video_near_dup_pairs_hamming_tolerant(spark):
+    """VERDICT r6 #5: max_hamming=h matches frames whose dHash drifted
+    <= h bits (routed through the shared pigeonhole banding core);
+    max_hamming=0 stays the exact-equality fast path."""
+    from lshrs_spark.operators.dedup import video_near_dup_pairs
+    from lshrs_spark.multimodal import with_video_payload
+
+    # clip 2's single frame differs from clip 1's in ONE luma gradient:
+    # byte 100 ('z' vs 'a') lifts pixel 33's luma, flipping exactly the
+    # (row 4, col 5 > col 6) comparison -> frame-hash Hamming distance 1
+    base = "a" * 168
+    drift = "a" * 100 + "z" + "a" * 67
+    docs = spark.createDataFrame(
+        [(1, base), (2, drift)], "doc_id long, text string"
+    )
+    vids = with_video_payload(docs, num_frames=1, width=7, height=8)
+
+    assert video_near_dup_pairs(vids).count() == 0          # exact: miss
+    got = video_near_dup_pairs(vids, max_hamming=2).collect()
+    assert [(r.id_a, r.id_b, r.shared_frames) for r in got] == [(1, 2, 1)]
+
+    # identical clips through the tolerant path: the self-edge (v, v)
+    # counts once — h=0 semantics preserved under h>0
+    twins = with_video_payload(
+        spark.createDataFrame([(1, base), (2, base)],
+                              "doc_id long, text string"),
+        num_frames=1, width=7, height=8,
+    )
+    got2 = video_near_dup_pairs(twins, max_hamming=2).collect()
+    assert [(r.id_a, r.id_b, r.shared_frames) for r in got2] == [(1, 2, 1)]
+
+    with pytest.raises(ValueError):
+        video_near_dup_pairs(vids, max_hamming=-1)

@@ -1265,3 +1265,47 @@ def test_ivf_server_serves_mips_via_augmentation(spark, tmp_path):
         dots = vecs @ q
         want = sorted(range(n), key=lambda i: (-dots[i], i))[:10]
         assert [i for i, _, _ in served] == want
+
+
+def test_bm25_phrase_batch_matches_singles_one_read_per_term(spark, tmp_path):
+    """VERDICT r6 #6: phrase_batch result i == phrase(phrases[i]), and
+    the batch pays ONE positions read per DISTINCT term across the
+    whole batch (counted by instrumenting _postings)."""
+    from lshrs_spark.functions.text import bm25_index_write
+    from lshrs_spark.serving import BM25Server
+
+    docs = spark.createDataFrame(
+        [
+            (1, "key scan key scan fast"),
+            (2, "scan key nothing here"),
+            (3, "a key scan a a a"),
+            (4, "key key key"),
+            (5, "fast scan a key"),
+        ],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "bm25_pos_batch")
+    bm25_index_write(docs, store, num_buckets=8, store_positions=True)
+    srv = BM25Server(store)
+
+    phrases = [
+        ["key", "scan"], ["key", "key"], ["a", "a"],
+        ["key", "scan"], ["nothing", "missing"], ["fast"],
+    ]
+    reads = []
+    orig = srv._postings
+    srv._postings = lambda *a, **kw: (reads.append(a[0]), orig(*a, **kw))[1]
+    got = srv.phrase_batch(phrases)
+    srv._postings = orig
+    # one read per DISTINCT term (6 here), not per occurrence (9)
+    distinct = {t for p in phrases for t in p}
+    assert sorted(reads) == sorted(distinct)
+    for res, p in zip(got, phrases):
+        assert res == srv.phrase(p), p
+    assert got[0] == {1: 2, 3: 1}
+    assert got[1] == {4: 2}
+    assert got[4] == {}
+
+    with pytest.raises(ValueError, match="at least one token"):
+        srv.phrase_batch([["key"], []])
+    assert srv.phrase_batch([]) == []
