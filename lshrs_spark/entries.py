@@ -392,6 +392,79 @@ def mips_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_at_k(approx, exact, 10)
 
 
+@register(
+    "mips_ivf_filtered",
+    f"""WITH wv AS (SELECT vec_id AS id, label,
+        list_transform(embedding::DOUBLE[], x -> x * {_MIPS_W_SQL}) AS v
+    FROM embeddings),
+mn AS (SELECT max(sqrt(list_dot_product(v, v))) AS m FROM wv),
+av AS (SELECT id, label,
+        list_append(v, sqrt(greatest(m * m - list_dot_product(v, v), 0.0)))
+          AS a
+       FROM wv CROSS JOIN mn),
+cent AS (SELECT id AS centroid_id, a AS cvec FROM av WHERE id < 16),
+assign AS (SELECT id, centroid_id FROM (
+    SELECT av.id, c.centroid_id,
+           row_number() OVER (PARTITION BY av.id
+               ORDER BY {cosine_sql("av.a", "c.cvec")} DESC,
+                        c.centroid_id ASC) AS r
+    FROM av CROSS JOIN cent c) WHERE r = 1),
+qv AS (SELECT vec_id AS qid, list_append(embedding::DOUBLE[], 0.0) AS qa
+       FROM embeddings WHERE vec_id = 0),
+probes AS (SELECT qid, centroid_id FROM (
+    SELECT qv.qid, c.centroid_id,
+           row_number() OVER (PARTITION BY qv.qid
+               ORDER BY {cosine_sql("qv.qa", "c.cvec")} DESC,
+                        c.centroid_id ASC) AS r
+    FROM cent c CROSS JOIN qv) WHERE r <= 4),
+cand AS (SELECT p.qid, a.id FROM probes p JOIN assign a USING (centroid_id)
+         JOIN av ON av.id = a.id WHERE av.label % 4 = 1)
+SELECT id, round(cos, 5) AS score, rank FROM (
+    SELECT cand.id, {cosine_sql("av.a", "qv.qa")} AS cos,
+           row_number() OVER (
+               ORDER BY {cosine_sql("av.a", "qv.qa")} DESC,
+                        cand.id ASC) AS rank
+    FROM cand JOIN av ON av.id = cand.id
+              JOIN qv ON qv.qid = cand.qid) WHERE rank <= 10""",
+)
+def mips_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED MIPS — maximum-inner-product top-k under a metadata
+    predicate (``label % 4 = 1``), the "recommend among eligible items
+    only" shape: the norm-augmentation reduction
+    (`operators.knn.mips_augment`, M from the FULL corpus so the
+    reduction stays rank-exact) composed with the same pre-filtered
+    IVF probe as `ann_ivf_filtered` — eligibility filters the
+    candidate side before assignment-ranking, centroids stay trained
+    on the full corpus, and the predicate composes with centroid
+    partition pruning on a stored layout (two independent prunings).
+    Completes the filtered matrix: every cosine tier AND the MIPS
+    reduction answer WHERE-constrained queries. Oracle replays the
+    full reduction + probe + filter in SQL."""
+    from .operators.knn import (
+        ivf_centroids_by_id,
+        ivf_topk,
+        mips_augment,
+        mips_augment_query,
+    )
+
+    emb = _emb(spark, sf_dir)
+    weighted = emb.withColumn("wvec", _mips_weighted_col())
+    aug = mips_augment(weighted, vector_col="wvec", out_col="avec")
+    cents = ivf_centroids_by_id(aug, 16, vector_col="avec")
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    eligible = aug.filter(F.col("label") % 4 == 1)
+    out = ivf_topk(
+        eligible, cents, mips_augment_query(queries), k=10, nprobe=4,
+        vector_col="avec",
+    )
+    return out.select(
+        "id", F.round("score", 5).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # M1: delete = left-anti join rewrite of the index
 # --------------------------------------------------------------------- #
@@ -3893,6 +3966,52 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BATCH_PHRASES: list[list[str]] = [
+    ["key", "scan"], ["table", "scan"], ["vector"],
+    ["query", "filter", "sort"], ["key", "key"],
+]
+
+
+def _phrase_batch_sql(phrases: list[list[str]]) -> str:
+    """Oracle for the batch phrase plan: per phrase, the same
+    token-boundary rescan as the single-phrase oracle, unioned with
+    the phrase id."""
+    parts = []
+    for pid, ph in enumerate(phrases):
+        cond = " AND ".join(
+            f"toks[i+{j}] = '{t}'" for j, t in enumerate(ph)
+        )
+        parts.append(
+            f"""SELECT {pid}::INT AS phrase_id, doc_id AS id,
+  len(list_filter(generate_series(1, len(toks) - {len(ph) - 1}),
+      i -> {cond}))::BIGINT AS n_matches FROM tok"""
+        )
+    u = " UNION ALL ".join(parts)
+    return f"""WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT phrase_id, id, n_matches FROM ({u}) WHERE n_matches > 0"""
+
+
+@register("text_phrase_batch", _phrase_batch_sql(_BATCH_PHRASES))
+def text_phrase_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A BATCH of exact phrase queries answered in ONE Spark plan
+    (:func:`~lshrs_spark.functions.text.phrase_search_batch`): the
+    phrase terms broadcast as a tiny ``(phrase_id, i, tok)`` table,
+    the postings scan runs ONCE for all phrases (reading only tokens
+    some phrase mentions), and a document position matches a phrase
+    iff all its term slots agree there. The per-phrase loop the
+    single-phrase API implies would rescan the postings N times — at
+    100 TB the shared scan is the batch win, the DataFrame twin of
+    ``BM25Server.phrase_batch``'s shared positions read. Oracle:
+    per-phrase token-boundary rescan, unioned."""
+    from .functions.text import phrase_search_batch, token_postings
+
+    postings = token_postings(_docs(spark, sf_dir))
+    return phrase_search_batch(postings, _BATCH_PHRASES).select(
+        "phrase_id", "id", F.col("n_matches").cast("long").alias("n_matches")
+    )
+
+
 _KM_DIMS = "(SELECT unnest(generate_series(1, 64)) AS d)"
 
 
@@ -6904,6 +7023,10 @@ FAMILY: dict[str, str] = {
     # exact inner-product baseline: subsumed as the exact leg of the
     # promoted mips_ivf_recall gauge (VERDICT r6 #3)
     "mips_topk": "mips_ivf_recall",
+    # WHERE-constrained MIPS (new round-7): the filtered twin of the
+    # in-window augmented-IVF gauge, eligibility pre-filtering the
+    # same probe
+    "mips_ivf_filtered": "mips_ivf_recall",
     # simjoin / dedup twins and gauges
     "simjoin_exact": "simjoin_lsh",
     "dedup_minhash_sigs": "dedup_minhash_recall",
@@ -6937,6 +7060,9 @@ FAMILY: dict[str, str] = {
     # scoring twin of the promoted positional phrase representative
     # (and stays exercised via the in-window hybrid-RRF fusion)
     "text_bm25_topk": "text_phrase_search",
+    # batch twin of the in-window single-phrase rep (new round-7):
+    # same positional intersection, N phrases sharing one postings scan
+    "text_phrase_batch": "text_phrase_search",
     # demoted round-6 (r5 driver row on file): banded-embedding
     # self-dedup is the symmetric twin of the promoted cross-corpus
     # semantic decontamination representative

@@ -568,6 +568,53 @@ def phrase_search(
     return cur.groupBy("id").agg(F.count(F.lit(1)).alias("n_matches"))
 
 
+def phrase_search_batch(
+    postings: "DataFrame", phrases: "Sequence[Sequence[str]]"
+) -> "DataFrame":
+    """``(phrase_id, id, n_matches)`` — a BATCH of exact consecutive
+    phrases answered in ONE Spark plan sharing a single postings scan
+    (the DataFrame twin of
+    :meth:`~lshrs_spark.serving.BM25Server.phrase_batch`): the phrase
+    terms become a tiny broadcast table ``(phrase_id, i, tok)``, the
+    postings join it once on ``tok`` (so the corpus-side scan reads
+    only tokens some phrase mentions — once, not once per phrase),
+    each hit shifts to its base position ``pos - i``, and a document
+    position matches phrase ``p`` iff all ``len(p)`` term slots agree
+    there. Per-phrase looping would rescan the postings N times; at
+    100 TB the scan is the cost, so sharing it IS the batch win.
+    Result rows satisfy
+    ``phrase_search(postings, phrases[pid])`` row-for-row."""
+    phrases = [list(p) for p in phrases]
+    if any(not p for p in phrases):
+        raise ValueError("phrase must contain at least one token")
+    spark = postings.sparkSession
+    if not phrases:
+        return spark.createDataFrame(
+            [], "phrase_id int, id long, n_matches long"
+        )
+    terms = spark.createDataFrame(
+        [(pid, i, tok) for pid, ph in enumerate(phrases)
+         for i, tok in enumerate(ph)],
+        "phrase_id int, i int, tok string",
+    )
+    lens = spark.createDataFrame(
+        [(pid, len(ph)) for pid, ph in enumerate(phrases)],
+        "phrase_id int, plen long",
+    )
+    hits = postings.join(F.broadcast(terms), "tok").select(
+        "phrase_id", "i", "id", (F.col("pos") - F.col("i")).alias("p")
+    )
+    per_pos = hits.groupBy("phrase_id", "id", "p").agg(
+        F.count_distinct("i").alias("k")
+    )
+    return (
+        per_pos.join(F.broadcast(lens), "phrase_id")
+        .filter(F.col("k") == F.col("plen"))
+        .groupBy("phrase_id", "id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
 def h48_py(s: str) -> int:
     """Driver-side python twin of :func:`h48` (shared with the Python
     Data Source generator) — lets no-Spark-job consumers (e.g.
