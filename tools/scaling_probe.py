@@ -97,7 +97,11 @@ def shuffle_main(args) -> None:
     import time as _time
 
     from lshrs_spark.cache import release_slots
-    from lshrs_spark.functions.text import bm25_index_write
+    from lshrs_spark.functions.text import (
+        bm25_index_write,
+        phrase_search_batch,
+        token_postings,
+    )
     from lshrs_spark.multimodal import (
         with_ppm_payload,
         with_video_payload,
@@ -214,6 +218,24 @@ def shuffle_main(args) -> None:
                 with_video_payload(imgdocs, num_frames=3, width=7, height=8),
                 min_shared_frames=1, max_hash_freq=50,
             ).count(),
+            # r7: Hamming-tolerant video matching — the value-pair
+            # banding layer on top of the exact frame join
+            "dedup_video_hamming": lambda: video_near_dup_pairs(
+                with_video_payload(imgdocs, num_frames=3, width=7, height=8),
+                min_shared_frames=1, max_hash_freq=50, max_hamming=2,
+            ).count(),
+            # r7: corpus-scale probe with multiprobe keys emitted in
+            # the signature UDF — (1+T)*bands probe rows per query
+            # through the shuffle-capable candidates join
+            "topk_batch100_multiprobe": lambda: _mp_batch(emb),
+            # r7: N phrases sharing ONE postings scan (per-copy letter
+            # scrambles keep output constant; the slope reads the
+            # shared-scan + join scaling)
+            "text_phrase_batch": lambda: phrase_search_batch(
+                token_postings(docs),
+                [["key", "scan"], ["table", "scan"], ["vector"],
+                 ["query", "filter", "sort"]],
+            ).count(),
             "bm25_index_build": lambda: _bm25_build(docs),
             # r6 MIPS line: de-normalize + norm-augment + IVF probe
             # (fixed 16 centroids / nprobe 4, matching bench.py — at
@@ -243,6 +265,20 @@ def shuffle_main(args) -> None:
             return ivf_topk(
                 aug, cents, q, k=10, nprobe=4, vector_col="avec"
             ).count()
+
+        def _mp_batch(e):
+            from lshrs_spark.operators.probe import candidates
+            from lshrs_spark.operators.probe import top_k as _topk
+
+            idx = build_index(e, sj_cfg, "vec_id", "embedding")
+            q = e.filter(F.col("vec_id") < 100).select(
+                F.col("vec_id").alias("qid"),
+                F.col("embedding").alias("qvec"),
+            )
+            qs = build_index(
+                q, sj_cfg, "qid", "qvec", multiprobe=2
+            ).withColumnRenamed("id", "qid")
+            return _topk(candidates(idx, qs), 10).count()
 
         bm25_dir = tempfile.mkdtemp(prefix="lshrs_scaling_bm25_")
 
