@@ -123,6 +123,16 @@ def main() -> None:
 
     results["topk_batch100"], _ = timed(run_topk, "topk_batch100")
 
+    # 2b. Same batch with multiprobe=2 (r7): perturbation keys emitted
+    # inside the signature Arrow UDF — 3x the probe rows, measuring the
+    # recall knob's cost on the corpus-scale path.
+    qsigs_mp = build_index(qdf, CFG, "qid", "qvec",
+                           multiprobe=2).withColumnRenamed("id", "qid")
+    results["topk_batch100_mp2"], _ = timed(
+        lambda: top_k(candidates(idx, qsigs_mp), 10).count(),
+        "topk_batch100_mp2",
+    )
+
     # 3. Rerank + top-p for the same 100 queries (Q5-Q8).
     def run_topp():
         cands = candidates(idx, qsigs)

@@ -489,19 +489,26 @@ def with_video_payload(
     # The frame prefix declares a FIXED byte length, but utf-8 encodes
     # non-ASCII chars multi-byte — one such char would desync every later
     # VID0 frame boundary. Clamp to the 1-byte range first, exactly as
-    # with_wav_payload does for its PCM body (ADVICE r6).
-    padded = F.regexp_replace(
-        F.rpad(F.col(text_col), n * num_frames, " "), "[^\x00-\x7F]", " "
+    # with_wav_payload does for its PCM body (ADVICE r6). Staged through
+    # its own projection so the regexp evaluates ONCE per row — inlined
+    # into the per-frame substrings, CollapseProject would have run it
+    # num_frames times (plan-counted).
+    staged = df.withColumn(
+        "_vp_padded",
+        F.regexp_replace(
+            F.rpad(F.col(text_col), n * num_frames, " "),
+            "[^\x00-\x7F]", " ",
+        ),
     )
     frames = [
         F.concat(
             F.lit(struct.pack("<I", frame_len)),
             header,
-            F.encode(F.substring(padded, f * n + 1, n), "utf-8"),
+            F.encode(F.substring(F.col("_vp_padded"), f * n + 1, n), "utf-8"),
         )
         for f in range(num_frames)
     ]
-    return df.select(
+    return staged.select(
         F.col(id_col).cast("long").alias("id"),
         F.concat(
             F.lit(VIDEO_MAGIC + struct.pack("<I", num_frames)), *frames

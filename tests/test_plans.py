@@ -830,3 +830,18 @@ def test_phrase_search_batch_one_scan_matches_singles(spark):
     with pytest.raises(ValueError, match="at least one token"):
         phrase_search_batch(postings, [["key"], []])
     assert phrase_search_batch(postings, []).count() == 0
+
+
+def test_video_payload_clamp_evaluates_once(spark):
+    """The non-ASCII clamp in with_video_payload must run ONCE per row:
+    inlined into the per-frame substrings it would run num_frames times
+    (measured ~6x the cost at 3 frames on the bench corpus)."""
+    from lshrs_spark.multimodal import with_video_payload
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = with_video_payload(
+        docs, num_frames=3, width=7, height=8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("regexp_replace") == 1, plan
