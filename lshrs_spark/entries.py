@@ -5287,6 +5287,33 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_editdist",
+    """WITH s AS (SELECT doc_id AS id, substr(text, 1, 40) AS s FROM documents)
+SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.s, b.s)::BIGINT AS dist
+FROM s a JOIN s b ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 2
+WHERE levenshtein(a.s, b.s) <= 2""",
+)
+def dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDIT-DISTANCE near-dup pairs (Levenshtein <= 2 on the 40-char
+    document prefix — the fuzzy-title/OCR-noise dedup shape) via
+    PassJoin-style pigeonhole segment banding
+    (:func:`~lshrs_spark.operators.dedup.editdist_pairs`): k+1
+    segments per string, an equi-join on ``(length, segment_index,
+    segment_string)`` with position-window substrings on the longer
+    side, one built-in ``levenshtein`` verification per candidate —
+    the all-pairs O(n^2 * len^2) scan the oracle runs never
+    materializes on the Spark side, yet the banding is EXACT (proven
+    by brute-force differential over random strings incl. empties,
+    ``tests/test_dedup.py``). The oracle brute-forces the full pair
+    space with DuckDB's ``levenshtein``."""
+    from .operators.dedup import editdist_pairs
+
+    return editdist_pairs(
+        _docs(spark, sf_dir), max_dist=2, prefix_len=40
+    ).select("id_a", "id_b", "dist")
+
+
+@register(
     "dedup_chunk_overlap",
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 n AS (SELECT doc_id, t, len(t) AS n FROM tok),
@@ -7045,6 +7072,10 @@ FAMILY: dict[str, str] = {
     # demoted round-6 (r5 driver row on file): rolling-span twin of the
     # promoted chunk-window representative
     "dedup_substring": "dedup_chunk_overlap",
+    # fuzzy-string member of the dedup battery (new round-7): PassJoin
+    # segment banding + exact levenshtein verify — candidate-generation
+    # + verification family, repped by the in-window similarity join
+    "dedup_editdist": "simjoin_lsh",
     # demoted round-5 (driver rows r4 on file): the corpus-diff rep
     # hands the promotion-gate family slot to the per-rule attrition
     # funnel (never driver-checked before)

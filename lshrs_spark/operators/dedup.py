@@ -57,6 +57,7 @@ __all__ = [
     "line_dedup",
     "soft_dedup_weights",
     "semantic_dedup",
+    "editdist_pairs",
 ]
 
 # Mersenne prime 2^31-1: universal-hash modulus small enough that
@@ -1070,6 +1071,130 @@ def semantic_dedup(
             F.col("max_sim_lower").isNull()
             | (F.col("max_sim_lower") < threshold)
         ).alias("keep"),
+    )
+
+
+def editdist_pairs(
+    df: DataFrame,
+    max_dist: int = 2,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: Optional[int] = None,
+    max_bucket_size: Optional[int] = None,
+) -> DataFrame:
+    """EXACT string near-dup pairs ``(id_a < id_b, dist)`` within
+    Levenshtein edit distance ``max_dist`` — the fuzzy-string member of
+    the dedup battery (OCR noise, near-dup titles, typo'd boilerplate),
+    found by PIGEONHOLE SEGMENT BANDING (the PassJoin family, public
+    algorithm — Li et al., VLDB 2011) instead of an all-pairs
+    ``levenshtein`` scan:
+
+    * every string is split into ``k+1`` contiguous segments (even
+      split, longer segments first — the same divmod scheme as
+      :func:`simhash_blocks` on characters); if two strings are within
+      edit distance ``k``, at least one segment of the shorter appears
+      EXACTLY in the longer, at a start position shifted by at most
+      ``k`` (each edit moves an alignment by at most one);
+    * side A emits each string's own ``k+1`` segments keyed by
+      ``(len, seg_idx, seg_str)``; side B emits, per candidate shorter
+      length ``len-k..len`` and segment index, the longer string's
+      substrings at the scheme's position ± ``k`` — a fan-out bounded
+      by ``(k+1)^2 * (2k+1)`` rows per string, independent of corpus
+      size;
+    * the equi-join key is ``(l1, seg_idx, segment-string)`` — never a
+      document pair — and survivors verify with ONE built-in
+      ``levenshtein`` call per candidate, so the pair space stays
+      output-bound (the quadratic scan never materializes).
+
+    ``prefix_len`` compares only the first N chars (titles/headers —
+    also bounds the verify cost, levenshtein is O(n*m) per pair).
+    ``max_bucket_size`` drops degenerate segment buckets (a hot
+    boilerplate prefix shared by > cap strings) — a documented recall
+    tradeoff; ``None`` stays exact. ``max_dist=0`` degenerates to an
+    exact-equality self-join."""
+    k = int(max_dist)
+    if k < 0:
+        raise ValueError(f"max_dist must be >= 0 (got {k})")
+    kk = k + 1
+    col = (
+        F.substring(F.col(text_col), 1, prefix_len)
+        if prefix_len is not None else F.col(text_col)
+    )
+    s = df.select(
+        F.col(id_col).cast("long").alias("id"), col.alias("s")
+    ).withColumn("l", F.length("s"))
+    # feeds segment generation (twice) + verification: one computation
+    s = persist_slot(s, "dedup.editdist_strings", eager=True)
+
+    def _seg(l1, i):
+        base = F.floor(l1 / kk).cast("int")
+        rem = (l1 % kk).cast("int")
+        seg_len = base + F.when(i < rem, 1).otherwise(0)
+        seg_start = i * base + F.least(i, rem)
+        return seg_start, seg_len
+
+    a_rows = s.select(
+        F.col("id").alias("sid"), F.col("l").alias("l1"), "s",
+        F.explode(F.sequence(F.lit(0), F.lit(k))).alias("i"),
+    )
+    sa_start, sa_len = _seg(F.col("l1"), F.col("i"))
+    A = a_rows.select(
+        "sid", "l1", "i",
+        F.col("s").substr(sa_start + 1, sa_len).alias("seg"),
+    )
+    if max_bucket_size is not None:
+        cap = (
+            A.groupBy("l1", "i", "seg")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+        A = A.join(cap, ["l1", "i", "seg"])
+    b_rows = (
+        s.select(
+            F.col("id").alias("tid"), F.col("l").alias("l2"),
+            F.col("s").alias("t"),
+            F.explode(F.sequence(F.lit(0), F.lit(k))).alias("dl"),
+        )
+        .withColumn("l1", F.col("l2") - F.col("dl"))
+        .filter(F.col("l1") >= 0)
+        .select(
+            "tid", "l2", "t", "l1",
+            F.explode(F.sequence(F.lit(0), F.lit(k))).alias("i"),
+        )
+        .select(
+            "tid", "l2", "t", "l1", "i",
+            F.explode(F.sequence(F.lit(-k), F.lit(k))).alias("sh"),
+        )
+    )
+    sb_start0, sb_len = _seg(F.col("l1"), F.col("i"))
+    sb_start = sb_start0 + F.col("sh")
+    B = b_rows.filter(
+        (sb_start >= 0) & (sb_start + sb_len <= F.col("l2"))
+    ).select(
+        "tid", "l1", "i",
+        F.col("t").substr(sb_start + 1, sb_len).alias("seg"),
+    )
+    cand = (
+        A.join(B, ["l1", "i", "seg"])
+        .filter(F.col("sid") != F.col("tid"))
+        .select("sid", "tid")
+        .distinct()
+    )
+    sa = s.select(F.col("id").alias("sid"), F.col("s").alias("sa"))
+    sb = s.select(F.col("id").alias("tid"), F.col("s").alias("sb"))
+    return (
+        cand.join(sa, "sid")
+        .join(sb, "tid")
+        .withColumn("dist", F.levenshtein("sa", "sb").cast("long"))
+        .filter(F.col("dist") <= k)
+        .select(
+            F.least("sid", "tid").alias("id_a"),
+            F.greatest("sid", "tid").alias("id_b"),
+            "dist",
+        )
+        .distinct()
     )
 
 

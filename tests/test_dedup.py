@@ -508,3 +508,73 @@ def test_hamming_banded_pairs_block_size_cap(spark):
     )
     got = {(r.id_a, r.id_b) for r in capped.collect()}
     assert got == {(100, 101)}                  # hot bucket dropped whole
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_editdist_pairs_exact_vs_brute_force(spark):
+    """PassJoin-style segment banding must be EXACT: for k=0..2 the
+    banded pair set equals the brute-forced Levenshtein pair set over
+    random short strings (incl. empty and sub-segment-length ones)."""
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, "".join(rng.choice("abc") for _ in range(rng.randint(0, 10))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (0, 1, 2):
+        got = {(r.id_a, r.id_b, r.dist)
+               for r in D.editdist_pairs(df, max_dist=k).collect()}
+        want = {
+            (min(i, j), max(i, j), _lev(a, b))
+            for (i, a), (j, b) in itertools.combinations(rows, 2)
+            if _lev(a, b) <= k
+        }
+        assert got == want, k
+    with pytest.raises(ValueError):
+        D.editdist_pairs(df, max_dist=-1)
+
+
+def test_editdist_pairs_plan_and_knobs(spark):
+    """The candidate join must be an equi-join on segment keys (never a
+    cartesian / all-pairs levenshtein); prefix_len bounds the compared
+    text; max_bucket_size drops a hot segment bucket (documented recall
+    tradeoff)."""
+    from lshrs_spark.plans.inspect import physical_plan
+
+    rows = [(1, "prefix-alpha tail one"), (2, "prefix-alphb tail two"),
+            (3, "other text")] + [(10 + i, "same boilerplate")
+                                  for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.editdist_pairs(df, max_dist=1, prefix_len=12)
+    plan = physical_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r.id_a, r.id_b): r.dist for r in out.collect()}
+    assert got[(1, 2)] == 1                   # differs at char 12 only
+    assert (1, 3) not in got
+    # the six identical boilerplate docs pair exactly
+    assert sum(1 for (a, b) in got if a >= 10 and b >= 10) == 15
+    # capping the bucket kills the boilerplate cluster, keeps the rest
+    capped = {
+        (r.id_a, r.id_b)
+        for r in D.editdist_pairs(
+            df, max_dist=1, prefix_len=12, max_bucket_size=3
+        ).collect()
+    }
+    assert (1, 2) in capped
+    assert not any(a >= 10 for a, _ in capped)
