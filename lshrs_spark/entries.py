@@ -6838,6 +6838,59 @@ def _pr_iter(prev: str, out: str) -> str:
 
 
 @register(
+    "graph_triangles",
+    f"""WITH {_JACCARD_CTES},
+e AS (SELECT id_a AS a, id_b AS b FROM jpairs WHERE jaccard >= 0.5),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+tn AS (SELECT id, count(*)::BIGINT AS triangles FROM (
+    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri) GROUP BY id),
+dg AS (SELECT id, count(*)::BIGINT AS degree FROM (
+    SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id)
+SELECT d.doc_id AS id, coalesce(dg.degree, 0)::BIGINT AS degree,
+       coalesce(tn.triangles, 0)::BIGINT AS triangles
+FROM documents d LEFT JOIN dg ON dg.id = d.doc_id
+LEFT JOIN tn ON tn.id = d.doc_id""",
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle counts over the Jaccard>=0.5 near-dup
+    graph (:func:`~lshrs_spark.operators.graph.triangle_counts`) next
+    to degree — the clique-ness diagnostic of a dedup pass: a true
+    duplicate cluster is near-complete (triangles abound), a chain of
+    weak links that connected-components would over-merge has none.
+    Spark side orients edges by (degree, id) so wedge generation is
+    bounded by squared OUT-degrees — O(m^1.5) on any graph, hub-safe;
+    the oracle's id-ordered triple join reproduces the identical,
+    orientation-invariant triangle set."""
+    from .operators.graph import (
+        degree_table,
+        symmetric_edges,
+        triangle_counts,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, 0.5, n=3)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("id"))
+    tri = triangle_counts(pairs)
+    deg = degree_table(symmetric_edges(pairs))
+    return (
+        nodes.join(deg, "id", "left")
+        .join(tri, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("degree"), F.lit(0)).cast("long").alias(
+                "degree"
+            ),
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias(
+                "triangles"
+            ),
+        )
+    )
+
+
+@register(
     "graph_pagerank",
     f"""WITH {_JACCARD_CTES},
 edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs WHERE jaccard >= 0.5
@@ -6996,6 +7049,9 @@ FAMILY: dict[str, str] = {
     "dedup_video_hamming": "dedup_video_frames",
     "dedup_soft_weight": "dedup_groups",
     "rel_recursive_reach": "dedup_groups",  # SQL-surface twin of CC
+    # clique-ness diagnostic over the same near-dup pair graph the
+    # in-window centrality rep drives (new round-7)
+    "graph_triangles": "graph_pagerank",
     # demoted round-5: per-stratum exact sampling is covered by the new
     # deterministic-sampling/export representative (r3 driver row on file)
     "pipeline_stratified_sample": "pipeline_weighted_sample",

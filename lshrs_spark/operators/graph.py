@@ -24,7 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["symmetric_edges", "degree_table", "pagerank"]
+__all__ = ["symmetric_edges", "degree_table", "pagerank",
+           "triangle_counts"]
 
 
 def symmetric_edges(pairs: DataFrame) -> DataFrame:
@@ -121,3 +122,66 @@ def pagerank(
         ) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_counts(pairs: DataFrame) -> DataFrame:
+    """``(id, triangles)`` — per-node triangle participation counts over
+    the undirected pair graph: the clique-ness diagnostic of a dedup
+    pass. A TRUE duplicate cluster is (near-)complete — every copy pairs
+    with every other, so triangles abound; a chain of weak links
+    (A~B~C without A~C, the transitive-closure trap that makes
+    ``connected_components`` over-merge) has none. Triangles per node
+    next to degree separates the two before a keep-one-per-cluster
+    decision collapses them.
+
+    Scale shape — the standard degree-ordered orientation (node
+    iterator bound, public algorithm): each undirected edge is oriented
+    from its LOWER-(degree, id) endpoint to the higher, turning the
+    graph into a DAG whose every triangle {u < v < w} appears exactly
+    once as the wedge ``u->v, u->w`` closed by ``v->w``. Wedge
+    generation is then bounded by the sum of squared OUT-degrees —
+    O(m^1.5) total on any graph, versus the unbounded hub wedges of a
+    naive formulation (one boilerplate hub of degree d otherwise
+    contributes d^2 join rows). Three equi-joins on node ids, no
+    cartesian anywhere; the triangle SET is orientation-invariant, so
+    any total order (an id-ordered SQL oracle included) reproduces it
+    exactly."""
+    und = symmetric_edges(pairs)
+    deg = degree_table(und)
+    # total order: (degree, id) packed for a single-column comparison
+    keyed = und.join(
+        deg.select(F.col("id").alias("src"), F.col("degree").alias("dsrc")),
+        "src",
+    ).join(
+        deg.select(F.col("id").alias("dst"), F.col("degree").alias("ddst")),
+        "dst",
+    )
+    oriented = keyed.filter(
+        (F.col("dsrc") < F.col("ddst"))
+        | ((F.col("dsrc") == F.col("ddst")) & (F.col("src") < F.col("dst")))
+    ).select(
+        "src", "dst",
+        F.col("ddst").alias("ddst"),
+    )
+    e1 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"),
+        F.col("ddst").alias("dv"),
+    )
+    e2 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"),
+        F.col("ddst").alias("dw"),
+    )
+    # wedges at u over its out-neighbors, ordered v < w in (deg, id)
+    wedges = e1.join(e2, "u").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+    return (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )

@@ -128,3 +128,35 @@ def test_pagerank_checkpoint_bounds_lineage_and_matches(spark):
     assert len(re.findall(r"(?m)^[\s:+-]*Join ", plan)) <= 16
     got = {r.id: r.rank for r in deep.collect()}
     assert sum(got.values()) == pytest.approx(4.0)
+
+
+def test_triangle_counts_exact_vs_brute_force(spark):
+    """Degree-ordered orientation must reproduce the exact triangle
+    set: per-node counts equal an all-triples brute force on a random
+    graph (incl. hubs, isolated nodes, ties in degree)."""
+    import itertools
+    import random
+
+    from lshrs_spark.operators.graph import triangle_counts
+
+    rng = random.Random(13)
+    n = 30
+    edges = sorted({(min(a, b), max(a, b))
+                    for a, b in (rng.sample(range(n), 2)
+                                 for _ in range(140))})
+    # add a hub touching everyone: the degree-ordering must keep its
+    # wedge fan-out bounded without changing the result
+    edges = sorted(set(edges) | {(i, n) for i in range(n)})
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.triangles for r in triangle_counts(df).collect()}
+    es = set(edges)
+    want: dict = {}
+    for u, v, w in itertools.combinations(range(n + 1), 3):
+        if (u, v) in es and (u, w) in es and (v, w) in es:
+            for x in (u, v, w):
+                want[x] = want.get(x, 0) + 1
+    assert got == want
+    # triangle-free graph: empty result
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)],
+                                 "id_a long, id_b long")
+    assert triangle_counts(path).count() == 0
