@@ -58,6 +58,7 @@ __all__ = [
     "soft_dedup_weights",
     "semantic_dedup",
     "editdist_pairs",
+    "sorted_neighborhood_pairs",
 ]
 
 # Mersenne prime 2^31-1: universal-hash modulus small enough that
@@ -1196,6 +1197,79 @@ def editdist_pairs(
         )
         .distinct()
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col,
+    *,
+    window: int = 3,
+    id_col: str = "doc_id",
+    text_col: Optional[str] = None,
+    max_dist: Optional[int] = None,
+    prefix_len: Optional[int] = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (classic entity-resolution method,
+    Hernández & Stolfo 1995): sort the corpus by a blocking key and
+    compare only records within ``window`` positions of each other —
+    candidates are O(n * window), never quadratic, and a well-chosen
+    key (a normalized prefix, a phonetic code) puts near-duplicates
+    adjacent. Complements the banding methods: where MinHash/PassJoin
+    guarantee recall for a specific similarity, SNM is the cheap
+    generic pass whose recall rides the key design.
+
+    ``key_col`` is a column name or Column expression. With
+    ``text_col`` and ``max_dist`` set, candidates verify with one
+    built-in ``levenshtein`` per pair (on the ``prefix_len``-char
+    prefix when given) and the output gains a ``dist`` column;
+    otherwise the raw neighborhood pairs come back unverified.
+
+    Scale shape: the global sort rank comes from the two-stage
+    distributed scan (:func:`~lshrs_spark.operators.prefix.
+    running_total` — range partition + per-partition window + driver
+    offsets; NO single-partition window anywhere), and the
+    neighborhood join is an equi-join on ``rank + d`` for ``d in
+    1..window`` — ``window`` narrow join rows per record. Ties in the
+    key order deterministically by id, so results are reproducible
+    and an external SQL engine replays them exactly."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1 (got {window})")
+    if (max_dist is None) != (text_col is None):
+        raise ValueError("max_dist and text_col must be set together")
+    from .prefix import running_total
+
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    cols = [F.col(id_col).cast("long").alias("id"), key.alias("_k")]
+    if text_col is not None:
+        txt = (
+            F.substring(F.col(text_col), 1, prefix_len)
+            if prefix_len is not None else F.col(text_col)
+        )
+        cols.append(txt.alias("_t"))
+    s = df.select(*cols).withColumn("_one", F.lit(1)).withColumn(
+        "_ord", F.struct(F.col("_k"), F.col("id"))
+    )
+    ranked = running_total(s, "_ord", "_one", out_col="rank")
+    lcols = [
+        F.col("id").alias("id_l"),
+        (F.col("rank") + F.col("d")).alias("rk"),
+    ] + ([F.col("_t").alias("t_l")] if text_col is not None else [])
+    left = ranked.withColumn(
+        "d", F.explode(F.sequence(F.lit(1), F.lit(window)))
+    ).select(*lcols)
+    rcols = [F.col("id").alias("id_r"), F.col("rank").alias("rk")] + (
+        [F.col("_t").alias("t_r")] if text_col is not None else []
+    )
+    right = ranked.select(*rcols)
+    pairs = left.join(right, "rk").select(
+        F.least("id_l", "id_r").alias("id_a"),
+        F.greatest("id_l", "id_r").alias("id_b"),
+        *([F.levenshtein("t_l", "t_r").cast("long").alias("dist")]
+          if text_col is not None else []),
+    )
+    if max_dist is not None:
+        pairs = pairs.filter(F.col("dist") <= max_dist)
+    return pairs.distinct()
 
 
 def _band_key_rows(tbl, hash_col, blocks, *, keep=(), out_cols):

@@ -578,3 +578,41 @@ def test_editdist_pairs_plan_and_knobs(spark):
     }
     assert (1, 2) in capped
     assert not any(a >= 10 for a, _ in capped)
+
+
+def test_sorted_neighborhood_pairs_matches_reference(spark):
+    """SNM: the distributed two-stage rank + window-join pipeline must
+    equal a driver-side sort + sliding window, both raw and with the
+    levenshtein verification; knob validation raises."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, "".join(rng.choice("abcd") for _ in range(6)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    order = sorted(rows, key=lambda r: (r[1][:3], r[0]))
+    want = set()
+    for i in range(len(order)):
+        for d in (1, 2):
+            if i + d < len(order):
+                a, b = order[i][0], order[i + d][0]
+                want.add((min(a, b), max(a, b)))
+    got = {(r.id_a, r.id_b)
+           for r in D.sorted_neighborhood_pairs(
+               df, F.substring("text", 1, 3), window=2).collect()}
+    assert got == want
+
+    texts = dict(rows)
+    wantv = {(a, b, _lev(texts[a], texts[b])) for a, b in want
+             if _lev(texts[a], texts[b]) <= 2}
+    gotv = {(r.id_a, r.id_b, r.dist)
+            for r in D.sorted_neighborhood_pairs(
+                df, F.substring("text", 1, 3), window=2,
+                text_col="text", max_dist=2).collect()}
+    assert gotv == wantv
+
+    with pytest.raises(ValueError, match="window"):
+        D.sorted_neighborhood_pairs(df, "text", window=0)
+    with pytest.raises(ValueError, match="together"):
+        D.sorted_neighborhood_pairs(df, "text", max_dist=2)

@@ -109,6 +109,7 @@ def shuffle_main(args) -> None:
     )
     from lshrs_spark.operators.dedup import (
         audio_fingerprint_pairs,
+        editdist_pairs,
         image_dhash_pairs,
         minhash_band_pairs,
         video_near_dup_pairs,
@@ -235,6 +236,12 @@ def shuffle_main(args) -> None:
                 token_postings(docs),
                 [["key", "scan"], ["table", "scan"], ["vector"],
                  ["query", "filter", "sort"]],
+            ).count(),
+            # r7: PassJoin segment banding — candidate generation is an
+            # equi-join on (length, seg_idx, segment); per-copy letter
+            # scrambles preserve within-copy edit structure bijectively
+            "dedup_editdist": lambda: editdist_pairs(
+                docs, max_dist=2, prefix_len=40
             ).count(),
             "bm25_index_build": lambda: _bm25_build(docs),
             # r6 MIPS line: de-normalize + norm-augment + IVF probe
