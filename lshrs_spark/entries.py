@@ -4012,6 +4012,56 @@ def text_phrase_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_dim_truncation_recall",
+    f"""WITH qv AS (SELECT vec_id AS qid, embedding AS q,
+                 embedding[1:16] AS qt
+          FROM embeddings WHERE vec_id < 10),
+exact AS (SELECT qid, id FROM (
+    SELECT qv.qid, e.vec_id AS id,
+           row_number() OVER (PARTITION BY qv.qid
+               ORDER BY {cosine_sql("e.embedding", "qv.q")} DESC,
+                        e.vec_id ASC) AS rank
+    FROM embeddings e CROSS JOIN qv) WHERE rank <= 10),
+approx AS (SELECT qid, id FROM (
+    SELECT qv.qid, e.vec_id AS id,
+           row_number() OVER (PARTITION BY qv.qid
+               ORDER BY {cosine_sql("e.embedding[1:16]", "qv.qt")} DESC,
+                        e.vec_id ASC) AS rank
+    FROM embeddings e CROSS JOIN qv) WHERE rank <= 10),
+hits AS (SELECT a.qid, count(*) AS h FROM approx a JOIN exact e
+         USING (qid, id) GROUP BY a.qid),
+per_q AS (SELECT e.qid, count(*) AS n, any_value(coalesce(h.h, 0)) AS h
+          FROM exact e LEFT JOIN hits h ON h.qid = e.qid
+          GROUP BY e.qid, h.h)
+SELECT round(avg(h::DOUBLE / n), 5) AS recall FROM per_q""",
+)
+def emb_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation gauge: recall@10 of
+    cosine top-k computed on the FIRST 16 of 64 embedding dimensions
+    against the full-dimension truth — the question an embedding
+    pipeline asks before storing truncated vectors (4× less storage,
+    4× less ANN bandwidth; MRL-trained models concentrate signal in
+    the prefix, generic embeddings lose recall — this measures which
+    kind the corpus has). Pure composition of existing operators:
+    ``F.slice`` truncation + ``brute_force_topk`` both widths +
+    ``recall_at_k``; the oracle replays truncation and both rankings
+    with SQL list slicing."""
+    from .operators.knn import brute_force_topk, recall_at_k
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = brute_force_topk(emb, queries, 10)
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    tq = queries.select("qid", F.slice("qvec", 1, 16).alias("qvec"))
+    approx = brute_force_topk(trunc, tq, 10)
+    return recall_at_k(approx, exact, 10)
+
+
 _KM_DIMS = "(SELECT unnest(generate_series(1, 64)) AS d)"
 
 
@@ -7236,6 +7286,9 @@ FAMILY: dict[str, str] = {
     # sampled-pair distribution gauge: similarity-measure family of the
     # in-window brute-force cosine representative
     "emb_pair_distance_hist": "knn_bruteforce",
+    # matryoshka truncation recall gauge (new round-7): brute-force
+    # cosine top-k at two widths + recall_at_k, same family
+    "emb_dim_truncation_recall": "knn_bruteforce",
     "rel_event_quantiles": "rel_column_profile",
     # scalar-function surface over the events table (r4 driver row on
     # file for the demoted JSON rep); events family

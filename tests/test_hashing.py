@@ -150,3 +150,46 @@ def test_multiprobe_keys_flip_exactly_one_closest_margin_bit():
         assert len(kb[i]) == len(keys[i])
     with pytest.raises(ValueError, match=">= 0"):
         multiprobe_keys_local(vecs, cfg, -1)
+
+
+def test_signatures_col_multiprobe_binary_parity(spark):
+    """The binary-sig multiprobe UDF must emit exactly the exact
+    signatures + multiprobe_keys_local's byte-flip keys (rows_per_band
+    >= 64 configs use this path); negative multiprobe raises."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lshrs_spark.config import LSHConfig
+    from lshrs_spark.hashing import (
+        hash_vectors_local,
+        multiprobe_keys_local,
+        with_signatures,
+    )
+
+    cfg = LSHConfig(dim=16, num_perm=16, num_bands=2, rows_per_band=8,
+                    seed=7)
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((6, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    T_ = 2
+    out = with_signatures(df, cfg, sig_kind="binary", multiprobe=T_)
+    rows = {r.vec_id: [bytes(b) for b in r.sigs] for r in out.collect()}
+    for i, v in enumerate(vecs):
+        got = rows[i]
+        assert len(got) == cfg.num_bands * (1 + T_)
+        exact = list(hash_vectors_local(v[None, :], cfg)[0])
+        # band-major layout: exact tier first, band = pos % num_bands
+        assert got[: cfg.num_bands] == exact
+        extra = {(b, s) for b, s in
+                 multiprobe_keys_local(v[None, :], cfg, T_,
+                                       sig_kind="binary")[0]}
+        got_extra = {(p % cfg.num_bands, s)
+                     for p, s in enumerate(got[cfg.num_bands:],
+                                           start=cfg.num_bands)}
+        assert got_extra == extra
+    with pytest.raises(ValueError, match="multiprobe"):
+        with_signatures(df, cfg, sig_kind="binary", multiprobe=-1)
