@@ -5368,6 +5368,38 @@ def dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_fuzzy_decontaminate",
+    """WITH c AS (SELECT doc_id AS id, substr(text, 1, 40) AS s
+           FROM documents WHERE doc_id % 2 = 0),
+b AS (SELECT doc_id AS id, substr(text, 1, 40) AS s
+      FROM documents WHERE doc_id % 2 = 1)
+SELECT c.id AS left_id, b.id AS right_id,
+       levenshtein(c.s, b.s)::BIGINT AS dist
+FROM c JOIN b ON abs(length(c.s) - length(b.s)) <= 2
+WHERE levenshtein(c.s, b.s) <= 2""",
+)
+def text_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY cross-corpus decontamination
+    (:func:`~lshrs_spark.operators.dedup.editdist_join`): training
+    docs (even ids, the corpus stand-in) whose 40-char prefix is
+    within Levenshtein 2 of a benchmark doc (odd ids) — the leakage
+    exact n-gram decontamination (`text_decontaminate`) misses when
+    the leaked copy fixed a typo or nudged a word. PassJoin segment
+    banding over the tagged union of both tables, cross-side
+    candidates only, one levenshtein verify each — EXACT, neither
+    corpus scanned quadratically. Oracle brute-forces the cross pair
+    space."""
+    from .operators.dedup import editdist_join
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    bench = docs.filter(F.col("doc_id") % 2 == 1)
+    return editdist_join(
+        corpus, bench, max_dist=2, prefix_len=40
+    ).select("left_id", "right_id", "dist")
+
+
+@register(
     "dedup_snm",
     """WITH s AS (SELECT doc_id AS id, substr(text, 1, 24) AS k,
                   substr(text, 1, 40) AS t FROM documents),
@@ -7219,6 +7251,9 @@ FAMILY: dict[str, str] = {
     # sorted-neighborhood blocking (new round-7): same candidate-
     # generation + verification family, key-adjacency instead of bands
     "dedup_snm": "simjoin_lsh",
+    # fuzzy cross-corpus decontamination (new round-7): editdist_join
+    # over the tagged union — same banding family
+    "text_fuzzy_decontaminate": "simjoin_lsh",
     # demoted round-5 (driver rows r4 on file): the corpus-diff rep
     # hands the promotion-gate family slot to the per-rule attrition
     # funnel (never driver-checked before)

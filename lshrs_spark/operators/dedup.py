@@ -58,6 +58,7 @@ __all__ = [
     "soft_dedup_weights",
     "semantic_dedup",
     "editdist_pairs",
+    "editdist_join",
     "sorted_neighborhood_pairs",
 ]
 
@@ -1195,6 +1196,124 @@ def editdist_pairs(
             F.greatest("sid", "tid").alias("id_b"),
             "dist",
         )
+        .distinct()
+    )
+
+
+def editdist_join(
+    left: DataFrame,
+    right: DataFrame,
+    max_dist: int = 2,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: Optional[int] = None,
+    max_bucket_size: Optional[int] = None,
+) -> DataFrame:
+    """CROSS-corpus edit-distance join ``(left_id, right_id, dist)``
+    within Levenshtein ``max_dist`` — the FUZZY DECONTAMINATION shape:
+    exact n-gram decontamination (:func:`ngram_contamination`) misses a
+    benchmark sentence that leaked into the training corpus with a
+    typo fixed or a word order nudge; an edit-distance join catches
+    it. Same PassJoin pigeonhole machinery as :func:`editdist_pairs`
+    (segments on the shorter role, position-window substrings on the
+    longer, one ``levenshtein`` verify per candidate — EXACT), run
+    over the tagged union of both tables with only cross-side
+    candidates kept, so either side may be the shorter one and
+    neither corpus is ever scanned quadratically."""
+    k = int(max_dist)
+    if k < 0:
+        raise ValueError(f"max_dist must be >= 0 (got {k})")
+    kk = k + 1
+
+    def _prep(df, side):
+        col = (
+            F.substring(F.col(text_col), 1, prefix_len)
+            if prefix_len is not None else F.col(text_col)
+        )
+        return df.select(
+            F.lit(side).alias("side"),
+            F.col(id_col).cast("long").alias("id"),
+            col.alias("s"),
+        ).withColumn("l", F.length("s"))
+
+    s = persist_slot(
+        _prep(left, 0).unionByName(_prep(right, 1)),
+        "dedup.editdist_join_strings", eager=True,
+    )
+
+    def _seg(l1, i):
+        base = F.floor(l1 / kk).cast("int")
+        rem = (l1 % kk).cast("int")
+        return i * base + F.least(i, rem), base + F.when(
+            i < rem, 1
+        ).otherwise(0)
+
+    a_rows = s.select(
+        "side", "id", F.col("l").alias("l1"), "s",
+        F.explode(F.sequence(F.lit(0), F.lit(k))).alias("i"),
+    )
+    sa_start, sa_len = _seg(F.col("l1"), F.col("i"))
+    A = a_rows.select(
+        F.col("side").alias("sa"), F.col("id").alias("ida"), "l1", "i",
+        F.col("s").substr(sa_start + 1, sa_len).alias("seg"),
+    )
+    if max_bucket_size is not None:
+        cap = (
+            A.groupBy("l1", "i", "seg")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+        A = A.join(cap, ["l1", "i", "seg"])
+    b_rows = (
+        s.select(
+            F.col("side").alias("sb"), F.col("id").alias("idb"),
+            F.col("l").alias("l2"), F.col("s").alias("t"),
+            F.explode(F.sequence(F.lit(0), F.lit(k))).alias("dl"),
+        )
+        .withColumn("l1", F.col("l2") - F.col("dl"))
+        .filter(F.col("l1") >= 0)
+        .select(
+            "sb", "idb", "l2", "t", "l1",
+            F.explode(F.sequence(F.lit(0), F.lit(k))).alias("i"),
+        )
+        .select(
+            "sb", "idb", "l2", "t", "l1", "i",
+            F.explode(F.sequence(F.lit(-k), F.lit(k))).alias("sh"),
+        )
+    )
+    sb_start0, sb_len = _seg(F.col("l1"), F.col("i"))
+    sb_start = sb_start0 + F.col("sh")
+    B = b_rows.filter(
+        (sb_start >= 0) & (sb_start + sb_len <= F.col("l2"))
+    ).select(
+        "sb", "idb", "l1", "i",
+        F.col("t").substr(sb_start + 1, sb_len).alias("seg"),
+    )
+    cand = (
+        A.join(B, ["l1", "i", "seg"])
+        .filter(F.col("sa") != F.col("sb"))
+        .select(
+            F.when(F.col("sa") == 0, F.col("ida"))
+            .otherwise(F.col("idb")).alias("left_id"),
+            F.when(F.col("sa") == 0, F.col("idb"))
+            .otherwise(F.col("ida")).alias("right_id"),
+        )
+        .distinct()
+    )
+    sl = s.filter(F.col("side") == 0).select(
+        F.col("id").alias("left_id"), F.col("s").alias("ls")
+    )
+    sr = s.filter(F.col("side") == 1).select(
+        F.col("id").alias("right_id"), F.col("s").alias("rs")
+    )
+    return (
+        cand.join(sl, "left_id")
+        .join(sr, "right_id")
+        .withColumn("dist", F.levenshtein("ls", "rs").cast("long"))
+        .filter(F.col("dist") <= k)
+        .select("left_id", "right_id", "dist")
         .distinct()
     )
 

@@ -616,3 +616,26 @@ def test_sorted_neighborhood_pairs_matches_reference(spark):
         D.sorted_neighborhood_pairs(df, "text", window=0)
     with pytest.raises(ValueError, match="together"):
         D.sorted_neighborhood_pairs(df, "text", max_dist=2)
+
+
+def test_editdist_join_exact_vs_brute_force(spark):
+    """Cross-corpus PassJoin must be exact in BOTH directions (either
+    side may hold the shorter string), incl. empty strings; ids may
+    collide across the two tables without cross-talk."""
+    import random
+
+    rng = random.Random(17)
+    L = [(i, "".join(rng.choice("ab") for _ in range(rng.randint(0, 8))))
+         for i in range(40)]
+    R = [(i, "".join(rng.choice("ab") for _ in range(rng.randint(0, 8))))
+         for i in range(30)]                     # same id range as L
+    ldf = spark.createDataFrame(L, "doc_id long, text string")
+    rdf = spark.createDataFrame(R, "doc_id long, text string")
+    for k in (0, 2):
+        got = {(r.left_id, r.right_id, r.dist)
+               for r in D.editdist_join(ldf, rdf, max_dist=k).collect()}
+        want = {(i, j, _lev(a, b)) for (i, a) in L for (j, b) in R
+                if _lev(a, b) <= k}
+        assert got == want, k
+    with pytest.raises(ValueError):
+        D.editdist_join(ldf, rdf, max_dist=-1)
