@@ -282,12 +282,19 @@ class LSHRS:
         return self.query(vector, top_k=None, top_p=p)
 
     def query_batch(self, queries_df: DataFrame, *, top_k: int = 10,
+                    top_p: Optional[float] = None,
                     id_col: str = "qid", vector_col: str = "qvec",
                     n_queries: Optional[int] = None,
                     index_rows: Optional[int] = None,
                     multiprobe: int = 0) -> DataFrame:
         """Batch query as ONE Spark plan: ``(qid, id, collisions, rank)`` —
         the shape the reference cannot express without a Python loop.
+
+        ``top_p`` (batch twin of :meth:`get_above_p`): candidates are
+        exact-cosine reranked against the registered vector store and
+        cut to the proportional prefix ``max(1, ceil(n * top_p))``
+        (capped by ``top_k``) per query — the result schema becomes
+        ``(qid, id, score, rank)``. Requires :meth:`set_vectors`.
 
         ``multiprobe=T`` emits the T closest-margin bit-flip perturbation
         keys per band inside the same signature Arrow UDF (margins are a
@@ -321,7 +328,24 @@ class LSHRS:
             n_queries, keys_per_query, index_rows
         )
         cands = candidates(self.index_df, qsigs, strategy=strategy)
-        return _probe_top_k(cands, top_k)
+        if top_p is None:
+            return _probe_top_k(cands, top_k)
+        if not 0.0 < top_p <= 1.0:
+            raise ValueError("top_p must be in (0, 1]")
+        if self._vectors_df is None:
+            raise RuntimeError(
+                "top_p queries require a registered vector source; "
+                "call set_vectors()"
+            )
+        q = queries_df.select(
+            F.col(id_col).cast("long").alias("qid"),
+            F.col(vector_col).alias("qvec"),
+        )
+        scored = rerank(
+            cands, self._vectors_df, q,
+            id_col=self._id_col, vector_col=self._vector_col,
+        )
+        return top_p_cutoff(scored, top_p, top_k)
 
     def get_top_k_batch(
         self, vectors: Sequence[np.ndarray], topk: int = 10, *,

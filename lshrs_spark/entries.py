@@ -219,6 +219,52 @@ def lsh_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lsh_topp_batch",
+    f"""WITH {_SIGS},
+qs AS (SELECT id AS qid, band, sig FROM sigs WHERE id < 5),
+cand AS (SELECT qs.qid, s.id, count(*)::BIGINT AS collisions
+         FROM sigs s JOIN qs USING (band, sig) GROUP BY qs.qid, s.id),
+scored AS (SELECT c.qid, c.id,
+                  {cosine_sql("e.embedding", "qe.embedding")} AS score
+           FROM cand c
+           JOIN embeddings e ON e.vec_id = c.id
+           JOIN embeddings qe ON qe.vec_id = c.qid),
+ranked AS (SELECT qid, id, score,
+                  row_number() OVER (PARTITION BY qid
+                      ORDER BY score DESC, id ASC) AS rank,
+                  count(*) OVER (PARTITION BY qid) AS n
+           FROM scored)
+SELECT qid, id, round(score, 5) AS score, rank
+FROM ranked WHERE rank <= least(10, greatest(1, ceil(n * 0.5)))""",
+)
+def lsh_topp_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH top-p (new round-7 API): 5 query vectors through
+    ``LSHRS.query_batch(top_p=0.5)`` — probe, exact-cosine rerank
+    against the registered vector store, and the per-query
+    proportional prefix ``least(10, max(1, ceil(n*0.5)))``, all in
+    ONE Spark plan (the reference's ``get_above_p`` needs a Python
+    loop per query). Exercises the full user-API path: constructor,
+    bulk indexing, vector registration, and the batch rerank mode."""
+    from . import LSHRS
+
+    emb = _emb(spark, sf_dir)
+    lsh = LSHRS(
+        spark, ORACLE_CFG.dim, num_perm=ORACLE_CFG.num_perm,
+        num_bands=ORACLE_CFG.num_bands,
+        rows_per_band=ORACLE_CFG.rows_per_band, seed=ORACLE_CFG.seed,
+    )
+    lsh.index_dataframe(emb)
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = lsh.query_batch(qdf, top_k=10, top_p=0.5)
+    return out.select(
+        "qid", "id", F.round("score", 5).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # Similarity search baseline: brute-force exact cosine top-k (north-star)
 # --------------------------------------------------------------------- #
@@ -7207,6 +7253,9 @@ FAMILY: dict[str, str] = {
     # promoted multi-probe gauge takes the LSH-dial slot
     "lsh_index_stats": "lsh_signatures",
     "ann_batch": "lsh_topk",
+    # batch top-p rerank (new round-7): the multi-query twin of the
+    # in-window proportional-prefix rep, same rerank/cutoff plan
+    "lsh_topp_batch": "lsh_topp",
     # IVF family rep since round-7: the promoted augmented-IVF MIPS
     # gauge drives the same centroid training + partition-pruned probe
     "ann_recall": "mips_ivf_recall",

@@ -307,3 +307,34 @@ def test_get_top_k_batch_matches_loop(spark, rng):
     assert lsh.get_top_k_batch([], 5) == []
     with pytest.raises(ValueError, match="top_k"):
         lsh.get_top_k_batch(qs, 0)
+
+
+def test_query_batch_top_p_matches_per_query_api(make_lsh, small_vectors):
+    """query_batch(top_p=p) result i == get_above_p(vectors[i], p) —
+    the batch twin of the reference's top-p mode, one Spark plan for
+    the whole batch; validation mirrors the single-query contract."""
+    ids, vecs = small_vectors
+    lsh = make_lsh()
+    lsh.index(ids, vecs)
+    spark = lsh.spark
+    qdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(6)],
+        "qid long, qvec array<float>",
+    )
+    got: dict = {}
+    for r in lsh.query_batch(qdf, top_k=10, top_p=0.5).collect():
+        got.setdefault(r.qid, []).append((r.rank, r.id, r.score))
+    for i in range(6):
+        want = lsh.query(vecs[i], top_k=10, top_p=0.5)
+        rows = [(rid, s) for _, rid, s in sorted(got.get(i, []))]
+        assert [rid for rid, _ in rows] == [rid for rid, _ in want], i
+        for (_, gs), (_, ws) in zip(rows, want):
+            assert gs == pytest.approx(ws, abs=1e-6)
+
+    with pytest.raises(ValueError, match="top_p"):
+        lsh.query_batch(qdf, top_p=1.5).collect()
+    bare = type(lsh)(spark, 32, num_perm=16, num_bands=4, rows_per_band=4)
+    bare.ingest(0, vecs[0])
+    bare.flush()
+    with pytest.raises(RuntimeError, match="vector source"):
+        bare.query_batch(qdf, top_p=0.5)
