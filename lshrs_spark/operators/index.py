@@ -27,7 +27,8 @@ from ..config import LSHConfig
 from ..functions.vector import l2_norm
 from ..hashing import with_signatures
 
-__all__ = ["validate_vectors", "build_index", "write_index", "read_index"]
+__all__ = ["validate_vectors", "build_index", "write_index",
+           "write_index_table", "read_index"]
 
 
 def validate_vectors(
@@ -145,6 +146,38 @@ def write_index(
 
 def read_index(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).select("band", "sig", "id")
+
+
+def write_index_table(
+    index_df: DataFrame,
+    table: str,
+    *,
+    num_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the bucket index as a Spark BUCKETED TABLE —
+    ``bucketBy(num_buckets, band, sig)`` + in-bucket sort — the
+    co-located-join layout for repeated heavy probes: a join whose keys
+    are the bucketing keys reads the table's hash distribution straight
+    off the files, so the INDEX side never exchanges again. A bucketed
+    self-join (the similarity-join shape) plans with ZERO exchanges;
+    an index ⋈ query-sigs probe in the shuffle regime exchanges ONLY
+    the query side (both plan-asserted in ``tests/test_plans.py``).
+    ``write_index``'s path layout optimizes single-probe pruned READS;
+    this table layout optimizes repeated JOINs — a 100 TB deployment
+    that re-probes the corpus nightly wants the bucketed form, paying
+    the one-time bucket shuffle at write.
+
+    Needs a metastore-backed table name (``saveAsTable``); bucket
+    metadata lives in the catalog, which is why a plain
+    ``parquet(path)`` write cannot carry it."""
+    (
+        index_df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, "band", "sig")
+        .sortBy("band", "sig")
+        .saveAsTable(table)
+    )
 
 
 def compact_index(

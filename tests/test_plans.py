@@ -845,3 +845,69 @@ def test_video_payload_clamp_evaluates_once(spark):
         docs, num_frames=3, width=7, height=8
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("regexp_replace") == 1, plan
+
+
+def test_bucketed_index_table_joins_without_exchange(spark, emb):
+    """write_index_table persists the bucket index bucketBy(band, sig):
+    a self-join on the bucketing keys (the similarity-join shape) must
+    plan with ZERO exchanges, and an index-vs-query-sigs probe in the
+    shuffle regime must exchange ONLY the query side — the co-located
+    layout a 100 TB deployment re-probing nightly pays one bucket
+    shuffle at write for."""
+    import re
+
+    from lshrs_spark.operators.index import write_index_table
+    from lshrs_spark.operators.probe import candidates
+
+    aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    bc0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # the test corpus is tiny enough to auto-broadcast, which would hide
+    # the co-location property this layout exists for — disable it so
+    # the plan shows what a 100 TB (never-broadcastable) index does
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        idx = build_index(emb, CFG, "vec_id", "embedding")
+        write_index_table(idx, "t_bucketed_idx", num_buckets=8)
+        bt = spark.table("t_bucketed_idx")
+
+        # self-join on the bucketing keys: both sides read the bucketed
+        # distribution off the files — the ONLY exchange in the whole
+        # plan is the downstream aggregation's on (id_a, id_b)
+        j = (
+            bt.alias("a")
+            .join(bt.alias("b"), ["band", "sig"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .groupBy(F.col("a.id"), F.col("b.id"))
+            .count()
+        )
+        plan = physical_plan(j)
+        joins = re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)",
+                           plan)
+        assert joins, plan
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+        assert "SelectedBucketsCount" in plan, plan
+
+        # shuffle-regime probe: only the (non-bucketed) query side
+        # exchanges; target the bucket count so distributions match
+        n0 = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            rng = np.random.default_rng(9)
+            qs = query_signatures_df(
+                spark, rng.standard_normal((5, 64)).astype("float32"), CFG
+            )
+            pplan = physical_plan(
+                candidates(bt, qs, strategy="shuffle")
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", n0)
+        # exactly ONE pre-join exchange (query side) + the final
+        # aggregation exchange; the bucketed index side has none
+        n_exchanges = len(re.findall(r"\(\d+\) Exchange", pplan))
+        assert n_exchanges == 2, pplan
+        j.count()  # plans execute, not just explain
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc0)
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_idx")
