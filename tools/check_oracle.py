@@ -3,7 +3,8 @@
 ``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB at
 sf=0.01, compare row count, column names and order-insensitive values.
 
-Usage: python tools/check_oracle.py [name ...]
+Usage: python tools/check_oracle.py [--vanilla] [--window] [name ...]
+(--window = exactly the DRIVER_WINDOW 50 — the driver-gate simulation)
 """
 
 from __future__ import annotations
@@ -94,6 +95,11 @@ def main() -> int:
     only = set(a for a in args if not a.startswith("--"))
     qs = e.queries()
     oracles = e.oracle_sql()
+    if "--window" in args:
+        # exactly the driver's 50-row gate: the DRIVER_WINDOW prefix
+        from lshrs_spark.entries import DRIVER_WINDOW
+
+        only |= set(DRIVER_WINDOW)
     if vanilla:
         # Simulate the driver: a bare session with none of our tuning
         # (no AQE/Arrow/timezone confs) — entries must self-configure.
