@@ -385,6 +385,51 @@ class LSHRS:
             out[r.qid].append(int(r.id))
         return out
 
+    def get_above_p_batch(
+        self, vectors: Sequence[np.ndarray], p: float = 0.95, *,
+        topk: Optional[int] = None, multiprobe: int = 0,
+    ) -> list[list[tuple[int, float]]]:
+        """List-of-vectors twin of :meth:`get_above_p` — the top-p leg
+        of the batch API matrix (:meth:`get_top_k_batch` is the top-k
+        leg): signatures hash driver-side (no Spark job), ONE
+        probe + rerank + proportional-cutoff plan serves the whole
+        batch, and result ``i`` == ``get_above_p(vectors[i], p)``
+        (``(id, score)`` tuples, score-desc). ``topk`` optionally caps
+        each query's prefix; ``multiprobe`` adds perturbed probe keys
+        before the exact rerank."""
+        if not 0.0 < p <= 1.0:
+            raise ValueError("top_p must be in (0, 1]")
+        if self._vectors_df is None:
+            raise RuntimeError(
+                "top_p queries require a registered vector source; "
+                "call set_vectors()"
+            )
+        if len(vectors) == 0:
+            return []
+        mat = np.stack([self._prepare_vector(v) for v in vectors])
+        qsigs = query_signatures_df(
+            self.spark, mat, self.cfg, sig_kind=self._sig_kind,
+            multiprobe=multiprobe,
+        )
+        keys_per_query = self.cfg.num_bands * (
+            1 + min(multiprobe, self.cfg.rows_per_band)
+        )
+        strategy = choose_probe_strategy(len(vectors), keys_per_query)
+        cands = candidates(self.index_df, qsigs, strategy=strategy)
+        qdf = self.spark.createDataFrame(
+            [(i, [float(x) for x in mat[i]]) for i in range(len(mat))],
+            "qid long, qvec array<float>",
+        )
+        scored = rerank(
+            cands, self._vectors_df, qdf,
+            id_col=self._id_col, vector_col=self._vector_col,
+        )
+        rows = top_p_cutoff(scored, p, topk).collect()
+        out: list[list[tuple[int, float]]] = [[] for _ in range(len(mat))]
+        for r in sorted(rows, key=lambda r: (r.qid, r.rank)):
+            out[r.qid].append((int(r.id), float(r.score)))
+        return out
+
     # ------------------------------------------------------------------ #
     # maintenance (M1-M3)
     # ------------------------------------------------------------------ #

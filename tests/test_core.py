@@ -338,3 +338,21 @@ def test_query_batch_top_p_matches_per_query_api(make_lsh, small_vectors):
     bare.flush()
     with pytest.raises(RuntimeError, match="vector source"):
         bare.query_batch(qdf, top_p=0.5)
+
+
+def test_get_above_p_batch_matches_per_query_api(make_lsh, small_vectors):
+    """get_above_p_batch result i == get_above_p(vectors[i], p) — the
+    list-API top-p leg of the batch matrix (get_top_k_batch is the
+    top-k leg)."""
+    ids, vecs = small_vectors
+    lsh = make_lsh()
+    lsh.index(ids, vecs)
+    got = lsh.get_above_p_batch([vecs[i] for i in range(5)], 0.5)
+    for i in range(5):
+        want = lsh.get_above_p(vecs[i], 0.5)
+        assert [rid for rid, _ in got[i]] == [rid for rid, _ in want], i
+        for (_, gs), (_, ws) in zip(got[i], want):
+            assert gs == pytest.approx(ws, abs=1e-6)
+    assert lsh.get_above_p_batch([], 0.5) == []
+    with pytest.raises(ValueError, match="top_p"):
+        lsh.get_above_p_batch([vecs[0]], 1.5)
