@@ -41,12 +41,22 @@ from .sources.dispatch import resolve_loader
 __all__ = ["LSHRS"]
 
 
-def _plan_row_estimate(df: DataFrame) -> Optional[int]:
+def _plan_row_estimate(
+    df: DataFrame, row_width: Optional[int] = None
+) -> Optional[int]:
     """Catalyst's free (no-job) row-count estimate for a DataFrame:
     the optimized plan's ``rowCount`` when statistics carry one, else
-    ``sizeInBytes / schema defaultSize``. Heuristic-grade only — used
-    to pick the probe join regime, never for correctness. Returns
-    ``None`` when nothing is available."""
+    ``sizeInBytes / row_width``. Heuristic-grade only — used to pick
+    the probe join regime, never for correctness. Returns ``None``
+    when nothing is available.
+
+    ``row_width`` should be supplied when the schema holds
+    variable-length columns: ``schema.defaultSize()`` counts ONE
+    element per array (12 bytes for ``(long, array<float>)``), so the
+    fallback division would inflate vector-table row counts ~dim×,
+    flipping the cost rule into the shuffle regime far too early. A
+    too-LARGE width is the safe error direction — it underestimates
+    rows and keeps the cheap broadcast default."""
     try:
         stats = df._jdf.queryExecution().optimizedPlan().stats()
         rc = stats.rowCount()
@@ -57,8 +67,9 @@ def _plan_row_estimate(df: DataFrame) -> Optional[int]:
             # Catalyst's "unknown" sentinel (defaultSizeInBytes =
             # Long.MaxValue, e.g. a local Python relation) — no estimate
             return None
-        row_width = max(int(df._jdf.schema().defaultSize()), 16)
-        return max(size // row_width, 1)
+        if row_width is None:
+            row_width = int(df._jdf.schema().defaultSize())
+        return max(size // max(int(row_width), 16), 1)
     except Exception:
         return None
 
@@ -318,7 +329,13 @@ class LSHRS:
             sig_kind=self._sig_kind, multiprobe=multiprobe,
         ).withColumnRenamed("id", "qid")
         if n_queries is None:
-            n_queries = _plan_row_estimate(queries_df)
+            # (long id, float32[dim]) — without the explicit width the
+            # schema defaultSize (12 B: arrays count ONE element) would
+            # inflate the estimate ~dim/3× and flip parquet-backed query
+            # batches into the shuffle regime far too early.
+            n_queries = _plan_row_estimate(
+                queries_df, row_width=8 + 4 * self.cfg.dim
+            )
         if index_rows is None:
             index_rows = self._index_rows
         keys_per_query = self.cfg.num_bands * (
@@ -332,19 +349,33 @@ class LSHRS:
             return _probe_top_k(cands, top_k)
         if not 0.0 < top_p <= 1.0:
             raise ValueError("top_p must be in (0, 1]")
-        if self._vectors_df is None:
-            raise RuntimeError(
-                "top_p queries require a registered vector source; "
-                "call set_vectors()"
-            )
         q = queries_df.select(
             F.col(id_col).cast("long").alias("qid"),
             F.col(vector_col).alias("qvec"),
         )
-        scored = rerank(
-            cands, self._vectors_df, q,
-            id_col=self._id_col, vector_col=self._vector_col,
-        )
+        if self._vectors_df is None:
+            # Parity with query()/get_above_p: empty candidates return an
+            # (empty) result before the vector-store requirement bites —
+            # routed through the same rerank expressions so the schema is
+            # identical to the non-empty path. isEmpty costs a job only on
+            # this would-raise path.
+            if not cands.isEmpty():
+                raise RuntimeError(
+                    "top_p queries require a registered vector source; "
+                    "call set_vectors()"
+                )
+            scored = rerank(
+                cands,
+                self.spark.createDataFrame(
+                    [], "vec_id long, embedding array<float>"
+                ),
+                q,
+            )
+        else:
+            scored = rerank(
+                cands, self._vectors_df, q,
+                id_col=self._id_col, vector_col=self._vector_col,
+            )
         return top_p_cutoff(scored, top_p, top_k)
 
     def get_top_k_batch(
@@ -376,7 +407,9 @@ class LSHRS:
         keys_per_query = self.cfg.num_bands * (
             1 + min(multiprobe, self.cfg.rows_per_band)
         )
-        strategy = choose_probe_strategy(len(vectors), keys_per_query)
+        strategy = choose_probe_strategy(
+            len(vectors), keys_per_query, self._index_rows
+        )
         rows = _probe_top_k(
             candidates(self.index_df, qsigs, strategy=strategy), topk
         ).collect()
@@ -399,11 +432,6 @@ class LSHRS:
         before the exact rerank."""
         if not 0.0 < p <= 1.0:
             raise ValueError("top_p must be in (0, 1]")
-        if self._vectors_df is None:
-            raise RuntimeError(
-                "top_p queries require a registered vector source; "
-                "call set_vectors()"
-            )
         if len(vectors) == 0:
             return []
         mat = np.stack([self._prepare_vector(v) for v in vectors])
@@ -414,11 +442,22 @@ class LSHRS:
         keys_per_query = self.cfg.num_bands * (
             1 + min(multiprobe, self.cfg.rows_per_band)
         )
-        strategy = choose_probe_strategy(len(vectors), keys_per_query)
+        strategy = choose_probe_strategy(
+            len(vectors), keys_per_query, self._index_rows
+        )
         cands = candidates(self.index_df, qsigs, strategy=strategy)
-        qdf = self.spark.createDataFrame(
-            [(i, [float(x) for x in mat[i]]) for i in range(len(mat))],
-            "qid long, qvec array<float>",
+        if self._vectors_df is None:
+            # Reference parity with get_above_p/query(): an empty
+            # candidate set returns empties BEFORE the vector-store
+            # requirement bites. Checked only on the would-raise path.
+            if cands.isEmpty():
+                return [[] for _ in range(len(mat))]
+            raise RuntimeError(
+                "top_p queries require a registered vector source; "
+                "call set_vectors()"
+            )
+        qdf = self._df_from_arrays(range(len(mat)), mat).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
         )
         scored = rerank(
             cands, self._vectors_df, qdf,

@@ -7032,8 +7032,14 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         triangle_counts,
     )
 
+    from .cache import persist_slot
+
     docs = _docs(spark, sf_dir)
-    pairs = D.ngram_jaccard_pairs(docs, 0.5, n=3)
+    # the jaccard pair join feeds triangle_counts AND the degree table —
+    # persist so the banded similarity join runs once, not twice
+    pairs = persist_slot(
+        D.ngram_jaccard_pairs(docs, 0.5, n=3), "entries.graph_triangles.pairs"
+    )
     nodes = docs.select(F.col("doc_id").cast("long").alias("id"))
     tri = triangle_counts(pairs)
     deg = degree_table(symmetric_edges(pairs))

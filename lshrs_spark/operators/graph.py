@@ -146,7 +146,14 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     cartesian anywhere; the triangle SET is orientation-invariant, so
     any total order (an id-ordered SQL oracle included) reproduces it
     exactly."""
-    und = symmetric_edges(pairs)
+    from ..cache import persist_slot
+
+    # und feeds the degree aggregation AND the keyed join; oriented (below)
+    # feeds three join branches (e1, e2, closing). Without explicit
+    # persistence the upstream pair computation — often an expensive
+    # LSH-banded similarity join — would be re-derived up to six times in
+    # one action if ReuseExchange fails to dedupe the copies.
+    und = persist_slot(symmetric_edges(pairs), "graph.triangles.und")
     deg = degree_table(und)
     # total order: (degree, id) packed for a single-column comparison
     keyed = und.join(
@@ -156,12 +163,18 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
         deg.select(F.col("id").alias("dst"), F.col("degree").alias("ddst")),
         "dst",
     )
-    oriented = keyed.filter(
-        (F.col("dsrc") < F.col("ddst"))
-        | ((F.col("dsrc") == F.col("ddst")) & (F.col("src") < F.col("dst")))
-    ).select(
-        "src", "dst",
-        F.col("ddst").alias("ddst"),
+    oriented = persist_slot(
+        keyed.filter(
+            (F.col("dsrc") < F.col("ddst"))
+            | ((F.col("dsrc") == F.col("ddst")) & (F.col("src") < F.col("dst")))
+        ).select(
+            "src", "dst",
+            F.col("ddst").alias("ddst"),
+        ),
+        "graph.triangles.oriented",
+        # materialize before the e1xe2 self-join: a lazy persist would let
+        # both join sides race to populate the cache (pipeline runs twice)
+        eager=True,
     )
     e1 = oriented.select(
         F.col("src").alias("u"), F.col("dst").alias("v"),

@@ -398,14 +398,16 @@ def stream_scd2_ingest(
                 if fs.exists(p):
                     fin = fs.open(p)
                     try:
-                        chunks = []
-                        b = fin.read()
-                        while b != -1 and len(chunks) < 4096:
-                            chunks.append(b)
-                            b = fin.read()
-                        tok = json.loads(
-                            bytes(chunks).decode("utf-8")
-                        ).get("id")
+                        # ONE Py4J round trip for the whole (tiny) file —
+                        # a per-byte fin.read() loop costs one driver-to-
+                        # JVM RPC per byte and would silently truncate
+                        # past its loop cap. commons-io ships with Spark.
+                        raw = bytes(
+                            jvm.org.apache.commons.io.IOUtils.toByteArray(
+                                fin
+                            )
+                        )
+                        tok = json.loads(raw.decode("utf-8")).get("id")
                     finally:
                         fin.close()
             except Exception:

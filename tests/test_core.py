@@ -356,3 +356,24 @@ def test_get_above_p_batch_matches_per_query_api(make_lsh, small_vectors):
     assert lsh.get_above_p_batch([], 0.5) == []
     with pytest.raises(ValueError, match="top_p"):
         lsh.get_above_p_batch([vecs[0]], 1.5)
+
+
+def test_top_p_batch_empty_candidates_parity(spark, small_vectors):
+    """With NO registered vector source and an empty candidate set, the
+    batch top-p paths return empties exactly like get_above_p does
+    (reference parity, ADVICE r01) — the RuntimeError is reserved for
+    the case where there ARE candidates to rerank. Schema of the
+    query_batch result stays identical to the non-empty path."""
+    ids, vecs = small_vectors
+    lsh = LSHRS(spark, 32, num_perm=16, num_bands=4, rows_per_band=4)
+    lsh.ingest(0, vecs[0])       # streaming ingest: no vector source
+    lsh.flush()
+    lsh.delete([0])              # ...and now the index is empty
+    assert lsh.get_above_p(vecs[1], 0.5) == []
+    assert lsh.get_above_p_batch([vecs[1], vecs[2]], 0.5) == [[], []]
+    qdf = spark.createDataFrame(
+        [(0, [float(x) for x in vecs[1]])], "qid long, qvec array<float>"
+    )
+    out = lsh.query_batch(qdf, top_p=0.5)
+    assert out.columns == ["qid", "id", "score", "rank"]
+    assert out.count() == 0

@@ -153,6 +153,37 @@ def test_probe_strategy_cost_rule_both_regimes(spark, emb):
     )
 
 
+def test_plan_row_estimate_vector_row_width(spark, tmp_path):
+    """The free Catalyst row estimate must be told the real row width
+    for vector schemas: schema defaultSize counts ONE array element
+    (12 B for (long, array<float>)), which would inflate parquet-backed
+    query-batch estimates ~dim/3x and flip the cost rule into the
+    shuffle regime far too early."""
+    import pandas as pd
+
+    from lshrs_spark.core import _plan_row_estimate
+
+    n, dim = 2000, 64
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {
+            "qid": np.arange(n, dtype=np.int64),
+            "qvec": list(rng.standard_normal((n, dim)).astype(np.float32)),
+        }
+    )
+    path = str(tmp_path / "q.parquet")
+    spark.createDataFrame(pdf, "qid long, qvec array<float>").write.parquet(
+        path
+    )
+    df = spark.read.parquet(path)
+    est = _plan_row_estimate(df, row_width=8 + 4 * dim)
+    assert est is not None
+    # right ballpark: within 4x of truth, NOT inflated ~16x
+    assert n / 4 <= est <= 4 * n, est
+    inflated = _plan_row_estimate(df)
+    assert inflated is None or inflated > est
+
+
 def test_window_running_single_window_exchange(spark):
     """All three window specs in rel_window_running share one
     (partitionBy, orderBy) -> Catalyst must plan a single Window node
