@@ -8,14 +8,21 @@ pushdown, so this module translates the reference's loader options
 (``table``, ``index_column``, ``vector_column``, ``where_clause``,
 ``order_by``, ``limit``, ``fetch_query``) into a pushed-down JDBC query.
 
-No JDBC driver jar ships in the test container, so the loader builds the
-reader lazily and raises a clear error only when actually executed against
-a missing driver — the option-plumbing itself is unit-testable. The
-DECODERS and the pushdown SQL, however, are validated against a live
-scratch PostgreSQL server (the container ships server binaries):
+No PostgreSQL JDBC jar ships in the test container, so the loader builds
+the reader lazily and raises a clear error only when actually executed
+against a missing driver — the option-plumbing itself is unit-testable.
+The DECODERS and the pushdown SQL are validated against a live scratch
+PostgreSQL server (the container ships server binaries):
 ``tests/test_sources.py`` round-trips real[] literals, float32 bytea
 buffers and COPY CSV output through :func:`decode_vector_column`, and
-executes :func:`build_pushdown_query`'s exact string server-side.
+executes :func:`build_pushdown_query`'s exact string server-side. The
+TRANSPORT itself — ``spark.read.format("jdbc")`` pushdown execution,
+partitioned parallel scan, decode, and the full
+``create_signatures(format="postgres")`` S2→S4 ingest — is driven
+end-to-end against a live DuckDB database via a locally-cached DuckDB
+JDBC driver jar (``properties={"driver": ...}`` overrides the default
+Postgres driver class; ``tests/test_sources.py::
+test_live_jdbc_transport_duckdb``).
 """
 
 from __future__ import annotations
