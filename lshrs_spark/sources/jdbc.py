@@ -38,6 +38,8 @@ __all__ = [
     "vector_from_pg_text",
     "vector_from_bytea",
     "decode_vector_column",
+    "vector_to_pg_text",
+    "write_database",
 ]
 
 
@@ -103,6 +105,65 @@ def decode_vector_column(
     else:
         raise ValueError(f"unknown vector cell kind: {kind!r}")
     return df.withColumn(vector_column, decoded)
+
+
+def vector_to_pg_text(col: Column) -> Column:
+    """Encode ``array<float>`` to the PostgreSQL array-literal string
+    form ``"{a,b,c}"`` — the ENCODE twin of :func:`vector_from_pg_text`
+    (round-trips through it exactly), pure Catalyst. NULL arrays stay
+    NULL. The portable way to ship vectors through a JDBC writer: most
+    drivers cannot bind SQL ARRAY parameters, every one binds strings."""
+    return F.when(
+        col.isNotNull(),
+        F.concat(
+            F.lit("{"),
+            F.array_join(col.cast("array<string>"), ","),
+            F.lit("}"),
+        ),
+    )
+
+
+def write_database(
+    df: DataFrame,
+    *,
+    url: str,
+    table: str,
+    mode: str = "append",
+    driver: str | None = None,
+    num_partitions: int | None = None,
+    batch_size: int = 1000,
+    encode_vector_columns: tuple[str, ...] = (),
+    properties: dict | None = None,
+) -> None:
+    """JDBC sink (beyond-reference: the reference's ``io/postgres.py``
+    only reads) — export a scored/filtered corpus back to a serving
+    database through Spark's parallel JDBC writer.
+
+    Scale notes for a 1000-executor job: each write partition opens ONE
+    connection and streams prepared-statement batches of ``batch_size``
+    rows, so cap connection fan-in with ``num_partitions`` (``coalesce``
+    — never a shuffle) or the database primary fields one concurrent
+    INSERT stream per task. ``mode="append"`` into a pre-created table
+    is the portable path: create-on-write depends on dialect DDL and an
+    existence probe some drivers break (duckdb_jdbc 1.0.0 raises on
+    Spark's ``SELECT 1 ... WHERE 1=0`` probe instead of returning
+    false). ``encode_vector_columns`` routes ``array<float>`` columns
+    through :func:`vector_to_pg_text` so they bind as strings."""
+    for c in encode_vector_columns:
+        df = df.withColumn(c, vector_to_pg_text(F.col(c)))
+    if num_partitions:
+        df = df.coalesce(int(num_partitions))
+    w = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(int(batch_size)))
+    )
+    if driver:
+        w = w.option("driver", driver)
+    for k, v in (properties or {}).items():
+        w = w.option(k, v)
+    w.mode(mode).save()
 
 
 def build_pushdown_query(

@@ -146,6 +146,26 @@ def test_array_cells_cast_passthrough(spark):
     assert out.first().embedding == [1.0, 2.0]
 
 
+def test_vector_text_encode_decode_round_trip(spark):
+    """vector_to_pg_text is the exact encode twin of vector_from_pg_text
+    — arrays survive the string hop bit-readably; NULL stays NULL."""
+    from lshrs_spark.sources.jdbc import vector_from_pg_text, vector_to_pg_text
+
+    df = spark.createDataFrame(
+        [(0, [1.0, -2.25, 0.125]), (1, [300.0]), (2, None)],
+        "id long, v array<float>",
+    )
+    out = {
+        r.id: r.back
+        for r in df.select(
+            "id", vector_from_pg_text(vector_to_pg_text(F.col("v"))).alias("back")
+        ).collect()
+    }
+    assert out[0] == [1.0, -2.25, 0.125]
+    assert out[1] == [300.0]
+    assert out[2] is None
+
+
 def test_create_signatures_jsonl(spark, tmp_path, rng):
     src = str(tmp_path / "vectors.jsonl")
     vecs = rng.standard_normal((15, 16)).astype(np.float32)
@@ -559,6 +579,31 @@ lsh.create_signatures(format="postgres", url=url, table="vectors",
 assert lsh.stats()["indexed_ids"] == 60
 import numpy as np
 assert 5 in lsh.get_top_k(np.array(rows[5][3], dtype="float32"), 5)
+
+# 5) write-back: the JDBC SINK appends the decoded vectors (re-encoded
+#    as array literals) into a pre-created table; exact round-trip via
+#    the python driver
+from lshrs_spark.sources.jdbc import write_database
+con = duckdb.connect(db)
+con.execute("CREATE TABLE out_vectors (id BIGINT, vec_text VARCHAR)")
+con.close()
+src, _, _ = load_postgres_vectors(
+    spark, url=url, table="vectors", index_column="id",
+    vector_column="vec_text", properties=props,
+)
+write_database(src, url=url, table="out_vectors",
+               driver=props["driver"], num_partitions=1, batch_size=16,
+               encode_vector_columns=("vec_text",))
+con = duckdb.connect(db, read_only=True)
+back = con.execute(
+    "SELECT id, vec_text FROM out_vectors ORDER BY id").fetchall()
+con.close()
+assert len(back) == 60
+got5 = sorted(
+    (i, [round(float(x), 3) for x in s.strip("{}").split(",")])
+    for i, s in back
+)
+assert got5 == sorted((r[0], r[3]) for r in rows), "write-back mismatch"
 print("ALL-OK")
 '''
 
