@@ -7036,9 +7036,13 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     # the jaccard pair join feeds triangle_counts AND the degree table —
-    # persist so the banded similarity join runs once, not twice
+    # persist (eagerly: its first consumers run concurrently inside
+    # triangle_counts' und materialization) so the banded similarity
+    # join runs once, not twice
     pairs = persist_slot(
-        D.ngram_jaccard_pairs(docs, 0.5, n=3), "entries.graph_triangles.pairs"
+        D.ngram_jaccard_pairs(docs, 0.5, n=3),
+        "entries.graph_triangles.pairs",
+        eager=True,
     )
     nodes = docs.select(F.col("doc_id").cast("long").alias("id"))
     tri = triangle_counts(pairs)

@@ -155,9 +155,16 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     # action (AQE exchange reuse does NOT dedupe these differently-
     # projected copies). Measured A/B over the minhash pair graph of a
     # 10x-scrambled sf0.1 corpus (50k docs): 93.5 s without persistence
-    # vs 13.7 s with — 6.8x. At toy scale the eager persist costs ~1.3 s
-    # of fixed overhead instead; scale wins the trade.
-    und = persist_slot(symmetric_edges(pairs), "graph.triangles.und")
+    # vs 13.7-16.7 s with (lazy vs eager und within the host-variance
+    # band) — ~6x. At toy scale the eager persists cost ~1.3 s of fixed
+    # overhead instead; scale wins the trade.
+    # eager: und feeds TWO concurrent consumers inside oriented's
+    # materialization (the degree aggregation and the keyed join side) —
+    # a lazy persist would let them race to populate the cache and run
+    # the upstream pair join more than once anyway
+    und = persist_slot(
+        symmetric_edges(pairs), "graph.triangles.und", eager=True
+    )
     deg = degree_table(und)
     # total order: (degree, id) packed for a single-column comparison
     keyed = und.join(

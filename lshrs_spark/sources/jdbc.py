@@ -49,13 +49,17 @@ def vector_from_pg_text(col: Column) -> Column:
     Catalyst expression (regexp strip + split + cast; stays inside
     whole-stage codegen, no Python). Parity with the reference's string
     branch of ``_coerce_vector`` (``lshrs/io/postgres.py:186-208``);
-    empty representations yield NULL (the distributed stand-in for the
-    reference's ValueError — filter or validate downstream)."""
+    empty representations yield NULL and non-numeric element tokens
+    (including pg's ``NULL``) yield null ELEMENTS — both the
+    distributed stand-in for the reference's ValueError (``try_cast``,
+    not ``cast``: under Spark 4's default ANSI mode a plain cast would
+    abort the whole job on one malformed cell) — filter or validate
+    downstream."""
     stripped = F.regexp_replace(col, r"^[\s\{\[\(]+|[\s\}\]\)]+$", "")
     return F.when(
         F.length(stripped) > 0,
         F.transform(
-            F.split(stripped, ","), lambda x: F.trim(x).cast("float")
+            F.split(stripped, ","), lambda x: F.trim(x).try_cast("float")
         ),
     )
 
@@ -109,15 +113,24 @@ def decode_vector_column(
 
 def vector_to_pg_text(col: Column) -> Column:
     """Encode ``array<float>`` to the PostgreSQL array-literal string
-    form ``"{a,b,c}"`` — the ENCODE twin of :func:`vector_from_pg_text`
-    (round-trips through it exactly), pure Catalyst. NULL arrays stay
-    NULL. The portable way to ship vectors through a JDBC writer: most
-    drivers cannot bind SQL ARRAY parameters, every one binds strings."""
+    form ``"{a,b,c}"`` — the ENCODE twin of :func:`vector_from_pg_text`,
+    pure Catalyst. The portable way to ship vectors through a JDBC
+    writer: most drivers cannot bind SQL ARRAY parameters, every one
+    binds strings.
+
+    Round-trip contract: NULL arrays stay NULL; NULL ELEMENTS encode as
+    the literal ``NULL`` token (pg convention — ``array_join`` would
+    silently DROP them otherwise, truncating the vector), which the
+    decoder's per-element float cast maps back to a null element; an
+    EMPTY array encodes to ``"{}"``, which the decoder maps to NULL —
+    the deliberate asymmetry inherited from the reference's
+    ``_coerce_vector``, where an empty representation is invalid
+    (``lshrs/io/postgres.py:186-208``)."""
     return F.when(
         col.isNotNull(),
         F.concat(
             F.lit("{"),
-            F.array_join(col.cast("array<string>"), ","),
+            F.array_join(col.cast("array<string>"), ",", "NULL"),
             F.lit("}"),
         ),
     )

@@ -147,14 +147,28 @@ def test_array_cells_cast_passthrough(spark):
 
 
 def test_vector_text_encode_decode_round_trip(spark):
-    """vector_to_pg_text is the exact encode twin of vector_from_pg_text
-    — arrays survive the string hop bit-readably; NULL stays NULL."""
+    """vector_to_pg_text is the encode twin of vector_from_pg_text —
+    arrays survive the string hop bit-readably, NULL arrays stay NULL,
+    NULL ELEMENTS survive as null elements (array_join would silently
+    drop them, truncating the vector), and the one deliberate asymmetry
+    is the empty array: "{}" decodes to NULL per the reference's
+    empty-is-invalid contract."""
     from lshrs_spark.sources.jdbc import vector_from_pg_text, vector_to_pg_text
 
     df = spark.createDataFrame(
-        [(0, [1.0, -2.25, 0.125]), (1, [300.0]), (2, None)],
+        [
+            (0, [1.0, -2.25, 0.125]),
+            (1, [300.0]),
+            (2, None),
+            (3, [1.0, None, 3.0]),
+            (4, []),
+        ],
         "id long, v array<float>",
     )
+    enc = {r.id: r.s for r in df.select(
+        "id", vector_to_pg_text(F.col("v")).alias("s")).collect()}
+    assert enc[3] == "{1.0,NULL,3.0}"       # element survives, not dropped
+    assert enc[4] == "{}"
     out = {
         r.id: r.back
         for r in df.select(
@@ -164,6 +178,8 @@ def test_vector_text_encode_decode_round_trip(spark):
     assert out[0] == [1.0, -2.25, 0.125]
     assert out[1] == [300.0]
     assert out[2] is None
+    assert out[3] == [1.0, None, 3.0]       # dimension count preserved
+    assert out[4] is None                   # documented asymmetry
 
 
 def test_create_signatures_jsonl(spark, tmp_path, rng):
