@@ -218,15 +218,22 @@ def load_postgres_vectors(
     limit: int | None = None,
     fetch_query: str | None = None,
     num_partitions: int | None = None,
+    lower_bound: int = 0,
+    upper_bound: int = 2**31 - 1,
     properties: dict | None = None,
     **_ignored,
 ) -> tuple[DataFrame, str, str]:
     """Parallel JDBC scan returning ``(df, id_col, vector_col)``.
 
     ``dsn`` (reference-style ``postgresql://...``) is translated to a JDBC
-    url. ``num_partitions`` splits the scan by hashing the id column —
-    the cluster-scale replacement for the reference's single server-side
-    cursor."""
+    url. ``num_partitions`` splits the scan into stride ranges over the
+    id column — the cluster-scale replacement for the reference's single
+    server-side cursor. Spark's JDBC partitioning divides
+    ``[lower_bound, upper_bound)`` into UNIFORM strides: pass the table's
+    REAL id bounds (one cheap ``SELECT min(id), max(id)`` against the
+    source) or ids clustered in a narrow range all land in one hot
+    partition while the rest issue empty range queries — the default
+    ``[0, 2^31)`` is only safe when ids are spread across it."""
     if url is None:
         if dsn is None:
             raise ValueError("either url= or dsn= is required")
@@ -248,8 +255,8 @@ def load_postgres_vectors(
             reader.option("dbtable", f"({query}) AS src")
             .option("partitionColumn", index_column)
             .option("numPartitions", str(num_partitions))
-            .option("lowerBound", "0")
-            .option("upperBound", str(2**31 - 1))
+            .option("lowerBound", str(int(lower_bound)))
+            .option("upperBound", str(int(upper_bound)))
         )
     else:
         reader = reader.option("query", query)

@@ -565,13 +565,19 @@ want = sorted((r[0], r[3]) for r in rows if r[0] >= 10)[:20]
 assert got == want, "pushdown+text decode mismatch"
 
 # 2) partitioned parallel scan (the cluster-scale replacement for the
-#    reference's single server-side cursor)
+#    reference's single server-side cursor) — REAL id bounds balance
+#    the stride ranges instead of piling all rows into one partition
 df2, _, _ = load_postgres_vectors(
     spark, url=url, table="vectors", index_column="id",
-    vector_column="vec_text", num_partitions=2, properties=props,
+    vector_column="vec_text", num_partitions=2,
+    lower_bound=0, upper_bound=60, properties=props,
 )
 assert df2.rdd.getNumPartitions() == 2
-assert df2.count() == 60
+sizes = sorted(
+    df2.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+)
+assert sum(sizes) == 60
+assert sizes == [30, 30], sizes
 
 # 3) float32-buffer decode over the live transport. duckdb_jdbc 1.0.0
 #    does not implement ResultSet.getBytes (SQLFeatureNotSupportedException),
