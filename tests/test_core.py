@@ -331,6 +331,16 @@ def test_query_batch_top_p_matches_per_query_api(make_lsh, small_vectors):
         for (_, gs), (_, ws) in zip(rows, want):
             assert gs == pytest.approx(ws, abs=1e-6)
 
+    # multiprobe composes with top_p: perturbed candidates feed the same
+    # rerank + proportional cutoff; parity vs the single-query API holds
+    got_mp: dict = {}
+    for r in lsh.query_batch(qdf, top_k=10, top_p=0.5, multiprobe=1).collect():
+        got_mp.setdefault(r.qid, []).append((r.rank, r.id, r.score))
+    for i in range(6):
+        want = lsh.query(vecs[i], top_k=10, top_p=0.5, multiprobe=1)
+        rows = [(rid, s) for _, rid, s in sorted(got_mp.get(i, []))]
+        assert [rid for rid, _ in rows] == [rid for rid, _ in want], i
+
     with pytest.raises(ValueError, match="top_p"):
         lsh.query_batch(qdf, top_p=1.5).collect()
     bare = type(lsh)(spark, 32, num_perm=16, num_bands=4, rows_per_band=4)
