@@ -550,8 +550,15 @@ def main() -> None:
     except OSError:
         pass
     print(json.dumps(detail))
-    spark.stop()
-    print(json.dumps(summary))
+    # The compact summary MUST be the final stdout line even if
+    # spark.stop() hangs or raises (observed hanging under JVM
+    # contention): print it first, flush, then stop. Spark logs go to
+    # stderr, so nothing else lands on stdout after this.
+    print(json.dumps(summary), flush=True)
+    try:
+        spark.stop()
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":

@@ -357,13 +357,20 @@ class LSHRS:
             # Parity with query()/get_above_p: empty candidates return an
             # (empty) result before the vector-store requirement bites —
             # routed through the same rerank expressions so the schema is
-            # identical to the non-empty path. isEmpty costs a job only on
-            # this would-raise path.
-            if not cands.isEmpty():
-                raise RuntimeError(
-                    "top_p queries require a registered vector source; "
-                    "call set_vectors()"
-                )
+            # identical to the non-empty path. Cost shape (ADVICE r7):
+            # with nothing indexed the answer needs no job at all, and
+            # otherwise the probe is persisted before the emptiness check
+            # so the empty path reuses the computed result instead of
+            # re-running the full probe join in the returned plan.
+            self.flush()
+            if self._index_df is not None:
+                cands = cands.persist()
+                if not cands.isEmpty():
+                    cands.unpersist()
+                    raise RuntimeError(
+                        "top_p queries require a registered vector source; "
+                        "call set_vectors()"
+                    )
             scored = rerank(
                 cands,
                 self.spark.createDataFrame(
@@ -449,8 +456,11 @@ class LSHRS:
         if self._vectors_df is None:
             # Reference parity with get_above_p/query(): an empty
             # candidate set returns empties BEFORE the vector-store
-            # requirement bites. Checked only on the would-raise path.
-            if cands.isEmpty():
+            # requirement bites. With nothing indexed the probe join is
+            # provably empty — skip the Spark job entirely (ADVICE r7);
+            # only a populated index pays the emptiness check.
+            self.flush()
+            if self._index_df is None or cands.isEmpty():
                 return [[] for _ in range(len(mat))]
             raise RuntimeError(
                 "top_p queries require a registered vector source; "

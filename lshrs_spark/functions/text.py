@@ -722,20 +722,42 @@ def bm25_compact(spark, path: str, *, num_buckets: "Optional[int]" = None) -> in
     into place, THEN delete the old tree — a crash at any point leaves
     a recoverable layout at ``path`` or ``path.old-*`` (ADVICE r6: the
     previous rmtree-then-rename order had a window with NO layout at
-    ``path`` and the data stranded under a random temp name)."""
-    import os as _os
-    import shutil as _shutil
+    ``path`` and the data stranded under a random temp name).
+
+    The swap runs through the path's OWN Hadoop filesystem — the same
+    one Spark reads and writes through — so a scheme-less path on a
+    session whose ``fs.defaultFS`` is HDFS compacts correctly instead
+    of writing the tmp tree to the cluster and renaming on the local
+    disk (ADVICE r7). Object-store schemes (s3/s3a/gs/...) are refused
+    up front: their "rename" is a non-atomic copy, which would void
+    the crash-safety contract above."""
     import uuid as _uuid
 
-    # The swap below is local-filesystem os.rename/rmtree; a scheme'd
-    # URI (s3://, hdfs://) would read fine via Spark but then fail (or
-    # worse, half-apply) the swap — refuse it up front.
-    if "://" in path and not path.startswith("file://"):
+    _ATOMIC_RENAME_SCHEMES = ("file", "hdfs", "viewfs")
+    # Cheap string guard first: an absent FS impl for e.g. s3:// would
+    # otherwise surface as an opaque JVM error instead of a ValueError.
+    if "://" in path:
+        _scheme = path.split("://", 1)[0]
+        if _scheme not in _ATOMIC_RENAME_SCHEMES:
+            raise ValueError(
+                f"bm25_compact swaps directories via filesystem rename; "
+                f"rename on {_scheme!r} is a non-atomic copy — got "
+                f"non-local path {path!r}"
+            )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    fs = dst.getFileSystem(hconf)
+    resolved = fs.getUri().getScheme()
+    # Scheme-less paths resolve against fs.defaultFS — re-check what
+    # they actually landed on before any (possibly large) rewrite.
+    if resolved not in _ATOMIC_RENAME_SCHEMES:
         raise ValueError(
-            f"bm25_compact swaps directories via the local filesystem; "
-            f"got non-local path {path!r}"
+            f"bm25_compact swaps directories via filesystem rename; "
+            f"rename on the session default filesystem {resolved!r} is a "
+            f"non-atomic copy — got non-local path {path!r}"
         )
-    local_path = path[len("file://"):] if path.startswith("file://") else path
+    dst = fs.makeQualified(dst)
     stats = spark.read.parquet(f"{path}/_stats")
     posts = spark.read.parquet(path)
     if "epoch" not in posts.columns:
@@ -762,7 +784,6 @@ def bm25_compact(spark, path: str, *, num_buckets: "Optional[int]" = None) -> in
         "bucket", bm25_bucket_col(F.col("tok"), nb)
     )
     tmp = f"{path}.tmp-{_uuid.uuid4().hex}"
-    tmp_local = tmp[len("file://"):] if tmp.startswith("file://") else tmp
     (
         merged.repartition(F.col("bucket"))
         .sortWithinPartitions("tok", "id")
@@ -775,10 +796,22 @@ def bm25_compact(spark, path: str, *, num_buckets: "Optional[int]" = None) -> in
         "n_docs long, total_len long, num_buckets long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_stats/epoch=-1")
     n = spark.read.parquet(f"{tmp}/epoch=-1").count()
-    old = f"{local_path}.old-{_uuid.uuid4().hex}"
-    _os.rename(local_path, old)
-    _os.rename(tmp_local, local_path)
-    _shutil.rmtree(old)
+    tmp_p = fs.makeQualified(jvm.org.apache.hadoop.fs.Path(tmp))
+    old = fs.makeQualified(
+        jvm.org.apache.hadoop.fs.Path(f"{path}.old-{_uuid.uuid4().hex}")
+    )
+    # Hadoop FileSystem.rename signals failure by RETURNING false, not
+    # raising — check both hops, and put the original back if the
+    # second hop fails so `path` always holds a servable layout.
+    if not fs.rename(dst, old):
+        raise IOError(f"bm25_compact: renaming {path} aside failed")
+    if not fs.rename(tmp_p, dst):
+        fs.rename(old, dst)
+        raise IOError(
+            f"bm25_compact: renaming the compacted tree into {path} "
+            f"failed; original layout restored"
+        )
+    fs.delete(old, True)
     return n
 
 

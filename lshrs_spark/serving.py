@@ -1040,20 +1040,27 @@ class BM25Server:
                 return {}
         return {d: len(ps) for d, ps in acc.items()}
 
-    def phrase_batch(self, phrases) -> list:
+    def phrase_batch(self, phrases, *,
+                     max_cached_df: Optional[int] = None) -> list:
         """Batch twin of :meth:`phrase` — ONE positions read per
         DISTINCT term across the whole batch (query logs repeat phrase
         terms just as they repeat bag terms), the phrase analogue of
         :meth:`search_batch`'s shared postings read. Result ``i`` ==
         ``phrase(phrases[i])``.
 
-        Trade-off vs the single-phrase path: :meth:`phrase` prunes
-        later terms' positions READS to the docs surviving the
-        intersection so far — that per-phrase pruning cannot be shared,
-        so the batch path reads each distinct term's full positions
-        once instead; intersection order (rarest-first by in-memory
-        posting length) still bounds every intermediate by the
-        smallest list."""
+        Driver-memory shape (ADVICE r7): cache entries are loaded on
+        the FIRST phrase that needs a term and released after the LAST
+        — peak memory is the terms live across the current phrase
+        window, never every distinct term in the batch at once. Terms
+        whose document frequency exceeds ``max_cached_df`` skip the
+        shared cache entirely and take the single-phrase path's pruned
+        per-phrase read (positions fetched only for docs surviving the
+        intersection so far), so one near-stop-word term can never pin
+        a corpus-sized posting list in the batch cache; those terms
+        trade the one-read-per-distinct-term guarantee for the bounded
+        read. Intersection order stays rarest-first (metadata-level
+        document frequency — identical ordering to the in-memory
+        posting length used before, decided without loading)."""
         phrases = [list(p) for p in phrases]
         if any(not p for p in phrases):
             raise ValueError("phrase must contain at least one token")
@@ -1064,20 +1071,37 @@ class BM25Server:
                 "phrase queries need a positional layout — write the "
                 "index with bm25_index_write(store_positions=True)"
             )
+        last_use: dict = {}
+        for pi, p in enumerate(phrases):
+            for t in p:
+                last_use[t] = pi
+        dfs = {t: self._doc_freq(t) for t in last_use}
         cache: dict = {}
-        for t in dict.fromkeys(t for p in phrases for t in p):
-            tbl = self._postings(t, columns=("id", "positions"))
+
+        def _load(term: str, extra=None) -> dict:
+            tbl = self._postings(term, columns=("id", "positions"),
+                                 extra_filter=extra)
             ids = tbl.column("id").to_numpy(zero_copy_only=False)
             plists = tbl.column("positions").to_pylist()
-            cache[t] = {int(d): set(ps) for d, ps in zip(ids, plists)}
+            return {int(d): set(ps) for d, ps in zip(ids, plists)}
+
         out = []
-        for p in phrases:
-            order = sorted(range(len(p)),
-                           key=lambda i: (len(cache[p[i]]), i))
+        for pi, p in enumerate(phrases):
+            order = sorted(range(len(p)), key=lambda i: (dfs[p[i]], i))
             acc = None
             for i in order:
-                cur = {d: {x - i for x in ps}
-                       for d, ps in cache[p[i]].items()}
+                if max_cached_df is not None and dfs[p[i]] > max_cached_df:
+                    # uncached pruned read — bounded by the survivors
+                    extra = (
+                        pads.field("id").isin(list(acc.keys()))
+                        if acc is not None else None
+                    )
+                    pmap = _load(p[i], extra)
+                else:
+                    if p[i] not in cache:
+                        cache[p[i]] = _load(p[i])
+                    pmap = cache[p[i]]
+                cur = {d: {x - i for x in ps} for d, ps in pmap.items()}
                 if acc is None:
                     acc = cur
                 else:
@@ -1089,6 +1113,9 @@ class BM25Server:
                 if not acc:
                     break
             out.append({d: len(ps) for d, ps in (acc or {}).items()})
+            for t in dict.fromkeys(p):
+                if last_use[t] == pi:
+                    cache.pop(t, None)
         return out
 
     def _term_contrib(self, term: str):

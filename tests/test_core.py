@@ -368,6 +368,55 @@ def test_get_above_p_batch_matches_per_query_api(make_lsh, small_vectors):
         lsh.get_above_p_batch([vecs[0]], 1.5)
 
 
+def test_top_p_batch_no_store_guard_is_cheap(spark, small_vectors):
+    """ADVICE r7: the no-vector-store guard must not pay a probe job
+    when nothing is indexed (zero Spark jobs fire for the guard), and
+    on the empty-candidates path query_batch's returned plan reuses
+    the persisted probe result instead of re-running the join."""
+    ids, vecs = small_vectors
+    qdf = spark.createDataFrame(
+        [(0, [float(x) for x in vecs[1]])], "qid long, qvec array<float>"
+    )
+    sc = spark.sparkContext
+
+    # nothing indexed: emptiness is known without any Spark job
+    bare = LSHRS(spark, 32, num_perm=16, num_bands=4, rows_per_band=4)
+    sc.setLocalProperty("spark.jobGroup.id", "topp_guard_no_index")
+    try:
+        assert bare.get_above_p_batch([vecs[1]], 0.5) == [[]]
+        out = bare.query_batch(qdf, top_p=0.5)
+        assert out.columns == ["qid", "id", "score", "rank"]
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert sc.statusTracker().getJobIdsForGroup("topp_guard_no_index") == []
+    assert out.count() == 0
+
+    # populated-then-emptied index: the emptiness check persists the
+    # probe, and the returned (empty) plan reads the cached result
+    lsh = LSHRS(spark, 32, num_perm=16, num_bands=4, rows_per_band=4)
+    lsh.ingest(0, vecs[0])
+    lsh.flush()
+    lsh.delete([0])
+    out = lsh.query_batch(qdf, top_p=0.5)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan
+    assert out.count() == 0
+
+    # ...and a populated index with candidates still raises (ingest
+    # registers no vector source, unlike index())
+    lsh2 = LSHRS(spark, 32, num_perm=16, num_bands=4, rows_per_band=4)
+    lsh2.ingest(0, vecs[0])
+    lsh2.flush()
+    with pytest.raises(RuntimeError, match="vector source"):
+        lsh2.query_batch(
+            spark.createDataFrame(
+                [(0, [float(x) for x in vecs[0]])],
+                "qid long, qvec array<float>",
+            ),
+            top_p=0.5,
+        )
+
+
 def test_top_p_batch_empty_candidates_parity(spark, small_vectors):
     """With NO registered vector source and an empty candidate set, the
     batch top-p paths return empties exactly like get_above_p does

@@ -1297,9 +1297,14 @@ def test_bm25_phrase_batch_matches_singles_one_read_per_term(spark, tmp_path):
     srv._postings = lambda *a, **kw: (reads.append(a[0]), orig(*a, **kw))[1]
     got = srv.phrase_batch(phrases)
     srv._postings = orig
-    # one read per DISTINCT term (6 here), not per occurrence (9)
+    # AT MOST one read per DISTINCT term (never per occurrence: 9 here);
+    # lazily-loaded terms a dead phrase never reaches are skipped
+    # entirely ("nothing" after "missing" empties the intersection).
     distinct = {t for p in phrases for t in p}
-    assert sorted(reads) == sorted(distinct)
+    assert len(reads) == len(set(reads)), "a term was read twice"
+    assert set(reads) <= distinct
+    assert "nothing" not in reads  # pruned by the early-empty break
+    assert set(reads) >= distinct - {"nothing"}
     for res, p in zip(got, phrases):
         assert res == srv.phrase(p), p
     assert got[0] == {1: 2, 3: 1}
@@ -1309,3 +1314,38 @@ def test_bm25_phrase_batch_matches_singles_one_read_per_term(spark, tmp_path):
     with pytest.raises(ValueError, match="at least one token"):
         srv.phrase_batch([["key"], []])
     assert srv.phrase_batch([]) == []
+
+
+def test_bm25_phrase_batch_df_cap_and_eviction(spark, tmp_path):
+    """ADVICE r7: terms above ``max_cached_df`` bypass the shared batch
+    cache and take the pruned per-phrase read (bounded by survivors,
+    possibly multiple reads), while results stay identical; cached
+    terms are released after their last phrase (instrumented by read
+    pattern: a re-appearing cached term is still read only once)."""
+    from lshrs_spark.functions.text import bm25_index_write
+    from lshrs_spark.serving import BM25Server
+
+    docs = spark.createDataFrame(
+        [(i, f"common rare{i % 3} common filler{i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "bm25_pos_cap")
+    bm25_index_write(docs, store, num_buckets=8, store_positions=True)
+    srv = BM25Server(store)
+
+    phrases = [["common", "rare0"], ["common", "rare1"],
+               ["common", "rare0"]]
+    uncapped = srv.phrase_batch(phrases)
+
+    reads = []
+    orig = srv._postings
+    srv._postings = lambda *a, **kw: (reads.append(a[0]), orig(*a, **kw))[1]
+    capped = srv.phrase_batch(phrases, max_cached_df=6)
+    srv._postings = orig
+
+    assert capped == uncapped == [srv.phrase(p) for p in phrases]
+    # "common" (df=12 > cap) is read per-phrase, pruned — 3 reads;
+    # the rare terms stay cached: one read each despite rare0 repeating.
+    assert reads.count("common") == 3
+    assert reads.count("rare0") == 1
+    assert reads.count("rare1") == 1

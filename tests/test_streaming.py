@@ -960,10 +960,15 @@ def test_bm25_compact_validation_and_swap_hygiene(spark, tmp_path):
 
     with pytest.raises(ValueError, match="num_buckets must be >= 1"):
         bm25_compact(spark, idx, num_buckets=0)
+    # object-store schemes are refused up front (rename is a copy there)
     with pytest.raises(ValueError, match="non-local path"):
         bm25_compact(spark, "s3://bucket/bm25")
+    with pytest.raises(ValueError, match="non-local path"):
+        bm25_compact(spark, "s3a://bucket/bm25")
 
-    n = bm25_compact(spark, idx)
+    # the swap itself runs through the path's Hadoop filesystem
+    # (ADVICE r7) — a file:// scheme'd URI compacts fine
+    n = bm25_compact(spark, f"file://{idx}")
     assert n == 4
     base = os.path.basename(idx)
     strays = [d for d in os.listdir(tmp_path)
