@@ -7117,13 +7117,21 @@ DRIVER_WINDOW: list[str] = [
     # lsh_multiprobe_recall in / lsh_index_stats out (the multi-probe
     # recall/cost gauge earns the hard row; the per-band stats agg holds
     # an r6 driver row and folds into the signature-table family)
-    "lsh_signatures", "lsh_multiprobe_recall", "lsh_topk", "lsh_topp",
-    "knn_bruteforce", "lsh_delete",
+    # round-8: lsh_topp_batch in / lsh_topp out (r7 driver row on file)
+    # — the batch rerank + proportional cutoff through the user API
+    # earns the hard row; the single-query path is its 1-row special
+    # case, computed by the same rerank/cutoff plan
+    "lsh_signatures", "lsh_multiprobe_recall", "lsh_topk",
+    "lsh_topp_batch", "knn_bruteforce", "lsh_delete",
     # similarity join + dedup family (dedup_ngram_jaccard demoted
     # round-6: shingle-inverted-index twin of the in-window minhash rep)
     # (dedup_incremental demoted round-6: stored-band-key twin of the
     # in-window minhash rep — the python-datasource family takes its slot)
-    "simjoin_lsh", "dedup_exact", "dedup_groups",
+    # round-8: dedup_editdist in / simjoin_lsh out (r7 driver row on
+    # file) — PassJoin segment banding + exact levenshtein verify earns
+    # the hard row for the candidate-generation+verification family the
+    # banded cosine self-join repped until now
+    "dedup_editdist", "dedup_exact", "dedup_groups",
     # round-6 rotation (r5 driver rows on file for all demoted twins):
     # dedup_minhash_recall in / dedup_minhash_pairs out (the recall
     # gauge computes the banded pairs AND grades them vs exact
@@ -7138,12 +7146,20 @@ DRIVER_WINDOW: list[str] = [
     # MIPS gauge drives the same IVF probe end-to-end AND replays the
     # norm-augmentation reduction; the WHERE-pushdown variant folds
     # into its family
-    "mips_ivf_recall", "emb_semantic_decontaminate",
+    # round-8: mips_ivf_filtered in / mips_ivf_recall out (r7 driver
+    # row on file) — the WHERE-constrained MIPS probe drives the same
+    # augmentation + centroid training + pruned probe PLUS eligibility
+    # filtering; the unfiltered gauge folds into its family
+    "mips_ivf_filtered", "emb_semantic_decontaminate",
     # planner + quantization + pipeline ops (text_tfidf demoted
     # round-6: token-frequency-statistics twin of text_stats;
     # pipeline_pack demoted round-6: prefix-sum family twin of the
     # in-window length-batching rep — the graph family takes its slot)
-    "planner_config", "ann_ivfpq_topk", "graph_pagerank",
+    # round-8: graph_triangles in / graph_pagerank out (driver rows
+    # r2-r7 on file) — degree-ordered triangle counting earns the hard
+    # row for the graph family; the centrality recurrence is its
+    # iterate-over-edges twin and keeps its bench line
+    "planner_config", "ann_ivfpq_topk", "graph_triangles",
     "pipeline_weighted_sample", "text_bpe_tokens",
     "pipeline_length_batches", "pipeline_hygiene_cascade",
     # text analysis + corpus hygiene (text_fingerprint demoted round-7:
@@ -7156,8 +7172,12 @@ DRIVER_WINDOW: list[str] = [
     # out (r6 driver row on file) — the WAV-decode + integer-DCT
     # fingerprint dedup earns the hard row; spectral feature extraction
     # is its decode-family twin
+    # round-8: text_phrase_batch in / text_phrase_search out (driver
+    # rows r6-r7 on file) — the shared-scan batch phrase plan earns the
+    # hard row; the single-phrase path is its N=1 case through the same
+    # positional intersection
     "text_stats", "text_quality_classifier", "text_langid",
-    "text_phrase_search", "text_clean",
+    "text_phrase_batch", "text_clean",
     "dedup_audio_fingerprint", "text_decontaminate",
     "text_pii_redact", "text_quality_filter", "text_chunk",
     "text_unigram_logprob",
@@ -7181,7 +7201,12 @@ DRIVER_WINDOW: list[str] = [
     # multimodal_frame_sample in / multimodal_features out (r6 row —
     # the VID0 frame-sampling fan-out earns the hard row; per-image
     # decode+features is its downstream twin)
-    "sketch_bloom", "dedup_video_frames", "stream_dedup_counts",
+    # round-8: dedup_video_hamming in / dedup_video_frames out (r7
+    # driver row on file) — the Hamming-tolerant pigeonhole match earns
+    # the hard row (its brute-force per-frame-distance oracle is the
+    # strictest in the video family); exact equality is its h=0 fast
+    # path
+    "sketch_bloom", "dedup_video_hamming", "stream_dedup_counts",
     "stream_stateful_first", "stream_attribution_join",
     "multimodal_frame_sample",
 ]
@@ -7208,22 +7233,23 @@ FAMILY: dict[str, str] = {
     # line-dedup family)
     "dedup_representative": "dedup_groups",
     # demoted round-6 (r5 driver row on file): the dHash pair list is
-    # the sub-plan of the image-cluster entry; rep moved round-7 to the
-    # promoted video-frame entry (same pigeonhole banding core)
-    "dedup_image_phash": "dedup_video_frames",
+    # the sub-plan of the image-cluster entry; rep moved round-8 to the
+    # promoted Hamming-tolerant video entry (same pigeonhole banding
+    # core)
+    "dedup_image_phash": "dedup_video_hamming",
     # demoted round-7 (r6 driver row on file): the recursive-CTE
     # cluster variant is the connected-components post-pass over the
     # same perceptual-hash pair machinery the video rep exercises
-    "dedup_image_groups": "dedup_video_frames",
-    # Hamming-tolerant twin of the in-window exact-equality video rep
-    # (new round-7, VERDICT r6 #5): same frame pipeline, values routed
-    # through the pigeonhole core before the clip aggregation
-    "dedup_video_hamming": "dedup_video_frames",
+    "dedup_image_groups": "dedup_video_hamming",
+    # demoted round-8 (r7 driver row on file): exact frame equality is
+    # the h=0 fast path of the promoted Hamming-tolerant rep
+    "dedup_video_frames": "dedup_video_hamming",
     "dedup_soft_weight": "dedup_groups",
     "rel_recursive_reach": "dedup_groups",  # SQL-surface twin of CC
-    # clique-ness diagnostic over the same near-dup pair graph the
-    # in-window centrality rep drives (new round-7)
-    "graph_triangles": "graph_pagerank",
+    # demoted round-8 (driver rows r2-r7 on file): the centrality
+    # recurrence iterates the same near-dup edge frame the promoted
+    # triangle-counting rep orients
+    "graph_pagerank": "graph_triangles",
     # demoted round-5: per-stratum exact sampling is covered by the new
     # deterministic-sampling/export representative (r3 driver row on file)
     "pipeline_stratified_sample": "pipeline_weighted_sample",
@@ -7246,7 +7272,9 @@ FAMILY: dict[str, str] = {
     # top-customers representative
     "rel_lateral_topn": "rel_top_customers",
     "rel_events_interval": "rel_events_asof",   # interval ~ as-of range join
-    "dedup_embedding": "simjoin_lsh",           # banded cosine simjoin variant
+    # banded cosine embedding self-dedup: banded-embedding-bucket
+    # family, same machinery as the in-window semantic decontamination
+    "dedup_embedding": "emb_semantic_decontaminate",
     # prefix-sum family (rep: pipeline_length_batches since round-6,
     # when the graph family took pipeline_pack's window slot)
     "pipeline_pack": "pipeline_length_batches",
@@ -7263,30 +7291,37 @@ FAMILY: dict[str, str] = {
     # promoted multi-probe gauge takes the LSH-dial slot
     "lsh_index_stats": "lsh_signatures",
     "ann_batch": "lsh_topk",
-    # batch top-p rerank (new round-7): the multi-query twin of the
-    # in-window proportional-prefix rep, same rerank/cutoff plan
-    "lsh_topp_batch": "lsh_topp",
-    # IVF family rep since round-7: the promoted augmented-IVF MIPS
+    # demoted round-8 (driver rows r1-r7 on file): the single-query
+    # top-p path is the 1-row special case of the promoted batch
+    # rerank + proportional-cutoff rep
+    "lsh_topp": "lsh_topp_batch",
+    # IVF family rep since round-8: the promoted WHERE-constrained MIPS
     # gauge drives the same centroid training + partition-pruned probe
-    "ann_recall": "mips_ivf_recall",
-    "ann_ivf_recall": "mips_ivf_recall",
-    "ann_ivf_recall_curve": "mips_ivf_recall",  # nprobe sweep of the same gauge
-    "ann_ivf": "mips_ivf_recall",
-    "ann_ivf_filtered_recall": "mips_ivf_recall",
+    # plus eligibility filtering
+    "ann_recall": "mips_ivf_filtered",
+    "ann_ivf_recall": "mips_ivf_filtered",
+    "ann_ivf_recall_curve": "mips_ivf_filtered",  # nprobe sweep, same gauge
+    "ann_ivf": "mips_ivf_filtered",
+    "ann_ivf_filtered_recall": "mips_ivf_filtered",
     # demoted round-7 (r6 driver row on file): the WHERE-pushdown
     # filtered probe is a variant of the IVF machinery the promoted
     # MIPS gauge drives end-to-end
-    "ann_ivf_filtered": "mips_ivf_recall",
-    "ann_ivf_stored": "mips_ivf_recall",
+    "ann_ivf_filtered": "mips_ivf_filtered",
+    "ann_ivf_stored": "mips_ivf_filtered",
     # exact inner-product baseline: subsumed as the exact leg of the
-    # promoted mips_ivf_recall gauge (VERDICT r6 #3)
-    "mips_topk": "mips_ivf_recall",
-    # WHERE-constrained MIPS (new round-7): the filtered twin of the
-    # in-window augmented-IVF gauge, eligibility pre-filtering the
-    # same probe
-    "mips_ivf_filtered": "mips_ivf_recall",
-    # simjoin / dedup twins and gauges
-    "simjoin_exact": "simjoin_lsh",
+    # MIPS gauges (VERDICT r6 #3)
+    "mips_topk": "mips_ivf_filtered",
+    # demoted round-8 (r7 driver row on file): the unfiltered
+    # augmented-IVF recall gauge is the promoted filtered rep minus the
+    # eligibility predicate
+    "mips_ivf_recall": "mips_ivf_filtered",
+    # simjoin / dedup twins and gauges — candidate-generation +
+    # verification family, repped round-8 by the promoted PassJoin
+    # editdist entry (simjoin_lsh demoted round-8, driver rows r2-r7 on
+    # file: banded cosine self-join + AQE skew-split, same generate-
+    # then-verify shape)
+    "simjoin_lsh": "dedup_editdist",
+    "simjoin_exact": "dedup_editdist",
     "dedup_minhash_sigs": "dedup_minhash_recall",
     # per-source-pair rollup of the same banded pair list
     "dedup_source_matrix": "dedup_minhash_recall",
@@ -7303,16 +7338,13 @@ FAMILY: dict[str, str] = {
     # demoted round-6 (r5 driver row on file): rolling-span twin of the
     # promoted chunk-window representative
     "dedup_substring": "dedup_chunk_overlap",
-    # fuzzy-string member of the dedup battery (new round-7): PassJoin
-    # segment banding + exact levenshtein verify — candidate-generation
-    # + verification family, repped by the in-window similarity join
-    "dedup_editdist": "simjoin_lsh",
     # sorted-neighborhood blocking (new round-7): same candidate-
     # generation + verification family, key-adjacency instead of bands
-    "dedup_snm": "simjoin_lsh",
+    # (its recall gauge grades against the in-window editdist truth)
+    "dedup_snm": "dedup_editdist",
     # fuzzy cross-corpus decontamination (new round-7): editdist_join
-    # over the tagged union — same banding family
-    "text_fuzzy_decontaminate": "simjoin_lsh",
+    # over the tagged union — the promoted rep's own banding core
+    "text_fuzzy_decontaminate": "dedup_editdist",
     # demoted round-5 (driver rows r4 on file): the corpus-diff rep
     # hands the promotion-gate family slot to the per-rule attrition
     # funnel (never driver-checked before)
@@ -7325,12 +7357,12 @@ FAMILY: dict[str, str] = {
     "text_fingerprint": "dedup_exact",
     "text_heavy_hitters": "text_stats",
     # demoted round-6 (r5 driver row on file): BM25 ranking is the
-    # scoring twin of the promoted positional phrase representative
-    # (and stays exercised via the in-window hybrid-RRF fusion)
-    "text_bm25_topk": "text_phrase_search",
-    # batch twin of the in-window single-phrase rep (new round-7):
-    # same positional intersection, N phrases sharing one postings scan
-    "text_phrase_batch": "text_phrase_search",
+    # scoring twin of the positional phrase representatives (and stays
+    # exercised via the in-window hybrid-RRF fusion)
+    "text_bm25_topk": "text_phrase_batch",
+    # demoted round-8 (driver rows r6-r7 on file): the single-phrase
+    # path is the N=1 case of the promoted shared-scan batch rep
+    "text_phrase_search": "text_phrase_batch",
     # demoted round-6 (r5 driver row on file): banded-embedding
     # self-dedup is the symmetric twin of the promoted cross-corpus
     # semantic decontamination representative

@@ -136,6 +136,22 @@ def vector_to_pg_text(col: Column) -> Column:
     )
 
 
+def _apply_fan_in(
+    df: DataFrame, num_partitions: int | None, fan_in: str
+) -> DataFrame:
+    """Cap the write-side partition count per :func:`write_database`'s
+    ``fan_in`` contract — split out so the stage-parallelism behavior is
+    testable without a live JDBC endpoint."""
+    if fan_in not in ("repartition", "coalesce"):
+        raise ValueError(
+            f"fan_in must be 'repartition' or 'coalesce' (got {fan_in!r})"
+        )
+    if not num_partitions:
+        return df
+    n = int(num_partitions)
+    return df.repartition(n) if fan_in == "repartition" else df.coalesce(n)
+
+
 def write_database(
     df: DataFrame,
     *,
@@ -144,6 +160,7 @@ def write_database(
     mode: str = "append",
     driver: str | None = None,
     num_partitions: int | None = None,
+    fan_in: str = "repartition",
     batch_size: int = 1000,
     encode_vector_columns: tuple[str, ...] = (),
     properties: dict | None = None,
@@ -154,18 +171,27 @@ def write_database(
 
     Scale notes for a 1000-executor job: each write partition opens ONE
     connection and streams prepared-statement batches of ``batch_size``
-    rows, so cap connection fan-in with ``num_partitions`` (``coalesce``
-    — never a shuffle) or the database primary fields one concurrent
-    INSERT stream per task. ``mode="append"`` into a pre-created table
-    is the portable path: create-on-write depends on dialect DDL and an
-    existence probe some drivers break (duckdb_jdbc 1.0.0 raises on
-    Spark's ``SELECT 1 ... WHERE 1=0`` probe instead of returning
-    false). ``encode_vector_columns`` routes ``array<float>`` columns
-    through :func:`vector_to_pg_text` so they bind as strings."""
+    rows, so cap connection fan-in with ``num_partitions`` or the
+    database primary fields one concurrent INSERT stream per task. HOW
+    the cap is applied is the ``fan_in`` trade (VERDICT r7): the default
+    ``"repartition"`` inserts an exchange boundary, so the (usually
+    expensive) upstream computation — scoring joins, vector encoding —
+    keeps its full cluster parallelism and only the final write stage
+    narrows to ``num_partitions`` evenly-sized streams, at the cost of
+    one shuffle of the output rows. ``"coalesce"`` avoids that shuffle
+    but FOLDS the cap into the upstream stage: asking for 32 write
+    connections also collapses everything upstream to 32 tasks — use it
+    only when the frame is a cheap scan-shaped lineage whose
+    parallelism you are happy to cap. ``mode="append"`` into a
+    pre-created table is the portable path: create-on-write depends on
+    dialect DDL and an existence probe some drivers break (duckdb_jdbc
+    1.0.0 raises on Spark's ``SELECT 1 ... WHERE 1=0`` probe instead of
+    returning false). ``encode_vector_columns`` routes ``array<float>``
+    columns through :func:`vector_to_pg_text` so they bind as
+    strings."""
     for c in encode_vector_columns:
         df = df.withColumn(c, vector_to_pg_text(F.col(c)))
-    if num_partitions:
-        df = df.coalesce(int(num_partitions))
+    df = _apply_fan_in(df, num_partitions, fan_in)
     w = (
         df.write.format("jdbc")
         .option("url", url)

