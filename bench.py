@@ -462,6 +462,26 @@ def main() -> None:
         "mips_ivf_batch100",
     )
 
+    # 9c. Matryoshka two-stage (round-8): coarse over the 16-of-64
+    # prefix (4x fewer bytes/multiply-adds in the scan) + full-width
+    # rerank of 40 rows/query, vs the same batch brute-forced at full
+    # width — the coarse-probe cost win the tier exists for.
+    from lshrs_spark.operators.knn import brute_force_topk, truncated_topk
+
+    knn_q = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    results["knn_full_batch100"], _ = timed(
+        lambda: brute_force_topk(emb, knn_q, 10).count(),
+        "knn_full_batch100",
+    )
+    results["knn_truncated_batch100"], _ = timed(
+        lambda: truncated_topk(
+            emb, knn_q, 10, coarse_dims=16, coarse_k=40
+        ).count(),
+        "knn_truncated_batch100",
+    )
+
     # 10. BM25 keyword serving: stored postings layout, no Spark job.
     from lshrs_spark.functions.text import bm25_index_write
     from lshrs_spark.serving import BM25Server

@@ -21,11 +21,14 @@ shallow — for deep iteration counts, materialize per round exactly as
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["symmetric_edges", "degree_table", "pagerank",
-           "triangle_counts"]
+           "triangle_counts", "edge_triangle_support",
+           "triangle_repair_components"]
 
 
 def symmetric_edges(pairs: DataFrame) -> DataFrame:
@@ -146,6 +149,20 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     cartesian anywhere; the triangle SET is orientation-invariant, so
     any total order (an id-ordered SQL oracle included) reproduces it
     exactly."""
+    tri = _oriented_triangles(pairs)
+    return (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+
+
+def _oriented_triangles(pairs: DataFrame) -> DataFrame:
+    """One row ``(u, v, w)`` per distinct triangle of the undirected
+    pair graph, enumerated via the degree-ordered orientation described
+    in :func:`triangle_counts` (which shares this body; endpoint order
+    within a row follows the (degree, id) total order, and the SET of
+    rows is orientation-invariant)."""
     from ..cache import persist_slot
 
     # und feeds the degree aggregation AND the keyed join; oriented (below)
@@ -203,9 +220,103 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     closing = oriented.select(
         F.col("src").alias("v"), F.col("dst").alias("w")
     )
-    tri = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
-    return (
-        tri.select(F.explode(F.array("u", "v", "w")).alias("id"))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("triangles"))
+    return wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+
+
+def edge_triangle_support(pairs: DataFrame) -> DataFrame:
+    """``(id_a, id_b, support)`` — per-EDGE triangle participation over
+    the undirected pair graph (``id_a < id_b`` canonical): how many
+    triangles contain the edge, equivalently ``|N(a) ∩ N(b)|``. The
+    edge-level refinement of :func:`triangle_counts`' node diagnostic:
+    a weak accidental link between two real clusters has support 0 even
+    when both its ENDPOINTS sit in many triangles on their own side.
+    Every input pair appears in the output (zero-support edges with
+    ``support = 0``).
+
+    Scale shape: rides the same degree-ordered O(m^1.5) triangle
+    enumeration, then one explode (3 rows per triangle — output-bound)
+    + hash aggregation on the canonical edge key and an equi-join back
+    to the pair list. No new shuffle class beyond the counter's."""
+    tri = _oriented_triangles(pairs)
+    sup = (
+        tri.select(
+            F.explode(
+                F.array(
+                    F.array("u", "v"), F.array("u", "w"), F.array("v", "w")
+                )
+            ).alias("e")
+        )
+        .select(
+            F.least(F.col("e")[0], F.col("e")[1]).alias("id_a"),
+            F.greatest(F.col("e")[0], F.col("e")[1]).alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    cpairs = pairs.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    ).distinct()
+    return cpairs.join(sup, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support"),
+    )
+
+
+def triangle_repair_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    *,
+    min_support: int = 1,
+    keep_isolated_pairs: bool = True,
+    max_iterations: int = 20,
+    checkpoint_dir: Optional[str] = None,
+) -> DataFrame:
+    """``(id, component)`` — connected components over the pair graph
+    AFTER dropping weak-link edges: the actionable fix for the
+    transitive-closure over-merge :func:`triangle_counts`' diagnostic
+    names (VERDICT r7 #2). An edge survives if it participates in at
+    least ``min_support`` triangles — inside a true duplicate cluster
+    (near-complete) every edge has support, while the accidental bridge
+    A~B~C chaining two unrelated clusters has none, so re-clustering
+    splits the chain without touching real clusters.
+
+    ``keep_isolated_pairs`` (default True) retains a zero-support edge
+    when BOTH endpoints have degree 1: an isolated A~B pair is a
+    genuine size-2 duplicate cluster that cannot be an over-merge
+    bridge (a bridge endpoint has degree >= 2 by construction), and
+    dropping it would shatter every exact-duplicate pair the corpus
+    holds only twice. Set it False for strict >=``min_support``-truss
+    semantics.
+
+    Scale shape: support is the O(m^1.5) enumeration above; the filter
+    is a broadcast-free equi-join on the canonical edge key; the
+    re-cluster is the pointer-jumping :func:`~lshrs_spark.operators.
+    dedup.connected_components` with its bounded per-round
+    materialization — no step exceeds the cost class of the dedup pass
+    that produced the pairs."""
+    from .dedup import connected_components
+
+    sup = edge_triangle_support(pairs)
+    keep = F.col("support") >= int(min_support)
+    if keep_isolated_pairs:
+        deg = degree_table(symmetric_edges(pairs))
+        sup = (
+            sup.join(
+                deg.select(F.col("id").alias("id_a"),
+                           F.col("degree").alias("deg_a")),
+                "id_a",
+            )
+            .join(
+                deg.select(F.col("id").alias("id_b"),
+                           F.col("degree").alias("deg_b")),
+                "id_b",
+            )
+        )
+        keep = keep | ((F.col("deg_a") == 1) & (F.col("deg_b") == 1))
+    kept = sup.filter(keep).select("id_a", "id_b")
+    return connected_components(
+        kept, nodes,
+        max_iterations=max_iterations, checkpoint_dir=checkpoint_dir,
     )

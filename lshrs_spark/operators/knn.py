@@ -36,6 +36,7 @@ __all__ = [
     "ivf_topk",
     "ivf_write_store",
     "ivf_topk_stored",
+    "truncated_topk",
     "kmeans_centroids",
     "recall_at_k",
     "ivf_delete",
@@ -274,6 +275,95 @@ def ivf_topk(
     )
     scored = cands.select(
         "qid", "id", dot_product(F.col("_q"), F.col("_v")).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "id", "score", "rank")
+    )
+
+
+def truncated_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    coarse_dims: int,
+    coarse_k: Optional[int] = None,
+    num_centroids: Optional[int] = None,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Matryoshka two-stage retrieval (VERDICT r7 #3): coarse
+    top-``coarse_k`` per query over the FIRST ``coarse_dims`` embedding
+    dimensions, then exact FULL-width cosine rerank of only that
+    shortlist — ``(qid, id, score, rank)`` with ``score`` the full-dim
+    cosine. MRL-trained embeddings concentrate signal in the prefix, so
+    the coarse stage sees ``coarse_dims/dim`` of the bytes and
+    multiply-adds (the practical matryoshka payoff at 100 TB: a 4×
+    smaller index and 4× cheaper probe for a 16-of-64 prefix) while the
+    rerank restores full-width ordering over ``coarse_k`` rows per
+    query; ``emb_dim_truncation_recall``-style gauges grade what the
+    prefix costs in recall on a given corpus.
+
+    Coarse stage: a truncated-width brute scan by default; with
+    ``num_centroids`` set it routes through the existing IVF pruned
+    probe (:func:`ivf_topk`) over a truncated-width index — centroids
+    live at ``coarse_dims`` too, so centroid scoring, assignment and
+    the probe all run at the reduced width and the two prunings
+    (centroid partitions × prefix width) compose. Scale shape: the
+    rerank is an equi-join of the ``coarse_k``-bounded shortlist
+    against the full-width table on id (prunes to matching files when
+    id is the sort key) with the query batch broadcast — the corpus is
+    never rescanned at full width."""
+    if coarse_dims < 1:
+        raise ValueError(f"coarse_dims must be >= 1 (got {coarse_dims})")
+    if coarse_k is None:
+        coarse_k = max(4 * k, k)
+    if coarse_k < k:
+        raise ValueError(
+            f"coarse_k ({coarse_k}) must be >= k ({k}) — the rerank can "
+            f"only reorder the shortlist, not extend it"
+        )
+    tv = vectors.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.slice(F.col(vector_col), 1, coarse_dims).alias("tvec"),
+    )
+    tq = queries.select(
+        F.col(qid_col).cast("long").alias("qid"),
+        F.slice(F.col(qvec_col), 1, coarse_dims).alias("qvec"),
+    )
+    if num_centroids:
+        cents = ivf_centroids_by_id(
+            tv, num_centroids, id_col="id", vector_col="tvec"
+        )
+        coarse = ivf_topk(
+            tv, cents, tq, coarse_k, nprobe,
+            id_col="id", vector_col="tvec",
+        )
+    else:
+        coarse = brute_force_topk(
+            tv, tq, coarse_k, id_col="id", vector_col="tvec"
+        )
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("id"),
+        _unit(F.col(vector_col)).alias("_v"),
+    )
+    q = F.broadcast(queries.select(
+        F.col(qid_col).cast("long").alias("qid"),
+        _unit(F.col(qvec_col)).alias("_q"),
+    ))
+    scored = (
+        coarse.select("qid", "id")
+        .join(v, "id")
+        .join(q, "qid")
+        .select(
+            "qid", "id", dot_product(F.col("_q"), F.col("_v")).alias("score")
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
     return (

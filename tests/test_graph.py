@@ -160,3 +160,70 @@ def test_triangle_counts_exact_vs_brute_force(spark):
     path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)],
                                  "id_a long, id_b long")
     assert triangle_counts(path).count() == 0
+
+
+def test_edge_triangle_support_exact_vs_brute_force(spark):
+    """Per-edge support equals the common-neighbor count |N(a)∩N(b)|
+    brute-forced on a random graph; zero-support edges are present
+    with support=0."""
+    import random
+
+    from lshrs_spark.operators.graph import edge_triangle_support
+
+    rng = random.Random(7)
+    n = 25
+    edges = sorted({(min(a, b), max(a, b))
+                    for a, b in (rng.sample(range(n), 2)
+                                 for _ in range(90))})
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {(r.id_a, r.id_b): r.support
+           for r in edge_triangle_support(df).collect()}
+    nbr: dict = {}
+    for a, b in edges:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    want = {(a, b): len(nbr[a] & nbr[b]) for a, b in edges}
+    assert got == want
+    assert any(v == 0 for v in got.values())  # the fixture has weak links
+
+
+def test_triangle_repair_splits_chain_keeps_triangle(spark):
+    """VERDICT r7 #2: the weak-link chain A~B~C (no triangle support)
+    splits into singletons after repair, while a true triangle cluster
+    stays merged; an isolated duplicate PAIR survives by default
+    (degree-1 endpoints) and splits only under strict truss
+    semantics."""
+    from lshrs_spark.operators.dedup import connected_components
+    from lshrs_spark.operators.graph import triangle_repair_components
+
+    # triangle {0,1,2}; chain 3~4~5; isolated pair 6~7; bridge 2~3
+    # chains the triangle cluster to the chain — the over-merge trap
+    edges = [(0, 1), (0, 2), (1, 2), (3, 4), (4, 5), (6, 7), (2, 3)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "id long")
+
+    # plain CC over-merges {0..5} into one component
+    plain = {r.id: r.component
+             for r in connected_components(pairs, nodes).collect()}
+    assert len({plain[i] for i in range(6)}) == 1
+
+    got = {r.id: r.component
+           for r in triangle_repair_components(pairs, nodes).collect()}
+    assert got[0] == got[1] == got[2]          # true triangle intact
+    assert len({got[3], got[4], got[5]}) == 3  # chain shattered
+    assert got[3] != got[0]                    # bridge dropped
+    assert got[6] == got[7]                    # isolated pair kept
+    assert got[6] != got[0]
+
+    strict = {r.id: r.component
+              for r in triangle_repair_components(
+                  pairs, nodes, keep_isolated_pairs=False).collect()}
+    assert strict[0] == strict[1] == strict[2]
+    assert strict[6] != strict[7]              # strict truss drops it
+
+    # min_support above the clique's edge support shatters everything
+    hard = {r.id: r.component
+            for r in triangle_repair_components(
+                pairs, nodes, min_support=2,
+                keep_isolated_pairs=False).collect()}
+    assert len(set(hard.values())) == 8
