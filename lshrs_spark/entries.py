@@ -5586,6 +5586,100 @@ def dedup_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_snm_multipass_recall",
+    """WITH base AS (SELECT doc_id AS bid, substr(text, 1, 40) AS s
+             FROM documents WHERE doc_id < 200),
+corpus AS (
+  SELECT bid * 2 AS id, s AS t FROM base
+  UNION ALL
+  SELECT bid * 2 + 1 AS id, '~' || substr(s, 2) AS t FROM base),
+truth AS (SELECT a.id AS id_a, b.id AS id_b FROM corpus a JOIN corpus b
+          ON a.id < b.id AND abs(length(a.t) - length(b.t)) <= 2
+          WHERE levenshtein(a.t, b.t) <= 2),
+r1 AS (SELECT id, t, row_number() OVER (ORDER BY substr(t, 1, 24), id)
+           AS rank FROM corpus),
+c1 AS (SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+       FROM r1 a JOIN r1 b ON b.rank BETWEEN a.rank + 1 AND a.rank + 5
+       WHERE levenshtein(a.t, b.t) <= 2),
+r2 AS (SELECT id, t, row_number() OVER (ORDER BY substr(t, 2, 24), id)
+           AS rank FROM corpus),
+c2 AS (SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+       FROM r2 a JOIN r2 b ON b.rank BETWEEN a.rank + 1 AND a.rank + 5
+       WHERE levenshtein(a.t, b.t) <= 2),
+m AS (SELECT * FROM c1 UNION SELECT * FROM c2)
+SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+  round((SELECT count(*) FROM c1 JOIN truth USING (id_a, id_b))::DOUBLE
+        / (SELECT count(*) FROM truth), 5) AS recall_single,
+  round((SELECT count(*) FROM m JOIN truth USING (id_a, id_b))::DOUBLE
+        / (SELECT count(*) FROM truth), 5) AS recall_multi""",
+)
+def dedup_snm_multipass_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass SNM recall gauge (VERDICT r7 #7): single-key
+    sorted-neighborhood blocking is fragile exactly where the key is —
+    a typo in the leading characters teleports the record across the
+    sort order. On a planted-typo corpus (each doc paired with a copy
+    whose FIRST character is replaced, a deterministic construction
+    both engines replay), the prefix-sorted single pass finds almost
+    none of the Levenshtein<=2 truth pairs while Hernández & Stolfo's
+    multi-pass remedy — a second pass sorted by the key SKIPPING the
+    first character, pair union across passes
+    (``sorted_neighborhood_pairs(keys=[...])``) — recovers them all:
+    measured 0.03 vs 1.00 recall at sf0.01. Truth is the exact
+    PassJoin ``editdist_pairs`` set; the oracle replays corpus
+    construction, both passes, and both recalls."""
+    from .cache import persist_slot
+    from .operators.dedup import editdist_pairs, sorted_neighborhood_pairs
+
+    base = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 200)
+        .select(
+            F.col("doc_id").cast("long").alias("bid"),
+            F.substring("text", 1, 40).alias("s"),
+        )
+    )
+    corpus = persist_slot(
+        base.select(
+            (F.col("bid") * 2).alias("doc_id"), F.col("s").alias("text")
+        ).unionByName(
+            base.select(
+                (F.col("bid") * 2 + 1).alias("doc_id"),
+                F.concat(F.lit("~"), F.expr("substring(s, 2)")).alias("text"),
+            )
+        ),
+        "entries.snm_multipass.corpus",
+    )
+    truth = editdist_pairs(corpus, max_dist=2, prefix_len=40).select(
+        "id_a", "id_b"
+    )
+    key1 = F.substring("text", 1, 24)
+    key2 = F.expr("substring(text, 2, 24)")
+    single = sorted_neighborhood_pairs(
+        corpus, key1, window=5, text_col="text", max_dist=2, prefix_len=40
+    ).select("id_a", "id_b")
+    multi = sorted_neighborhood_pairs(
+        corpus, [key1, key2], window=5, text_col="text", max_dist=2,
+        prefix_len=40,
+    ).select("id_a", "id_b")
+    t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    sh = single.join(truth, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("sh")
+    )
+    mh = multi.join(truth, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("mh")
+    )
+    return (
+        t.crossJoin(sh)
+        .crossJoin(mh)
+        .select(
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.round(F.col("sh") / F.col("n_truth"), 5).alias("recall_single"),
+            F.round(F.col("mh") / F.col("n_truth"), 5).alias("recall_multi"),
+        )
+    )
+
+
+@register(
     "dedup_chunk_overlap",
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 n AS (SELECT doc_id, t, len(t) AS n FROM tok),
@@ -7507,6 +7601,9 @@ FAMILY: dict[str, str] = {
     # generation + verification family, key-adjacency instead of bands
     # (its recall gauge grades against the in-window editdist truth)
     "dedup_snm": "dedup_editdist",
+    # multi-pass SNM recall gauge (new round-8, VERDICT r7 #7): unions
+    # per-key passes and grades them against the same editdist truth
+    "dedup_snm_multipass_recall": "dedup_editdist",
     # fuzzy cross-corpus decontamination (new round-7): editdist_join
     # over the tagged union — the promoted rep's own banding core
     "text_fuzzy_decontaminate": "dedup_editdist",

@@ -1337,58 +1337,92 @@ def sorted_neighborhood_pairs(
     guarantee recall for a specific similarity, SNM is the cheap
     generic pass whose recall rides the key design.
 
-    ``key_col`` is a column name or Column expression. With
-    ``text_col`` and ``max_dist`` set, candidates verify with one
-    built-in ``levenshtein`` per pair (on the ``prefix_len``-char
-    prefix when given) and the output gains a ``dist`` column;
-    otherwise the raw neighborhood pairs come back unverified.
+    ``key_col`` is a column name or Column expression — or a LIST of
+    them for the MULTI-PASS variant (Hernández & Stolfo's own remedy
+    for single-key fragility: a typo in the key's leading characters
+    teleports a record across the sort order, so one pass sorts by
+    several independent keys and unions the candidate pairs; recall
+    compounds across passes while cost stays O(n * window * passes)).
+    Candidates are deduplicated ACROSS passes before any verification,
+    so a pair adjacent under every key still pays one ``levenshtein``.
 
-    Scale shape: the global sort rank comes from the two-stage
+    With ``text_col`` and ``max_dist`` set, candidates verify with one
+    built-in ``levenshtein`` per distinct pair (on the
+    ``prefix_len``-char prefix when given) and the output gains a
+    ``dist`` column; otherwise the raw neighborhood pairs come back
+    unverified.
+
+    Scale shape: each pass's global sort rank comes from the two-stage
     distributed scan (:func:`~lshrs_spark.operators.prefix.
     running_total` — range partition + per-partition window + driver
     offsets; NO single-partition window anywhere), and the
     neighborhood join is an equi-join on ``rank + d`` for ``d in
     1..window`` — ``window`` narrow join rows per record. Ties in the
     key order deterministically by id, so results are reproducible
-    and an external SQL engine replays them exactly."""
+    and an external SQL engine replays them exactly. Callers with an
+    expensive upstream ``df`` should persist it — every pass re-reads
+    it once."""
     if window < 1:
         raise ValueError(f"window must be >= 1 (got {window})")
     if (max_dist is None) != (text_col is None):
         raise ValueError("max_dist and text_col must be set together")
     from .prefix import running_total
 
-    key = F.col(key_col) if isinstance(key_col, str) else key_col
-    cols = [F.col(id_col).cast("long").alias("id"), key.alias("_k")]
+    keys = list(key_col) if isinstance(key_col, (list, tuple)) else [key_col]
+    if not keys:
+        raise ValueError("key_col must name at least one blocking key")
+    kcols = [
+        (F.col(k) if isinstance(k, str) else k).alias(f"_k{i}")
+        for i, k in enumerate(keys)
+    ]
+    base_cols = [F.col(id_col).cast("long").alias("id"), *kcols]
     if text_col is not None:
         txt = (
             F.substring(F.col(text_col), 1, prefix_len)
             if prefix_len is not None else F.col(text_col)
         )
-        cols.append(txt.alias("_t"))
-    s = df.select(*cols).withColumn("_one", F.lit(1)).withColumn(
-        "_ord", F.struct(F.col("_k"), F.col("id"))
+        base_cols.append(txt.alias("_t"))
+    s = df.select(*base_cols)
+    cand: Optional[DataFrame] = None
+    for i in range(len(keys)):
+        ranked = running_total(
+            s.select("id", F.col(f"_k{i}").alias("_k"))
+            .withColumn("_one", F.lit(1))
+            .withColumn("_ord", F.struct(F.col("_k"), F.col("id"))),
+            "_ord", "_one", out_col="rank",
+        )
+        left = ranked.withColumn(
+            "d", F.explode(F.sequence(F.lit(1), F.lit(window)))
+        ).select(
+            F.col("id").alias("id_l"),
+            (F.col("rank") + F.col("d")).alias("rk"),
+        )
+        right = ranked.select(F.col("id").alias("id_r"),
+                              F.col("rank").alias("rk"))
+        p = left.join(right, "rk").select(
+            F.least("id_l", "id_r").alias("id_a"),
+            F.greatest("id_l", "id_r").alias("id_b"),
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    if text_col is None:
+        return cand
+    t = s.select("id", "_t")
+    pairs = (
+        cand.join(
+            t.select(F.col("id").alias("id_a"), F.col("_t").alias("t_a")),
+            "id_a",
+        )
+        .join(
+            t.select(F.col("id").alias("id_b"), F.col("_t").alias("t_b")),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b",
+            F.levenshtein("t_a", "t_b").cast("long").alias("dist"),
+        )
     )
-    ranked = running_total(s, "_ord", "_one", out_col="rank")
-    lcols = [
-        F.col("id").alias("id_l"),
-        (F.col("rank") + F.col("d")).alias("rk"),
-    ] + ([F.col("_t").alias("t_l")] if text_col is not None else [])
-    left = ranked.withColumn(
-        "d", F.explode(F.sequence(F.lit(1), F.lit(window)))
-    ).select(*lcols)
-    rcols = [F.col("id").alias("id_r"), F.col("rank").alias("rk")] + (
-        [F.col("_t").alias("t_r")] if text_col is not None else []
-    )
-    right = ranked.select(*rcols)
-    pairs = left.join(right, "rk").select(
-        F.least("id_l", "id_r").alias("id_a"),
-        F.greatest("id_l", "id_r").alias("id_b"),
-        *([F.levenshtein("t_l", "t_r").cast("long").alias("dist")]
-          if text_col is not None else []),
-    )
-    if max_dist is not None:
-        pairs = pairs.filter(F.col("dist") <= max_dist)
-    return pairs.distinct()
+    return pairs.filter(F.col("dist") <= max_dist)
 
 
 def _band_key_rows(tbl, hash_col, blocks, *, keep=(), out_cols):
