@@ -397,6 +397,20 @@ def main() -> None:
     ann_serve_p95_ms = lat_ivf[p95_index(len(lat_ivf))] * 1000
     results["ann_ivf_served20x"] = lat_ivf[len(lat_ivf) // 2]
 
+    # 12b. Matryoshka served (round-8): truncated-width stored probe
+    # (16 of 64 dims — 4x smaller partition reads) + full-width refine
+    # of the 40-row shortlist from the id-sorted _full sidecar.
+    from lshrs_spark.operators.knn import truncated_ivf_write_store
+    from lshrs_spark.serving import TruncatedIVFServer
+
+    tivf_store = os.path.join(tempfile.gettempdir(), "lshrs_bench_tivf20x")
+    truncated_ivf_write_store(big, 64, 16, tivf_store)
+    tsrv = TruncatedIVFServer.from_store(tivf_store)
+    tsrv.topk(qvecs[0], 10, 4)  # warm
+    lat_tivf = serve_latencies(lambda q: tsrv.topk(q, 10, 4), qvecs)
+    trunc_serve_p95_ms = lat_tivf[p95_index(len(lat_tivf))] * 1000
+    results["ann_truncated_served20x"] = lat_tivf[len(lat_tivf) // 2]
+
     # 13. PQ compressed-scan ANN over the 20x corpus: codebooks trained
     # on the 1x corpus, code table materialized once (the production
     # stored layout), ADC query reads only (id, j, code) + an m x k
@@ -550,6 +564,7 @@ def main() -> None:
         ),
         "single_query_p95_ms": round(serve_p95_ms, 2),
         "ann_query_p95_ms": round(ann_serve_p95_ms, 2),
+        "truncated_query_p95_ms": round(trunc_serve_p95_ms, 2),
         "pq_query_p95_ms": round(pq_serve_p95_ms, 2),
         "bm25_query_p95_ms": round(bm25_serve_p95_ms, 2),
         "driver_peak_rss_mb": rss_mb,

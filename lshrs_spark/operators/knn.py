@@ -37,6 +37,7 @@ __all__ = [
     "ivf_write_store",
     "ivf_topk_stored",
     "truncated_topk",
+    "truncated_ivf_write_store",
     "kmeans_centroids",
     "recall_at_k",
     "ivf_delete",
@@ -438,6 +439,50 @@ def ivf_write_store(
             .write.mode("overwrite")
             .parquet(f"{path}/_centroids")
         )
+
+
+def truncated_ivf_write_store(
+    vectors: DataFrame,
+    num_centroids: int,
+    coarse_dims: int,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    mode: str = "overwrite",
+    full_files: int = 8,
+) -> None:
+    """Materialize the matryoshka serving layout
+    (:class:`~lshrs_spark.serving.TruncatedIVFServer`): an ordinary IVF
+    store (:func:`ivf_write_store`) built over the FIRST
+    ``coarse_dims`` dimensions — centroids, assignment and the
+    partitioned vector files all live at the reduced width, so the
+    stored index is ``coarse_dims/dim`` of the full-width bytes and a
+    probe reads proportionally less — plus a ``{path}/_full`` sidecar
+    holding the full-width vectors RANGE-SORTED BY ID across
+    ``full_files`` files, so the serve-time refine fetch of a
+    ``coarse_k``-row shortlist prunes to the files whose id min/max
+    envelopes cover it instead of scanning the corpus."""
+    if coarse_dims < 1:
+        raise ValueError(f"coarse_dims must be >= 1 (got {coarse_dims})")
+    tv = vectors.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.slice(F.col(vector_col), 1, coarse_dims).alias("tvec"),
+    )
+    cents = ivf_centroids_by_id(tv, num_centroids, id_col="id",
+                                vector_col="tvec")
+    ivf_write_store(tv, cents, path, id_col="id", vector_col="tvec",
+                    mode=mode)
+    (
+        vectors.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vector_col).cast("array<double>").alias("embedding"),
+        )
+        .repartitionByRange(int(full_files), "id")
+        .sortWithinPartitions("id")
+        .write.mode("overwrite")
+        .parquet(f"{path}/_full")
+    )
 
 
 def ivf_topk_stored(

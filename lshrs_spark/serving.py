@@ -632,6 +632,135 @@ class IVFServer:
         return out
 
 
+class TruncatedIVFServer:
+    """No-Spark-job matryoshka two-stage serving over a
+    :func:`~lshrs_spark.operators.knn.truncated_ivf_write_store`
+    layout — the serving twin of
+    :func:`~lshrs_spark.operators.knn.truncated_topk`:
+
+    1. the inner :class:`IVFServer` answers the COARSE query at the
+       stored truncated width (centroid scoring, partition pruning and
+       the vector read all touch ``coarse_dims/dim`` of the full-width
+       bytes),
+    2. the ``coarse_k``-row shortlist's FULL vectors are fetched from
+       the id-range-sorted ``_full`` sidecar (pyarrow ``isin`` pushdown
+       → file/row-group stats pruning — a bounded point read, never a
+       corpus scan), and
+    3. an exact full-width cosine rerank orders the final ``k``.
+
+    Same contract shape as :class:`IVFServer.topk` (``[(id, score,
+    rank)]``, score desc / id asc, NaN-norm rows last) with ``score``
+    the FULL-width cosine."""
+
+    def __init__(self, store_path: str) -> None:
+        self._store_path = store_path
+        self._inner = IVFServer.from_store(store_path)
+        self._coarse_dims = int(self._inner._cunit.shape[1])
+        self._open_full()
+
+    def _open_full(self) -> None:
+        self._full = pads.dataset(
+            os.path.join(self._store_path, "_full"), format="parquet"
+        )
+        IndexServer._warm(self._full)
+
+    def refresh(self) -> None:
+        """Re-open the truncated layout (tombstones included, via the
+        inner server) and the full-vector sidecar."""
+        self._inner.refresh()
+        self._open_full()
+
+    @classmethod
+    def from_store(cls, store_path: str) -> "TruncatedIVFServer":
+        return cls(store_path)
+
+    def _fetch_full(self, ids: np.ndarray):
+        tbl = self._full.to_table(
+            columns=["id", "embedding"],
+            filter=pads.field("id").isin(pa.array(ids, type=pa.int64())),
+        )
+        fids = tbl.column("id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        vecs = np.stack(
+            tbl.column("embedding").to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        return fids, vecs
+
+    @staticmethod
+    def _rerank(fids, vecs, q, k):
+        qn = np.linalg.norm(q)
+        if qn == 0:
+            raise ValueError("Cannot query with a zero vector")
+        norms = np.linalg.norm(vecs, axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            scores = np.where(norms > 0, vecs @ (q / qn) / norms, np.nan)
+        order = np.lexsort((fids, -np.nan_to_num(scores, nan=-np.inf),
+                            np.isnan(scores)))[:k]
+        return [
+            (int(fids[i]), float(scores[i]), rank + 1)
+            for rank, i in enumerate(order)
+        ]
+
+    def topk(self, vector: np.ndarray, k: int = 10, nprobe: int = 4,
+             coarse_k: Optional[int] = None) -> list:
+        q = np.asarray(vector, dtype=np.float64).reshape(-1)
+        if coarse_k is None:
+            coarse_k = max(4 * k, k)
+        if coarse_k < k:
+            raise ValueError(
+                f"coarse_k ({coarse_k}) must be >= k ({k}) — the rerank "
+                f"can only reorder the shortlist, not extend it"
+            )
+        coarse = self._inner.topk(q[: self._coarse_dims], coarse_k, nprobe)
+        if not coarse:
+            return []
+        ids = np.array(sorted(i for i, _, _ in coarse), dtype=np.int64)
+        fids, vecs = self._fetch_full(ids)
+        if len(fids) == 0:
+            return []
+        return self._rerank(fids, vecs, q, k)
+
+    def topk_batch(self, vectors, k: int = 10, nprobe: int = 4,
+                   coarse_k: Optional[int] = None) -> list[list]:
+        """Batch twin: coarse shortlists come from the inner server's
+        shared-partition-read batch path, then the UNION of all
+        shortlists' full vectors is fetched in ONE pruned read and each
+        query reranks its own slice. Result i == ``topk(vectors[i],
+        ...)`` in ids/ranks (scores may differ in the last ulp — the
+        rerank matmul batches per query over its own shortlist rows,
+        same shapes both paths)."""
+        if len(vectors) == 0:
+            return []
+        if coarse_k is None:
+            coarse_k = max(4 * k, k)
+        if coarse_k < k:
+            raise ValueError(
+                f"coarse_k ({coarse_k}) must be >= k ({k}) — the rerank "
+                f"can only reorder the shortlist, not extend it"
+            )
+        qs = [np.asarray(v, dtype=np.float64).reshape(-1) for v in vectors]
+        coarse = self._inner.topk_batch(
+            [q[: self._coarse_dims] for q in qs], coarse_k, nprobe
+        )
+        union = sorted({i for short in coarse for i, _, _ in short})
+        if not union:
+            return [[] for _ in vectors]
+        fids, vecs = self._fetch_full(np.array(union, dtype=np.int64))
+        pos = {int(i): j for j, i in enumerate(fids)}
+        out: list[list] = []
+        for q, short in zip(qs, coarse):
+            idx = np.array(
+                sorted(pos[i] for i, _, _ in short if i in pos),
+                dtype=np.int64,
+            )
+            if len(idx) == 0:
+                out.append([])
+                continue
+            out.append(self._rerank(fids[idx], vecs[idx], q, k))
+        return out
+
+
 class PQServer:
     """No-Spark-job ANN serving over a stored PQ layout
     (:func:`~lshrs_spark.operators.knn.pq_write_store`): the codebooks

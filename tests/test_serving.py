@@ -1349,3 +1349,64 @@ def test_bm25_phrase_batch_df_cap_and_eviction(spark, tmp_path):
     assert reads.count("common") == 3
     assert reads.count("rare0") == 1
     assert reads.count("rare1") == 1
+
+
+def test_truncated_ivf_server_matches_spark_two_stage(spark, tmp_path):
+    """TruncatedIVFServer (coarse at stored truncated width + full-width
+    rerank from the _full sidecar) returns the same ids/ranks as the
+    Spark truncated_topk plan with the same centroids/nprobe/coarse_k,
+    and the batch path equals per-query serving."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lshrs_spark.operators.knn import (
+        truncated_ivf_write_store,
+        truncated_topk,
+    )
+    from lshrs_spark.serving import TruncatedIVFServer
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "trunc_ivf")
+    truncated_ivf_write_store(emb, 8, 16, path)
+    srv = TruncatedIVFServer.from_store(path)
+    assert srv._coarse_dims == 16
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    want: dict = {}
+    for r in truncated_topk(
+        emb, queries, 5, coarse_dims=16, coarse_k=20,
+        num_centroids=8, nprobe=4,
+    ).collect():
+        want.setdefault(r.qid, []).append((r.rank, r.id, r.score))
+
+    qvecs = [np.array(r.embedding, dtype=np.float32)
+             for r in emb.filter(F.col("vec_id") < 5)
+             .orderBy("vec_id").collect()]
+    batch = srv.topk_batch(qvecs, 5, nprobe=4, coarse_k=20)
+    for qid, q in enumerate(qvecs):
+        got = srv.topk(q, 5, nprobe=4, coarse_k=20)
+        w = sorted(want[qid])
+        assert [(i, rk) for i, _, rk in got] == [(i, rk) for rk, i, _ in w]
+        for (_, gs, _), (_, _, ws) in zip(got, w):
+            assert gs == pytest.approx(ws, abs=1e-6)
+        assert [(i, rk) for i, _, rk in batch[qid]] == \
+            [(i, rk) for i, _, rk in got]
+
+    # coarse_k = corpus: rerank is exhaustive -> exact brute-force order
+    n = emb.count()
+    full = srv.topk(qvecs[0], 5, nprobe=8, coarse_k=n)
+    rows = sorted(
+        (r.vec_id, np.array(r.embedding, dtype=np.float64))
+        for r in emb.collect()
+    )
+    q = qvecs[0].astype(np.float64)
+    scores = [(i, float((v / np.linalg.norm(v)) @ (q / np.linalg.norm(q))))
+              for i, v in rows]
+    brute = sorted(scores, key=lambda t: (-t[1], t[0]))[:5]
+    assert [i for i, _, _ in full] == [i for i, _ in brute]
+
+    with pytest.raises(ValueError, match="coarse_k"):
+        srv.topk(qvecs[0], 10, coarse_k=5)
+    assert srv.topk_batch([], 5) == []

@@ -114,12 +114,17 @@ def shuffle_main(args) -> None:
         minhash_band_pairs,
         video_near_dup_pairs,
     )
-    from lshrs_spark.operators.graph import pagerank, triangle_counts
+    from lshrs_spark.operators.graph import (
+        pagerank,
+        triangle_counts,
+        triangle_repair_components,
+    )
     from lshrs_spark.operators.knn import (
         ivf_centroids_by_id,
         ivf_topk,
         mips_augment,
         mips_augment_query,
+        truncated_topk,
     )
     from lshrs_spark.operators.simjoin import similarity_join
 
@@ -209,6 +214,26 @@ def shuffle_main(args) -> None:
             "graph_triangles": lambda: triangle_counts(
                 minhash_band_pairs(docs, num_hashes=8, rows_per_band=2,
                                    base_hash="xxhash64")
+            ).count(),
+            # r8: triangle-supported cluster repair — the support
+            # enumeration above + edge filter + pointer-jumping CC over
+            # the surviving graph; within-copy structure is preserved
+            # bijectively so components (and rounds) stay comparable
+            "graph_repair": lambda: triangle_repair_components(
+                minhash_band_pairs(docs, num_hashes=8, rows_per_band=2,
+                                   base_hash="xxhash64"),
+                docs.select(F.col("doc_id").cast("long").alias("id")),
+            ).count(),
+            # r8: matryoshka coarse (16 of 64 dims) + full-width rerank
+            # of 40 rows/query — the slope reads the truncated corpus
+            # scan; the rerank join stays shortlist-bounded
+            "knn_truncated_batch100": lambda: truncated_topk(
+                emb,
+                emb.filter(F.col("vec_id") < 100).select(
+                    F.col("vec_id").alias("qid"),
+                    F.col("embedding").alias("qvec"),
+                ),
+                10, coarse_dims=16, coarse_k=40,
             ).count(),
             # VERDICT r5 #3: the two biggest new r5 bench lines.
             # imgdocs (per-copy byte shift, see above) keeps the pair
