@@ -364,7 +364,13 @@ class LSHRS:
             # re-running the full probe join in the returned plan.
             self.flush()
             if self._index_df is not None:
-                cands = cands.persist()
+                from .cache import persist_slot
+
+                # slot-managed (not raw .persist()): the next guard call
+                # releases this one's cache entry; a still-live returned
+                # plan falls back to lineage recompute, per the slot
+                # registry's documented contract
+                cands = persist_slot(cands, "core.topp_guard")
                 if not cands.isEmpty():
                     cands.unpersist()
                     raise RuntimeError(

@@ -253,10 +253,15 @@ def edge_triangle_support(pairs: DataFrame) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("support"))
     )
-    cpairs = pairs.select(
-        F.least("id_a", "id_b").alias("id_a"),
-        F.greatest("id_a", "id_b").alias("id_b"),
-    ).distinct()
+    # canonical distinct edges from the SYMMETRIZED frame, not the raw
+    # pairs: the plan matches the copy _oriented_triangles just
+    # persisted, so Spark's cache manager serves it and the (often
+    # expensive) upstream pair join is not re-derived a second time
+    cpairs = (
+        symmetric_edges(pairs)
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+    )
     return cpairs.join(sup, ["id_a", "id_b"], "left").select(
         "id_a",
         "id_b",
@@ -296,6 +301,7 @@ def triangle_repair_components(
     dedup.connected_components` with its bounded per-round
     materialization — no step exceeds the cost class of the dedup pass
     that produced the pairs."""
+    from ..cache import persist_slot
     from .dedup import connected_components
 
     sup = edge_triangle_support(pairs)
@@ -315,7 +321,17 @@ def triangle_repair_components(
             )
         )
         keep = keep | ((F.col("deg_a") == 1) & (F.col("deg_b") == 1))
-    kept = sup.filter(keep).select("id_a", "id_b")
+    # Persist the surviving edge list BEFORE re-clustering: every
+    # pointer-jumping round joins against it, and a lazy frame would
+    # re-run the whole triangle-support pipeline (the O(m^1.5) joins)
+    # once per round — measured 65.7 -> single-digit seconds at the
+    # sf0.1 probe's 1x scale. Eager: the first CC round references it
+    # from two plan branches.
+    kept = persist_slot(
+        sup.filter(keep).select("id_a", "id_b"),
+        "graph.repair.kept",
+        eager=True,
+    )
     return connected_components(
         kept, nodes,
         max_iterations=max_iterations, checkpoint_dir=checkpoint_dir,

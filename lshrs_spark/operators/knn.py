@@ -462,7 +462,19 @@ def truncated_ivf_write_store(
     holding the full-width vectors RANGE-SORTED BY ID across
     ``full_files`` files, so the serve-time refine fetch of a
     ``coarse_k``-row shortlist prunes to the files whose id min/max
-    envelopes cover it instead of scanning the corpus."""
+    envelopes cover it instead of scanning the corpus.
+
+    ``mode`` is restricted to ``"overwrite"``: an append would train a
+    fresh centroid set from the NEW batch alone (mixing incompatible
+    assignments into one layout) and clobber-or-desync the ``_full``
+    sidecar — incremental maintenance should rebuild, or use the
+    streaming index paths."""
+    if mode != "overwrite":
+        raise ValueError(
+            "truncated_ivf_write_store supports mode='overwrite' only — "
+            "appending would mix per-batch centroid sets and desync the "
+            "_full sidecar"
+        )
     if coarse_dims < 1:
         raise ValueError(f"coarse_dims must be >= 1 (got {coarse_dims})")
     tv = vectors.select(

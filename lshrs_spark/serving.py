@@ -682,6 +682,8 @@ class TruncatedIVFServer:
         fids = tbl.column("id").to_numpy(zero_copy_only=False).astype(
             np.int64
         )
+        if len(fids) == 0:  # shortlist absent from the sidecar
+            return fids, np.empty((0, 1), dtype=np.float64)
         vecs = np.stack(
             tbl.column("embedding").to_numpy(zero_copy_only=False)
         ).astype(np.float64)

@@ -1410,3 +1410,5 @@ def test_truncated_ivf_server_matches_spark_two_stage(spark, tmp_path):
     with pytest.raises(ValueError, match="coarse_k"):
         srv.topk(qvecs[0], 10, coarse_k=5)
     assert srv.topk_batch([], 5) == []
+    with pytest.raises(ValueError, match="overwrite"):
+        truncated_ivf_write_store(emb, 8, 16, path, mode="append")
