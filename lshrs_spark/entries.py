@@ -5297,6 +5297,53 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_contamination_report",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (SELECT doc_id, unnest(list_distinct(
+              CASE WHEN len(t) >= 5 THEN list_transform(
+                  generate_series(1, len(t) - 4),
+                  i -> list_aggregate(t[i:i+4], 'string_agg', ' '))
+              ELSE [] END)) AS gram
+          FROM toks),
+cg AS (SELECT doc_id, gram FROM grams WHERE doc_id < 450),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id >= 450),
+hits AS (SELECT cg.doc_id, count(*) AS h
+         FROM cg JOIN bench USING (gram) GROUP BY cg.doc_id)
+SELECT d.doc_id AS id,
+       coalesce(s.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(h.h, 0)::BIGINT AS n_hit_grams,
+       CASE WHEN coalesce(s.n_grams, 0) > 0
+            THEN round(coalesce(h.h, 0)::DOUBLE / s.n_grams, 5)
+            ELSE 0.0 END AS overlap,
+       CASE WHEN coalesce(s.n_grams, 0) > 0
+            THEN coalesce(h.h, 0)::DOUBLE / s.n_grams >= 0.1
+            ELSE false END AS contaminated
+FROM documents d
+LEFT JOIN sizes s ON s.doc_id = d.doc_id
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id < 450""",
+)
+def text_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED decontamination
+    (:func:`~lshrs_spark.operators.dedup.ngram_overlap_report`): for
+    EVERY training document (doc_id < 450), the fraction of its
+    distinct token 5-grams found in the held-out set (doc_id >= 450)
+    and the ``overlap >= 0.1`` drop decision — the GPT-3/PaLM-style
+    fraction-graded audit where the boolean any-shared-gram rule
+    (``text_decontaminate``) would flag a long document over one quoted
+    sentence. The threshold compares the same exact small-integer
+    quotient on both engines (double division of identical ints), so
+    the decision column is engine-stable."""
+    docs = _docs(spark, sf_dir)
+    return D.ngram_overlap_report(
+        docs.filter(F.col("doc_id") < 450),
+        docs.filter(F.col("doc_id") >= 450),
+        n=5, threshold=0.1,
+    )
+
+
+@register(
     "text_pii_redact",
     f"""WITH inj AS (SELECT doc_id, text ||
     CASE WHEN doc_id % 7 = 0
@@ -7630,6 +7677,9 @@ FAMILY: dict[str, str] = {
     # semantic decontamination representative
     "emb_semantic_dedup": "emb_semantic_decontaminate",
     "text_nfc": "text_clean",
+    # graded overlap-fraction audit (new round-8): same broadcast
+    # gram-join machinery as the in-window boolean decontamination rep
+    "text_contamination_report": "text_decontaminate",
     "text_char_entropy": "text_stats",
     # boilerplate-opening detector: token-frequency-statistics family
     "text_template_detect": "text_stats",

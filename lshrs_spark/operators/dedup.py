@@ -691,6 +691,27 @@ def connected_components(
     return labels
 
 
+def _distinct_ngrams(
+    df: DataFrame, n: int, id_col: str, text_col: str, out: str
+) -> DataFrame:
+    """``(out, gram)`` — each document's DISTINCT token ``n``-grams,
+    exploded (no rows for documents shorter than ``n`` tokens); the one
+    definition behind :func:`ngram_contamination` and
+    :func:`ngram_overlap_report` so their gram semantics cannot
+    drift."""
+    toks = df.select(
+        F.col(id_col).cast("long").alias(out),
+        F.split(F.col(text_col), " ").alias("_t"),
+    )
+    g = F.expr(
+        f"CASE WHEN size(_t) >= {n} THEN "
+        f"transform(sequence(1, size(_t) - {n - 1}), "
+        f"i -> array_join(slice(_t, i, {n}), ' ')) "
+        "ELSE array() END"
+    )
+    return toks.select(out, F.explode(F.array_distinct(g)).alias("gram"))
+
+
 def ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -712,26 +733,70 @@ def ngram_contamination(
     broadcast, swap the join key to ``xxhash64(gram)`` and pre-bucket
     both sides; the count semantics are unchanged (module docstring
     family: inverted-index join, no pair space)."""
-
-    def grams(df: DataFrame, out: str) -> DataFrame:
-        toks = df.select(
-            F.col(id_col).cast("long").alias(out),
-            F.split(F.col(text_col), " ").alias("_t"),
-        )
-        g = F.expr(
-            f"CASE WHEN size(_t) >= {n} THEN "
-            f"transform(sequence(1, size(_t) - {n - 1}), "
-            f"i -> array_join(slice(_t, i, {n}), ' ')) "
-            "ELSE array() END"
-        )
-        return toks.select(out, F.explode(F.array_distinct(g)).alias("gram"))
-
-    cg = grams(corpus, "id")
-    bg = grams(benchmark, "bid").select("gram").distinct()
+    cg = _distinct_ngrams(corpus, n, id_col, text_col, "id")
+    bg = _distinct_ngrams(
+        benchmark, n, id_col, text_col, "bid"
+    ).select("gram").distinct()
     return (
         cg.join(F.broadcast(bg), "gram")
         .groupBy("id")
         .agg(F.count_distinct("gram").alias("n_hit_grams"))
+    )
+
+
+def ngram_overlap_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    *,
+    threshold: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GRADED contamination report — ``(id, n_grams, n_hit_grams,
+    overlap, contaminated)`` for EVERY corpus document (not just hits):
+    ``overlap`` is the fraction of the document's distinct token
+    ``n``-grams found anywhere in the benchmark set, ``contaminated``
+    is the ``overlap >= threshold`` decision. The graded twin of
+    :func:`ngram_contamination`'s boolean shape — the standard
+    any-shared-gram rule flags a 10k-token document over one quoted
+    sentence, while training-corpus audits (GPT-3/PaLM style) grade by
+    the overlapped FRACTION and drop above a threshold; this emits the
+    evidence and the decision per document so the cutoff is auditable.
+    Documents shorter than ``n`` tokens report ``n_grams = 0``,
+    ``overlap = 0.0``, not contaminated.
+
+    Scale shape: same as the boolean check — benchmark grams broadcast,
+    corpus grams filtered map-side, plus one per-document count
+    aggregation for the denominators (shuffle keyed by doc id, rows
+    bounded by the corpus' distinct grams)."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1] (got {threshold})")
+    cg = _distinct_ngrams(corpus, n, id_col, text_col, "id")
+    sizes = cg.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    bg = _distinct_ngrams(
+        benchmark, n, id_col, text_col, "bid"
+    ).select("gram").distinct()
+    hits = (
+        cg.join(F.broadcast(bg), "gram")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+    ids = corpus.select(F.col(id_col).cast("long").alias("id"))
+    ng = F.coalesce(F.col("n_grams"), F.lit(0))
+    nh = F.coalesce(F.col("n_hit_grams"), F.lit(0))
+    frac = nh.cast("double") / ng.cast("double")
+    return (
+        ids.join(sizes, "id", "left")
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            ng.cast("long").alias("n_grams"),
+            nh.cast("long").alias("n_hit_grams"),
+            F.when(ng > 0, F.round(frac, 5)).otherwise(0.0).alias("overlap"),
+            F.when(ng > 0, frac >= F.lit(float(threshold)))
+            .otherwise(F.lit(False)).alias("contaminated"),
+        )
     )
 
 

@@ -451,6 +451,7 @@ def truncated_ivf_write_store(
     vector_col: str = "embedding",
     mode: str = "overwrite",
     full_files: int = 8,
+    extra_cols: Sequence[str] = (),
 ) -> None:
     """Materialize the matryoshka serving layout
     (:class:`~lshrs_spark.serving.TruncatedIVFServer`): an ordinary IVF
@@ -463,6 +464,11 @@ def truncated_ivf_write_store(
     ``full_files`` files, so the serve-time refine fetch of a
     ``coarse_k``-row shortlist prunes to the files whose id min/max
     envelopes cover it instead of scanning the corpus.
+
+    ``extra_cols`` ride along in the TRUNCATED layout (the probed
+    side), so a served ``where=(col, value)`` predicate filters
+    candidates inside the pruned coarse read — before ranking, like
+    every other filtered serving tier.
 
     ``mode`` is restricted to ``"overwrite"``: an append would train a
     fresh centroid set from the NEW batch alone (mixing incompatible
@@ -480,11 +486,12 @@ def truncated_ivf_write_store(
     tv = vectors.select(
         F.col(id_col).cast("long").alias("id"),
         F.slice(F.col(vector_col), 1, coarse_dims).alias("tvec"),
+        *[F.col(c) for c in extra_cols],
     )
     cents = ivf_centroids_by_id(tv, num_centroids, id_col="id",
                                 vector_col="tvec")
     ivf_write_store(tv, cents, path, id_col="id", vector_col="tvec",
-                    mode=mode)
+                    mode=mode, extra_cols=extra_cols)
     (
         vectors.select(
             F.col(id_col).cast("long").alias("id"),

@@ -705,7 +705,12 @@ class TruncatedIVFServer:
         ]
 
     def topk(self, vector: np.ndarray, k: int = 10, nprobe: int = 4,
-             coarse_k: Optional[int] = None) -> list:
+             coarse_k: Optional[int] = None, where=None) -> list:
+        """``where=(col, value)`` serves a filtered query: the predicate
+        (over ``extra_cols`` stored in the truncated layout) masks
+        candidates inside the pruned coarse read, BEFORE ranking — the
+        rerank then only ever sees eligible documents, completing the
+        filtered story for this tier too."""
         q = np.asarray(vector, dtype=np.float64).reshape(-1)
         if coarse_k is None:
             coarse_k = max(4 * k, k)
@@ -714,7 +719,9 @@ class TruncatedIVFServer:
                 f"coarse_k ({coarse_k}) must be >= k ({k}) — the rerank "
                 f"can only reorder the shortlist, not extend it"
             )
-        coarse = self._inner.topk(q[: self._coarse_dims], coarse_k, nprobe)
+        coarse = self._inner.topk(
+            q[: self._coarse_dims], coarse_k, nprobe, where=where
+        )
         if not coarse:
             return []
         ids = np.array(sorted(i for i, _, _ in coarse), dtype=np.int64)
@@ -724,7 +731,7 @@ class TruncatedIVFServer:
         return self._rerank(fids, vecs, q, k)
 
     def topk_batch(self, vectors, k: int = 10, nprobe: int = 4,
-                   coarse_k: Optional[int] = None) -> list[list]:
+                   coarse_k: Optional[int] = None, where=None) -> list[list]:
         """Batch twin: coarse shortlists come from the inner server's
         shared-partition-read batch path, then the UNION of all
         shortlists' full vectors is fetched in ONE pruned read and each
@@ -743,7 +750,8 @@ class TruncatedIVFServer:
             )
         qs = [np.asarray(v, dtype=np.float64).reshape(-1) for v in vectors]
         coarse = self._inner.topk_batch(
-            [q[: self._coarse_dims] for q in qs], coarse_k, nprobe
+            [q[: self._coarse_dims] for q in qs], coarse_k, nprobe,
+            where=where,
         )
         union = sorted({i for short in coarse for i, _, _ in short})
         if not union:

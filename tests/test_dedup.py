@@ -672,3 +672,44 @@ def test_editdist_join_exact_vs_brute_force(spark):
         assert got == want, k
     with pytest.raises(ValueError):
         D.editdist_join(ldf, rdf, max_dist=-1)
+
+
+def test_ngram_overlap_report_graded_fractions(spark):
+    """Graded contamination: overlap = |doc's distinct n-grams found in
+    the benchmark| / |doc's distinct n-grams|, every corpus doc present
+    (short docs report 0 grams, not-contaminated), decision at the
+    threshold, and consistency with the boolean ngram_contamination
+    hit counts."""
+    corpus = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),          # grams: abc bcd cde def (n=3)
+            (1, "a b c x y z"),          # grams: abc bcx cxy xyz
+            (2, "p q"),                  # too short: 0 grams
+            (3, "u v w u v w u v w"),    # repeated: distinct uvw vwu wuv
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c d q r s")], "doc_id long, text string"
+    )
+    got = {r.id: r for r in D.ngram_overlap_report(
+        corpus, bench, n=3, threshold=0.5).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    # doc 0: grams {abc,bcd,cde,def}; bench grams {abc,bcd,cdq,dqr,qrs}
+    assert (got[0].n_grams, got[0].n_hit_grams) == (4, 2)
+    assert got[0].overlap == pytest.approx(0.5)
+    assert bool(got[0].contaminated) is True    # 0.5 >= 0.5
+    assert (got[1].n_grams, got[1].n_hit_grams) == (4, 1)
+    assert bool(got[1].contaminated) is False
+    assert (got[2].n_grams, got[2].n_hit_grams, got[2].overlap) == (0, 0, 0.0)
+    assert bool(got[2].contaminated) is False
+    assert got[3].n_grams == 3 and got[3].n_hit_grams == 0
+
+    # hit counts agree with the boolean operator's for flagged docs
+    booly = {r.id: r.n_hit_grams
+             for r in D.ngram_contamination(corpus, bench, n=3).collect()}
+    for i, r in got.items():
+        assert booly.get(i, 0) == r.n_hit_grams
+
+    with pytest.raises(ValueError, match="threshold"):
+        D.ngram_overlap_report(corpus, bench, n=3, threshold=0.0)

@@ -1412,3 +1412,43 @@ def test_truncated_ivf_server_matches_spark_two_stage(spark, tmp_path):
     assert srv.topk_batch([], 5) == []
     with pytest.raises(ValueError, match="overwrite"):
         truncated_ivf_write_store(emb, 8, 16, path, mode="append")
+
+
+def test_truncated_ivf_server_filtered_where(spark, tmp_path):
+    """The filtered-ANN hook on the matryoshka tier: where=(col, value)
+    masks candidates inside the pruned coarse read (extra_cols stored
+    in the truncated layout), so results are exactly the unfiltered
+    two-stage run restricted to eligible ids computed independently."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lshrs_spark.operators.knn import truncated_ivf_write_store
+    from lshrs_spark.serving import TruncatedIVFServer
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "trunc_ivf_flt")
+    truncated_ivf_write_store(emb, 8, 16, path, extra_cols=("label",))
+    srv = TruncatedIVFServer.from_store(path)
+
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    q = np.array(
+        emb.filter("vec_id = 3").collect()[0].embedding, dtype=np.float32
+    )
+    n = emb.count()
+    want_label = labels[3]
+    # exhaustive coarse + all partitions: the filter is the ONLY pruning,
+    # so the result must equal brute-force over eligible docs
+    got = srv.topk(q, 5, nprobe=8, coarse_k=n, where=("label", want_label))
+    assert got, "filtered query returned nothing"
+    assert all(labels[i] == want_label for i, _, _ in got)
+    rows = [(r.vec_id, np.array(r.embedding, dtype=np.float64))
+            for r in emb.collect() if labels[r.vec_id] == want_label]
+    qd = q.astype(np.float64) / np.linalg.norm(q)
+    brute = sorted(
+        ((i, float((v / np.linalg.norm(v)) @ qd)) for i, v in rows),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert [i for i, _, _ in got] == [i for i, _ in brute]
+    # batch twin agrees
+    assert srv.topk_batch([q], 5, nprobe=8, coarse_k=n,
+                          where=("label", want_label))[0] == got
