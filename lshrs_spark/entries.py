@@ -7351,6 +7351,92 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_keep_list",
+    f"""WITH RECURSIVE
+ex AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS c1
+       FROM documents),
+surv AS (SELECT doc_id FROM ex WHERE doc_id = c1),
+{_JACCARD_CTES},
+p AS (SELECT id_a AS a, id_b AS b FROM jpairs
+      JOIN surv sa ON sa.doc_id = id_a
+      JOIN surv sb ON sb.doc_id = id_b
+      WHERE jaccard >= 0.5),
+e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+dg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY src),
+sup AS (SELECT p.a, p.b, count(e2.dst) AS support
+        FROM p
+        LEFT JOIN e e1 ON e1.src = p.a
+        LEFT JOIN e e2 ON e2.src = p.b AND e2.dst = e1.dst
+        GROUP BY p.a, p.b),
+kept AS (SELECT s.a, s.b FROM sup s
+         JOIN dg da ON da.id = s.a
+         JOIN dg db ON db.id = s.b
+         WHERE s.support >= 1 OR (da.d = 1 AND db.d = 1)),
+ke AS (SELECT a AS src, b AS dst FROM kept UNION SELECT b, a FROM kept),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM surv
+    UNION
+    SELECT r.src, k.dst FROM reach r JOIN ke k ON r.dst = k.src),
+comp AS (SELECT src AS id, min(dst)::BIGINT AS component
+         FROM reach GROUP BY src)
+SELECT x.doc_id AS id, c.component AS canonical,
+       (x.doc_id = c.component) AS kept
+FROM ex x JOIN comp c ON c.id = x.c1""",
+)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation flow a corpus owner actually runs —
+    ``(id, canonical, kept)`` for EVERY document: exact dedup collapses
+    byte-identical copies to their min-id survivor, the survivors'
+    Jaccard>=0.5 near-dup graph is TRIANGLE-REPAIRED
+    (:func:`~lshrs_spark.operators.graph.
+    triangle_repair_components` — weak bridge edges dropped, isolated
+    true pairs kept), and each document's ``canonical`` is the min id
+    reachable from its exact-survivor through the repaired graph;
+    ``kept = (id == canonical)`` is the final keep decision. Chains
+    four operators through one lazy plan; the oracle replays exact
+    grouping, the restricted pair graph, edge support, the repair rule
+    and the recursive reachability closure."""
+    from .cache import persist_slot
+    from .operators.graph import triangle_repair_components
+
+    docs = _docs(spark, sf_dir)
+    exact = persist_slot(
+        D.exact_dedup(docs).select("id", "canonical_id"),
+        "entries.keep_list.exact",
+        eager=True,
+    )
+    surv_ids = exact.filter(F.col("id") == F.col("canonical_id")).select(
+        "id"
+    )
+    surv_docs = persist_slot(
+        docs.join(
+            surv_ids, docs["doc_id"] == surv_ids["id"]
+        ).select("doc_id", "text"),
+        "entries.keep_list.survivors",
+        eager=True,
+    )
+    pairs = persist_slot(
+        D.ngram_jaccard_pairs(surv_docs, 0.5, n=3),
+        "entries.keep_list.pairs",
+        eager=True,
+    )
+    comp = triangle_repair_components(
+        pairs, surv_docs.select(F.col("doc_id").cast("long").alias("id"))
+    )
+    return (
+        exact.join(
+            comp.withColumnRenamed("id", "cid"),
+            exact["canonical_id"] == F.col("cid"),
+        )
+        .select(
+            "id",
+            F.col("component").cast("long").alias("canonical"),
+            (F.col("id") == F.col("component")).alias("kept"),
+        )
+    )
+
+
+@register(
     "graph_repair_components",
     f"""WITH RECURSIVE {_JACCARD_CTES},
 p AS (SELECT id_a AS a, id_b AS b FROM jpairs WHERE jaccard >= 0.5),
@@ -7651,6 +7737,10 @@ FAMILY: dict[str, str] = {
     # multi-pass SNM recall gauge (new round-8, VERDICT r7 #7): unions
     # per-key passes and grades them against the same editdist truth
     "dedup_snm_multipass_recall": "dedup_editdist",
+    # end-to-end keep list (new round-8): exact collapse + repaired
+    # connected components — the cluster-collapse family the in-window
+    # groups rep drives
+    "dedup_keep_list": "dedup_groups",
     # fuzzy cross-corpus decontamination (new round-7): editdist_join
     # over the tagged union — the promoted rep's own banding core
     "text_fuzzy_decontaminate": "dedup_editdist",

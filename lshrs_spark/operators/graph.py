@@ -301,7 +301,9 @@ def triangle_repair_components(
     dedup.connected_components` with its bounded per-round
     materialization — no step exceeds the cost class of the dedup pass
     that produced the pairs."""
-    from ..cache import persist_slot
+    import uuid
+
+    from ..cache import materialize_slot
     from .dedup import connected_components
 
     sup = edge_triangle_support(pairs)
@@ -321,16 +323,23 @@ def triangle_repair_components(
             )
         )
         keep = keep | ((F.col("deg_a") == 1) & (F.col("deg_b") == 1))
-    # Persist the surviving edge list BEFORE re-clustering: every
-    # pointer-jumping round joins against it, and a lazy frame would
-    # re-run the whole triangle-support pipeline (the O(m^1.5) joins)
-    # once per round — measured 65.7 -> single-digit seconds at the
-    # sf0.1 probe's 1x scale. Eager: the first CC round references it
-    # from two plan branches.
-    kept = persist_slot(
+    # MATERIALIZE (not persist) the surviving edge list before
+    # re-clustering. Two reasons, both measured: (1) every
+    # pointer-jumping round joins against it — a lazy frame re-runs the
+    # whole triangle-support pipeline per round (65.7 -> 31.1 s at the
+    # sf0.1 probe's 1x scale when first capped); (2) a PERSISTED frame
+    # caps execution but not the PLAN — the support lineage references
+    # the cached triangle frames ~6x, and each reference re-prints the
+    # full nested subtree, so every CC round's AQE plan-string render
+    # carried a multi-MB plan (observed 10.5 MB on a 25-row frame when
+    # the upstream pair graph itself had deep lineage) and OOM'd a
+    # default-size driver. Parquet materialization truncates the
+    # lineage to a scan — bounded plans, real fault-tolerant files,
+    # same contract as connected_components' own per-round slots.
+    kept = materialize_slot(
         sup.filter(keep).select("id_a", "id_b"),
-        "graph.repair.kept",
-        eager=True,
+        f"graph.repair.kept.{uuid.uuid4().hex[:12]}",
+        base_dir=checkpoint_dir,
     )
     return connected_components(
         kept, nodes,
