@@ -659,10 +659,50 @@ class TruncatedIVFServer:
         self._open_full()
 
     def _open_full(self) -> None:
+        import pyarrow.parquet as pq
+
         self._full = pads.dataset(
             os.path.join(self._store_path, "_full"), format="parquet"
         )
         IndexServer._warm(self._full)
+        # Row-group pruning index over the id-sorted sidecar: pyarrow's
+        # scanner does not simplify an `isin` filter against row-group
+        # statistics, so a filtered to_table READ THE WHOLE SIDECAR and
+        # masked afterwards (measured ~31 ms p50 on a 1.2M-vector
+        # store). Parse each file's footer ONCE here, keep (min, max)
+        # per row group, and let the fetch binary-search the shortlist
+        # against the envelopes and read only intersecting groups.
+        self._full_pf: list = []
+        mins: list = []
+        maxs: list = []
+        fidx: list = []
+        rgidx: list = []
+        try:
+            for fi, path in enumerate(self._full.files):
+                # memory_map: the point reads below are tiny — mapping
+                # beats buffered read syscalls (local stores; a non-mmap
+                # filesystem lands in the except fallback)
+                pf = pq.ParquetFile(path, memory_map=True)
+                self._full_pf.append(pf)
+                md = pf.metadata
+                idx = pf.schema_arrow.get_field_index("id")
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError("missing id statistics")
+                    mins.append(int(st.min))
+                    maxs.append(int(st.max))
+                    fidx.append(fi)
+                    rgidx.append(rg)
+            self._full_rg_min = np.asarray(mins, dtype=np.int64)
+            self._full_rg_max = np.asarray(maxs, dtype=np.int64)
+            self._full_rg_file = np.asarray(fidx, dtype=np.int64)
+            self._full_rg_idx = np.asarray(rgidx, dtype=np.int64)
+        except Exception:
+            # stats unavailable (foreign writer): fall back to the
+            # filtered-scan path in _fetch_full
+            self._full_pf = []
+            self._full_rg_min = np.empty(0, dtype=np.int64)
 
     def refresh(self) -> None:
         """Re-open the truncated layout (tombstones included, via the
@@ -675,10 +715,43 @@ class TruncatedIVFServer:
         return cls(store_path)
 
     def _fetch_full(self, ids: np.ndarray):
-        tbl = self._full.to_table(
-            columns=["id", "embedding"],
-            filter=pads.field("id").isin(pa.array(ids, type=pa.int64())),
-        )
+        wanted = np.sort(np.asarray(ids, dtype=np.int64))
+        if len(self._full_rg_min):
+            # vectorized envelope intersection: a group is read iff some
+            # wanted id lies in its [min, max] (groups are tiny by
+            # construction — truncated_ivf_write_store's
+            # full_row_group_bytes — so the read is shortlist-bounded)
+            pos = np.searchsorted(wanted, self._full_rg_min, side="left")
+            hit = (pos < len(wanted)) & (
+                wanted[np.minimum(pos, len(wanted) - 1)] <= self._full_rg_max
+            )
+            parts = []
+            for fi in np.unique(self._full_rg_file[hit]):
+                rgs = self._full_rg_idx[hit & (self._full_rg_file == fi)]
+                parts.append(
+                    self._full_pf[int(fi)].read_row_groups(
+                        [int(r) for r in rgs], columns=["id", "embedding"],
+                        # ~100-row groups: thread handoff costs more
+                        # than it buys on reads this small
+                        use_threads=False,
+                    )
+                )
+            if parts:
+                tbl = pa.concat_tables(parts)
+                all_ids = tbl.column("id").to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                keep = np.flatnonzero(np.isin(all_ids, wanted))
+                tbl = tbl.take(pa.array(keep))
+            else:
+                tbl = self._full.schema.empty_table()
+        else:
+            tbl = self._full.to_table(
+                columns=["id", "embedding"],
+                filter=pads.field("id").isin(
+                    pa.array(wanted, type=pa.int64())
+                ),
+            )
         fids = tbl.column("id").to_numpy(zero_copy_only=False).astype(
             np.int64
         )
