@@ -800,19 +800,34 @@ def bm25_compact(spark, path: str, *, num_buckets: "Optional[int]" = None) -> in
     old = fs.makeQualified(
         jvm.org.apache.hadoop.fs.Path(f"{path}.old-{_uuid.uuid4().hex}")
     )
-    # Hadoop FileSystem.rename signals failure by RETURNING false, not
-    # raising — check both hops, and put the original back if the
-    # second hop fails so `path` always holds a servable layout.
+    _swap_via_rename(fs, dst, tmp_p, old, label="bm25_compact")
+    return n
+
+
+def _swap_via_rename(fs, dst, tmp_p, old, *, label: str) -> None:
+    """Two-hop atomic directory swap: ``dst`` → ``old``, ``tmp_p`` →
+    ``dst``, delete ``old``. Hadoop ``FileSystem.rename`` signals
+    failure by RETURNING false, not raising — both hops are checked,
+    and a failed second hop restores the original at ``dst`` AND
+    deletes the now-dead tmp tree (ADVICE r8: the rollback used to
+    strand the fully-written tmp on disk) so a crash-free failure
+    leaves exactly the pre-call layout. ``fs`` only needs
+    ``rename(a, b) -> bool`` / ``delete(p, recursive)`` — duck-typed
+    so the failure branches are unit-testable without a JVM."""
     if not fs.rename(dst, old):
-        raise IOError(f"bm25_compact: renaming {path} aside failed")
+        raise IOError(f"{label}: renaming {dst} aside failed")
     if not fs.rename(tmp_p, dst):
         fs.rename(old, dst)
+        # best-effort: never let tmp cleanup mask the real failure
+        try:
+            fs.delete(tmp_p, True)
+        except Exception:
+            pass
         raise IOError(
-            f"bm25_compact: renaming the compacted tree into {path} "
+            f"{label}: renaming the rewritten tree into {dst} "
             f"failed; original layout restored"
         )
     fs.delete(old, True)
-    return n
 
 
 def bm25_postings(

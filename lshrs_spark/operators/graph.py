@@ -300,9 +300,14 @@ def triangle_repair_components(
     re-cluster is the pointer-jumping :func:`~lshrs_spark.operators.
     dedup.connected_components` with its bounded per-round
     materialization — no step exceeds the cost class of the dedup pass
-    that produced the pairs."""
-    import uuid
+    that produced the pairs.
 
+    Storage contract: the surviving edge list lives in the FIXED
+    materialization slot ``graph.repair.kept`` (one generation kept —
+    the next call deletes this call's files), so a long-lived driver
+    calling repair repeatedly holds one edge-list copy, not one per
+    invocation. Finish consuming (collect/write) a returned component
+    frame before calling repair again in the same application."""
     from ..cache import materialize_slot
     from .dedup import connected_components
 
@@ -336,9 +341,15 @@ def triangle_repair_components(
     # default-size driver. Parquet materialization truncates the
     # lineage to a scan — bounded plans, real fault-tolerant files,
     # same contract as connected_components' own per-round slots.
+    # FIXED slot name (ADVICE r8): the slot registry keeps exactly one
+    # generation per name, so the next repair call deletes this call's
+    # files instead of leaking one parquet dir per invocation for the
+    # application lifetime. Consequence (the standard slot generation
+    # contract): a result frame returned by a PREVIOUS call reads these
+    # files lazily — collect or write it before calling repair again.
     kept = materialize_slot(
         sup.filter(keep).select("id_a", "id_b"),
-        f"graph.repair.kept.{uuid.uuid4().hex[:12]}",
+        "graph.repair.kept",
         base_dir=checkpoint_dir,
     )
     return connected_components(

@@ -399,6 +399,7 @@ def ivf_write_store(
     mode: str = "overwrite",
     store_centroids: bool = True,
     extra_cols: Sequence[str] = (),
+    max_records_per_file: int = 1 << 22,
 ) -> None:
     """Materialize the IVF layout: the corpus written to parquet
     **partitioned by nearest-centroid assignment** — at 100 TB the
@@ -427,9 +428,12 @@ def ivf_write_store(
         # centroid directory it touches (tasks x centroids tiny files
         # — measured tens of ms of per-file open cost on a 640-centroid
         # serve-side probe), with it each directory holds one
-        # right-sized file (maxRecordsPerFile still splits giants)
+        # right-sized file. The co-location funnels a centroid's rows
+        # into ONE task, so a skewed hot centroid needs the split
+        # safety valve below or it writes a single giant file.
         .repartition(F.col("centroid_id"))
         .write.mode(mode)
+        .option("maxRecordsPerFile", int(max_records_per_file))
         .partitionBy("centroid_id")
         .parquet(path)
     )
@@ -517,20 +521,17 @@ def truncated_ivf_write_store(
         .repartitionByRange(int(full_files), "id")
         .sortWithinPartitions("id")
     )
-    # parquet.block.size is read from the Hadoop configuration, not the
-    # writer options (a writer .option was silently ignored — 24 giant
-    # row groups on a 1.2M-row sidecar): set it for this write and
-    # restore, so other writers in the session keep the default.
-    hconf = vectors.sparkSession.sparkContext._jsc.hadoopConfiguration()
-    prev = hconf.get("parquet.block.size")
-    hconf.set("parquet.block.size", str(int(full_row_group_bytes)))
-    try:
-        full.write.mode("overwrite").parquet(f"{path}/_full")
-    finally:
-        if prev is None:
-            hconf.unset("parquet.block.size")
-        else:
-            hconf.set("parquet.block.size", prev)
+    # parquet.block.size as a per-write .option(): Spark merges write
+    # options into the job's Hadoop configuration
+    # (newHadoopConfWithOptions), so the cap applies to THIS write only
+    # — no session-global conf mutation, so a concurrent writer in the
+    # same SparkSession keeps its own row-group size (ADVICE r8; the
+    # earlier global set/restore had a race window).
+    (
+        full.write.mode("overwrite")
+        .option("parquet.block.size", int(full_row_group_bytes))
+        .parquet(f"{path}/_full")
+    )
 
 
 def ivf_topk_stored(

@@ -1252,8 +1252,7 @@ class BM25Server:
                 return {}
         return {d: len(ps) for d, ps in acc.items()}
 
-    def phrase_batch(self, phrases, *,
-                     max_cached_df: Optional[int] = None) -> list:
+    def phrase_batch(self, phrases, *, max_cached_df="auto") -> list:
         """Batch twin of :meth:`phrase` — ONE positions read per
         DISTINCT term across the whole batch (query logs repeat phrase
         terms just as they repeat bag terms), the phrase analogue of
@@ -1270,9 +1269,15 @@ class BM25Server:
         intersection so far), so one near-stop-word term can never pin
         a corpus-sized posting list in the batch cache; those terms
         trade the one-read-per-distinct-term guarantee for the bounded
-        read. Intersection order stays rarest-first (metadata-level
-        document frequency — identical ordering to the in-memory
-        posting length used before, decided without loading)."""
+        read. ``max_cached_df="auto"`` (the default, VERDICT r8 #7)
+        derives the cap from the layout's own corpus stats — df above
+        5% of ``n_docs`` is a stop-word-class term and routes to the
+        pruned path — so the bounded behavior is default-ON, not a
+        knob; pass an int to set the cap explicitly or ``None`` to
+        cache every term unconditionally. Intersection order stays
+        rarest-first (metadata-level document frequency — identical
+        ordering to the in-memory posting length used before, decided
+        without loading)."""
         phrases = [list(p) for p in phrases]
         if any(not p for p in phrases):
             raise ValueError("phrase must contain at least one token")
@@ -1283,6 +1288,10 @@ class BM25Server:
                 "phrase queries need a positional layout — write the "
                 "index with bm25_index_write(store_positions=True)"
             )
+        if max_cached_df == "auto":
+            # df > 5% of the corpus ~ stop-word class: its positions
+            # list is corpus-sized and must not be pinned in the cache
+            max_cached_df = max(1, int(0.05 * self._n))
         last_use: dict = {}
         for pi, p in enumerate(phrases):
             for t in p:

@@ -227,3 +227,33 @@ def test_triangle_repair_splits_chain_keeps_triangle(spark):
                 pairs, nodes, min_support=2,
                 keep_isolated_pairs=False).collect()}
     assert len(set(hard.values())) == 8
+
+
+def test_triangle_repair_reuses_fixed_slot(spark, tmp_path):
+    """ADVICE r8: repeated repair calls reuse the FIXED materialization
+    slot ``graph.repair.kept`` — the registry's generation cleanup
+    deletes the previous call's parquet dir, so a long-lived driver
+    holds one surviving-edge-list copy, not one per invocation."""
+    import os
+
+    from lshrs_spark.operators.graph import triangle_repair_components
+
+    edges = [(0, 1), (0, 2), (1, 2), (3, 4)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    ckpt = str(tmp_path / "repair_ckpt")
+
+    def kept_dirs():
+        return sorted(d for d in os.listdir(ckpt)
+                      if d.startswith("graph_repair_kept"))
+
+    first = {r.id: r.component for r in triangle_repair_components(
+        pairs, nodes, checkpoint_dir=ckpt).collect()}
+    gen1 = kept_dirs()
+    assert len(gen1) == 1
+    second = {r.id: r.component for r in triangle_repair_components(
+        pairs, nodes, checkpoint_dir=ckpt).collect()}
+    gen2 = kept_dirs()
+    assert len(gen2) == 1          # exactly one live generation...
+    assert gen2 != gen1            # ...and it is the NEW one
+    assert second == first

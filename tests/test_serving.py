@@ -1295,7 +1295,10 @@ def test_bm25_phrase_batch_matches_singles_one_read_per_term(spark, tmp_path):
     reads = []
     orig = srv._postings
     srv._postings = lambda *a, **kw: (reads.append(a[0]), orig(*a, **kw))[1]
-    got = srv.phrase_batch(phrases)
+    # max_cached_df=None: this test asserts the shared-cache guarantee
+    # itself, so cache every term unconditionally (the default "auto"
+    # cap routes every term of this 5-doc corpus to the pruned path)
+    got = srv.phrase_batch(phrases, max_cached_df=None)
     srv._postings = orig
     # AT MOST one read per DISTINCT term (never per occurrence: 9 here);
     # lazily-loaded terms a dead phrase never reaches are skipped
@@ -1335,7 +1338,7 @@ def test_bm25_phrase_batch_df_cap_and_eviction(spark, tmp_path):
 
     phrases = [["common", "rare0"], ["common", "rare1"],
                ["common", "rare0"]]
-    uncapped = srv.phrase_batch(phrases)
+    uncapped = srv.phrase_batch(phrases, max_cached_df=None)
 
     reads = []
     orig = srv._postings
@@ -1349,6 +1352,64 @@ def test_bm25_phrase_batch_df_cap_and_eviction(spark, tmp_path):
     assert reads.count("common") == 3
     assert reads.count("rare0") == 1
     assert reads.count("rare1") == 1
+
+
+def test_bm25_phrase_batch_auto_cap_default(spark, tmp_path):
+    """VERDICT r8 #7: the bounded-memory behavior is default-ON —
+    ``max_cached_df="auto"`` derives the cap from the layout's own
+    corpus stats (df > 5% of n_docs routes to the pruned per-phrase
+    read), so a planted stop-word term's full positions list never
+    enters the batch cache while results stay identical."""
+    from lshrs_spark.functions.text import bm25_index_write
+    from lshrs_spark.serving import BM25Server
+
+    # 100 docs; "the" in 60 (df 60% >> the 5% auto cap = 5 docs);
+    # "quick" in 4 (under the cap -> cached); rare{i} in 2 each.
+    def text(i):
+        if i < 2:
+            return "the quick rare0"
+        if i < 4:
+            return "the quick rare1"
+        if i < 60:
+            return "the stone"
+        return "stone filler"
+
+    docs = spark.createDataFrame(
+        [(i, text(i)) for i in range(100)], "doc_id long, text string"
+    )
+    store = str(tmp_path / "bm25_pos_auto")
+    bm25_index_write(docs, store, num_buckets=8, store_positions=True)
+    srv = BM25Server(store)
+    assert srv._doc_freq("the") == 60
+
+    phrases = [["the", "quick", "rare0"], ["the", "quick", "rare1"]]
+    calls = []
+    orig = srv._postings
+    srv._postings = lambda *a, **kw: (
+        calls.append((a[0], kw.get("extra_filter",
+                                   a[2] if len(a) > 2 else None))),
+        orig(*a, **kw),
+    )[1]
+    got = srv.phrase_batch(phrases)  # default: auto cap
+    srv._postings = orig
+
+    assert got == [srv.phrase(p) for p in phrases]
+    the_reads = [f for t, f in calls if t == "the"]
+    # read per-phrase (bypassed the cache)...
+    assert len(the_reads) == len(phrases)
+    # ...and every read carried the survivor pruning filter — the full
+    # stop-word positions list was never materialized: rarest-first
+    # ordering puts rare{i}/quick before "the", so survivors exist.
+    assert all(f is not None for f in the_reads)
+    # the cached side keeps the one-read-per-distinct-term guarantee
+    assert [t for t, _ in calls].count("quick") == 1
+    # explicit None still opts out (caches unconditionally)
+    calls2 = []
+    srv._postings = lambda *a, **kw: (calls2.append(a[0]),
+                                      orig(*a, **kw))[1]
+    assert srv.phrase_batch(phrases, max_cached_df=None) == got
+    srv._postings = orig
+    assert calls2.count("the") == 1
 
 
 def test_truncated_ivf_server_matches_spark_two_stage(spark, tmp_path):
@@ -1452,3 +1513,84 @@ def test_truncated_ivf_server_filtered_where(spark, tmp_path):
     # batch twin agrees
     assert srv.topk_batch([q], 5, nprobe=8, coarse_k=n,
                           where=("label", want_label))[0] == got
+
+
+def test_ivf_write_store_splits_hot_centroid_files(spark, tmp_path):
+    """ADVICE r8: the co-located partitioned write funnels each
+    centroid's rows into ONE task, so a skewed hot centroid needs the
+    ``max_records_per_file`` safety valve — several right-sized files
+    instead of one giant written by a straggler."""
+    import glob
+
+    from lshrs_spark.operators.knn import ivf_centroids_by_id, ivf_write_store
+
+    # every vector points the same way -> all 300 rows land on one
+    # centroid (ties broken by centroid_id asc): maximal skew
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = ivf_centroids_by_id(df, 2)
+    hot = str(tmp_path / "ivf_hot")
+    ivf_write_store(df, cents, hot, max_records_per_file=100)
+    files = glob.glob(f"{hot}/centroid_id=0/*.parquet")
+    assert len(files) >= 3, files  # 300 rows / 100-record cap
+
+    # default cap (4M records) leaves the co-located single file
+    cold = str(tmp_path / "ivf_cold")
+    ivf_write_store(df, cents, cold)
+    assert len(glob.glob(f"{cold}/centroid_id=0/*.parquet")) == 1
+
+
+def test_truncated_store_rowgroup_cap_is_per_write(spark, tmp_path):
+    """VERDICT r8 #6 / ADVICE r8: the ``_full`` sidecar's row-group cap
+    rides the write's own options, NOT the session-global Hadoop conf —
+    a concurrent writer in the same SparkSession keeps default-sized
+    row groups, and the session conf is untouched afterwards."""
+    import glob
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from lshrs_spark.operators.knn import truncated_ivf_write_store
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    before = hconf.get("parquet.block.size")
+
+    emb = spark.range(3000).select(
+        F.col("id").alias("vec_id"),
+        F.expr("array_repeat(cast(id as double) / 3000.0 + 0.1, 32)")
+        .alias("embedding"),
+    )
+    store = str(tmp_path / "trunc_conc")
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(
+            truncated_ivf_write_store, emb, 4, 8, store,
+            full_row_group_bytes=1 << 14,
+        )
+        # interleave plain writes in the foreground until the store
+        # write completes — every one must keep default row groups
+        other_paths = []
+        i = 0
+        while not fut.done() or i == 0:
+            p = str(tmp_path / f"plain_{i}")
+            spark.range(20000).selectExpr(
+                "id", "array_repeat(cast(id as double), 16) v"
+            ).coalesce(1).write.mode("overwrite").parquet(p)
+            other_paths.append(p)
+            i += 1
+        fut.result()
+
+    for p in other_paths:
+        f = glob.glob(f"{p}/part-*.parquet")[0]
+        # 20k rows ~ 3 MB << the 128 MB default block: exactly 1 group
+        assert pq.ParquetFile(f).metadata.num_row_groups == 1, p
+
+    # the sidecar itself DID get the small groups it asked for
+    side = glob.glob(f"{store}/_full/part-*.parquet")
+    assert side
+    groups = sum(pq.ParquetFile(f).metadata.num_row_groups for f in side)
+    assert groups >= 20, groups
+
+    assert hconf.get("parquet.block.size") == before  # conf untouched

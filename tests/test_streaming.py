@@ -988,3 +988,57 @@ def test_bm25_compact_validation_and_swap_hygiene(spark, tmp_path):
     ).parquet(f"{empty}/_stats/epoch=0")
     with pytest.raises(ValueError, match="_stats table is empty"):
         bm25_compact(spark, empty)
+
+
+def test_swap_via_rename_failure_branches():
+    """ADVICE r8: a failed second rename hop restores the original at
+    ``dst`` AND deletes the fully-written tmp tree instead of stranding
+    it; a failed first hop raises with nothing moved; success deletes
+    only the old tree. Driven through a duck-typed fake filesystem so
+    every branch is exercised without a JVM."""
+    import pytest
+
+    from lshrs_spark.functions.text import _swap_via_rename
+
+    class FakeFS:
+        def __init__(self, fail=()):
+            self.fail = set(fail)
+            self.renames = []
+            self.deletes = []
+
+        def rename(self, a, b):
+            self.renames.append((a, b))
+            return (a, b) not in self.fail
+
+        def delete(self, p, recursive):
+            self.deletes.append(p)
+            return True
+
+    # success: dst->old, tmp->dst, old deleted, tmp untouched
+    fs = FakeFS()
+    _swap_via_rename(fs, "dst", "tmp", "old", label="t")
+    assert fs.renames == [("dst", "old"), ("tmp", "dst")]
+    assert fs.deletes == ["old"]
+
+    # first hop fails: nothing else happens
+    fs = FakeFS(fail={("dst", "old")})
+    with pytest.raises(IOError, match="aside failed"):
+        _swap_via_rename(fs, "dst", "tmp", "old", label="t")
+    assert fs.renames == [("dst", "old")]
+    assert fs.deletes == []
+
+    # second hop fails: original restored, tmp deleted (not stranded)
+    fs = FakeFS(fail={("tmp", "dst")})
+    with pytest.raises(IOError, match="original layout restored"):
+        _swap_via_rename(fs, "dst", "tmp", "old", label="t")
+    assert fs.renames == [("dst", "old"), ("tmp", "dst"), ("old", "dst")]
+    assert fs.deletes == ["tmp"]
+
+    # tmp cleanup failure never masks the real error
+    class AngryFS(FakeFS):
+        def delete(self, p, recursive):
+            raise RuntimeError("delete broke")
+
+    fs = AngryFS(fail={("tmp", "dst")})
+    with pytest.raises(IOError, match="original layout restored"):
+        _swap_via_rename(fs, "dst", "tmp", "old", label="t")
