@@ -7509,8 +7509,13 @@ DRIVER_WINDOW: list[str] = [
     # — the batch rerank + proportional cutoff through the user API
     # earns the hard row; the single-query path is its 1-row special
     # case, computed by the same rerank/cutoff plan
+    # round-9: ann_truncated_topk in / knn_bruteforce out (driver rows
+    # r1-r8 on file) — the matryoshka two-stage entry's coarse stage IS
+    # brute cosine (at truncated width) and its rerank is full-width
+    # brute over the shortlist, so it drives the exact-scan family
+    # end-to-end twice over
     "lsh_signatures", "lsh_multiprobe_recall", "lsh_topk",
-    "lsh_topp_batch", "knn_bruteforce", "lsh_delete",
+    "lsh_topp_batch", "ann_truncated_topk", "lsh_delete",
     # similarity join + dedup family (dedup_ngram_jaccard demoted
     # round-6: shingle-inverted-index twin of the in-window minhash rep)
     # (dedup_incremental demoted round-6: stored-band-key twin of the
@@ -7519,7 +7524,18 @@ DRIVER_WINDOW: list[str] = [
     # file) — PassJoin segment banding + exact levenshtein verify earns
     # the hard row for the candidate-generation+verification family the
     # banded cosine self-join repped until now
-    "dedup_editdist", "dedup_exact", "dedup_groups",
+    # round-9 (VERDICT r8 #1): dedup_snm_multipass_recall in /
+    # dedup_editdist out (r8 driver row on file) — the multi-pass SNM
+    # gauge COMPUTES the exact PassJoin truth it grades against, so the
+    # editdist machinery keeps a hard row through it;
+    # text_fuzzy_decontaminate in — the r7-carryover cross-corpus
+    # editdist join over the tagged union earns its own row;
+    # dedup_keep_list in / dedup_exact + dedup_groups out (both r8
+    # driver rows on file) — the end-to-end keep list REPLAYS exact
+    # collapse AND connected components as stages 1 and 3 of its
+    # four-stage oracle, a 2-for-1 subsumption
+    "dedup_snm_multipass_recall", "dedup_keep_list",
+    "text_fuzzy_decontaminate",
     # round-6 rotation (r5 driver rows on file for all demoted twins):
     # dedup_minhash_recall in / dedup_minhash_pairs out (the recall
     # gauge computes the banded pairs AND grades them vs exact
@@ -7547,7 +7563,13 @@ DRIVER_WINDOW: list[str] = [
     # r2-r7 on file) — degree-ordered triangle counting earns the hard
     # row for the graph family; the centrality recurrence is its
     # iterate-over-edges twin and keeps its bench line
-    "planner_config", "ann_ivfpq_topk", "graph_triangles",
+    # round-9 (VERDICT r8 #1): graph_repair_components in /
+    # graph_triangles out (r8 driver row on file) — the repair entry's
+    # oracle replays per-edge support counting (the same degree-ordered
+    # O(m^1.5) enumeration) PLUS the repair rule and the recursive
+    # reachability re-cluster, so the triangle core keeps a hard row
+    # through it
+    "planner_config", "ann_ivfpq_topk", "graph_repair_components",
     "pipeline_weighted_sample", "text_bpe_tokens",
     "pipeline_length_batches", "pipeline_hygiene_cascade",
     # text analysis + corpus hygiene (text_fingerprint demoted round-7:
@@ -7564,9 +7586,14 @@ DRIVER_WINDOW: list[str] = [
     # rows r6-r7 on file) — the shared-scan batch phrase plan earns the
     # hard row; the single-phrase path is its N=1 case through the same
     # positional intersection
+    # round-9 (VERDICT r8 #1): text_contamination_report in /
+    # text_decontaminate out (driver rows r1-r8 on file) — the graded
+    # per-document overlap-fraction report shares one _distinct_ngrams
+    # definition with the boolean flag, which is its thresholded
+    # special case
     "text_stats", "text_quality_classifier", "text_langid",
     "text_phrase_batch", "text_clean",
-    "dedup_audio_fingerprint", "text_decontaminate",
+    "dedup_audio_fingerprint", "text_contamination_report",
     "text_pii_redact", "text_quality_filter", "text_chunk",
     "text_unigram_logprob",
     # embeddings analytics
@@ -7616,10 +7643,10 @@ FAMILY: dict[str, str] = {
     # demoted round-7 (r6 driver row on file): the plain windowed agg
     # is the stateless sub-plan of the promoted watermark-dedup rep
     "stream_windowed_counts": "stream_dedup_counts",
-    # demoted round-5: group post-processing twin of the in-window
-    # connected-components representative (rotated out for the new
-    # line-dedup family)
-    "dedup_representative": "dedup_groups",
+    # demoted round-5: group post-processing twin of the
+    # connected-components rep (rep moved round-9 to the promoted
+    # end-to-end keep list, whose stage 3 is the same CC pass)
+    "dedup_representative": "dedup_keep_list",
     # demoted round-6 (r5 driver row on file): the dHash pair list is
     # the sub-plan of the image-cluster entry; rep moved round-8 to the
     # promoted Hamming-tolerant video entry (same pigeonhole banding
@@ -7632,16 +7659,21 @@ FAMILY: dict[str, str] = {
     # demoted round-8 (r7 driver row on file): exact frame equality is
     # the h=0 fast path of the promoted Hamming-tolerant rep
     "dedup_video_frames": "dedup_video_hamming",
-    "dedup_soft_weight": "dedup_groups",
-    "rel_recursive_reach": "dedup_groups",  # SQL-surface twin of CC
+    "dedup_soft_weight": "dedup_keep_list",
+    "rel_recursive_reach": "dedup_keep_list",  # SQL-surface twin of CC
+    # demoted round-9 (both r8 driver rows on file, VERDICT r8 #1): the
+    # promoted keep list replays exact collapse and connected
+    # components as stages 1 and 3 of its four-stage oracle
+    "dedup_exact": "dedup_keep_list",
+    "dedup_groups": "dedup_keep_list",
     # demoted round-8 (driver rows r2-r7 on file): the centrality
-    # recurrence iterates the same near-dup edge frame the promoted
-    # triangle-counting rep orients
-    "graph_pagerank": "graph_triangles",
-    # triangle-supported cluster repair (new round-8, VERDICT r7 #2):
-    # consumes the in-window rep's edge-support enumeration, then
-    # re-clusters — same family
-    "graph_repair_components": "graph_triangles",
+    # recurrence iterates the same near-dup edge frame the graph rep
+    # orients (rep moved round-9 to the promoted repair entry)
+    "graph_pagerank": "graph_repair_components",
+    # demoted round-9 (r8 driver row on file): the promoted repair
+    # entry's oracle replays the same degree-ordered support
+    # enumeration plus the repair rule and the reachability re-cluster
+    "graph_triangles": "graph_repair_components",
     # demoted round-5: per-stratum exact sampling is covered by the new
     # deterministic-sampling/export representative (r3 driver row on file)
     "pipeline_stratified_sample": "pipeline_weighted_sample",
@@ -7708,12 +7740,16 @@ FAMILY: dict[str, str] = {
     # eligibility predicate
     "mips_ivf_recall": "mips_ivf_filtered",
     # simjoin / dedup twins and gauges — candidate-generation +
-    # verification family, repped round-8 by the promoted PassJoin
-    # editdist entry (simjoin_lsh demoted round-8, driver rows r2-r7 on
+    # verification family, repped round-9 by the promoted multi-pass
+    # SNM recall gauge, which computes the exact PassJoin truth it
+    # grades against (simjoin_lsh demoted round-8, driver rows r2-r7 on
     # file: banded cosine self-join + AQE skew-split, same generate-
     # then-verify shape)
-    "simjoin_lsh": "dedup_editdist",
-    "simjoin_exact": "dedup_editdist",
+    "simjoin_lsh": "dedup_snm_multipass_recall",
+    "simjoin_exact": "dedup_snm_multipass_recall",
+    # demoted round-9 (r8 driver row on file, VERDICT r8 #1): the
+    # promoted gauge's truth leg IS the PassJoin editdist plan
+    "dedup_editdist": "dedup_snm_multipass_recall",
     "dedup_minhash_sigs": "dedup_minhash_recall",
     # per-source-pair rollup of the same banded pair list
     "dedup_source_matrix": "dedup_minhash_recall",
@@ -7730,20 +7766,10 @@ FAMILY: dict[str, str] = {
     # demoted round-6 (r5 driver row on file): rolling-span twin of the
     # promoted chunk-window representative
     "dedup_substring": "dedup_chunk_overlap",
-    # sorted-neighborhood blocking (new round-7): same candidate-
-    # generation + verification family, key-adjacency instead of bands
-    # (its recall gauge grades against the in-window editdist truth)
-    "dedup_snm": "dedup_editdist",
-    # multi-pass SNM recall gauge (new round-8, VERDICT r7 #7): unions
-    # per-key passes and grades them against the same editdist truth
-    "dedup_snm_multipass_recall": "dedup_editdist",
-    # end-to-end keep list (new round-8): exact collapse + repaired
-    # connected components — the cluster-collapse family the in-window
-    # groups rep drives
-    "dedup_keep_list": "dedup_groups",
-    # fuzzy cross-corpus decontamination (new round-7): editdist_join
-    # over the tagged union — the promoted rep's own banding core
-    "text_fuzzy_decontaminate": "dedup_editdist",
+    # sorted-neighborhood blocking (new round-7): the promoted
+    # multi-pass gauge computes the single-pass SNM leg it is graded
+    # against
+    "dedup_snm": "dedup_snm_multipass_recall",
     # demoted round-5 (driver rows r4 on file): the corpus-diff rep
     # hands the promotion-gate family slot to the per-rule attrition
     # funnel (never driver-checked before)
@@ -7751,9 +7777,10 @@ FAMILY: dict[str, str] = {
     # text twins
     "text_token_topk": "text_stats",
     # demoted round-7 (r3 driver row on file): the h48 rolling-hash doc
-    # fingerprint is the content-hash-key twin of the in-window exact-
-    # dedup representative — the BM25 retrieval family takes its slot
-    "text_fingerprint": "dedup_exact",
+    # fingerprint is the content-hash-key twin of the exact-dedup
+    # machinery (rep moved round-9 to the keep list, whose stage 1 is
+    # the same exact collapse)
+    "text_fingerprint": "dedup_keep_list",
     "text_heavy_hitters": "text_stats",
     # demoted round-6 (r5 driver row on file): BM25 ranking is the
     # scoring twin of the positional phrase representatives (and stays
@@ -7767,9 +7794,10 @@ FAMILY: dict[str, str] = {
     # semantic decontamination representative
     "emb_semantic_dedup": "emb_semantic_decontaminate",
     "text_nfc": "text_clean",
-    # graded overlap-fraction audit (new round-8): same broadcast
-    # gram-join machinery as the in-window boolean decontamination rep
-    "text_contamination_report": "text_decontaminate",
+    # demoted round-9 (driver rows r1-r8 on file, VERDICT r8 #1): the
+    # boolean any-shared-gram flag is the thresholded special case of
+    # the promoted graded report (one shared _distinct_ngrams core)
+    "text_decontaminate": "text_contamination_report",
     "text_char_entropy": "text_stats",
     # boilerplate-opening detector: token-frequency-statistics family
     "text_template_detect": "text_stats",
@@ -7812,14 +7840,16 @@ FAMILY: dict[str, str] = {
     # analytics family of the in-window orders/top-customers rep
     "rel_orders_yoy": "rel_top_customers",
     # sampled-pair distribution gauge: similarity-measure family of the
-    # in-window brute-force cosine representative
-    "emb_pair_distance_hist": "knn_bruteforce",
+    # brute-force cosine rep (rep moved round-9 to the promoted
+    # two-stage matryoshka entry, whose both stages are brute scans)
+    "emb_pair_distance_hist": "ann_truncated_topk",
     # matryoshka truncation recall gauge (new round-7): brute-force
     # cosine top-k at two widths + recall_at_k, same family
-    "emb_dim_truncation_recall": "knn_bruteforce",
-    # matryoshka two-stage tier (new round-8, VERDICT r7 #3): truncated
-    # brute coarse + full-width rerank — exact-scan family
-    "ann_truncated_topk": "knn_bruteforce",
+    "emb_dim_truncation_recall": "ann_truncated_topk",
+    # demoted round-9 (driver rows r1-r8 on file): the promoted
+    # two-stage entry's coarse stage IS brute cosine and its rerank is
+    # full-width brute over the shortlist
+    "knn_bruteforce": "ann_truncated_topk",
     # its IVF-composed scale-path gauge: rides the in-window filtered
     # MIPS rep's centroid training + pruned probe machinery
     "ann_truncated_recall": "mips_ivf_filtered",
