@@ -4218,6 +4218,81 @@ def ann_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_at_k(approx, exact, 10)
 
 
+@register(
+    "ann_truncated_append_stored",
+    f"""WITH tv AS (SELECT vec_id AS id, embedding[1:16] AS t,
+                 embedding AS v FROM embeddings),
+cent AS (SELECT id AS centroid_id, t AS cvec FROM tv WHERE id < 16),
+assign AS (SELECT id, centroid_id FROM (
+    SELECT tv.id, c.centroid_id,
+           row_number() OVER (PARTITION BY tv.id
+               ORDER BY {cosine_sql("tv.t", "c.cvec")} DESC,
+                        c.centroid_id ASC) AS r
+    FROM tv CROSS JOIN cent c) WHERE r = 1),
+qv AS (SELECT vec_id AS qid, embedding[1:16] AS qt, embedding AS q
+       FROM embeddings WHERE vec_id < 10),
+probes AS (SELECT qid, centroid_id FROM (
+    SELECT qv.qid, c.centroid_id,
+           row_number() OVER (PARTITION BY qv.qid
+               ORDER BY {cosine_sql("qv.qt", "c.cvec")} DESC,
+                        c.centroid_id ASC) AS r
+    FROM cent c CROSS JOIN qv) WHERE r <= 4),
+cand AS (SELECT p.qid, a.id FROM probes p JOIN assign a USING (centroid_id)),
+coarse AS (SELECT qid, id FROM (
+    SELECT cand.qid, cand.id,
+           row_number() OVER (PARTITION BY cand.qid
+               ORDER BY {cosine_sql("tv.t", "qv.qt")} DESC, cand.id ASC) AS r
+    FROM cand JOIN tv ON tv.id = cand.id
+              JOIN qv ON qv.qid = cand.qid) WHERE r <= 40)
+SELECT qid, id, round(cos, 5) AS score, rank FROM (
+    SELECT c.qid, c.id, {cosine_sql("tv.v", "qv.q")} AS cos,
+           row_number() OVER (PARTITION BY c.qid
+               ORDER BY {cosine_sql("tv.v", "qv.q")} DESC, c.id ASC) AS rank
+    FROM coarse c JOIN tv ON tv.id = c.id
+                  JOIN qv ON qv.qid = c.qid) WHERE rank <= 10""",
+)
+def ann_truncated_append_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The matryoshka store's INCREMENTAL-MAINTENANCE path, end-to-end
+    and oracle-graded (VERDICT r8 #2): build the stored truncated
+    layout from a base slice (``vec_id < 100`` — which contains the
+    deterministic lowest-16-id centroid set, so the stored centroids
+    equal a full-corpus training), :func:`~lshrs_spark.operators.knn.
+    truncated_ivf_append` the rest WITHOUT retraining, then answer a
+    query batch through :func:`~lshrs_spark.operators.knn.
+    truncated_topk_stored` — coarse partition-pruned probe at
+    truncated width over base+appended files, full-width rerank from
+    the segmented ``_full`` sidecar. Because append never retrains,
+    the oracle is simply the two-stage IVF-composed replay over the
+    WHOLE table: identical results to a from-scratch rebuild is the
+    correctness contract of incremental maintenance."""
+    from .operators.knn import (
+        truncated_ivf_append,
+        truncated_ivf_write_store,
+        truncated_topk_stored,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") < 100)
+    batch = emb.filter(F.col("vec_id") >= 100)
+    # deterministic per-sf path, overwritten each run — no tempdir growth
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"lshrs_trunc_append_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    truncated_ivf_write_store(base, 16, 16, path)
+    truncated_ivf_append(batch, path)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = truncated_topk_stored(spark, path, queries, 10, coarse_k=40,
+                                nprobe=4)
+    return out.select(
+        "qid", "id",
+        F.round("score", 5).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 _KM_DIMS = "(SELECT unnest(generate_series(1, 64)) AS d)"
 
 
@@ -7850,6 +7925,10 @@ FAMILY: dict[str, str] = {
     # two-stage entry's coarse stage IS brute cosine and its rerank is
     # full-width brute over the shortlist
     "knn_bruteforce": "ann_truncated_topk",
+    # incremental-maintenance gauge (new round-9, VERDICT r8 #2): the
+    # stored write+append+query flow whose contract is equality with
+    # the in-window rep's two-stage replay
+    "ann_truncated_append_stored": "ann_truncated_topk",
     # its IVF-composed scale-path gauge: rides the in-window filtered
     # MIPS rep's centroid training + pruned probe machinery
     "ann_truncated_recall": "mips_ivf_filtered",

@@ -733,31 +733,10 @@ def bm25_compact(spark, path: str, *, num_buckets: "Optional[int]" = None) -> in
     the crash-safety contract above."""
     import uuid as _uuid
 
-    _ATOMIC_RENAME_SCHEMES = ("file", "hdfs", "viewfs")
-    # Cheap string guard first: an absent FS impl for e.g. s3:// would
-    # otherwise surface as an opaque JVM error instead of a ValueError.
-    if "://" in path:
-        _scheme = path.split("://", 1)[0]
-        if _scheme not in _ATOMIC_RENAME_SCHEMES:
-            raise ValueError(
-                f"bm25_compact swaps directories via filesystem rename; "
-                f"rename on {_scheme!r} is a non-atomic copy — got "
-                f"non-local path {path!r}"
-            )
+    from ..fswap import resolve_rename_fs, swap_via_rename
+
+    fs, dst = resolve_rename_fs(spark, path, label="bm25_compact")
     jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    dst = jvm.org.apache.hadoop.fs.Path(path)
-    fs = dst.getFileSystem(hconf)
-    resolved = fs.getUri().getScheme()
-    # Scheme-less paths resolve against fs.defaultFS — re-check what
-    # they actually landed on before any (possibly large) rewrite.
-    if resolved not in _ATOMIC_RENAME_SCHEMES:
-        raise ValueError(
-            f"bm25_compact swaps directories via filesystem rename; "
-            f"rename on the session default filesystem {resolved!r} is a "
-            f"non-atomic copy — got non-local path {path!r}"
-        )
-    dst = fs.makeQualified(dst)
     stats = spark.read.parquet(f"{path}/_stats")
     posts = spark.read.parquet(path)
     if "epoch" not in posts.columns:
@@ -800,34 +779,8 @@ def bm25_compact(spark, path: str, *, num_buckets: "Optional[int]" = None) -> in
     old = fs.makeQualified(
         jvm.org.apache.hadoop.fs.Path(f"{path}.old-{_uuid.uuid4().hex}")
     )
-    _swap_via_rename(fs, dst, tmp_p, old, label="bm25_compact")
+    swap_via_rename(fs, dst, tmp_p, old, label="bm25_compact")
     return n
-
-
-def _swap_via_rename(fs, dst, tmp_p, old, *, label: str) -> None:
-    """Two-hop atomic directory swap: ``dst`` → ``old``, ``tmp_p`` →
-    ``dst``, delete ``old``. Hadoop ``FileSystem.rename`` signals
-    failure by RETURNING false, not raising — both hops are checked,
-    and a failed second hop restores the original at ``dst`` AND
-    deletes the now-dead tmp tree (ADVICE r8: the rollback used to
-    strand the fully-written tmp on disk) so a crash-free failure
-    leaves exactly the pre-call layout. ``fs`` only needs
-    ``rename(a, b) -> bool`` / ``delete(p, recursive)`` — duck-typed
-    so the failure branches are unit-testable without a JVM."""
-    if not fs.rename(dst, old):
-        raise IOError(f"{label}: renaming {dst} aside failed")
-    if not fs.rename(tmp_p, dst):
-        fs.rename(old, dst)
-        # best-effort: never let tmp cleanup mask the real failure
-        try:
-            fs.delete(tmp_p, True)
-        except Exception:
-            pass
-        raise IOError(
-            f"{label}: renaming the rewritten tree into {dst} "
-            f"failed; original layout restored"
-        )
-    fs.delete(old, True)
 
 
 def bm25_postings(

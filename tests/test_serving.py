@@ -1594,3 +1594,106 @@ def test_truncated_store_rowgroup_cap_is_per_write(spark, tmp_path):
     assert groups >= 20, groups
 
     assert hconf.get("parquet.block.size") == before  # conf untouched
+
+
+def test_truncated_ivf_append_serve_compact_roundtrip(spark, tmp_path):
+    """VERDICT r8 #2: incremental maintenance for the matryoshka store.
+    Append assigns against the EXISTING stored centroids (no retrain),
+    a live server picks the batch up at refresh(), tombstones fold, and
+    compaction returns the layout to canonical form — rankings at every
+    stage identical to a from-scratch rebuild at the same centroid set
+    (guaranteed here: the deterministic lowest-id centroid set lives
+    entirely inside the base batch)."""
+    import glob
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lshrs_spark.operators.knn import (
+        ivf_delete,
+        truncated_ivf_append,
+        truncated_ivf_compact,
+        truncated_ivf_write_store,
+    )
+    from lshrs_spark.serving import TruncatedIVFServer
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 300)
+    batch = emb.filter(F.col("vec_id") >= 300)
+    n_total, n_batch = emb.count(), batch.count()
+    assert n_batch > 0
+    inc = str(tmp_path / "trunc_inc")
+    ref = str(tmp_path / "trunc_ref")
+    truncated_ivf_write_store(base, 8, 16, inc, full_files=4)
+    truncated_ivf_write_store(emb, 8, 16, ref, full_files=4)
+
+    srv = TruncatedIVFServer.from_store(inc)  # opened BEFORE the append
+    srv_ref = TruncatedIVFServer.from_store(ref)
+
+    qvecs = [
+        np.array(r.embedding, dtype=np.float64)
+        for r in emb.filter(F.col("vec_id") % 97 == 0)
+        .orderBy("vec_id").collect()
+    ]
+    assert len(qvecs) >= 5
+
+    def serve(s):
+        return [s.topk(q, 10, nprobe=4, coarse_k=40) for q in qvecs]
+
+    def ids_ranks(res):
+        return [[(i, rk) for i, _, rk in per_q] for per_q in res]
+
+    pre = serve(srv)
+    truncated_ivf_append(batch, inc, full_files=4)
+    # a live server sees nothing until refresh() (dataset snapshot)
+    assert serve(srv) == pre
+    # append left the base _full files plus one 4-file segment
+    assert len(glob.glob(f"{inc}/_full/part-*.parquet")) == 8
+
+    srv.refresh()
+    want = serve(srv_ref)
+    got = serve(srv)
+    assert ids_ranks(got) == ids_ranks(want)
+    for gq, wq in zip(got, want):
+        for (_, gs, _), (_, ws, _) in zip(gq, wq):
+            assert gs == pytest.approx(ws, abs=1e-12)
+
+    # an appended row is genuinely retrievable: its own vector returns
+    # itself at rank 1 through the refreshed incremental store
+    bid = int(batch.agg(F.min("vec_id")).collect()[0][0])
+    bvec = np.array(
+        batch.filter(F.col("vec_id") == bid).collect()[0].embedding,
+        dtype=np.float64,
+    )
+    assert srv.topk(bvec, 1, nprobe=8, coarse_k=40)[0][0] == bid
+
+    # tombstone an appended id; compact folds segments AND tombstones
+    ivf_delete(inc, [bid])
+    srv.refresh()
+    after_del = serve(srv)
+    n = truncated_ivf_compact(spark, inc, full_files=4)
+    assert n == n_total - 1
+    srv.refresh()
+    post = serve(srv)
+    assert ids_ranks(post) == ids_ranks(after_del)
+    # canonical layout restored: one globally-sorted 4-file sidecar,
+    # one co-located file per centroid dir, sidecars clean, no strays
+    assert len(glob.glob(f"{inc}/_full/part-*.parquet")) == 4
+    assert not os.path.exists(f"{inc}/_deleted")
+    for d in glob.glob(f"{inc}/centroid_id=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1, d
+    strays = [d for d in os.listdir(tmp_path)
+              if d.startswith("trunc_inc.")]
+    assert strays == []
+    # the deleted row is gone, everything else still served identically
+    assert srv.topk(bvec, 1, nprobe=8, coarse_k=40)[0][0] != bid
+
+    # schema guard: extra_cols must match the stored layout
+    with pytest.raises(ValueError, match="extra_cols mismatch"):
+        truncated_ivf_append(
+            batch.withColumn("flag", F.lit(1)), inc, extra_cols=("flag",)
+        )
+    # object-store schemes refused before any destructive step
+    with pytest.raises(ValueError, match="non-local path"):
+        truncated_ivf_compact(spark, "s3://bucket/store")

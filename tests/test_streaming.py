@@ -998,7 +998,7 @@ def test_swap_via_rename_failure_branches():
     every branch is exercised without a JVM."""
     import pytest
 
-    from lshrs_spark.functions.text import _swap_via_rename
+    from lshrs_spark.fswap import swap_via_rename as _swap_via_rename
 
     class FakeFS:
         def __init__(self, fail=()):
