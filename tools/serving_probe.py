@@ -1,0 +1,251 @@
+#!/usr/bin/env python
+"""Isolated serving-p95 battery → ``SERVING_r{N}.json`` (VERDICT r8
+what's-missing #3): the committed, per-round control series for the
+driver bench's serving-latency lines, replacing the README-prose
+settlements of rounds 6-8.
+
+Why it exists: serving is pyarrow-only — no Spark job, no JVM — yet
+the driver's bench measures it inside a process that just ran thirty
+Spark-heavy lines on a virtualized host with documented multi-second
+stall windows. Three rounds in a row the driver-side
+``single_query_p95_ms`` drifted upward while an ad-hoc quiet-host
+probe kept reading ~half the number and no serving code had changed.
+This tool IS that probe, as a reproducible artifact: a fresh Python
+process that never starts a JVM, a recorded quiet-host guard (zero
+java processes, 1-min loadavg under a threshold), and the bench's own
+100-query best-of-N p95 protocol per serving tier.
+
+Usage:
+    python tools/serving_probe.py --round 9 [--rebuild] [--loops 3]
+
+Builds the five stored layouts in a SUBPROCESS (its JVM dies with it)
+unless they are already on disk from a bench run — the stores are the
+bench's own (same paths, same parameters: the 20× corpus, the same
+LSH config / 64 IVF centroids / 16-of-64 truncation / m=4 PQ / 32
+BM25 buckets), so this control series measures exactly the layouts
+the driver bench serves from. Writes ``SERVING_r{N}.json`` at the
+repo root and prints it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+STORES = {
+    "lsh": os.path.join(tempfile.gettempdir(), "lshrs_bench_index20x"),
+    "ivf": os.path.join(tempfile.gettempdir(), "lshrs_bench_ivf20x"),
+    "truncated": os.path.join(tempfile.gettempdir(), "lshrs_bench_tivf20x"),
+    "pq": os.path.join(tempfile.gettempdir(), "lshrs_bench_pq20x"),
+    "bm25": os.path.join(tempfile.gettempdir(), "lshrs_bench_bm25"),
+}
+
+# the bench's own query mixes (bench.py §11/§10)
+BM25_TERM_SETS = [
+    ["vector", "hash", "join", "stream"],
+    ["table", "scan"], ["query", "filter", "sort"], ["agg", "window"],
+] * 25
+
+
+def _java_procs() -> int:
+    """Count live java processes via /proc (no external tools)."""
+    n = 0
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/comm") as f:
+                if f.read().strip() == "java":
+                    n += 1
+        except OSError:
+            continue
+    return n
+
+
+def wait_quiet(max_wait_s: float, load_max: float) -> dict:
+    """Block until the host is quiet (zero java processes AND 1-min
+    loadavg < ``load_max``) or ``max_wait_s`` elapses. Returns the
+    recorded guard state — ``quiet: false`` readings are still written
+    to the artifact so a noisy run is LABELED, never silently trusted."""
+    t0 = time.time()
+    while True:
+        javas = _java_procs()
+        load1 = os.getloadavg()[0]
+        if javas == 0 and load1 < load_max:
+            return {"quiet": True, "java_procs": javas,
+                    "load1": round(load1, 2),
+                    "waited_s": round(time.time() - t0, 1)}
+        if time.time() - t0 > max_wait_s:
+            return {"quiet": False, "java_procs": javas,
+                    "load1": round(load1, 2),
+                    "waited_s": round(time.time() - t0, 1)}
+        time.sleep(5.0)
+
+
+def build_stores() -> None:
+    """Subprocess mode: start Spark, write the five bench-layout stores,
+    exit (taking the JVM with it). Parameters mirror bench.py exactly."""
+    from pyspark.sql import functions as F
+
+    from lshrs_spark import LSHConfig
+    from lshrs_spark.functions.text import bm25_index_write
+    from lshrs_spark.operators.index import build_index, write_index
+    from lshrs_spark.operators.knn import (
+        ivf_centroids_by_id,
+        ivf_write_store,
+        pq_codebooks,
+        pq_write_store,
+        truncated_ivf_write_store,
+    )
+    from lshrs_spark.session import get_spark
+
+    cfg = LSHConfig(dim=64, num_perm=128, num_bands=8,
+                    rows_per_band=16, seed=42)
+    spark = get_spark("serving_probe_build", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    big = emb
+    for i in range(1, 20):
+        big = big.unionByName(
+            emb.select((F.col("vec_id") + 1_000_000 * i).alias("vec_id"),
+                       "embedding", "label")
+        )
+    big = big.repartition(CPUS).persist()
+    big.count()
+    write_index(build_index(big, cfg, "vec_id", "embedding"), STORES["lsh"])
+    ivf_write_store(big, ivf_centroids_by_id(emb, 64), STORES["ivf"])
+    truncated_ivf_write_store(big, 64, 16, STORES["truncated"])
+    cb = pq_codebooks(emb, m=4, k=16, dim=64, iterations=1)
+    pq_write_store(big, cb, STORES["pq"], m=4, dim=64)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
+    bm25_index_write(docs, STORES["bm25"], num_buckets=32)
+    print("stores built", flush=True)
+    try:
+        spark.stop()
+    except Exception:
+        pass
+
+
+def measure(loops: int) -> dict:
+    """The bench's serving protocol, per tier, in THIS (JVM-free)
+    process: 100 distinct queries, best-of-``loops`` full passes
+    compared at the p95, p50/p95 reported in ms."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from bench import p95_index, serve_latencies
+    from lshrs_spark import LSHConfig
+    from lshrs_spark.serving import (
+        BM25Server,
+        IVFServer,
+        IndexServer,
+        PQServer,
+        TruncatedIVFServer,
+    )
+
+    cfg = LSHConfig(dim=64, num_perm=128, num_bands=8,
+                    rows_per_band=16, seed=42)
+    tbl = pads.dataset(
+        f"{SF_DIR}/embeddings.parquet", format="parquet"
+    ).to_table(columns=["vec_id", "embedding"],
+               filter=pads.field("vec_id") < 100)
+    order = tbl.column("vec_id").to_numpy(zero_copy_only=False).argsort()
+    qvecs = [
+        np.asarray(v, dtype=np.float32)
+        for v in np.asarray(
+            tbl.column("embedding").to_pylist(), dtype=np.float32
+        )[order]
+    ]
+
+    tiers: dict[str, dict] = {}
+
+    def record(name, fn, queries):
+        # one warm call (footer parse / first mmap), then the protocol
+        fn(queries[0])
+        lat = serve_latencies(fn, queries, loops=loops)
+        tiers[name] = {
+            "p50_ms": round(lat[len(lat) // 2] * 1000, 2),
+            "p95_ms": round(lat[p95_index(len(lat))] * 1000, 2),
+        }
+
+    srv = IndexServer(STORES["lsh"], cfg)
+    record("lsh", lambda q: srv.get_top_k(q, 10), qvecs)
+    isrv = IVFServer.from_store(STORES["ivf"])
+    record("ivf", lambda q: isrv.topk(q, 10, 4), qvecs)
+    tsrv = TruncatedIVFServer.from_store(STORES["truncated"])
+    record("truncated", lambda q: tsrv.topk(q, 10, 4), qvecs)
+    psrv = PQServer.from_store(STORES["pq"])
+    record("pq", lambda q: psrv.topk(q, 10), qvecs)
+    bsrv = BM25Server(STORES["bm25"])
+    record("bm25", lambda t: bsrv.search(t, 10), BM25_TERM_SETS)
+    return tiers
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=False, default=None,
+                    help="round number for SERVING_r{N}.json; omit to "
+                         "print without writing")
+    ap.add_argument("--rebuild", action="store_true",
+                    help="rebuild the stores even if present")
+    ap.add_argument("--loops", type=int, default=3)
+    ap.add_argument("--load-max", type=float, default=1.0)
+    ap.add_argument("--max-wait", type=float, default=600.0)
+    ap.add_argument("--build-stores", action="store_true",
+                    help=argparse.SUPPRESS)  # internal subprocess mode
+    args = ap.parse_args()
+
+    if args.build_stores:
+        build_stores()
+        return
+
+    missing = [k for k, p in STORES.items() if not os.path.isdir(p)]
+    rebuilt = bool(missing) or args.rebuild
+    if rebuilt:
+        print(f"building stores (missing: {missing or 'none, --rebuild'})",
+              file=sys.stderr, flush=True)
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--build-stores"],
+            cwd=REPO,
+        )
+        if r.returncode != 0:
+            raise SystemExit(f"store build failed ({r.returncode})")
+
+    if _java_procs() > 0:
+        print("waiting for java processes to exit / load to settle...",
+              file=sys.stderr, flush=True)
+    guard = wait_quiet(args.max_wait, args.load_max)
+    tiers = measure(args.loops)
+    out = {
+        "round": args.round,
+        "sf_dir": SF_DIR,
+        "n_queries": 100,
+        "loops": args.loops,
+        "contract_p95_ms": 100.0,
+        "quiet_guard": guard,
+        "stores_rebuilt": rebuilt,
+        "tiers": tiers,
+        "unix_time": int(time.time()),
+    }
+    line = json.dumps(out)
+    if args.round is not None:
+        path = os.path.join(REPO, f"SERVING_r{args.round}.json")
+        with open(path, "w") as f:
+            f.write(line + "\n")
+        print(f"wrote {path}", file=sys.stderr)
+    print(line)
+
+
+if __name__ == "__main__":
+    main()
