@@ -282,6 +282,14 @@ def shuffle_main(args) -> None:
             # 10x the corpus each probed partition holds 10x the rows,
             # so the slope reads the pruned-scan scaling)
             "mips_ivf_batch100": lambda: _mips_ivf(emb),
+            # pruning-selectivity diagnostic for the line above
+            # (VERDICT r8 #5, the 2.0 -> 2.44 -> 3.51 slope drift):
+            # rows_out = candidate scorings surviving the nprobe/K
+            # partition cut. Flat rows_out/rows_in across scales means
+            # the augmented-dimension centroid spread still prunes and
+            # the time slope is amortization/host; growing means the
+            # probe is admitting a larger corpus fraction at 10x.
+            "mips_ivf_cand": lambda: _mips_cand(emb),
         }
 
         def _mips_ivf(e):
@@ -305,6 +313,38 @@ def shuffle_main(args) -> None:
             return ivf_topk(
                 aug, cents, q, k=10, nprobe=4, vector_col="avec"
             ).count()
+
+        def _mips_cand(e):
+            from lshrs_spark.functions.vector import unit_or_null
+            from lshrs_spark.operators.knn import (
+                _nearest_centroids,
+                ivf_assign,
+            )
+
+            weighted = e.withColumn(
+                "wvec",
+                F.transform(
+                    F.col("embedding"),
+                    lambda x: x.cast("double")
+                    * (F.lit(1.0)
+                       + (F.col("vec_id") % 7).cast("double") * F.lit(0.25)),
+                ),
+            )
+            aug = mips_augment(weighted, vector_col="wvec", out_col="avec")
+            q = mips_augment_query(
+                e.filter(F.col("vec_id") < 100).select(
+                    F.col("vec_id").alias("qid"),
+                    F.col("embedding").cast("array<double>").alias("qvec"),
+                )
+            )
+            cents = ivf_centroids_by_id(aug, 16, vector_col="avec")
+            assign = ivf_assign(aug, cents, vector_col="avec")
+            qn = q.select(
+                F.col("qid").cast("long").alias("qid"),
+                unit_or_null(F.col("qvec")).alias("_q"),
+            )
+            probes = _nearest_centroids(qn, cents, 4, "qid", "_q")
+            return probes.join(assign, "centroid_id").count()
 
         def _mp_batch(e):
             from lshrs_spark.operators.probe import candidates
