@@ -662,7 +662,10 @@ def truncated_ivf_compact(
         "centroid_id", F.col("centroid_id").cast("long")
     )
     cents = spark.read.parquet(f"{path}/_centroids")
-    full = spark.read.parquet(f"{path}/_full")
+    # dropDuplicates: physically remove the duplicate sidecar rows a
+    # crash-replayed absorb can leave (same id -> same vector; one
+    # hash agg inside a full rewrite is in the noise)
+    full = spark.read.parquet(f"{path}/_full").dropDuplicates(["id"])
     tomb = _tombstone_df(spark, path)
     if tomb is not None:
         trunc = trunc.join(F.broadcast(tomb), "id", "left_anti")
@@ -759,6 +762,11 @@ def truncated_topk_stored(
         .select(
             "qid", "id", dot_product(F.col("_q"), F.col("_v")).alias("score")
         )
+        # a crash-replayed truncated_ivf_absorb_staging leaves duplicate
+        # sidecar rows (same id -> same vector -> same score) until the
+        # next compaction; dedupe is on the bounded post-join shortlist,
+        # never the sidecar scan
+        .dropDuplicates(["qid", "id"])
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
     return (

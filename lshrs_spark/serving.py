@@ -760,6 +760,13 @@ class TruncatedIVFServer:
         vecs = np.stack(
             tbl.column("embedding").to_numpy(zero_copy_only=False)
         ).astype(np.float64)
+        # dedupe by id: a crash-replayed truncated_ivf_absorb_staging
+        # leaves duplicate sidecar rows (same id -> same vector) until
+        # the next compaction; without this the rerank would emit the
+        # id twice
+        _, first = np.unique(fids, return_index=True)
+        if len(first) != len(fids):
+            fids, vecs = fids[first], vecs[first]
         return fids, vecs
 
     @staticmethod

