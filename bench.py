@@ -411,6 +411,23 @@ def main() -> None:
     trunc_serve_p95_ms = lat_tivf[p95_index(len(lat_tivf))] * 1000
     results["ann_truncated_served20x"] = lat_tivf[len(lat_tivf) // 2]
 
+    # 12c. Spark-side BATCH query against the SAME stored matryoshka
+    # layout (round-9, truncated_topk_stored): partition-pruned coarse
+    # probe at truncated width + ONE shared full-width rerank pass over
+    # the sidecar amortized across the 100-query batch — the stored twin
+    # of knn_truncated_batch100's in-plan two-stage.
+    from lshrs_spark.operators.knn import truncated_topk_stored
+
+    truncated_topk_stored(
+        spark, tivf_store, qdf, 10, coarse_k=40, nprobe=4
+    ).count()  # warm
+    results["knn_truncated_stored20x_batch100"], _ = timed(
+        lambda: truncated_topk_stored(
+            spark, tivf_store, qdf, 10, coarse_k=40, nprobe=4
+        ).count(),
+        "knn_truncated_stored20x_batch100", warmup=False,
+    )
+
     # 13. PQ compressed-scan ANN over the 20x corpus: codebooks trained
     # on the 1x corpus, code table materialized once (the production
     # stored layout), ADC query reads only (id, j, code) + an m x k

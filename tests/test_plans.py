@@ -942,3 +942,33 @@ def test_bucketed_index_table_joins_without_exchange(spark, emb):
         spark.conf.set("spark.sql.adaptive.enabled", aqe0)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc0)
         spark.sql("DROP TABLE IF EXISTS t_bucketed_idx")
+
+
+def test_truncated_stored_plan_prunes_and_matches_inplan(spark, emb, tmp_path):
+    """The stored matryoshka query's COARSE scan must carry the probed
+    centroids as PartitionFilters (pruned truncated-width read, not a
+    post-read filter), and results must equal the in-plan truncated_topk
+    at the same centroid set / knobs."""
+    from lshrs_spark.operators.knn import (
+        truncated_ivf_write_store,
+        truncated_topk,
+        truncated_topk_stored,
+    )
+
+    store = str(tmp_path / "trunc_store")
+    truncated_ivf_write_store(emb, 8, 16, store)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = truncated_topk_stored(spark, store, queries, 5, coarse_k=20,
+                                nprobe=2)
+    plan = physical_plan(out)
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines, "coarse scan has no PartitionFilters section"
+    assert any("centroid_id" in l and "IN" in l.upper()
+               for l in part_lines), part_lines
+    mem = truncated_topk(emb, queries, 5, coarse_dims=16, coarse_k=20,
+                         num_centroids=8, nprobe=2)
+    assert sorted((r.qid, r.id, r.rank) for r in out.collect()) == sorted(
+        (r.qid, r.id, r.rank) for r in mem.collect()
+    )
