@@ -1033,7 +1033,12 @@ def _ivf_compact_body(spark, store_path, tomb, filesystem, root, _rm_dir):
         (
             store.filter(F.col("centroid_id").isin(affected))
             .join(F.broadcast(tomb), "id", "left_anti")
+            # co-locate the rewritten partitions (same trap
+            # ivf_write_store fixed in r8: unco-located partitionBy
+            # emits tasks x centroids tiny files)
+            .repartition(F.col("centroid_id"))
             .write.mode("overwrite")
+            .option("maxRecordsPerFile", 1 << 22)
             .partitionBy("centroid_id")
             .parquet(tmp)
         )

@@ -964,7 +964,14 @@ def ivf_absorb_staging(
                             vector_col="embedding")
         (
             staged.join(assign, "id")
+            # co-locate before the partitioned append (same trap
+            # ivf_write_store fixed in r8: without this every task
+            # writes a file into every centroid dir it touches —
+            # tasks x centroids tiny files per absorbed batch); the
+            # records cap splits a skewed hot centroid's single task
+            .repartition(F.col("centroid_id"))
             .write.mode("append")
+            .option("maxRecordsPerFile", 1 << 22)
             .partitionBy("centroid_id")
             .parquet(store_path)
         )

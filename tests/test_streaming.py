@@ -236,6 +236,15 @@ def test_stream_ivf_stage_and_absorb(spark, tmp_path):
     assert ivf_absorb_staging(spark, staging, store, cents) == 80
     ids = {r.id for r in spark.read.parquet(store).select("id").collect()}
     assert ids == set(range(120))
+    # co-located absorb (round-9): the appended batch lands as ONE file
+    # per touched centroid dir (base write + absorb = at most 2), never
+    # tasks x centroids tiny files
+    import glob as _glob
+    import os as _os
+
+    for d in _glob.glob(f"{store}/centroid_id=*"):
+        n_files = len(_glob.glob(_os.path.join(d, "*.parquet")))
+        assert n_files <= 2, (d, n_files)
     srv.refresh()
     got = srv.topk(vecs[100], 120, nprobe=4)
     assert 100 in [i for i, _, _ in got]           # streamed vector served
