@@ -1319,7 +1319,12 @@ def ivfpq_write_store(
     (
         wide
         .join(assign, "id")
+        # co-locate before the partitioned write (same trap
+        # ivf_write_store fixed in r8: unco-located partitionBy emits
+        # tasks x centroids tiny files); the cap splits hot centroids
+        .repartition(F.col("centroid_id"))
         .write.mode(mode)
+        .option("maxRecordsPerFile", 1 << 22)
         .partitionBy("centroid_id")
         .parquet(path)
     )
