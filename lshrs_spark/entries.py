@@ -4293,6 +4293,73 @@ def ann_truncated_append_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _truncated_curve_sql() -> str:
+    """coarse_k -> recall@10 sweep for the matryoshka tier: shared
+    truncated ranking + full-width truth CTEs, one rerank/hits chain
+    per shortlist size."""
+    base = f"""WITH tv AS (SELECT vec_id AS id, embedding[1:16] AS t,
+                 embedding AS v FROM embeddings),
+qv AS (SELECT vec_id AS qid, embedding[1:16] AS qt, embedding AS q
+       FROM embeddings WHERE vec_id < 10),
+cranks AS (SELECT qid, id, r FROM (
+    SELECT qv.qid, tv.id,
+           row_number() OVER (PARTITION BY qv.qid
+               ORDER BY {cosine_sql("tv.t", "qv.qt")} DESC, tv.id ASC) AS r
+    FROM tv CROSS JOIN qv)),
+exact AS (SELECT qid, id FROM (
+    SELECT qv.qid, tv.id,
+           row_number() OVER (PARTITION BY qv.qid
+               ORDER BY {cosine_sql("tv.v", "qv.q")} DESC, tv.id ASC) AS rank
+    FROM tv CROSS JOIN qv) WHERE rank <= 10)"""
+    arms = []
+    selects = []
+    for c in (10, 20, 40, 80):
+        arms.append(f"""approx{c} AS (SELECT qid, id FROM (
+    SELECT cr.qid, cr.id,
+           row_number() OVER (PARTITION BY cr.qid
+               ORDER BY {cosine_sql("tv.v", "qv.q")} DESC, cr.id ASC) AS rank
+    FROM cranks cr JOIN tv ON tv.id = cr.id
+                   JOIN qv ON qv.qid = cr.qid
+    WHERE cr.r <= {c}) WHERE rank <= 10),
+hits{c} AS (SELECT a.qid, count(*) AS h FROM approx{c} a
+    JOIN exact e USING (qid, id) GROUP BY a.qid),
+per_q{c} AS (SELECT e.qid, count(*) AS n, any_value(coalesce(h.h, 0)) AS h
+    FROM exact e LEFT JOIN hits{c} h ON h.qid = e.qid GROUP BY e.qid, h.h)""")
+        selects.append(
+            f"SELECT {c}::BIGINT AS coarse_k,"
+            f" round(avg(h::DOUBLE / n), 5) AS recall FROM per_q{c}"
+        )
+    return base + ",\n" + ",\n".join(arms) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("ann_truncated_recall_curve", _truncated_curve_sql())
+def ann_truncated_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The matryoshka tuning curve: recall@10 vs ``coarse_k`` in
+    {10, 20, 40, 80} (16-of-64 prefix, brute coarse — isolating the
+    SHORTLIST dial from the IVF dial, which has its own curve) — the
+    question the tier's operator actually asks: how many full-width
+    refine rows buy how much of the recall the truncated probe gave
+    up. The oracle replays every arm of the sweep, so the monotone
+    shortlist/recall tradeoff itself is differential-tested, not just
+    one operating point."""
+    from .operators.knn import brute_force_topk, recall_at_k, truncated_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = brute_force_topk(emb, queries, 10)
+    out = None
+    for c in (10, 20, 40, 80):
+        approx = truncated_topk(emb, queries, 10, coarse_dims=16,
+                                coarse_k=c)
+        r = recall_at_k(approx, exact, 10).select(
+            F.lit(c).cast("long").alias("coarse_k"), "recall"
+        )
+        out = r if out is None else out.union(r)
+    return out
+
+
 _KM_DIMS = "(SELECT unnest(generate_series(1, 64)) AS d)"
 
 
@@ -7929,6 +7996,9 @@ FAMILY: dict[str, str] = {
     # stored write+append+query flow whose contract is equality with
     # the in-window rep's two-stage replay
     "ann_truncated_append_stored": "ann_truncated_topk",
+    # shortlist-dial tuning curve (new round-9): recall@10 vs coarse_k
+    # sweep over the in-window rep's own two-stage machinery
+    "ann_truncated_recall_curve": "ann_truncated_topk",
     # its IVF-composed scale-path gauge: rides the in-window filtered
     # MIPS rep's centroid training + pruned probe machinery
     "ann_truncated_recall": "mips_ivf_filtered",

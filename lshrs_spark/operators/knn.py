@@ -584,6 +584,11 @@ def truncated_ivf_append(
     leave truncated rows whose refine fetch finds nothing and silently
     drops results. Single-writer contract (like ``bm25_compact``):
     don't append concurrently with a compaction of the same store.
+    Ids are NOT deduplicated against the store — appending an id that
+    already exists duplicates it in both trees (the coarse stage would
+    emit it twice); dedupe upstream, or go through
+    :func:`~lshrs_spark.streaming.ingest.truncated_ivf_absorb_staging`,
+    whose anti-join enforces exactly that.
 
     At 100 TB: the append touches only the new batch (one assignment
     map + two bounded writes); nothing existing is read or rewritten.
