@@ -713,6 +713,8 @@ def truncated_topk_stored(
     qid_col: str = "qid",
     qvec_col: str = "qvec",
     extra_filter=None,
+    refine: str = "auto",
+    refine_pushdown_limit: int = 20_000,
 ) -> DataFrame:
     """Spark-side matryoshka batch query against a STORED truncated
     layout (:func:`truncated_ivf_write_store`, incrementally maintained
@@ -725,11 +727,29 @@ def truncated_topk_stored(
     :func:`truncated_topk`; the no-Spark-job twin is
     :class:`~lshrs_spark.serving.TruncatedIVFServer`.
 
-    Scale shape of the refine: ONE columnar pass over the sidecar
-    joined against the broadcast ``queries × coarse_k`` shortlist —
-    for a BATCH of queries the shared scan amortizes across all of
-    them, which is the right plan on a cluster, while single-query
-    serving wants the server's envelope point reads instead.
+    Scale shape of the refine (``refine=``):
+
+    - ``"pushdown"``: the coarse shortlist is collected (bounded by
+      ``len(queries) × coarse_k`` — a CALLER-sized quantity, unlike a
+      corpus-growing tombstone list, so the bounded ``isin`` literal
+      is safe) and pushed into the sidecar scan as a native parquet
+      ``In`` filter; row-group min/max stats on the id-SORTED sidecar
+      prune the read to intersecting groups, so the refine costs
+      O(shortlist), not O(corpus) — at 100 TB this is the only refine
+      that stays affordable for a small query batch.
+    - ``"scan"``: ONE shared columnar pass over the sidecar joined
+      against the broadcast shortlist — amortizes across a LARGE
+      batch, where the shortlist approaches the corpus anyway and a
+      driver round-trip per query batch is wasted work.
+    - ``"auto"`` (default): ``"pushdown"`` when the shortlist is small
+      (``len(queries) × coarse_k <= refine_pushdown_limit`` — the cap
+      also bounds the collected rows and the plan-literal size; the
+      multi-MB-plan trap is documented in the repo) AND the sidecar is
+      big enough that a full pass dominates the pushdown's extra
+      driver round-trip (>= 256 MB on disk — measured: at a 20 MB
+      sidecar the shared scan is ~1.7× faster, the pushdown's two
+      sequential jobs pure overhead), else ``"scan"``.
+
     Tombstones are honored via the coarse stage
     (:func:`ivf_topk_stored` anti-joins ``_deleted``); the inner
     shortlist join keeps the sidecar's dead rows out by construction."""
@@ -744,6 +764,10 @@ def truncated_topk_stored(
             f"coarse_k ({coarse_k}) must be >= k ({k}) — the rerank can "
             f"only reorder the shortlist, not extend it"
         )
+    if refine not in ("auto", "scan", "pushdown"):
+        raise ValueError(
+            f"refine must be 'auto', 'scan' or 'pushdown' (got {refine!r})"
+        )
     tq = queries.select(
         F.col(qid_col).cast("long").alias("qid"),
         F.slice(F.col(qvec_col), 1, coarse_dims).alias("qvec"),
@@ -752,7 +776,31 @@ def truncated_topk_stored(
         spark, store_path, cents, tq, coarse_k, nprobe,
         extra_filter=extra_filter,
     )
-    full = spark.read.parquet(f"{store_path}/_full").select(
+    if refine == "auto":
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{store_path}/_full")
+        side_bytes = (
+            p.getFileSystem(spark._jsc.hadoopConfiguration())
+            .getContentSummary(p).getLength()
+        )
+        refine = (
+            "pushdown"
+            if (queries.count() * coarse_k <= refine_pushdown_limit
+                and side_bytes >= (1 << 28))
+            else "scan"
+        )
+    full_raw = spark.read.parquet(f"{store_path}/_full")
+    shortlist = coarse.select("qid", "id")
+    if refine == "pushdown":
+        rows = shortlist.collect()  # bounded: len(queries) * coarse_k
+        if rows:
+            shortlist = spark.createDataFrame(
+                [(int(r.qid), int(r.id)) for r in rows], "qid long, id long"
+            )
+            full_raw = full_raw.filter(
+                F.col("id").isin(sorted({int(r.id) for r in rows}))
+            )
+    full = full_raw.select(
         F.col("id").cast("long").alias("id"),
         _unit(F.col("embedding")).alias("_v"),
     )
@@ -761,7 +809,7 @@ def truncated_topk_stored(
         _unit(F.col(qvec_col)).alias("_q"),
     ))
     scored = (
-        coarse.select("qid", "id")
+        shortlist
         .join(full, "id")
         .join(q, "qid")
         .select(

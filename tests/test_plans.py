@@ -960,15 +960,32 @@ def test_truncated_stored_plan_prunes_and_matches_inplan(spark, emb, tmp_path):
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    out = truncated_topk_stored(spark, store, queries, 5, coarse_k=20,
-                                nprobe=2)
-    plan = physical_plan(out)
+    # scan mode keeps the whole two-stage lineage in ONE plan — assert
+    # the coarse scan's centroid partition pruning there
+    scan = truncated_topk_stored(spark, store, queries, 5, coarse_k=20,
+                                 nprobe=2, refine="scan")
+    plan = physical_plan(scan)
     part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert part_lines, "coarse scan has no PartitionFilters section"
     assert any("centroid_id" in l and "IN" in l.upper()
                for l in part_lines), part_lines
+    # explicit pushdown (auto picks scan at this tiny sidecar): the
+    # coarse stage is collected, and the returned plan's sidecar scan
+    # carries the shortlist as a pushed In filter — O(shortlist) row
+    # groups read, not O(corpus)
+    out = truncated_topk_stored(spark, store, queries, 5, coarse_k=20,
+                                nprobe=2, refine="pushdown")
+    pplan = physical_plan(out)
+    pushed = [l for l in pplan.splitlines()
+              if "PushedFilters" in l and "In(id" in l]
+    assert pushed, "pushdown refine has no In(id, ...) on the sidecar scan"
     mem = truncated_topk(emb, queries, 5, coarse_dims=16, coarse_k=20,
                          num_centroids=8, nprobe=2)
-    assert sorted((r.qid, r.id, r.rank) for r in out.collect()) == sorted(
-        (r.qid, r.id, r.rank) for r in mem.collect()
-    )
+    want = sorted((r.qid, r.id, r.rank) for r in mem.collect())
+    assert sorted((r.qid, r.id, r.rank) for r in out.collect()) == want
+    # the shared-scan refine returns the identical result
+    assert sorted((r.qid, r.id, r.rank) for r in scan.collect()) == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="refine must be"):
+        truncated_topk_stored(spark, store, queries, 5, refine="nope")
