@@ -50,6 +50,7 @@ __all__ = [
     "pq_adc_topk",
     "pq_write_store",
     "ivfpq_write_store",
+    "ivfpq_append",
     "ivfpq_topk_stored",
     "refine_topk",
     "ivfpq_refined_topk",
@@ -1350,6 +1351,7 @@ def ivfpq_write_store(
     vector_col: str = "embedding",
     mode: str = "overwrite",
     extra_cols: Sequence[str] = (),
+    store_sidecars: bool = True,
 ) -> None:
     """IVFADC layout — the two prunings composed: the code table
     ``(id, codes)`` parquet-partitioned by nearest-centroid assignment.
@@ -1358,7 +1360,11 @@ def ivfpq_write_store(
     where a top-k query touches megabytes. Sidecars: ``_centroids`` +
     ``_codebooks`` (both tiny, both invisible to dataset discovery).
     ``extra_cols`` metadata columns ride along for filtered serving
-    (:meth:`~lshrs_spark.serving.IVFPQServer.topk` ``where=``)."""
+    (:meth:`~lshrs_spark.serving.IVFPQServer.topk` ``where=``).
+    ``store_sidecars=False`` skips the sidecar snapshot writes — the
+    :func:`ivfpq_append` path, whose centroid/codebook frames are READ
+    FROM the store itself (overwriting a path being read from is both
+    illegal in Spark and pointless: append never changes them)."""
     assign = ivf_assign(vectors, centroids, id_col=id_col, vector_col=vector_col)
     enc = pq_encode(vectors, codebooks, m, dim, id_col=id_col,
                     vector_col=vector_col)
@@ -1381,6 +1387,8 @@ def ivfpq_write_store(
         .partitionBy("centroid_id")
         .parquet(path)
     )
+    if not store_sidecars:
+        return
     (
         centroids.select(
             F.col("centroid_id").cast("long"),
@@ -1399,6 +1407,58 @@ def ivfpq_write_store(
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{path}/_codebooks")
+    )
+
+
+def ivfpq_append(
+    vectors: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    extra_cols: Sequence[str] = (),
+) -> None:
+    """Incrementally append a batch to a stored IVFADC layout
+    (:func:`ivfpq_write_store`) WITHOUT retraining — closing the
+    tier-maintenance story for the last rebuild-only serving tier
+    (every other tier: LSH streaming ingest, BM25 epochs + compact,
+    IVF stage + absorb, matryoshka append/absorb/compact): codes come
+    from the STORED ``_codebooks`` and assignment from the STORED
+    ``_centroids`` (both read back, never retrained; ``m``/``dim`` are
+    inferred from the codebook table, so the store is self-describing),
+    which makes appended rows byte-identical to what a from-scratch
+    rebuild at the same centroid/codebook set would hold. A live
+    :class:`~lshrs_spark.serving.IVFPQServer` sees the batch at its
+    next ``refresh()``.
+
+    Quantization error of the new batch is whatever the EXISTING
+    codebooks give it — codebook staleness under corpus drift is a
+    model problem no layout trick fixes; monitor with the
+    ``quant_error`` / PQ recall gauges and retrain + rebuild when they
+    degrade. Same contracts as :func:`truncated_ivf_append`:
+    single-writer, ids are NOT deduplicated against the store (dedupe
+    upstream or route through a staging absorb)."""
+    spark = vectors.sparkSession
+    cents = spark.read.parquet(f"{path}/_centroids")
+    cbs = spark.read.parquet(f"{path}/_codebooks")
+    row = cbs.agg(
+        F.count_distinct("j").alias("m"),
+        F.max(F.size("cvec")).alias("sub"),
+    ).collect()[0]
+    m, dim = int(row["m"]), int(row["m"]) * int(row["sub"])
+    existing = set(spark.read.parquet(path).columns)
+    incoming = {"id", "codes", "centroid_id"} | set(extra_cols)
+    if incoming != existing:
+        raise ValueError(
+            "ivfpq_append: extra_cols mismatch with the stored layout — "
+            f"store holds {sorted(existing)}, append would write "
+            f"{sorted(incoming)}; pass the same extra_cols the store "
+            "was built with"
+        )
+    ivfpq_write_store(
+        vectors, cents, cbs, path, m, dim, id_col=id_col,
+        vector_col=vector_col, mode="append", extra_cols=extra_cols,
+        store_sidecars=False,
     )
 
 

@@ -1697,3 +1697,53 @@ def test_truncated_ivf_append_serve_compact_roundtrip(spark, tmp_path):
     # object-store schemes refused before any destructive step
     with pytest.raises(ValueError, match="non-local path"):
         truncated_ivf_compact(spark, "s3://bucket/store")
+
+
+def test_ivfpq_append_matches_rebuild(spark, tmp_path):
+    """ivfpq_append closes the last rebuild-only tier: codes come from
+    the STORED codebooks and assignment from the STORED centroids
+    (m/dim inferred from the sidecar — self-describing), so
+    append == from-scratch rebuild at the same model, bit-equal through
+    the server's ADC scoring; a live server sees the batch only at
+    refresh(); extra_cols are schema-guarded."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lshrs_spark.operators.knn import (
+        ivf_centroids_by_id,
+        ivfpq_append,
+        ivfpq_write_store,
+        pq_codebooks,
+    )
+    from lshrs_spark.serving import IVFPQServer
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter("vec_id < 300")
+    batch = emb.filter("vec_id >= 300")
+    cb = pq_codebooks(base, m=4, k=16, dim=64, iterations=1).cache()
+    cb.count()
+    cents = ivf_centroids_by_id(base, 8)
+    ref = str(tmp_path / "pq_ref")
+    inc = str(tmp_path / "pq_inc")
+    ivfpq_write_store(emb, cents, cb, ref, 4, 64)
+    ivfpq_write_store(base, cents, cb, inc, 4, 64)
+
+    qvecs = {
+        int(r.vec_id): np.array(r.embedding, dtype=np.float64)
+        for r in emb.filter(F.col("vec_id").isin([0, 150, 350, 499]))
+        .collect()
+    }
+    srv = IVFPQServer.from_store(inc)       # opened BEFORE the append
+    pre = srv.topk(qvecs[0], 10, 4)
+    ivfpq_append(batch, inc)
+    assert srv.topk(qvecs[0], 10, 4) == pre  # snapshot until refresh
+    srv.refresh()
+    srv_ref = IVFPQServer.from_store(ref)
+    for qi, qv in qvecs.items():
+        assert srv.topk(qv, 10, 4) == srv_ref.topk(qv, 10, 4), qi
+    # an appended row's own vector retrieves it (nprobe=all partitions)
+    got = [i for i, _, _ in srv.topk(qvecs[350], 5, 8)]
+    assert 350 in got
+    with pytest.raises(ValueError, match="extra_cols mismatch"):
+        ivfpq_append(batch.withColumn("flag", F.lit(1)), inc,
+                     extra_cols=("flag",))
