@@ -49,6 +49,7 @@ __all__ = [
     "pq_encode",
     "pq_adc_topk",
     "pq_write_store",
+    "pq_append",
     "ivfpq_write_store",
     "ivfpq_append",
     "ivfpq_topk_stored",
@@ -1289,6 +1290,7 @@ def pq_write_store(
     vector_col: str = "embedding",
     mode: str = "overwrite",
     extra_cols: Sequence[str] = (),
+    store_sidecars: bool = True,
 ) -> None:
     """Materialize the PQ layout: the code table ``(id, codes)`` with
     ``codes[j]`` the subspace-j codebook code, written id-sorted so
@@ -1316,6 +1318,8 @@ def pq_write_store(
         .write.mode(mode)
         .parquet(path)
     )
+    if not store_sidecars:
+        return
     (
         codebooks.select(
             F.col("j").cast("long"),
@@ -1325,6 +1329,48 @@ def pq_write_store(
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{path}/_codebooks")
+    )
+
+
+def pq_append(
+    vectors: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    extra_cols: Sequence[str] = (),
+) -> None:
+    """Incrementally append a batch to a stored flat-PQ layout
+    (:func:`pq_write_store`): codes from the STORED ``_codebooks``
+    (``m``/``dim`` inferred from the sidecar), appended as an
+    additional id-sorted segment — appended rows are identical to a
+    from-scratch rebuild at the same codebooks, so a live
+    :class:`~lshrs_spark.serving.PQServer` serves the union bit-equal
+    after ``refresh()``. Same contracts as :func:`ivfpq_append`
+    (single-writer, no id dedup, codebook staleness is a model
+    problem); same caveats about the flat tier: the serve-time scan is
+    the WHOLE m-bytes/doc table, so at real scale prefer the IVFADC
+    layout, whose append twin this mirrors."""
+    spark = vectors.sparkSession
+    cbs = spark.read.parquet(f"{path}/_codebooks")
+    row = cbs.agg(
+        F.count_distinct("j").alias("m"),
+        F.max(F.size("cvec")).alias("sub"),
+    ).collect()[0]
+    m, dim = int(row["m"]), int(row["m"]) * int(row["sub"])
+    existing = set(spark.read.parquet(path).columns)
+    incoming = {"id", "codes"} | set(extra_cols)
+    if incoming != existing:
+        raise ValueError(
+            "pq_append: extra_cols mismatch with the stored layout — "
+            f"store holds {sorted(existing)}, append would write "
+            f"{sorted(incoming)}; pass the same extra_cols the store "
+            "was built with"
+        )
+    pq_write_store(
+        vectors, cbs, path, m, dim, id_col=id_col,
+        vector_col=vector_col, mode="append", extra_cols=extra_cols,
+        store_sidecars=False,
     )
 
 

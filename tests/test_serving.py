@@ -1747,3 +1747,42 @@ def test_ivfpq_append_matches_rebuild(spark, tmp_path):
     with pytest.raises(ValueError, match="extra_cols mismatch"):
         ivfpq_append(batch.withColumn("flag", F.lit(1)), inc,
                      extra_cols=("flag",))
+
+
+def test_pq_append_matches_rebuild(spark, tmp_path):
+    """pq_append (flat-PQ twin of ivfpq_append): codes from the stored
+    codebooks, appended segment serves bit-equal to a rebuild at the
+    same model after refresh(); extra_cols schema-guarded."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lshrs_spark.operators.knn import (
+        pq_append,
+        pq_codebooks,
+        pq_write_store,
+    )
+    from lshrs_spark.serving import PQServer
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter("vec_id < 300")
+    batch = emb.filter("vec_id >= 300")
+    cb = pq_codebooks(base, m=4, k=16, dim=64, iterations=1).cache()
+    cb.count()
+    ref = str(tmp_path / "flatpq_ref")
+    inc = str(tmp_path / "flatpq_inc")
+    pq_write_store(emb, cb, ref, 4, 64)
+    pq_write_store(base, cb, inc, 4, 64)
+    srv = PQServer.from_store(inc)
+    qv = np.array(
+        emb.filter("vec_id = 350").collect()[0].embedding, dtype=np.float64
+    )
+    pre = srv.topk(qv, 10)
+    pq_append(batch, inc)
+    assert srv.topk(qv, 10) == pre          # snapshot until refresh
+    srv.refresh()
+    srv_ref = PQServer.from_store(ref)
+    assert srv.topk(qv, 10) == srv_ref.topk(qv, 10)
+    assert srv.topk(qv, 1)[0][0] == srv_ref.topk(qv, 1)[0][0]
+    with pytest.raises(ValueError, match="extra_cols mismatch"):
+        pq_append(batch.withColumn("flag", F.lit(1)), inc,
+                  extra_cols=("flag",))
