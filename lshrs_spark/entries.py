@@ -4148,6 +4148,101 @@ def ann_truncated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mmr_oracle(n_queries: int = 6, shortlist: int = 20, k: int = 5) -> str:
+    """Unrolled greedy-MMR oracle: recursive CTEs can't carry the
+    per-step argmax cleanly across engines, but ``k`` is a small
+    constant, so each greedy pick is its own CTE — ``o{t}`` scores the
+    remaining candidates against the selected set ``sel{t-1}``,
+    ``p{t}`` takes the per-query argmax (objective rounded to 5 dp
+    before comparison, id tiebreak — mirroring the operator's
+    round-before-argmax), ``sel{t}`` accumulates."""
+    cos_tq = cosine_sql("tv.v", "qv.q")
+    steps = [f"""p1 AS (SELECT qid, id, obj, 1 AS rnk FROM (
+    SELECT qid, id, round(0.5 * rel, 5) AS obj,
+           row_number() OVER (PARTITION BY qid
+               ORDER BY round(0.5 * rel, 5) DESC, id ASC) AS r
+    FROM cand) WHERE r = 1),
+sel1 AS (SELECT qid, id FROM p1)"""]
+    for t in range(2, k + 1):
+        steps.append(f"""o{t} AS (SELECT c.qid, c.id,
+              round(0.5 * c.rel - 0.5 * max(p.sim), 5) AS obj
+       FROM cand c
+       JOIN pair p ON p.qid = c.qid AND p.ia = c.id
+       JOIN sel{t - 1} s ON s.qid = p.qid AND s.id = p.ib
+       WHERE NOT EXISTS (SELECT 1 FROM sel{t - 1} x
+                         WHERE x.qid = c.qid AND x.id = c.id)
+       GROUP BY c.qid, c.id, c.rel),
+p{t} AS (SELECT qid, id, obj, {t} AS rnk FROM (
+    SELECT qid, id, obj, row_number() OVER (PARTITION BY qid
+               ORDER BY obj DESC, id ASC) AS r FROM o{t}) WHERE r = 1),
+sel{t} AS (SELECT qid, id FROM sel{t - 1}
+           UNION ALL SELECT qid, id FROM p{t})""")
+    un = " UNION ALL ".join(f"SELECT * FROM p{t}" for t in range(1, k + 1))
+    return f"""WITH tv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+qv AS (SELECT vec_id AS qid, embedding AS q FROM embeddings
+       WHERE vec_id < {n_queries}),
+cand AS (SELECT qid, id, round(cos, 5) AS rel FROM (
+    SELECT qv.qid, tv.id, {cos_tq} AS cos,
+           row_number() OVER (PARTITION BY qv.qid
+               ORDER BY {cos_tq} DESC, tv.id ASC) AS r
+    FROM tv CROSS JOIN qv WHERE tv.id <> qv.qid) WHERE r <= {shortlist}),
+pair AS (SELECT a.qid, a.id AS ia, b.id AS ib,
+                round({cosine_sql("va.v", "vb.v")}, 5) AS sim
+         FROM cand a JOIN cand b ON a.qid = b.qid AND a.id <> b.id
+              JOIN tv va ON va.id = a.id
+              JOIN tv vb ON vb.id = b.id),
+{", ".join(steps)}
+SELECT qid::BIGINT AS qid, id::BIGINT AS id, rnk::BIGINT AS mmr_rank,
+       obj AS mmr_score
+FROM ({un})"""
+
+
+@register("ann_mmr_topk", _mmr_oracle())
+def ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-5 (:func:`~lshrs_spark
+    .operators.mmr.mmr_rerank`): brute-cosine shortlist of 20 per query
+    (6 queries, self excluded), then the greedy
+    ``0.5*rel - 0.5*max_sim_to_selected`` rerank that suppresses
+    near-duplicate hits — the post-ANN diversification stage of a
+    retrieval stack (beyond-reference; the reference's rerank stops at
+    relevance order, ``lshrs/query/engine.py``). Scale shape: the
+    greedy loop only ever sees the SHORTLIST (one applyInPandas group
+    per query after one shuffle on qid); the corpus-wide work stays in
+    the ANN stage, so a million queries parallelize while each group
+    is a bounded local numpy job. The oracle unrolls the same greedy
+    selection pick-by-pick in SQL with identical 5-dp
+    round-before-argmax and id tiebreaks."""
+    from .operators.mmr import mmr_rerank
+
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q")
+    )
+    tv = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))
+    shortlist = (
+        tv.crossJoin(F.broadcast(qv))
+        .where(F.col("id") != F.col("qid"))
+        .withColumn("cos", cosine_similarity(F.col("v"), F.col("q")))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 20)
+        .select(
+            "qid", "id",
+            F.round("cos", 5).alias("rel"),
+            F.col("v").alias("vec"),
+        )
+    )
+    out = mmr_rerank(shortlist, k=5, lam=0.5)
+    return out.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("id").cast("long").alias("id"),
+        F.col("mmr_rank"),
+        F.round("mmr_score", 5).alias("mmr_score"),
+    )
+
+
 @register(
     "ann_truncated_recall",
     f"""WITH tv AS (SELECT vec_id AS id, embedding[1:16] AS t,
@@ -7857,6 +7952,10 @@ FAMILY: dict[str, str] = {
     # promoted multi-probe gauge takes the LSH-dial slot
     "lsh_index_stats": "lsh_signatures",
     "ann_batch": "lsh_topk",
+    # post-shortlist greedy diversification: two-stage shortlist-rerank
+    # family (coarse select, bounded exact/greedy pass over the
+    # shortlist only), same shape the in-window matryoshka rep drives
+    "ann_mmr_topk": "ann_truncated_topk",
     # demoted round-8 (driver rows r1-r7 on file): the single-query
     # top-p path is the 1-row special case of the promoted batch
     # rerank + proportional-cutoff rep
