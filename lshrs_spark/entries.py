@@ -6704,6 +6704,61 @@ def emb_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_dbscan_clusters",
+    f"""WITH RECURSIVE
+tv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+p AS (SELECT a.id AS ia, b.id AS ib FROM tv a JOIN tv b ON a.id < b.id
+      WHERE round({cosine_sql("a.v", "b.v")}, 5) >= 0.35),
+e AS (SELECT ia AS src, ib AS dst FROM p UNION ALL SELECT ib, ia FROM p),
+deg AS (SELECT src AS id, count(*) AS nn FROM e GROUP BY src),
+core AS (SELECT t.id FROM tv t LEFT JOIN deg d ON d.id = t.id
+         WHERE coalesce(d.nn, 0) + 1 >= 3),
+ce AS (SELECT e.src, e.dst FROM e
+       JOIN core c1 ON c1.id = e.src JOIN core c2 ON c2.id = e.dst),
+reach(src, dst) AS (
+    SELECT id, id FROM core
+    UNION
+    SELECT r.src, ce.dst FROM reach r JOIN ce ON r.dst = ce.src),
+comp AS (SELECT src AS id, min(dst)::BIGINT AS component
+         FROM reach GROUP BY src),
+border AS (SELECT e.src AS id, min(comp.component) AS bc
+           FROM e JOIN comp ON comp.id = e.dst
+           WHERE e.src NOT IN (SELECT id FROM core)
+           GROUP BY e.src)
+SELECT t.id::BIGINT AS id,
+       CASE WHEN co.id IS NOT NULL THEN 'core'
+            WHEN b.id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       coalesce(comp.component, b.bc, -1)::BIGINT AS cluster
+FROM tv t LEFT JOIN core co ON co.id = t.id
+     LEFT JOIN comp ON comp.id = t.id
+     LEFT JOIN border b ON b.id = t.id""",
+)
+def emb_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering of the embedded corpus
+    (:func:`~lshrs_spark.operators.graph.dbscan_from_pairs`):
+    eps-neighbor pairs at cosine >= 0.35 (5-dp round-before-cut, exact
+    join at this scale — the banded :func:`~lshrs_spark.operators
+    .simjoin.similarity_join` is the 100 TB pair source), core points
+    = eps-neighborhood (self included) of at least min_pts=3, clusters
+    = connected components of the core-core subgraph, borders attach
+    to the min cluster among core neighbors, noise gets -1 — the
+    topic-island / spam-blob curation pass. On this corpus: 142 cores,
+    122 borders, 236 noise. The oracle replays degree counting, the
+    core rule, recursive core-reachability and the border min in
+    SQL."""
+    from .operators.graph import dbscan_from_pairs
+    from .operators.simjoin import exact_similarity_join
+
+    emb = _emb(spark, sf_dir)
+    pairs = exact_similarity_join(emb, 0.35, round_scores=5).select(
+        "id_a", "id_b"
+    )
+    nodes = emb.select(F.col("vec_id").cast("long").alias("id"))
+    return dbscan_from_pairs(pairs, nodes, 3)
+
+
+@register(
     "dedup_soft_weight",
     f"""WITH RECURSIVE {_JACCARD_CTES},
 edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs WHERE jaccard >= 0.5
@@ -7897,6 +7952,9 @@ FAMILY: dict[str, str] = {
     # the h=0 fast path of the promoted Hamming-tolerant rep
     "dedup_video_frames": "dedup_video_hamming",
     "dedup_soft_weight": "dedup_keep_list",
+    # density clustering = neighbor-pair graph + core rule + the same
+    # pointer-jumping CC pass the in-window keep-list rep replays
+    "emb_dbscan_clusters": "dedup_keep_list",
     "rel_recursive_reach": "dedup_keep_list",  # SQL-surface twin of CC
     # demoted round-9 (both r8 driver rows on file, VERDICT r8 #1): the
     # promoted keep list replays exact collapse and connected

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["symmetric_edges", "degree_table", "pagerank",
            "triangle_counts", "edge_triangle_support",
-           "triangle_repair_components"]
+           "triangle_repair_components", "dbscan_from_pairs"]
 
 
 def symmetric_edges(pairs: DataFrame) -> DataFrame:
@@ -355,4 +355,86 @@ def triangle_repair_components(
     return connected_components(
         kept, nodes,
         max_iterations=max_iterations, checkpoint_dir=checkpoint_dir,
+    )
+
+
+def dbscan_from_pairs(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    min_pts: int,
+    *,
+    max_iterations: int = 20,
+    checkpoint_dir=None,
+) -> DataFrame:
+    """DBSCAN (Ester et al. 1996) over a PRECOMPUTED eps-neighbor pair
+    graph: ``(id, role, cluster)`` with role ``core`` / ``border`` /
+    ``noise`` and cluster the min core id reachable through core-core
+    edges (noise gets cluster ``-1``). ``pairs`` is the undirected
+    distinct ``(id_a, id_b)`` eps-neighbor list (self-pairs excluded);
+    ``nodes`` carries every ``id``. A point is core when its
+    eps-neighborhood — the point itself plus its neighbors — reaches
+    ``min_pts``; border points (non-core with a core neighbor) attach
+    to the smallest cluster id among their core neighbors, the
+    deterministic pick where the textbook algorithm takes
+    scan-order-arbitrary assignments.
+
+    Decoupling candidate generation keeps the density semantics exact
+    while the pair source picks the scale strategy: exact self-join at
+    test scale, :func:`~lshrs_spark.operators.simjoin.similarity_join`
+    (banded LSH, never all-pairs) at 100 TB — same contract as
+    :func:`triangle_repair_components`. The DBSCAN pass itself is two
+    hash aggregations (degree, border min), one pointer-jumping
+    :func:`~lshrs_spark.operators.dedup.connected_components` run over
+    the CORE-CORE subgraph (smaller than the input graph by
+    construction), and outer joins back to ``nodes`` — no step ever
+    materializes more than O(edges) rows.
+
+    Beyond-reference surface: density clustering of an embedded corpus
+    (topic islands, spam blobs) — the curation step after near-dup
+    pair generation that the reference stops short of
+    (``lshrs/query/engine.py`` ends at pair emission).
+    """
+    from .dedup import connected_components
+
+    edges = symmetric_edges(pairs)
+    deg = degree_table(edges)
+    labeled = nodes.join(deg, "id", "left").select(
+        "id",
+        (F.coalesce(F.col("degree"), F.lit(0)) + 1 >= min_pts).alias("_core"),
+    )
+    core_nodes = labeled.filter("_core").select("id")
+    core_edges = (
+        pairs.join(core_nodes.withColumnRenamed("id", "id_a"), "id_a")
+        .join(core_nodes.withColumnRenamed("id", "id_b"), "id_b")
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(
+        core_edges, core_nodes,
+        max_iterations=max_iterations, checkpoint_dir=checkpoint_dir,
+    )
+    # border: non-core endpoint of an edge whose OTHER endpoint is core
+    border = (
+        edges.join(
+            comp.select(
+                F.col("id").alias("dst"), F.col("component").alias("_c")
+            ),
+            "dst",
+        )
+        .join(core_nodes.withColumnRenamed("id", "src"), "src", "left_anti")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.min("_c").alias("_bc"))
+    )
+    return (
+        labeled.join(comp.select("id", "component"), "id", "left")
+        .join(border, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("_core"), F.lit("core"))
+            .when(F.col("_bc").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce(F.col("component"), F.col("_bc"), F.lit(-1))
+            .cast("long")
+            .alias("cluster"),
+        )
     )

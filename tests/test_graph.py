@@ -257,3 +257,57 @@ def test_triangle_repair_reuses_fixed_slot(spark, tmp_path):
     assert len(gen2) == 1          # exactly one live generation...
     assert gen2 != gen1            # ...and it is the NEW one
     assert second == first
+
+
+def _pairs_nodes(spark, pairs, n_nodes):
+    p = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "id_a long, id_b long"
+    )
+    n = spark.createDataFrame([(i,) for i in range(1, n_nodes + 1)], "id long")
+    return p, n
+
+
+def test_dbscan_core_border_noise_roles(spark):
+    from lshrs_spark.operators.graph import dbscan_from_pairs
+
+    # triangle blob {1,2,3} (each deg 2 -> core at min_pts=3); 4 hangs
+    # off 1 (border); 5 isolated (noise); {6,7} a lone edge -- both
+    # below min_pts and neither has a core neighbor -> noise
+    pairs, nodes = _pairs_nodes(
+        spark, [(1, 2), (1, 3), (2, 3), (1, 4), (6, 7)], 7
+    )
+    out = {r.id: (r.role, r.cluster)
+           for r in dbscan_from_pairs(pairs, nodes, 3).collect()}
+    assert out == {
+        1: ("core", 1), 2: ("core", 1), 3: ("core", 1),
+        4: ("border", 1), 5: ("noise", -1),
+        6: ("noise", -1), 7: ("noise", -1),
+    }
+
+
+def test_dbscan_min_pts_two_promotes_edge_blob(spark):
+    from lshrs_spark.operators.graph import dbscan_from_pairs
+
+    pairs, nodes = _pairs_nodes(spark, [(1, 2), (1, 3), (2, 3), (6, 7)], 7)
+    out = {r.id: (r.role, r.cluster)
+           for r in dbscan_from_pairs(pairs, nodes, 2).collect()}
+    assert out[6] == ("core", 6) and out[7] == ("core", 6)
+    assert out[5] == ("noise", -1)
+    assert out[1] == ("core", 1)
+
+
+def test_dbscan_border_attaches_to_min_cluster(spark):
+    from lshrs_spark.operators.graph import dbscan_from_pairs
+
+    # two separate core 4-cliques {1,2,3,8} and {5,6,7,9}; node 4
+    # borders BOTH (edges to 3 and to 5, degree 2 + 1 < min_pts=4)
+    # -> deterministic min cluster id 1
+    clique_a = [(1, 2), (1, 3), (1, 8), (2, 3), (2, 8), (3, 8)]
+    clique_b = [(5, 6), (5, 7), (5, 9), (6, 7), (6, 9), (7, 9)]
+    pairs, nodes = _pairs_nodes(
+        spark, clique_a + clique_b + [(3, 4), (4, 5)], 9
+    )
+    out = {r.id: (r.role, r.cluster)
+           for r in dbscan_from_pairs(pairs, nodes, 4).collect()}
+    assert out[4] == ("border", 1)
+    assert out[5] == ("core", 5) and out[1] == ("core", 1)
