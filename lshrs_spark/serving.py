@@ -43,8 +43,51 @@ from .hashing import (
 
 __all__ = [
     "IndexServer", "SegmentedIndexServer", "IVFServer", "PQServer",
-    "IVFPQServer", "BM25Server", "prepare_eligible_ids",
+    "IVFPQServer", "BM25Server", "prepare_eligible_ids", "mmr_select",
 ]
+
+
+def mmr_select(ids, rel, vecs, k, *, lam=0.5, round_dp=5):
+    """Greedy maximal-marginal-relevance selection over an in-memory
+    candidate set — the serving twin of the per-group loop inside
+    :func:`~lshrs_spark.operators.mmr.mmr_rerank` (same 5-dp
+    half-away-from-zero round-before-argmax, same ascending-id
+    tiebreak, same true-max-over-selected semantics so negative
+    similarities reward anti-correlated picks). ``rel`` is the raw
+    relevance (e.g. query cosine — rounded here), ``vecs`` the
+    candidate vectors for the pairwise penalty. Returns
+    ``[(id, mmr_rank, mmr_score)]`` in pick order."""
+    ids = np.asarray(ids, dtype=np.int64)
+    n = len(ids)
+    if n == 0 or k <= 0:
+        return []
+
+    def rnd(x):
+        s = 10.0 ** int(round_dp)
+        return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
+
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    V = np.asarray(vecs, dtype=np.float64)[order]
+    rel = rnd(np.asarray(rel, dtype=np.float64)[order])
+    norms = np.sqrt((V * V).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    S = rnd((V @ V.T) / np.outer(norms, norms))
+    np.fill_diagonal(S, 0.0)
+    avail = np.ones(n, dtype=bool)
+    max_sim = np.full(n, -np.inf, dtype=np.float64)
+    out = []
+    for step in range(min(int(k), n)):
+        if step == 0:
+            obj = rnd(lam * rel)
+        else:
+            obj = rnd(lam * rel - (1.0 - lam) * max_sim)
+        obj_a = np.where(avail, obj, -np.inf)
+        j = int(np.flatnonzero(obj_a == obj_a.max())[0])
+        out.append((int(ids[j]), step + 1, float(obj[j])))
+        avail[j] = False
+        max_sim = np.maximum(max_sim, S[:, j])
+    return out
 
 
 def prepare_eligible_ids(eligible_ids) -> np.ndarray:
@@ -546,11 +589,12 @@ class IVFServer:
             flt = flt & (pads.field(col) == val)
         return flt
 
-    def topk(self, vector: np.ndarray, k: int = 10, nprobe: int = 4,
-             where=None) -> list:
-        """``[(id, score, rank)]`` — same rows as `ivf_topk_stored` for a
-        single query, with zero JVM involvement. ``where=(col, value)``
-        serves a filtered-ANN query (see :meth:`_probe_filter`)."""
+    def _scored_candidates(self, vector: np.ndarray, nprobe: int, where):
+        """Probed-partition read + per-block exact scoring shared by
+        :meth:`topk` and :meth:`topk_mmr`: ``(ids, vecs, scores)`` for
+        every surviving candidate (tombstoned ids dropped), unordered.
+        ``vecs`` is float64 — :meth:`topk_mmr` reuses the exact rows
+        the rank pass scored for its pairwise penalty."""
         cids = self.probe_centroids(vector, nprobe)
         tbl = self._ds.to_table(
             columns=["centroid_id", "id", "embedding"],
@@ -560,7 +604,7 @@ class IVFServer:
         keep = _drop_deleted(ids, self._deleted)
         ids = ids[keep]
         if len(ids) == 0:
-            return []
+            return ids, None, None
         cids_col = tbl.column("centroid_id").to_numpy(
             zero_copy_only=False
         )[keep]
@@ -571,12 +615,42 @@ class IVFServer:
         q = q / np.linalg.norm(q)
         norms = np.linalg.norm(vecs, axis=1)
         scores = self._score_blocks(vecs, norms, cids_col, cids, q)
+        return ids, vecs, scores
+
+    def topk(self, vector: np.ndarray, k: int = 10, nprobe: int = 4,
+             where=None) -> list:
+        """``[(id, score, rank)]`` — same rows as `ivf_topk_stored` for a
+        single query, with zero JVM involvement. ``where=(col, value)``
+        serves a filtered-ANN query (see :meth:`_probe_filter`)."""
+        ids, _, scores = self._scored_candidates(vector, nprobe, where)
+        if len(ids) == 0:
+            return []
         order = np.lexsort((ids, -np.nan_to_num(scores, nan=-np.inf),
                             np.isnan(scores)))[:k]
         return [
             (int(ids[i]), float(scores[i]), rank + 1)
             for rank, i in enumerate(order)
         ]
+
+    def topk_mmr(self, vector: np.ndarray, k: int = 10, *,
+                 shortlist: int = 40, nprobe: int = 4, lam: float = 0.5,
+                 where=None) -> list:
+        """Diversified top-``k``: the :meth:`topk` shortlist (top
+        ``shortlist`` by exact cosine over the probed partitions) fed
+        through the greedy :func:`mmr_select` loop — identical pick
+        semantics to the Spark :func:`~lshrs_spark.operators.mmr
+        .mmr_rerank` over the same shortlist (differential pytest).
+        Returns ``[(id, mmr_rank, mmr_score)]``; the pairwise penalty
+        reuses the vectors the rank pass already read, so MMR adds
+        O(shortlist² · dim) flops and zero extra I/O."""
+        ids, vecs, scores = self._scored_candidates(vector, nprobe, where)
+        if len(ids) == 0:
+            return []
+        fin = ~np.isnan(scores)
+        ids, vecs, scores = ids[fin], vecs[fin], scores[fin]
+        order = np.lexsort((ids, -scores))[:shortlist]
+        return mmr_select(ids[order], scores[order], vecs[order], k,
+                          lam=lam)
 
     def topk_batch(
         self, vectors, k: int = 10, nprobe: int = 4, where=None

@@ -1786,3 +1786,74 @@ def test_pq_append_matches_rebuild(spark, tmp_path):
     with pytest.raises(ValueError, match="extra_cols mismatch"):
         pq_append(batch.withColumn("flag", F.lit(1)), inc,
                   extra_cols=("flag",))
+
+
+def test_ivf_server_mmr_matches_spark_operator(spark, ivf_store):
+    """topk_mmr's greedy loop is pick-identical to the Spark
+    mmr_rerank operator over the SAME shortlist (ids, raw scores and
+    vectors lifted from the server's own scored-candidate pass)."""
+    from lshrs_spark.operators.mmr import mmr_rerank
+    from lshrs_spark.serving import IVFServer
+
+    path, df, cents, vecs, rng = ivf_store
+    srv = IVFServer.from_store(path)
+    for qi in range(4):
+        q = vecs[37 * qi + 5] + 0.05 * rng.standard_normal(
+            vecs.shape[1]
+        ).astype(np.float32)
+        served = srv.topk_mmr(q, k=6, shortlist=25, nprobe=4, lam=0.5)
+        assert [r for _, r, _ in served] == list(range(1, 7))
+        # rebuild the identical shortlist from the server internals
+        ids, svecs, scores = srv._scored_candidates(q, 4, None)
+        fin = ~np.isnan(scores)
+        ids, svecs, scores = ids[fin], svecs[fin], scores[fin]
+        order = np.lexsort((ids, -scores))[:25]
+        rows = [
+            (0, int(ids[i]), [float(x) for x in svecs[i]],
+             float(scores[i]))
+            for i in order
+        ]
+        sdf = spark.createDataFrame(
+            rows, "qid long, id long, vec array<double>, rel double"
+        )
+        via_spark = [
+            (r.id, r.mmr_rank, r.mmr_score)
+            for r in mmr_rerank(sdf, k=6, lam=0.5)
+            .orderBy("mmr_rank").collect()
+        ]
+        assert served == via_spark
+
+
+def test_ivf_server_mmr_diversifies_planted_duplicates(spark, tmp_path):
+    """A store with a near-duplicate pair at the top: plain topk
+    returns both copies back-to-back, topk_mmr pushes the copy down."""
+    from lshrs_spark.operators.knn import ivf_centroids_by_id, ivf_write_store
+    from lshrs_spark.serving import IVFServer
+
+    rng = np.random.default_rng(7)
+    d = 32
+    q, w, u = np.linalg.qr(rng.standard_normal((d, 3)))[0].T
+    base = rng.standard_normal((60, d))
+    # ids 0/1: near-identical pair at cosine ~0.9 to q; id 2: cosine
+    # 0.85 to q along a DIFFERENT off-q direction. At lam=0.5 the
+    # duplicate's objective is 0.5*0.9 - 0.5*~1.0 < 0 while id 2 and
+    # any moderately relevant diverse doc stay positive.
+    base[0] = 0.9 * q + np.sqrt(1 - 0.81) * w
+    base[1] = base[0] + 1e-4 * rng.standard_normal(d)
+    base[2] = 0.85 * q + np.sqrt(1 - 0.7225) * u
+    base = base.astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = ivf_centroids_by_id(df, 4)
+    path = str(tmp_path / "dup_store")
+    ivf_write_store(df, cents, path)
+    srv = IVFServer.from_store(path)
+    plain = [i for i, _, _ in srv.topk(q.astype(np.float32), 3, nprobe=4)]
+    assert set(plain[:2]) == {0, 1}  # the duplicate pair crowds the top
+    mmr = [i for i, _, _ in srv.topk_mmr(q.astype(np.float32), 3,
+                                         shortlist=20, nprobe=4, lam=0.5)]
+    assert mmr[0] in (0, 1)
+    twin = 1 - mmr[0]
+    assert twin not in mmr[:2]
