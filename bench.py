@@ -513,6 +513,28 @@ def main() -> None:
         "knn_truncated_batch100",
     )
 
+    # 9e. MMR diversified rerank (round-9): same 100-query brute
+    # shortlist as knn_full_batch100 (40/query) + the greedy
+    # diversification pass — the delta vs knn_full_batch100 is what
+    # post-shortlist diversity costs at this scale.
+    from lshrs_spark.operators.mmr import mmr_rerank
+
+    def run_mmr():
+        sl = (
+            brute_force_topk(emb, knn_q, 40)
+            .join(
+                emb.select(
+                    F.col("vec_id").alias("id"),
+                    F.col("embedding").alias("vec"),
+                ),
+                "id",
+            )
+            .select("qid", "id", F.col("score").alias("rel"), "vec")
+        )
+        return (mmr_rerank(sl, k=10, lam=0.5).count(),)
+
+    results["knn_mmr_batch100"], _ = timed(run_mmr, "knn_mmr_batch100")
+
     # 10. BM25 keyword serving: stored postings layout, no Spark job.
     from lshrs_spark.functions.text import bm25_index_write
     from lshrs_spark.serving import BM25Server

@@ -183,6 +183,10 @@ def measure(loops: int) -> dict:
     record("lsh", lambda q: srv.get_top_k(q, 10), qvecs)
     isrv = IVFServer.from_store(STORES["ivf"])
     record("ivf", lambda q: isrv.topk(q, 10, 4), qvecs)
+    # MMR rides the same store/read; the delta vs "ivf" is the greedy
+    # diversification pass over the 40-row shortlist (round-9)
+    record("ivf_mmr",
+           lambda q: isrv.topk_mmr(q, 10, shortlist=40, nprobe=4), qvecs)
     tsrv = TruncatedIVFServer.from_store(STORES["truncated"])
     record("truncated", lambda q: tsrv.topk(q, 10, 4), qvecs)
     psrv = PQServer.from_store(STORES["pq"])
