@@ -4148,23 +4148,25 @@ def ann_truncated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mmr_oracle(n_queries: int = 6, shortlist: int = 20, k: int = 5) -> str:
-    """Unrolled greedy-MMR oracle: recursive CTEs can't carry the
-    per-step argmax cleanly across engines, but ``k`` is a small
-    constant, so each greedy pick is its own CTE — ``o{t}`` scores the
-    remaining candidates against the selected set ``sel{t-1}``,
-    ``p{t}`` takes the per-query argmax (objective rounded to 5 dp
-    before comparison, id tiebreak — mirroring the operator's
-    round-before-argmax), ``sel{t}`` accumulates."""
+def _mmr_ctes(n_queries: int = 6, shortlist: int = 20, k: int = 5) -> str:
+    """Shared CTE body for the unrolled greedy-MMR oracles: recursive
+    CTEs can't carry the per-step argmax cleanly across engines, but
+    ``k`` is a small constant, so each greedy pick is its own CTE —
+    ``o{t}`` scores the remaining candidates against the selected set
+    ``sel{t-1}``, ``p{t}`` takes the per-query argmax (objective
+    rounded to 5 dp before comparison, id tiebreak — mirroring the
+    operator's round-before-argmax), ``sel{t}`` accumulates. ``cand``
+    keeps the shortlist rank ``r`` so gauges can slice the plain
+    relevance top-k from the same CTEs."""
     cos_tq = cosine_sql("tv.v", "qv.q")
-    steps = [f"""p1 AS (SELECT qid, id, obj, 1 AS rnk FROM (
+    steps = [f"""p1 AS MATERIALIZED (SELECT qid, id, obj, 1 AS rnk FROM (
     SELECT qid, id, round(0.5 * rel, 5) AS obj,
            row_number() OVER (PARTITION BY qid
                ORDER BY round(0.5 * rel, 5) DESC, id ASC) AS r
     FROM cand) WHERE r = 1),
-sel1 AS (SELECT qid, id FROM p1)"""]
+sel1 AS MATERIALIZED (SELECT qid, id FROM p1)"""]
     for t in range(2, k + 1):
-        steps.append(f"""o{t} AS (SELECT c.qid, c.id,
+        steps.append(f"""o{t} AS MATERIALIZED (SELECT c.qid, c.id,
               round(0.5 * c.rel - 0.5 * max(p.sim), 5) AS obj
        FROM cand c
        JOIN pair p ON p.qid = c.qid AND p.ia = c.id
@@ -4172,29 +4174,126 @@ sel1 AS (SELECT qid, id FROM p1)"""]
        WHERE NOT EXISTS (SELECT 1 FROM sel{t - 1} x
                          WHERE x.qid = c.qid AND x.id = c.id)
        GROUP BY c.qid, c.id, c.rel),
-p{t} AS (SELECT qid, id, obj, {t} AS rnk FROM (
+p{t} AS MATERIALIZED (SELECT qid, id, obj, {t} AS rnk FROM (
     SELECT qid, id, obj, row_number() OVER (PARTITION BY qid
                ORDER BY obj DESC, id ASC) AS r FROM o{t}) WHERE r = 1),
-sel{t} AS (SELECT qid, id FROM sel{t - 1}
+sel{t} AS MATERIALIZED (SELECT qid, id FROM sel{t - 1}
            UNION ALL SELECT qid, id FROM p{t})""")
-    un = " UNION ALL ".join(f"SELECT * FROM p{t}" for t in range(1, k + 1))
-    return f"""WITH tv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+    return f"""tv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
 qv AS (SELECT vec_id AS qid, embedding AS q FROM embeddings
        WHERE vec_id < {n_queries}),
-cand AS (SELECT qid, id, round(cos, 5) AS rel FROM (
-    SELECT qv.qid, tv.id, {cos_tq} AS cos,
+cand AS MATERIALIZED (SELECT qid, id, rel, r FROM (
+    SELECT qv.qid, tv.id, round({cos_tq}, 5) AS rel,
            row_number() OVER (PARTITION BY qv.qid
                ORDER BY {cos_tq} DESC, tv.id ASC) AS r
     FROM tv CROSS JOIN qv WHERE tv.id <> qv.qid) WHERE r <= {shortlist}),
-pair AS (SELECT a.qid, a.id AS ia, b.id AS ib,
+pair AS MATERIALIZED (SELECT a.qid, a.id AS ia, b.id AS ib,
                 round({cosine_sql("va.v", "vb.v")}, 5) AS sim
          FROM cand a JOIN cand b ON a.qid = b.qid AND a.id <> b.id
               JOIN tv va ON va.id = a.id
               JOIN tv vb ON vb.id = b.id),
-{", ".join(steps)}
+{", ".join(steps)}"""
+
+
+def _mmr_oracle(n_queries: int = 6, shortlist: int = 20, k: int = 5) -> str:
+    un = " UNION ALL ".join(f"SELECT * FROM p{t}" for t in range(1, k + 1))
+    return f"""WITH {_mmr_ctes(n_queries, shortlist, k)}
 SELECT qid::BIGINT AS qid, id::BIGINT AS id, rnk::BIGINT AS mmr_rank,
        obj AS mmr_score
 FROM ({un})"""
+
+
+def _mmr_diversity_oracle(
+    n_queries: int = 6, shortlist: int = 20, k: int = 5
+) -> str:
+    un = " UNION ALL ".join(
+        f"SELECT qid, id FROM p{t}" for t in range(1, k + 1)
+    )
+    return f"""WITH {_mmr_ctes(n_queries, shortlist, k)},
+msel AS ({un}),
+psel AS (SELECT qid, id FROM cand WHERE r <= {k}),
+msim AS (SELECT avg(p.sim) AS s FROM msel a
+         JOIN msel b ON a.qid = b.qid AND a.id < b.id
+         JOIN pair p ON p.qid = a.qid AND p.ia = a.id AND p.ib = b.id),
+psim AS (SELECT avg(p.sim) AS s FROM psel a
+         JOIN psel b ON a.qid = b.qid AND a.id < b.id
+         JOIN pair p ON p.qid = a.qid AND p.ia = a.id AND p.ib = b.id),
+mrel AS (SELECT avg(c.rel) AS s FROM msel m
+         JOIN cand c ON c.qid = m.qid AND c.id = m.id),
+prel AS (SELECT avg(c.rel) AS s FROM psel p
+         JOIN cand c ON c.qid = p.qid AND c.id = p.id)
+SELECT round(psim.s, 5) AS plain_intralist_sim,
+       round(msim.s, 5) AS mmr_intralist_sim,
+       round(prel.s, 5) AS plain_rel,
+       round(mrel.s, 5) AS mmr_rel
+FROM psim, msim, prel, mrel"""
+
+
+@register("ann_mmr_diversity", _mmr_diversity_oracle())
+def ann_mmr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MMR trade gauge: mean intra-list pairwise cosine and mean
+    query relevance of the top-5, plain relevance order vs the greedy
+    MMR picks over the SAME 20-candidate shortlists — the one-row
+    report that shows what diversification buys (lower redundancy)
+    and costs (lower mean relevance). Gauge pattern: three 1-row
+    aggregates cross-joined, never a corpus-sized join. The oracle
+    reuses the unrolled greedy CTEs and slices the plain top-5 from
+    the same shortlist ranking."""
+    from .operators.mmr import mmr_rerank
+
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q")
+    )
+    tv = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))
+    shortlist = (
+        tv.crossJoin(F.broadcast(qv))
+        .where(F.col("id") != F.col("qid"))
+        .withColumn("cos", cosine_similarity(F.col("v"), F.col("q")))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 20)
+        .select(
+            "qid", "id",
+            F.round("cos", 5).alias("rel"),
+            F.col("v").alias("vec"), "r",
+        )
+    )
+    msel = mmr_rerank(shortlist.drop("r"), k=5).select("qid", "id")
+    psel = shortlist.filter(F.col("r") <= 5).select("qid", "id")
+    cand = shortlist.select("qid", "id", "rel", "vec")
+
+    def _intralist(picks: DataFrame) -> DataFrame:
+        withv = picks.join(cand.select("qid", "id", "vec"), ["qid", "id"])
+        a, b = withv.alias("a"), withv.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.qid") == F.col("b.qid"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.round(
+                    cosine_similarity(F.col("a.vec"), F.col("b.vec")), 5
+                ).alias("sim")
+            )
+            .agg(F.avg("sim").alias("s"))
+        )
+
+    def _meanrel(picks: DataFrame) -> DataFrame:
+        return picks.join(cand.select("qid", "id", "rel"), ["qid", "id"]) \
+            .agg(F.avg("rel").alias("s"))
+
+    return (
+        _intralist(psel).select(F.round("s", 5).alias("plain_intralist_sim"))
+        .crossJoin(
+            _intralist(msel).select(F.round("s", 5).alias("mmr_intralist_sim"))
+        )
+        .crossJoin(_meanrel(psel).select(F.round("s", 5).alias("plain_rel")))
+        .crossJoin(_meanrel(msel).select(F.round("s", 5).alias("mmr_rel")))
+    )
 
 
 @register("ann_mmr_topk", _mmr_oracle())
@@ -8014,6 +8113,8 @@ FAMILY: dict[str, str] = {
     # family (coarse select, bounded exact/greedy pass over the
     # shortlist only), same shape the in-window matryoshka rep drives
     "ann_mmr_topk": "ann_truncated_topk",
+    # the MMR trade gauge aggregates the same shortlist + greedy picks
+    "ann_mmr_diversity": "ann_truncated_topk",
     # demoted round-8 (driver rows r1-r7 on file): the single-query
     # top-p path is the 1-row special case of the promoted batch
     # rerank + proportional-cutoff rep
