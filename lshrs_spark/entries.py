@@ -4526,6 +4526,68 @@ per_q{c} AS (SELECT e.qid, count(*) AS n, any_value(coalesce(h.h, 0)) AS h
     return base + ",\n" + ",\n".join(arms) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+@register(
+    "ann_ivf_split_assign",
+    f"""WITH tv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+cent AS (SELECT id AS centroid_id, v AS cvec FROM tv WHERE id < 8),
+a AS (SELECT id, centroid_id FROM (
+    SELECT tv.id, c.centroid_id,
+           row_number() OVER (PARTITION BY tv.id
+               ORDER BY {cosine_sql("tv.v", "c.cvec")} DESC,
+                        c.centroid_id ASC) AS r
+    FROM tv CROSS JOIN cent c) WHERE r = 1),
+hot AS (SELECT centroid_id FROM (
+    SELECT centroid_id, count(*) AS n FROM a GROUP BY centroid_id
+    ORDER BY n DESC, centroid_id ASC LIMIT 1)),
+part AS (SELECT a.id FROM a JOIN hot h USING (centroid_id)),
+subs AS (SELECT 7 + row_number() OVER (ORDER BY p.id) AS centroid_id,
+                tv.v AS cvec
+         FROM (SELECT id FROM part ORDER BY id LIMIT 3) p
+         JOIN tv ON tv.id = p.id),
+re AS (SELECT id, centroid_id FROM (
+    SELECT p.id, s.centroid_id,
+           row_number() OVER (PARTITION BY p.id
+               ORDER BY {cosine_sql("tv.v", "s.cvec")} DESC,
+                        s.centroid_id ASC) AS r
+    FROM part p JOIN tv ON tv.id = p.id CROSS JOIN subs s) WHERE r = 1)
+SELECT id::BIGINT AS id, centroid_id::BIGINT AS centroid_id
+FROM (SELECT a.id, a.centroid_id FROM a
+      LEFT JOIN hot h USING (centroid_id) WHERE h.centroid_id IS NULL
+      UNION ALL SELECT id, centroid_id FROM re)""",
+)
+def ann_ivf_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-centroid SKEW REPAIR end-to-end through real store files
+    (:func:`~lshrs_spark.operators.knn.ivf_split_centroid`): build the
+    8-centroid stored IVF layout, find the fattest partition
+    (:func:`~lshrs_spark.operators.knn.ivf_hot_centroids`), split it
+    into 3 sub-partitions (sub-centroids = the partition's 3 lowest-id
+    rows, new ids ``max+1..`` — the deterministic
+    ``ivf_centroids_by_id`` recipe scoped to the partition), and
+    return the post-split ``(id, centroid_id)`` assignment READ BACK
+    from the rewritten directory tree. Every other partition's rows
+    must come back untouched — the oracle replays initial assignment,
+    hottest-partition selection (max count, min-id tie), sub-centroid
+    choice and the scoped reassignment in SQL."""
+    import tempfile as _tf
+
+    from .operators.knn import (
+        ivf_centroids_by_id,
+        ivf_hot_centroids,
+        ivf_split_centroid,
+        ivf_write_store,
+    )
+
+    emb = _emb(spark, sf_dir)
+    path = f"{_tf.mkdtemp(prefix='lshrs_split_entry_')}/store"
+    ivf_write_store(emb, ivf_centroids_by_id(emb, 8), path)
+    hot = ivf_hot_centroids(spark, path, ratio=0.0)  # largest first
+    ivf_split_centroid(spark, path, hot[0][0], n_splits=3)
+    return spark.read.parquet(path).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+    )
+
+
 @register("ann_truncated_recall_curve", _truncated_curve_sql())
 def ann_truncated_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The matryoshka tuning curve: recall@10 vs ``coarse_k`` in
@@ -8132,6 +8194,9 @@ FAMILY: dict[str, str] = {
     # MIPS gauge drives end-to-end
     "ann_ivf_filtered": "mips_ivf_filtered",
     "ann_ivf_stored": "mips_ivf_filtered",
+    # stored-layout maintenance (skew split) rides the same centroid
+    # training + assignment machinery the in-window MIPS rep drives
+    "ann_ivf_split_assign": "mips_ivf_filtered",
     # exact inner-product baseline: subsumed as the exact leg of the
     # MIPS gauges (VERDICT r6 #3)
     "mips_topk": "mips_ivf_filtered",

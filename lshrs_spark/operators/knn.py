@@ -45,6 +45,8 @@ __all__ = [
     "recall_at_k",
     "ivf_delete",
     "ivf_compact",
+    "ivf_hot_centroids",
+    "ivf_split_centroid",
     "pq_codebooks",
     "pq_encode",
     "pq_adc_topk",
@@ -1108,6 +1110,156 @@ def _ivf_compact_body(spark, store_path, tomb, filesystem, root, _rm_dir):
                 filesystem.move(rewritten, final)
             # else: every row in the partition was tombstoned — it is gone
         _rm_dir(tmp_root)
+
+
+def ivf_hot_centroids(
+    spark, store_path: str, *, ratio: float = 4.0
+) -> list[tuple[int, int]]:
+    """``[(centroid_id, rows)]`` for stored-IVF partitions holding more
+    than ``ratio`` x the mean partition size, largest first — the
+    maintenance loop's split-target list for
+    :func:`ivf_split_centroid`. One grouped count over the store
+    (partition-column only: no vector bytes read); the collect is
+    bounded by the centroid count, never the corpus."""
+    counts = (
+        spark.read.parquet(store_path)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if not counts:
+        return []
+    mean = sum(r.n for r in counts) / len(counts)
+    return sorted(
+        ((int(r.centroid_id), int(r.n)) for r in counts
+         if r.n > ratio * mean),
+        key=lambda t: (-t[1], t[0]),
+    )
+
+
+def ivf_split_centroid(
+    spark, store_path: str, centroid_id: int, n_splits: int = 2
+) -> list[int]:
+    """Skew repair for a stored IVF layout: rewrite ONE hot centroid
+    partition as ``n_splits`` sub-partitions, leaving every other
+    partition untouched. The classic IVF failure at 100 TB is a hot
+    centroid — a partition holding a large corpus fraction makes every
+    probe that lands on it scan that fraction, and the co-located
+    writer funnels it through one straggler task; splitting restores
+    the ``~1/K`` per-probe read without re-clustering the world.
+
+    Determinism contract (SQL-replayable, same recipe as
+    :func:`ivf_centroids_by_id`): sub-centroids are the ``n_splits``
+    lowest-id rows OF THE SPLIT PARTITION, new centroid ids allocated
+    ``max(existing) + 1 ..`` in that same row-id order, reassignment
+    among the sub-centroids only by (cosine desc, centroid id asc).
+    Metadata ``extra_cols`` ride through unchanged.
+
+    Sequencing (each step idempotent to re-run after a crash): new
+    sub-partitions land under an ``_``-prefixed tmp (invisible to
+    dataset discovery), move into the root (not yet probed — the
+    ``_centroids`` sidecar doesn't list them), sidecar swapped, THEN
+    the old directory deleted. A server refresh anywhere in the window
+    serves a consistent view (probes come from the sidecar, and the
+    old id vanishes from it in the same step the new ids appear); a
+    raw full-store Spark scan inside the final window can see the
+    split rows twice — re-running the split heals it (a split id
+    absent from the sidecar whose directory still exists is deleted
+    and the call returns ``[]``).
+
+    Returns the new centroid ids."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    from pyarrow.fs import FileType
+
+    from ..serving import _fs_and_path
+
+    if n_splits < 2:
+        raise ValueError(f"n_splits must be >= 2 (got {n_splits})")
+    filesystem, root = _fs_and_path(store_path)
+    cent_tbl = pads.dataset(
+        f"{store_path}/_centroids", format="parquet"
+    ).to_table()
+    cids = cent_tbl.column("centroid_id").to_numpy(zero_copy_only=False)
+    old_dir = f"{root}/centroid_id={int(centroid_id)}"
+    if int(centroid_id) not in set(int(c) for c in cids):
+        # crash-healing fast path: a previous split already swapped the
+        # sidecar but died before removing the stale directory
+        if filesystem.get_file_info(old_dir).type != FileType.NotFound:
+            filesystem.delete_dir(old_dir)
+            return []
+        raise ValueError(
+            f"centroid {centroid_id} not present in {store_path}/_centroids"
+        )
+    part = spark.read.parquet(store_path).filter(
+        F.col("centroid_id") == int(centroid_id)
+    )
+    data_cols = [c for c in part.columns if c != "centroid_id"]
+    subs = (
+        part.orderBy("id")
+        .limit(int(n_splits))
+        .select("id", F.col("embedding").cast("array<double>").alias("cvec"))
+    )
+    new_first = int(max(int(c) for c in cids)) + 1
+    w = Window.orderBy("id")
+    sub_cents = subs.select(
+        (F.row_number().over(w) + F.lit(new_first - 1))
+        .cast("long")
+        .alias("centroid_id"),
+        "cvec",
+    )
+    assign = ivf_assign(part, sub_cents, id_col="id", vector_col="embedding")
+    tmp = f"{store_path}/_split_tmp_{_uuid.uuid4().hex}"
+    (
+        part.select(*data_cols)
+        .join(assign, "id")
+        .repartition(F.col("centroid_id"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 1 << 22)
+        .partitionBy("centroid_id")
+        .parquet(tmp)
+    )
+    # new sidecar staged driver-side (the table is tiny by contract);
+    # a partition smaller than n_splits yields fewer sub-centroids
+    keep = [i for i, c in enumerate(cids) if int(c) != int(centroid_id)]
+    sub_rows = {
+        int(r.centroid_id): [float(x) for x in r.cvec]
+        for r in sub_cents.collect()
+    }
+    new_ids = sorted(sub_rows)
+    new_sidecar = pa.table({
+        "centroid_id": pa.array(
+            [int(cids[i]) for i in keep] + sorted(sub_rows), pa.int64()
+        ),
+        "cvec": pa.array(
+            [cent_tbl.column("cvec")[i].as_py() for i in keep]
+            + [sub_rows[c] for c in sorted(sub_rows)],
+            pa.list_(pa.float64()),
+        ),
+    })
+    stage = f"{root}/_centroids_stage_{_uuid.uuid4().hex}"
+    filesystem.create_dir(stage, recursive=True)
+    with filesystem.open_output_stream(f"{stage}/part-0.parquet") as sink:
+        pq.write_table(new_sidecar, sink)
+    tmp_root = f"{root}/{tmp.rsplit('/', 1)[-1]}"
+    for cid in sorted(sub_rows):
+        src = f"{tmp_root}/centroid_id={cid}"
+        if filesystem.get_file_info(src).type != FileType.NotFound:
+            filesystem.move(src, f"{root}/centroid_id={cid}")
+        # else: no row landed on this sub-centroid (possible when the
+        # partition is smaller than n_splits) — the sidecar still lists
+        # it; an empty probe is correct
+    try:
+        filesystem.delete_dir(tmp_root)
+    except (FileNotFoundError, OSError):
+        pass
+    filesystem.delete_dir(f"{root}/_centroids")
+    filesystem.move(stage, f"{root}/_centroids")
+    filesystem.delete_dir(old_dir)
+    return new_ids
 
 
 # --------------------------------------------------------------------- #

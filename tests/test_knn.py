@@ -371,3 +371,89 @@ def test_truncated_topk_ivf_coarse_and_validation(emb, queries):
         truncated_topk(emb, queries, 10, coarse_dims=16, coarse_k=5)
     with pytest.raises(ValueError, match="coarse_dims"):
         truncated_topk(emb, queries, 5, coarse_dims=0)
+
+
+def test_ivf_split_centroid_skew_repair(spark, tmp_path):
+    from lshrs_spark.operators.knn import (
+        ivf_hot_centroids,
+        ivf_split_centroid,
+        ivf_write_store,
+    )
+    from lshrs_spark.serving import IVFServer
+
+    rng = np.random.default_rng(11)
+    d = 16
+    dirs = np.linalg.qr(rng.standard_normal((d, 4)))[0].T
+    vecs = np.empty((200, d), dtype=np.float32)
+    for i in range(200):
+        if i < 4:
+            vecs[i] = dirs[i]          # centroid seeds: 4 distinct dirs
+        elif i < 164:
+            vecs[i] = dirs[0] + 0.05 * rng.standard_normal(d)  # hot blob
+        else:
+            vecs[i] = dirs[1 + i % 3] + 0.05 * rng.standard_normal(d)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = ivf_centroids_by_id(df, 4)
+    path = str(tmp_path / "skewed")
+    ivf_write_store(df, cents, path)
+
+    hot = ivf_hot_centroids(spark, path, ratio=2.0)
+    assert hot and hot[0][0] == 0 and hot[0][1] >= 160
+
+    srv = IVFServer.from_store(path)
+    q = (dirs[0] + 0.03 * rng.standard_normal(d)).astype(np.float32)
+    pre = srv.topk(q, 10, nprobe=4)  # all partitions -> exact
+
+    new_ids = ivf_split_centroid(spark, path, 0, n_splits=3)
+    assert new_ids == [4, 5, 6]
+
+    # rows preserved exactly, old partition gone, skew reduced
+    post_df = spark.read.parquet(path)
+    assert post_df.count() == 200
+    sizes = {
+        r.centroid_id: r.n
+        for r in post_df.groupBy("centroid_id").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert 0 not in sizes and set(new_ids) <= set(sizes)
+    assert max(sizes[c] for c in new_ids) < hot[0][1]
+    assert sorted(r.vec_id for r in
+                  post_df.select(F.col("id").alias("vec_id")).collect()) \
+        == list(range(200))
+
+    # exact-probe parity: probing every centroid before == after
+    srv2 = IVFServer.from_store(path)
+    post = srv2.topk(q, 10, nprobe=6)
+    assert [(i, r) for i, _, r in pre] == [(i, r) for i, _, r in post]
+    assert all(abs(a[1] - b[1]) < 1e-9 for a, b in zip(pre, post))
+
+
+def test_ivf_split_centroid_errors_and_healing(spark, tmp_path):
+    import os
+
+    from lshrs_spark.operators.knn import ivf_split_centroid, ivf_write_store
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "store")
+    ivf_write_store(df, ivf_centroids_by_id(df, 2), path)
+
+    with pytest.raises(ValueError, match="not present"):
+        ivf_split_centroid(spark, path, 99, n_splits=2)
+    with pytest.raises(ValueError, match="n_splits"):
+        ivf_split_centroid(spark, path, 0, n_splits=1)
+
+    ivf_split_centroid(spark, path, 0, n_splits=2)
+    # simulate a crash that left the swapped-out directory behind:
+    # re-running the split deletes it and reports no new centroids
+    stale = os.path.join(path, "centroid_id=0")
+    os.makedirs(stale, exist_ok=True)
+    assert ivf_split_centroid(spark, path, 0, n_splits=2) == []
+    assert not os.path.exists(stale)

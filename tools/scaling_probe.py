@@ -115,6 +115,7 @@ def shuffle_main(args) -> None:
         video_near_dup_pairs,
     )
     from lshrs_spark.operators.graph import (
+        dbscan_from_pairs,
         pagerank,
         triangle_counts,
         triangle_repair_components,
@@ -275,6 +276,20 @@ def shuffle_main(args) -> None:
             # scrambles preserve within-copy edit structure bijectively
             "dedup_editdist": lambda: editdist_pairs(
                 docs, max_dist=2, prefix_len=40
+            ).count(),
+            # r9: DBSCAN over the banded pair source (the documented
+            # 100 TB composition) — degree agg + pointer-jumping CC
+            # over the core-core subgraph + border min; within-copy
+            # scrambles keep the eps-graph per-copy, so cores/clusters
+            # scale with the corpus and the slope reads the banding
+            # join + the CC rounds, not cross-copy collision growth
+            "emb_dbscan": lambda: dbscan_from_pairs(
+                similarity_join(
+                    emb, sj_cfg, 0.6, max_bucket_size=2000,
+                    cache_index=True,
+                ).select("id_a", "id_b"),
+                emb.select(F.col("vec_id").cast("long").alias("id")),
+                3,
             ).count(),
             "bm25_index_build": lambda: _bm25_build(docs),
             # r6 MIPS line: de-normalize + norm-augment + IVF probe
