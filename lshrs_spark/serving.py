@@ -507,12 +507,25 @@ class IVFServer:
         centroid_vecs: np.ndarray,
     ) -> None:
         self._store_path = store_path
+        self._from_store = False
         self._open()
+        self._set_centroids(centroid_ids, centroid_vecs)
+
+    def _set_centroids(self, centroid_ids, centroid_vecs) -> None:
         self._cids = np.asarray(centroid_ids, dtype=np.int64)
         cv = np.asarray(centroid_vecs, dtype=np.float64)
         norms = np.linalg.norm(cv, axis=1, keepdims=True)
         with np.errstate(invalid="ignore", divide="ignore"):
             self._cunit = np.where(norms > 0, cv / norms, np.nan)
+
+    @staticmethod
+    def _read_centroids(store_path: str):
+        tbl = pads.dataset(
+            os.path.join(store_path, "_centroids"), format="parquet"
+        ).to_table()
+        cids = tbl.column("centroid_id").to_numpy(zero_copy_only=False)
+        cvecs = np.stack(tbl.column("cvec").to_numpy(zero_copy_only=False))
+        return cids, cvecs
 
     def _open(self) -> None:
         part = pads.partitioning(
@@ -525,22 +538,27 @@ class IVFServer:
         self._deleted = _read_tombstones(f"{self._store_path}/_deleted")
 
     def refresh(self) -> None:
-        """Re-discover store files, re-warm footers and re-read the
+        """Re-discover store files, re-warm footers, re-read the
         ``_deleted`` tombstone sidecar (see
         :func:`~lshrs_spark.operators.knn.ivf_delete`) — same contract
-        as :meth:`IndexServer.refresh`."""
+        as :meth:`IndexServer.refresh` — and, when the server was
+        opened via :meth:`from_store`, re-read the ``_centroids``
+        sidecar too: maintenance rewrites the centroid SET, not just
+        the data files (:func:`~lshrs_spark.operators.knn.
+        ivf_split_centroid` retires the split id and adds the
+        sub-centroids), and a server probing a retired id against the
+        post-split tree would silently lose that partition's rows."""
         self._open()
+        if self._from_store:
+            self._set_centroids(*self._read_centroids(self._store_path))
 
     @classmethod
     def from_store(cls, store_path: str) -> "IVFServer":
         """Open a layout written with ``store_centroids=True`` (centroid
         table at ``{store_path}/_centroids``)."""
-        tbl = pads.dataset(
-            os.path.join(store_path, "_centroids"), format="parquet"
-        ).to_table()
-        cids = tbl.column("centroid_id").to_numpy(zero_copy_only=False)
-        cvecs = np.stack(tbl.column("cvec").to_numpy(zero_copy_only=False))
-        return cls(store_path, cids, cvecs)
+        srv = cls(store_path, *cls._read_centroids(store_path))
+        srv._from_store = True
+        return srv
 
     def probe_centroids(self, vector: np.ndarray, nprobe: int) -> list[int]:
         """``nprobe`` centroid ids by (cosine desc, centroid_id asc)."""
@@ -1041,8 +1059,12 @@ class IVFPQServer:
 
     def __init__(self, store_path: str) -> None:
         self._store_path = store_path
+        self._read_sidecars()
+        self._open()
+
+    def _read_sidecars(self) -> None:
         cents = pads.dataset(
-            os.path.join(store_path, "_centroids"), format="parquet"
+            os.path.join(self._store_path, "_centroids"), format="parquet"
         ).to_table()
         self._cids = cents.column("centroid_id").to_numpy(
             zero_copy_only=False
@@ -1051,8 +1073,7 @@ class IVFPQServer:
         norms = np.linalg.norm(cv, axis=1, keepdims=True)
         with np.errstate(invalid="ignore", divide="ignore"):
             self._cunit = np.where(norms > 0, cv / norms, np.nan)
-        self._cb = _load_codebooks(store_path)
-        self._open()
+        self._cb = _load_codebooks(self._store_path)
 
     def _open(self) -> None:
         part = pads.partitioning(
@@ -1065,6 +1086,11 @@ class IVFPQServer:
         self._deleted = _read_tombstones(f"{self._store_path}/_deleted")
 
     def refresh(self) -> None:
+        """Re-discover data files + tombstones AND re-read the centroid
+        / codebook sidecars — maintenance can rewrite the centroid set
+        (same rationale as :meth:`IVFServer.refresh`); both sidecars
+        are tiny by contract."""
+        self._read_sidecars()
         self._open()
 
     @classmethod

@@ -457,3 +457,32 @@ def test_ivf_split_centroid_errors_and_healing(spark, tmp_path):
     os.makedirs(stale, exist_ok=True)
     assert ivf_split_centroid(spark, path, 0, n_splits=2) == []
     assert not os.path.exists(stale)
+
+
+def test_ivf_server_refresh_picks_up_split(spark, tmp_path):
+    """A LIVE server across a split: before refresh it still probes the
+    retired centroid id consistently (old sidecar view); after
+    refresh() it probes the sub-centroids and full-probe results equal
+    the pre-split exact answer — refresh must re-read _centroids, not
+    just data files (a stale centroid set would probe a deleted
+    directory and silently lose the split partition's rows)."""
+    from lshrs_spark.operators.knn import ivf_split_centroid, ivf_write_store
+    from lshrs_spark.serving import IVFServer
+
+    rng = np.random.default_rng(21)
+    vecs = rng.standard_normal((120, 12)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "live")
+    ivf_write_store(df, ivf_centroids_by_id(df, 3), path)
+    srv = IVFServer.from_store(path)
+    q = vecs[50]
+    pre = srv.topk(q, 8, nprobe=3)  # every partition -> exact
+    new_ids = ivf_split_centroid(spark, path, 0, n_splits=2)
+    assert new_ids == [3, 4]
+    srv.refresh()
+    assert sorted(srv._cids.tolist()) == [1, 2, 3, 4]
+    post = srv.topk(q, 8, nprobe=4)  # every partition -> exact again
+    assert [(i, r) for i, _, r in pre] == [(i, r) for i, _, r in post]
