@@ -486,3 +486,35 @@ def test_ivf_server_refresh_picks_up_split(spark, tmp_path):
     assert sorted(srv._cids.tolist()) == [1, 2, 3, 4]
     post = srv.topk(q, 8, nprobe=4)  # every partition -> exact again
     assert [(i, r) for i, _, r in pre] == [(i, r) for i, _, r in post]
+
+
+def test_ivf_split_composes_with_truncated_store(spark, tmp_path):
+    """The matryoshka tree IS an IVF store at coarse width (its tvec is
+    aliased to 'embedding'), so hot-centroid splitting composes
+    unchanged: split the truncated tree, leave the _full sidecar
+    alone, refresh the server (inner IVFServer re-reads _centroids)
+    and full-probe rankings are identical."""
+    from lshrs_spark.operators.knn import (
+        ivf_split_centroid,
+        truncated_ivf_write_store,
+    )
+    from lshrs_spark.serving import TruncatedIVFServer
+
+    rng = np.random.default_rng(31)
+    vecs = rng.standard_normal((150, 24)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "tstore")
+    truncated_ivf_write_store(df, 3, 8, path)
+    srv = TruncatedIVFServer.from_store(path)
+    q = vecs[70]
+    pre = srv.topk(q, 8, nprobe=3)
+    new_ids = ivf_split_centroid(spark, path, 0, n_splits=2)
+    assert new_ids == [3, 4]
+    srv.refresh()
+    assert sorted(srv._inner._cids.tolist()) == [1, 2, 3, 4]
+    post = srv.topk(q, 8, nprobe=4)
+    assert [(i, r) for i, _, r in pre] == [(i, r) for i, _, r in post]
+    assert all(abs(a[1] - b[1]) < 1e-9 for a, b in zip(pre, post))
