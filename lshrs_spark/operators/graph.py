@@ -393,9 +393,25 @@ def dbscan_from_pairs(
     (topic islands, spam blobs) — the curation step after near-dup
     pair generation that the reference stops short of
     (``lshrs/query/engine.py`` ends at pair emission).
+
+    Storage contract: the input pair list is parquet-MATERIALIZED to
+    the fixed slot ``graph.dbscan.pairs`` before anything reads it —
+    this function references ``pairs`` three times (degree, core-core
+    subgraph, border attach) and connected_components joins the
+    core-core edges EVERY round, so an expensive generator plan (the
+    banded LSH self-join) would otherwise be recomputed per reference
+    and per CC round (the r8 plan-recompute trap; measured 51 s -> ~5 s
+    at the 2k-vector scaling probe). One generation is kept — finish
+    consuming a returned frame before the next call.
     """
+    from ..cache import materialize_slot
     from .dedup import connected_components
 
+    pairs = materialize_slot(
+        pairs.select("id_a", "id_b"),
+        "graph.dbscan.pairs",
+        base_dir=checkpoint_dir,
+    )
     edges = symmetric_edges(pairs)
     deg = degree_table(edges)
     labeled = nodes.join(deg, "id", "left").select(
