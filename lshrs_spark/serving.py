@@ -902,6 +902,42 @@ class TruncatedIVFServer:
             return []
         return self._rerank(fids, vecs, q, k)
 
+    def topk_mmr(self, vector: np.ndarray, k: int = 10, *,
+                 nprobe: int = 4, coarse_k: Optional[int] = None,
+                 lam: float = 0.5, where=None) -> list:
+        """Diversified matryoshka serving: the coarse probe and the
+        full-width sidecar fetch are exactly :meth:`topk`'s, then the
+        greedy :func:`mmr_select` loop runs over the FULL-width scores
+        and vectors the rerank already fetched — diversification adds
+        O(coarse_k² · dim) flops and zero extra I/O, and the pairwise
+        penalty is computed at full width (the prefix only chose who
+        gets considered). Returns ``[(id, mmr_rank, mmr_score)]``."""
+        q = np.asarray(vector, dtype=np.float64).reshape(-1)
+        if coarse_k is None:
+            coarse_k = max(4 * k, k)
+        if coarse_k < k:
+            raise ValueError(
+                f"coarse_k ({coarse_k}) must be >= k ({k}) — the rerank "
+                f"can only reorder the shortlist, not extend it"
+            )
+        coarse = self._inner.topk(
+            q[: self._coarse_dims], coarse_k, nprobe, where=where
+        )
+        if not coarse:
+            return []
+        ids = np.array(sorted(i for i, _, _ in coarse), dtype=np.int64)
+        fids, vecs = self._fetch_full(ids)
+        if len(fids) == 0:
+            return []
+        qn = np.linalg.norm(q)
+        if qn == 0:
+            raise ValueError("Cannot query with a zero vector")
+        norms = np.linalg.norm(vecs, axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            scores = np.where(norms > 0, vecs @ (q / qn) / norms, np.nan)
+        fin = ~np.isnan(scores)
+        return mmr_select(fids[fin], scores[fin], vecs[fin], k, lam=lam)
+
     def topk_batch(self, vectors, k: int = 10, nprobe: int = 4,
                    coarse_k: Optional[int] = None, where=None) -> list[list]:
         """Batch twin: coarse shortlists come from the inner server's

@@ -1857,3 +1857,35 @@ def test_ivf_server_mmr_diversifies_planted_duplicates(spark, tmp_path):
     assert mmr[0] in (0, 1)
     twin = 1 - mmr[0]
     assert twin not in mmr[:2]
+
+
+def test_truncated_server_mmr_diversified_serving(spark, tmp_path):
+    """topk_mmr on the matryoshka tier: greedy picks equal mmr_select
+    over the full-width scores/vectors of topk's own shortlist (zero
+    extra I/O), and rank 1 equals the relevance winner."""
+    import numpy as np
+
+    from lshrs_spark.operators.knn import truncated_ivf_write_store
+    from lshrs_spark.serving import TruncatedIVFServer, mmr_select
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "trunc_mmr")
+    truncated_ivf_write_store(emb, 8, 16, path)
+    srv = TruncatedIVFServer.from_store(path)
+    qrows = {r.vec_id: np.asarray(r.embedding, dtype=np.float32)
+             for r in emb.filter("vec_id < 4").collect()}
+    for qid, q in qrows.items():
+        got = srv.topk_mmr(q, 5, nprobe=4, coarse_k=20, lam=0.5)
+        assert [r for _, r, _ in got] == list(range(1, 6))
+        # reconstruct the expected selection from topk's own shortlist
+        short = srv.topk(q, 20, nprobe=4, coarse_k=20)
+        ids = np.array([i for i, _, _ in short], dtype=np.int64)
+        scores = np.array([s for _, s, _ in short], dtype=np.float64)
+        fids, vecs = srv._fetch_full(np.sort(ids))
+        pos = {int(i): j for j, i in enumerate(fids)}
+        vv = np.stack([vecs[pos[int(i)]] for i in ids])
+        want = mmr_select(ids, scores, vv, 5, lam=0.5)
+        assert got == want
+        # pick 1 is the pure relevance winner (self-retrieval: the
+        # query IS a corpus vector)
+        assert got[0][0] == short[0][0] == qid
