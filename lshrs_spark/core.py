@@ -391,6 +391,47 @@ class LSHRS:
             )
         return top_p_cutoff(scored, top_p, top_k)
 
+    def query_batch_mmr(self, queries_df: DataFrame, *, k: int = 10,
+                        shortlist: Optional[int] = None, lam: float = 0.5,
+                        id_col: str = "qid", vector_col: str = "qvec",
+                        multiprobe: int = 0) -> DataFrame:
+        """Diversified batch retrieval in ONE plan (beyond-reference):
+        the LSH probe + exact-cosine rerank of :meth:`query_batch`
+        (``top_p=1.0`` → the full top-``shortlist`` prefix, default
+        ``4*k``) feeds the greedy maximal-marginal-relevance pass
+        (:func:`~lshrs_spark.operators.mmr.mmr_rerank`), so
+        near-duplicate hits stop crowding the result page. Returns
+        ``(qid, id, mmr_rank, mmr_score)``; requires
+        :meth:`set_vectors` (both the rerank and the pairwise penalty
+        read the registered vector source — one join each, the corpus
+        is never rescanned past the shortlist)."""
+        if shortlist is None:
+            shortlist = max(4 * k, k)
+        if shortlist < k:
+            raise ValueError(
+                f"shortlist ({shortlist}) must be >= k ({k}) — MMR can "
+                f"only reorder the shortlist, not extend it"
+            )
+        if self._vectors_df is None:
+            raise RuntimeError(
+                "MMR queries require a registered vector source; "
+                "call set_vectors()"
+            )
+        from .operators.mmr import mmr_rerank
+
+        scored = self.query_batch(
+            queries_df, top_k=shortlist, top_p=1.0,
+            id_col=id_col, vector_col=vector_col, multiprobe=multiprobe,
+        )
+        sl = scored.join(
+            self._vectors_df.select(
+                F.col(self._id_col).cast("long").alias("id"),
+                F.col(self._vector_col).alias("vec"),
+            ),
+            "id",
+        ).select("qid", "id", F.round("score", 5).alias("rel"), "vec")
+        return mmr_rerank(sl, k=k, lam=lam)
+
     def get_top_k_batch(
         self, vectors: Sequence[np.ndarray], topk: int = 10, *,
         multiprobe: int = 0,

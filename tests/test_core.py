@@ -436,3 +436,55 @@ def test_top_p_batch_empty_candidates_parity(spark, small_vectors):
     out = lsh.query_batch(qdf, top_p=0.5)
     assert out.columns == ["qid", "id", "score", "rank"]
     assert out.count() == 0
+
+
+def test_query_batch_mmr_wiring_and_contract(make_lsh, small_vectors):
+    """query_batch_mmr == query_batch(top_p=1.0) shortlist fed through
+    the MMR operator (same join, same rounding); ranks are contiguous
+    per query, pick 1 is the shortlist's relevance winner, and the
+    no-vector-source error mirrors the top_p contract."""
+    from lshrs_spark.operators.mmr import mmr_rerank
+    from pyspark.sql import functions as F
+
+    ids, vecs = small_vectors
+    lsh = make_lsh()
+    lsh.index(ids, vecs)
+    spark = lsh.spark
+    qdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(4)],
+        "qid long, qvec array<float>",
+    )
+    got = sorted(
+        (r.qid, r.mmr_rank, r.id, r.mmr_score)
+        for r in lsh.query_batch_mmr(qdf, k=3, shortlist=12).collect()
+    )
+    # reference composition through the public pieces
+    scored = lsh.query_batch(qdf, top_k=12, top_p=1.0)
+    sl = scored.join(
+        lsh._vectors_df.select(
+            F.col("vec_id").cast("long").alias("id"),
+            F.col("embedding").alias("vec"),
+        ),
+        "id",
+    ).select("qid", "id", F.round("score", 5).alias("rel"), "vec")
+    want = sorted(
+        (r.qid, r.mmr_rank, r.id, r.mmr_score)
+        for r in mmr_rerank(sl, k=3, lam=0.5).collect()
+    )
+    assert got == want
+    by_q: dict = {}
+    for qid, rank, rid, _ in got:
+        by_q.setdefault(qid, []).append((rank, rid))
+    for qid, rows in by_q.items():
+        assert [r for r, _ in sorted(rows)] == list(range(1, len(rows) + 1))
+        # self-retrieval: the query IS corpus vector qid -> rel winner
+        assert sorted(rows)[0][1] == qid
+
+    with pytest.raises(ValueError, match="shortlist"):
+        lsh.query_batch_mmr(qdf, k=5, shortlist=3)
+    bare = type(lsh)(lsh.spark, 32, num_perm=16, num_bands=4,
+                     rows_per_band=4)
+    bare.ingest(0, vecs[0])
+    bare.flush()
+    with pytest.raises(RuntimeError, match="vector source"):
+        bare.query_batch_mmr(qdf, k=3)
