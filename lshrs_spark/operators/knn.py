@@ -1197,6 +1197,14 @@ def ivf_split_centroid(
     part = spark.read.parquet(store_path).filter(
         F.col("centroid_id") == int(centroid_id)
     )
+    if "embedding" not in part.columns:
+        raise ValueError(
+            "store has no raw 'embedding' column (a PQ/IVFADC code "
+            "layout) — splitting needs to re-derive sub-centroids and "
+            "reassign, which code-only layouts cannot support without "
+            "the source vectors; rebuild the store with more centroids "
+            "instead"
+        )
     data_cols = [c for c in part.columns if c != "centroid_id"]
     subs = (
         part.orderBy("id")

@@ -518,3 +518,26 @@ def test_ivf_split_composes_with_truncated_store(spark, tmp_path):
     post = srv.topk(q, 8, nprobe=4)
     assert [(i, r) for i, _, r in pre] == [(i, r) for i, _, r in post]
     assert all(abs(a[1] - b[1]) < 1e-9 for a, b in zip(pre, post))
+
+
+def test_ivf_split_refuses_code_only_layouts(spark, tmp_path):
+    """An IVFADC store holds codes, not vectors — splitting would need
+    to re-encode from source vectors it doesn't have; the error says
+    so instead of failing on a missing column."""
+    from lshrs_spark.operators.knn import (
+        ivf_split_centroid,
+        ivfpq_write_store,
+        pq_codebooks,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((60, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cb = pq_codebooks(df, m=2, k=4, dim=16, iterations=1)
+    path = str(tmp_path / "adc")
+    ivfpq_write_store(df, ivf_centroids_by_id(df, 2), cb, path, m=2, dim=16)
+    with pytest.raises(ValueError, match="code"):
+        ivf_split_centroid(spark, path, 0, n_splits=2)
