@@ -670,6 +670,42 @@ class IVFServer:
         return mmr_select(ids[order], scores[order], vecs[order], k,
                           lam=lam)
 
+    def topk_mmr_batch(
+        self, vectors, k: int = 10, *, shortlist: int = 40,
+        nprobe: int = 4, lam: float = 0.5, where=None
+    ) -> list[list]:
+        """Batch twin of :meth:`topk_mmr`: one union partition read for
+        the whole batch (the :meth:`topk_batch` sharing), then each
+        query's shortlist runs its own greedy loop. Result i is exactly
+        ``topk_mmr(vectors[i], ...)`` — the per-block scoring keeps the
+        single-query shapes, so shortlists (and therefore picks) are
+        bit-identical."""
+        ranked = self.topk_batch(vectors, max(int(shortlist), k),
+                                 nprobe, where)
+        out: list[list] = []
+        for v, short in zip(vectors, ranked):
+            if not short:
+                out.append([])
+                continue
+            ids = np.array([i for i, _, _ in short], dtype=np.int64)
+            scores = np.array([s for _, s, _ in short], dtype=np.float64)
+            vecs = self._fetch_vectors(ids)
+            out.append(mmr_select(ids, scores, vecs, k, lam=lam))
+        return out
+
+    def _fetch_vectors(self, ids: np.ndarray) -> np.ndarray:
+        """Embedding rows for ``ids`` (id order preserved) via one
+        id-pruned dataset read — shortlist-bounded, same pruning as
+        :meth:`IndexServer._rerank`'s fetch."""
+        expr = pads.field("id").isin(pa.array(ids, type=pa.int64()))
+        tbl = self._ds.to_table(columns=["id", "embedding"], filter=expr)
+        got = tbl.column("id").to_numpy(zero_copy_only=False)
+        vecs = np.stack(
+            tbl.column("embedding").to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        pos = {int(i): j for j, i in enumerate(got)}
+        return vecs[[pos[int(i)] for i in ids]]
+
     def topk_batch(
         self, vectors, k: int = 10, nprobe: int = 4, where=None
     ) -> list[list]:

@@ -1889,3 +1889,18 @@ def test_truncated_server_mmr_diversified_serving(spark, tmp_path):
         # pick 1 is the pure relevance winner (self-retrieval: the
         # query IS a corpus vector)
         assert got[0][0] == short[0][0] == qid
+
+
+def test_ivf_server_mmr_batch_matches_single(spark, ivf_store):
+    from lshrs_spark.serving import IVFServer
+
+    path, df, cents, vecs, rng = ivf_store
+    srv = IVFServer.from_store(path)
+    qs = [
+        (vecs[13 * i + 2] + 0.04 * rng.standard_normal(
+            vecs.shape[1]).astype(np.float32))
+        for i in range(5)
+    ]
+    batch = srv.topk_mmr_batch(qs, 6, shortlist=25, nprobe=4, lam=0.5)
+    for q, got in zip(qs, batch):
+        assert got == srv.topk_mmr(q, 6, shortlist=25, nprobe=4, lam=0.5)
