@@ -6919,6 +6919,123 @@ def emb_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dbscan_from_pairs(pairs, nodes, 3)
 
 
+def _dbscan_role_ctes(p: str, pairs: str, min_pts: int) -> str:
+    """Prefixed DBSCAN-role CTE chain over a pair CTE ``pairs`` with
+    columns ``(ia, ib)``: degree count, core rule, recursive core
+    reachability, border min — ending in ``{p}roles (id, role)``. Two
+    instantiations with distinct prefixes replay exact-vs-banded
+    clusterings side by side in one query."""
+    return f"""{p}e AS MATERIALIZED (SELECT ia AS src, ib AS dst FROM {pairs}
+       UNION ALL SELECT ib, ia FROM {pairs}),
+{p}deg AS MATERIALIZED (SELECT src AS id, count(*) AS nn FROM {p}e GROUP BY src),
+{p}core AS MATERIALIZED (SELECT t.id FROM tv t LEFT JOIN {p}deg d ON d.id = t.id
+            WHERE coalesce(d.nn, 0) + 1 >= {min_pts}),
+{p}ce AS MATERIALIZED (SELECT e.src, e.dst FROM {p}e e
+          JOIN {p}core c1 ON c1.id = e.src
+          JOIN {p}core c2 ON c2.id = e.dst),
+{p}reach(src, dst) AS (
+    SELECT id, id FROM {p}core
+    UNION
+    SELECT r.src, ce.dst FROM {p}reach r JOIN {p}ce ce ON r.dst = ce.src),
+{p}comp AS MATERIALIZED (SELECT src AS id, min(dst)::BIGINT AS component
+            FROM {p}reach GROUP BY src),
+{p}border AS MATERIALIZED (SELECT e.src AS id, min(c.component) AS bc
+              FROM {p}e e JOIN {p}comp c ON c.id = e.dst
+              WHERE e.src NOT IN (SELECT id FROM {p}core)
+              GROUP BY e.src),
+{p}roles AS MATERIALIZED (SELECT t.id,
+       CASE WHEN co.id IS NOT NULL THEN 'core'
+            WHEN b.id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role
+     FROM tv t LEFT JOIN {p}core co ON co.id = t.id
+          LEFT JOIN {p}border b ON b.id = t.id)"""
+
+
+_DBSCAN_CFG = LSHConfig(
+    dim=64, num_perm=64, num_bands=16, rows_per_band=4, seed=42,
+    dtype="float64",
+)  # banding tuned for the 0.35 eps threshold: r=8 (ORACLE_CFG) all but
+# kills recall there (measured 0.07), r=2 admits ~90% of the pair space
+# as candidates; b=16 x r=4 reads 0.93 recall on this corpus (true
+# near-dup pairs sit ABOVE the threshold, so the planner's at-threshold
+# collision floor of 0.215 is pessimistic)
+
+_DBSCAN_SIGS = sigs_cte(_DBSCAN_CFG).replace(
+    "_sigbase AS (", "_sigbase AS MATERIALIZED ("
+).replace("sigs AS (", "sigs AS MATERIALIZED (")
+# MATERIALIZED throughout the gauge: DuckDB re-evaluates nested CTEs
+# per reference (the ann_mmr_diversity lesson), and this oracle
+# references the signature/pair CTEs from two full role chains
+
+
+@register(
+    "emb_dbscan_banded_agreement",
+    f"""WITH RECURSIVE {_DBSCAN_SIGS},
+tv AS MATERIALIZED (SELECT vec_id AS id, embedding AS v FROM embeddings),
+xp AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib
+       FROM tv a JOIN tv b ON a.id < b.id
+       WHERE round({cosine_sql("a.v", "b.v")}, 5) >= 0.35),
+cand AS MATERIALIZED (SELECT DISTINCT a.id AS ia, b.id AS ib
+         FROM sigs a JOIN sigs b
+           ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+bp AS MATERIALIZED (SELECT c.ia, c.ib FROM cand c
+       JOIN tv a ON a.id = c.ia JOIN tv b ON b.id = c.ib
+       WHERE round({cosine_sql("a.v", "b.v")}, 5) >= 0.35),
+{_dbscan_role_ctes("x_", "xp", 3)},
+{_dbscan_role_ctes("b_", "bp", 3)},
+recall AS (SELECT (SELECT count(*) FROM bp)::DOUBLE /
+                  nullif((SELECT count(*) FROM xp), 0) AS r),
+agree AS (SELECT avg(CASE WHEN xr.role = br.role
+                          THEN 1.0 ELSE 0.0 END) AS a
+          FROM x_roles xr JOIN b_roles br USING (id))
+SELECT round(recall.r, 5) AS pair_recall,
+       round(agree.a, 5) AS role_agreement
+FROM recall, agree""",
+)
+def emb_dbscan_banded_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DBSCAN scale-path fidelity gauge: at 100 TB the eps-graph
+    comes from the banded LSH :func:`~lshrs_spark.operators.simjoin
+    .similarity_join` (never all-pairs), which misses pairs at the
+    planner-predicted false-negative rate — this one-row report
+    measures what that costs the CLUSTERING, not just the pair list:
+    ``pair_recall`` (banded pairs surviving exact verify / exact-graph
+    pairs — banding only loses, never invents) and ``role_agreement``
+    (fraction of nodes assigned the same core/border/noise role by
+    both clusterings). Exact and banded DBSCAN run side by side with
+    distinct materialization slots; the oracle replays the SRP
+    banding (bit-exact signature parity), both role chains and both
+    recursive reachability closures in one query."""
+    from .operators.graph import dbscan_from_pairs
+
+    emb = _emb(spark, sf_dir)
+    nodes = emb.select(F.col("vec_id").cast("long").alias("id"))
+    xp = exact_similarity_join(emb, 0.35, round_scores=5).select(
+        "id_a", "id_b"
+    )
+    bp = similarity_join(emb, _DBSCAN_CFG, 0.35, round_scores=5).select(
+        "id_a", "id_b"
+    )
+    xr = dbscan_from_pairs(xp, nodes, 3, slot="graph.dbscan.exact")
+    br = dbscan_from_pairs(bp, nodes, 3, slot="graph.dbscan.banded")
+    recall = (
+        bp.agg(F.count(F.lit(1)).alias("nb"))
+        .crossJoin(xp.agg(F.count(F.lit(1)).alias("nx")))
+        .select(
+            F.round(F.col("nb") / F.col("nx"), 5).alias("pair_recall")
+        )
+    )
+    agree = (
+        xr.select("id", F.col("role").alias("_xr"))
+        .join(br.select("id", F.col("role").alias("_br")), "id")
+        .agg(
+            F.round(
+                F.avg((F.col("_xr") == F.col("_br")).cast("double")), 5
+            ).alias("role_agreement")
+        )
+    )
+    return recall.crossJoin(agree)
+
+
 @register(
     "dedup_soft_weight",
     f"""WITH RECURSIVE {_JACCARD_CTES},
@@ -8116,6 +8233,8 @@ FAMILY: dict[str, str] = {
     # density clustering = neighbor-pair graph + core rule + the same
     # pointer-jumping CC pass the in-window keep-list rep replays
     "emb_dbscan_clusters": "dedup_keep_list",
+    # the banded-vs-exact clustering fidelity gauge over the same stages
+    "emb_dbscan_banded_agreement": "dedup_keep_list",
     "rel_recursive_reach": "dedup_keep_list",  # SQL-surface twin of CC
     # demoted round-9 (both r8 driver rows on file, VERDICT r8 #1): the
     # promoted keep list replays exact collapse and connected

@@ -365,6 +365,7 @@ def dbscan_from_pairs(
     *,
     max_iterations: int = 20,
     checkpoint_dir=None,
+    slot: str = "graph.dbscan.pairs",
 ) -> DataFrame:
     """DBSCAN (Ester et al. 1996) over a PRECOMPUTED eps-neighbor pair
     graph: ``(id, role, cluster)`` with role ``core`` / ``border`` /
@@ -395,7 +396,9 @@ def dbscan_from_pairs(
     (``lshrs/query/engine.py`` ends at pair emission).
 
     Storage contract: the input pair list is parquet-MATERIALIZED to
-    the fixed slot ``graph.dbscan.pairs`` before anything reads it —
+    the fixed slot ``slot`` (default ``graph.dbscan.pairs`` — pass
+    distinct names to hold two clusterings' inputs live at once, e.g.
+    the exact-vs-banded agreement gauge) before anything reads it —
     this function references ``pairs`` three times (degree, core-core
     subgraph, border attach) and connected_components joins the
     core-core edges EVERY round, so an expensive generator plan (the
@@ -409,7 +412,7 @@ def dbscan_from_pairs(
 
     pairs = materialize_slot(
         pairs.select("id_a", "id_b"),
-        "graph.dbscan.pairs",
+        slot,
         base_dir=checkpoint_dir,
     )
     edges = symmetric_edges(pairs)
