@@ -7037,6 +7037,58 @@ def emb_dbscan_banded_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_dbscan_silhouette",
+    f"""WITH RECURSIVE
+tv AS MATERIALIZED (SELECT vec_id AS id, embedding AS v FROM embeddings),
+sp AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib
+      FROM tv a JOIN tv b ON a.id < b.id
+      WHERE round({cosine_sql("a.v", "b.v")}, 5) >= 0.35),
+{_dbscan_role_ctes("s_", "sp", 3)},
+cl AS MATERIALIZED (
+    SELECT t.id, coalesce(c.component, b.bc) AS cluster
+    FROM tv t LEFT JOIN s_comp c ON c.id = t.id
+         LEFT JOIN s_border b ON b.id = t.id
+    WHERE coalesce(c.component, b.bc) IS NOT NULL),
+d AS MATERIALIZED (
+    SELECT a.id AS ia, a.cluster AS ca, b.cluster AS cb,
+           1.0 - round({cosine_sql("va.v", "vb.v")}, 5) AS dist
+    FROM cl a JOIN cl b ON a.id <> b.id
+         JOIN tv va ON va.id = a.id JOIN tv vb ON vb.id = b.id),
+pc AS MATERIALIZED (SELECT ia, ca, cb, avg(dist) AS md
+                    FROM d GROUP BY ia, ca, cb),
+own AS (SELECT ia, md AS a FROM pc WHERE ca = cb),
+oth AS (SELECT ia, min(md) AS b FROM pc WHERE ca <> cb GROUP BY ia),
+sil AS MATERIALIZED (
+    SELECT (oth.b - own.a) / greatest(own.a, oth.b) AS s
+    FROM own JOIN oth USING (ia))
+SELECT round((SELECT avg(s) FROM sil), 5) AS mean_silhouette,
+       (SELECT count(*) FROM sil)::BIGINT AS n_scored,
+       (SELECT count(DISTINCT cluster) FROM cl)::BIGINT AS n_clusters""",
+)
+def emb_dbscan_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality gauge: mean silhouette (Rousseeuw 1987,
+    cosine distance) of the DBSCAN clustering the ``emb_dbscan_clusters``
+    entry produces — ``a(i)`` mean own-cluster distance vs ``b(i)``
+    min other-cluster mean, one row ``(mean_silhouette, n_scored,
+    n_clusters)``. Noise and singleton-cluster nodes are excluded by
+    construction. The pair space is (clustered nodes)², not the
+    corpus; the oracle replays the full DBSCAN role chain plus the
+    silhouette arithmetic."""
+    from .operators.graph import dbscan_from_pairs, silhouette_score
+
+    emb = _emb(spark, sf_dir)
+    nodes = emb.select(F.col("vec_id").cast("long").alias("id"))
+    xp = exact_similarity_join(emb, 0.35, round_scores=5).select(
+        "id_a", "id_b"
+    )
+    asgn = dbscan_from_pairs(xp, nodes, 3, slot="graph.dbscan.sil")
+    return silhouette_score(
+        asgn.select("id", "cluster"), emb, id_col="vec_id",
+        vector_col="embedding",
+    )
+
+
+@register(
     "dedup_soft_weight",
     f"""WITH RECURSIVE {_JACCARD_CTES},
 edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs WHERE jaccard >= 0.5
@@ -8235,6 +8287,8 @@ FAMILY: dict[str, str] = {
     "emb_dbscan_clusters": "dedup_keep_list",
     # the banded-vs-exact clustering fidelity gauge over the same stages
     "emb_dbscan_banded_agreement": "dedup_keep_list",
+    # clustering-quality gauge over the same DBSCAN assignment
+    "emb_dbscan_silhouette": "dedup_keep_list",
     "rel_recursive_reach": "dedup_keep_list",  # SQL-surface twin of CC
     # demoted round-9 (both r8 driver rows on file, VERDICT r8 #1): the
     # promoted keep list replays exact collapse and connected

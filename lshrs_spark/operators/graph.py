@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["symmetric_edges", "degree_table", "pagerank",
            "triangle_counts", "edge_triangle_support",
-           "triangle_repair_components", "dbscan_from_pairs"]
+           "triangle_repair_components", "dbscan_from_pairs",
+           "silhouette_score"]
 
 
 def symmetric_edges(pairs: DataFrame) -> DataFrame:
@@ -457,3 +458,86 @@ def dbscan_from_pairs(
             .alias("cluster"),
         )
     )
+
+
+def silhouette_score(
+    assign: DataFrame,
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    cluster_col: str = "cluster",
+    round_dp: int = 5,
+) -> DataFrame:
+    """Mean silhouette of a clustering under cosine distance
+    (``1 - cosine``): one row ``(mean_silhouette, n_scored,
+    n_clusters)`` — the standard internal quality measure (Rousseeuw
+    1987) for grading a :func:`dbscan_from_pairs` / k-means assignment
+    without labels. ``assign`` carries ``(id, cluster)``; noise rows
+    (``cluster = -1``) are excluded, as are singleton-cluster nodes
+    (``a(i)`` undefined) — they are also excluded from ``n_scored``.
+    Needs >= 2 clusters (``b(i)`` undefined otherwise; the result row
+    is then null/0).
+
+    Per clustered node: ``a(i)`` = mean distance to its own cluster's
+    other members, ``b(i)`` = min over other clusters of the mean
+    distance to that cluster, ``s(i) = (b - a) / max(a, b)``.
+
+    Scale shape: the pair space is (clustered nodes)², NOT the corpus
+    — curation-sized cluster sets score exactly; past that, sample
+    per cluster upstream (standard practice) and pass the sample in.
+    One self-join, one ``(node, other-cluster)`` mean aggregation, one
+    min/ratio pass — all hash-partitioned, no driver loop. Pairwise
+    distances are rounded to ``round_dp`` before averaging (the
+    cross-engine round-before-aggregate pattern).
+    """
+    a = assign.filter(F.col(cluster_col) != -1).select(
+        F.col("id").alias("_ia"), F.col(cluster_col).alias("_ca")
+    )
+    b = assign.filter(F.col(cluster_col) != -1).select(
+        F.col("id").alias("_ib"), F.col(cluster_col).alias("_cb")
+    )
+    from ..functions.vector import cosine_similarity
+
+    va = vectors.select(
+        F.col(id_col).cast("long").alias("_ia"),
+        F.col(vector_col).alias("_va"),
+    )
+    vb = vectors.select(
+        F.col(id_col).cast("long").alias("_ib"),
+        F.col(vector_col).alias("_vb"),
+    )
+    dists = (
+        a.join(b, F.col("_ia") != F.col("_ib"))
+        .join(va, "_ia").join(vb, "_ib")
+        .select(
+            "_ia", "_ca", "_cb",
+            (1.0 - F.round(
+                cosine_similarity(F.col("_va"), F.col("_vb")), round_dp
+            )).alias("_d"),
+        )
+    )
+    per_cluster = dists.groupBy("_ia", "_ca", "_cb").agg(
+        F.avg("_d").alias("_md")
+    )
+    own = per_cluster.filter(F.col("_ca") == F.col("_cb")).select(
+        "_ia", F.col("_md").alias("_a")
+    )
+    other = (
+        per_cluster.filter(F.col("_ca") != F.col("_cb"))
+        .groupBy("_ia")
+        .agg(F.min("_md").alias("_b"))
+    )
+    s = own.join(other, "_ia").select(
+        ((F.col("_b") - F.col("_a"))
+         / F.greatest(F.col("_a"), F.col("_b"))).alias("_s")
+    )
+    ncl = assign.filter(F.col(cluster_col) != -1).agg(
+        F.countDistinct(cluster_col).cast("long").alias("n_clusters")
+    )
+    # all three are 1-row aggregates — the gauge pattern: stays one
+    # lazy plan, no driver-side count action
+    return s.agg(
+        F.round(F.avg("_s"), round_dp).alias("mean_silhouette"),
+        F.count(F.lit(1)).alias("n_scored"),
+    ).crossJoin(ncl)

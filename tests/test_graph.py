@@ -311,3 +311,49 @@ def test_dbscan_border_attaches_to_min_cluster(spark):
            for r in dbscan_from_pairs(pairs, nodes, 4).collect()}
     assert out[4] == ("border", 1)
     assert out[5] == ("core", 5) and out[1] == ("core", 1)
+
+
+def test_silhouette_score_hand_geometry(spark):
+    from lshrs_spark.operators.graph import silhouette_score
+
+    # two tight orthogonal clusters -> mean silhouette near 1
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]), (2, [0.999, 0.01]),
+            (3, [0.0, 1.0]), (4, [0.01, 0.999]),
+            (5, [1.0, 1.0]),  # noise: excluded
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3), (5, -1)],
+        "id long, cluster long",
+    )
+    [row] = silhouette_score(assign, vecs).collect()
+    assert row.n_clusters == 2 and row.n_scored == 4
+    assert row.mean_silhouette > 0.95
+
+    # a bad split (duplicates forced into different clusters) scores
+    # clearly negative: own-cluster distance ~1, while b(i) averages
+    # the mixed other cluster (~0.5) -> s ~ (0.5-1)/1 = -0.5
+    bad = spark.createDataFrame(
+        [(1, 1), (3, 1), (2, 3), (4, 3), (5, -1)],
+        "id long, cluster long",
+    )
+    [row2] = silhouette_score(bad, vecs).collect()
+    assert row2.mean_silhouette < -0.4
+
+
+def test_silhouette_excludes_singleton_clusters(spark):
+    from lshrs_spark.operators.graph import silhouette_score
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 9)], "id long, cluster long"
+    )
+    [row] = silhouette_score(assign, vecs).collect()
+    # node 3's cluster is a singleton: a(i) undefined -> not scored
+    assert row.n_scored == 2 and row.n_clusters == 2
