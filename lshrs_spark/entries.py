@@ -4304,7 +4304,8 @@ def ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``0.5*rel - 0.5*max_sim_to_selected`` rerank that suppresses
     near-duplicate hits — the post-ANN diversification stage of a
     retrieval stack (beyond-reference; the reference's rerank stops at
-    relevance order, ``lshrs/query/engine.py``). Scale shape: the
+    relevance order, ``lshrs/utils/similarity.py:93`` +
+    ``lshrs/core/main.py:524-658``). Scale shape: the
     greedy loop only ever sees the SHORTLIST (one applyInPandas group
     per query after one shuffle on qid); the corpus-wide work stays in
     the ANN stage, so a million queries parallelize while each group
@@ -4568,8 +4569,6 @@ def ann_ivf_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     must come back untouched — the oracle replays initial assignment,
     hottest-partition selection (max count, min-id tie), sub-centroid
     choice and the scoped reassignment in SQL."""
-    import tempfile as _tf
-
     from .operators.knn import (
         ivf_centroids_by_id,
         ivf_hot_centroids,
@@ -4578,7 +4577,13 @@ def ann_ivf_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
-    path = f"{_tf.mkdtemp(prefix='lshrs_split_entry_')}/store"
+    # deterministic per-sf path, overwritten each run (the writer's
+    # mode="overwrite" wipes any prior run's split layout) — no tempdir
+    # growth (ADVICE r9; same pattern as ann_truncated_append_stored)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"lshrs_split_entry_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
     ivf_write_store(emb, ivf_centroids_by_id(emb, 8), path)
     hot = ivf_hot_centroids(spark, path, ratio=0.0)  # largest first
     ivf_split_centroid(spark, path, hot[0][0], n_splits=3)

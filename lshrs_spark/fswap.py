@@ -62,7 +62,17 @@ def swap_via_rename(fs, dst, tmp_p, old, *, label: str) -> None:
     if not fs.rename(dst, old):
         raise IOError(f"{label}: renaming {dst} aside failed")
     if not fs.rename(tmp_p, dst):
-        fs.rename(old, dst)
+        # The rollback rename can ALSO fail (ADVICE r9) — then nothing
+        # is deleted and the error names both surviving trees so the
+        # operator can restore by hand; claiming "restored" while dst
+        # is gone would be worse than the failure itself.
+        if not fs.rename(old, dst):
+            raise IOError(
+                f"{label}: renaming the rewritten tree into {dst} "
+                f"failed AND the rollback rename failed — the original "
+                f"tree is preserved at {old} and the rewritten tree at "
+                f"{tmp_p}; move one of them back to {dst} manually"
+            )
         # best-effort: never let tmp cleanup mask the real error
         try:
             fs.delete(tmp_p, True)

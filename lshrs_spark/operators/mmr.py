@@ -4,8 +4,9 @@ retrieval stack runs AFTER the ANN shortlist: from a candidate list
 scored by query relevance, greedily pick the item maximizing
 ``lambda * rel(c) - (1 - lambda) * max_{s in selected} sim(c, s)`` so
 near-duplicate hits don't crowd out the result page. Beyond-reference
-surface (the reference stops at top-k/top-p rerank,
-``lshrs/query/engine.py``); composes with every shortlist producer in
+surface (the reference stops at relevance-ordered top-k/top-p rerank,
+``lshrs/utils/similarity.py:93`` + ``lshrs/core/main.py:524-658``);
+composes with every shortlist producer in
 this repo (brute, LSH, IVF, truncated/matryoshka, MIPS).
 
 Scale shape (100 TB): MMR is inherently sequential in ``k`` but only

@@ -1052,6 +1052,15 @@ def test_swap_via_rename_failure_branches():
     with pytest.raises(IOError, match="original layout restored"):
         _swap_via_rename(fs, "dst", "tmp", "old", label="t")
 
+    # ADVICE r9: when the ROLLBACK rename also fails, the error names
+    # both surviving trees (never claims "restored") and nothing is
+    # deleted — both the original and the rewritten tree stay on disk
+    fs = FakeFS(fail={("tmp", "dst"), ("old", "dst")})
+    with pytest.raises(IOError, match="preserved at old.*rewritten tree at tmp"):
+        _swap_via_rename(fs, "dst", "tmp", "old", label="t")
+    assert fs.renames == [("dst", "old"), ("tmp", "dst"), ("old", "dst")]
+    assert fs.deletes == []
+
 
 def test_stream_truncated_ivf_stage_and_absorb(spark, tmp_path):
     """The matryoshka tier's streaming ingest twin (VERDICT r8 #2
