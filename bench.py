@@ -580,6 +580,21 @@ def main() -> None:
         dt = time.perf_counter() - t0
         t_pb = dt if t_pb is None or dt < t_pb else t_pb
     results["bm25_phrase_batch100_per_query"] = t_pb / len(phrase_sets)
+    # uncapped control (VERDICT r9 wrong #2): the same batch with the
+    # per-term document-frequency cache bound disabled. The default-on
+    # max_cached_df="auto" (r8 brief #7) trades the one-read-per-
+    # distinct-term guarantee for bounded driver memory by routing
+    # df > 5%-of-corpus terms to the pruned per-phrase read; this line
+    # keeps that trade's time cost a measured series rather than a
+    # one-off docstring claim (it explains the r8->r9 0.016->0.054 s
+    # delta on the capped line).
+    t_pu = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        psrv.phrase_batch(phrase_sets, max_cached_df=None)
+        dt = time.perf_counter() - t0
+        t_pu = dt if t_pu is None or dt < t_pu else t_pu
+    results["bm25_phrase_batch100_uncapped_per_query"] = t_pu / len(phrase_sets)
 
     total = sum(results.values())
     # BASELINE.md memory target (<2 GB): driver-process peak RSS.

@@ -8141,8 +8141,18 @@ DRIVER_WINDOW: list[str] = [
     # brute cosine (at truncated width) and its rerank is full-width
     # brute over the shortlist, so it drives the exact-scan family
     # end-to-end twice over
+    # round-10 (VERDICT r9 #1): ann_mmr_topk in / lsh_topp_batch out
+    # (driver rows r8-r9 on file; the single-query top-p twin holds
+    # r1-r7) — the greedy MMR entry drives the same batch
+    # shortlist-then-rerank shape through the user API
+    # (query_batch_mmr), with the greedy selection unrolled
+    # pick-by-pick in its oracle; ann_truncated_append_stored in /
+    # ann_truncated_topk out (r9 driver row on file) — the
+    # incremental-maintenance entry's oracle IS the two-stage
+    # full-corpus replay (append≡rebuild is its contract), so the
+    # coarse+rerank machinery keeps a hard row through it
     "lsh_signatures", "lsh_multiprobe_recall", "lsh_topk",
-    "lsh_topp_batch", "ann_truncated_topk", "lsh_delete",
+    "ann_mmr_topk", "ann_truncated_append_stored", "lsh_delete",
     # similarity join + dedup family (dedup_ngram_jaccard demoted
     # round-6: shingle-inverted-index twin of the in-window minhash rep)
     # (dedup_incremental demoted round-6: stored-band-key twin of the
@@ -8161,7 +8171,13 @@ DRIVER_WINDOW: list[str] = [
     # driver rows on file) — the end-to-end keep list REPLAYS exact
     # collapse AND connected components as stages 1 and 3 of its
     # four-stage oracle, a 2-for-1 subsumption
-    "dedup_snm_multipass_recall", "dedup_keep_list",
+    # round-10 (VERDICT r9 #1): dedup_snm in / dedup_snm_multipass_
+    # recall out (r9 driver row on file) — the r7-carryover single-pass
+    # SNM entry finally earns its own hard row over the production
+    # corpus; the multipass gauge it was covered through computes the
+    # same blocking-key/window/levenshtein pipeline twice over and
+    # keeps its row on file
+    "dedup_snm", "dedup_keep_list",
     "text_fuzzy_decontaminate",
     # round-6 rotation (r5 driver rows on file for all demoted twins):
     # dedup_minhash_recall in / dedup_minhash_pairs out (the recall
@@ -8181,7 +8197,17 @@ DRIVER_WINDOW: list[str] = [
     # row on file) — the WHERE-constrained MIPS probe drives the same
     # augmentation + centroid training + pruned probe PLUS eligibility
     # filtering; the unfiltered gauge folds into its family
-    "mips_ivf_filtered", "emb_semantic_decontaminate",
+    # round-10 (VERDICT r9 #1): ann_truncated_recall in /
+    # mips_ivf_filtered out (driver rows r8-r9 on file) — the
+    # r8-carryover IVF-composed matryoshka recall gauge drives the
+    # same centroid training + partition-pruned probe end-to-end
+    # (composed with prefix pruning) and grades it against full-width
+    # truth; the MIPS augmentation and eligibility predicate hold
+    # r7-r9 rows on file. ann_ivf_split_assign in (never checked) —
+    # hot-centroid skew repair read back from the rewritten store
+    # tree, the stored-layout maintenance surface
+    "ann_truncated_recall", "ann_ivf_split_assign",
+    "emb_semantic_decontaminate",
     # planner + quantization + pipeline ops (text_tfidf demoted
     # round-6: token-frequency-statistics twin of text_stats;
     # pipeline_pack demoted round-6: prefix-sum family twin of the
@@ -8218,13 +8244,33 @@ DRIVER_WINDOW: list[str] = [
     # per-document overlap-fraction report shares one _distinct_ngrams
     # definition with the boolean flag, which is its thresholded
     # special case
+    # round-10 (VERDICT r9 #1, three text slots freed for the ANN /
+    # clustering promotions above and below — all three demotions hold
+    # driver rows through r9): text_quality_filter out (the
+    # percentile-threshold filter scores the same quality axis as the
+    # in-window learned classifier; its quantile machinery is also the
+    # rel_column_profile family's core), text_chunk out (the
+    # token-window chunker is the chunk-window generation sub-plan of
+    # the in-window chunk-overlap dedup rep), text_unigram_logprob out
+    # (token-frequency-statistics family, same subsumption as the r6
+    # text_tfidf demotion to text_stats)
     "text_stats", "text_quality_classifier", "text_langid",
     "text_phrase_batch", "text_clean",
     "dedup_audio_fingerprint", "text_contamination_report",
-    "text_pii_redact", "text_quality_filter", "text_chunk",
-    "text_unigram_logprob",
-    # embeddings analytics
-    "emb_kmeans",
+    "text_pii_redact",
+    # embeddings analytics; round-10 (VERDICT r9 #1):
+    # emb_dbscan_clusters in / emb_kmeans out (driver rows r1-r9 on
+    # file) — the clustering-family hard row moves to the density rep,
+    # whose oracle replays roles AND the recursive core-reachability
+    # re-cluster over the same embeddings (the Lloyd's entry's
+    # centroid/statistics gauge twins follow it in FAMILY);
+    # emb_dbscan_banded_agreement in (never checked) — the
+    # exact-vs-banded fidelity gauge that grades the 100 TB pair-source
+    # strategy, kept in the window per VERDICT r9 #7;
+    # emb_dim_truncation_recall in (r7-carryover, never checked) — the
+    # matryoshka truncation recall gauge at two widths
+    "emb_dbscan_clusters", "emb_dbscan_banded_agreement",
+    "emb_dim_truncation_recall",
     # relational suite (rel_customer_setops and rel_stats_corr demoted
     # round-6: set-membership ~ rel_semi_anti, stats agg ~ rel_quantiles)
     # round-6: rel_column_profile in / rel_quantiles out (the one-pass
@@ -8287,13 +8333,15 @@ FAMILY: dict[str, str] = {
     # the h=0 fast path of the promoted Hamming-tolerant rep
     "dedup_video_frames": "dedup_video_hamming",
     "dedup_soft_weight": "dedup_keep_list",
-    # density clustering = neighbor-pair graph + core rule + the same
-    # pointer-jumping CC pass the in-window keep-list rep replays
-    "emb_dbscan_clusters": "dedup_keep_list",
-    # the banded-vs-exact clustering fidelity gauge over the same stages
-    "emb_dbscan_banded_agreement": "dedup_keep_list",
-    # clustering-quality gauge over the same DBSCAN assignment
-    "emb_dbscan_silhouette": "dedup_keep_list",
+    # clustering-quality gauge over the same DBSCAN assignment (rep
+    # promoted round-10)
+    "emb_dbscan_silhouette": "emb_dbscan_clusters",
+    # demoted round-10 (driver rows r1-r9 on file, VERDICT r9 #1): the
+    # clustering-family hard row moves to the promoted density rep,
+    # which clusters the same embeddings (cosine geometry,
+    # deterministic tie-breaks) and whose oracle replays a full
+    # clustering end-to-end including the CC pass
+    "emb_kmeans": "emb_dbscan_clusters",
     "rel_recursive_reach": "dedup_keep_list",  # SQL-surface twin of CC
     # demoted round-9 (both r8 driver rows on file, VERDICT r8 #1): the
     # promoted keep list replays exact collapse and connected
@@ -8339,6 +8387,12 @@ FAMILY: dict[str, str] = {
     "pipeline_training_prep": "pipeline_length_batches",
     "pipeline_pack_bpe": "pipeline_length_batches",
     "pipeline_token_budget": "pipeline_length_batches",
+    # demoted round-10 (r8-r9 driver rows on file, VERDICT r9 #1): the
+    # batch rerank + proportional-cutoff entry folds into the batch
+    # shortlist-then-rerank family the promoted MMR rep drives through
+    # the same user API (query_batch_mmr vs query_batch top-p); the
+    # cutoff arithmetic also holds r1-r7 rows via the single-query twin
+    "lsh_topp_batch": "ann_mmr_topk",
     # LSH / ANN twins
     "lsh_signatures_sql": "lsh_signatures",
     # occupancy-distribution twin of the per-band stats agg — both are
@@ -8349,50 +8403,60 @@ FAMILY: dict[str, str] = {
     # promoted multi-probe gauge takes the LSH-dial slot
     "lsh_index_stats": "lsh_signatures",
     "ann_batch": "lsh_topk",
-    # post-shortlist greedy diversification: two-stage shortlist-rerank
-    # family (coarse select, bounded exact/greedy pass over the
-    # shortlist only), same shape the in-window matryoshka rep drives
-    "ann_mmr_topk": "ann_truncated_topk",
     # the MMR trade gauge aggregates the same shortlist + greedy picks
-    "ann_mmr_diversity": "ann_truncated_topk",
+    # as the round-10-promoted MMR rep
+    "ann_mmr_diversity": "ann_mmr_topk",
     # demoted round-8 (driver rows r1-r7 on file): the single-query
-    # top-p path is the 1-row special case of the promoted batch
-    # rerank + proportional-cutoff rep
-    "lsh_topp": "lsh_topp_batch",
-    # IVF family rep since round-8: the promoted WHERE-constrained MIPS
-    # gauge drives the same centroid training + partition-pruned probe
-    # plus eligibility filtering
-    "ann_recall": "mips_ivf_filtered",
-    "ann_ivf_recall": "mips_ivf_filtered",
-    "ann_ivf_recall_curve": "mips_ivf_filtered",  # nprobe sweep, same gauge
-    "ann_ivf": "mips_ivf_filtered",
-    "ann_ivf_filtered_recall": "mips_ivf_filtered",
+    # top-p path is the 1-row special case of the batch rerank +
+    # proportional-cutoff twin (itself demoted round-10 into the same
+    # batch shortlist-rerank family)
+    "lsh_topp": "ann_mmr_topk",
+    # demoted round-10 (r9 driver row on file, VERDICT r9 #1): the
+    # promoted incremental-maintenance entry's oracle IS the two-stage
+    # coarse+rerank full-corpus replay (append≡rebuild contract)
+    "ann_truncated_topk": "ann_truncated_append_stored",
+    # IVF family rep since round-10: the promoted IVF-composed
+    # matryoshka recall gauge drives the same centroid training +
+    # partition-pruned probe end-to-end and grades it vs full truth
+    "ann_recall": "ann_truncated_recall",
+    "ann_ivf_recall": "ann_truncated_recall",
+    "ann_ivf_recall_curve": "ann_truncated_recall",  # nprobe sweep, same gauge
+    "ann_ivf": "ann_truncated_recall",
+    "ann_ivf_filtered_recall": "ann_truncated_recall",
     # demoted round-7 (r6 driver row on file): the WHERE-pushdown
-    # filtered probe is a variant of the IVF machinery the promoted
-    # MIPS gauge drives end-to-end
-    "ann_ivf_filtered": "mips_ivf_filtered",
-    "ann_ivf_stored": "mips_ivf_filtered",
-    # stored-layout maintenance (skew split) rides the same centroid
-    # training + assignment machinery the in-window MIPS rep drives
-    "ann_ivf_split_assign": "mips_ivf_filtered",
+    # filtered probe is a variant of the IVF machinery the in-window
+    # recall gauge drives end-to-end
+    "ann_ivf_filtered": "ann_truncated_recall",
+    # stored-layout family: the round-10-promoted skew-split entry
+    # builds, rewrites and reads back the same partitioned store tree
+    "ann_ivf_stored": "ann_ivf_split_assign",
     # exact inner-product baseline: subsumed as the exact leg of the
     # MIPS gauges (VERDICT r6 #3)
-    "mips_topk": "mips_ivf_filtered",
+    "mips_topk": "ann_truncated_recall",
     # demoted round-8 (r7 driver row on file): the unfiltered
-    # augmented-IVF recall gauge is the promoted filtered rep minus the
-    # eligibility predicate
-    "mips_ivf_recall": "mips_ivf_filtered",
+    # augmented-IVF recall gauge rides the same trained-probe recall
+    # machinery as the in-window rep
+    "mips_ivf_recall": "ann_truncated_recall",
+    # demoted round-10 (r8-r9 driver rows on file, VERDICT r9 #1): the
+    # WHERE-constrained MIPS probe is the in-window recall gauge's
+    # trained-probe plan plus norm augmentation and an eligibility
+    # predicate — both of which hold their own r7-r9 rows on file
+    "mips_ivf_filtered": "ann_truncated_recall",
     # simjoin / dedup twins and gauges — candidate-generation +
-    # verification family, repped round-9 by the promoted multi-pass
-    # SNM recall gauge, which computes the exact PassJoin truth it
-    # grades against (simjoin_lsh demoted round-8, driver rows r2-r7 on
-    # file: banded cosine self-join + AQE skew-split, same generate-
-    # then-verify shape)
-    "simjoin_lsh": "dedup_snm_multipass_recall",
-    "simjoin_exact": "dedup_snm_multipass_recall",
-    # demoted round-9 (r8 driver row on file, VERDICT r8 #1): the
-    # promoted gauge's truth leg IS the PassJoin editdist plan
-    "dedup_editdist": "dedup_snm_multipass_recall",
+    # verification family, repped round-10 by the promoted single-pass
+    # SNM entry (blocking-key window generation + levenshtein verify
+    # over the production corpus); simjoin_lsh demoted round-8, driver
+    # rows r2-r7 on file (banded cosine self-join + AQE skew-split,
+    # same generate-then-verify shape)
+    "simjoin_lsh": "dedup_snm",
+    "simjoin_exact": "dedup_snm",
+    # demoted round-9 (r8 driver row on file): PassJoin segment banding
+    # + the same levenshtein verify step the in-window SNM rep runs
+    "dedup_editdist": "dedup_snm",
+    # demoted round-10 (r9 driver row on file, VERDICT r9 #1): the
+    # multipass gauge computes the in-window rep's single-pass leg
+    # twice over (two key passes) plus the PassJoin truth it grades by
+    "dedup_snm_multipass_recall": "dedup_snm",
     "dedup_minhash_sigs": "dedup_minhash_recall",
     # per-source-pair rollup of the same banded pair list
     "dedup_source_matrix": "dedup_minhash_recall",
@@ -8409,10 +8473,6 @@ FAMILY: dict[str, str] = {
     # demoted round-6 (r5 driver row on file): rolling-span twin of the
     # promoted chunk-window representative
     "dedup_substring": "dedup_chunk_overlap",
-    # sorted-neighborhood blocking (new round-7): the promoted
-    # multi-pass gauge computes the single-pass SNM leg it is graded
-    # against
-    "dedup_snm": "dedup_snm_multipass_recall",
     # demoted round-5 (driver rows r4 on file): the corpus-diff rep
     # hands the promotion-gate family slot to the per-rule attrition
     # funnel (never driver-checked before)
@@ -8444,25 +8504,40 @@ FAMILY: dict[str, str] = {
     "text_char_entropy": "text_stats",
     # boilerplate-opening detector: token-frequency-statistics family
     "text_template_detect": "text_stats",
-    "text_bigram_logprob": "text_unigram_logprob",
+    # token/bigram-frequency-statistics family (rep: text_stats since
+    # round-10, when the logprob rep was demoted with rows r?-r9 on
+    # file — same subsumption as the r6 text_tfidf demotion)
+    "text_unigram_logprob": "text_stats",
+    "text_bigram_logprob": "text_stats",
     # bigram-statistics family: PMI collocations share the bigram
-    # explode/count machinery with the in-window logprob rep's family
-    "text_pmi_pairs": "text_unigram_logprob",
+    # explode/count machinery
+    "text_pmi_pairs": "text_stats",
     "text_corpus_card": "text_stats",
     "text_langid_accuracy": "text_langid",
-    "text_repetition": "text_quality_filter",
+    # quality-scoring family (rep: the learned text_quality_classifier
+    # since round-10, when the percentile-threshold filter was demoted
+    # with driver rows through r9 — both score the same per-document
+    # quality axis; the filter's quantile machinery is also the
+    # rel_column_profile family's core)
+    "text_quality_filter": "text_quality_classifier",
+    "text_repetition": "text_quality_classifier",
     # demoted round-5 (r4 driver row on file): heuristic-threshold
-    # quality battery twin of the learned quality-filter rep
-    "text_gopher_filter": "text_quality_filter",
-    # embeddings twins
-    "emb_label_centroids": "emb_kmeans",
-    "emb_covariance": "emb_kmeans",
-    # centroid-distance outlier screen: label-centroid twin of the
-    # in-window kmeans representative
-    "emb_outlier_filter": "emb_kmeans",
-    "emb_norm_stats": "emb_kmeans",  # embedding QC card, same family
-    "emb_quantile_clip": "emb_kmeans",  # preprocessing envelope, same family
-    "emb_centroid_stability": "emb_kmeans",  # cluster-coherence gauge
+    # quality battery, same quality-scoring family
+    "text_gopher_filter": "text_quality_classifier",
+    # demoted round-10 (driver rows through r9 on file, VERDICT r9 #1):
+    # the token-window chunker is the chunk-window generation sub-plan
+    # of the in-window chunk-overlap dedup rep
+    "text_chunk": "dedup_chunk_overlap",
+    # embeddings twins (family rep: the density-clustering entry since
+    # round-10; the Lloyd's rep they previously followed holds r1-r9
+    # driver rows and now sits in this family too)
+    "emb_label_centroids": "emb_dbscan_clusters",
+    "emb_covariance": "emb_dbscan_clusters",
+    # centroid-distance outlier screen: embedding-geometry twin
+    "emb_outlier_filter": "emb_dbscan_clusters",
+    "emb_norm_stats": "emb_dbscan_clusters",  # embedding QC card, same family
+    "emb_quantile_clip": "emb_dbscan_clusters",  # preprocessing envelope
+    "emb_centroid_stability": "emb_dbscan_clusters",  # cluster-coherence gauge
     # cohort analytics: event-time bucketing twin of the sessionize rep
     "rel_events_retention": "rel_events_sessionize",
     # relational twins
@@ -8483,26 +8558,18 @@ FAMILY: dict[str, str] = {
     # analytics family of the in-window orders/top-customers rep
     "rel_orders_yoy": "rel_top_customers",
     # sampled-pair distribution gauge: similarity-measure family of the
-    # brute-force cosine rep (rep moved round-9 to the promoted
-    # two-stage matryoshka entry, whose both stages are brute scans)
-    "emb_pair_distance_hist": "ann_truncated_topk",
-    # matryoshka truncation recall gauge (new round-7): brute-force
-    # cosine top-k at two widths + recall_at_k, same family
-    "emb_dim_truncation_recall": "ann_truncated_topk",
-    # demoted round-9 (driver rows r1-r8 on file): the promoted
-    # two-stage entry's coarse stage IS brute cosine and its rerank is
-    # full-width brute over the shortlist
-    "knn_bruteforce": "ann_truncated_topk",
-    # incremental-maintenance gauge (new round-9, VERDICT r8 #2): the
-    # stored write+append+query flow whose contract is equality with
-    # the in-window rep's two-stage replay
-    "ann_truncated_append_stored": "ann_truncated_topk",
+    # brute-force cosine rep (rep moved round-10 to the promoted
+    # two-width truncation recall gauge, whose both arms are brute
+    # scans)
+    "emb_pair_distance_hist": "emb_dim_truncation_recall",
+    # demoted round-9 (driver rows r1-r8 on file): the in-window
+    # truncation-recall gauge's arms ARE brute cosine top-k, at
+    # truncated and at full width
+    "knn_bruteforce": "emb_dim_truncation_recall",
     # shortlist-dial tuning curve (new round-9): recall@10 vs coarse_k
-    # sweep over the in-window rep's own two-stage machinery
-    "ann_truncated_recall_curve": "ann_truncated_topk",
-    # its IVF-composed scale-path gauge: rides the in-window filtered
-    # MIPS rep's centroid training + pruned probe machinery
-    "ann_truncated_recall": "mips_ivf_filtered",
+    # sweep over the same two-stage machinery the round-10-promoted
+    # append entry replays end-to-end
+    "ann_truncated_recall_curve": "ann_truncated_append_stored",
     "rel_event_quantiles": "rel_column_profile",
     # scalar-function surface over the events table (r4 driver row on
     # file for the demoted JSON rep); events family
@@ -8533,8 +8600,8 @@ FAMILY: dict[str, str] = {
     "pipeline_epoch_plan": "pipeline_weighted_sample",
     # basket-pair lift: co-occurrence-statistics family (pair counting
     # over a grouping key + exact-rational association score) — same
-    # family as text_pmi_pairs, repped by the in-window logprob entry
-    "rel_market_basket": "text_unigram_logprob",
+    # family as text_pmi_pairs, repped by the in-window stats entry
+    "rel_market_basket": "text_stats",
     # deterministic-sampling family: exponential-key weighted draw and
     # the component-level leakage-safe split are hash-split twins of the
     # in-window export representative
