@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 __all__ = ["symmetric_edges", "degree_table", "pagerank",
            "triangle_counts", "edge_triangle_support",
            "triangle_repair_components", "dbscan_from_pairs",
-           "silhouette_score", "silhouette_sample"]
+           "dbscan_kdist_curve", "silhouette_score", "silhouette_sample"]
 
 
 def symmetric_edges(pairs: DataFrame) -> DataFrame:
@@ -458,6 +458,87 @@ def dbscan_from_pairs(
             .cast("long")
             .alias("cluster"),
         )
+    )
+
+
+def dbscan_kdist_curve(
+    vectors: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    quantiles: int = 10,
+    round_dp: int = 5,
+) -> DataFrame:
+    """The k-distance plot (Ester et al. 1996 §4.2) that picks
+    DBSCAN's ``eps``: per point, the cosine distance (``1 - cosine``)
+    to its k-th nearest OTHER point, summarized as ``quantiles`` exact
+    order statistics ``(quantile, kdist)`` in ascending order — the
+    "knee" of this curve is the standard eps choice, and ``k`` is
+    conventionally ``min_pts - 1``. Companion to
+    :func:`dbscan_from_pairs`: run this first to pick the eps the pair
+    generator then thresholds on.
+
+    Determinism (oracle-replayable): distances are ``1 - round(cos,
+    round_dp)`` so rank order is decided on the rounded value with id
+    tie-breaks on BOTH the per-point k-th-neighbor rank and the global
+    curve rank; quantile target ranks use integer arithmetic
+    ``(q*n + quantiles - 1) div quantiles`` (no float ceil).
+
+    Scale shape: the k-NN stage is an exact self-join (n² pairs) — the
+    k-distance plot is a CURATION-TIME diagnostic drawn from a sample
+    in standard practice, so past curation size pass a deterministic
+    sample in (the :func:`silhouette_sample` md5-order pattern on a
+    trivial single-cluster assignment, or any hash threshold); the
+    global curve rank uses the two-stage distributed scan
+    (:func:`~lshrs_spark.operators.prefix.running_total` — no
+    single-partition window), and the only driver actions are the
+    row count and the ``quantiles``-row target table."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    if quantiles < 1:
+        raise ValueError(f"quantiles must be >= 1 (got {quantiles})")
+    from pyspark.sql import Window
+
+    from ..functions.vector import cosine_similarity
+    from .prefix import running_total
+
+    a = vectors.select(
+        F.col(id_col).cast("long").alias("_ia"),
+        F.col(vector_col).alias("_va"),
+    )
+    b = vectors.select(
+        F.col(id_col).cast("long").alias("_ib"),
+        F.col(vector_col).alias("_vb"),
+    )
+    d = a.join(b, F.col("_ia") != F.col("_ib")).select(
+        "_ia", "_ib",
+        (1.0 - F.round(
+            cosine_similarity(F.col("_va"), F.col("_vb")), round_dp
+        )).alias("_d"),
+    )
+    wk = Window.partitionBy("_ia").orderBy(F.asc("_d"), F.asc("_ib"))
+    kd = (
+        d.withColumn("_r", F.row_number().over(wk))
+        .filter(F.col("_r") == int(k))
+        .select("_ia", "_d")
+    )
+    ranked = running_total(
+        kd.withColumn("_one", F.lit(1))
+        .withColumn("_ord", F.struct(F.col("_d"), F.col("_ia"))),
+        "_ord", "_one", out_col="_rank",
+    )
+    n = ranked.count()
+    spark = vectors.sparkSession
+    targets = spark.createDataFrame(
+        [(q, (q * n + quantiles - 1) // quantiles)
+         for q in range(1, quantiles + 1)],
+        "quantile long, _rank long",
+    )
+    return (
+        ranked.join(F.broadcast(targets), "_rank")
+        .select("quantile", F.round("_d", round_dp).alias("kdist"))
+        .orderBy("quantile")
     )
 
 

@@ -411,3 +411,44 @@ def test_silhouette_guardrail_and_sampler(spark):
     assert silhouette_sample(with_noise, 40).filter("cluster = -1").count() == 0
     with pytest.raises(ValueError, match="per_cluster"):
         silhouette_sample(assign, 1)
+
+
+def test_dbscan_kdist_curve(spark):
+    """Hand geometry for the eps-selection k-distance curve: three
+    duplicated directions 45 degrees apart — every point's 2nd-nearest
+    neighbor sits one step away (d = 1 - cos45 for the axis points and
+    for the middle pair alike), so the whole curve is flat at 0.29289;
+    plus shape/validation properties on random data."""
+    import numpy as np
+
+    from lshrs_spark.operators.graph import dbscan_kdist_curve
+
+    r = 0.70710678
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]), (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]), (3, [0.0, 1.0]),
+            (4, [r, r]), (5, [r, r]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = dbscan_kdist_curve(vecs, 2, quantiles=3).collect()
+    assert [x.quantile for x in rows] == [1, 2, 3]
+    assert all(abs(x.kdist - 0.29289) < 1e-9 for x in rows)
+
+    rng = np.random.default_rng(83)
+    rand = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in
+         enumerate(rng.standard_normal((60, 8)))],
+        "vec_id long, embedding array<double>",
+    )
+    curve = dbscan_kdist_curve(rand, 4, quantiles=5).collect()
+    ks = [x.kdist for x in sorted(curve, key=lambda x: x.quantile)]
+    assert len(ks) == 5
+    assert ks == sorted(ks)          # exact order statistics: monotone
+    assert all(0.0 <= v <= 2.0 for v in ks)
+
+    with pytest.raises(ValueError, match="k must"):
+        dbscan_kdist_curve(rand, 0)
+    with pytest.raises(ValueError, match="quantiles"):
+        dbscan_kdist_curve(rand, 2, quantiles=0)
