@@ -4672,6 +4672,133 @@ def ann_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf_append_stored",
+    f"""WITH tv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+cent AS (SELECT id AS centroid_id, v AS cvec FROM tv WHERE id < 8),
+assign AS (SELECT id, centroid_id FROM (
+    SELECT tv.id, c.centroid_id,
+           row_number() OVER (PARTITION BY tv.id
+               ORDER BY {cosine_sql("tv.v", "c.cvec")} DESC,
+                        c.centroid_id ASC) AS r
+    FROM tv CROSS JOIN cent c) WHERE r = 1),
+qv AS (SELECT vec_id AS qid, embedding AS q FROM embeddings
+       WHERE vec_id < 10),
+probes AS (SELECT qid, centroid_id FROM (
+    SELECT qv.qid, c.centroid_id,
+           row_number() OVER (PARTITION BY qv.qid
+               ORDER BY {cosine_sql("qv.q", "c.cvec")} DESC,
+                        c.centroid_id ASC) AS r
+    FROM cent c CROSS JOIN qv) WHERE r <= 4),
+cand AS (SELECT p.qid, a.id FROM probes p JOIN assign a USING (centroid_id))
+SELECT qid, id, round(cos, 5) AS score, rank FROM (
+    SELECT c.qid, c.id, {cosine_sql("tv.v", "qv.q")} AS cos,
+           row_number() OVER (PARTITION BY c.qid
+               ORDER BY {cosine_sql("tv.v", "qv.q")} DESC, c.id ASC) AS rank
+    FROM cand c JOIN tv ON tv.id = c.id
+                JOIN qv ON qv.qid = c.qid) WHERE rank <= 10""",
+)
+def ann_ivf_append_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-IVF incremental maintenance end-to-end
+    (:func:`~lshrs_spark.operators.knn.ivf_append`, completing the
+    append matrix the truncated and PQ/IVFADC tiers got in r9): build
+    the stored layout from a base slice (``vec_id < 100`` — contains
+    the deterministic lowest-8-id centroid set, so stored centroids
+    equal a full-corpus training), append the rest WITHOUT retraining,
+    then answer a query batch through the partition-pruned
+    :func:`~lshrs_spark.operators.knn.ivf_topk_stored` over base +
+    appended files. Because append never retrains, the oracle is the
+    plain IVF probe replay over the WHOLE table — identical results to
+    a from-scratch rebuild is the correctness contract."""
+    from .operators.knn import (
+        ivf_append,
+        ivf_centroids_by_id,
+        ivf_topk_stored,
+        ivf_write_store,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") < 100)
+    batch = emb.filter(F.col("vec_id") >= 100)
+    # deterministic per-sf path, overwritten each run — no tempdir growth
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"lshrs_ivf_append_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    ivf_write_store(base, ivf_centroids_by_id(base, 8), path)
+    ivf_append(batch, path)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cents = spark.read.parquet(f"{path}/_centroids")
+    out = ivf_topk_stored(spark, path, cents, queries, 10, nprobe=4)
+    return out.select(
+        "qid", "id",
+        F.round("score", 5).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@register(
+    "ann_retrieval_metrics",
+    f"""WITH tv AS (SELECT vec_id AS id, embedding[1:16] AS t,
+                 embedding AS v FROM embeddings),
+qv AS (SELECT vec_id AS qid, embedding[1:16] AS qt, embedding AS q
+       FROM embeddings WHERE vec_id < 10),
+coarse AS (SELECT qid, id FROM (
+    SELECT qv.qid, tv.id,
+           row_number() OVER (PARTITION BY qv.qid
+               ORDER BY {cosine_sql("tv.t", "qv.qt")} DESC, tv.id ASC) AS r
+    FROM tv CROSS JOIN qv) WHERE r <= 40),
+approx AS (SELECT qid, id, rank FROM (
+    SELECT c.qid, c.id,
+           row_number() OVER (PARTITION BY c.qid
+               ORDER BY {cosine_sql("tv.v", "qv.q")} DESC, c.id ASC) AS rank
+    FROM coarse c JOIN tv ON tv.id = c.id
+                  JOIN qv ON qv.qid = c.qid) WHERE rank <= 10),
+exact AS (SELECT qid, id, rank FROM (
+    SELECT qv.qid, tv.id,
+           row_number() OVER (PARTITION BY qv.qid
+               ORDER BY {cosine_sql("tv.v", "qv.q")} DESC, tv.id ASC) AS rank
+    FROM tv CROSS JOIN qv) WHERE rank <= 10),
+hit AS (SELECT a.qid, count(*) AS h, min(a.rank) AS fr,
+               sum(1.0 / log2(a.rank + 1.0)) AS dcg
+        FROM approx a JOIN exact e USING (qid, id) GROUP BY a.qid),
+perq AS (SELECT qid, count(*) AS n FROM exact GROUP BY qid),
+m AS (SELECT p.qid,
+             coalesce(h.h, 0)::DOUBLE / p.n AS r,
+             coalesce(1.0 / h.fr, 0.0) AS mm,
+             coalesce(h.dcg, 0.0)
+               / list_sum(list_transform(generate_series(1, p.n),
+                                         i -> 1.0 / log2(i + 1.0))) AS g
+      FROM perq p LEFT JOIN hit h ON h.qid = p.qid)
+SELECT round(avg(r), 5) AS recall, round(avg(mm), 5) AS mrr,
+       round(avg(g), 5) AS ndcg FROM m""",
+)
+def ann_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ANN evaluation card (:func:`~lshrs_spark.operators.knn.
+    retrieval_metrics`): recall@10 + MRR@10 + nDCG@10 of the matryoshka
+    two-stage ranking (16-of-64 prefix coarse, coarse_k=40, full-width
+    rerank) against brute-force truth — recall alone can hide a tier
+    that returns the right set in the wrong ORDER; MRR and nDCG grade
+    where the truth lands. The oracle replays both rankings and the
+    closed-form metric arithmetic (per-query ideal DCG as the ascending
+    rank sum) in SQL."""
+    from .operators.knn import (
+        brute_force_topk,
+        retrieval_metrics,
+        truncated_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    approx = truncated_topk(emb, queries, 10, coarse_dims=16, coarse_k=40)
+    exact = brute_force_topk(emb, queries, 10)
+    return retrieval_metrics(approx, exact, 10)
+
+
 @register("ann_truncated_recall_curve", _truncated_curve_sql())
 def ann_truncated_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The matryoshka tuning curve: recall@10 vs ``coarse_k`` in
@@ -8621,6 +8748,13 @@ FAMILY: dict[str, str] = {
     # the detect-once/split-top-N maintenance loop (new round-10): two
     # sequential splits of the in-window rep's single-split machinery
     "ann_ivf_maintain": "ann_ivf_split_assign",
+    # plain-IVF append (new round-10): same stored-tree build + readback
+    # family; the append≡rebuild contract mirrors the in-window
+    # truncated append rep
+    "ann_ivf_append_stored": "ann_ivf_split_assign",
+    # recall/MRR/nDCG evaluation card (new round-10) over the same
+    # two-stage matryoshka ranking the in-window append rep replays
+    "ann_retrieval_metrics": "ann_truncated_append_stored",
     # exact inner-product baseline: subsumed as the exact leg of the
     # MIPS gauges (VERDICT r6 #3)
     "mips_topk": "ann_truncated_recall",

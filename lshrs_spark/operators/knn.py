@@ -43,6 +43,8 @@ __all__ = [
     "truncated_topk_stored",
     "kmeans_centroids",
     "recall_at_k",
+    "retrieval_metrics",
+    "ivf_append",
     "ivf_delete",
     "ivf_compact",
     "ivf_hot_centroids",
@@ -397,6 +399,53 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
     )
 
 
+def retrieval_metrics(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """The full ANN-evaluation card in one row ``(recall, mrr, ndcg)``:
+    recall@k, mean reciprocal rank@k and nDCG@k of an approximate
+    ranking against the exact one, with BINARY relevance (a returned id
+    is relevant iff it sits in the exact top-k) — recall says how much
+    truth came back, MRR says how early the first true hit lands, nDCG
+    says how well the whole returned ORDER concentrates truth at the
+    top; a tier can hold recall while degrading the other two, which is
+    exactly what this card catches. Both inputs ``(qid, id, rank)``
+    with rank <= k.
+
+    Determinism: ideal DCG is the closed per-query sum over ranks
+    ``1..n`` in ascending order (n = that query's exact row count) and
+    DCG sums ``1/log2(rank+1)`` over hits; final averages round to 5
+    decimals — all replayable in SQL. One join + two hash
+    aggregations; queries are the distribution axis."""
+    a = approx.filter(F.col("rank") <= k).select("qid", "id", "rank")
+    e = exact.filter(F.col("rank") <= k).select("qid", "id")
+    hit = a.join(e, ["qid", "id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("h"),
+        F.min("rank").alias("first_rank"),
+        F.sum(1.0 / F.log2(F.col("rank") + F.lit(1.0))).alias("dcg"),
+    )
+    per_q = (
+        e.groupBy("qid").agg(F.count(F.lit(1)).alias("n"))
+        .join(hit, "qid", "left")
+        .select(
+            (F.coalesce(F.col("h"), F.lit(0)) / F.col("n")).alias("_r"),
+            F.coalesce(1.0 / F.col("first_rank"), F.lit(0.0)).alias("_m"),
+            (
+                F.coalesce(F.col("dcg"), F.lit(0.0))
+                / F.aggregate(
+                    F.sequence(F.lit(1), F.col("n")),
+                    F.lit(0.0),
+                    lambda acc, i: acc
+                    + 1.0 / F.log2(i.cast("double") + F.lit(1.0)),
+                )
+            ).alias("_g"),
+        )
+    )
+    return per_q.agg(
+        F.round(F.avg("_r"), 5).alias("recall"),
+        F.round(F.avg("_m"), 5).alias("mrr"),
+        F.round(F.avg("_g"), 5).alias("ndcg"),
+    )
+
+
 def ivf_write_store(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -458,6 +507,52 @@ def ivf_write_store(
             .write.mode("overwrite")
             .parquet(f"{path}/_centroids")
         )
+
+
+def ivf_append(
+    vectors: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    extra_cols: Sequence[str] = (),
+    max_records_per_file: int = 1 << 22,
+) -> None:
+    """Incrementally append a batch to a plain :func:`ivf_write_store`
+    layout — completing the append matrix every other stored tier
+    already has (truncated/matryoshka and PQ/IVFADC, r9): the new rows
+    are assigned against the EXISTING ``{path}/_centroids`` set (read,
+    never retrained — the invariant that keeps old and new assignments
+    compatible in one layout) and land as additional files inside the
+    existing ``centroid_id=N`` directories. A live
+    :class:`~lshrs_spark.serving.IVFServer` picks the rows up at its
+    next ``refresh()``; rankings afterwards equal a from-scratch
+    rebuild over the union at the same centroid set.
+
+    Same contracts as :func:`truncated_ivf_append`: single writer (no
+    concurrent compaction/split of the same store), ids NOT
+    deduplicated against the store (dedupe upstream), extra_cols must
+    match the stored schema. At 100 TB the append touches only the new
+    batch — one assignment map + one bounded partitioned write;
+    nothing existing is read or rewritten. Repeated appends accumulate
+    files per directory; :func:`ivf_compact` folds them (and any
+    tombstones) back to one co-located set per partition."""
+    spark = vectors.sparkSession
+    cents = spark.read.parquet(f"{path}/_centroids")
+    existing = set(spark.read.parquet(path).columns)
+    incoming = {"id", "embedding", "centroid_id"} | set(extra_cols)
+    if incoming != existing:
+        raise ValueError(
+            "ivf_append: extra_cols mismatch with the stored layout — "
+            f"store holds {sorted(existing)}, append would write "
+            f"{sorted(incoming)}; pass the same extra_cols the store "
+            "was built with"
+        )
+    ivf_write_store(
+        vectors, cents, path, id_col=id_col, vector_col=vector_col,
+        mode="append", store_centroids=False, extra_cols=extra_cols,
+        max_records_per_file=max_records_per_file,
+    )
 
 
 def truncated_ivf_write_store(

@@ -678,3 +678,85 @@ def test_ivf_split_rerun_overwrites_orphan_subpartition(spark, tmp_path):
     # the orphan's duplicate rows are gone: every id exactly once
     assert post.count() == 50
     assert sorted(r.id for r in post.select("id").collect()) == list(range(50))
+
+
+def test_retrieval_metrics_hand_case(spark):
+    """Hand-computed recall/MRR/nDCG: query 1 returns truth at ranks
+    1 and 3 with a miss at 2 (dcg = 1 + 0.5, idcg = 1 + 1/log2(3) +
+    0.5); query 2 returns nothing true."""
+    from lshrs_spark.operators.knn import retrieval_metrics
+
+    exact = spark.createDataFrame(
+        [(1, 1, 1), (1, 2, 2), (1, 3, 3),
+         (2, 4, 1), (2, 5, 2), (2, 6, 3)],
+        "qid long, id long, rank long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 1, 1), (1, 9, 2), (1, 3, 3),
+         (2, 7, 1), (2, 8, 2), (2, 9, 3)],
+        "qid long, id long, rank long",
+    )
+    [row] = retrieval_metrics(approx, exact, 3).collect()
+    assert abs(row.recall - 0.33333) < 1e-9
+    assert abs(row.mrr - 0.5) < 1e-9
+    idcg = 1.0 + 1.0 / np.log2(3.0) + 0.5
+    want = round(((1.0 + 0.5) / idcg + 0.0) / 2.0, 5)
+    assert abs(row.ndcg - want) < 1e-9
+
+    # perfect ranking scores 1.0 on all three
+    [p] = retrieval_metrics(exact, exact, 3).collect()
+    assert (p.recall, p.mrr, p.ndcg) == (1.0, 1.0, 1.0)
+
+
+def test_ivf_append_equals_rebuild_and_serves(spark, tmp_path):
+    """Plain-IVF append matrix completion: appending against the STORED
+    centroid set yields the exact per-partition row sets of a
+    from-scratch rebuild at the same centroids, a live server picks the
+    batch up at refresh() with full-probe parity, and a schema-mismatch
+    append refuses."""
+    from lshrs_spark.operators.knn import (
+        brute_force_topk,
+        ivf_append,
+        ivf_write_store,
+    )
+    from lshrs_spark.serving import IVFServer
+
+    rng = np.random.default_rng(61)
+    vecs = rng.standard_normal((120, 12)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    base, batch = df.filter("vec_id < 80"), df.filter("vec_id >= 80")
+    path = str(tmp_path / "appendable")
+    ivf_write_store(base, ivf_centroids_by_id(base, 3), path)
+    srv = IVFServer.from_store(path)
+    ivf_append(batch, path)
+
+    rebuilt = str(tmp_path / "rebuilt")
+    # same centroid set: ivf_centroids_by_id is lowest-id deterministic
+    ivf_write_store(df, ivf_centroids_by_id(df, 3), rebuilt)
+    got = sorted(
+        (r.id, r.centroid_id)
+        for r in spark.read.parquet(path).select("id", "centroid_id").collect()
+    )
+    want = sorted(
+        (r.id, r.centroid_id)
+        for r in spark.read.parquet(rebuilt).select("id", "centroid_id").collect()
+    )
+    assert got == want and len(got) == 120
+
+    srv.refresh()
+    q = vecs[100]
+    post = srv.topk(q, 8, nprobe=3)  # all partitions -> exact
+    truth = brute_force_topk(
+        df,
+        spark.createDataFrame([(0, q.tolist())], "qid long, qvec array<float>"),
+        8,
+    ).collect()
+    assert [i for i, _, _ in post] == [r.id for r in truth]
+
+    with pytest.raises(ValueError, match="extra_cols mismatch"):
+        ivf_append(
+            batch.withColumn("lang", F.lit("en")), path, extra_cols=("lang",)
+        )
