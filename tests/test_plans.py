@@ -989,3 +989,19 @@ def test_truncated_stored_plan_prunes_and_matches_inplan(spark, emb, tmp_path):
 
     with _pytest.raises(ValueError, match="refine must be"):
         truncated_topk_stored(spark, store, queries, 5, refine="nope")
+
+
+def test_kdist_curve_no_single_partition_exchange(spark):
+    """The k-distance curve's global rank must come from the two-stage
+    distributed scan (running_total) — a SinglePartition window/sort
+    over the per-point k-distances would serialize the curve at scale,
+    which is exactly what the operator's docstring promises away."""
+    from lshrs_spark.cache import release_slots
+    from lshrs_spark.operators.graph import dbscan_kdist_curve
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(
+        F.col("vec_id") < 80
+    )
+    plan = physical_plan(dbscan_kdist_curve(emb, 3, quantiles=4))
+    release_slots()
+    assert "SinglePartition" not in plan
