@@ -4665,7 +4665,8 @@ def ann_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ivf_write_store(emb, ivf_centroids_by_id(emb, 8), path)
     log = ivf_maintain(spark, path, ratio=0.0, max_splits=2, n_splits=3)
-    assert len(log) == 2, f"expected two splits, got {log}"
+    if len(log) != 2:  # not assert: must survive python -O
+        raise RuntimeError(f"expected two splits, got {log}")
     return spark.read.parquet(path).select(
         F.col("id").cast("long").alias("id"),
         F.col("centroid_id").cast("long").alias("centroid_id"),

@@ -535,8 +535,9 @@ def ivf_append(
     match the stored schema. At 100 TB the append touches only the new
     batch — one assignment map + one bounded partitioned write;
     nothing existing is read or rewritten. Repeated appends accumulate
-    files per directory; :func:`ivf_compact` folds them (and any
-    tombstones) back to one co-located set per partition."""
+    one file per touched partition per batch;
+    ``ivf_compact(min_files=...)`` folds them (and any tombstones)
+    back to one co-located set per partition on the usual LSM cadence."""
     spark = vectors.sparkSession
     cents = spark.read.parquet(f"{path}/_centroids")
     existing = set(spark.read.parquet(path).columns)
@@ -1129,19 +1130,27 @@ def _apply_ivf_tombstones(spark, store: DataFrame, store_path: str) -> DataFrame
     return store.join(F.broadcast(tomb), "id", "left_anti")
 
 
-def ivf_compact(spark, store_path: str) -> None:
+def ivf_compact(spark, store_path: str, *, min_files: int | None = None) -> None:
     """Merge the ``_deleted`` tombstone sidecar into the stored IVF
     partitions and clear it — the periodic maintenance step that keeps
     delete cost O(tombstones) at write time and restores scan purity.
+    With ``min_files`` set, ALSO folds any ``centroid_id=N`` directory
+    holding more than that many files back to one co-located file set
+    (the LSM fold for :func:`ivf_append`'s accumulation — each
+    co-located append adds one file per touched partition, so nightly
+    appends grow the per-probe open cost until a fold; file counts are
+    listed driver-side, bounded by the partition count).
 
     Scale shape: only partitions that actually CONTAIN a tombstoned id
-    are rewritten (found via an id-pushed scan — parquet row-group
-    stats skip clean partitions); each affected ``centroid_id=N``
-    directory is rewritten to a temp sibling and swapped in, so an
-    untimely failure leaves either the old tombstone-consistent state or
-    the new compacted state, never a half-rewritten partition visible
-    without its tombstones. File ops go through pyarrow.fs — works for
-    object-store URIs. No-op when the sidecar is absent/empty."""
+    (or exceed ``min_files``) are rewritten (tombstone discovery via an
+    id-pushed scan — parquet row-group stats skip clean partitions);
+    each affected ``centroid_id=N`` directory is rewritten to a temp
+    sibling and swapped in, so an untimely failure leaves either the
+    old tombstone-consistent state or the new compacted state, never a
+    half-rewritten partition visible without its tombstones. File ops
+    go through pyarrow.fs — works for object-store URIs. No-op when
+    the sidecar is absent/empty and no partition is over the file
+    bound."""
     from ..serving import _fs_and_path
 
     filesystem, root = _fs_and_path(store_path)
@@ -1153,18 +1162,48 @@ def ivf_compact(spark, store_path: str) -> None:
             pass
 
     tomb = _tombstone_df(spark, store_path)
-    if tomb is None:
+    fat = (
+        _fat_partitions(filesystem, root, int(min_files))
+        if min_files is not None else []
+    )
+    if tomb is None and not fat:
         _rm_dir(f"{root}/_deleted")
         return
-    tomb = tomb.persist()
+    if tomb is not None:
+        tomb = tomb.persist()
     try:
-        _ivf_compact_body(spark, store_path, tomb, filesystem, root, _rm_dir)
+        _ivf_compact_body(spark, store_path, tomb, filesystem, root,
+                          _rm_dir, extra_affected=fat)
     finally:
-        tomb.unpersist()
+        if tomb is not None:
+            tomb.unpersist()
     _rm_dir(f"{root}/_deleted")
 
 
-def _ivf_compact_body(spark, store_path, tomb, filesystem, root, _rm_dir):
+def _fat_partitions(filesystem, root: str, min_files: int) -> list[int]:
+    """Centroid ids of partitions holding more than ``min_files``
+    parquet files — a driver-side directory listing, bounded by the
+    partition count (never the corpus)."""
+    from pyarrow.fs import FileSelector, FileType
+
+    out = []
+    for info in filesystem.get_file_info(
+        FileSelector(root, allow_not_found=True)
+    ):
+        name = info.path.rsplit("/", 1)[-1]
+        if info.type == FileType.Directory and name.startswith("centroid_id="):
+            n = sum(
+                1
+                for f in filesystem.get_file_info(FileSelector(info.path))
+                if f.type == FileType.File
+            )
+            if n > min_files:
+                out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def _ivf_compact_body(spark, store_path, tomb, filesystem, root, _rm_dir,
+                      extra_affected=()):
     import uuid as _uuid
 
     store = spark.read.parquet(store_path)
@@ -1174,17 +1213,23 @@ def _ivf_compact_body(spark, store_path, tomb, filesystem, root, _rm_dir):
     # by construction, and it must reach the driver anyway to drive the
     # per-partition swap below.
     affected = sorted(
-        r.centroid_id
-        for r in store.join(F.broadcast(tomb), "id", "left_semi")
-        .select("centroid_id")
-        .distinct()
-        .collect()
-    )
+        set(
+            r.centroid_id
+            for r in store.join(F.broadcast(tomb), "id", "left_semi")
+            .select("centroid_id")
+            .distinct()
+            .collect()
+        ) | set(extra_affected)
+    ) if tomb is not None else sorted(set(extra_affected))
     if affected:
+        rewritten_rows = store.filter(F.col("centroid_id").isin(affected))
+        if tomb is not None:
+            rewritten_rows = rewritten_rows.join(
+                F.broadcast(tomb), "id", "left_anti"
+            )
         tmp = f"{store_path}/_compact_tmp_{_uuid.uuid4().hex}"
         (
-            store.filter(F.col("centroid_id").isin(affected))
-            .join(F.broadcast(tomb), "id", "left_anti")
+            rewritten_rows
             # co-locate the rewritten partitions (same trap
             # ivf_write_store fixed in r8: unco-located partitionBy
             # emits tasks x centroids tiny files)

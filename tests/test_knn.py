@@ -760,3 +760,56 @@ def test_ivf_append_equals_rebuild_and_serves(spark, tmp_path):
         ivf_append(
             batch.withColumn("lang", F.lit("en")), path, extra_cols=("lang",)
         )
+
+
+def test_ivf_compact_folds_appended_files(spark, tmp_path):
+    """LSM fold for the plain-IVF append path: three appends leave
+    multiple files per partition; ivf_compact(min_files=1) folds every
+    fat partition back to one file with rankings unchanged, while the
+    default (tombstone-only) call stays a no-op on an append-only
+    store."""
+    import os
+
+    from lshrs_spark.operators.knn import (
+        ivf_append,
+        ivf_compact,
+        ivf_write_store,
+    )
+    from lshrs_spark.serving import IVFServer
+
+    rng = np.random.default_rng(67)
+    vecs = rng.standard_normal((160, 12)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "lsm")
+    ivf_write_store(df.filter("vec_id < 40"), ivf_centroids_by_id(df, 3), path)
+    for lo, hi in ((40, 80), (80, 120), (120, 160)):
+        ivf_append(df.filter(f"vec_id >= {lo} and vec_id < {hi}"), path)
+
+    def files_per_part():
+        return {
+            d: len([f for f in os.listdir(os.path.join(path, d))
+                    if f.endswith(".parquet")])
+            for d in os.listdir(path) if d.startswith("centroid_id=")
+        }
+
+    before = files_per_part()
+    assert max(before.values()) > 1  # appends accumulated files
+
+    # tombstone-only default: no-op on an append-only store
+    ivf_compact(spark, path)
+    assert files_per_part() == before
+
+    srv = IVFServer.from_store(path)
+    q = vecs[10]
+    pre = srv.topk(q, 8, nprobe=3)
+    ivf_compact(spark, path, min_files=1)
+    after = files_per_part()
+    assert set(after) == set(before) and max(after.values()) == 1
+    assert spark.read.parquet(path).count() == 160
+    srv.refresh()
+    post = srv.topk(q, 8, nprobe=3)
+    assert [(i, r) for i, _, r in pre] == [(i, r) for i, _, r in post]
+    assert all(abs(a[1] - b[1]) < 1e-9 for a, b in zip(pre, post))
