@@ -1195,7 +1195,11 @@ def _fat_partitions(filesystem, root: str, min_files: int) -> list[int]:
             n = sum(
                 1
                 for f in filesystem.get_file_info(FileSelector(info.path))
+                # count data files only: Hadoop's local-fs committer
+                # leaves .<name>.crc checksum siblings next to every
+                # parquet file, which would double the apparent count
                 if f.type == FileType.File
+                and not f.path.rsplit("/", 1)[-1].startswith((".", "_"))
             )
             if n > min_files:
                 out.append(int(name.split("=", 1)[1]))
