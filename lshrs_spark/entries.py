@@ -4674,6 +4674,62 @@ def ann_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_balance",
+    f"""WITH tv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+cent AS (SELECT id AS centroid_id, v AS cvec FROM tv WHERE id < 8),
+a AS (SELECT id, centroid_id FROM (
+    SELECT tv.id, c.centroid_id,
+           row_number() OVER (PARTITION BY tv.id
+               ORDER BY {cosine_sql("tv.v", "c.cvec")} DESC,
+                        c.centroid_id ASC) AS r
+    FROM tv CROSS JOIN cent c) WHERE r = 1),
+counts AS (SELECT centroid_id, count(*) AS n FROM a GROUP BY centroid_id),
+ranked AS (SELECT centroid_id, n,
+                  row_number() OVER (ORDER BY n ASC, centroid_id ASC) AS r
+           FROM counts),
+base AS (SELECT sum(n) AS tot, count(*) AS p, max(n) AS mx,
+                avg(n) AS mean FROM ranked),
+g AS (SELECT sum((2 * rk.r - b.p - 1) * rk.n) AS num
+      FROM ranked rk CROSS JOIN base b),
+hot AS (SELECT count(*) AS nh FROM ranked rk CROSS JOIN base b
+        WHERE rk.n > 2.0 * b.mean)
+SELECT b.tot::BIGINT AS n_rows, b.p::BIGINT AS n_partitions,
+       round(b.mean, 5) AS mean_rows, b.mx::BIGINT AS max_rows,
+       round(b.mx / b.mean, 5) AS max_mean_ratio,
+       round(g.num / (b.p * b.tot), 5) AS gini,
+       hot.nh::BIGINT AS n_hot, 3::BIGINT AS n_tombstones
+FROM base b CROSS JOIN g CROSS JOIN hot""",
+)
+def ann_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The store-health card (:func:`~lshrs_spark.operators.knn.
+    ivf_balance_report`): build the 8-centroid stored layout, tombstone
+    three ids (:func:`~lshrs_spark.operators.knn.ivf_delete` — the
+    card must report the compaction debt), and report physical row
+    counts, balance stats, the exact rank-form Gini coefficient over
+    partition sizes, the hot count at ratio=2.0 and the tombstone
+    backlog. The oracle replays assignment, the ascending size rank
+    and the closed-form Gini arithmetic in SQL (integer numerators;
+    the three tombstoned ids stay in the physical counts by design —
+    that debt is what ``n_tombstones`` measures)."""
+    from .operators.knn import (
+        ivf_balance_report,
+        ivf_centroids_by_id,
+        ivf_delete,
+        ivf_write_store,
+    )
+
+    emb = _emb(spark, sf_dir)
+    # deterministic per-sf path, overwritten each run — no tempdir growth
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"lshrs_balance_entry_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    ivf_write_store(emb, ivf_centroids_by_id(emb, 8), path)
+    ivf_delete(path, [11, 12, 13])
+    return ivf_balance_report(spark, path, ratio=2.0)
+
+
+@register(
     "ann_ivf_append_stored",
     f"""WITH tv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
 cent AS (SELECT id AS centroid_id, v AS cvec FROM tv WHERE id < 8),
@@ -8753,6 +8809,9 @@ FAMILY: dict[str, str] = {
     # family; the append≡rebuild contract mirrors the in-window
     # truncated append rep
     "ann_ivf_append_stored": "ann_ivf_split_assign",
+    # store-health card (new round-10): balance/Gini/tombstone stats
+    # over the same stored partition tree the in-window rep rewrites
+    "ann_ivf_balance": "ann_ivf_split_assign",
     # recall/MRR/nDCG evaluation card (new round-10) over the same
     # two-stage matryoshka ranking the in-window append rep replays
     "ann_retrieval_metrics": "ann_truncated_append_stored",

@@ -47,6 +47,7 @@ __all__ = [
     "ivf_append",
     "ivf_delete",
     "ivf_compact",
+    "ivf_balance_report",
     "ivf_hot_centroids",
     "ivf_maintain",
     "ivf_split_centroid",
@@ -1464,6 +1465,70 @@ def ivf_split_centroid(
     filesystem.delete_dir(aside)
     filesystem.delete_dir(old_dir)
     return new_ids
+
+
+def ivf_balance_report(spark, store_path: str, *, ratio: float = 4.0):
+    """One-row health card for a stored IVF layout — the observability
+    complement of the maintenance loop (:func:`ivf_hot_centroids` says
+    WHAT to split, this says whether anything needs attention at all):
+    ``(n_rows, n_partitions, mean_rows, max_rows, max_mean_ratio,
+    gini, n_hot, n_tombstones)``. ``gini`` is the standard inequality
+    coefficient over partition sizes (0 = perfectly balanced, → 1 =
+    one partition holds everything) computed by the closed rank form
+    ``Σ(2r − P − 1)·nᵣ / (P·Σn)`` over sizes ranked ascending with
+    centroid-id tie-breaks — exact integer numerators, so a SQL oracle
+    replays it; ``n_hot`` counts partitions above ``ratio``× the mean
+    (the same rule :func:`ivf_maintain` splits on); ``n_tombstones``
+    is the ``_deleted`` sidecar backlog (0 when absent), the
+    compaction-debt signal. Row counts are PHYSICAL store rows —
+    tombstoned ids still occupy files until :func:`ivf_compact`, which
+    is exactly the debt ``n_tombstones`` measures.
+
+    Scale shape: one grouped count over the partition column (no
+    vector bytes), one bounded aggregation over P partition rows, one
+    count of the (small-by-cadence) tombstone sidecar — a scheduler
+    can run it every night and alert on thresholds without ever
+    scanning vectors."""
+    from pyspark.sql import Window
+
+    counts = (
+        spark.read.parquet(store_path)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tomb = _tombstone_df(spark, store_path)
+    n_tomb = int(tomb.count()) if tomb is not None else 0
+    w = Window.orderBy(F.asc("n"), F.asc("centroid_id"))
+    ranked = counts.withColumn("r", F.row_number().over(w))
+    # the global rank window and the 1-row stats broadcast are over P
+    # partition rows (bounded by the centroid count, never the corpus)
+    base = ranked.agg(
+        F.sum("n").cast("long").alias("_tot"),
+        F.count(F.lit(1)).cast("long").alias("_p"),
+        F.max("n").cast("long").alias("_max"),
+        F.avg("n").alias("_mean"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(base))
+        .agg(
+            F.first("_tot").alias("n_rows"),
+            F.first("_p").alias("n_partitions"),
+            F.round(F.first("_mean"), 5).alias("mean_rows"),
+            F.first("_max").alias("max_rows"),
+            F.round(F.first("_max") / F.first("_mean"), 5)
+            .alias("max_mean_ratio"),
+            F.round(
+                F.sum((2 * F.col("r") - F.col("_p") - 1) * F.col("n"))
+                / (F.first("_p") * F.first("_tot")),
+                5,
+            ).alias("gini"),
+            F.sum(
+                F.when(F.col("n") > F.lit(ratio) * F.col("_mean"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_hot"),
+            F.lit(n_tomb).cast("long").alias("n_tombstones"),
+        )
+    )
 
 
 def ivf_maintain(

@@ -813,3 +813,48 @@ def test_ivf_compact_folds_appended_files(spark, tmp_path):
     post = srv.topk(q, 8, nprobe=3)
     assert [(i, r) for i, _, r in pre] == [(i, r) for i, _, r in post]
     assert all(abs(a[1] - b[1]) < 1e-9 for a, b in zip(pre, post))
+
+
+def test_ivf_balance_report_reads_health(spark, tmp_path):
+    """The health card: a planted hot store reports n_hot >= 1 and a
+    clearly higher Gini than a balanced store built from the same rows;
+    tombstoning raises n_tombstones without touching physical counts."""
+    from lshrs_spark.operators.knn import (
+        ivf_balance_report,
+        ivf_delete,
+        ivf_write_store,
+    )
+
+    rng = np.random.default_rng(73)
+    d = 12
+    dirs = np.linalg.qr(rng.standard_normal((d, 4)))[0].T
+    rows = [dirs[i] for i in range(4)]
+    rows += [dirs[0] + 0.05 * rng.standard_normal(d) for _ in range(90)]
+    rows += [dirs[1 + i % 3] + 0.05 * rng.standard_normal(d)
+             for i in range(18)]
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(np.asarray(rows, np.float32))],
+        "vec_id long, embedding array<float>",
+    )
+    hot_store = str(tmp_path / "hot")
+    ivf_write_store(df, ivf_centroids_by_id(df, 4), hot_store)
+    [card] = ivf_balance_report(spark, hot_store, ratio=2.0).collect()
+    assert card.n_rows == 112 and card.n_partitions == 4
+    assert card.max_rows >= 90 and card.max_mean_ratio > 3.0
+    assert card.n_hot >= 1 and card.gini > 0.4
+    assert card.n_tombstones == 0
+
+    ivf_delete(hot_store, [5, 6])
+    [card2] = ivf_balance_report(spark, hot_store, ratio=2.0).collect()
+    assert card2.n_tombstones == 2
+    assert card2.n_rows == 112  # physical rows until compaction
+
+    flat_store = str(tmp_path / "flat")
+    flat = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in
+         enumerate(rng.standard_normal((112, d)).astype(np.float32))],
+        "vec_id long, embedding array<float>",
+    )
+    ivf_write_store(flat, ivf_centroids_by_id(flat, 4), flat_store)
+    [fcard] = ivf_balance_report(spark, flat_store, ratio=2.0).collect()
+    assert fcard.gini < card.gini
