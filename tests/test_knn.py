@@ -858,3 +858,27 @@ def test_ivf_balance_report_reads_health(spark, tmp_path):
     ivf_write_store(flat, ivf_centroids_by_id(flat, 4), flat_store)
     [fcard] = ivf_balance_report(spark, flat_store, ratio=2.0).collect()
     assert fcard.gini < card.gini
+
+
+def test_ivf_balance_report_on_truncated_store(spark, tmp_path):
+    """The matryoshka tree is an IVF store at coarse width (its `_full`
+    sidecar is invisible to dataset discovery), so the health card
+    applies unchanged — partition stats come from the truncated tree
+    only."""
+    from lshrs_spark.operators.knn import (
+        ivf_balance_report,
+        truncated_ivf_write_store,
+    )
+
+    rng = np.random.default_rng(79)
+    vecs = rng.standard_normal((100, 24)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "tcard")
+    truncated_ivf_write_store(df, 4, 8, path)
+    [card] = ivf_balance_report(spark, path).collect()
+    # truncated rows only — the 100-row _full sidecar must NOT double in
+    assert card.n_rows == 100 and card.n_partitions == 4
+    assert card.n_tombstones == 0
