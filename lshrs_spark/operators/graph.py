@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 __all__ = ["symmetric_edges", "degree_table", "pagerank",
            "triangle_counts", "edge_triangle_support",
            "triangle_repair_components", "dbscan_from_pairs",
-           "dbscan_kdist_curve", "silhouette_score", "silhouette_sample"]
+           "cluster_embeddings", "dbscan_kdist_curve",
+           "silhouette_score", "silhouette_sample"]
 
 
 def symmetric_edges(pairs: DataFrame) -> DataFrame:
@@ -458,6 +459,88 @@ def dbscan_from_pairs(
             .cast("long")
             .alias("cluster"),
         )
+    )
+
+
+def cluster_embeddings(
+    emb: DataFrame,
+    eps: float,
+    min_pts: int,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    method: str = "auto",
+    exact_max_rows: int = 100_000,
+    cfg=None,
+    max_bucket_size: Optional[int] = 2000,
+    round_scores: int = 5,
+    max_iterations: int = 20,
+    checkpoint_dir=None,
+    slot: str = "graph.dbscan.pairs",
+) -> DataFrame:
+    """The one-call DBSCAN workflow over an embedding table:
+    ``(id, role, cluster)`` — pair generation, density roles and the
+    core-core CC pass wired together so the dial-picking story is a
+    single pipeline: pick ``eps`` from :func:`dbscan_kdist_curve`'s
+    knee (both measure COSINE DISTANCE, ``1 - cosine``), run this,
+    grade the result with :func:`silhouette_score` (via
+    :func:`silhouette_sample` past curation size).
+
+    ``method`` picks the pair source — the one decision that changes
+    with corpus size, never the density semantics
+    (:func:`dbscan_from_pairs`'s contract):
+
+    - ``"exact"``: all-pairs cosine self-join
+      (:func:`~lshrs_spark.operators.simjoin.exact_similarity_join`)
+      — exact eps-graph, O(n²) pairs, the right tool at curation size;
+    - ``"banded"``: LSH-banded candidate generation
+      (:func:`~lshrs_spark.operators.simjoin.similarity_join`) —
+      requires ``cfg`` (an ``LSHConfig`` whose banding is tuned FOR
+      ``1 - eps``: the ``emb_dbscan_banded_agreement`` gauge measures
+      what a mistuned banding costs — r=8 reads 0.07 pair recall at
+      the 0.35 threshold where 16×4 reads 0.93), never materializes
+      the n² pair space — the 100 TB path;
+    - ``"auto"``: one id-count decides — ``exact`` at or under
+      ``exact_max_rows`` rows, else ``banded`` (raising with the
+      tuning pointer if ``cfg`` is missing).
+
+    Scores are rounded to ``round_scores`` decimals BEFORE the
+    threshold cut on both strategies (the cross-engine
+    round-before-cut pattern the oracle entries rely on)."""
+    if method not in ("auto", "exact", "banded"):
+        raise ValueError(
+            f"method must be 'auto', 'exact' or 'banded' (got {method!r})"
+        )
+    if not 0.0 < eps < 1.0:
+        raise ValueError(f"eps must be in (0, 1) (got {eps})")
+    from .simjoin import exact_similarity_join, similarity_join
+
+    threshold = 1.0 - eps
+    if method == "auto":
+        method = "exact" if emb.count() <= exact_max_rows else "banded"
+    if method == "exact":
+        pairs = exact_similarity_join(
+            emb, threshold, id_col, vector_col, round_scores=round_scores
+        )
+    else:
+        if cfg is None:
+            raise ValueError(
+                "method='banded' needs cfg: an LSHConfig whose banding "
+                "is tuned for the eps threshold (see planner."
+                "get_optimal_config and the emb_dbscan_banded_agreement "
+                "gauge — an untuned banding silently drops eps-neighbor "
+                "pairs and with them whole clusters)"
+            )
+        pairs = similarity_join(
+            emb, cfg, threshold, id_col, vector_col,
+            max_bucket_size=max_bucket_size, round_scores=round_scores,
+            cache_index=True,
+        )
+    nodes = emb.select(F.col(id_col).cast("long").alias("id"))
+    return dbscan_from_pairs(
+        pairs.select("id_a", "id_b"), nodes, min_pts,
+        max_iterations=max_iterations, checkpoint_dir=checkpoint_dir,
+        slot=slot,
     )
 
 

@@ -452,3 +452,50 @@ def test_dbscan_kdist_curve(spark):
         dbscan_kdist_curve(rand, 0)
     with pytest.raises(ValueError, match="quantiles"):
         dbscan_kdist_curve(rand, 2, quantiles=0)
+
+
+def test_cluster_embeddings_one_call_workflow(spark):
+    """The one-call DBSCAN workflow: exact and (threshold-tuned) banded
+    pair sources give the same clustering on planted blobs, 'auto'
+    routes by corpus size, and the banded path refuses without a tuned
+    cfg instead of silently dropping pairs."""
+    import numpy as np
+
+    from lshrs_spark.config import LSHConfig
+    from lshrs_spark.operators.graph import cluster_embeddings
+
+    rng = np.random.default_rng(89)
+    dirs = np.linalg.qr(rng.standard_normal((16, 3)))[0].T
+    rows = []
+    for i in range(90):
+        rows.append((i, (dirs[i % 3] + 0.03 * rng.standard_normal(16)).tolist()))
+    rows.append((900, rng.standard_normal(16).tolist()))  # noise point
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {r.id: (r.role, r.cluster) for r in cluster_embeddings(
+        emb, 0.2, 4, method="exact", slot="graph.dbscan.t1").collect()}
+    assert len({c for _, c in exact.values() if c != -1}) == 3
+    assert exact[900][0] == "noise" and exact[900][1] == -1
+    assert sum(1 for r, _ in exact.values() if r == "core") >= 80
+
+    # auto at 91 rows -> exact (same result); the tiny cap -> banded,
+    # which refuses without a cfg
+    auto = {r.id: (r.role, r.cluster) for r in cluster_embeddings(
+        emb, 0.2, 4, slot="graph.dbscan.t2").collect()}
+    assert auto == exact
+    with pytest.raises(ValueError, match="LSHConfig"):
+        cluster_embeddings(emb, 0.2, 4, exact_max_rows=10)
+
+    # a banding tuned generously for the 0.8-cosine threshold (many
+    # bands, short rows) recovers the same clustering as exact
+    cfg = LSHConfig(dim=16, num_perm=64, num_bands=32, rows_per_band=2,
+                    seed=7, dtype="float64")
+    banded = {r.id: (r.role, r.cluster) for r in cluster_embeddings(
+        emb, 0.2, 4, method="banded", cfg=cfg,
+        slot="graph.dbscan.t3").collect()}
+    assert banded == exact
+
+    with pytest.raises(ValueError, match="method"):
+        cluster_embeddings(emb, 0.2, 4, method="nope")
+    with pytest.raises(ValueError, match="eps"):
+        cluster_embeddings(emb, 1.5, 4)
