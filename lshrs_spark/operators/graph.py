@@ -552,6 +552,7 @@ def dbscan_kdist_curve(
     vector_col: str = "embedding",
     quantiles: int = 10,
     round_dp: int = 5,
+    max_nodes: Optional[int] = 10_000,
 ) -> DataFrame:
     """The k-distance plot (Ester et al. 1996 §4.2) that picks
     DBSCAN's ``eps``: per point, the cosine distance (``1 - cosine``)
@@ -572,15 +573,29 @@ def dbscan_kdist_curve(
     k-distance plot is a CURATION-TIME diagnostic drawn from a sample
     in standard practice, so past curation size pass a deterministic
     sample in (the :func:`silhouette_sample` md5-order pattern on a
-    trivial single-cluster assignment, or any hash threshold); the
-    global curve rank uses the two-stage distributed scan
+    trivial single-cluster assignment, or any hash threshold);
+    ``max_nodes`` enforces that contract exactly like
+    :func:`silhouette_score`'s guardrail (more rows than the bound
+    raises; ``None`` skips the check and its count). The global curve
+    rank uses the two-stage distributed scan
     (:func:`~lshrs_spark.operators.prefix.running_total` — no
     single-partition window), and the only driver actions are the
-    row count and the ``quantiles``-row target table."""
+    guardrail/row counts and the ``quantiles``-row target table."""
     if k < 1:
         raise ValueError(f"k must be >= 1 (got {k})")
     if quantiles < 1:
         raise ValueError(f"quantiles must be >= 1 (got {quantiles})")
+    if max_nodes is not None:
+        n_in = vectors.count()
+        if n_in > max_nodes:
+            raise ValueError(
+                f"dbscan_kdist_curve input has {n_in} rows "
+                f"(> max_nodes={max_nodes}); the k-NN stage is an n² "
+                f"self-join — draw the curve from a deterministic "
+                f"sample (silhouette_sample's md5-order pattern or a "
+                f"hash threshold), or pass max_nodes=None to force the "
+                f"exact all-pairs curve"
+            )
     from pyspark.sql import Window
 
     from ..functions.vector import cosine_similarity

@@ -452,6 +452,11 @@ def test_dbscan_kdist_curve(spark):
         dbscan_kdist_curve(rand, 0)
     with pytest.raises(ValueError, match="quantiles"):
         dbscan_kdist_curve(rand, 2, quantiles=0)
+    # same quadratic-join guardrail contract as silhouette_score
+    with pytest.raises(ValueError, match="max_nodes"):
+        dbscan_kdist_curve(rand, 2, max_nodes=10)
+    assert dbscan_kdist_curve(rand, 2, quantiles=3,
+                              max_nodes=None).count() == 3
 
 
 def test_cluster_embeddings_one_call_workflow(spark):
