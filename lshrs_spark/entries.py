@@ -3910,6 +3910,57 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bm25_store_report",
+    f"""WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+         FROM documents),
+tf AS (SELECT id, tok FROM tok GROUP BY id, tok),
+b AS (SELECT ({h48_sql("tok")} % 32) AS bucket, count(*) AS n
+      FROM tf GROUP BY 1),
+ranked AS (SELECT bucket, n,
+                  row_number() OVER (ORDER BY n ASC, bucket ASC) AS r
+           FROM b),
+base AS (SELECT sum(n) AS tot, count(*) AS p, max(n) AS mx,
+                avg(n) AS mean FROM ranked),
+g AS (SELECT sum((2 * rk.r - bb.p - 1) * rk.n) AS num
+      FROM ranked rk CROSS JOIN base bb),
+hot AS (SELECT count(*) AS nh FROM ranked rk CROSS JOIN base bb
+        WHERE rk.n > 4.0 * bb.mean),
+dl AS (SELECT id, count(*) AS dl FROM tok GROUP BY id),
+stats AS (SELECT count(*)::BIGINT AS n_docs,
+                 round(sum(dl)::DOUBLE / count(*), 5) AS avg_doc_len
+          FROM dl)
+SELECT bb.tot::BIGINT AS n_rows, bb.p::BIGINT AS n_partitions,
+       round(bb.mean, 5) AS mean_rows, bb.mx::BIGINT AS max_rows,
+       round(bb.mx / bb.mean, 5) AS max_mean_ratio,
+       round(g.num / (bb.p * bb.tot), 5) AS gini,
+       hot.nh::BIGINT AS n_hot,
+       stats.n_docs, stats.avg_doc_len,
+       32::BIGINT AS num_buckets, 0::BIGINT AS n_epochs
+FROM base bb CROSS JOIN g CROSS JOIN hot CROSS JOIN stats""",
+)
+def text_bm25_store_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keyword store's health card (:func:`~lshrs_spark.functions.
+    text.bm25_store_report`, the BM25 twin of ``ann_ivf_balance``):
+    build the bucketed postings layout (h48 % 32) and report per-bucket
+    posting balance (rank-form Gini, hot count — a hot bucket is a
+    term-hash collision hot spot every query landing there pays for),
+    the ``_stats`` corpus constants and the streamed-epoch compaction
+    debt (0 for this flat batch layout). The oracle replays the
+    tokenizer, the portable h48 bucket key, the distinct-(id, tok)
+    posting rows and the whole card arithmetic in SQL."""
+    from .functions.text import bm25_index_write, bm25_store_report
+
+    docs = _docs(spark, sf_dir)
+    # deterministic per-sf path, overwritten each run — no tempdir growth
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"lshrs_bm25_report_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    bm25_index_write(docs, path, num_buckets=32)
+    return bm25_store_report(spark, path)
+
+
+@register(
     "text_hybrid_rrf",
     f"""WITH {_BM25_SCORED_CTES},
 bR AS (SELECT doc_id AS id,
@@ -8877,6 +8928,10 @@ FAMILY: dict[str, str] = {
     # demoted round-8 (driver rows r6-r7 on file): the single-phrase
     # path is the N=1 case of the promoted shared-scan batch rep
     "text_phrase_search": "text_phrase_batch",
+    # BM25 store health card (new round-10): balance/Gini/debt stats
+    # over the same bucketed postings layout the in-window batch
+    # phrase rep builds and reads
+    "text_bm25_store_report": "text_phrase_batch",
     # demoted round-6 (r5 driver row on file): banded-embedding
     # self-dedup is the symmetric twin of the promoted cross-corpus
     # semantic decontamination representative

@@ -42,6 +42,7 @@ __all__ = [
     "bm25_index_write",
     "bm25_postings",
     "bm25_stats_row",
+    "bm25_store_report",
 ]
 
 # the tracked alphabet for char_entropy_col; everything else pools into
@@ -680,6 +681,54 @@ def bm25_index_write(
         ).parquet(f"{path}/_stats")
     finally:
         dl.unpersist()
+
+
+def bm25_store_report(spark, path: str, *, ratio: float = 4.0):
+    """One-row health card for a BM25 postings layout — the keyword
+    store's twin of :func:`~lshrs_spark.operators.knn.
+    ivf_balance_report`: ``(n_rows, n_partitions, mean_rows, max_rows,
+    max_mean_ratio, gini, n_hot, n_docs, avg_doc_len, num_buckets,
+    n_epochs)``. The balance columns come from the shared rank-form
+    card (:func:`~lshrs_spark.operators.skew.balance_stats`) over
+    per-BUCKET posting counts — a hot bucket is a term-hash collision
+    hot spot every query landing there pays for; corpus constants come
+    from the ``_stats`` sidecar (summed across stream epochs, the same
+    additive read :class:`~lshrs_spark.serving.BM25Server` does); and
+    ``n_epochs`` is the streamed-partition count
+    (:func:`~lshrs_spark.streaming.ingest.stream_bm25_ingest` adds one
+    per micro-batch) — the :func:`bm25_compact` debt signal, 0 for a
+    flat batch layout. One grouped count over the bucket column plus a
+    P-row aggregation and a driver-side directory listing bounded by
+    the epoch count — no postings payloads read."""
+    from ..operators.skew import balance_stats
+    from ..serving import _fs_and_path
+
+    counts = (
+        spark.read.parquet(path)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    card = balance_stats(counts, key_col="bucket", ratio=ratio)
+    stats = spark.read.parquet(f"{path}/_stats").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.round(F.sum("total_len") / F.sum("n_docs"), 5)
+        .alias("avg_doc_len"),
+        F.first("num_buckets").cast("long").alias("num_buckets"),
+    )
+    from pyarrow.fs import FileSelector, FileType
+
+    filesystem, root = _fs_and_path(path)
+    n_epochs = sum(
+        1
+        for info in filesystem.get_file_info(
+            FileSelector(root, allow_not_found=True)
+        )
+        if info.type == FileType.Directory
+        and info.path.rsplit("/", 1)[-1].startswith("epoch=")
+    )
+    return card.crossJoin(F.broadcast(stats)).withColumn(
+        "n_epochs", F.lit(n_epochs).cast("long")
+    )
 
 
 def bm25_compact(spark, path: str, *, num_buckets: "Optional[int]" = None) -> int:

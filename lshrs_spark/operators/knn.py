@@ -1489,7 +1489,7 @@ def ivf_balance_report(spark, store_path: str, *, ratio: float = 4.0):
     count of the (small-by-cadence) tombstone sidecar — a scheduler
     can run it every night and alert on thresholds without ever
     scanning vectors."""
-    from pyspark.sql import Window
+    from .skew import balance_stats
 
     counts = (
         spark.read.parquet(store_path)
@@ -1498,37 +1498,10 @@ def ivf_balance_report(spark, store_path: str, *, ratio: float = 4.0):
     )
     tomb = _tombstone_df(spark, store_path)
     n_tomb = int(tomb.count()) if tomb is not None else 0
-    w = Window.orderBy(F.asc("n"), F.asc("centroid_id"))
-    ranked = counts.withColumn("r", F.row_number().over(w))
-    # the global rank window and the 1-row stats broadcast are over P
-    # partition rows (bounded by the centroid count, never the corpus)
-    base = ranked.agg(
-        F.sum("n").cast("long").alias("_tot"),
-        F.count(F.lit(1)).cast("long").alias("_p"),
-        F.max("n").cast("long").alias("_max"),
-        F.avg("n").alias("_mean"),
-    )
-    return (
-        ranked.crossJoin(F.broadcast(base))
-        .agg(
-            F.first("_tot").alias("n_rows"),
-            F.first("_p").alias("n_partitions"),
-            F.round(F.first("_mean"), 5).alias("mean_rows"),
-            F.first("_max").alias("max_rows"),
-            F.round(F.first("_max") / F.first("_mean"), 5)
-            .alias("max_mean_ratio"),
-            F.round(
-                F.sum((2 * F.col("r") - F.col("_p") - 1) * F.col("n"))
-                / (F.first("_p") * F.first("_tot")),
-                5,
-            ).alias("gini"),
-            F.sum(
-                F.when(F.col("n") > F.lit(ratio) * F.col("_mean"), 1)
-                .otherwise(0)
-            ).cast("long").alias("n_hot"),
-            F.lit(n_tomb).cast("long").alias("n_tombstones"),
-        )
-    )
+    # the rank/stats machinery is the shared one-row balance card
+    # (operators.skew.balance_stats) — bounded by the centroid count
+    return balance_stats(counts, key_col="centroid_id", ratio=ratio) \
+        .withColumn("n_tombstones", F.lit(n_tomb).cast("long"))
 
 
 def ivf_maintain(

@@ -27,7 +27,61 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_aggregate", "salted_join", "skew_report"]
+__all__ = ["balance_stats", "salted_aggregate", "salted_join",
+           "skew_report"]
+
+
+def balance_stats(
+    counts: DataFrame,
+    *,
+    key_col: str,
+    n_col: str = "n",
+    ratio: float = 4.0,
+) -> DataFrame:
+    """One-row balance card over a ``(key, count)`` table — the shared
+    core of every store-health report (:func:`~lshrs_spark.operators.
+    knn.ivf_balance_report`, :func:`~lshrs_spark.functions.text.
+    bm25_store_report`): ``(n_rows, n_partitions, mean_rows, max_rows,
+    max_mean_ratio, gini, n_hot)``. ``gini`` uses the closed rank form
+    ``Σ(2r − P − 1)·nᵣ / (P·Σn)`` over counts ranked ascending with
+    key tie-breaks — exact integer numerators, SQL-replayable;
+    ``n_hot`` counts keys above ``ratio``× the mean. The rank window
+    and the 1-row stats broadcast run over P key rows (bounded by the
+    key cardinality, never the corpus — callers aggregate first)."""
+    from pyspark.sql import Window
+
+    ranked = counts.select(
+        F.col(key_col).alias("_k"), F.col(n_col).cast("long").alias("_n")
+    ).withColumn(
+        "_r",
+        F.row_number().over(Window.orderBy(F.asc("_n"), F.asc("_k"))),
+    )
+    base = ranked.agg(
+        F.sum("_n").cast("long").alias("_tot"),
+        F.count(F.lit(1)).cast("long").alias("_p"),
+        F.max("_n").cast("long").alias("_max"),
+        F.avg("_n").alias("_mean"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(base))
+        .agg(
+            F.first("_tot").alias("n_rows"),
+            F.first("_p").alias("n_partitions"),
+            F.round(F.first("_mean"), 5).alias("mean_rows"),
+            F.first("_max").alias("max_rows"),
+            F.round(F.first("_max") / F.first("_mean"), 5)
+            .alias("max_mean_ratio"),
+            F.round(
+                F.sum((2 * F.col("_r") - F.col("_p") - 1) * F.col("_n"))
+                / (F.first("_p") * F.first("_tot")),
+                5,
+            ).alias("gini"),
+            F.sum(
+                F.when(F.col("_n") > F.lit(ratio) * F.col("_mean"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_hot"),
+        )
+    )
 
 
 def _content_salt(df: DataFrame, num_salts: int,

@@ -1904,3 +1904,44 @@ def test_ivf_server_mmr_batch_matches_single(spark, ivf_store):
     batch = srv.topk_mmr_batch(qs, 6, shortlist=25, nprobe=4, lam=0.5)
     for q, got in zip(qs, batch):
         assert got == srv.topk_mmr(q, 6, shortlist=25, nprobe=4, lam=0.5)
+
+
+def test_bm25_store_report_flat_and_epoched(spark, tmp_path):
+    """The keyword store's health card: on a flat batch layout the
+    posting totals/bucket stats and corpus constants line up with the
+    store's own tables and n_epochs is 0; on a streamed epoch layout
+    (two epoch-keyed writes mirroring stream_bm25_ingest's sink) the
+    card sums the per-epoch stats rows and reports the compaction debt."""
+    from lshrs_spark.functions.text import (
+        bm25_index_write,
+        bm25_postings,
+        bm25_stats_row,
+        bm25_store_report,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma tok{i} tok{i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    flat = str(tmp_path / "flat")
+    bm25_index_write(docs, flat, num_buckets=8)
+    [card] = bm25_store_report(spark, flat).collect()
+    n_postings = spark.read.parquet(flat).count()
+    assert card.n_rows == n_postings and card.n_partitions <= 8
+    assert card.num_buckets == 8 and card.n_epochs == 0
+    assert card.n_docs == 40 and abs(card.avg_doc_len - 5.0) < 1e-9
+    assert 0.0 <= card.gini < 1.0
+
+    epoched = str(tmp_path / "epoched")
+    for ep, frame in ((0, docs.filter("doc_id < 20")),
+                      (1, docs.filter("doc_id >= 20"))):
+        postings, dl = bm25_postings(frame, 8)
+        postings.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{epoched}/epoch={ep}"
+        )
+        bm25_stats_row(dl, 8).coalesce(1).write.mode("overwrite").parquet(
+            f"{epoched}/_stats/epoch={ep}"
+        )
+    [ecard] = bm25_store_report(spark, epoched).collect()
+    assert ecard.n_epochs == 2 and ecard.n_docs == 40
+    assert ecard.num_buckets == 8
