@@ -882,3 +882,26 @@ def test_ivf_balance_report_on_truncated_store(spark, tmp_path):
     # truncated rows only — the 100-row _full sidecar must NOT double in
     assert card.n_rows == 100 and card.n_partitions == 4
     assert card.n_tombstones == 0
+
+
+def test_ivf_balance_report_on_code_store(spark, tmp_path):
+    """The health card needs only the partition column, so it applies
+    unchanged to an IVFADC code-table store (codes, no vectors)."""
+    from lshrs_spark.operators.knn import (
+        ivf_balance_report,
+        ivfpq_write_store,
+        pq_codebooks,
+    )
+
+    rng = np.random.default_rng(97)
+    vecs = rng.standard_normal((80, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cb = pq_codebooks(df, m=2, k=4, dim=16, iterations=1)
+    path = str(tmp_path / "adccard")
+    ivfpq_write_store(df, ivf_centroids_by_id(df, 4), cb, path, m=2, dim=16)
+    [card] = ivf_balance_report(spark, path).collect()
+    assert card.n_rows == 80 and card.n_partitions == 4
+    assert card.n_tombstones == 0 and 0.0 <= card.gini < 1.0
