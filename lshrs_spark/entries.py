@@ -4199,6 +4199,39 @@ def ann_truncated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mmr_steps(prefix: str, lam: float, k: int) -> list[str]:
+    """The unrolled greedy-pick CTE chain (``{prefix}p{t}`` /
+    ``{prefix}o{t}`` / ``{prefix}sel{t}``) over the SHARED ``cand`` /
+    ``pair`` CTEs, parameterized by the MMR trade-off ``lam`` —
+    distinct prefixes let one query unroll several lambda arms against
+    one shortlist (the lambda-curve gauge). ``lam`` must be exactly
+    representable (quarters are) so the literal text matches the
+    Spark side's arithmetic bit for bit."""
+    lam_s, inv_s = repr(lam), repr(1.0 - lam)
+    p = prefix
+    steps = [f"""{p}p1 AS MATERIALIZED (SELECT qid, id, obj, 1 AS rnk FROM (
+    SELECT qid, id, round({lam_s} * rel, 5) AS obj,
+           row_number() OVER (PARTITION BY qid
+               ORDER BY round({lam_s} * rel, 5) DESC, id ASC) AS r
+    FROM cand) WHERE r = 1),
+{p}sel1 AS MATERIALIZED (SELECT qid, id FROM {p}p1)"""]
+    for t in range(2, k + 1):
+        steps.append(f"""{p}o{t} AS MATERIALIZED (SELECT c.qid, c.id,
+              round({lam_s} * c.rel - {inv_s} * max(p.sim), 5) AS obj
+       FROM cand c
+       JOIN pair p ON p.qid = c.qid AND p.ia = c.id
+       JOIN {p}sel{t - 1} s ON s.qid = p.qid AND s.id = p.ib
+       WHERE NOT EXISTS (SELECT 1 FROM {p}sel{t - 1} x
+                         WHERE x.qid = c.qid AND x.id = c.id)
+       GROUP BY c.qid, c.id, c.rel),
+{p}p{t} AS MATERIALIZED (SELECT qid, id, obj, {t} AS rnk FROM (
+    SELECT qid, id, obj, row_number() OVER (PARTITION BY qid
+               ORDER BY obj DESC, id ASC) AS r FROM {p}o{t}) WHERE r = 1),
+{p}sel{t} AS MATERIALIZED (SELECT qid, id FROM {p}sel{t - 1}
+           UNION ALL SELECT qid, id FROM {p}p{t})""")
+    return steps
+
+
 def _mmr_ctes(n_queries: int = 6, shortlist: int = 20, k: int = 5) -> str:
     """Shared CTE body for the unrolled greedy-MMR oracles: recursive
     CTEs can't carry the per-step argmax cleanly across engines, but
@@ -4209,27 +4242,15 @@ def _mmr_ctes(n_queries: int = 6, shortlist: int = 20, k: int = 5) -> str:
     operator's round-before-argmax), ``sel{t}`` accumulates. ``cand``
     keeps the shortlist rank ``r`` so gauges can slice the plain
     relevance top-k from the same CTEs."""
+    return f"""{_mmr_base(n_queries, shortlist)},
+{", ".join(_mmr_steps("", 0.5, k))}"""
+
+
+def _mmr_base(n_queries: int, shortlist: int) -> str:
+    """The lambda-independent CTEs every MMR oracle shares: the
+    shortlist (``cand``, with rank ``r``) and the intra-shortlist
+    pairwise similarities (``pair``)."""
     cos_tq = cosine_sql("tv.v", "qv.q")
-    steps = [f"""p1 AS MATERIALIZED (SELECT qid, id, obj, 1 AS rnk FROM (
-    SELECT qid, id, round(0.5 * rel, 5) AS obj,
-           row_number() OVER (PARTITION BY qid
-               ORDER BY round(0.5 * rel, 5) DESC, id ASC) AS r
-    FROM cand) WHERE r = 1),
-sel1 AS MATERIALIZED (SELECT qid, id FROM p1)"""]
-    for t in range(2, k + 1):
-        steps.append(f"""o{t} AS MATERIALIZED (SELECT c.qid, c.id,
-              round(0.5 * c.rel - 0.5 * max(p.sim), 5) AS obj
-       FROM cand c
-       JOIN pair p ON p.qid = c.qid AND p.ia = c.id
-       JOIN sel{t - 1} s ON s.qid = p.qid AND s.id = p.ib
-       WHERE NOT EXISTS (SELECT 1 FROM sel{t - 1} x
-                         WHERE x.qid = c.qid AND x.id = c.id)
-       GROUP BY c.qid, c.id, c.rel),
-p{t} AS MATERIALIZED (SELECT qid, id, obj, {t} AS rnk FROM (
-    SELECT qid, id, obj, row_number() OVER (PARTITION BY qid
-               ORDER BY obj DESC, id ASC) AS r FROM o{t}) WHERE r = 1),
-sel{t} AS MATERIALIZED (SELECT qid, id FROM sel{t - 1}
-           UNION ALL SELECT qid, id FROM p{t})""")
     return f"""tv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
 qv AS (SELECT vec_id AS qid, embedding AS q FROM embeddings
        WHERE vec_id < {n_queries}),
@@ -4242,8 +4263,39 @@ pair AS MATERIALIZED (SELECT a.qid, a.id AS ia, b.id AS ib,
                 round({cosine_sql("va.v", "vb.v")}, 5) AS sim
          FROM cand a JOIN cand b ON a.qid = b.qid AND a.id <> b.id
               JOIN tv va ON va.id = a.id
-              JOIN tv vb ON vb.id = b.id),
-{", ".join(steps)}"""
+              JOIN tv vb ON vb.id = b.id)"""
+
+
+def _mmr_lambda_oracle(
+    lams=(0.25, 0.5, 0.75), n_queries: int = 6, shortlist: int = 20,
+    k: int = 5,
+) -> str:
+    """One query unrolling the greedy selection for EVERY lambda arm
+    against the shared shortlist, rolled up to (lam, intra-list sim,
+    mean relevance) per arm."""
+    arms, selects = [], []
+    for i, lam in enumerate(lams):
+        p = f"l{i}_"
+        arms.extend(_mmr_steps(p, lam, k))
+        un = " UNION ALL ".join(
+            f"SELECT qid, id FROM {p}p{t}" for t in range(1, k + 1)
+        )
+        arms.append(f"""{p}sel AS MATERIALIZED ({un}),
+{p}sim AS (SELECT avg(p.sim) AS s FROM {p}sel a
+         JOIN {p}sel b ON a.qid = b.qid AND a.id < b.id
+         JOIN pair p ON p.qid = a.qid AND p.ia = a.id AND p.ib = b.id),
+{p}rel AS (SELECT avg(c.rel) AS s FROM {p}sel m
+         JOIN cand c ON c.qid = m.qid AND c.id = m.id)""")
+        selects.append(
+            f"SELECT {repr(lam)}::DOUBLE AS lam, round({p}sim.s, 5) AS "
+            f"mmr_intralist_sim, round({p}rel.s, 5) AS mmr_rel "
+            f"FROM {p}sim CROSS JOIN {p}rel"
+        )
+    return (
+        f"WITH {_mmr_base(n_queries, shortlist)},\n"
+        + ",\n".join(arms) + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
 
 
 def _mmr_oracle(n_queries: int = 6, shortlist: int = 20, k: int = 5) -> str:
@@ -4392,6 +4444,73 @@ def ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mmr_rank"),
         F.round("mmr_score", 5).alias("mmr_score"),
     )
+
+
+@register("ann_mmr_lambda_curve", _mmr_lambda_oracle())
+def ann_mmr_lambda_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MMR trade-off CURVE — the dial sweep the single-point
+    ``ann_mmr_diversity`` gauge cannot show: for lambda in
+    {0.25, 0.5, 0.75}, run the greedy rerank over the SAME
+    20-candidate shortlists and report (lam, mean intra-list cosine,
+    mean relevance) — intra-list similarity must fall and relevance
+    rise as lambda grows, and the oracle unrolls the greedy selection
+    pick-by-pick for EVERY arm (three prefixed CTE chains over one
+    shared shortlist + pair table), so the monotone trade itself is
+    differential-tested. Quarter-valued lambdas are exactly
+    representable, keeping the blended-objective literal text
+    bit-identical across engines."""
+    from .operators.mmr import mmr_rerank
+
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q")
+    )
+    tv = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))
+    shortlist = (
+        tv.crossJoin(F.broadcast(qv))
+        .where(F.col("id") != F.col("qid"))
+        .withColumn("cos", cosine_similarity(F.col("v"), F.col("q")))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 20)
+        .select(
+            "qid", "id",
+            F.round("cos", 5).alias("rel"),
+            F.col("v").alias("vec"),
+        )
+    )
+    cand = shortlist.select("qid", "id", "rel", "vec")
+    out = None
+    for lam in (0.25, 0.5, 0.75):
+        picks = mmr_rerank(shortlist, k=5, lam=lam).select("qid", "id")
+        withv = picks.join(cand.select("qid", "id", "vec"), ["qid", "id"])
+        a, b = withv.alias("a"), withv.alias("b")
+        sim = (
+            a.join(
+                b,
+                (F.col("a.qid") == F.col("b.qid"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.round(
+                    cosine_similarity(F.col("a.vec"), F.col("b.vec")), 5
+                ).alias("sim")
+            )
+            .agg(F.avg("sim").alias("s"))
+        )
+        rel = picks.join(cand.select("qid", "id", "rel"), ["qid", "id"]) \
+            .agg(F.avg("rel").alias("s"))
+        row = sim.select(F.col("s").alias("_sim")).crossJoin(
+            rel.select(F.col("s").alias("_rel"))
+        ).select(
+            F.lit(float(lam)).alias("lam"),
+            F.round("_sim", 5).alias("mmr_intralist_sim"),
+            F.round("_rel", 5).alias("mmr_rel"),
+        )
+        out = row if out is None else out.union(row)
+    return out
 
 
 @register(
@@ -8829,6 +8948,9 @@ FAMILY: dict[str, str] = {
     # the MMR trade gauge aggregates the same shortlist + greedy picks
     # as the round-10-promoted MMR rep
     "ann_mmr_diversity": "ann_mmr_topk",
+    # the lambda dial sweep (new round-10): three greedy unrolls of the
+    # in-window rep's machinery over one shared shortlist
+    "ann_mmr_lambda_curve": "ann_mmr_topk",
     # demoted round-8 (driver rows r1-r7 on file): the single-query
     # top-p path is the 1-row special case of the batch rerank +
     # proportional-cutoff twin (itself demoted round-10 into the same
