@@ -40,6 +40,7 @@ __all__ = [
     "truncated_ivf_write_store",
     "truncated_ivf_append",
     "truncated_ivf_compact",
+    "truncated_ivf_maintain",
     "truncated_topk_stored",
     "kmeans_centroids",
     "recall_at_k",
@@ -802,6 +803,63 @@ def truncated_ivf_compact(
     )
     swap_via_rename(fs, dst, tmp_p, old, label="truncated_ivf_compact")
     return n
+
+
+def truncated_ivf_maintain(
+    spark,
+    store_path: str,
+    *,
+    ratio: float = 4.0,
+    max_splits: int = 2,
+    n_splits: int = 2,
+    compact_min_full_files: Optional[int] = None,
+    full_files: int = 8,
+    full_row_group_bytes: int = 1 << 16,
+) -> dict:
+    """The matryoshka store's nightly unit — :func:`ivf_maintain` for
+    the truncated tree (the tree IS an IVF store at coarse width, so
+    hot-centroid detection and the split compose unchanged) plus the
+    tier's OTHER maintenance debt: :func:`truncated_ivf_append` leaves
+    one ``full_files``-file segment in the ``_full`` sidecar per batch,
+    and once the data-file count passes ``compact_min_full_files`` the
+    whole layout is folded by :func:`truncated_ivf_compact` (which
+    copies centroids verbatim — a split executed moments earlier
+    survives the fold; splits therefore run FIRST so the fold
+    co-locates their rewritten partitions too). Returns the action log
+    ``{"splits": [...], "full_files": n | None, "compacted_rows":
+    n | None}`` — all ``[]``/``None`` on a healthy store, so a
+    scheduler runs it unconditionally and alerts on activity.
+    ``compact_min_full_files=None`` (default) never auto-compacts.
+    Single-writer contract, same as every piece it composes."""
+    actions: dict = {
+        "splits": ivf_maintain(
+            spark, store_path, ratio=ratio, max_splits=max_splits,
+            n_splits=n_splits,
+        ),
+        "full_files": None,
+        "compacted_rows": None,
+    }
+    if compact_min_full_files is not None:
+        from pyarrow.fs import FileSelector, FileType
+
+        from ..serving import _fs_and_path
+
+        filesystem, root = _fs_and_path(store_path)
+        n_files = sum(
+            1
+            for f in filesystem.get_file_info(
+                FileSelector(f"{root}/_full", allow_not_found=True)
+            )
+            if f.type == FileType.File
+            and not f.path.rsplit("/", 1)[-1].startswith((".", "_"))
+        )
+        actions["full_files"] = n_files
+        if n_files > int(compact_min_full_files):
+            actions["compacted_rows"] = truncated_ivf_compact(
+                spark, store_path, full_files=full_files,
+                full_row_group_bytes=full_row_group_bytes,
+            )
+    return actions
 
 
 def truncated_topk_stored(

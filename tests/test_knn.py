@@ -905,3 +905,67 @@ def test_ivf_balance_report_on_code_store(spark, tmp_path):
     [card] = ivf_balance_report(spark, path).collect()
     assert card.n_rows == 80 and card.n_partitions == 4
     assert card.n_tombstones == 0 and 0.0 <= card.gini < 1.0
+
+
+def test_truncated_ivf_maintain_splits_then_folds(spark, tmp_path):
+    """The matryoshka nightly unit: one call splits the planted hot
+    coarse partition AND folds the append-accumulated _full segments,
+    with served rankings identical before and after (compaction copies
+    centroids verbatim, so the split survives the fold)."""
+    import os
+
+    from lshrs_spark.operators.knn import (
+        truncated_ivf_append,
+        truncated_ivf_maintain,
+        truncated_ivf_write_store,
+    )
+    from lshrs_spark.serving import TruncatedIVFServer
+
+    rng = np.random.default_rng(101)
+    d = 24
+    dirs = np.linalg.qr(rng.standard_normal((d, 3)))[0].T
+    rows = [dirs[i] for i in range(3)]
+    rows += [dirs[0] + 0.05 * rng.standard_normal(d) for _ in range(87)]
+    rows += [dirs[1 + i % 2] + 0.05 * rng.standard_normal(d)
+             for i in range(30)]
+    vecs = np.asarray(rows, np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "tmaint")
+    truncated_ivf_write_store(df.filter("vec_id < 60"), 3, 8, path)
+    truncated_ivf_append(df.filter("vec_id >= 60 and vec_id < 90"), path)
+    truncated_ivf_append(df.filter("vec_id >= 90"), path)
+
+    def full_files():
+        return len([f for f in os.listdir(os.path.join(path, "_full"))
+                    if f.endswith(".parquet")])
+
+    assert full_files() > 8  # two appended segments on top of the base
+
+    srv = TruncatedIVFServer.from_store(path)
+    q = (dirs[0] + 0.03 * rng.standard_normal(d)).astype(np.float32)
+    pre = srv.topk(q, 10, nprobe=3)  # every partition -> exact
+
+    log = truncated_ivf_maintain(
+        spark, path, ratio=2.0, max_splits=1, n_splits=2,
+        compact_min_full_files=8,
+    )
+    assert [a["centroid_id"] for a in log["splits"]] == [0]
+    assert log["full_files"] > 8 and log["compacted_rows"] == 120
+    assert full_files() <= 8  # folded back to one canonical segment
+
+    srv.refresh()
+    sizes = {r.centroid_id: r["count"] for r in
+             spark.read.parquet(path).groupBy("centroid_id").count().collect()}
+    assert 0 not in sizes and len(sizes) == 4  # split survived the fold
+    post = srv.topk(q, 10, nprobe=4)  # every partition -> exact
+    assert [(i, r) for i, _, r in pre] == [(i, r) for i, _, r in post]
+
+    # healthy store: second pass is a no-op on every axis
+    log2 = truncated_ivf_maintain(
+        spark, path, ratio=4.0, max_splits=1, compact_min_full_files=8,
+    )
+    assert log2["splits"] == [] and log2["compacted_rows"] is None
+    assert log2["full_files"] <= 8
