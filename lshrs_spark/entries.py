@@ -49,6 +49,17 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def _sf_tmp_path(prefix: str, sf_dir: str) -> str:
+    """Deterministic per-sf scratch path for entries that materialize a
+    store: the same (prefix, sf) always maps to the same directory,
+    overwritten each run — no tempdir growth across runs (ADVICE r9
+    flagged the mkdtemp-per-invocation leak this replaces)."""
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"{prefix}_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -1942,10 +1953,7 @@ def lsh_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh.index_dataframe(emb)
     # deterministic per-sf path (overwrite semantics) — mkdtemp would
     # leave a fresh corpus-sized directory behind on every invocation
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"lshrs_persist_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    path = _sf_tmp_path("lshrs_persist", sf_dir)
     lsh.save_to_disk(path)
     reloaded = LSHRS.load_from_disk(spark, path)
     return reloaded.index_df.select("id", "band", "sig")
@@ -3309,10 +3317,7 @@ def ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     cents = ivf_centroids_by_id(emb, 16)
     # deterministic per-sf path, overwritten each run — no tempdir growth
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"lshrs_ivf_store_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    path = _sf_tmp_path("lshrs_ivf_store", sf_dir)
     ivf_write_store(emb, cents, path)
     queries = emb.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
@@ -3952,10 +3957,7 @@ def text_bm25_store_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     # deterministic per-sf path, overwritten each run — no tempdir growth
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"lshrs_bm25_report_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    path = _sf_tmp_path("lshrs_bm25_report", sf_dir)
     bm25_index_write(docs, path, num_buckets=32)
     return bm25_store_report(spark, path)
 
@@ -4277,14 +4279,12 @@ def _mmr_lambda_oracle(
     for i, lam in enumerate(lams):
         p = f"l{i}_"
         arms.extend(_mmr_steps(p, lam, k))
-        un = " UNION ALL ".join(
-            f"SELECT qid, id FROM {p}p{t}" for t in range(1, k + 1)
-        )
-        arms.append(f"""{p}sel AS MATERIALIZED ({un}),
-{p}sim AS (SELECT avg(p.sim) AS s FROM {p}sel a
-         JOIN {p}sel b ON a.qid = b.qid AND a.id < b.id
+        # {p}sel{k} already accumulates every pick — no second union
+        sel = f"{p}sel{k}"
+        arms.append(f"""{p}sim AS (SELECT avg(p.sim) AS s FROM {sel} a
+         JOIN {sel} b ON a.qid = b.qid AND a.id < b.id
          JOIN pair p ON p.qid = a.qid AND p.ia = a.id AND p.ib = b.id),
-{p}rel AS (SELECT avg(c.rel) AS s FROM {p}sel m
+{p}rel AS (SELECT avg(c.rel) AS s FROM {sel} m
          JOIN cand c ON c.qid = m.qid AND c.id = m.id)""")
         selects.append(
             f"SELECT {repr(lam)}::DOUBLE AS lam, round({p}sim.s, 5) AS "
@@ -4640,10 +4640,7 @@ def ann_truncated_append_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.filter(F.col("vec_id") < 100)
     batch = emb.filter(F.col("vec_id") >= 100)
     # deterministic per-sf path, overwritten each run — no tempdir growth
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"lshrs_trunc_append_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    path = _sf_tmp_path("lshrs_trunc_append", sf_dir)
     truncated_ivf_write_store(base, 16, 16, path)
     truncated_ivf_append(batch, path)
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -4750,10 +4747,7 @@ def ann_ivf_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic per-sf path, overwritten each run (the writer's
     # mode="overwrite" wipes any prior run's split layout) — no tempdir
     # growth (ADVICE r9; same pattern as ann_truncated_append_stored)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"lshrs_split_entry_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    path = _sf_tmp_path("lshrs_split_entry", sf_dir)
     ivf_write_store(emb, ivf_centroids_by_id(emb, 8), path)
     hot = ivf_hot_centroids(spark, path, ratio=0.0)  # largest first
     ivf_split_centroid(spark, path, hot[0][0], n_splits=3)
@@ -4829,10 +4823,7 @@ def ann_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     # deterministic per-sf path, overwritten each run — no tempdir growth
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"lshrs_maintain_entry_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    path = _sf_tmp_path("lshrs_maintain_entry", sf_dir)
     ivf_write_store(emb, ivf_centroids_by_id(emb, 8), path)
     log = ivf_maintain(spark, path, ratio=0.0, max_splits=2, n_splits=3)
     if len(log) != 2:  # not assert: must survive python -O
@@ -4890,10 +4881,7 @@ def ann_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     # deterministic per-sf path, overwritten each run — no tempdir growth
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"lshrs_balance_entry_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    path = _sf_tmp_path("lshrs_balance_entry", sf_dir)
     ivf_write_store(emb, ivf_centroids_by_id(emb, 8), path)
     ivf_delete(path, [11, 12, 13])
     return ivf_balance_report(spark, path, ratio=2.0)
@@ -4948,10 +4936,7 @@ def ann_ivf_append_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.filter(F.col("vec_id") < 100)
     batch = emb.filter(F.col("vec_id") >= 100)
     # deterministic per-sf path, overwritten each run — no tempdir growth
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"lshrs_ivf_append_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    path = _sf_tmp_path("lshrs_ivf_append", sf_dir)
     ivf_write_store(base, ivf_centroids_by_id(base, 8), path)
     ivf_append(batch, path)
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -7066,10 +7051,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     cents = ivf_centroids_by_id(emb, 16)
     cb = pq_codebooks(emb, m=4, k=8, dim=64, iterations=1)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"lshrs_ivfpq_store_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    path = _sf_tmp_path("lshrs_ivfpq_store", sf_dir)
     ivfpq_write_store(emb, cents, cb, path, m=4, dim=64)
     qv = [float(x) for x in
           emb.filter(F.col("vec_id") == 0).first().embedding]
@@ -7104,10 +7086,7 @@ def ann_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     cents = ivf_centroids_by_id(emb, 16)
     cb = pq_codebooks(emb, m=4, k=8, dim=64, iterations=1)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"lshrs_ivfpq_store_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    path = _sf_tmp_path("lshrs_ivfpq_store", sf_dir)
     ivfpq_write_store(emb, cents, cb, path, m=4, dim=64)
     qv = [float(x) for x in
           emb.filter(F.col("vec_id") == 0).first().embedding]
@@ -7520,9 +7499,14 @@ def emb_dbscan_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b"
     )
     asgn = dbscan_from_pairs(xp, nodes, 3, slot="graph.dbscan.sil")
+    # max_nodes=None: the entry's input is the embeddings table itself
+    # (corpus-bounded by construction), so skip the guardrail count —
+    # it would re-execute the whole DBSCAN chain once extra AND trip
+    # the 10k default at larger scale factors (the guardrail is for
+    # unbounded user inputs; it has its own pytest)
     return silhouette_score(
         asgn.select("id", "cluster"), emb, id_col="vec_id",
-        vector_col="embedding",
+        vector_col="embedding", max_nodes=None,
     )
 
 
@@ -7624,8 +7608,12 @@ def emb_silhouette_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     asgn = dbscan_from_pairs(xp, nodes, 3, slot="graph.dbscan.silsamp")
     samp = silhouette_sample(asgn.select("id", "cluster"), 8)
+    # max_nodes=None: the sample is bounded by clusters x 8 per the cap
+    # just applied — the guardrail count would only re-run the DBSCAN
+    # chain once extra (it has its own pytest)
     return silhouette_score(
-        samp, emb, id_col="vec_id", vector_col="embedding"
+        samp, emb, id_col="vec_id", vector_col="embedding",
+        max_nodes=None,
     )
 
 

@@ -840,19 +840,10 @@ def truncated_ivf_maintain(
         "compacted_rows": None,
     }
     if compact_min_full_files is not None:
-        from pyarrow.fs import FileSelector, FileType
-
         from ..serving import _fs_and_path
 
         filesystem, root = _fs_and_path(store_path)
-        n_files = sum(
-            1
-            for f in filesystem.get_file_info(
-                FileSelector(f"{root}/_full", allow_not_found=True)
-            )
-            if f.type == FileType.File
-            and not f.path.rsplit("/", 1)[-1].startswith((".", "_"))
-        )
+        n_files = _data_file_count(filesystem, f"{root}/_full")
         actions["full_files"] = n_files
         if n_files > int(compact_min_full_files):
             actions["compacted_rows"] = truncated_ivf_compact(
@@ -1203,16 +1194,21 @@ def ivf_compact(spark, store_path: str, *, min_files: int | None = None) -> None
     Scale shape: only partitions that actually CONTAIN a tombstoned id
     (or exceed ``min_files``) are rewritten (tombstone discovery via an
     id-pushed scan — parquet row-group stats skip clean partitions);
-    each affected ``centroid_id=N`` directory is rewritten to a temp
-    sibling and swapped in, so an untimely failure leaves either the
-    old tombstone-consistent state or the new compacted state, never a
-    half-rewritten partition visible without its tombstones. File ops
-    go through pyarrow.fs — works for object-store URIs. No-op when
-    the sidecar is absent/empty and no partition is over the file
+    each affected ``centroid_id=N`` directory is swapped via a
+    per-partition ASIDE rename (live dir moved aside, rewritten copy
+    moved in, aside deleted — either the live directory or its
+    complete pre-compact copy exists at every instant, and
+    ``_heal_compact_aside`` restores a crashed swap at the start of
+    the next call), so an untimely failure leaves either the old
+    tombstone-consistent state or the new compacted state, never a
+    lost or half-rewritten partition. File ops go through pyarrow.fs —
+    works for object-store URIs. No-op (beyond healing) when the
+    sidecar is absent/empty and no partition is over the file
     bound."""
     from ..serving import _fs_and_path
 
     filesystem, root = _fs_and_path(store_path)
+    _heal_compact_aside(filesystem, root)
 
     def _rm_dir(path: str) -> None:
         try:
@@ -1239,9 +1235,53 @@ def ivf_compact(spark, store_path: str, *, min_files: int | None = None) -> None
     _rm_dir(f"{root}/_deleted")
 
 
+def _heal_compact_aside(filesystem, root: str) -> None:
+    """Crash healing for :func:`ivf_compact`'s per-partition aside
+    swap: a run that died between moving ``centroid_id=N`` aside and
+    moving its rewritten copy in leaves a complete
+    ``_compact_aside_<uuid>_N`` directory — restore it if the live
+    directory is missing, drop it otherwise; dead ``_compact_tmp_*``
+    trees from crashed runs are swept too (single-writer contract, so
+    any such tree belongs to a dead run). Idempotent; runs at the top
+    of every compact."""
+    from pyarrow.fs import FileSelector, FileType
+
+    for info in filesystem.get_file_info(
+        FileSelector(root, allow_not_found=True)
+    ):
+        name = info.path.rsplit("/", 1)[-1]
+        if name.startswith("_compact_aside_"):
+            cid = name.rsplit("_", 1)[-1]
+            final = f"{root}/centroid_id={cid}"
+            if filesystem.get_file_info(final).type == FileType.NotFound:
+                filesystem.move(info.path, final)
+            else:
+                filesystem.delete_dir(info.path)
+        elif name.startswith("_compact_tmp_"):
+            filesystem.delete_dir(info.path)
+
+
+def _data_file_count(filesystem, path: str) -> int:
+    """Data files directly under ``path`` — hidden names excluded:
+    Hadoop's local-fs committer leaves ``.<name>.crc`` checksum
+    siblings next to every parquet file (and ``_``-prefixed markers),
+    which would double the apparent count and make freshly folded
+    directories look over their file bound again."""
+    from pyarrow.fs import FileSelector, FileType
+
+    return sum(
+        1
+        for f in filesystem.get_file_info(
+            FileSelector(path, allow_not_found=True)
+        )
+        if f.type == FileType.File
+        and not f.path.rsplit("/", 1)[-1].startswith((".", "_"))
+    )
+
+
 def _fat_partitions(filesystem, root: str, min_files: int) -> list[int]:
     """Centroid ids of partitions holding more than ``min_files``
-    parquet files — a driver-side directory listing, bounded by the
+    data files — a driver-side directory listing, bounded by the
     partition count (never the corpus)."""
     from pyarrow.fs import FileSelector, FileType
 
@@ -1251,16 +1291,7 @@ def _fat_partitions(filesystem, root: str, min_files: int) -> list[int]:
     ):
         name = info.path.rsplit("/", 1)[-1]
         if info.type == FileType.Directory and name.startswith("centroid_id="):
-            n = sum(
-                1
-                for f in filesystem.get_file_info(FileSelector(info.path))
-                # count data files only: Hadoop's local-fs committer
-                # leaves .<name>.crc checksum siblings next to every
-                # parquet file, which would double the apparent count
-                if f.type == FileType.File
-                and not f.path.rsplit("/", 1)[-1].startswith((".", "_"))
-            )
-            if n > min_files:
+            if _data_file_count(filesystem, info.path) > min_files:
                 out.append(int(name.split("=", 1)[1]))
     return sorted(out)
 
@@ -1308,10 +1339,25 @@ def _ivf_compact_body(spark, store_path, tomb, filesystem, root, _rm_dir,
         for cid in affected:
             final = f"{root}/centroid_id={cid}"
             rewritten = f"{tmp_root}/centroid_id={cid}"
-            filesystem.delete_dir(final)
-            if filesystem.get_file_info(rewritten).type != FileType.NotFound:
-                filesystem.move(rewritten, final)
-            # else: every row in the partition was tombstoned — it is gone
+            if filesystem.get_file_info(rewritten).type == FileType.NotFound:
+                # every row in the partition was tombstoned — it is gone
+                filesystem.delete_dir(final)
+                continue
+            # aside swap, never delete-then-move: a crash between a
+            # delete and the move would lose the partition outright
+            # (the min_files fold routes HEALTHY partitions through
+            # here on a routine cadence); with the aside, either the
+            # live dir or its complete pre-compact copy exists at every
+            # instant and _heal_compact_aside restores it on the next
+            # call. The restored copy predates tombstone application,
+            # which stays correct because the _deleted sidecar is only
+            # cleared after every swap completed.
+            aside = f"{root}/_compact_aside_{_uuid.uuid4().hex}_{cid}"
+            if filesystem.get_file_info(final).type != FileType.NotFound:
+                filesystem.move(final, aside)
+            filesystem.move(rewritten, final)
+            if filesystem.get_file_info(aside).type != FileType.NotFound:
+                filesystem.delete_dir(aside)
         _rm_dir(tmp_root)
 
 
@@ -1340,6 +1386,42 @@ def _heal_centroids_aside(filesystem, root: str) -> None:
         elif name.startswith("_centroids_stage_"):
             # staged tables are moved in before their aside is deleted,
             # so any stage still named this way belongs to a dead run
+            filesystem.delete_dir(info.path)
+
+
+def _heal_unlisted_partitions(filesystem, root: str) -> None:
+    """Delete ``centroid_id=N`` directories absent from the
+    ``_centroids`` sidecar — the residue of a split that crashed
+    around its sidecar swap. Safe under the single-writer contract:
+    an unlisted directory is never probed, and its rows either still
+    live in the pre-crash partition (crash before the swap) or are
+    the retired pre-split copy (crash after). Without this sweep,
+    :func:`ivf_maintain`'s hot detection double-counts the duplicated
+    rows and can spend its split budget on phantom ids. No-op when the
+    sidecar itself is missing (a layout written with
+    ``store_centroids=False`` has nothing to reconcile against)."""
+    import pyarrow.dataset as pads
+    from pyarrow.fs import FileSelector, FileType
+
+    side = f"{root}/_centroids"
+    if filesystem.get_file_info(side).type == FileType.NotFound:
+        return
+    listed = set(
+        int(c)
+        for c in pads.dataset(side, format="parquet", filesystem=filesystem)
+        .to_table(columns=["centroid_id"])
+        .column("centroid_id")
+        .to_pylist()
+    )
+    for info in filesystem.get_file_info(
+        FileSelector(root, allow_not_found=True)
+    ):
+        name = info.path.rsplit("/", 1)[-1]
+        if (
+            info.type == FileType.Directory
+            and name.startswith("centroid_id=")
+            and int(name.split("=", 1)[1]) not in listed
+        ):
             filesystem.delete_dir(info.path)
 
 
@@ -1581,14 +1663,25 @@ def ivf_maintain(
 
     Detection runs ONCE against the pre-split layout (splitting lowers
     the mean, so re-detecting between splits would chase a moving
-    threshold); each split rewrites exactly one partition with the
-    crash-safe sequencing documented on :func:`ivf_split_centroid`,
-    including the aside-swap healing — so a maintain run that finds a
-    half-crashed store repairs it as a side effect of the first split.
+    threshold) and only AFTER healing: a sidecar aside left by a
+    crashed swap is restored and unlisted duplicate partition dirs are
+    swept first, so detection never double-counts crash residue or
+    ranks phantom ids; each split then rewrites exactly one partition
+    with the crash-safe sequencing documented on
+    :func:`ivf_split_centroid`.
     A live server keeps serving throughout and picks the new layout up
     at its next ``refresh()``."""
     if max_splits < 1:
         raise ValueError(f"max_splits must be >= 1 (got {max_splits})")
+    from ..serving import _fs_and_path
+
+    # heal BEFORE detecting: a split that crashed around its sidecar
+    # swap leaves the sidecar aside and/or duplicated unlisted
+    # partition dirs, and detection over the double-counted rows would
+    # rank phantom ids and spend the split budget on no-op splits
+    filesystem, root = _fs_and_path(store_path)
+    _heal_centroids_aside(filesystem, root)
+    _heal_unlisted_partitions(filesystem, root)
     actions: list[dict] = []
     for cid, rows in ivf_hot_centroids(spark, store_path, ratio=ratio)[
         : int(max_splits)

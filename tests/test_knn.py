@@ -969,3 +969,75 @@ def test_truncated_ivf_maintain_splits_then_folds(spark, tmp_path):
     )
     assert log2["splits"] == [] and log2["compacted_rows"] is None
     assert log2["full_files"] <= 8
+
+
+def test_ivf_compact_aside_healing(spark, tmp_path):
+    """The compact swap is now a per-partition aside rename: a crash
+    between the renames (live dir missing, complete aside on disk) is
+    healed at the start of the next compact, dead _compact_tmp trees
+    are swept, and a stale aside next to a live dir is dropped without
+    touching it — a partition can no longer be lost outright."""
+    import os
+
+    from lshrs_spark.operators.knn import ivf_compact, ivf_write_store
+
+    rng = np.random.default_rng(103)
+    vecs = rng.standard_normal((60, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "chealing")
+    ivf_write_store(df, ivf_centroids_by_id(df, 3), path)
+
+    # crash window: partition 0 moved aside, a dead tmp tree left
+    os.rename(os.path.join(path, "centroid_id=0"),
+              os.path.join(path, "_compact_aside_dead_0"))
+    os.makedirs(os.path.join(path, "_compact_tmp_dead"))
+    ivf_compact(spark, path)  # healing runs even with nothing to fold
+    assert os.path.isdir(os.path.join(path, "centroid_id=0"))
+    assert not any(n.startswith(("_compact_aside_", "_compact_tmp_"))
+                   for n in os.listdir(path))
+    assert spark.read.parquet(path).count() == 60
+
+    # stale aside beside a LIVE partition: swept, live kept
+    os.makedirs(os.path.join(path, "_compact_aside_stale_1"))
+    ivf_compact(spark, path, min_files=1000)  # no-op fold
+    assert not os.path.exists(os.path.join(path, "_compact_aside_stale_1"))
+    assert spark.read.parquet(path).count() == 60
+
+
+def test_ivf_maintain_heals_orphans_before_detection(spark, tmp_path):
+    """A split that crashed around its sidecar swap leaves duplicated
+    partition dirs the sidecar doesn't list; maintain must sweep them
+    BEFORE detecting, or it ranks phantom ids and burns its split
+    budget on no-op splits."""
+    import os
+    import shutil
+
+    from lshrs_spark.operators.knn import ivf_maintain, ivf_write_store
+
+    rng = np.random.default_rng(107)
+    d = 8
+    dirs = np.linalg.qr(rng.standard_normal((d, 3)))[0].T
+    rows = [dirs[i] for i in range(3)]
+    rows += [dirs[0] + 0.05 * rng.standard_normal(d) for _ in range(60)]
+    rows += [dirs[1 + i % 2] + 0.05 * rng.standard_normal(d)
+             for i in range(12)]
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in
+         enumerate(np.asarray(rows, np.float32))],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "orphaned")
+    ivf_write_store(df, ivf_centroids_by_id(df, 3), path)
+    # orphan = a full copy of the HOTTEST partition at an unlisted id —
+    # naive detection would rank it first and no-op on it
+    shutil.copytree(os.path.join(path, "centroid_id=0"),
+                    os.path.join(path, "centroid_id=99"))
+
+    log = ivf_maintain(spark, path, ratio=0.0, max_splits=1, n_splits=2)
+    assert not os.path.exists(os.path.join(path, "centroid_id=99"))
+    assert len(log) == 1 and log[0]["centroid_id"] == 0
+    assert log[0]["new_ids"] == [3, 4]
+    assert spark.read.parquet(path).count() == 75  # orphan rows gone
