@@ -7550,6 +7550,82 @@ def emb_dbscan_kdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dbscan_kdist_curve(emb, 4, quantiles=10)
 
 
+def _dbscan_minpts_oracle(arms=(2, 3, 5)) -> str:
+    """The min_pts dial sweep: one shared eps-pair CTE, one prefixed
+    role chain per arm (``_dbscan_role_ctes`` already takes a prefix),
+    one census row per arm."""
+    chains, selects = [], []
+    for m in arms:
+        p = f"m{m}_"
+        chains.append(_dbscan_role_ctes(p, "sp", m))
+        selects.append(f"""SELECT {m}::BIGINT AS min_pts,
+  (SELECT count(*) FROM {p}roles WHERE role = 'core')::BIGINT AS n_core,
+  (SELECT count(*) FROM {p}roles WHERE role = 'border')::BIGINT AS n_border,
+  (SELECT count(*) FROM {p}roles WHERE role = 'noise')::BIGINT AS n_noise,
+  (SELECT count(DISTINCT coalesce(c.component, b.bc)) FROM tv t
+     LEFT JOIN {p}comp c ON c.id = t.id
+     LEFT JOIN {p}border b ON b.id = t.id
+     WHERE coalesce(c.component, b.bc) IS NOT NULL)::BIGINT AS n_clusters""")
+    chain_sql = ",\n".join(chains)
+    select_sql = "\nUNION ALL\n".join(selects)
+    return f"""WITH RECURSIVE
+tv AS MATERIALIZED (SELECT vec_id AS id, embedding AS v FROM embeddings),
+sp AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib
+      FROM tv a JOIN tv b ON a.id < b.id
+      WHERE round({cosine_sql("a.v", "b.v")}, 5) >= 0.35),
+{chain_sql}
+{select_sql}
+ORDER BY min_pts"""
+
+
+@register("emb_dbscan_minpts_curve", _dbscan_minpts_oracle())
+def emb_dbscan_minpts_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER DBSCAN dial's sweep — ``emb_dbscan_kdist`` picks eps,
+    this picks ``min_pts``: for min_pts in {2, 3, 5} over the SAME
+    eps-pair graph, the role census ``(min_pts, n_core, n_border,
+    n_noise, n_clusters)`` — cores can only shrink and noise only grow
+    as min_pts rises, and the cluster count traces
+    fragmentation-then-collapse, which is exactly the curve a curation
+    run reads to choose the dial. The pair graph is generated ONCE per
+    arm's slot from the same exact join (at scale the banded generator
+    slots in unchanged); the oracle instantiates the full role chain
+    (degree, core rule, recursive core reachability, border attach)
+    per arm against one shared pair CTE."""
+    from .cache import materialize_slot
+    from .operators.graph import dbscan_from_pairs
+
+    emb = _emb(spark, sf_dir)
+    nodes = emb.select(F.col("vec_id").cast("long").alias("id"))
+    # materialize the (shared) eps-pair join ONCE — each arm's
+    # dbscan_from_pairs re-materializes its input to its own slot, and
+    # without this it would recompute the exact self-join per arm
+    xp = materialize_slot(
+        exact_similarity_join(emb, 0.35, round_scores=5).select(
+            "id_a", "id_b"
+        ),
+        "graph.dbscan.mp_pairs",
+    )
+    out = None
+    for m in (2, 3, 5):
+        asgn = dbscan_from_pairs(
+            xp, nodes, m, slot=f"graph.dbscan.mp{m}"
+        )
+        row = asgn.agg(
+            F.sum((F.col("role") == "core").cast("long")).alias("n_core"),
+            F.sum((F.col("role") == "border").cast("long"))
+            .alias("n_border"),
+            F.sum((F.col("role") == "noise").cast("long")).alias("n_noise"),
+            F.countDistinct(
+                F.when(F.col("cluster") != -1, F.col("cluster"))
+            ).cast("long").alias("n_clusters"),
+        ).select(
+            F.lit(m).cast("long").alias("min_pts"),
+            "n_core", "n_border", "n_noise", "n_clusters",
+        )
+        out = row if out is None else out.union(row)
+    return out
+
+
 @register(
     "emb_silhouette_sampled",
     f"""WITH RECURSIVE
@@ -8866,6 +8942,9 @@ FAMILY: dict[str, str] = {
     # per-cluster-capped silhouette (new round-10): the sampled scale
     # path of the silhouette gauge over the same DBSCAN assignment
     "emb_silhouette_sampled": "emb_dbscan_clusters",
+    # min_pts dial sweep (new round-10): role census per arm over the
+    # same pair graph / role machinery as the in-window density rep
+    "emb_dbscan_minpts_curve": "emb_dbscan_clusters",
     # demoted round-10 (driver rows r1-r9 on file, VERDICT r9 #1): the
     # clustering-family hard row moves to the promoted density rep,
     # which clusters the same embeddings (cosine geometry,
