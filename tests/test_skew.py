@@ -135,3 +135,41 @@ def test_right_size_shuffle_floor_and_scale(spark):
     assert big >= floor
     with pytest.raises(ValueError):
         right_size_shuffle(docs, target_partition_mb=0)
+
+
+def test_balance_stats_gini_properties(spark):
+    """The shared store-health Gini against an independent numpy
+    reference: exact match on random count tables, 0 for perfectly
+    balanced or single-key tables, near (P-1)/P under extreme skew,
+    and invariant to relabeling the keys."""
+    import numpy as np
+
+    from lshrs_spark.operators.skew import balance_stats
+
+    def np_gini(counts):
+        x = np.sort(np.asarray(counts, dtype=np.float64))
+        n = len(x)
+        r = np.arange(1, n + 1)
+        return float(((2 * r - n - 1) * x).sum() / (n * x.sum()))
+
+    def card(pairs):
+        df = spark.createDataFrame(pairs, "k long, n long")
+        return balance_stats(df, key_col="k").collect()[0]
+
+    rng = np.random.default_rng(113)
+    for _ in range(3):
+        counts = rng.integers(1, 1000, size=12).tolist()
+        row = card(list(enumerate(counts)))
+        assert abs(row.gini - round(np_gini(counts), 5)) < 1e-9
+        assert row.n_rows == sum(counts) and row.max_rows == max(counts)
+
+    assert card([(i, 7) for i in range(5)]).gini == 0.0   # balanced
+    assert card([(0, 42)]).gini == 0.0                    # single key
+    skew = card([(0, 10_000)] + [(i, 1) for i in range(1, 10)])
+    assert abs(skew.gini - 0.9) < 0.01                    # ~ (P-1)/P
+    assert skew.n_hot == 1 and skew.max_mean_ratio > 9.0
+
+    # relabeling keys never changes the distribution stats
+    a = card([(1, 5), (2, 50), (3, 500)])
+    b = card([(9, 5), (7, 50), (5, 500)])
+    assert (a.gini, a.n_rows, a.max_rows) == (b.gini, b.n_rows, b.max_rows)
