@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
 import tempfile
 from typing import Callable
 
@@ -49,13 +50,39 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def _scratch_root() -> str:
+    """Per-PROCESS scratch root for entry-materialized stores (ADVICE
+    r10): a path keyed only by (prefix, sf) in the shared tempdir let
+    two concurrent harness runs (pytest-xdist, two sessions on one
+    host) overwrite each other's stores mid-entry. Each process now
+    writes under ``lshrs_spark_scratch/pid_<pid>``; on first use the
+    process sweeps sibling ``pid_*`` dirs whose owner is dead, so the
+    ADVICE-r9 property (no unbounded tempdir growth across runs) is
+    kept without reintroducing the cross-process race."""
+    base = os.path.join(tempfile.gettempdir(), "lshrs_spark_scratch")
+    mine = os.path.join(base, f"pid_{os.getpid()}")
+    if not os.path.isdir(mine):
+        os.makedirs(mine, exist_ok=True)
+        for name in os.listdir(base):
+            if not name.startswith("pid_") or name == f"pid_{os.getpid()}":
+                continue
+            try:
+                os.kill(int(name[4:]), 0)  # signal 0: liveness probe only
+            except (ProcessLookupError, ValueError):
+                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+            except PermissionError:
+                pass  # alive under another uid — leave it alone
+    return mine
+
+
 def _sf_tmp_path(prefix: str, sf_dir: str) -> str:
-    """Deterministic per-sf scratch path for entries that materialize a
-    store: the same (prefix, sf) always maps to the same directory,
-    overwritten each run — no tempdir growth across runs (ADVICE r9
-    flagged the mkdtemp-per-invocation leak this replaces)."""
+    """Deterministic per-(process, sf) scratch path for entries that
+    materialize a store: the same (prefix, sf) maps to the same
+    directory WITHIN a process (overwritten each run — no growth
+    across runs, ADVICE r9), and processes never share paths
+    (ADVICE r10, see :func:`_scratch_root`)."""
     return os.path.join(
-        tempfile.gettempdir(),
+        _scratch_root(),
         f"{prefix}_{os.path.basename(sf_dir.rstrip('/'))}",
     )
 
@@ -3940,7 +3967,8 @@ SELECT bb.tot::BIGINT AS n_rows, bb.p::BIGINT AS n_partitions,
        round(g.num / (bb.p * bb.tot), 5) AS gini,
        hot.nh::BIGINT AS n_hot,
        stats.n_docs, stats.avg_doc_len,
-       32::BIGINT AS num_buckets, 0::BIGINT AS n_epochs
+       32::BIGINT AS num_buckets, FALSE AS bucket_count_drift,
+       0::BIGINT AS n_epochs
 FROM base bb CROSS JOIN g CROSS JOIN hot CROSS JOIN stats""",
 )
 def text_bm25_store_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7086,7 +7114,9 @@ def ann_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     cents = ivf_centroids_by_id(emb, 16)
     cb = pq_codebooks(emb, m=4, k=8, dim=64, iterations=1)
-    path = _sf_tmp_path("lshrs_ivfpq_store", sf_dir)
+    # own prefix (ADVICE r10): sharing ann_ivfpq_topk's path was safe
+    # only because each entry fully rebuilds before reading — fragile
+    path = _sf_tmp_path("lshrs_ivfpq_refined", sf_dir)
     ivfpq_write_store(emb, cents, cb, path, m=4, dim=64)
     qv = [float(x) for x in
           emb.filter(F.col("vec_id") == 0).first().embedding]

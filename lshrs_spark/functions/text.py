@@ -688,7 +688,11 @@ def bm25_store_report(spark, path: str, *, ratio: float = 4.0):
     store's twin of :func:`~lshrs_spark.operators.knn.
     ivf_balance_report`: ``(n_rows, n_partitions, mean_rows, max_rows,
     max_mean_ratio, gini, n_hot, n_docs, avg_doc_len, num_buckets,
-    n_epochs)``. The balance columns come from the shared rank-form
+    bucket_count_drift, n_epochs)``. ``num_buckets`` is the MAX across
+    epoch ``_stats`` rows (the count :func:`bm25_compact` rebuckets
+    to) and ``bucket_count_drift`` is true when epochs disagree — the
+    mixed-hash-space layout that splits a term's postings across
+    buckets until compaction repairs it. The balance columns come from the shared rank-form
     card (:func:`~lshrs_spark.operators.skew.balance_stats`) over
     per-BUCKET posting counts — a hot bucket is a term-hash collision
     hot spot every query landing there pays for; corpus constants come
@@ -709,11 +713,19 @@ def bm25_store_report(spark, path: str, *, ratio: float = 4.0):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     card = balance_stats(counts, key_col="bucket", ratio=ratio)
+    # num_buckets: max over epochs, NOT first() (ADVICE r10) — epochs
+    # written with drifted bucket counts (the exact condition
+    # bm25_compact documents repairing) would make first() an arbitrary
+    # row; max() is the count compaction will rebucket to, and
+    # bucket_count_drift flags the mixed layout so a scheduler can
+    # alert before queries silently split one term across hash spaces.
     stats = spark.read.parquet(f"{path}/_stats").agg(
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.round(F.sum("total_len") / F.sum("n_docs"), 5)
         .alias("avg_doc_len"),
-        F.first("num_buckets").cast("long").alias("num_buckets"),
+        F.max("num_buckets").cast("long").alias("num_buckets"),
+        (F.countDistinct("num_buckets") > F.lit(1))
+        .alias("bucket_count_drift"),
     )
     from pyarrow.fs import FileSelector, FileType
 

@@ -1629,8 +1629,17 @@ def ivf_balance_report(spark, store_path: str, *, ratio: float = 4.0):
     count of the (small-by-cadence) tombstone sidecar — a scheduler
     can run it every night and alert on thresholds without ever
     scanning vectors."""
+    from ..serving import _fs_and_path
     from .skew import balance_stats
 
+    # heal compact crash residue before counting (ADVICE r10): a
+    # compact that died between its aside renames leaves a sidecar-
+    # listed partition with NO live dir — its rows sit in the
+    # _compact_aside_* copy, invisible to the scan below, so the card
+    # would under-report n_rows and mis-rank the hot set. Idempotent,
+    # touches nothing on a healthy store.
+    filesystem, root = _fs_and_path(store_path)
+    _heal_compact_aside(filesystem, root)
     counts = (
         spark.read.parquet(store_path)
         .groupBy("centroid_id")
@@ -1664,9 +1673,12 @@ def ivf_maintain(
     Detection runs ONCE against the pre-split layout (splitting lowers
     the mean, so re-detecting between splits would chase a moving
     threshold) and only AFTER healing: a sidecar aside left by a
-    crashed swap is restored and unlisted duplicate partition dirs are
-    swept first, so detection never double-counts crash residue or
-    ranks phantom ids; each split then rewrites exactly one partition
+    crashed swap is restored, a compact crash's ``_compact_aside_*``
+    partition copy is moved back live, and unlisted duplicate
+    partition dirs are swept first, so detection never double-counts
+    crash residue, ranks phantom ids, or scans a store with a
+    partition silently missing; each split then rewrites exactly one
+    partition
     with the crash-safe sequencing documented on
     :func:`ivf_split_centroid`.
     A live server keeps serving throughout and picks the new layout up
@@ -1680,6 +1692,13 @@ def ivf_maintain(
     # partition dirs, and detection over the double-counted rows would
     # rank phantom ids and spend the split budget on no-op splits
     filesystem, root = _fs_and_path(store_path)
+    # compact residue first (ADVICE r10): a compact crash between the
+    # aside renames leaves a LISTED partition with no live dir — its
+    # rows are invisible to detection (and to every probe) until the
+    # aside is restored, and before this heal ran here, maintain would
+    # detect and split over the incomplete store while the partition
+    # stayed lost until the next ivf_compact call.
+    _heal_compact_aside(filesystem, root)
     _heal_centroids_aside(filesystem, root)
     _heal_unlisted_partitions(filesystem, root)
     actions: list[dict] = []

@@ -1041,3 +1041,53 @@ def test_ivf_maintain_heals_orphans_before_detection(spark, tmp_path):
     assert len(log) == 1 and log[0]["centroid_id"] == 0
     assert log[0]["new_ids"] == [3, 4]
     assert spark.read.parquet(path).count() == 75  # orphan rows gone
+
+
+def test_ivf_maintain_heals_compact_residue_first(spark, tmp_path):
+    """ADVICE r10: a COMPACT crash between its aside renames leaves a
+    sidecar-listed partition with no live dir (rows invisible to every
+    read); before this fix, the nightly maintain healed only SPLIT
+    residue and proceeded to detect over the incomplete store — the
+    partition stayed lost until ivf_compact itself was next called.
+    Maintain must restore the aside before detection, so the hottest
+    (aside-hidden) partition is both visible and split."""
+    import os
+
+    from lshrs_spark.operators.knn import (
+        ivf_balance_report,
+        ivf_maintain,
+        ivf_write_store,
+    )
+
+    rng = np.random.default_rng(109)
+    d = 8
+    dirs = np.linalg.qr(rng.standard_normal((d, 3)))[0].T
+    rows = [dirs[i] for i in range(3)]
+    rows += [dirs[0] + 0.05 * rng.standard_normal(d) for _ in range(60)]
+    rows += [dirs[1 + i % 2] + 0.05 * rng.standard_normal(d)
+             for i in range(12)]
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in
+         enumerate(np.asarray(rows, np.float32))],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "compact_residue")
+    ivf_write_store(df, ivf_centroids_by_id(df, 3), path)
+    # crash window: the HOT partition moved aside by a dying compact
+    os.rename(os.path.join(path, "centroid_id=0"),
+              os.path.join(path, "_compact_aside_dead_0"))
+    assert spark.read.parquet(path).count() == 14  # rows invisible
+
+    # the balance card also heals first (same ADVICE item): it must
+    # count the full 75 rows, not the truncated 14
+    [card] = ivf_balance_report(spark, path).collect()
+    assert card.n_rows == 75
+
+    # re-plant the residue and let maintain do the healing itself
+    os.rename(os.path.join(path, "centroid_id=0"),
+              os.path.join(path, "_compact_aside_dead_0"))
+    log = ivf_maintain(spark, path, ratio=2.0, max_splits=1, n_splits=2)
+    assert not any(n.startswith("_compact_aside_")
+                   for n in os.listdir(path))
+    assert len(log) == 1 and log[0]["centroid_id"] == 0
+    assert spark.read.parquet(path).count() == 75  # nothing lost

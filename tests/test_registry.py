@@ -47,3 +47,51 @@ def test_oracle_sql_mentions_only_known_tables():
                 "lineitems", "order", "customers", "document", "event",
                 "embedding", "suppliers", "parts",
             }, (name, tbl)
+
+
+def test_scratch_root_is_per_process_and_sweeps_dead_pids(tmp_path,
+                                                          monkeypatch):
+    """ADVICE r10: entry scratch paths keyed only by (prefix, sf) let
+    two concurrent harness runs overwrite each other's stores. The
+    root is now per-pid, and the first use sweeps siblings whose owner
+    is dead — keeping the ADVICE-r9 no-unbounded-growth property."""
+    import os
+    import tempfile
+
+    from lshrs_spark.entries import _scratch_root, _sf_tmp_path
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    base = tmp_path / "lshrs_spark_scratch"
+    # plant residue from a dead run (pid 2**22-ish is safely unused on
+    # this host: max_pid default is 4194304, so probe for a free one)
+    dead = 4000000
+    while True:
+        try:
+            os.kill(dead, 0)
+            dead -= 1
+        except ProcessLookupError:
+            break
+        except PermissionError:
+            dead -= 1
+    (base / f"pid_{dead}").mkdir(parents=True)
+    (base / f"pid_{dead}" / "stale_store").mkdir()
+
+    root = _scratch_root()
+    assert root == str(base / f"pid_{os.getpid()}")
+    assert os.path.isdir(root)
+    assert not (base / f"pid_{dead}").exists()  # dead residue swept
+
+    # deterministic within the process; namespaced by prefix and sf
+    p1 = _sf_tmp_path("x", "/data/sf0.01")
+    assert p1 == _sf_tmp_path("x", "/data/sf0.01/")
+    assert p1 != _sf_tmp_path("y", "/data/sf0.01")
+    assert p1.startswith(root)
+
+    # a LIVE sibling (this very pid, re-planted as someone else's) is
+    # never touched: use pid 1, which is always alive
+    (base / "pid_1").mkdir()
+    import shutil
+
+    shutil.rmtree(root)  # force the first-use branch again
+    _scratch_root()
+    assert (base / "pid_1").exists()

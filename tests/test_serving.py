@@ -1929,6 +1929,7 @@ def test_bm25_store_report_flat_and_epoched(spark, tmp_path):
     n_postings = spark.read.parquet(flat).count()
     assert card.n_rows == n_postings and card.n_partitions <= 8
     assert card.num_buckets == 8 and card.n_epochs == 0
+    assert card.bucket_count_drift is False
     assert card.n_docs == 40 and abs(card.avg_doc_len - 5.0) < 1e-9
     assert 0.0 <= card.gini < 1.0
 
@@ -1945,3 +1946,22 @@ def test_bm25_store_report_flat_and_epoched(spark, tmp_path):
     [ecard] = bm25_store_report(spark, epoched).collect()
     assert ecard.n_epochs == 2 and ecard.n_docs == 40
     assert ecard.num_buckets == 8
+    assert ecard.bucket_count_drift is False
+
+    # ADVICE r10: epochs written with DIFFERENT bucket counts (the
+    # drift bm25_compact repairs) — the card must report the max (the
+    # count compaction rebuckets to), never an arbitrary first() row,
+    # and raise the drift flag so a scheduler can alert
+    drifted = str(tmp_path / "drifted")
+    for ep, nb, frame in ((0, 4, docs.filter("doc_id < 20")),
+                          (1, 16, docs.filter("doc_id >= 20"))):
+        postings, dl = bm25_postings(frame, nb)
+        postings.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{drifted}/epoch={ep}"
+        )
+        bm25_stats_row(dl, nb).coalesce(1).write.mode("overwrite").parquet(
+            f"{drifted}/_stats/epoch={ep}"
+        )
+    [dcard] = bm25_store_report(spark, drifted).collect()
+    assert dcard.num_buckets == 16
+    assert dcard.bucket_count_drift is True
