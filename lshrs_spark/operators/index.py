@@ -28,7 +28,7 @@ from ..functions.vector import l2_norm
 from ..hashing import with_signatures
 
 __all__ = ["validate_vectors", "build_index", "write_index",
-           "write_index_table", "read_index"]
+           "write_index_table", "read_index", "lsh_balance_report"]
 
 
 def validate_vectors(
@@ -191,3 +191,40 @@ def compact_index(
     raw appends and gets its row-group pruning back after each
     compaction."""
     write_index(read_index(spark, src_path), dest_path, **write_kw)
+
+
+def lsh_balance_report(index_df: DataFrame, *, ratio: float = 4.0
+                       ) -> DataFrame:
+    """One-row health card for the ``(band, sig)`` bucket index — the
+    LSH twin of :func:`~lshrs_spark.operators.knn.ivf_balance_report`
+    on the shared :func:`~lshrs_spark.operators.skew.balance_stats`
+    core: ``(n_rows, n_partitions, mean_rows, max_rows,
+    max_mean_ratio, gini, n_hot)`` over per-BUCKET entry counts. The
+    hot-bucket hazard is the reference's own documented risk
+    (``/root/reference/README.md:216`` — its Redis SETs "simply
+    grow"); a bucket holding a large fraction of the corpus makes
+    every query landing in it pay a proportional candidate scan, and
+    this is the one-row alert card a scheduler thresholds on
+    (``n_hot > 0``, ``gini`` drift) without ever scanning ids.
+
+    The bucket key is serialized as ``band:sig`` (hex for binary
+    signatures) so the Gini rank's tie-break is a plain string order
+    both engines share. Scale shape: one grouped count over the index
+    plus a P-row aggregation — bounded by bucket cardinality, never
+    corpus size."""
+    from .skew import balance_stats
+
+    sig_s = (
+        F.hex(F.col("sig"))
+        if dict(index_df.dtypes).get("sig") == "binary"
+        else F.col("sig").cast("string")
+    )
+    counts = (
+        index_df.groupBy(
+            F.concat_ws(
+                ":", F.col("band").cast("string"), sig_s
+            ).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return balance_stats(counts, key_col="bucket", ratio=ratio)
