@@ -181,11 +181,16 @@ def main() -> None:
 
     # 6. Dedup pipeline over documents: MinHash bands + SimHash table.
     from lshrs_spark.operators.dedup import minhash_band_pairs, simhash_table
+    # The drift-protocol lines (isolated re-measures, tools/drift_ab.py)
+    # come from ONE shared definition module so the A/B runner can never
+    # silently diverge from the series it is judged against.
+    from tools.bench_lines import bench_docs, shared_line_fns
 
     # One small parquet file -> one input split; spread the corpus over the
     # cores (at real scale the file count provides this parallelism).
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
+    docs = bench_docs(spark, SF_DIR, CPUS)
     docs.persist().count()
+    shared = shared_line_fns(spark, docs, SF_DIR)
     # Warm the shingle/md5 codegen + shuffle path on a 100-doc slice so the
     # timed run measures steady-state throughput, not first-compile JIT
     # (same convention as emb.count() and the 20x warm build below).
@@ -204,10 +209,7 @@ def main() -> None:
     )
     # Production-hash mode (JVM-native xxhash64): the at-scale profile.
     results["dedup_minhash_xxh"], _ = timed(
-        lambda: minhash_band_pairs(
-            docs, num_hashes=8, rows_per_band=2, base_hash="xxhash64"
-        ).count(),
-        "dedup_minhash_xxh",
+        shared["dedup_minhash_xxh"], "dedup_minhash_xxh",
     )
     results["dedup_simhash"], _ = timed(lambda: simhash_table(docs).count(), "dedup_simhash")
 
@@ -235,12 +237,8 @@ def main() -> None:
         lambda: audio_fingerprint_pairs(wav, max_hamming=3).count(),
         "dedup_audio_fp",
     )
-    vid = with_video_payload(docs, num_frames=3, width=7, height=8)
     results["dedup_video_frames"], _ = timed(
-        lambda: video_near_dup_pairs(
-            vid, min_shared_frames=1, max_hash_freq=50
-        ).count(),
-        "dedup_video_frames",
+        shared["dedup_video_frames"], "dedup_video_frames",
     )
 
     # 6b. Exact-substring dedup (rolling 32-token spans, inverted-index
@@ -248,13 +246,10 @@ def main() -> None:
     from lshrs_spark.functions.bpe import DEFAULT_MERGES, bpe_token_counts
     from lshrs_spark.operators.dedup import substring_span_pairs
 
-    def run_substring():
-        n = substring_span_pairs(docs, 32).count()
-        release_slots()   # span persist slot — same hygiene as minhash
-        return n
-
     substring_span_pairs(docs.limit(100), 32).count()  # warm
-    results["dedup_substring"], _ = timed(run_substring, "dedup_substring")
+    results["dedup_substring"], _ = timed(
+        shared["dedup_substring"], "dedup_substring",
+    )
     bpe_token_counts(docs.limit(100), DEFAULT_MERGES).count()  # warm
     results["text_bpe_counts"], _ = timed(
         lambda: bpe_token_counts(docs, DEFAULT_MERGES).count(),
@@ -262,55 +257,33 @@ def main() -> None:
     )
 
     # 7. Text-analysis pass (quality + language-ID + fingerprint in one scan).
-    from lshrs_spark.functions import text as X
-
-    def run_text():
-        cols = X.quality_score_cols(F.col("text"))
-        return docs.select(
-            "doc_id",
-            cols["quality"].alias("q"),
-            X.language_id_col(F.col("text")).alias("lang"),
-            X.fingerprint_col(F.col("text")).alias("fp"),
-        ).count()
-
-    results["text_pipeline"], _ = timed(run_text, "text_pipeline")
+    results["text_pipeline"], _ = timed(
+        shared["text_pipeline"], "text_pipeline",
+    )
 
     # 7a. Hybrid retrieval: BM25 (one scan projection + broadcast corpus
     # constants + TakeOrderedAndProject) fused with the cosine shortlist
     # by Reciprocal Rank Fusion — the full keyword+vector search path.
-    from lshrs_spark.entries import QUERIES as _ENTRY_QUERIES
-
     results["text_hybrid_rrf"], _ = timed(
-        lambda: _ENTRY_QUERIES["text_hybrid_rrf"](spark, SF_DIR).count(),
-        "text_hybrid_rrf",
+        shared["text_hybrid_rrf"], "text_hybrid_rrf",
     )
 
     # 7b. Corpus-ops pass over the same documents: exact heavy hitters
     # (zero-shuffle pigeonhole prune + verify), snapshot diff (16-byte
     # hash shuffle, payloads stay put), near-dup graph centrality
     # (3 PageRank rounds over the banded minhash pair graph).
-    from lshrs_spark.functions.sketch import heavy_hitters
     from lshrs_spark.operators.diff import corpus_diff
-    from lshrs_spark.operators.graph import pagerank
 
-    tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
     results["text_heavy_hitters"], _ = timed(
-        lambda: heavy_hitters(tok, "token", 100).count(), "text_heavy_hitters"
+        shared["text_heavy_hitters"], "text_heavy_hitters"
     )
     v2 = docs.filter(F.col("doc_id") % 17 != 0)
     results["corpus_diff"], _ = timed(
         lambda: corpus_diff(docs, v2).count(), "corpus_diff"
     )
-
-    def run_pagerank():
-        pairs = minhash_band_pairs(docs, num_hashes=8, rows_per_band=2,
-                                   base_hash="xxhash64")
-        nodes = docs.select(F.col("doc_id").cast("long").alias("id"))
-        n = pagerank(pairs, nodes, iterations=3).count()
-        release_slots()  # pagerank's per-invocation edge persist slot
-        return n
-
-    results["graph_pagerank"], _ = timed(run_pagerank, "graph_pagerank")
+    results["graph_pagerank"], _ = timed(
+        shared["graph_pagerank"], "graph_pagerank"
+    )
 
     # 8. Streaming ingest of the events stream (complete-mode agg).
     from lshrs_spark.streaming.ingest import stream_aggregate_complete
@@ -417,6 +390,10 @@ def main() -> None:
         .when(F.col("vec_id") % 10 == 1, F.lit(hot2))
         .otherwise(F.col("embedding")).alias("embedding"),
     )
+    # Fixed lshrs_bench_* paths are the bench's deliberate convention
+    # (serving_probe.py replays against the same stores): the bench is
+    # single-instance by contract — two concurrent benches invalidate
+    # each other's TIMINGS regardless of path isolation.
     maint_tmpl = os.path.join(tempfile.gettempdir(),
                               "lshrs_bench_maint20x_tmpl")
     maint_store = os.path.join(tempfile.gettempdir(),

@@ -63,15 +63,23 @@ def _scratch_root() -> str:
     mine = os.path.join(base, f"pid_{os.getpid()}")
     if not os.path.isdir(mine):
         os.makedirs(mine, exist_ok=True)
-        for name in os.listdir(base):
-            if not name.startswith("pid_") or name == f"pid_{os.getpid()}":
-                continue
-            try:
-                os.kill(int(name[4:]), 0)  # signal 0: liveness probe only
-            except (ProcessLookupError, ValueError):
-                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
-            except PermissionError:
-                pass  # alive under another uid — leave it alone
+        # POSIX only: os.kill(pid, 0) is a pure liveness probe there,
+        # but on Windows any non-CTRL signal TERMINATES the probed
+        # process — skip the sweep rather than kill a concurrent run.
+        # A recycled pid can shield one dead run's dir until the new
+        # holder exits; growth stays bounded by live-pid count.
+        if os.name == "posix":
+            for name in os.listdir(base):
+                if (not name.startswith("pid_")
+                        or name == f"pid_{os.getpid()}"):
+                    continue
+                try:
+                    os.kill(int(name[4:]), 0)  # signal 0: probe only
+                except (ProcessLookupError, ValueError):
+                    shutil.rmtree(os.path.join(base, name),
+                                  ignore_errors=True)
+                except PermissionError:
+                    pass  # alive under another uid — leave it alone
     return mine
 
 
@@ -4926,7 +4934,8 @@ SELECT b.tot::BIGINT AS n_rows, b.p::BIGINT AS n_partitions,
        round(b.mean, 5) AS mean_rows, b.mx::BIGINT AS max_rows,
        round(b.mx / b.mean, 5) AS max_mean_ratio,
        round(g.num / (b.p * b.tot), 5) AS gini,
-       hot.nh::BIGINT AS n_hot, 3::BIGINT AS n_tombstones
+       hot.nh::BIGINT AS n_hot, 3::BIGINT AS n_tombstones,
+       0::BIGINT AS n_heal_pending
 FROM base b CROSS JOIN g CROSS JOIN hot""",
 )
 def ann_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1612,7 +1612,8 @@ def ivf_balance_report(spark, store_path: str, *, ratio: float = 4.0):
     complement of the maintenance loop (:func:`ivf_hot_centroids` says
     WHAT to split, this says whether anything needs attention at all):
     ``(n_rows, n_partitions, mean_rows, max_rows, max_mean_ratio,
-    gini, n_hot, n_tombstones)``. ``gini`` is the standard inequality
+    gini, n_hot, n_tombstones, n_heal_pending)``. ``gini`` is the
+    standard inequality
     coefficient over partition sizes (0 = perfectly balanced, → 1 =
     one partition holds everything) computed by the closed rank form
     ``Σ(2r − P − 1)·nᵣ / (P·Σn)`` over sizes ranked ascending with
@@ -1626,20 +1627,37 @@ def ivf_balance_report(spark, store_path: str, *, ratio: float = 4.0):
 
     Scale shape: one grouped count over the partition column (no
     vector bytes), one bounded aggregation over P partition rows, one
-    count of the (small-by-cadence) tombstone sidecar — a scheduler
-    can run it every night and alert on thresholds without ever
-    scanning vectors."""
+    count of the (small-by-cadence) tombstone sidecar, one directory
+    listing — a scheduler can run it every night and alert on
+    thresholds without ever scanning vectors.
+
+    The report is strictly READ-ONLY — it does NOT heal crash residue
+    (ADVICE r10 asked to consider it; healing from here would make the
+    card a store WRITER, and a scheduler racing it against a live
+    ``ivf_compact`` could delete the compact's staging tree or restore
+    a mid-swap aside, driving the compact's missing-rewrite check into
+    its partition-delete branch — data loss from an "observability"
+    call). Instead ``n_heal_pending`` counts leftover aside/tmp trees:
+    nonzero means a maintenance writer crashed, the other counts on
+    this card may EXCLUDE rows hidden in aside copies, and the next
+    :func:`ivf_maintain` / :func:`ivf_compact` run (the writers, which
+    heal first under the single-writer contract) will repair it."""
+    from pyarrow.fs import FileSelector, FileType
+
     from ..serving import _fs_and_path
     from .skew import balance_stats
 
-    # heal compact crash residue before counting (ADVICE r10): a
-    # compact that died between its aside renames leaves a sidecar-
-    # listed partition with NO live dir — its rows sit in the
-    # _compact_aside_* copy, invisible to the scan below, so the card
-    # would under-report n_rows and mis-rank the hot set. Idempotent,
-    # touches nothing on a healthy store.
     filesystem, root = _fs_and_path(store_path)
-    _heal_compact_aside(filesystem, root)
+    _residue = ("_compact_aside_", "_compact_tmp_", "_centroids_aside_",
+                "_centroids_stage_", "_split_tmp_")
+    n_heal = sum(
+        1
+        for info in filesystem.get_file_info(
+            FileSelector(root, allow_not_found=True)
+        )
+        if info.type == FileType.Directory
+        and info.path.rsplit("/", 1)[-1].startswith(_residue)
+    )
     counts = (
         spark.read.parquet(store_path)
         .groupBy("centroid_id")
@@ -1650,7 +1668,8 @@ def ivf_balance_report(spark, store_path: str, *, ratio: float = 4.0):
     # the rank/stats machinery is the shared one-row balance card
     # (operators.skew.balance_stats) — bounded by the centroid count
     return balance_stats(counts, key_col="centroid_id", ratio=ratio) \
-        .withColumn("n_tombstones", F.lit(n_tomb).cast("long"))
+        .withColumn("n_tombstones", F.lit(n_tomb).cast("long")) \
+        .withColumn("n_heal_pending", F.lit(n_heal).cast("long"))
 
 
 def ivf_maintain(

@@ -842,7 +842,7 @@ def test_ivf_balance_report_reads_health(spark, tmp_path):
     assert card.n_rows == 112 and card.n_partitions == 4
     assert card.max_rows >= 90 and card.max_mean_ratio > 3.0
     assert card.n_hot >= 1 and card.gini > 0.4
-    assert card.n_tombstones == 0
+    assert card.n_tombstones == 0 and card.n_heal_pending == 0
 
     ivf_delete(hot_store, [5, 6])
     [card2] = ivf_balance_report(spark, hot_store, ratio=2.0).collect()
@@ -1078,14 +1078,14 @@ def test_ivf_maintain_heals_compact_residue_first(spark, tmp_path):
               os.path.join(path, "_compact_aside_dead_0"))
     assert spark.read.parquet(path).count() == 14  # rows invisible
 
-    # the balance card also heals first (same ADVICE item): it must
-    # count the full 75 rows, not the truncated 14
+    # the balance card stays READ-ONLY (healing from a report could
+    # race a live compact into its partition-delete branch) but must
+    # FLAG the residue so the under-counting 14-row card is not
+    # silently trusted
     [card] = ivf_balance_report(spark, path).collect()
-    assert card.n_rows == 75
+    assert card.n_rows == 14 and card.n_heal_pending == 1
+    assert os.path.isdir(os.path.join(path, "_compact_aside_dead_0"))
 
-    # re-plant the residue and let maintain do the healing itself
-    os.rename(os.path.join(path, "centroid_id=0"),
-              os.path.join(path, "_compact_aside_dead_0"))
     log = ivf_maintain(spark, path, ratio=2.0, max_splits=1, n_splits=2)
     assert not any(n.startswith("_compact_aside_")
                    for n in os.listdir(path))

@@ -58,69 +58,16 @@ def quiet_guard() -> dict:
 
 
 def line_fns(spark):
-    """The flagged lines, mirroring bench.py's definitions verbatim
-    (same inputs, same counts, same release_slots hygiene)."""
-    from pyspark.sql import functions as F
+    """The flagged lines — the SAME definitions bench.py times
+    (tools/bench_lines.py is the single source; the first draft of
+    this runner carried private copies and diverged on the corpus
+    setup, reading substring/minhash 2-3x slow from single-split
+    shingling)."""
+    from tools.bench_lines import bench_docs, shared_line_fns
 
-    from lshrs_spark.cache import release_slots
-    from lshrs_spark.entries import QUERIES as _ENTRY_QUERIES
-    from lshrs_spark.functions import text as X
-    from lshrs_spark.functions.sketch import heavy_hitters
-    from lshrs_spark.multimodal import with_video_payload
-    from lshrs_spark.operators.dedup import (
-        minhash_band_pairs,
-        substring_span_pairs,
-        video_near_dup_pairs,
-    )
-    from lshrs_spark.operators.graph import pagerank
-
-    # EXACTLY bench.py's corpus setup: one small parquet file -> one
-    # input split, so the corpus is spread over the cores and
-    # persisted before any timing (first drift_ab draft skipped this
-    # and read substring/minhash 2-3x slow — single-split shingling,
-    # not a regression)
-    docs = spark.read.parquet(
-        f"{SF_DIR}/documents.parquet").repartition(CPUS)
-    docs.persist().count()
-
-    def run_substring():
-        n = substring_span_pairs(docs, 32).count()
-        release_slots()
-        return n
-
-    def run_text():
-        cols = X.quality_score_cols(F.col("text"))
-        return docs.select(
-            "doc_id",
-            cols["quality"].alias("q"),
-            X.language_id_col(F.col("text")).alias("lang"),
-            X.fingerprint_col(F.col("text")).alias("fp"),
-        ).count()
-
-    def run_pagerank():
-        pairs = minhash_band_pairs(docs, num_hashes=8, rows_per_band=2,
-                                   base_hash="xxhash64")
-        nodes = docs.select(F.col("doc_id").cast("long").alias("id"))
-        n = pagerank(pairs, nodes, iterations=3).count()
-        release_slots()
-        return n
-
-    vid = with_video_payload(docs, num_frames=3, width=7, height=8)
-    tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
-    return {
-        "dedup_substring": run_substring,
-        "text_pipeline": run_text,
-        "text_hybrid_rrf": lambda: _ENTRY_QUERIES["text_hybrid_rrf"](
-            spark, SF_DIR).count(),
-        "dedup_video_frames": lambda: video_near_dup_pairs(
-            vid, min_shared_frames=1, max_hash_freq=50).count(),
-        "graph_pagerank": run_pagerank,
-        "dedup_minhash_xxh": lambda: minhash_band_pairs(
-            docs, num_hashes=8, rows_per_band=2,
-            base_hash="xxhash64").count(),
-        "text_heavy_hitters": lambda: heavy_hitters(tok, "token",
-                                                    100).count(),
-    }
+    docs = bench_docs(spark, SF_DIR, CPUS)
+    docs.persist().count()   # warmed BEFORE any timing (bench parity)
+    return shared_line_fns(spark, docs, SF_DIR)
 
 
 def main() -> None:
@@ -131,12 +78,22 @@ def main() -> None:
     it = iter(args)
     for a in it:
         if a == "--reps":
-            reps = int(next(it))
+            reps_s = next(it, None)
+            if reps_s is None or not reps_s.isdigit():
+                sys.exit("--reps needs an integer argument")
+            reps = int(reps_s)
         elif a == "--out":
-            out_path = next(it)
+            out_path = next(it, None)
+            if out_path is None:
+                sys.exit("--out needs a file path argument")
         else:
             names.append(a)
     names = names or R11_FLAGGED
+    # fail fast on a typo'd line name BEFORE paying JVM startup
+    known = set(R11_FLAGGED)  # == tools.bench_lines.shared_line_fns keys
+    unknown = [n for n in names if n not in known]
+    if unknown:
+        sys.exit(f"unknown bench line(s) {unknown}; known: {sorted(known)}")
 
     guard = quiet_guard()
     from lshrs_spark.session import get_spark
