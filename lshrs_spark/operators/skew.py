@@ -45,16 +45,34 @@ def balance_stats(
     max_mean_ratio, gini, n_hot)``. ``gini`` uses the closed rank form
     ``Σ(2r − P − 1)·nᵣ / (P·Σn)`` over counts ranked ascending with
     key tie-breaks — exact integer numerators, SQL-replayable;
-    ``n_hot`` counts keys above ``ratio``× the mean. The rank window
-    and the 1-row stats broadcast run over P key rows (bounded by the
-    key cardinality, never the corpus — callers aggregate first)."""
-    from pyspark.sql import Window
+    ``n_hot`` counts keys above ``ratio``× the mean.
 
-    ranked = counts.select(
+    Scale shape: the ascending rank is the two-stage distributed
+    global ordinal (:func:`~lshrs_spark.operators.prefix.
+    running_total` over the composite ``(count, key)`` order — NOT a
+    partition-less ``row_number`` window, which funnels every key
+    through ONE task). That bound matters for exactly one caller
+    class: the IVF/BM25 cards rank centroid/bucket counts (small P by
+    construction), but :func:`~lshrs_spark.operators.index.
+    lsh_balance_report` ranks ``(band, sig)`` buckets, whose
+    cardinality GROWS with the corpus — at 100 TB that is billions of
+    keys, and the single-task sort would be the card's bottleneck.
+    Everything downstream of the rank is a 1-row aggregate."""
+    from .prefix import running_total
+
+    keyed = counts.select(
         F.col(key_col).alias("_k"), F.col(n_col).cast("long").alias("_n")
     ).withColumn(
-        "_r",
-        F.row_number().over(Window.orderBy(F.asc("_n"), F.asc("_k"))),
+        "_okey", F.struct(F.col("_n"), F.col("_k"))
+    ).withColumn("_one", F.lit(1))
+    # fixed slot: a long-lived scheduler calling the cards nightly must
+    # not accumulate one cached P-row frame per call; evict-on-reinvoke
+    # is safe here because the counts input is a deterministic grouped
+    # read (the running_total docstring's condition)
+    ranked = (
+        running_total(keyed, "_okey", "_one", out_col="_r",
+                      slot="skew.balance_stats.rank")
+        .drop("_okey", "_one")
     )
     base = ranked.agg(
         F.sum("_n").cast("long").alias("_tot"),

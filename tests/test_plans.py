@@ -1005,3 +1005,31 @@ def test_kdist_curve_no_single_partition_exchange(spark):
     plan = physical_plan(dbscan_kdist_curve(emb, 3, quantiles=4))
     release_slots()
     assert "SinglePartition" not in plan
+
+
+def test_balance_stats_rank_no_single_partition_exchange(spark):
+    """The shared health-card Gini's ascending rank must be the
+    two-stage distributed ordinal (running_total), never a
+    partition-less row_number window: the IVF/BM25 cards rank small
+    key sets, but lsh_balance_report ranks (band, sig) buckets whose
+    cardinality grows with the corpus — a SinglePartition sort there
+    would be the card's 100 TB bottleneck."""
+    import re
+
+    from lshrs_spark.cache import release_slots
+    from lshrs_spark.operators.skew import balance_stats
+
+    counts = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") % 97 + 1).alias("n")
+    )
+    plan = physical_plan(balance_stats(counts, key_col="k"))
+    release_slots()
+    # Every window in the plan must be partitioned (running_total's
+    # _pid spec) — a partition-less windowspecdefinition is the
+    # single-task global sort. The final 1-row aggregate's
+    # SinglePartition merge of PARTIAL rows is fine (bounded by the
+    # shuffle-partition count), so asserting on Exchange would be the
+    # wrong check here.
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the running_total window in the plan"
+    assert all("_pid" in s for s in specs), specs
