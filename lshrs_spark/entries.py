@@ -377,10 +377,13 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id"),
         cosine_similarity(F.col("embedding"), F.col("qvec")).alias("score"),
     )
+    # TakeOrderedAndProject takes the 10 rows (distributed heap); the
+    # rank window then runs over 10 rows only — a corpus-wide
+    # row_number window would funnel every score through ONE task
+    topk = scored.orderBy(F.desc("score"), F.asc("id")).limit(10)
     w = Window.orderBy(F.desc("score"), F.asc("id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+        topk.withColumn("rank", F.row_number().over(w))
         .select("id", F.round("score", 5).alias("score"),
                 F.col("rank").cast("long").alias("rank"))
     )
@@ -1208,10 +1211,12 @@ def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # top-20 via TakeOrderedAndProject, then a 20-row rank window — a
+    # corpus-vocabulary-wide window would serialize on one task
+    top = c.orderBy(F.desc("cnt"), F.asc("token")).limit(20)
     w = Window.orderBy(F.desc("cnt"), F.asc("token"))
     return (
-        c.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(w))
         .select("token", "cnt", F.col("rank").cast("long").alias("rank"))
     )
 
@@ -4069,10 +4074,13 @@ def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins two k-row lists — broadcast-trivial — so hybrid costs no more
     than the cheaper modality's full pass."""
     scored = _bm25_scored(spark, sf_dir)
+    # each modality's shortlist cut is TakeOrderedAndProject (the
+    # distributed top-k heap); the rank windows then run over 50 rows
+    # only — never a corpus-wide single-task row_number
     wb = Window.orderBy(F.desc("s"), F.asc("doc_id"))
     br = (
-        scored.withColumn("rb", F.row_number().over(wb))
-        .filter(F.col("rb") <= 50)
+        scored.orderBy(F.desc("s"), F.asc("doc_id")).limit(50)
+        .withColumn("rb", F.row_number().over(wb))
         .select(F.col("doc_id").alias("id"), "rb")
     )
     emb = _emb(spark, sf_dir)
@@ -4085,8 +4093,8 @@ def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wc = Window.orderBy(F.desc("score"), F.asc("id"))
     cr = (
-        cs.withColumn("rc", F.row_number().over(wc))
-        .filter(F.col("rc") <= 50)
+        cs.orderBy(F.desc("score"), F.asc("id")).limit(50)
+        .withColumn("rc", F.row_number().over(wc))
         .select("id", "rc")
     )
     fused = (
@@ -5898,10 +5906,11 @@ def quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(q).select(
         "id", cosine_similarity(F.col("emb_q"), F.col("qv")).alias("score")
     )
+    # top-10 via TakeOrderedAndProject, then a 10-row rank window
+    topk = scored.orderBy(F.desc("score"), F.asc("id")).limit(10)
     w = Window.orderBy(F.desc("score"), F.asc("id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+        topk.withColumn("rank", F.row_number().over(w))
         .select("id", F.round("score", 5).alias("score"),
                 F.col("rank").cast("long").alias("rank"))
     )

@@ -1033,3 +1033,16 @@ def test_balance_stats_rank_no_single_partition_exchange(spark):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs, "expected the running_total window in the plan"
     assert all("_pid" in s for s in specs), specs
+
+
+def test_entry_topk_cuts_are_take_ordered(spark):
+    """Entry top-k/shortlist cuts must be TakeOrderedAndProject (the
+    distributed per-partition heap) feeding a k-row rank window — a
+    corpus-wide partition-less row_number window funnels every scored
+    row through ONE task, which is exactly the shape these entries'
+    operators (pq/brute topk in knn.py) already avoid."""
+    from lshrs_spark.entries import QUERIES
+
+    for name in ("knn_bruteforce", "text_token_topk", "text_hybrid_rrf"):
+        plan = physical_plan(QUERIES[name](spark, SF))
+        assert "TakeOrderedAndProject" in plan, name
