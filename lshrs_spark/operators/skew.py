@@ -80,11 +80,17 @@ def balance_stats(
         F.max("_n").cast("long").alias("_max"),
         F.avg("_n").alias("_mean"),
     )
+    # Empty-input contract: count-like columns read 0 (so a scheduler's
+    # `n_hot > 0` / `n_rows < expected` alerts stay well-typed on a
+    # missing or empty store), while the genuinely undefined ratios
+    # (mean/max/ratio/gini) stay NULL rather than faking "balanced".
     return (
         ranked.crossJoin(F.broadcast(base))
         .agg(
-            F.first("_tot").alias("n_rows"),
-            F.first("_p").alias("n_partitions"),
+            F.coalesce(F.first("_tot"), F.lit(0).cast("long"))
+            .alias("n_rows"),
+            F.coalesce(F.first("_p"), F.lit(0).cast("long"))
+            .alias("n_partitions"),
             F.round(F.first("_mean"), 5).alias("mean_rows"),
             F.first("_max").alias("max_rows"),
             F.round(F.first("_max") / F.first("_mean"), 5)
@@ -94,9 +100,12 @@ def balance_stats(
                 / (F.first("_p") * F.first("_tot")),
                 5,
             ).alias("gini"),
-            F.sum(
-                F.when(F.col("_n") > F.lit(ratio) * F.col("_mean"), 1)
-                .otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("_n") > F.lit(ratio) * F.col("_mean"), 1)
+                    .otherwise(0)
+                ),
+                F.lit(0),
             ).cast("long").alias("n_hot"),
         )
     )

@@ -174,6 +174,19 @@ def test_balance_stats_gini_properties(spark):
     b = card([(9, 5), (7, 50), (5, 500)])
     assert (a.gini, a.n_rows, a.max_rows) == (b.gini, b.n_rows, b.max_rows)
 
+    # the rank is the two-stage DISTRIBUTED ordinal (r11): a ties-heavy
+    # table far wider than one shuffle partition exercises the
+    # partition-boundary offsets and the (count, key) tie-break — the
+    # Gini must still match numpy exactly (ties make Σ(2r−P−1)·n_r
+    # rank-assignment-sensitive only across equal counts, where any
+    # consistent total order gives the same sum; the numpy reference
+    # sorts values alone, so agreement here proves that invariance
+    # AND the offset arithmetic at once)
+    wide_counts = [(i % 17) + 1 for i in range(5000)]
+    wide = card(list(enumerate(wide_counts)))
+    assert abs(wide.gini - round(np_gini(wide_counts), 5)) < 1e-9
+    assert wide.n_rows == sum(wide_counts) and wide.n_partitions == 5000
+
 
 def test_lsh_balance_report_over_planted_hot_bucket(spark):
     """The LSH index's health card (VERDICT r10 missing #3): on a
@@ -203,3 +216,18 @@ def test_lsh_balance_report_over_planted_hot_bucket(spark):
     )
     [bcard] = lsh_balance_report(bin_idx).collect()
     assert (bcard.n_rows, bcard.n_hot) == (card.n_rows, card.n_hot)
+
+
+def test_balance_stats_empty_input_contract(spark):
+    """An empty counts table (missing/empty store) must read as a
+    well-typed zero card — a scheduler's `n_hot > 0` / `n_rows <
+    expected` alerts would silently evaluate false-y on NULLs — while
+    the genuinely undefined ratios stay NULL rather than faking a
+    'perfectly balanced' gini of 0."""
+    from lshrs_spark.operators.skew import balance_stats
+
+    empty = spark.createDataFrame([], "k long, n long")
+    [card] = balance_stats(empty, key_col="k").collect()
+    assert card.n_rows == 0 and card.n_partitions == 0 and card.n_hot == 0
+    assert card.gini is None and card.mean_rows is None
+    assert card.max_rows is None and card.max_mean_ratio is None
