@@ -92,6 +92,17 @@ def persist_slot(df: DataFrame, slot: str, *, eager: bool = False) -> DataFrame:
     return df
 
 
+def release_slot(slot: str) -> None:
+    """Unpersist ONE named persist slot (no-op when absent) — for
+    operators that materialize an intermediate, consume it fully
+    within the call, and must not leave cached residue behind
+    (``balance_stats``). Safe like :func:`release_slots`: a still-live
+    consumer falls back to recompute from intact lineage."""
+    old = _SLOTS.pop(slot, None)
+    if old is not None:
+        _safe_unpersist(old)
+
+
 def release_slots(spark=None, *, include_materializations: bool = False) -> None:
     """Unpersist every persist slot (idempotent). Unpersisting is always
     safe: any still-live consumer DataFrame falls back to recomputing

@@ -22,10 +22,16 @@ grouped hot path in this package.
 
 from __future__ import annotations
 
+import itertools
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# unique persist-slot suffix per balance_stats call — sharing a slot
+# across calls corrupts an earlier card's Gini when its intermediate is
+# evicted and recomputed under fresh range-bound sampling (r11 review)
+_BS_INVOCATION = itertools.count()
 
 __all__ = ["balance_stats", "salted_aggregate", "salted_join",
            "skew_report"]
@@ -47,6 +53,24 @@ def balance_stats(
     key tie-breaks — exact integer numerators, SQL-replayable;
     ``n_hot`` counts keys above ``ratio``× the mean.
 
+    EAGER by contract: the card is computed AT CALL TIME and returned
+    as a LOCAL single-row DataFrame — no pending Spark jobs, no cached
+    residue (the rank intermediate is persisted for the one pass and
+    released before returning). A health card exists to be read; a
+    lazy card would either leave a cached P-row frame pinned until
+    "later" or (with a shared/evicted slot) recompute
+    ``repartitionByRange`` under FRESH range-bound sampling while the
+    embedded offset literals still reflect the original layout —
+    a silently wrong Gini. Keys must be UNIQUE (the cards' grouped
+    counts guarantee it); duplicates raise, because the distributed
+    ordinal has no way to disambiguate identical ``(count, key)``
+    rows.
+
+    Empty-input contract: count-like columns read 0 (so a scheduler's
+    ``n_hot > 0`` / ``n_rows < expected`` alerts stay well-typed on a
+    missing or empty store), while the genuinely undefined ratios
+    (mean/max/ratio/gini) are NULL rather than faking "balanced".
+
     Scale shape: the ascending rank is the two-stage distributed
     global ordinal (:func:`~lshrs_spark.operators.prefix.
     running_total` over the composite ``(count, key)`` order — NOT a
@@ -58,6 +82,38 @@ def balance_stats(
     cardinality GROWS with the corpus — at 100 TB that is billions of
     keys, and the single-task sort would be the card's bottleneck.
     Everything downstream of the rank is a 1-row aggregate."""
+    from ..cache import release_slot
+
+    spark = counts.sparkSession
+    slot = f"skew.balance_stats.{next(_BS_INVOCATION)}"
+    card = _balance_card(counts, key_col, n_col, ratio, slot)
+    try:
+        [row] = card.collect()
+    finally:
+        release_slot(slot)
+    if row["_pk"] is not None and row["_pk"] != row["n_partitions"]:
+        raise ValueError(
+            f"balance_stats needs UNIQUE keys in {key_col!r}: got "
+            f"{row['n_partitions']} rows over {row['_pk']} distinct "
+            "keys — group the counts first (a duplicated key, e.g. "
+            "two epoch count tables unioned without re-grouping, has "
+            "no well-defined rank)"
+        )
+    return spark.createDataFrame(
+        [(row["n_rows"], row["n_partitions"], row["mean_rows"],
+          row["max_rows"], row["max_mean_ratio"], row["gini"],
+          row["n_hot"])],
+        "n_rows long, n_partitions long, mean_rows double, "
+        "max_rows long, max_mean_ratio double, gini double, n_hot long",
+    )
+
+
+def _balance_card(counts: DataFrame, key_col: str, n_col: str,
+                  ratio: float, slot: str) -> DataFrame:
+    """The LAZY card plan behind :func:`balance_stats` (split out so
+    plan tests can assert the distributed-rank shape): one extra
+    ``_pk`` column carries the distinct-key count for the caller's
+    uniqueness check."""
     from .prefix import running_total
 
     keyed = counts.select(
@@ -65,25 +121,17 @@ def balance_stats(
     ).withColumn(
         "_okey", F.struct(F.col("_n"), F.col("_k"))
     ).withColumn("_one", F.lit(1))
-    # fixed slot: a long-lived scheduler calling the cards nightly must
-    # not accumulate one cached P-row frame per call; evict-on-reinvoke
-    # is safe here because the counts input is a deterministic grouped
-    # read (the running_total docstring's condition)
     ranked = (
-        running_total(keyed, "_okey", "_one", out_col="_r",
-                      slot="skew.balance_stats.rank")
+        running_total(keyed, "_okey", "_one", out_col="_r", slot=slot)
         .drop("_okey", "_one")
     )
     base = ranked.agg(
         F.sum("_n").cast("long").alias("_tot"),
         F.count(F.lit(1)).cast("long").alias("_p"),
+        F.countDistinct("_k").cast("long").alias("_pk"),
         F.max("_n").cast("long").alias("_max"),
         F.avg("_n").alias("_mean"),
     )
-    # Empty-input contract: count-like columns read 0 (so a scheduler's
-    # `n_hot > 0` / `n_rows < expected` alerts stay well-typed on a
-    # missing or empty store), while the genuinely undefined ratios
-    # (mean/max/ratio/gini) stay NULL rather than faking "balanced".
     return (
         ranked.crossJoin(F.broadcast(base))
         .agg(
@@ -107,6 +155,7 @@ def balance_stats(
                 ),
                 F.lit(0),
             ).cast("long").alias("n_hot"),
+            F.first("_pk").alias("_pk"),
         )
     )
 

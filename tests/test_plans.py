@@ -1017,12 +1017,16 @@ def test_balance_stats_rank_no_single_partition_exchange(spark):
     import re
 
     from lshrs_spark.cache import release_slots
-    from lshrs_spark.operators.skew import balance_stats
+    from lshrs_spark.operators.skew import _balance_card
 
     counts = spark.range(0, 500).select(
         F.col("id").alias("k"), (F.col("id") % 97 + 1).alias("n")
     )
-    plan = physical_plan(balance_stats(counts, key_col="k"))
+    # the lazy internal: balance_stats itself returns a LOCAL 1-row
+    # frame (eager-card contract), whose plan is just a table scan
+    plan = physical_plan(
+        _balance_card(counts, "k", "n", 4.0, "test.balance.plan")
+    )
     release_slots()
     # Every window in the plan must be partitioned (running_total's
     # _pid spec) — a partition-less windowspecdefinition is the
@@ -1043,6 +1047,7 @@ def test_entry_topk_cuts_are_take_ordered(spark):
     operators (pq/brute topk in knn.py) already avoid."""
     from lshrs_spark.entries import QUERIES
 
-    for name in ("knn_bruteforce", "text_token_topk", "text_hybrid_rrf"):
+    for name in ("knn_bruteforce", "text_token_topk", "text_hybrid_rrf",
+                  "quant_topk"):
         plan = physical_plan(QUERIES[name](spark, SF))
         assert "TakeOrderedAndProject" in plan, name

@@ -231,3 +231,51 @@ def test_balance_stats_empty_input_contract(spark):
     assert card.n_rows == 0 and card.n_partitions == 0 and card.n_hot == 0
     assert card.gini is None and card.mean_rows is None
     assert card.max_rows is None and card.max_mean_ratio is None
+
+
+def test_balance_stats_interleaved_cards_and_duplicate_keys(spark):
+    """Two r11-review CONFIRMED bugs pinned. (1) Interleaved cards:
+    building card A, then card B, then reading A must give A's correct
+    Gini — a SHARED persist slot let B evict A's rank intermediate and
+    A's collect re-planned repartitionByRange under fresh range-bound
+    sampling while the embedded offset literals reflected the old
+    layout (silently wrong Gini). The eager-card contract removes the
+    hazard: each call computes and releases its own slot, returning a
+    local row. (2) Duplicate keys have no well-defined distributed
+    ordinal (the RANGE-frame cumsum gives ties ONE shared rank, which
+    broke the Σ(2r−P−1) form) — they must raise, not mis-rank."""
+    import numpy as np
+
+    from lshrs_spark.operators.skew import balance_stats
+
+    def np_gini(counts):
+        x = np.sort(np.asarray(counts, dtype=np.float64))
+        n = len(x)
+        r = np.arange(1, n + 1)
+        return float(((2 * r - n - 1) * x).sum() / (n * x.sum()))
+
+    rng = np.random.default_rng(211)
+    c1 = rng.integers(1, 1000, size=40).tolist()
+    c2 = rng.integers(1, 1000, size=40).tolist()
+    card1 = balance_stats(
+        spark.createDataFrame(list(enumerate(c1)), "k long, n long"),
+        key_col="k",
+    )
+    card2 = balance_stats(
+        spark.createDataFrame(list(enumerate(c2)), "k long, n long"),
+        key_col="k",
+    )
+    # read A AFTER B was built — the order that corrupted the shared slot
+    assert abs(card1.collect()[0].gini - round(np_gini(c1), 5)) < 1e-9
+    assert abs(card2.collect()[0].gini - round(np_gini(c2), 5)) < 1e-9
+
+    dup = spark.createDataFrame(
+        [(1, 5), (1, 5), (2, 5), (3, 5)], "k long, n long"
+    )
+    with pytest.raises(ValueError, match="UNIQUE keys"):
+        balance_stats(dup, key_col="k")
+
+    # no cached residue: the card's rank intermediates are released
+    from lshrs_spark.cache import _SLOTS
+
+    assert not any(s.startswith("skew.balance_stats") for s in _SLOTS)
