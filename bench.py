@@ -225,12 +225,10 @@ def main() -> None:
     )
 
     # 6a'. Audio + video near-dup (round-6): WAV fingerprint banding and
-    # frame-hash overlap join — the rest of the multimodal dedup battery.
-    from lshrs_spark.multimodal import with_video_payload, with_wav_payload
-    from lshrs_spark.operators.dedup import (
-        audio_fingerprint_pairs,
-        video_near_dup_pairs,
-    )
+    # frame-hash overlap join — the rest of the multimodal dedup battery
+    # (the video line's definition lives in tools/bench_lines.py).
+    from lshrs_spark.multimodal import with_wav_payload
+    from lshrs_spark.operators.dedup import audio_fingerprint_pairs
 
     wav = with_wav_payload(docs)
     results["dedup_audio_fp"], _ = timed(

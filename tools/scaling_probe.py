@@ -305,7 +305,23 @@ def shuffle_main(args) -> None:
             # the time slope is amortization/host; growing means the
             # probe is admitting a larger corpus fraction at 10x.
             "mips_ivf_cand": lambda: _mips_cand(emb),
+            # the maintenance unit's EVERY-NIGHT cost on a healthy
+            # store: heal listings + hot detection (one grouped count
+            # over the partition column, no vector bytes) — ratio=1e9
+            # so the threshold never fires and the job stays pure-read
+            # / repeatable; split cost is per-partition by design and
+            # tracked by bench.py's ivf_maintain_20x cycle instead
+            "ivf_maintain_detect": lambda: _maintain_detect(),
         }
+
+        def _maintain_detect():
+            from lshrs_spark.operators.knn import ivf_maintain
+
+            actions = ivf_maintain(spark, maint_dir, ratio=1e9)
+            if actions:  # healthy store: detection must stay a no-op
+                raise RuntimeError(f"unexpected split at ratio=1e9: "
+                                   f"{actions}")
+            return 0
 
         def _mips_ivf(e):
             weighted = e.withColumn(
@@ -376,6 +392,16 @@ def shuffle_main(args) -> None:
             return _topk(candidates(idx, qs), 10).count()
 
         bm25_dir = tempfile.mkdtemp(prefix="lshrs_scaling_bm25_")
+        # one stored-IVF layout per scale for the maintenance-detection
+        # job (built untimed — the job measures the nightly check, not
+        # the build; 64 centroids, the bench store shape)
+        maint_dir = tempfile.mkdtemp(prefix="lshrs_scaling_maint_")
+        from lshrs_spark.operators.knn import (
+            ivf_centroids_by_id,
+            ivf_write_store,
+        )
+
+        ivf_write_store(emb, ivf_centroids_by_id(emb, 64), maint_dir)
 
         def _bm25_build(d):
             # rewrite the same dir each rep (bench semantics: the
@@ -396,6 +422,7 @@ def shuffle_main(args) -> None:
         imgdocs.unpersist()
         emb.unpersist()
         shutil.rmtree(bm25_dir, ignore_errors=True)
+        shutil.rmtree(maint_dir, ignore_errors=True)
     for name, rec in out["jobs"].items():
         rec["slopes"] = [
             round(t / rec["t_sec"][0], 2) for t in rec["t_sec"][1:]
