@@ -4044,6 +4044,82 @@ def text_bm25_store_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bm25_compact",
+    f"""WITH tok AS (SELECT doc_id AS id,
+                  unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+tf AS (SELECT id, tok, count(*)::BIGINT AS tf FROM tok GROUP BY id, tok),
+dl AS (SELECT id, count(*)::BIGINT AS dl FROM tok GROUP BY id),
+p AS (SELECT ({h48_sql("tf.tok")} % 32)::BIGINT AS bucket, tf.tok,
+             tf.id, tf.tf, dl.dl
+      FROM tf JOIN dl USING (id))
+SELECT bucket, count(*)::BIGINT AS n_postings,
+       sum(tf)::BIGINT AS sum_tf, sum(dl)::BIGINT AS sum_dl,
+       sum({h48_sql(
+           "(tok || ':' || id::VARCHAR || ':' || tf::VARCHAR"
+           " || ':' || dl::VARCHAR)"
+       )} % 1000000000000)::BIGINT AS chk
+FROM p GROUP BY bucket""",
+)
+def text_bm25_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed-epoch compaction end-to-end through real store files
+    (:func:`~lshrs_spark.functions.text.bm25_compact` — previously
+    pytest-only): write TWO epoch partitions with DELIBERATELY drifted
+    bucket counts (even doc_ids at 16 buckets, odd at 32 — exactly the
+    mixed-hash-space layout the r11 ``bucket_count_drift`` flag
+    reports and :class:`~lshrs_spark.serving.BM25Server` refuses to
+    open), compact, and return a per-bucket rollup of the folded
+    ``epoch=-1`` layout: posting count, tf/dl sums and a content
+    checksum — ``sum(h48(tok:id:tf:dl) % 1e12)`` pins every tuple of
+    every posting row while keeping the result 32 rows at any sf. The
+    oracle rebuilds the postings from the raw corpus at the compaction
+    target (max declared bucket count, 32) — compact must equal a flat
+    rebuild: a lost epoch, a double-counted replay, a stale bucket key
+    or a dropped tf all move some bucket's checksum."""
+    import shutil as _shutil
+
+    from .functions.text import (
+        bm25_compact,
+        bm25_postings,
+        bm25_stats_row,
+        h48,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = _sf_tmp_path("lshrs_bm25_compact", sf_dir)
+    # fresh tree per run: epoch dirs overwrite deterministically, but a
+    # PREVIOUS run's compacted epoch=-1 would otherwise be folded again
+    _shutil.rmtree(path, ignore_errors=True)
+    for ep, nb, frame in (
+        (0, 16, docs.filter(F.col("doc_id") % 2 == 0)),
+        (1, 32, docs.filter(F.col("doc_id") % 2 == 1)),
+    ):
+        postings, dl = bm25_postings(frame, nb)
+        postings.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{path}/epoch={ep}"
+        )
+        bm25_stats_row(dl, nb).coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/_stats/epoch={ep}"
+        )
+    bm25_compact(spark, path)
+    folded = spark.read.parquet(path)
+    chk = F.pmod(
+        h48(F.concat_ws(":", F.col("tok"), F.col("id"),
+                        F.col("tf"), F.col("dl"))),
+        F.lit(10**12),
+    )
+    return (
+        folded.groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_postings"),
+            F.sum("tf").cast("long").alias("sum_tf"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+            F.sum(chk).cast("long").alias("chk"),
+        )
+    )
+
+
+@register(
     "text_hybrid_rrf",
     f"""WITH {_BM25_SCORED_CTES},
 bR AS (SELECT doc_id AS id,
@@ -9410,6 +9486,10 @@ FAMILY: dict[str, str] = {
     # demoted round-8 (driver rows r6-r7 on file): the single-phrase
     # path is the N=1 case of the promoted shared-scan batch rep
     "text_phrase_search": "text_phrase_batch",
+    # streamed-epoch compaction (new round-11): folds/rebuckets the
+    # same bucketed postings layout the in-window health card audits
+    # (compact==flat-rebuild pinned per bucket by content checksum)
+    "text_bm25_compact": "text_bm25_store_report",
     # demoted round-6 (r5 driver row on file): banded-embedding
     # self-dedup is the symmetric twin of the promoted cross-corpus
     # semantic decontamination representative
