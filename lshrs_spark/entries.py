@@ -4071,7 +4071,9 @@ def text_bm25_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     open), compact, and return a per-bucket rollup of the folded
     ``epoch=-1`` layout: posting count, tf/dl sums and a content
     checksum — ``sum(h48(tok:id:tf:dl) % 1e12)`` pins every tuple of
-    every posting row while keeping the result 32 rows at any sf. The
+    every posting row while keeping the result AT MOST 32 rows at any
+    sf (empty buckets are absent from the groupBy; 21 occupied at
+    sf=0.01). The
     oracle rebuilds the postings from the raw corpus at the compaction
     target (max declared bucket count, 32) — compact must equal a flat
     rebuild: a lost epoch, a double-counted replay, a stale bucket key

@@ -396,10 +396,7 @@ def shuffle_main(args) -> None:
         # job (built untimed — the job measures the nightly check, not
         # the build; 64 centroids, the bench store shape)
         maint_dir = tempfile.mkdtemp(prefix="lshrs_scaling_maint_")
-        from lshrs_spark.operators.knn import (
-            ivf_centroids_by_id,
-            ivf_write_store,
-        )
+        from lshrs_spark.operators.knn import ivf_write_store
 
         ivf_write_store(emb, ivf_centroids_by_id(emb, 64), maint_dir)
 
@@ -415,7 +412,11 @@ def shuffle_main(args) -> None:
             rec = out["jobs"].setdefault(
                 name, {"rows_in": [], "t_sec": [], "rows_out": []}
             )
-            rec["rows_in"].append(nd if name != "simjoin_lsh" else ne)
+            # embedding-corpus jobs record ne; the rest read docs
+            rec["rows_in"].append(
+                ne if name in ("simjoin_lsh", "ivf_maintain_detect")
+                else nd
+            )
             rec["t_sec"].append(round(t, 3))
             rec["rows_out"].append(rows)
         docs.unpersist()
