@@ -95,3 +95,23 @@ def test_scratch_root_is_per_process_and_sweeps_dead_pids(tmp_path,
     shutil.rmtree(root)  # force the first-use branch again
     _scratch_root()
     assert (base / "pid_1").exists()
+
+
+def test_drift_runner_and_bench_share_line_definitions(spark):
+    """tools/drift_ab.py validates CLI names against its R11_FLAGGED
+    list and times tools/bench_lines.shared_line_fns — if either side
+    gains or loses a line without the other, the isolated re-measure
+    protocol silently diverges from the bench series it judges
+    (exactly the copy-drift the shared module exists to prevent)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.bench_lines import bench_docs, shared_line_fns
+    from tools.drift_ab import R11_FLAGGED
+
+    docs = bench_docs(spark, "/root/testdata/sf0.001", 4)
+    fns = shared_line_fns(spark, docs, "/root/testdata/sf0.001")
+    assert sorted(fns) == sorted(R11_FLAGGED)
+    # and each shared line actually runs end-to-end at smoke scale
+    n = fns["text_pipeline"]()
+    assert n > 0
