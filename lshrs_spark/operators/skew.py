@@ -128,7 +128,11 @@ def _balance_card(counts: DataFrame, key_col: str, n_col: str,
     base = ranked.agg(
         F.sum("_n").cast("long").alias("_tot"),
         F.count(F.lit(1)).cast("long").alias("_p"),
-        F.countDistinct("_k").cast("long").alias("_pk"),
+        # struct-wrapped so a NULL key still counts as one distinct
+        # value (bare countDistinct skips NULLs, and a counts frame
+        # with a single NULL key — keys actually unique — would
+        # falsely raise the needs-UNIQUE-keys error; ADVICE r11)
+        F.countDistinct(F.struct(F.col("_k"))).cast("long").alias("_pk"),
         F.max("_n").cast("long").alias("_max"),
         F.avg("_n").alias("_mean"),
     )

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import inspect
+import os
 
 import pytest
 
@@ -105,7 +106,10 @@ def test_drift_runner_and_bench_share_line_definitions(spark):
     (exactly the copy-drift the shared module exists to prevent)."""
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    # derive the repo root like tools/drift_ab.py does — a hardcoded
+    # /root/repo broke this test on any other checkout (ADVICE r11)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     from tools.bench_lines import bench_docs, shared_line_fns
     from tools.drift_ab import R11_FLAGGED
 
@@ -115,3 +119,22 @@ def test_drift_runner_and_bench_share_line_definitions(spark):
     # and each shared line actually runs end-to-end at smoke scale
     n = fns["text_pipeline"]()
     assert n > 0
+
+
+def test_drift_runner_rejects_nonpositive_reps():
+    """ADVICE r11: ``--reps 0`` passed the isdigit() validation and
+    crashed on ``min([])`` only after paying JVM startup and the
+    warm-up run — reject at argument-parse time, before any Spark
+    work. All three rejections exit immediately (no JVM)."""
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for bad in ("0", "-3", "x"):
+        proc = subprocess.run(
+            [sys.executable, os.path.join(root, "tools", "drift_ab.py"),
+             "--reps", bad],
+            capture_output=True, text=True, timeout=60,
+        )
+        assert proc.returncode != 0
+        assert "positive integer" in proc.stderr

@@ -233,6 +233,30 @@ def test_balance_stats_empty_input_contract(spark):
     assert card.max_rows is None and card.max_mean_ratio is None
 
 
+def test_balance_stats_null_key_counts_as_distinct(spark):
+    """ADVICE r11: the uniqueness check compared count(*) to a bare
+    countDistinct, which skips NULLs — a counts frame whose keys are
+    unique but include ONE NULL key falsely raised 'needs UNIQUE
+    keys'. The struct-wrapped distinct counts the NULL key as a value:
+    one NULL among unique keys is accepted, two NULLs (a genuinely
+    duplicated key) still raise."""
+    import pytest
+
+    from lshrs_spark.operators.skew import balance_stats
+
+    one_null = spark.createDataFrame(
+        [(None, 7), (2, 5), (3, 9)], "k long, n long"
+    )
+    [card] = balance_stats(one_null, key_col="k").collect()
+    assert card.n_partitions == 3 and card.n_rows == 21
+
+    two_nulls = spark.createDataFrame(
+        [(None, 7), (None, 5), (3, 9)], "k long, n long"
+    )
+    with pytest.raises(ValueError, match="UNIQUE keys"):
+        balance_stats(two_nulls, key_col="k")
+
+
 def test_balance_stats_interleaved_cards_and_duplicate_keys(spark):
     """Two r11-review CONFIRMED bugs pinned. (1) Interleaved cards:
     building card A, then card B, then reading A must give A's correct

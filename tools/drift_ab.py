@@ -79,8 +79,11 @@ def main() -> None:
     for a in it:
         if a == "--reps":
             reps_s = next(it, None)
-            if reps_s is None or not reps_s.isdigit():
-                sys.exit("--reps needs an integer argument")
+            # isdigit alone let --reps 0 through, which paid JVM
+            # startup and the warm-up run before crashing on min([])
+            # of an empty times list (ADVICE r11)
+            if reps_s is None or not reps_s.isdigit() or int(reps_s) < 1:
+                sys.exit("--reps needs a positive integer argument")
             reps = int(reps_s)
         elif a == "--out":
             out_path = next(it, None)
