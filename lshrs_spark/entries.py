@@ -9057,8 +9057,19 @@ DRIVER_WINDOW: list[str] = [
     # (append≡rebuild), grades it against brute truth, and the
     # stored-tree append/readback machinery keeps hard rows through the
     # promoted ann_ivf_append_stored / ann_ivf_maintain below
-    "lsh_signatures", "lsh_topk",
-    "ann_mmr_diversity", "ann_retrieval_metrics", "lsh_delete",
+    # round-12 (VERDICT r11 #2): ann_mmr_lambda_curve in /
+    # ann_mmr_diversity out (r11 driver row on file) — the lambda dial
+    # sweep unrolls THREE greedy selections (λ = 0.25 / 0.5 / 0.75)
+    # over one shared shortlist, one of them the trade gauge's λ=0.5
+    # operating point, so the greedy-MMR machinery keeps a hard row
+    # through the strictly wider entry; lsh_index_balance in /
+    # ann_ivf_balance out (r11 driver row on file) — both cards ride
+    # the SAME shared balance_stats core (rank-form Gini, distributed
+    # ordinal), and the LSH card is the harder scale case: its
+    # (band, sig) key cardinality grows with the corpus, which is the
+    # very caller the two-stage distributed rank was built for
+    "lsh_signatures", "lsh_topk", "lsh_index_balance",
+    "ann_mmr_lambda_curve", "ann_retrieval_metrics", "lsh_delete",
     # similarity join + dedup family (dedup_ngram_jaccard demoted
     # round-6: shingle-inverted-index twin of the in-window minhash rep)
     # (dedup_incremental demoted round-6: stored-band-key twin of the
@@ -9126,8 +9137,21 @@ DRIVER_WINDOW: list[str] = [
     # alerts on; ann_ivf_append_stored in (never checked) — plain-IVF
     # append≡rebuild through real store files, completing the
     # driver-checked append matrix
-    "ann_truncated_recall", "ann_ivf_maintain", "ann_ivf_balance",
-    "ann_ivf_append_stored",
+    # round-12 (VERDICT r11 #2): ann_truncated_recall_curve in /
+    # ann_truncated_recall out (r11 driver row on file) — the
+    # coarse_k dial sweep replays the SAME IVF-composed two-stage
+    # recall gauge at every arm, the single operating point included,
+    # so the machinery keeps a hard row through the strictly wider
+    # curve; ann_truncated_maintain in / ann_ivf_append_stored out
+    # (r11 driver row on file) — the matryoshka nightly unit drives
+    # append → hot-split → _full-segment fold through REAL store
+    # files, a second-tier superset of the plain append≡rebuild
+    # grading (whose stored-tree machinery also keeps its hard row
+    # via the in-window ann_ivf_maintain, kept in-window this round
+    # deliberately: its sidecar-swap sequencing changed — VERDICT r11
+    # #4 — and the changed writer should hold a driver row)
+    "ann_truncated_recall_curve", "ann_ivf_maintain",
+    "ann_truncated_maintain",
     "emb_semantic_decontaminate",
     # planner + quantization + pipeline ops (text_tfidf demoted
     # round-6: token-frequency-statistics twin of text_stats;
@@ -9202,8 +9226,22 @@ DRIVER_WINDOW: list[str] = [
     # in-window ann_truncated_recall gauge grades the same
     # prefix-truncation axis against full-width truth, composed with
     # the IVF probe (the stricter end-to-end form)
-    "emb_dbscan_clusters", "emb_dbscan_kdist",
-    "emb_silhouette_sampled",
+    # round-12 (VERDICT r11 #2): emb_cluster_workflow in /
+    # emb_dbscan_clusters out (r11 driver row on file) — the one-call
+    # workflow runs the density rep's ENTIRE chain (pair source →
+    # roles → recursive core reachability) behind the auto-routed
+    # front door at a second (eps, min_pts) operating point, a strict
+    # superset; emb_dbscan_minpts_curve in / emb_dbscan_kdist out
+    # (r11 driver row on file) — the dial pair swaps: the min_pts
+    # role-census sweep earns its hard row while the eps k-distance
+    # curve keeps its r11 row on file (same shared pair-graph
+    # machinery, exact distributed order statistics both);
+    # emb_dbscan_silhouette in / emb_silhouette_sampled out (r11
+    # driver row on file) — the full-assignment silhouette earns its
+    # row; the promoted entry computes the same a/b/s arithmetic the
+    # sampled scale path caps, and the cap path holds its r11 row
+    "emb_cluster_workflow", "emb_dbscan_minpts_curve",
+    "emb_dbscan_silhouette",
     # relational suite (rel_customer_setops and rel_stats_corr demoted
     # round-6: set-membership ~ rel_semi_anti, stats agg ~ rel_quantiles)
     # round-6: rel_column_profile in / rel_quantiles out (the one-pass
@@ -9233,9 +9271,16 @@ DRIVER_WINDOW: list[str] = [
     # file) — the VID0 frame-sampling fan-out is the decode sub-plan of
     # the in-window dedup_video_hamming rep, which decodes and hashes
     # the same payload frames under the strictest oracle in the family
+    # round-12 (VERDICT r11 #2): text_bm25_compact in /
+    # text_bm25_store_report out (r11 driver row on file) — the
+    # streamed-epoch compaction entry folds + rebuckets the SAME
+    # bucketed postings layout the health card audits (the card's
+    # n_epochs column is exactly the debt compact retires), with every
+    # posting tuple pinned per bucket by a content checksum — the
+    # strictest oracle in the BM25 store-maintenance family
     "sketch_bloom", "dedup_video_hamming", "stream_dedup_counts",
     "stream_stateful_first", "stream_attribution_join",
-    "text_bm25_store_report",
+    "text_bm25_compact",
 ]
 
 # Family map — the import-time guard closing the "new operator lands past
@@ -9281,29 +9326,34 @@ FAMILY: dict[str, str] = {
     # the h=0 fast path of the promoted Hamming-tolerant rep
     "dedup_video_frames": "dedup_video_hamming",
     "dedup_soft_weight": "dedup_keep_list",
-    # clustering-quality gauge over the same DBSCAN assignment; the
-    # promoted (round-11) sampled-silhouette rep computes the same
-    # a/b/s arithmetic through the deterministic per-cluster cap
-    "emb_dbscan_silhouette": "emb_silhouette_sampled",
-    # min_pts dial sweep (new round-10): role census per arm over the
-    # same pair graph / role machinery as the in-window density rep
-    "emb_dbscan_minpts_curve": "emb_dbscan_clusters",
-    # one-call workflow (new round-11, VERDICT r10 missing #2): the
-    # in-window density rep's chain behind the auto-routed pair-source
-    # front door, pinned at a second (eps, min_pts) operating point
-    "emb_cluster_workflow": "emb_dbscan_clusters",
+    # demoted round-12 (r11 driver row on file, VERDICT r11 #2): the
+    # per-cluster-capped silhouette scale path computed the same a/b/s
+    # arithmetic the promoted full-assignment gauge now drives with a
+    # hard row; the cap's md5-ordered sample held its own r11 row
+    "emb_silhouette_sampled": "emb_dbscan_silhouette",
+    # demoted round-12 (r11 driver row on file, VERDICT r11 #2): the
+    # density rep's whole chain (pair source → roles → recursive core
+    # reachability) runs inside the promoted one-call workflow at a
+    # second (eps, min_pts) operating point — a strict superset
+    "emb_dbscan_clusters": "emb_cluster_workflow",
+    # demoted round-12 (r11 driver row on file, VERDICT r11 #2): the
+    # DBSCAN dial pair swaps — the eps k-distance curve keeps its r11
+    # row on file while the promoted min_pts role-census sweep (same
+    # shared pair-graph machinery, exact distributed order statistics
+    # both) earns its hard row
+    "emb_dbscan_kdist": "emb_dbscan_minpts_curve",
     # demoted round-11 (r10 driver row on file, VERDICT r10 #1): the
     # exact-vs-banded fidelity gauge keeps its row and its README
-    # gauge-table series; the in-window density rep replays the exact
-    # pair chain end-to-end and the promoted kdist/silhouette gauges
-    # exercise the same pair-graph machinery
-    "emb_dbscan_banded_agreement": "emb_dbscan_clusters",
+    # gauge-table series; the in-window workflow rep replays the exact
+    # pair chain end-to-end and the in-window dial gauges exercise the
+    # same pair-graph machinery
+    "emb_dbscan_banded_agreement": "emb_cluster_workflow",
     # demoted round-10 (driver rows r1-r9 on file, VERDICT r9 #1): the
-    # clustering-family hard row moves to the promoted density rep,
-    # which clusters the same embeddings (cosine geometry,
-    # deterministic tie-breaks) and whose oracle replays a full
-    # clustering end-to-end including the CC pass
-    "emb_kmeans": "emb_dbscan_clusters",
+    # clustering-family hard row moved to the density chain, repped
+    # round-12 by the one-call workflow that clusters the same
+    # embeddings (cosine geometry, deterministic tie-breaks) and whose
+    # oracle replays a full clustering end-to-end including the CC pass
+    "emb_kmeans": "emb_cluster_workflow",
     "rel_recursive_reach": "dedup_keep_list",  # SQL-surface twin of CC
     # demoted round-9 (both r8 driver rows on file, VERDICT r8 #1): the
     # promoted keep list replays exact collapse and connected
@@ -9356,13 +9406,13 @@ FAMILY: dict[str, str] = {
     # shortlist-then-rerank family the promoted MMR rep drives through
     # the same user API (query_batch_mmr vs query_batch top-p); the
     # cutoff arithmetic also holds r1-r7 rows via the single-query twin
-    "lsh_topp_batch": "ann_mmr_diversity",
+    "lsh_topp_batch": "ann_mmr_lambda_curve",
     # demoted round-11 (r10 driver row on file, VERDICT r10 #1): the
     # promoted trade gauge computes the SAME greedy MMR selection
     # (mmr_rerank; its oracle unrolls the picks) over 6x20 shortlists
     # and grades the diversity/relevance trade; the user-API path
     # (query_batch_mmr) held its r10 row
-    "ann_mmr_topk": "ann_mmr_diversity",
+    "ann_mmr_topk": "ann_mmr_lambda_curve",
     # demoted round-11 (driver rows r7-r10 on file): the multiprobe
     # probe is the in-window topk rep's probe plan plus
     # perturbation-key emission — four rounds of hard rows on file
@@ -9376,23 +9426,34 @@ FAMILY: dict[str, str] = {
     # over the bucket table folds into the signature-table family; the
     # promoted multi-probe gauge takes the LSH-dial slot
     "lsh_index_stats": "lsh_signatures",
-    # LSH index health card (new round-11, VERDICT r10 missing #3):
-    # the balance_stats card over the same (band, sig) bucket counts
-    # the signature rep materializes
-    "lsh_index_balance": "lsh_signatures",
+    # demoted round-12 (r11 driver row on file, VERDICT r11 #2): both
+    # store-health cards ride the SAME shared balance_stats core
+    # (rank-form Gini over a distributed two-stage ordinal); the
+    # promoted LSH card is the harder scale case — its (band, sig)
+    # key cardinality grows with the corpus — and the IVF-specific
+    # columns (tombstone debt, heal residue) keep r11 rows on file
+    "ann_ivf_balance": "lsh_index_balance",
     "ann_batch": "lsh_topk",
-    # the lambda dial sweep (new round-10): three greedy unrolls of the
-    # in-window trade gauge's machinery over one shared shortlist
-    "ann_mmr_lambda_curve": "ann_mmr_diversity",
+    # demoted round-12 (r11 driver row on file, VERDICT r11 #2): the
+    # promoted lambda dial sweep unrolls THREE greedy selections over
+    # one shared shortlist, one of them this trade gauge's λ=0.5
+    # operating point — the greedy-MMR machinery keeps its hard row
+    # through the strictly wider curve
+    "ann_mmr_diversity": "ann_mmr_lambda_curve",
     # demoted round-8 (driver rows r1-r7 on file): the single-query
     # top-p path is the 1-row special case of the batch rerank +
     # proportional-cutoff twin (itself demoted round-10 into the same
     # batch shortlist-rerank family, repped round-11 by the MMR gauge)
-    "lsh_topp": "ann_mmr_diversity",
+    "lsh_topp": "ann_mmr_lambda_curve",
     # demoted round-10 (r9 driver row on file, VERDICT r9 #1), rep
     # moved round-11 to the promoted metrics card, which replays the
     # same two-stage coarse+rerank ranking and grades it vs brute truth
     "ann_truncated_topk": "ann_retrieval_metrics",
+    # demoted round-12 (r11 driver row on file, VERDICT r11 #2): the
+    # promoted coarse_k dial sweep replays the same IVF-composed
+    # two-stage recall gauge at every arm, this entry's single
+    # operating point included
+    "ann_truncated_recall": "ann_truncated_recall_curve",
     # demoted round-11 (r10 driver row on file, VERDICT r10 #1): the
     # append entry's oracle was exactly the two-stage full-corpus
     # replay (append≡rebuild) that the promoted metrics card computes
@@ -9402,15 +9463,15 @@ FAMILY: dict[str, str] = {
     # IVF family rep since round-10: the promoted IVF-composed
     # matryoshka recall gauge drives the same centroid training +
     # partition-pruned probe end-to-end and grades it vs full truth
-    "ann_recall": "ann_truncated_recall",
-    "ann_ivf_recall": "ann_truncated_recall",
-    "ann_ivf_recall_curve": "ann_truncated_recall",  # nprobe sweep, same gauge
-    "ann_ivf": "ann_truncated_recall",
-    "ann_ivf_filtered_recall": "ann_truncated_recall",
+    "ann_recall": "ann_truncated_recall_curve",
+    "ann_ivf_recall": "ann_truncated_recall_curve",
+    "ann_ivf_recall_curve": "ann_truncated_recall_curve",  # nprobe sweep, same gauge
+    "ann_ivf": "ann_truncated_recall_curve",
+    "ann_ivf_filtered_recall": "ann_truncated_recall_curve",
     # demoted round-7 (r6 driver row on file): the WHERE-pushdown
     # filtered probe is a variant of the IVF machinery the in-window
     # recall gauge drives end-to-end
-    "ann_ivf_filtered": "ann_truncated_recall",
+    "ann_ivf_filtered": "ann_truncated_recall_curve",
     # stored-layout family, repped round-11 by the promoted nightly
     # maintenance unit: builds, rewrites and reads back the same
     # partitioned store tree
@@ -9420,22 +9481,25 @@ FAMILY: dict[str, str] = {
     # entry's single-split machinery plus heal-before-detect — a
     # strict superset through the same rewritten store tree
     "ann_ivf_split_assign": "ann_ivf_maintain",
-    # matryoshka nightly unit (new round-11, VERDICT r10 missing #2):
-    # the same detect/split loop as the in-window plain-IVF rep,
-    # composed with the _full-segment fold at truncated width
-    "ann_truncated_maintain": "ann_ivf_maintain",
+    # demoted round-12 (r11 driver row on file, VERDICT r11 #2): the
+    # plain-IVF append≡rebuild grading moved to the promoted
+    # matryoshka nightly, which drives append → hot-split →
+    # _full-segment fold through REAL store files at a second tier;
+    # the plain stored-tree rewrite machinery also keeps a hard row
+    # via the in-window ann_ivf_maintain
+    "ann_ivf_append_stored": "ann_truncated_maintain",
     # exact inner-product baseline: subsumed as the exact leg of the
     # MIPS gauges (VERDICT r6 #3)
-    "mips_topk": "ann_truncated_recall",
+    "mips_topk": "ann_truncated_recall_curve",
     # demoted round-8 (r7 driver row on file): the unfiltered
     # augmented-IVF recall gauge rides the same trained-probe recall
     # machinery as the in-window rep
-    "mips_ivf_recall": "ann_truncated_recall",
+    "mips_ivf_recall": "ann_truncated_recall_curve",
     # demoted round-10 (r8-r9 driver rows on file, VERDICT r9 #1): the
     # WHERE-constrained MIPS probe is the in-window recall gauge's
     # trained-probe plan plus norm augmentation and an eligibility
     # predicate — both of which hold their own r7-r9 rows on file
-    "mips_ivf_filtered": "ann_truncated_recall",
+    "mips_ivf_filtered": "ann_truncated_recall_curve",
     # simjoin / dedup twins and gauges — candidate-generation +
     # verification family, repped round-10 by the promoted single-pass
     # SNM entry (blocking-key window generation + levenshtein verify
@@ -9488,10 +9552,12 @@ FAMILY: dict[str, str] = {
     # demoted round-8 (driver rows r6-r7 on file): the single-phrase
     # path is the N=1 case of the promoted shared-scan batch rep
     "text_phrase_search": "text_phrase_batch",
-    # streamed-epoch compaction (new round-11): folds/rebuckets the
-    # same bucketed postings layout the in-window health card audits
-    # (compact==flat-rebuild pinned per bucket by content checksum)
-    "text_bm25_compact": "text_bm25_store_report",
+    # demoted round-12 (r11 driver row on file, VERDICT r11 #2): the
+    # promoted compaction entry folds + rebuckets the same bucketed
+    # postings layout this card audits (the card's n_epochs column is
+    # the debt compact retires), under the strictest oracle in the
+    # family (every posting tuple checksum-pinned per bucket)
+    "text_bm25_store_report": "text_bm25_compact",
     # demoted round-6 (r5 driver row on file): banded-embedding
     # self-dedup is the symmetric twin of the promoted cross-corpus
     # semantic decontamination representative
@@ -9531,13 +9597,13 @@ FAMILY: dict[str, str] = {
     # embeddings twins (family rep: the density-clustering entry since
     # round-10; the Lloyd's rep they previously followed holds r1-r9
     # driver rows and now sits in this family too)
-    "emb_label_centroids": "emb_dbscan_clusters",
-    "emb_covariance": "emb_dbscan_clusters",
+    "emb_label_centroids": "emb_cluster_workflow",
+    "emb_covariance": "emb_cluster_workflow",
     # centroid-distance outlier screen: embedding-geometry twin
-    "emb_outlier_filter": "emb_dbscan_clusters",
-    "emb_norm_stats": "emb_dbscan_clusters",  # embedding QC card, same family
-    "emb_quantile_clip": "emb_dbscan_clusters",  # preprocessing envelope
-    "emb_centroid_stability": "emb_dbscan_clusters",  # cluster-coherence gauge
+    "emb_outlier_filter": "emb_cluster_workflow",
+    "emb_norm_stats": "emb_cluster_workflow",  # embedding QC card, same family
+    "emb_quantile_clip": "emb_cluster_workflow",  # preprocessing envelope
+    "emb_centroid_stability": "emb_cluster_workflow",  # cluster-coherence gauge
     # cohort analytics: event-time bucketing twin of the sessionize rep
     "rel_events_retention": "rel_events_sessionize",
     # relational twins
@@ -9561,20 +9627,16 @@ FAMILY: dict[str, str] = {
     # brute-force cosine rep (rep moved round-11 to the in-window
     # IVF-composed truncation recall gauge, whose truth arm is a brute
     # full-width scan)
-    "emb_pair_distance_hist": "ann_truncated_recall",
+    "emb_pair_distance_hist": "ann_truncated_recall_curve",
     # demoted round-9 (driver rows r1-r8 on file): the in-window
     # IVF-composed truncation-recall gauge's truth arm IS brute cosine
     # top-k at full width (rep moved round-11)
-    "knn_bruteforce": "ann_truncated_recall",
+    "knn_bruteforce": "ann_truncated_recall_curve",
     # demoted round-11 (r10 driver row on file, VERDICT r10 #1): the
     # two-width brute truncation recall gauge grades the same
     # prefix-truncation axis the in-window IVF-composed gauge drives
     # end-to-end (the stricter form, composed with the pruned probe)
-    "emb_dim_truncation_recall": "ann_truncated_recall",
-    # shortlist-dial tuning curve (new round-9): recall@10 vs coarse_k
-    # sweep over the same two-stage machinery the round-11-promoted
-    # metrics card replays and grades
-    "ann_truncated_recall_curve": "ann_retrieval_metrics",
+    "emb_dim_truncation_recall": "ann_truncated_recall_curve",
     "rel_event_quantiles": "rel_column_profile",
     # scalar-function surface over the events table (r4 driver row on
     # file for the demoted JSON rep); events family
