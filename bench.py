@@ -18,17 +18,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 from pyspark.sql import functions as F
 
-from lshrs_spark import LSHConfig, LSHRS
+from lshrs_spark import LSHRS
 from lshrs_spark.cache import release_slots
 from lshrs_spark.operators.index import build_index
-from lshrs_spark.operators.probe import candidates, rerank, top_k, top_p_cutoff
+from lshrs_spark.operators.probe import candidates, top_k
 from lshrs_spark.session import get_spark
+# The timed line definitions live in tools/bench_lines.py — ONE module
+# both this bench and the drift runner (tools/drift_ab.py) import, so
+# an isolated re-measure can never silently diverge from the series it
+# is judged against (VERDICT r11 #1 extended the sharing to the
+# knn/mips/stream/store sections).
+from tools.bench_lines import (
+    BenchState,
+    bench_docs,
+    shared_line_fns,
+    store_line_fns,
+    vector_line_fns,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-
-# Production-shaped config: 128 hyperplanes, 8 bands x 16 rows, float32.
-CFG = LSHConfig(dim=64, num_perm=128, num_bands=8, rows_per_band=16, seed=42)
 
 
 # Repetitions per query: min-of-N with one excluded warm-up run, so
@@ -101,32 +110,30 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     spark = get_spark("bench", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    emb.count()  # warm the scan / JVM before timing
+    # Shared lazy corpus/store state + the timed line definitions —
+    # the SAME objects tools/drift_ab.py drives for isolated
+    # re-measures (tools/bench_lines.py is the single source).
+    st = BenchState(spark, SF_DIR, CPUS)
+    emb = st.emb()  # warms the scan / JVM before timing
+    vfns = vector_line_fns(st)
+    sfns = store_line_fns(st)
 
     results: dict[str, float] = {}
 
     # 1. Bulk index build (S1+H1-H4+S4): signatures + explode, materialized.
-    idx = build_index(emb, CFG, "vec_id", "embedding")
-    results["index_build"], n_entries = timed(lambda: (idx.count(),), "index_build")
-    idx = idx.cache()
-    idx.count()
+    results["index_build"], n_entries = timed(
+        vfns["index_build"], "index_build")
+    idx = st.idx_cached()
+    qdf = st.qdf()
 
     # 2. Batch top-k probe: 100 query vectors through one plan (Q1-Q4).
-    qdf = emb.filter(F.col("vec_id") < 100).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
-    qsigs = build_index(qdf, CFG, "qid", "qvec").withColumnRenamed("id", "qid")
-
-    def run_topk():
-        return top_k(candidates(idx, qsigs), 10).count()
-
-    results["topk_batch100"], _ = timed(run_topk, "topk_batch100")
+    results["topk_batch100"], _ = timed(
+        vfns["topk_batch100"], "topk_batch100")
 
     # 2b. Same batch with multiprobe=2 (r7): perturbation keys emitted
     # inside the signature Arrow UDF — 3x the probe rows, measuring the
     # recall knob's cost on the corpus-scale path.
-    qsigs_mp = build_index(qdf, CFG, "qid", "qvec",
+    qsigs_mp = build_index(qdf, st.cfg, "qid", "qvec",
                            multiprobe=2).withColumnRenamed("id", "qid")
     results["topk_batch100_mp2"], _ = timed(
         lambda: top_k(candidates(idx, qsigs_mp), 10).count(),
@@ -134,63 +141,32 @@ def main() -> None:
     )
 
     # 3. Rerank + top-p for the same 100 queries (Q5-Q8).
-    def run_topp():
-        cands = candidates(idx, qsigs)
-        scored = rerank(cands, emb, qdf, query_vector_col="qvec")
-        return top_p_cutoff(scored, 0.5, 10).count()
-
-    results["topp_batch100"], _ = timed(run_topp, "topp_batch100")
+    results["topp_batch100"], _ = timed(
+        vfns["topp_batch100"], "topp_batch100")
 
     # 4. Single-query latency through the user API (collects to driver).
     lsh = LSHRS(spark, 64, num_perm=128, num_bands=8, rows_per_band=16)
     lsh._index_df = idx
     lsh.set_vectors(emb)
-    qv = np.array(emb.filter("vec_id = 0").first().embedding, dtype=np.float32)
+    qv = st.qv()
     results["single_topk"], _ = timed(lambda: lsh.get_top_k(qv, 10), "single_topk")
 
-    # 5. LSH similarity self-join (recall-friendly banding) over embeddings.
-    from lshrs_spark.operators.simjoin import similarity_join
-
-    # 16 bands x 8 rows: ~256 buckets/band at dim 64 — selective enough
-    # that candidate pairs stay near-linear in n at this corpus size.
-    sj_cfg = LSHConfig(dim=64, num_perm=128, num_bands=16, rows_per_band=8, seed=42)
-    results["simjoin_lsh"], _ = timed(
-        lambda: similarity_join(
-            emb, sj_cfg, 0.4, max_bucket_size=2000, cache_index=True
-        ).count(),
-        "simjoin_lsh",
-    )
-
-    # 5b. Same join over a DELIBERATELY skewed corpus: 10% of rows share
-    # ONE embedding, so every band has a hot bucket holding 10% of the
-    # corpus. AQE skew-split + the max_bucket_size cap must keep this
-    # within ~2x of the uniform case (the 100 TB hot-key hazard).
-    hot = emb.filter(F.col("vec_id") == 0).select("embedding").first().embedding
-    skew_emb = emb.select(
-        "vec_id",
-        F.when(F.col("vec_id") % 10 == 0, F.lit(hot)).otherwise(
-            F.col("embedding")
-        ).alias("embedding"),
-    )
+    # 5. LSH similarity self-join (recall-friendly banding) over
+    # embeddings, then the same join over a DELIBERATELY skewed corpus
+    # (hot-bucket hazard) — definitions in tools/bench_lines.py.
+    results["simjoin_lsh"], _ = timed(vfns["simjoin_lsh"], "simjoin_lsh")
     results["simjoin_lsh_skew"], _ = timed(
-        lambda: similarity_join(
-            skew_emb, sj_cfg, 0.4, max_bucket_size=2000, cache_index=True
-        ).count(),
-        "simjoin_lsh_skew",
-    )
+        vfns["simjoin_lsh_skew"], "simjoin_lsh_skew")
 
     # 6. Dedup pipeline over documents: MinHash bands + SimHash table.
     from lshrs_spark.operators.dedup import minhash_band_pairs, simhash_table
-    # The drift-protocol lines (isolated re-measures, tools/drift_ab.py)
-    # come from ONE shared definition module so the A/B runner can never
-    # silently diverge from the series it is judged against.
-    from tools.bench_lines import bench_docs, shared_line_fns
 
     # One small parquet file -> one input split; spread the corpus over the
     # cores (at real scale the file count provides this parallelism).
     docs = bench_docs(spark, SF_DIR, CPUS)
     docs.persist().count()
-    shared = shared_line_fns(spark, docs, SF_DIR)
+    bm25_store = os.path.join(tempfile.gettempdir(), "lshrs_bench_bm25")
+    shared = shared_line_fns(spark, docs, SF_DIR, bm25_store=bm25_store)
     # Warm the shingle/md5 codegen + shuffle path on a 100-doc slice so the
     # timed run measures steady-state throughput, not first-compile JIT
     # (same convention as emb.count() and the 20x warm build below).
@@ -284,53 +260,30 @@ def main() -> None:
     )
 
     # 8. Streaming ingest of the events stream (complete-mode agg).
-    from lshrs_spark.streaming.ingest import stream_aggregate_complete
-
-    results["stream_agg"], _ = timed(
-        lambda: stream_aggregate_complete(
-            spark,
-            f"{SF_DIR}/events.parquet",
-            ["event_type"],
-            [F.count(F.lit(1)).alias("n")],
-        ).count(),
-        "stream_agg",
-    )
+    results["stream_agg"], _ = timed(vfns["stream_agg"], "stream_agg")
 
     # 9. Baseline-comparable throughput (BASELINE.md: >10k vectors/sec
     # indexing, <100 ms query): index a 20x-replicated corpus and measure
     # steady-state vectors/sec; amortized per-query latency from the
     # 100-query batch.
     n_emb = emb.count()
-    big = emb
-    for i in range(1, 20):
-        big = big.unionByName(
-            emb.select((F.col("vec_id") + 1_000_000 * i).alias("vec_id"),
-                       "embedding", "label")
-        )
-    big = big.repartition(CPUS).persist()
+    big = st.big()
     n_big = big.count()
     # BASELINE.md's indexing target is steady-state batch throughput —
     # warm the path once (JIT/Arrow/python-worker spin-up) then measure.
-    build_index(big, CFG, "vec_id", "embedding").count()
+    sfns["index_build_20x"]()
     t_big, _ = timed(
-        lambda: build_index(big, CFG, "vec_id", "embedding").count(),
-        "index_build_20x", warmup=False,
+        sfns["index_build_20x"], "index_build_20x", warmup=False,
     )
     results["index_build_20x"] = t_big
 
     # 10. Single query against the STORED 20x index through signature
     # predicate pushdown (candidates_from_path): the latency that stays
     # flat as the index grows (measured flat 1x -> 100x locally).
-    from lshrs_spark.operators.index import write_index
-    from lshrs_spark.operators.probe import candidates_from_path
-
-    store = os.path.join(tempfile.gettempdir(), "lshrs_bench_index20x")
-    write_index(build_index(big, CFG, "vec_id", "embedding"), store)
-    candidates_from_path(spark, store, qv, CFG).count()  # warm
+    store = st.lsh_store()
+    sfns["single_topk_stored20x"]()  # warm
     results["single_topk_stored20x"], _ = timed(
-        lambda: top_k(
-            candidates_from_path(spark, store, qv, CFG), 10
-        ).count(),
+        sfns["single_topk_stored20x"],
         "single_topk_stored20x", warmup=False,
     )
 
@@ -339,7 +292,7 @@ def main() -> None:
     # pyarrow partition + row-group-stat pruning. 100 distinct queries.
     from lshrs_spark.serving import IndexServer
 
-    srv = IndexServer(store, CFG)
+    srv = IndexServer(store, st.cfg)
     qvecs = [
         np.array(r.embedding, dtype=np.float32)
         for r in emb.filter(F.col("vec_id") < 100).collect()
@@ -376,47 +329,20 @@ def main() -> None:
     # template built once (maintenance mutates the tree; rebuilding
     # through Spark per rep would time the build, not the unit), so
     # every rep detects and splits the same two hot partitions.
-    import shutil
-
-    from lshrs_spark.operators.knn import ivf_compact, ivf_maintain
-
-    hot2 = emb.filter(F.col("vec_id") == 1).select(
-        "embedding").first().embedding
-    skew_big = big.select(
-        "vec_id",
-        F.when(F.col("vec_id") % 10 == 0, F.lit(hot))
-        .when(F.col("vec_id") % 10 == 1, F.lit(hot2))
-        .otherwise(F.col("embedding")).alias("embedding"),
-    )
     # Fixed lshrs_bench_* paths are the bench's deliberate convention
     # (serving_probe.py replays against the same stores): the bench is
     # single-instance by contract — two concurrent benches invalidate
-    # each other's TIMINGS regardless of path isolation.
-    maint_tmpl = os.path.join(tempfile.gettempdir(),
-                              "lshrs_bench_maint20x_tmpl")
-    maint_store = os.path.join(tempfile.gettempdir(),
-                               "lshrs_bench_maint20x")
-    ivf_write_store(skew_big, ivf_centroids_by_id(emb, 64), maint_tmpl)
-
-    def plant_maint_store():
-        if os.path.isdir(maint_store):
-            shutil.rmtree(maint_store)
-        shutil.copytree(maint_tmpl, maint_store)
-
-    def run_maintain():
-        log = ivf_maintain(spark, maint_store, ratio=4.0, max_splits=2,
-                           n_splits=2)
-        if len(log) != 2:  # the plant guarantees exactly two hot ids
-            raise RuntimeError(f"expected two splits, got {log}")
-        ivf_compact(spark, maint_store, min_files=8)
-
-    plant_maint_store()
-    run_maintain()  # warm-up cycle, excluded
+    # each other's TIMINGS regardless of path isolation. The plant /
+    # run pair lives in tools/bench_lines.py (the drift runner drives
+    # the same reset hook before every rep).
+    maint = sfns["ivf_maintain_20x"]
+    maint["reset"]()
+    maint["fn"]()  # warm-up cycle, excluded
     maint_times = []
     for _ in range(REPS):
-        plant_maint_store()
+        maint["reset"]()
         t0 = time.perf_counter()
-        run_maintain()
+        maint["fn"]()
         maint_times.append(time.perf_counter() - t0)
     RUNS["ivf_maintain_20x"] = [round(t, 3) for t in maint_times]
     results["ivf_maintain_20x"] = min(maint_times)
@@ -424,11 +350,9 @@ def main() -> None:
     # 12b. Matryoshka served (round-8): truncated-width stored probe
     # (16 of 64 dims — 4x smaller partition reads) + full-width refine
     # of the 40-row shortlist from the id-sorted _full sidecar.
-    from lshrs_spark.operators.knn import truncated_ivf_write_store
     from lshrs_spark.serving import TruncatedIVFServer
 
-    tivf_store = os.path.join(tempfile.gettempdir(), "lshrs_bench_tivf20x")
-    truncated_ivf_write_store(big, 64, 16, tivf_store)
+    tivf_store = st.tivf_store()
     tsrv = TruncatedIVFServer.from_store(tivf_store)
     tsrv.topk(qvecs[0], 10, 4)  # warm
     lat_tivf = serve_latencies(lambda q: tsrv.topk(q, 10, 4), qvecs)
@@ -440,15 +364,9 @@ def main() -> None:
     # probe at truncated width + ONE shared full-width rerank pass over
     # the sidecar amortized across the 100-query batch — the stored twin
     # of knn_truncated_batch100's in-plan two-stage.
-    from lshrs_spark.operators.knn import truncated_topk_stored
-
-    truncated_topk_stored(
-        spark, tivf_store, qdf, 10, coarse_k=40, nprobe=4
-    ).count()  # warm
+    sfns["knn_truncated_stored20x_batch100"]()  # warm
     results["knn_truncated_stored20x_batch100"], _ = timed(
-        lambda: truncated_topk_stored(
-            spark, tivf_store, qdf, 10, coarse_k=40, nprobe=4
-        ).count(),
+        sfns["knn_truncated_stored20x_batch100"],
         "knn_truncated_stored20x_batch100", warmup=False,
     )
 
@@ -487,86 +405,33 @@ def main() -> None:
 
     # 9b. MIPS through the cosine IVF tier (round-6): de-normalize,
     # norm-augment, probe — the magnitude-aware retrieval path riding
-    # the existing partition pruning unchanged.
-    from lshrs_spark.operators.knn import (
-        ivf_centroids_by_id,
-        ivf_topk,
-        mips_augment,
-        mips_augment_query,
-    )
-
-    weighted = emb.withColumn(
-        "wvec",
-        F.transform(
-            F.col("embedding"),
-            lambda x: x.cast("double")
-            * (F.lit(1.0) + (F.col("label") % 7).cast("double") * F.lit(0.25)),
-        ),
-    )
-    mips_aug = mips_augment(weighted, vector_col="wvec", out_col="avec")
-    mips_q = mips_augment_query(
-        emb.filter(F.col("vec_id") < 100).select(
-            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-        )
-    )
-    mips_cents = ivf_centroids_by_id(mips_aug, 16, vector_col="avec")
+    # the existing partition pruning unchanged (setup + line in
+    # tools/bench_lines.py).
     results["mips_ivf_batch100"], _ = timed(
-        lambda: ivf_topk(
-            mips_aug, mips_cents, mips_q, k=10, nprobe=4, vector_col="avec"
-        ).count(),
-        "mips_ivf_batch100",
-    )
+        vfns["mips_ivf_batch100"], "mips_ivf_batch100")
 
     # 9c. Matryoshka two-stage (round-8): coarse over the 16-of-64
     # prefix (4x fewer bytes/multiply-adds in the scan) + full-width
     # rerank of 40 rows/query, vs the same batch brute-forced at full
     # width — the coarse-probe cost win the tier exists for.
-    from lshrs_spark.operators.knn import brute_force_topk, truncated_topk
-
-    knn_q = emb.filter(F.col("vec_id") < 100).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
     results["knn_full_batch100"], _ = timed(
-        lambda: brute_force_topk(emb, knn_q, 10).count(),
-        "knn_full_batch100",
-    )
+        vfns["knn_full_batch100"], "knn_full_batch100")
     results["knn_truncated_batch100"], _ = timed(
-        lambda: truncated_topk(
-            emb, knn_q, 10, coarse_dims=16, coarse_k=40
-        ).count(),
-        "knn_truncated_batch100",
-    )
+        vfns["knn_truncated_batch100"], "knn_truncated_batch100")
 
     # 9e. MMR diversified rerank (round-9): same 100-query brute
     # shortlist as knn_full_batch100 (40/query) + the greedy
     # diversification pass — the delta vs knn_full_batch100 is what
     # post-shortlist diversity costs at this scale.
-    from lshrs_spark.operators.mmr import mmr_rerank
-
-    def run_mmr():
-        sl = (
-            brute_force_topk(emb, knn_q, 40)
-            .join(
-                emb.select(
-                    F.col("vec_id").alias("id"),
-                    F.col("embedding").alias("vec"),
-                ),
-                "id",
-            )
-            .select("qid", "id", F.col("score").alias("rel"), "vec")
-        )
-        return (mmr_rerank(sl, k=10, lam=0.5).count(),)
-
-    results["knn_mmr_batch100"], _ = timed(run_mmr, "knn_mmr_batch100")
+    results["knn_mmr_batch100"], _ = timed(
+        vfns["knn_mmr_batch100"], "knn_mmr_batch100")
 
     # 10. BM25 keyword serving: stored postings layout, no Spark job.
     from lshrs_spark.functions.text import bm25_index_write
     from lshrs_spark.serving import BM25Server
 
-    bm25_store = os.path.join(tempfile.gettempdir(), "lshrs_bench_bm25")
     results["bm25_index_build"], _ = timed(
-        lambda: bm25_index_write(docs, bm25_store, num_buckets=32),
-        "bm25_index_build", reps=1,
+        shared["bm25_index_build"], "bm25_index_build", reps=1,
     )
     bsrv = BM25Server(bm25_store)
     term_sets = [

@@ -99,26 +99,61 @@ def test_scratch_root_is_per_process_and_sweeps_dead_pids(tmp_path,
 
 
 def test_drift_runner_and_bench_share_line_definitions(spark):
-    """tools/drift_ab.py validates CLI names against its R11_FLAGGED
-    list and times tools/bench_lines.shared_line_fns — if either side
-    gains or loses a line without the other, the isolated re-measure
-    protocol silently diverges from the bench series it judges
-    (exactly the copy-drift the shared module exists to prevent)."""
+    """tools/drift_ab.py validates CLI names against
+    tools/bench_lines.LINE_ORDER and times the section dicts the
+    bench itself imports — if either side gains or loses a line
+    without the other, the isolated re-measure protocol silently
+    diverges from the bench series it judges (exactly the copy-drift
+    the shared module exists to prevent). Round-12 extended the
+    sharing to the knn/mips/stream/store sections (VERDICT r11 #1);
+    this pin now covers all three sections."""
     import sys
 
     # derive the repo root like tools/drift_ab.py does — a hardcoded
     # /root/repo broke this test on any other checkout (ADVICE r11)
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    from tools.bench_lines import bench_docs, shared_line_fns
-    from tools.drift_ab import R11_FLAGGED
+    from tools.bench_lines import (
+        DOC_LINES,
+        LINE_ORDER,
+        STORE_LINES,
+        VECTOR_LINES,
+        BenchState,
+        bench_docs,
+        shared_line_fns,
+        store_line_fns,
+        vector_line_fns,
+    )
+    from tools.drift_ab import R11_FLAGGED, R12_FLAGGED
 
-    docs = bench_docs(spark, "/root/testdata/sf0.001", 4)
-    fns = shared_line_fns(spark, docs, "/root/testdata/sf0.001")
-    assert sorted(fns) == sorted(R11_FLAGGED)
-    # and each shared line actually runs end-to-end at smoke scale
-    n = fns["text_pipeline"]()
-    assert n > 0
+    # the three sections partition the canonical order exactly
+    assert sorted(LINE_ORDER) == sorted(
+        DOC_LINES + VECTOR_LINES + STORE_LINES)
+    assert len(LINE_ORDER) == len(set(LINE_ORDER))
+    # every flagged set the runner defaults to is re-measurable
+    assert set(R11_FLAGGED) <= set(DOC_LINES)
+    assert set(R12_FLAGGED) <= set(LINE_ORDER)
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = bench_docs(spark, sf_dir, 4)
+    fns = shared_line_fns(spark, docs, sf_dir)
+    assert sorted(fns) == sorted(DOC_LINES)
+    state = BenchState(spark, sf_dir, 4, store_prefix="lshrs_test_drift_")
+    vfns = vector_line_fns(state)
+    assert sorted(vfns) == sorted(VECTOR_LINES)
+    sfns = store_line_fns(state)
+    assert sorted(sfns) == sorted(STORE_LINES)
+
+    # each section actually runs end-to-end at smoke scale
+    assert fns["text_pipeline"]() > 0
+    assert vfns["knn_truncated_batch100"]() > 0
+    assert sfns["single_topk_stored20x"]() > 0
+    # bench ordering guard: the cached probe index now exists (the
+    # store build cached nothing, but idx_cached was never called —
+    # force it), so the index_build line must refuse to run
+    state.idx_cached()
+    with pytest.raises(AssertionError, match="index_build"):
+        vfns["index_build"]()
 
 
 def test_drift_runner_rejects_nonpositive_reps():

@@ -8,13 +8,65 @@ slow from single-input-split shingling. These definitions are the
 single source both scripts import, so a bench-line edit cannot
 silently invalidate the A/B protocol.
 
-Only the document-corpus lines that have needed isolated re-measures
-live here; bench.py's store-building / serving / streaming sections
-stay inline (they share state across sections that a per-line module
-cannot own).
+Round-12 (VERDICT r11 #1): the knn / mips / stream / store-building
+sections moved here too — the r11 driver-file movers were exactly the
+lines the runner could NOT re-measure. The store-building sections
+share state (the 20x corpus, the cached probe index, stored layouts),
+so they live behind :class:`BenchState`, a lazy builder both scripts
+drive: bench.py materializes each piece at its own timing point; the
+drift runner materializes only what the requested lines need (setup
+cost lands in the excluded warm-up run).
+
+Three sections, each a ``{name: line}`` dict where a line is either a
+zero-arg callable (timed as-is) or ``{"fn": f, "reset": g}`` (``g``
+re-plants mutated state before EVERY run, excluded from timing —
+maintenance lines mutate the store tree):
+
+- :func:`shared_line_fns`  — document-corpus lines (needs ``docs``)
+- :func:`vector_line_fns`  — embeddings-corpus lines (1x corpus)
+- :func:`store_line_fns`   — 20x-corpus + stored-layout lines
 """
 
 from __future__ import annotations
+
+import os
+import tempfile
+
+# Canonical execution order across all three sections — the order
+# bench.py times them in. The drift runner re-measures any requested
+# subset IN THIS ORDER so cache state during a line's reps matches the
+# bench series (e.g. index_build must run before the probe index is
+# cached; see vector_line_fns["index_build"]).
+LINE_ORDER = [
+    # vector section (bench.py sections 1-5b, 8, 9b-9e)
+    "index_build", "topk_batch100", "topp_batch100",
+    "simjoin_lsh", "simjoin_lsh_skew", "stream_agg",
+    "mips_ivf_batch100", "knn_full_batch100", "knn_truncated_batch100",
+    "knn_mmr_batch100",
+    # docs section (bench.py sections 6-7b, 10)
+    "dedup_substring", "text_pipeline", "text_hybrid_rrf",
+    "dedup_video_frames", "graph_pagerank", "dedup_minhash_xxh",
+    "text_heavy_hitters", "bm25_index_build",
+    # store section (bench.py sections 9-12c)
+    "index_build_20x", "single_topk_stored20x", "ivf_maintain_20x",
+    "knn_truncated_stored20x_batch100",
+]
+
+DOC_LINES = [
+    "dedup_substring", "text_pipeline", "text_hybrid_rrf",
+    "dedup_video_frames", "graph_pagerank", "dedup_minhash_xxh",
+    "text_heavy_hitters", "bm25_index_build",
+]
+VECTOR_LINES = [
+    "index_build", "topk_batch100", "topp_batch100",
+    "simjoin_lsh", "simjoin_lsh_skew", "stream_agg",
+    "mips_ivf_batch100", "knn_full_batch100", "knn_truncated_batch100",
+    "knn_mmr_batch100",
+]
+STORE_LINES = [
+    "index_build_20x", "single_topk_stored20x", "ivf_maintain_20x",
+    "knn_truncated_stored20x_batch100",
+]
 
 
 def bench_docs(spark, sf_dir: str, cpus: int):
@@ -26,18 +78,414 @@ def bench_docs(spark, sf_dir: str, cpus: int):
         f"{sf_dir}/documents.parquet").repartition(cpus)
 
 
-def shared_line_fns(spark, docs, sf_dir: str) -> dict:
+class BenchState:
+    """Lazily-built shared corpus/store state behind the embeddings-
+    side bench lines. Every piece is built at most once per instance,
+    exactly the way bench.py builds it; the drift runner pays only for
+    the pieces its requested lines touch.
+
+    ``store_prefix`` defaults to bench.py's fixed ``lshrs_bench_``
+    store names (the serving probe replays against those); the drift
+    runner passes ``lshrs_drift_`` so an A/B run can never clobber the
+    stores a later serving probe reads. Same content either way — the
+    path never enters a timed computation.
+    """
+
+    def __init__(self, spark, sf_dir: str, cpus: int,
+                 store_prefix: str = "lshrs_bench_"):
+        from lshrs_spark import LSHConfig
+
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.cpus = cpus
+        self.store_prefix = store_prefix
+        # Production-shaped config: 128 hyperplanes, 8 bands x 16 rows.
+        self.cfg = LSHConfig(dim=64, num_perm=128, num_bands=8,
+                             rows_per_band=16, seed=42)
+        # 16 bands x 8 rows for the similarity self-join: ~256
+        # buckets/band at dim 64 — selective enough that candidate
+        # pairs stay near-linear in n at this corpus size.
+        self.sj_cfg = LSHConfig(dim=64, num_perm=128, num_bands=16,
+                                rows_per_band=8, seed=42)
+        self._c: dict = {}
+
+    def _store(self, name: str) -> str:
+        return os.path.join(tempfile.gettempdir(),
+                            f"{self.store_prefix}{name}")
+
+    def emb(self):
+        if "emb" not in self._c:
+            emb = self.spark.read.parquet(
+                f"{self.sf_dir}/embeddings.parquet")
+            emb.count()  # warm the scan / JVM before timing
+            self._c["emb"] = emb
+        return self._c["emb"]
+
+    def qdf(self):
+        """The 100 query vectors (vec_id < 100) as (qid, qvec)."""
+        from pyspark.sql import functions as F
+
+        if "qdf" not in self._c:
+            self._c["qdf"] = self.emb().filter(
+                F.col("vec_id") < 100
+            ).select(F.col("vec_id").alias("qid"),
+                     F.col("embedding").alias("qvec"))
+        return self._c["qdf"]
+
+    def qsigs(self):
+        from lshrs_spark.operators.index import build_index
+
+        if "qsigs" not in self._c:
+            self._c["qsigs"] = build_index(
+                self.qdf(), self.cfg, "qid", "qvec"
+            ).withColumnRenamed("id", "qid")
+        return self._c["qsigs"]
+
+    def idx_cached(self):
+        """The CACHED probe index over the 1x corpus — the state the
+        batch probe / rerank lines run against in bench.py."""
+        from lshrs_spark.operators.index import build_index
+
+        if "idx" not in self._c:
+            idx = build_index(self.emb(), self.cfg,
+                              "vec_id", "embedding").cache()
+            idx.count()
+            self._c["idx"] = idx
+        return self._c["idx"]
+
+    def qv(self):
+        """Query vector 0 as float32 numpy — the single-query probe."""
+        import numpy as np
+
+        if "qv" not in self._c:
+            self._c["qv"] = np.array(
+                self.emb().filter("vec_id = 0").first().embedding,
+                dtype=np.float32)
+        return self._c["qv"]
+
+    def hot_embedding(self):
+        from pyspark.sql import functions as F
+
+        if "hot" not in self._c:
+            self._c["hot"] = self.emb().filter(
+                F.col("vec_id") == 0).select("embedding").first().embedding
+        return self._c["hot"]
+
+    def skew_emb(self):
+        """10% of rows share ONE embedding, so every band has a hot
+        bucket holding 10% of the corpus — the 100 TB hot-key hazard
+        the skew-join line measures."""
+        from pyspark.sql import functions as F
+
+        if "skew_emb" not in self._c:
+            self._c["skew_emb"] = self.emb().select(
+                "vec_id",
+                F.when(F.col("vec_id") % 10 == 0,
+                       F.lit(self.hot_embedding()))
+                .otherwise(F.col("embedding")).alias("embedding"),
+            )
+        return self._c["skew_emb"]
+
+    def mips_parts(self):
+        """(mips_aug, mips_cents, mips_q): norm-augmented corpus,
+        trained centroids, augmented queries — the untimed setup of
+        the mips_ivf_batch100 line."""
+        from pyspark.sql import functions as F
+
+        from lshrs_spark.operators.knn import (
+            ivf_centroids_by_id,
+            mips_augment,
+            mips_augment_query,
+        )
+
+        if "mips" not in self._c:
+            emb = self.emb()
+            weighted = emb.withColumn(
+                "wvec",
+                F.transform(
+                    F.col("embedding"),
+                    lambda x: x.cast("double")
+                    * (F.lit(1.0)
+                       + (F.col("label") % 7).cast("double") * F.lit(0.25)),
+                ),
+            )
+            mips_aug = mips_augment(weighted, vector_col="wvec",
+                                    out_col="avec")
+            mips_q = mips_augment_query(
+                emb.filter(F.col("vec_id") < 100).select(
+                    F.col("vec_id").alias("qid"),
+                    F.col("embedding").alias("qvec"))
+            )
+            mips_cents = ivf_centroids_by_id(mips_aug, 16,
+                                             vector_col="avec")
+            self._c["mips"] = (mips_aug, mips_cents, mips_q)
+        return self._c["mips"]
+
+    def big(self):
+        """The 20x-replicated, repartitioned, PERSISTED corpus the
+        store-building lines run over (bench.py section 9)."""
+        from pyspark.sql import functions as F
+
+        if "big" not in self._c:
+            emb = self.emb()
+            big = emb
+            for i in range(1, 20):
+                big = big.unionByName(
+                    emb.select(
+                        (F.col("vec_id") + 1_000_000 * i).alias("vec_id"),
+                        "embedding", "label")
+                )
+            big = big.repartition(self.cpus).persist()
+            big.count()
+            self._c["big"] = big
+        return self._c["big"]
+
+    def lsh_store(self) -> str:
+        """The stored 20x LSH index (written once, untimed)."""
+        from lshrs_spark.operators.index import build_index, write_index
+
+        if "lsh_store" not in self._c:
+            path = self._store("index20x")
+            write_index(
+                build_index(self.big(), self.cfg, "vec_id", "embedding"),
+                path)
+            self._c["lsh_store"] = path
+        return self._c["lsh_store"]
+
+    def tivf_store(self) -> str:
+        """The stored 20x matryoshka (truncated-IVF) layout."""
+        from lshrs_spark.operators.knn import truncated_ivf_write_store
+
+        if "tivf_store" not in self._c:
+            path = self._store("tivf20x")
+            truncated_ivf_write_store(self.big(), 64, 16, path)
+            self._c["tivf_store"] = path
+        return self._c["tivf_store"]
+
+    def maint_template(self) -> str:
+        """A skewed 20x IVF store TEMPLATE for the maintenance line:
+        20% of rows collapse onto two embeddings, so two centroids
+        each hold ~10% of the corpus (>> the 4x-mean hot rule). The
+        line's reset hook re-plants a working copy from this template
+        before every run (maintenance mutates the tree; rebuilding
+        through Spark per rep would time the build, not the unit)."""
+        from pyspark.sql import functions as F
+
+        from lshrs_spark.operators.knn import (
+            ivf_centroids_by_id,
+            ivf_write_store,
+        )
+
+        if "maint_tmpl" not in self._c:
+            emb = self.emb()
+            hot2 = emb.filter(F.col("vec_id") == 1).select(
+                "embedding").first().embedding
+            skew_big = self.big().select(
+                "vec_id",
+                F.when(F.col("vec_id") % 10 == 0,
+                       F.lit(self.hot_embedding()))
+                .when(F.col("vec_id") % 10 == 1, F.lit(hot2))
+                .otherwise(F.col("embedding")).alias("embedding"),
+            )
+            tmpl = self._store("maint20x_tmpl")
+            ivf_write_store(skew_big, ivf_centroids_by_id(emb, 64), tmpl)
+            self._c["maint_tmpl"] = tmpl
+        return self._c["maint_tmpl"]
+
+    def maint_store(self) -> str:
+        return self._store("maint20x")
+
+
+def vector_line_fns(state: BenchState) -> dict:
+    """The 1x-embeddings-corpus bench lines over a :class:`BenchState`
+    — name -> zero-arg callable returning the same count bench.py
+    times. Definitions are THE bench definitions: change them here and
+    both the bench series and the drift runner move together."""
+    from pyspark.sql import functions as F
+
+    from lshrs_spark.operators.index import build_index
+    from lshrs_spark.operators.knn import (
+        brute_force_topk,
+        ivf_topk,
+        truncated_topk,
+    )
+    from lshrs_spark.operators.mmr import mmr_rerank
+    from lshrs_spark.operators.probe import (
+        candidates,
+        rerank,
+        top_k,
+        top_p_cutoff,
+    )
+    from lshrs_spark.operators.simjoin import similarity_join
+    from lshrs_spark.streaming.ingest import stream_aggregate_complete
+
+    spark = state.spark
+
+    def run_index_build():
+        # Bulk index build (S1+H1-H4+S4): signatures + explode,
+        # materialized. MUST be timed before the cached probe index
+        # exists: Catalyst's cache manager plan-matches an identical
+        # uncached build and would silently turn this line into a
+        # cache read (bench.py orders it first for the same reason).
+        assert "idx" not in state._c, (
+            "index_build must run before the cached probe index is "
+            "built (bench ordering; run lines in LINE_ORDER)")
+        return (build_index(state.emb(), state.cfg,
+                            "vec_id", "embedding").count(),)
+
+    def run_topk():
+        # Batch top-k probe: 100 query vectors through one plan (Q1-Q4).
+        return top_k(candidates(state.idx_cached(), state.qsigs()),
+                     10).count()
+
+    def run_topp():
+        # Rerank + top-p for the same 100 queries (Q5-Q8).
+        cands = candidates(state.idx_cached(), state.qsigs())
+        scored = rerank(cands, state.emb(), state.qdf(),
+                        query_vector_col="qvec")
+        return top_p_cutoff(scored, 0.5, 10).count()
+
+    def run_mmr():
+        # Same 100-query brute shortlist as knn_full_batch100
+        # (40/query) + the greedy diversification pass — the delta vs
+        # knn_full_batch100 is what post-shortlist diversity costs.
+        emb = state.emb()
+        sl = (
+            brute_force_topk(emb, state.qdf(), 40)
+            .join(
+                emb.select(
+                    F.col("vec_id").alias("id"),
+                    F.col("embedding").alias("vec"),
+                ),
+                "id",
+            )
+            .select("qid", "id", F.col("score").alias("rel"), "vec")
+        )
+        return (mmr_rerank(sl, k=10, lam=0.5).count(),)
+
+    def run_mips():
+        # MIPS through the cosine IVF tier: de-normalize,
+        # norm-augment, probe — magnitude-aware retrieval riding the
+        # existing partition pruning unchanged.
+        mips_aug, mips_cents, mips_q = state.mips_parts()
+        return ivf_topk(mips_aug, mips_cents, mips_q, k=10, nprobe=4,
+                        vector_col="avec").count()
+
+    return {
+        "index_build": run_index_build,
+        "topk_batch100": run_topk,
+        "topp_batch100": run_topp,
+        "simjoin_lsh": lambda: similarity_join(
+            state.emb(), state.sj_cfg, 0.4, max_bucket_size=2000,
+            cache_index=True).count(),
+        # Same join over the deliberately skewed corpus: AQE
+        # skew-split + the max_bucket_size cap must keep this within
+        # ~2x of the uniform case (the 100 TB hot-key hazard).
+        "simjoin_lsh_skew": lambda: similarity_join(
+            state.skew_emb(), state.sj_cfg, 0.4, max_bucket_size=2000,
+            cache_index=True).count(),
+        # Streaming ingest of the events stream (complete-mode agg).
+        "stream_agg": lambda: stream_aggregate_complete(
+            spark,
+            f"{state.sf_dir}/events.parquet",
+            ["event_type"],
+            [F.count(F.lit(1)).alias("n")],
+        ).count(),
+        "mips_ivf_batch100": run_mips,
+        # Matryoshka two-stage vs the same batch brute-forced at full
+        # width — the coarse-probe cost win the tier exists for.
+        "knn_full_batch100": lambda: brute_force_topk(
+            state.emb(), state.qdf(), 10).count(),
+        "knn_truncated_batch100": lambda: truncated_topk(
+            state.emb(), state.qdf(), 10, coarse_dims=16,
+            coarse_k=40).count(),
+        "knn_mmr_batch100": run_mmr,
+    }
+
+
+def store_line_fns(state: BenchState) -> dict:
+    """The 20x-corpus / stored-layout bench lines. Values are zero-arg
+    callables except ``ivf_maintain_20x``, whose ``reset`` hook
+    re-plants the mutated store from the template before EVERY run
+    (excluded from timing)."""
+    import shutil
+
+    from lshrs_spark.operators.index import build_index
+    from lshrs_spark.operators.knn import (
+        ivf_compact,
+        ivf_maintain,
+        truncated_topk_stored,
+    )
+    from lshrs_spark.operators.probe import candidates_from_path, top_k
+
+    spark = state.spark
+
+    def run_index_build_20x():
+        # BASELINE.md's indexing target is steady-state batch
+        # throughput over the 20x corpus.
+        return build_index(state.big(), state.cfg,
+                           "vec_id", "embedding").count()
+
+    def run_single_stored():
+        # Single query against the STORED 20x index through signature
+        # predicate pushdown — the latency that stays flat as the
+        # index grows (measured flat 1x -> 100x locally).
+        return top_k(
+            candidates_from_path(spark, state.lsh_store(), state.qv(),
+                                 state.cfg), 10
+        ).count()
+
+    def plant_maint_store():
+        tmpl = state.maint_template()
+        store = state.maint_store()
+        if os.path.isdir(store):
+            shutil.rmtree(store)
+        shutil.copytree(tmpl, store)
+
+    def run_maintain():
+        # ONE detect + split-both + LSM-fold cycle on the skewed
+        # store; the plant guarantees exactly two hot ids.
+        log = ivf_maintain(spark, state.maint_store(), ratio=4.0,
+                           max_splits=2, n_splits=2)
+        if len(log) != 2:
+            raise RuntimeError(f"expected two splits, got {log}")
+        ivf_compact(spark, state.maint_store(), min_files=8)
+
+    def run_truncated_stored():
+        # Partition-pruned coarse probe at truncated width + ONE
+        # shared full-width rerank pass over the sidecar, amortized
+        # across the 100-query batch.
+        return truncated_topk_stored(
+            spark, state.tivf_store(), state.qdf(), 10, coarse_k=40,
+            nprobe=4
+        ).count()
+
+    return {
+        "index_build_20x": run_index_build_20x,
+        "single_topk_stored20x": run_single_stored,
+        "ivf_maintain_20x": {"fn": run_maintain,
+                             "reset": plant_maint_store},
+        "knn_truncated_stored20x_batch100": run_truncated_stored,
+    }
+
+
+def shared_line_fns(spark, docs, sf_dir: str,
+                    bm25_store: str | None = None) -> dict:
     """The re-measurable bench lines over a (persisted) ``docs``
     frame: name -> zero-arg callable returning the same count
     bench.py times. Definitions are THE bench definitions — change
     them here and both the bench series and the drift runner move
-    together."""
+    together. ``bm25_store`` is where the bm25_index_build line
+    writes (bench.py passes its fixed store so the serving section
+    reads what the timed line wrote; the drift runner's default keeps
+    a drift-prefixed path)."""
     from pyspark.sql import functions as F
 
     from lshrs_spark.cache import release_slots
     from lshrs_spark.entries import QUERIES as _ENTRY_QUERIES
     from lshrs_spark.functions import text as X
     from lshrs_spark.functions.sketch import heavy_hitters
+    from lshrs_spark.functions.text import bm25_index_write
     from lshrs_spark.multimodal import with_video_payload
     from lshrs_spark.operators.dedup import (
         minhash_band_pairs,
@@ -45,6 +493,10 @@ def shared_line_fns(spark, docs, sf_dir: str) -> dict:
         video_near_dup_pairs,
     )
     from lshrs_spark.operators.graph import pagerank
+
+    if bm25_store is None:
+        bm25_store = os.path.join(tempfile.gettempdir(),
+                                  "lshrs_drift_bm25")
 
     def run_substring():
         n = substring_span_pairs(docs, 32).count()
@@ -83,4 +535,7 @@ def shared_line_fns(spark, docs, sf_dir: str) -> dict:
             base_hash="xxhash64").count(),
         "text_heavy_hitters": lambda: heavy_hitters(tok, "token",
                                                     100).count(),
+        # BM25 postings store build (bucketed layout, stats sidecar).
+        "bm25_index_build": lambda: bm25_index_write(
+            docs, bm25_store, num_buckets=32),
     }

@@ -6,15 +6,37 @@ judged against ISOLATED quiet-host re-measures") needs a reusable
 runner: the driver's bench file rides a virtualized host right after
 thirty Spark-heavy lines, so any flagged delta is re-measured here —
 fresh JVM, recorded quiet-host guard, one warm-up then min-of-REPS
-(default 5), line definitions mirroring bench.py exactly.
+(default 5), line definitions IMPORTED from tools/bench_lines.py (the
+same module bench.py times, so the A/B can never silently diverge from
+the series it judges).
+
+Round-12 (VERDICT r11 #1): covers the knn / mips / stream / store /
+bm25-build sections too. Store-building setup (the 20x corpus, stored
+layouts) is shared with bench.py through tools.bench_lines.BenchState
+and built lazily — only the sections the requested lines touch are
+paid for, in the excluded warm-up. Stores are written under a
+``lshrs_drift_`` prefix so an A/B run never clobbers the
+``lshrs_bench_`` stores tools/serving_probe.py replays against.
+Served-latency lines (p95s) are NOT here by design: serving is
+JVM-free, and tools/serving_probe.py IS their isolated re-measure.
+
+TWO-PASS PROTOCOL (default --passes 2, VERDICT r11 #5): the whole
+requested line sequence is timed twice inside the one JVM. This host
+shows multi-second stall windows that MIGRATE between queries — r11's
+first A/B pass read dedup_minhash_xxh reps climbing 1.70 -> 5.38 s on
+identical code within one fresh JVM while a second pass flat-repped at
+1.48 s. A stall window must hit the SAME line in BOTH passes to
+corrupt the reported min; per-pass runs are recorded so that failure
+mode stays visible.
 
 Usage:
-    python tools/drift_ab.py [--reps 5] [--out FILE.json] [line ...]
+    python tools/drift_ab.py [--reps 5] [--passes 2] [--out F.json] [line ...]
 
-With no line names, runs the round-11 flagged set (VERDICT r10 wrong
-#1): dedup_substring, text_pipeline, text_hybrid_rrf,
-dedup_video_frames, graph_pagerank, dedup_minhash_xxh,
-text_heavy_hitters.
+With no line names, runs the round-12 flagged set (VERDICT r11 wrong
+#1 + #2's movers). Lines always execute in tools.bench_lines.LINE_ORDER
+(bench.py's own order) regardless of CLI order — cache state during a
+line's reps must match the bench series (e.g. index_build before the
+probe index is cached).
 """
 
 from __future__ import annotations
@@ -27,6 +49,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools.bench_lines import (  # noqa: E402
+    DOC_LINES,
+    LINE_ORDER,
+    STORE_LINES,
+    VECTOR_LINES,
+)
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -38,6 +67,25 @@ R11_FLAGGED = [
     "graph_pagerank",
     "dedup_minhash_xxh",
     "text_heavy_hitters",
+]
+
+# The r11 driver-file movers (VERDICT r11 wrong #1 / wrong #2): every
+# bench line the judge flagged that is not a served p95 (those re-measure
+# through tools/serving_probe.py).
+R12_FLAGGED = [
+    "index_build",
+    "topp_batch100",
+    "simjoin_lsh_skew",
+    "stream_agg",
+    "mips_ivf_batch100",
+    "knn_full_batch100",
+    "knn_truncated_batch100",
+    "knn_mmr_batch100",
+    "bm25_index_build",
+    "index_build_20x",
+    "single_topk_stored20x",
+    "ivf_maintain_20x",
+    "knn_truncated_stored20x_batch100",
 ]
 
 
@@ -57,22 +105,53 @@ def quiet_guard() -> dict:
             "quiet": n_java == 0 and load1 < float(CPUS) / 4}
 
 
-def line_fns(spark):
-    """The flagged lines — the SAME definitions bench.py times
-    (tools/bench_lines.py is the single source; the first draft of
-    this runner carried private copies and diverged on the corpus
-    setup, reading substring/minhash 2-3x slow from single-split
-    shingling)."""
-    from tools.bench_lines import bench_docs, shared_line_fns
+def build_line_fns(spark, names: list[str]) -> dict:
+    """Assemble {name: line} for the requested names, building only the
+    setup their sections need. A line is a zero-arg callable or a
+    {"fn", "reset"} dict (see tools.bench_lines)."""
+    from tools.bench_lines import (
+        BenchState,
+        bench_docs,
+        shared_line_fns,
+        store_line_fns,
+        vector_line_fns,
+    )
 
-    docs = bench_docs(spark, SF_DIR, CPUS)
-    docs.persist().count()   # warmed BEFORE any timing (bench parity)
-    return shared_line_fns(spark, docs, SF_DIR)
+    want = set(names)
+    fns: dict = {}
+    if want & set(DOC_LINES):
+        docs = bench_docs(spark, SF_DIR, CPUS)
+        docs.persist().count()   # warmed BEFORE any timing (bench parity)
+        fns.update(shared_line_fns(spark, docs, SF_DIR))
+    if want & (set(VECTOR_LINES) | set(STORE_LINES)):
+        state = BenchState(spark, SF_DIR, CPUS, store_prefix="lshrs_drift_")
+        fns.update(vector_line_fns(state))
+        if want & set(STORE_LINES):
+            fns.update(store_line_fns(state))
+    return fns
+
+
+def time_line(fn, reps: int, *, reset=None, warmup: bool = True) -> list:
+    """One warm-up (excluded) + ``reps`` timed runs; ``reset`` (store
+    re-plant for maintenance lines) runs before EVERY run, excluded."""
+    if warmup:
+        if reset is not None:
+            reset()
+        fn()
+    times = []
+    for _ in range(reps):
+        if reset is not None:
+            reset()
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return times
 
 
 def main() -> None:
     args = sys.argv[1:]
     reps = 5
+    passes = 2
     out_path = None
     names: list[str] = []
     it = iter(args)
@@ -85,40 +164,56 @@ def main() -> None:
             if reps_s is None or not reps_s.isdigit() or int(reps_s) < 1:
                 sys.exit("--reps needs a positive integer argument")
             reps = int(reps_s)
+        elif a == "--passes":
+            p_s = next(it, None)
+            if p_s is None or not p_s.isdigit() or int(p_s) < 1:
+                sys.exit("--passes needs a positive integer argument")
+            passes = int(p_s)
         elif a == "--out":
             out_path = next(it, None)
             if out_path is None:
                 sys.exit("--out needs a file path argument")
         else:
             names.append(a)
-    names = names or R11_FLAGGED
+    names = names or R12_FLAGGED
     # fail fast on a typo'd line name BEFORE paying JVM startup
-    known = set(R11_FLAGGED)  # == tools.bench_lines.shared_line_fns keys
+    known = set(LINE_ORDER)
     unknown = [n for n in names if n not in known]
     if unknown:
         sys.exit(f"unknown bench line(s) {unknown}; known: {sorted(known)}")
+    # canonical bench order, whatever order the CLI gave
+    names = [n for n in LINE_ORDER if n in set(names)]
 
     guard = quiet_guard()
+    from lshrs_spark.cache import release_slots
     from lshrs_spark.session import get_spark
 
     spark = get_spark("drift_ab", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
-    fns = line_fns(spark)
-    results = {}
-    for name in names:
-        fn = fns[name]
-        fn()  # warm-up, excluded
-        times = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            fn()
-            times.append(time.perf_counter() - t0)
-        results[name] = {"min": round(min(times), 3),
-                         "runs": [round(t, 3) for t in times]}
-        print(f"AB {name} min={min(times):.3f} "
-              f"runs={[round(t, 3) for t in times]}", flush=True)
+    fns = build_line_fns(spark, names)
+    results: dict[str, dict] = {
+        n: {"min": None, "passes": []} for n in names
+    }
+    for p in range(passes):
+        for name in names:
+            line = fns[name]
+            fn = line["fn"] if isinstance(line, dict) else line
+            reset = line.get("reset") if isinstance(line, dict) else None
+            # warm-up only on the first pass — pass 2 exists to catch a
+            # stall window, not to re-pay JIT (already warm)
+            times = time_line(fn, reps, reset=reset, warmup=(p == 0))
+            # per-line slot hygiene between lines (bench releases at
+            # section boundaries; reps within a line never release —
+            # exactly like bench)
+            release_slots()
+            r = results[name]
+            r["passes"].append([round(t, 3) for t in times])
+            m = min(times)
+            r["min"] = round(m if r["min"] is None else min(r["min"], m), 3)
+            print(f"AB pass{p + 1} {name} min={m:.3f} "
+                  f"runs={[round(t, 3) for t in times]}", flush=True)
     payload = {"sf_dir": SF_DIR, "cpus": CPUS, "reps": reps,
-               "guard": guard, "results": results}
+               "passes": passes, "guard": guard, "results": results}
     print("ABJSON " + json.dumps(payload), flush=True)
     if out_path:
         with open(out_path, "w") as f:
