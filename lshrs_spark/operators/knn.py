@@ -1607,6 +1607,177 @@ def ivf_split_centroid(
     return new_ids
 
 
+def _split_centroids_one_swap(
+    spark, store_path: str, hot: list[tuple[int, int]], n_splits: int
+) -> list[dict]:
+    """Batched skew repair for :func:`ivf_maintain` (VERDICT r11 #4):
+    split EVERY hot partition in ``hot`` (detection order, largest
+    first) against the pre-split centroid list, with ONE combined
+    rewrite job and ONE sidecar swap at the end — at small stores the
+    sequential form's wall time is dominated by driver-synchronous
+    fixed overhead (one Spark write + one swap per split), which this
+    halves; at scale the cost stays partition-row-bounded either way.
+
+    Result-identical to running :func:`ivf_split_centroid` over
+    ``hot`` sequentially: sub-centroids are each partition's
+    ``n_splits`` lowest-id rows, new ids are allocated
+    ``max(existing) + 1 ..`` advancing by each split's ACTUAL
+    sub-centroid count in detection order (exactly the running
+    maximum the sequential form re-reads from the swapped sidecar),
+    and reassignment stays within each split partition's own
+    sub-centroids by (cosine desc, centroid id asc) — so the
+    ``ann_ivf_maintain`` oracle's sequential SQL replay still matches.
+
+    Crash-safety sequencing (same windows as the single split, healed
+    by the same writers): the combined rewrite lands under an
+    ``_``-prefixed tmp (invisible); new sub-partitions move into the
+    root UNLISTED (the live sidecar doesn't name them, so they are
+    never probed — a crash anywhere before the swap leaves the old
+    partitions intact and live, and :func:`_heal_unlisted_partitions`
+    sweeps the orphans on the next maintenance pass); the sidecar
+    swaps ONCE via two renames through an aside (a crash between them
+    is restored by :func:`_heal_centroids_aside`); only then are the
+    retired partition directories deleted (a crash before that sweep
+    leaves them unlisted — same heal). The batch form never creates a
+    window the sequential form didn't have: it simply keeps ALL old
+    partitions live until the single swap instead of retiring them
+    one swap at a time.
+
+    Returns the action log ``[{"centroid_id", "rows", "new_ids"}]``.
+    Reference parity: the reference has no maintenance loop at all
+    (its Redis SETs just grow — ``README.md:216`` in /root/reference);
+    this is the Spark-native hot-bucket answer."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    from pyarrow.fs import FileType
+
+    from ..serving import _fs_and_path
+
+    if n_splits < 2:
+        raise ValueError(f"n_splits must be >= 2 (got {n_splits})")
+    if not hot:
+        return []
+    filesystem, root = _fs_and_path(store_path)
+    cent_tbl = pads.dataset(
+        f"{store_path}/_centroids", format="parquet"
+    ).to_table()
+    cids = cent_tbl.column("centroid_id").to_numpy(zero_copy_only=False)
+    live = set(int(c) for c in cids)
+    missing = [int(cid) for cid, _ in hot if int(cid) not in live]
+    if missing:
+        raise ValueError(
+            f"centroids {missing} not present in {store_path}/_centroids"
+        )
+    store_df = spark.read.parquet(store_path)
+    if "embedding" not in store_df.columns:
+        raise ValueError(
+            "store has no raw 'embedding' column (a PQ/IVFADC code "
+            "layout) — splitting needs to re-derive sub-centroids and "
+            "reassign, which code-only layouts cannot support without "
+            "the source vectors; rebuild the store with more centroids "
+            "instead"
+        )
+    data_cols = [c for c in store_df.columns if c != "centroid_id"]
+    next_id = int(max(live)) + 1
+    actions: list[dict] = []
+    rewrites = None
+    sub_rows_all: dict[int, list[float]] = {}
+    for cid, rows in hot:
+        part = store_df.filter(F.col("centroid_id") == int(cid))
+        subs = (
+            part.orderBy("id")
+            .limit(int(n_splits))
+            .select("id",
+                    F.col("embedding").cast("array<double>").alias("cvec"))
+        )
+        w = Window.orderBy("id")
+        sub_cents = subs.select(
+            (F.row_number().over(w) + F.lit(next_id - 1))
+            .cast("long")
+            .alias("centroid_id"),
+            "cvec",
+        )
+        # a partition smaller than n_splits yields fewer sub-centroids;
+        # the id counter advances by the ACTUAL count (sequential parity)
+        sub_rows = {
+            int(r.centroid_id): [float(x) for x in r.cvec]
+            for r in sub_cents.collect()
+        }
+        next_id += len(sub_rows)
+        sub_rows_all.update(sub_rows)
+        actions.append(
+            {"centroid_id": int(cid), "rows": int(rows),
+             "new_ids": sorted(sub_rows)}
+        )
+        assign = ivf_assign(part, sub_cents, id_col="id",
+                            vector_col="embedding")
+        rewrite = part.select(*data_cols).join(assign, "id")
+        rewrites = (
+            rewrite if rewrites is None else rewrites.unionByName(rewrite)
+        )
+    # ONE combined rewrite job for every split partition (each point
+    # only ever competes among ITS partition's sub-centroids — the
+    # per-cid ivf_assign plans above are unioned, not mixed)
+    tmp = f"{store_path}/_split_tmp_{_uuid.uuid4().hex}"
+    (
+        rewrites.repartition(F.col("centroid_id"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 1 << 22)
+        .partitionBy("centroid_id")
+        .parquet(tmp)
+    )
+    # ONE staged sidecar: every split id dropped, every sub id appended
+    split_ids = {int(cid) for cid, _ in hot}
+    keep = [i for i, c in enumerate(cids) if int(c) not in split_ids]
+    new_sidecar = pa.table({
+        "centroid_id": pa.array(
+            [int(cids[i]) for i in keep] + sorted(sub_rows_all), pa.int64()
+        ),
+        "cvec": pa.array(
+            [cent_tbl.column("cvec")[i].as_py() for i in keep]
+            + [sub_rows_all[c] for c in sorted(sub_rows_all)],
+            pa.list_(pa.float64()),
+        ),
+    })
+    stage = f"{root}/_centroids_stage_{_uuid.uuid4().hex}"
+    filesystem.create_dir(stage, recursive=True)
+    with filesystem.open_output_stream(f"{stage}/part-0.parquet") as sink:
+        pq.write_table(new_sidecar, sink)
+    tmp_root = f"{root}/{tmp.rsplit('/', 1)[-1]}"
+    for ncid in sorted(sub_rows_all):
+        src = f"{tmp_root}/centroid_id={ncid}"
+        if filesystem.get_file_info(src).type != FileType.NotFound:
+            dest = f"{root}/centroid_id={ncid}"
+            if filesystem.get_file_info(dest).type != FileType.NotFound:
+                # a crashed earlier run already moved this sub-partition
+                # in (unlisted, never probed) — drop it first: the local
+                # filesystem's move refuses to rename onto a non-empty
+                # directory (ADVICE r9)
+                filesystem.delete_dir(dest)
+            filesystem.move(src, dest)
+        # else: no row landed on this sub-centroid — the sidecar still
+        # lists it; an empty probe is correct
+    try:
+        filesystem.delete_dir(tmp_root)
+    except (FileNotFoundError, OSError):
+        pass
+    # the batch's ONE sidecar swap (two renames through an aside — at
+    # every instant either the live table or its complete aside copy
+    # exists; _heal_centroids_aside restores a crash between them)
+    aside = f"{root}/_centroids_aside_{_uuid.uuid4().hex}"
+    filesystem.move(f"{root}/_centroids", aside)
+    filesystem.move(stage, f"{root}/_centroids")
+    filesystem.delete_dir(aside)
+    for cid in sorted(split_ids):
+        old_dir = f"{root}/centroid_id={cid}"
+        if filesystem.get_file_info(old_dir).type != FileType.NotFound:
+            filesystem.delete_dir(old_dir)
+    return actions
+
+
 def ivf_balance_report(spark, store_path: str, *, ratio: float = 4.0):
     """One-row health card for a stored IVF layout — the observability
     complement of the maintenance loop (:func:`ivf_hot_centroids` says
@@ -1683,11 +1854,10 @@ def ivf_maintain(
     """The nightly IVF-maintenance unit (VERDICT r9 missing #3): ONE
     call that detects hot partitions once (:func:`ivf_hot_centroids` —
     a single grouped count over the store, no vector bytes read) and
-    splits the top ``max_splits`` of them (:func:`ivf_split_centroid`,
-    largest first), returning the action log
-    ``[{"centroid_id", "rows", "new_ids"}]`` — empty when the store is
-    already balanced, so a scheduler can run it unconditionally and
-    alert on a non-empty log.
+    splits the top ``max_splits`` of them largest first, returning the
+    action log ``[{"centroid_id", "rows", "new_ids"}]`` — empty when
+    the store is already balanced, so a scheduler can run it
+    unconditionally and alert on a non-empty log.
 
     Detection runs ONCE against the pre-split layout (splitting lowers
     the mean, so re-detecting between splits would chase a moving
@@ -1696,10 +1866,15 @@ def ivf_maintain(
     partition copy is moved back live, and unlisted duplicate
     partition dirs are swept first, so detection never double-counts
     crash residue, ranks phantom ids, or scans a store with a
-    partition silently missing; each split then rewrites exactly one
-    partition
-    with the crash-safe sequencing documented on
-    :func:`ivf_split_centroid`.
+    partition silently missing. The splits themselves are BATCHED
+    (VERDICT r11 #4, :func:`_split_centroids_one_swap`): one combined
+    rewrite job over every hot partition against the pre-split
+    centroid list, then ONE sidecar swap — result-identical to the
+    sequential :func:`ivf_split_centroid` loop (same id allocation
+    order, same per-partition reassignment) with half the
+    driver-synchronous fixed overhead at small stores, and the same
+    crash windows (a crash between the rewrites and the final swap
+    leaves only UNLISTED directories, healed exactly as before).
     A live server keeps serving throughout and picks the new layout up
     at its next ``refresh()``."""
     if max_splits < 1:
@@ -1720,16 +1895,9 @@ def ivf_maintain(
     _heal_compact_aside(filesystem, root)
     _heal_centroids_aside(filesystem, root)
     _heal_unlisted_partitions(filesystem, root)
-    actions: list[dict] = []
-    for cid, rows in ivf_hot_centroids(spark, store_path, ratio=ratio)[
-        : int(max_splits)
-    ]:
-        new_ids = ivf_split_centroid(spark, store_path, cid,
+    hot = ivf_hot_centroids(spark, store_path, ratio=ratio)[: int(max_splits)]
+    return _split_centroids_one_swap(spark, store_path, hot,
                                      n_splits=n_splits)
-        actions.append(
-            {"centroid_id": cid, "rows": rows, "new_ids": new_ids}
-        )
-    return actions
 
 
 # --------------------------------------------------------------------- #

@@ -1091,3 +1091,90 @@ def test_ivf_maintain_heals_compact_residue_first(spark, tmp_path):
                    for n in os.listdir(path))
     assert len(log) == 1 and log[0]["centroid_id"] == 0
     assert spark.read.parquet(path).count() == 75  # nothing lost
+
+
+def test_ivf_maintain_batched_swap_crash_before_swap_heals(spark, tmp_path):
+    """VERDICT r11 #4: ivf_maintain now splits ALL hot partitions with
+    one combined rewrite and ONE sidecar swap. Crash-sim for the new
+    widest window — every split's sub-partitions already moved into
+    the root, the final swap never ran (state constructed from a real
+    completed run's artifacts, the same hand-planting style as the
+    compact-residue test: by the swap point the batch has produced
+    exactly these directories). Contract: (1) the store keeps serving
+    the PRE-SPLIT layout exactly (new dirs are unlisted, old dirs
+    live, sidecar untouched); (2) the next maintain heals the orphans
+    and completes, landing the SAME final state (action log, sidecar
+    ids, partition sizes, row set) as the never-crashed run."""
+    import os
+    import shutil
+
+    from lshrs_spark.operators.knn import ivf_maintain, ivf_write_store
+
+    rng = np.random.default_rng(211)
+    d = 8
+    dirs = np.linalg.qr(rng.standard_normal((d, 6)))[0].T
+    rows = [dirs[i] for i in range(6)]
+    rows += [dirs[0] + 0.05 * rng.standard_normal(d) for _ in range(50)]
+    rows += [dirs[1] + 0.05 * rng.standard_normal(d) for _ in range(40)]
+    rows += [dirs[2 + i % 4] + 0.05 * rng.standard_normal(d)
+             for i in range(24)]
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in
+         enumerate(np.asarray(rows, np.float32))],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "crash")
+    ref = str(tmp_path / "ref")
+    ivf_write_store(df, ivf_centroids_by_id(df, 6), path)
+    shutil.copytree(path, ref)
+
+    def sidecar_ids(p):
+        import pyarrow.dataset as pads
+
+        return sorted(
+            pads.dataset(os.path.join(p, "_centroids"), format="parquet")
+            .to_table(columns=["centroid_id"])
+            .column("centroid_id").to_pylist()
+        )
+
+    pre_ids = sidecar_ids(path)
+
+    # the never-crashed reference run (also the source of the crash
+    # state's already-moved-in sub-partition directories)
+    ref_log = ivf_maintain(spark, ref, ratio=2.0, max_splits=2, n_splits=2)
+    assert [a["centroid_id"] for a in ref_log] == [0, 1]
+    new_ids = sorted(i for a in ref_log for i in a["new_ids"])
+    assert new_ids == [6, 7, 8, 9]
+
+    # plant the crash state: sub-partitions in the root (unlisted),
+    # old hot dirs live, sidecar untouched — exactly what the batch
+    # leaves if it dies between the tmp-dir moves and the ONE swap
+    for c in new_ids:
+        shutil.copytree(os.path.join(ref, f"centroid_id={c}"),
+                        os.path.join(path, f"centroid_id={c}"))
+
+    # (1) pre-split layout still serves: sidecar untouched, both hot
+    # dirs live; a sidecar-driven read (what servers/probes do) sees
+    # every row exactly once
+    assert sidecar_ids(path) == pre_ids
+    assert os.path.isdir(os.path.join(path, "centroid_id=0"))
+    assert os.path.isdir(os.path.join(path, "centroid_id=1"))
+    listed = spark.read.parquet(
+        *[os.path.join(path, f"centroid_id={c}") for c in pre_ids])
+    assert listed.count() == len(rows)
+    # ... while a RAW full-store scan would double-count — the reason
+    # _heal_unlisted_partitions must run before detection
+    assert spark.read.parquet(path).count() > len(rows)
+
+    # (2) the next nightly heals the orphans and completes; final
+    # state matches the never-crashed run
+    log = ivf_maintain(spark, path, ratio=2.0, max_splits=2, n_splits=2)
+    assert log == ref_log
+    assert sidecar_ids(path) == sidecar_ids(ref)
+    sizes = lambda p: sorted(  # noqa: E731
+        (r.centroid_id, r["count"]) for r in
+        spark.read.parquet(p).groupBy("centroid_id").count().collect())
+    assert sizes(path) == sizes(ref)
+    assert sorted(
+        r.id for r in spark.read.parquet(path).select("id").collect()
+    ) == sorted(range(len(rows)))
