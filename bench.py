@@ -3,6 +3,12 @@
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
+
+``--closing-round N`` additionally commits the run as the round's
+quiet-host control artifact ``CLOSING_BENCH_rN.json`` (VERDICT r11
+#3): the same schema as the driver's BENCH_rN.json plus per-rep runs
+and the quiet-host guard sampled at start and end, so quiet-vs-driver
+line diffs are mechanical instead of prose.
 """
 
 from __future__ import annotations
@@ -31,6 +37,7 @@ from lshrs_spark.session import get_spark
 from tools.bench_lines import (
     BenchState,
     bench_docs,
+    quiet_guard,
     shared_line_fns,
     store_line_fns,
     vector_line_fns,
@@ -106,7 +113,8 @@ def serve_latencies(fn, queries, *, loops: int = 2):
     return best
 
 
-def main() -> None:
+def main(closing_round: int | None = None) -> None:
+    guard_start = quiet_guard(CPUS) if closing_round is not None else None
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     spark = get_spark("bench", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -527,6 +535,29 @@ def main() -> None:
             json.dump(detail, f)
     except OSError:
         pass
+    if closing_round is not None:
+        # the committed quiet-host control point (VERDICT r11 #3) —
+        # same schema as the driver artifact, plus per-rep runs and
+        # the start/end quiet guards (a guard sampled only once can
+        # miss load arriving mid-run)
+        closing = dict(summary)
+        closing["metric"] = "closing_bench"
+        closing["runs"] = RUNS
+        closing["guard_start"] = guard_start
+        # end sample: raw numbers only — the bench's own JVM and its
+        # just-finished 40 lines dominate load1 here, so a quiet/loud
+        # verdict would be self-measurement; judge quietness by
+        # guard_start's verdict plus this sample's stray count
+        closing["guard_end"] = {
+            k: v for k, v in quiet_guard(CPUS, own_jvms=1).items()
+            if k != "quiet"
+        }
+        cpath = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"CLOSING_BENCH_r{closing_round}.json",
+        )
+        with open(cpath, "w") as f:
+            json.dump(closing, f, indent=1)
     print(json.dumps(detail))
     # The compact summary MUST be the final stdout line even if
     # spark.stop() hangs or raises (observed hanging under JVM
@@ -540,4 +571,12 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    closing = None
+    argv = sys.argv[1:]
+    if argv[:1] == ["--closing-round"]:
+        if len(argv) < 2 or not argv[1].isdigit():
+            sys.exit("--closing-round needs a round number")
+        closing = int(argv[1])
+    elif argv:
+        sys.exit(f"unknown arguments: {argv}")
+    main(closing)

@@ -68,6 +68,39 @@ STORE_LINES = [
     "knn_truncated_stored20x_batch100",
 ]
 
+# Lines whose timing is only valid BEFORE the cached probe index
+# exists (see vector_line_fns["index_build"]'s guard). A multi-pass
+# A/B run times them in its FIRST pass only — by pass 2 the cache
+# exists (topk/topp built it) and a re-measure would time a cache
+# read, not the build.
+PRE_CACHE_LINES = {"index_build"}
+
+
+def quiet_guard(cpus: int, *, own_jvms: int = 0) -> dict:
+    """Record (never silently trust) host quietness: stray JVM count
+    and 1-minute load — the same guard serving_probe.py writes. Shared
+    by the drift runner and bench.py's --closing-round artifact so
+    quiet-vs-driver comparisons carry the same evidence. ``own_jvms``
+    is how many of the counted JVMs belong to the CALLER (bench.py's
+    end-of-run sample runs while its own session is still up — without
+    the allowance every end guard would read un-quiet). The load
+    threshold is deliberately NOT relaxed for the end sample: a busy
+    own JVM still means the final lines rode a loaded host."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["pgrep", "-fc", "SparkSubmit|java -cp"],
+            capture_output=True, text=True,
+        ).stdout.strip()
+        n_java = int(out or 0)
+    except Exception:
+        n_java = -1
+    load1 = os.getloadavg()[0]
+    return {"stray_jvms": n_java, "own_jvms": own_jvms,
+            "load1": round(load1, 2),
+            "quiet": 0 <= n_java <= own_jvms and load1 < float(cpus) / 4}
+
 
 def bench_docs(spark, sf_dir: str, cpus: int):
     """bench.py's corpus setup, verbatim: one small parquet file ->

@@ -43,7 +43,6 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -52,8 +51,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.bench_lines import (  # noqa: E402
     DOC_LINES,
     LINE_ORDER,
+    PRE_CACHE_LINES,
     STORE_LINES,
     VECTOR_LINES,
+    quiet_guard,
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -87,22 +88,6 @@ R12_FLAGGED = [
     "ivf_maintain_20x",
     "knn_truncated_stored20x_batch100",
 ]
-
-
-def quiet_guard() -> dict:
-    """Record (never silently trust) host quietness: stray JVM count
-    and 1-minute load — the same guard serving_probe.py writes."""
-    try:
-        out = subprocess.run(
-            ["pgrep", "-fc", "SparkSubmit|java -cp"],
-            capture_output=True, text=True,
-        ).stdout.strip()
-        n_java = int(out or 0)
-    except Exception:
-        n_java = -1
-    load1 = os.getloadavg()[0]
-    return {"stray_jvms": n_java, "load1": round(load1, 2),
-            "quiet": n_java == 0 and load1 < float(CPUS) / 4}
 
 
 def build_line_fns(spark, names: list[str]) -> dict:
@@ -184,7 +169,7 @@ def main() -> None:
     # canonical bench order, whatever order the CLI gave
     names = [n for n in LINE_ORDER if n in set(names)]
 
-    guard = quiet_guard()
+    guard = quiet_guard(CPUS)
     from lshrs_spark.cache import release_slots
     from lshrs_spark.session import get_spark
 
@@ -196,6 +181,10 @@ def main() -> None:
     }
     for p in range(passes):
         for name in names:
+            if p > 0 and name in PRE_CACHE_LINES:
+                # only pass 1 times these: the cached probe index now
+                # exists, and a re-measure would time a cache read
+                continue
             line = fns[name]
             fn = line["fn"] if isinstance(line, dict) else line
             reset = line.get("reset") if isinstance(line, dict) else None
