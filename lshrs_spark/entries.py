@@ -251,6 +251,85 @@ def lsh_index_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_balance_report(idx, ratio=4.0)
 
 
+@register(
+    "lsh_balance_drift",
+    f"""WITH {_SIGS},
+a_counts AS (SELECT band::VARCHAR || ':' || sig::VARCHAR AS bucket,
+                    count(*) AS n
+             FROM sigs GROUP BY 1),
+a_ranked AS (SELECT bucket, n,
+                    row_number() OVER (ORDER BY n ASC, bucket ASC) AS r
+             FROM a_counts),
+a_base AS (SELECT sum(n) AS tot, count(*) AS p, max(n) AS mx,
+                  avg(n) AS mean FROM a_ranked),
+a_g AS (SELECT sum((2 * rk.r - b.p - 1) * rk.n) AS num
+        FROM a_ranked rk CROSS JOIN a_base b),
+a_hot AS (SELECT count(*) AS nh FROM a_ranked rk CROSS JOIN a_base b
+          WHERE rk.n > 4.0 * b.mean),
+a_card AS (SELECT b.tot::BIGINT AS n_rows, b.p::BIGINT AS n_partitions,
+                  round(b.mean, 5) AS mean_rows, b.mx::BIGINT AS max_rows,
+                  round(b.mx / b.mean, 5) AS max_mean_ratio,
+                  round(g.num / (b.p * b.tot), 5) AS gini,
+                  hot.nh::BIGINT AS n_hot
+           FROM a_base b CROSS JOIN a_g g CROSS JOIN a_hot hot),
+b_counts AS (SELECT band::VARCHAR || ':' || sig::VARCHAR AS bucket,
+                    count(*) AS n
+             FROM sigs WHERE id % 17 <> 0 GROUP BY 1),
+b_ranked AS (SELECT bucket, n,
+                    row_number() OVER (ORDER BY n ASC, bucket ASC) AS r
+             FROM b_counts),
+b_base AS (SELECT sum(n) AS tot, count(*) AS p, max(n) AS mx,
+                  avg(n) AS mean FROM b_ranked),
+b_g AS (SELECT sum((2 * rk.r - b.p - 1) * rk.n) AS num
+        FROM b_ranked rk CROSS JOIN b_base b),
+b_hot AS (SELECT count(*) AS nh FROM b_ranked rk CROSS JOIN b_base b
+          WHERE rk.n > 4.0 * b.mean),
+b_card AS (SELECT b.tot::BIGINT AS n_rows, b.p::BIGINT AS n_partitions,
+                  round(b.mean, 5) AS mean_rows, b.mx::BIGINT AS max_rows,
+                  round(b.mx / b.mean, 5) AS max_mean_ratio,
+                  round(g.num / (b.p * b.tot), 5) AS gini,
+                  hot.nh::BIGINT AS n_hot
+           FROM b_base b CROSS JOIN b_g g CROSS JOIN b_hot hot)
+SELECT a.n_rows AS n_rows_prev, b.n_rows AS n_rows_next,
+       (b.n_rows - a.n_rows)::BIGINT AS d_n_rows,
+       (b.n_partitions - a.n_partitions)::BIGINT AS d_n_partitions,
+       round(b.n_rows / a.n_rows, 5) AS growth,
+       round(b.mean_rows - a.mean_rows, 5) AS d_mean_rows,
+       (b.max_rows - a.max_rows)::BIGINT AS d_max_rows,
+       round(b.max_mean_ratio - a.max_mean_ratio, 5) AS d_max_mean_ratio,
+       round(b.gini - a.gini, 5) AS d_gini,
+       (b.n_hot - a.n_hot)::BIGINT AS d_n_hot
+FROM a_card a CROSS JOIN b_card b""",
+)
+def lsh_balance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Health-card HISTORY diff (VERDICT r11 #7): the same (band, sig)
+    bucket index's balance card at two snapshot epochs — the full
+    corpus, then the corpus after a 1-in-17 deletion sweep — diffed by
+    :func:`~lshrs_spark.operators.skew.balance_delta` into one drift
+    row (d_gini, d_n_hot, growth, ...). This is the alert a scheduler
+    actually wants: Gini MOVEMENT between nightly cards rather than an
+    absolute threshold that either pages on an intentionally skewed
+    layout or sleeps through a fast drift. Both cards and the
+    subtraction are replayed in SQL (the closed rank-form Gini twice,
+    then 5-dp deltas of the 5-dp card values — the delta arithmetic
+    rides the already-rounded card numbers on both engines, and
+    filtering ``sigs`` by id IS the next epoch's index because SRP
+    signatures are per-vector)."""
+    from .operators.index import lsh_balance_report
+    from .operators.skew import balance_delta
+
+    emb = _emb(spark, sf_dir)
+    idx_prev = build_index(emb, ORACLE_CFG, "vec_id", "embedding")
+    idx_next = build_index(
+        emb.filter(F.col("vec_id") % 17 != 0), ORACLE_CFG,
+        "vec_id", "embedding",
+    )
+    return balance_delta(
+        lsh_balance_report(idx_prev, ratio=4.0),
+        lsh_balance_report(idx_next, ratio=4.0),
+    )
+
+
 # --------------------------------------------------------------------- #
 # Q1-Q4: probe -> collision count -> order -> limit (SURVEY §2.3)
 # --------------------------------------------------------------------- #
@@ -9433,6 +9512,10 @@ FAMILY: dict[str, str] = {
     # key cardinality grows with the corpus — and the IVF-specific
     # columns (tombstone debt, heal residue) keep r11 rows on file
     "ann_ivf_balance": "lsh_index_balance",
+    # health-card history diff (new round-12, VERDICT r11 #7): two of
+    # the in-window rep's cards at snapshot epochs, subtracted into
+    # one drift row by the shared balance_delta — same card family
+    "lsh_balance_drift": "lsh_index_balance",
     "ann_batch": "lsh_topk",
     # demoted round-12 (r11 driver row on file, VERDICT r11 #2): the
     # promoted lambda dial sweep unrolls THREE greedy selections over

@@ -33,8 +33,8 @@ from pyspark.sql import functions as F
 # evicted and recomputed under fresh range-bound sampling (r11 review)
 _BS_INVOCATION = itertools.count()
 
-__all__ = ["balance_stats", "salted_aggregate", "salted_join",
-           "skew_report"]
+__all__ = ["balance_delta", "balance_stats", "salted_aggregate",
+           "salted_join", "skew_report"]
 
 
 def balance_stats(
@@ -161,6 +161,76 @@ def _balance_card(counts: DataFrame, key_col: str, n_col: str,
             ).cast("long").alias("n_hot"),
             F.first("_pk").alias("_pk"),
         )
+    )
+
+
+def balance_delta(prev: DataFrame, new: DataFrame) -> DataFrame:
+    """One-row DRIFT card between two :func:`balance_stats`-shaped
+    health cards (VERDICT r11 #7): schedulers alert better on Gini
+    MOVEMENT than on absolute thresholds — a store that went
+    0.30 → 0.55 overnight needs attention long before it crosses a
+    0.8 alarm, and a store that has always sat at 0.6 (an intentional
+    skewed layout) should not page anyone. Columns:
+    ``(n_rows_prev, n_rows_next, d_n_rows, d_n_partitions, growth,
+    d_mean_rows, d_max_rows, d_max_mean_ratio, d_gini, d_n_hot)`` —
+    ``growth`` is the row-count ratio next/prev (NULL from an empty
+    prev), the ``d_*`` floats are 5-dp deltas of the cards' already
+    5-dp-rounded values (NULL whenever either side is NULL, i.e. an
+    empty store's undefined ratios propagate instead of faking
+    "no drift").
+
+    Inputs are the cards themselves (local one-row frames by the
+    eager-card contract), so the delta is a driver-side subtraction —
+    no Spark job. Extra columns on either card (the IVF card's
+    tombstone/heal counts) are ignored; only the shared core is
+    diffed, so any two cards off the shared ``balance_stats`` core
+    compare. Raises on anything that is not a one-row card with the
+    core columns — diffing two mismatched frames would emit a
+    well-typed but meaningless drift row."""
+    core = ["n_rows", "n_partitions", "mean_rows", "max_rows",
+            "max_mean_ratio", "gini", "n_hot"]
+
+    def one(df: DataFrame, name: str):
+        missing = [c for c in core if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"balance_delta: {name} card is missing columns "
+                f"{missing} — pass balance_stats-shaped health cards"
+            )
+        rows = df.collect()
+        if len(rows) != 1:
+            raise ValueError(
+                f"balance_delta: {name} card has {len(rows)} rows, "
+                "expected exactly 1 (health cards are one-row frames)"
+            )
+        return rows[0]
+
+    a, b = one(prev, "prev"), one(new, "next")
+
+    def d(x, y):
+        return None if x is None or y is None else round(y - x, 5)
+
+    growth = (
+        round(b["n_rows"] / a["n_rows"], 5) if a["n_rows"] else None
+    )
+    spark = prev.sparkSession
+    return spark.createDataFrame(
+        [(
+            int(a["n_rows"]), int(b["n_rows"]),
+            int(b["n_rows"] - a["n_rows"]),
+            int(b["n_partitions"] - a["n_partitions"]),
+            growth,
+            d(a["mean_rows"], b["mean_rows"]),
+            None if a["max_rows"] is None or b["max_rows"] is None
+            else int(b["max_rows"] - a["max_rows"]),
+            d(a["max_mean_ratio"], b["max_mean_ratio"]),
+            d(a["gini"], b["gini"]),
+            int(b["n_hot"] - a["n_hot"]),
+        )],
+        "n_rows_prev long, n_rows_next long, d_n_rows long, "
+        "d_n_partitions long, growth double, d_mean_rows double, "
+        "d_max_rows long, d_max_mean_ratio double, d_gini double, "
+        "d_n_hot long",
     )
 
 

@@ -303,3 +303,56 @@ def test_balance_stats_interleaved_cards_and_duplicate_keys(spark):
     from lshrs_spark.cache import _SLOTS
 
     assert not any(s.startswith("skew.balance_stats") for s in _SLOTS)
+
+
+def test_balance_delta_drift_card_and_contracts(spark):
+    """VERDICT r11 #7: the health-card history diff. Happy path — two
+    hand-built cards subtract into the drift row a scheduler alerts
+    on; contracts — non-card frames and multi-row frames raise, and an
+    empty-store card's NULL ratios propagate as NULL deltas instead of
+    faking 'no drift'."""
+    import pytest
+
+    from lshrs_spark.operators.skew import balance_delta, balance_stats
+
+    prev = balance_stats(
+        spark.createDataFrame(
+            [(i, 10) for i in range(8)], "k long, n long"),
+        key_col="k",
+    )
+    nxt = balance_stats(
+        spark.createDataFrame(
+            [(i, 4) for i in range(7)] + [(7, 200)], "k long, n long"),
+        key_col="k",
+    )
+    [d] = balance_delta(prev, nxt).collect()
+    assert d.n_rows_prev == 80 and d.n_rows_next == 228
+    assert d.d_n_rows == 148 and d.d_n_partitions == 0
+    assert abs(d.growth - round(228 / 80, 5)) < 1e-9
+    assert d.d_max_rows == 190
+    assert d.d_gini > 0 and d.d_n_hot == 1  # drifted toward imbalance
+    # the delta of the two cards' rounded ginis, re-rounded
+    [p] = prev.collect()
+    [n] = nxt.collect()
+    assert d.d_gini == round(n.gini - p.gini, 5)
+
+    # extra card columns (IVF's tombstone/heal counts) are ignored
+    from pyspark.sql import functions as F
+
+    [d2] = balance_delta(
+        prev.withColumn("n_tombstones", F.lit(3)), nxt).collect()
+    assert d2.d_gini == d.d_gini
+
+    # empty-store card: NULL ratios propagate, counts stay well-typed
+    empty = balance_stats(
+        spark.createDataFrame([], "k long, n long"), key_col="k")
+    [de] = balance_delta(empty, nxt).collect()
+    assert de.n_rows_prev == 0 and de.growth is None
+    assert de.d_gini is None and de.d_mean_rows is None
+    assert de.d_n_hot == 1
+
+    with pytest.raises(ValueError, match="missing columns"):
+        balance_delta(prev.drop("gini"), nxt)
+    two = prev.unionByName(prev)
+    with pytest.raises(ValueError, match="2 rows"):
+        balance_delta(two, nxt)
