@@ -574,8 +574,11 @@ if __name__ == "__main__":
     closing = None
     argv = sys.argv[1:]
     if argv[:1] == ["--closing-round"]:
-        if len(argv) < 2 or not argv[1].isdigit():
-            sys.exit("--closing-round needs a round number")
+        if len(argv) != 2 or not argv[1].isdigit():
+            # anything trailing the round number is a typo — fail fast
+            # rather than silently producing a control artifact under
+            # unintended settings
+            sys.exit("usage: bench.py [--closing-round N] (no other args)")
         closing = int(argv[1])
     elif argv:
         sys.exit(f"unknown arguments: {argv}")

@@ -211,27 +211,38 @@ def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucket_card_cte(pfx: str, where: str = "") -> str:
+    """The (band, sig) bucket-count balance card as a DuckDB CTE chain
+    ending in ``{pfx}card`` — ONE definition shared by the
+    ``lsh_index_balance`` oracle and both epochs of the
+    ``lsh_balance_drift`` oracle, so a fix to the Gini / hot-threshold
+    SQL lands once instead of silently desynchronizing the cards the
+    drift entry subtracts (r12 review)."""
+    return f"""{pfx}counts AS (SELECT band::VARCHAR || ':' || sig::VARCHAR AS bucket,
+                  count(*) AS n
+           FROM sigs {where}GROUP BY 1),
+{pfx}ranked AS (SELECT bucket, n,
+                  row_number() OVER (ORDER BY n ASC, bucket ASC) AS r
+           FROM {pfx}counts),
+{pfx}base AS (SELECT sum(n) AS tot, count(*) AS p, max(n) AS mx,
+                avg(n) AS mean FROM {pfx}ranked),
+{pfx}g AS (SELECT sum((2 * rk.r - b.p - 1) * rk.n) AS num
+      FROM {pfx}ranked rk CROSS JOIN {pfx}base b),
+{pfx}hot AS (SELECT count(*) AS nh FROM {pfx}ranked rk CROSS JOIN {pfx}base b
+        WHERE rk.n > 4.0 * b.mean),
+{pfx}card AS (SELECT b.tot::BIGINT AS n_rows, b.p::BIGINT AS n_partitions,
+                  round(b.mean, 5) AS mean_rows, b.mx::BIGINT AS max_rows,
+                  round(b.mx / b.mean, 5) AS max_mean_ratio,
+                  round(g.num / (b.p * b.tot), 5) AS gini,
+                  hot.nh::BIGINT AS n_hot
+           FROM {pfx}base b CROSS JOIN {pfx}g g CROSS JOIN {pfx}hot hot)"""
+
+
 @register(
     "lsh_index_balance",
     f"""WITH {_SIGS},
-counts AS (SELECT band::VARCHAR || ':' || sig::VARCHAR AS bucket,
-                  count(*) AS n
-           FROM sigs GROUP BY 1),
-ranked AS (SELECT bucket, n,
-                  row_number() OVER (ORDER BY n ASC, bucket ASC) AS r
-           FROM counts),
-base AS (SELECT sum(n) AS tot, count(*) AS p, max(n) AS mx,
-                avg(n) AS mean FROM ranked),
-g AS (SELECT sum((2 * rk.r - b.p - 1) * rk.n) AS num
-      FROM ranked rk CROSS JOIN base b),
-hot AS (SELECT count(*) AS nh FROM ranked rk CROSS JOIN base b
-        WHERE rk.n > 4.0 * b.mean)
-SELECT b.tot::BIGINT AS n_rows, b.p::BIGINT AS n_partitions,
-       round(b.mean, 5) AS mean_rows, b.mx::BIGINT AS max_rows,
-       round(b.mx / b.mean, 5) AS max_mean_ratio,
-       round(g.num / (b.p * b.tot), 5) AS gini,
-       hot.nh::BIGINT AS n_hot
-FROM base b CROSS JOIN g CROSS JOIN hot""",
+{_bucket_card_cte('')}
+SELECT * FROM card""",
 )
 def lsh_index_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH bucket index's health card (VERDICT r10 missing #3:
@@ -254,42 +265,8 @@ def lsh_index_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "lsh_balance_drift",
     f"""WITH {_SIGS},
-a_counts AS (SELECT band::VARCHAR || ':' || sig::VARCHAR AS bucket,
-                    count(*) AS n
-             FROM sigs GROUP BY 1),
-a_ranked AS (SELECT bucket, n,
-                    row_number() OVER (ORDER BY n ASC, bucket ASC) AS r
-             FROM a_counts),
-a_base AS (SELECT sum(n) AS tot, count(*) AS p, max(n) AS mx,
-                  avg(n) AS mean FROM a_ranked),
-a_g AS (SELECT sum((2 * rk.r - b.p - 1) * rk.n) AS num
-        FROM a_ranked rk CROSS JOIN a_base b),
-a_hot AS (SELECT count(*) AS nh FROM a_ranked rk CROSS JOIN a_base b
-          WHERE rk.n > 4.0 * b.mean),
-a_card AS (SELECT b.tot::BIGINT AS n_rows, b.p::BIGINT AS n_partitions,
-                  round(b.mean, 5) AS mean_rows, b.mx::BIGINT AS max_rows,
-                  round(b.mx / b.mean, 5) AS max_mean_ratio,
-                  round(g.num / (b.p * b.tot), 5) AS gini,
-                  hot.nh::BIGINT AS n_hot
-           FROM a_base b CROSS JOIN a_g g CROSS JOIN a_hot hot),
-b_counts AS (SELECT band::VARCHAR || ':' || sig::VARCHAR AS bucket,
-                    count(*) AS n
-             FROM sigs WHERE id % 17 <> 0 GROUP BY 1),
-b_ranked AS (SELECT bucket, n,
-                    row_number() OVER (ORDER BY n ASC, bucket ASC) AS r
-             FROM b_counts),
-b_base AS (SELECT sum(n) AS tot, count(*) AS p, max(n) AS mx,
-                  avg(n) AS mean FROM b_ranked),
-b_g AS (SELECT sum((2 * rk.r - b.p - 1) * rk.n) AS num
-        FROM b_ranked rk CROSS JOIN b_base b),
-b_hot AS (SELECT count(*) AS nh FROM b_ranked rk CROSS JOIN b_base b
-          WHERE rk.n > 4.0 * b.mean),
-b_card AS (SELECT b.tot::BIGINT AS n_rows, b.p::BIGINT AS n_partitions,
-                  round(b.mean, 5) AS mean_rows, b.mx::BIGINT AS max_rows,
-                  round(b.mx / b.mean, 5) AS max_mean_ratio,
-                  round(g.num / (b.p * b.tot), 5) AS gini,
-                  hot.nh::BIGINT AS n_hot
-           FROM b_base b CROSS JOIN b_g g CROSS JOIN b_hot hot)
+{_bucket_card_cte('a_')},
+{_bucket_card_cte('b_', 'WHERE id % 17 <> 0 ')}
 SELECT a.n_rows AS n_rows_prev, b.n_rows AS n_rows_next,
        (b.n_rows - a.n_rows)::BIGINT AS d_n_rows,
        (b.n_partitions - a.n_partitions)::BIGINT AS d_n_partitions,

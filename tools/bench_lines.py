@@ -32,24 +32,34 @@ from __future__ import annotations
 import os
 import tempfile
 
-# Canonical execution order across all three sections — the order
-# bench.py times them in. The drift runner re-measures any requested
-# subset IN THIS ORDER so cache state during a line's reps matches the
-# bench series (e.g. index_build must run before the probe index is
-# cached; see vector_line_fns["index_build"]).
+# Canonical execution order across all three sections — bench.py's
+# OWN relative timing order for the shared lines (verified against the
+# bench flow; a drift run skips the unshared lines between them). The
+# drift runner re-measures any requested subset IN THIS ORDER so the
+# cache state during a line's reps tracks the bench series: the probe
+# index is cached after index_build, and the persisted 20x corpus +
+# stored layouts exist BEFORE the mips/knn/bm25 lines, exactly as in
+# bench.py (the first draft ran mips/knn before the store section and
+# measured them without the 20x blocks resident — the same silent
+# environment divergence the shared module exists to prevent).
 LINE_ORDER = [
-    # vector section (bench.py sections 1-5b, 8, 9b-9e)
+    # bench sections 1-5b: build, probes, rerank, self-joins
     "index_build", "topk_batch100", "topp_batch100",
-    "simjoin_lsh", "simjoin_lsh_skew", "stream_agg",
-    "mips_ivf_batch100", "knn_full_batch100", "knn_truncated_batch100",
-    "knn_mmr_batch100",
-    # docs section (bench.py sections 6-7b, 10)
-    "dedup_substring", "text_pipeline", "text_hybrid_rrf",
-    "dedup_video_frames", "graph_pagerank", "dedup_minhash_xxh",
-    "text_heavy_hitters", "bm25_index_build",
-    # store section (bench.py sections 9-12c)
+    "simjoin_lsh", "simjoin_lsh_skew",
+    # bench sections 6-7b: document corpus
+    "dedup_minhash_xxh", "dedup_video_frames", "dedup_substring",
+    "text_pipeline", "text_hybrid_rrf", "text_heavy_hitters",
+    "graph_pagerank",
+    # bench section 8: streaming
+    "stream_agg",
+    # bench sections 9-12c: 20x corpus + stored layouts
     "index_build_20x", "single_topk_stored20x", "ivf_maintain_20x",
     "knn_truncated_stored20x_batch100",
+    # bench sections 9b-9e (timed after the store section in bench.py)
+    "mips_ivf_batch100", "knn_full_batch100", "knn_truncated_batch100",
+    "knn_mmr_batch100",
+    # bench section 10: keyword store build
+    "bm25_index_build",
 ]
 
 DOC_LINES = [
