@@ -43,18 +43,20 @@ import tempfile
 # measured them without the 20x blocks resident — the same silent
 # environment divergence the shared module exists to prevent).
 LINE_ORDER = [
-    # bench sections 1-5b: build, probes, rerank, self-joins
-    "index_build", "topk_batch100", "topp_batch100",
-    "simjoin_lsh", "simjoin_lsh_skew",
+    # bench sections 1-5b: build, probes, rerank, user API, self-joins
+    "index_build", "topk_batch100", "topk_batch100_mp2",
+    "topp_batch100", "single_topk", "simjoin_lsh", "simjoin_lsh_skew",
     # bench sections 6-7b: document corpus
-    "dedup_minhash_xxh", "dedup_video_frames", "dedup_substring",
+    "dedup_minhash", "dedup_minhash_xxh", "dedup_simhash",
+    "dedup_image_phash", "dedup_audio_fp", "dedup_video_frames",
+    "dedup_substring", "text_bpe_counts",
     "text_pipeline", "text_hybrid_rrf", "text_heavy_hitters",
-    "graph_pagerank",
+    "corpus_diff", "graph_pagerank",
     # bench section 8: streaming
     "stream_agg",
-    # bench sections 9-12c: 20x corpus + stored layouts
+    # bench sections 9-13: 20x corpus + stored layouts + PQ codes
     "index_build_20x", "single_topk_stored20x", "ivf_maintain_20x",
-    "knn_truncated_stored20x_batch100",
+    "knn_truncated_stored20x_batch100", "ann_pq_query20x",
     # bench sections 9b-9e (timed after the store section in bench.py)
     "mips_ivf_batch100", "knn_full_batch100", "knn_truncated_batch100",
     "knn_mmr_batch100",
@@ -62,20 +64,27 @@ LINE_ORDER = [
     "bm25_index_build",
 ]
 
+# With these, EVERY Spark-side bench line is drift-re-measurable; the
+# lines deliberately NOT here are the serving p95s / served-batch
+# amortizations (IndexServer/IVFServer/PQ/BM25 reads are JVM-free —
+# tools/serving_probe.py IS their isolated re-measure).
 DOC_LINES = [
-    "dedup_substring", "text_pipeline", "text_hybrid_rrf",
-    "dedup_video_frames", "graph_pagerank", "dedup_minhash_xxh",
-    "text_heavy_hitters", "bm25_index_build",
+    "dedup_minhash", "dedup_minhash_xxh", "dedup_simhash",
+    "dedup_image_phash", "dedup_audio_fp", "dedup_video_frames",
+    "dedup_substring", "text_bpe_counts",
+    "text_pipeline", "text_hybrid_rrf", "text_heavy_hitters",
+    "corpus_diff", "graph_pagerank", "bm25_index_build",
 ]
 VECTOR_LINES = [
-    "index_build", "topk_batch100", "topp_batch100",
-    "simjoin_lsh", "simjoin_lsh_skew", "stream_agg",
+    "index_build", "topk_batch100", "topk_batch100_mp2",
+    "topp_batch100", "single_topk", "simjoin_lsh", "simjoin_lsh_skew",
+    "stream_agg",
     "mips_ivf_batch100", "knn_full_batch100", "knn_truncated_batch100",
     "knn_mmr_batch100",
 ]
 STORE_LINES = [
     "index_build_20x", "single_topk_stored20x", "ivf_maintain_20x",
-    "knn_truncated_stored20x_batch100",
+    "knn_truncated_stored20x_batch100", "ann_pq_query20x",
 ]
 
 # Lines whose timing is only valid BEFORE the cached probe index
@@ -205,6 +214,50 @@ class BenchState:
                 self.emb().filter("vec_id = 0").first().embedding,
                 dtype=np.float32)
         return self._c["qv"]
+
+    def qsigs_mp(self):
+        """Multiprobe=2 query signatures: perturbation keys emitted
+        inside the signature Arrow UDF — 3x the probe rows."""
+        from lshrs_spark.operators.index import build_index
+
+        if "qsigs_mp" not in self._c:
+            self._c["qsigs_mp"] = build_index(
+                self.qdf(), self.cfg, "qid", "qvec", multiprobe=2
+            ).withColumnRenamed("id", "qid")
+        return self._c["qsigs_mp"]
+
+    def user_api(self):
+        """The LSHRS user-API object over the cached index — the
+        single-query (driver-collect) latency path."""
+        from lshrs_spark import LSHRS
+
+        if "lsh" not in self._c:
+            lsh = LSHRS(self.spark, 64, num_perm=128, num_bands=8,
+                        rows_per_band=16)
+            lsh._index_df = self.idx_cached()
+            lsh.set_vectors(self.emb())
+            self._c["lsh"] = lsh
+        return self._c["lsh"]
+
+    def pq_parts(self):
+        """(codebooks, code table, query list) for the PQ ADC line:
+        codebooks trained on the 1x corpus (cached), the 20x code
+        table materialized once — the production stored layout."""
+        from pyspark.sql import functions as F
+
+        from lshrs_spark.operators.knn import pq_codebooks, pq_encode
+
+        if "pq" not in self._c:
+            cb = pq_codebooks(self.emb(), m=4, k=16, dim=64,
+                              iterations=1).cache()
+            cb.count()
+            codes = pq_encode(
+                self.big().select(F.col("vec_id"), F.col("embedding")),
+                cb, m=4, dim=64).persist()
+            codes.count()
+            qv_list = [float(x) for x in self.qv()]
+            self._c["pq"] = (cb, codes, qv_list)
+        return self._c["pq"]
 
     def hot_embedding(self):
         from pyspark.sql import functions as F
@@ -417,7 +470,12 @@ def vector_line_fns(state: BenchState) -> dict:
     return {
         "index_build": run_index_build,
         "topk_batch100": run_topk,
+        # recall-knob cost on the corpus-scale path (multiprobe=2)
+        "topk_batch100_mp2": lambda: top_k(
+            candidates(state.idx_cached(), state.qsigs_mp()), 10).count(),
         "topp_batch100": run_topp,
+        # single-query latency through the user API (driver collect)
+        "single_topk": lambda: state.user_api().get_top_k(state.qv(), 10),
         "simjoin_lsh": lambda: similarity_join(
             state.emb(), state.sj_cfg, 0.4, max_bucket_size=2000,
             cache_index=True).count(),
@@ -457,6 +515,7 @@ def store_line_fns(state: BenchState) -> dict:
     from lshrs_spark.operators.knn import (
         ivf_compact,
         ivf_maintain,
+        pq_adc_topk,
         truncated_topk_stored,
     )
     from lshrs_spark.operators.probe import candidates_from_path, top_k
@@ -503,12 +562,19 @@ def store_line_fns(state: BenchState) -> dict:
             nprobe=4
         ).count()
 
+    def run_pq_query():
+        # PQ compressed-scan ANN over the 20x corpus: ADC query reads
+        # only (id, j, code) + an m x k distance table.
+        cb, codes, qv_list = state.pq_parts()
+        return pq_adc_topk(qv_list, cb, codes, 10, m=4, dim=64).count()
+
     return {
         "index_build_20x": run_index_build_20x,
         "single_topk_stored20x": run_single_stored,
         "ivf_maintain_20x": {"fn": run_maintain,
                              "reset": plant_maint_store},
         "knn_truncated_stored20x_batch100": run_truncated_stored,
+        "ann_pq_query20x": run_pq_query,
     }
 
 
@@ -527,14 +593,23 @@ def shared_line_fns(spark, docs, sf_dir: str,
     from lshrs_spark.cache import release_slots
     from lshrs_spark.entries import QUERIES as _ENTRY_QUERIES
     from lshrs_spark.functions import text as X
+    from lshrs_spark.functions.bpe import DEFAULT_MERGES, bpe_token_counts
     from lshrs_spark.functions.sketch import heavy_hitters
     from lshrs_spark.functions.text import bm25_index_write
-    from lshrs_spark.multimodal import with_video_payload
+    from lshrs_spark.multimodal import (
+        with_ppm_payload,
+        with_video_payload,
+        with_wav_payload,
+    )
     from lshrs_spark.operators.dedup import (
+        audio_fingerprint_pairs,
+        image_dhash_pairs,
         minhash_band_pairs,
+        simhash_table,
         substring_span_pairs,
         video_near_dup_pairs,
     )
+    from lshrs_spark.operators.diff import corpus_diff
     from lshrs_spark.operators.graph import pagerank
 
     if bm25_store is None:
@@ -564,8 +639,26 @@ def shared_line_fns(spark, docs, sf_dir: str,
         return n
 
     vid = with_video_payload(docs, num_frames=3, width=7, height=8)
+    ppm = with_ppm_payload(docs, width=7, height=8)
+    wav = with_wav_payload(docs)
+    v2 = docs.filter(F.col("doc_id") % 17 != 0)
     tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
     return {
+        # portable-hash (h48/md5) banding — oracle-checkable mode; the
+        # xxh line below is the production-hash control (md5 enters
+        # synchronized JVM digest machinery and stalls sporadically)
+        "dedup_minhash": lambda: minhash_band_pairs(
+            docs, num_hashes=8, rows_per_band=2).count(),
+        "dedup_simhash": lambda: simhash_table(docs).count(),
+        # Catalyst PPM payload -> Arrow decode + 48-bit dHash ->
+        # pigeonhole Hamming-banded pair join
+        "dedup_image_phash": lambda: image_dhash_pairs(
+            ppm, max_hamming=6).count(),
+        "dedup_audio_fp": lambda: audio_fingerprint_pairs(
+            wav, max_hamming=3).count(),
+        "text_bpe_counts": lambda: bpe_token_counts(
+            docs, DEFAULT_MERGES).count(),
+        "corpus_diff": lambda: corpus_diff(docs, v2).count(),
         "dedup_substring": run_substring,
         "text_pipeline": run_text,
         "text_hybrid_rrf": lambda: _ENTRY_QUERIES["text_hybrid_rrf"](
