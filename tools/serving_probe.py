@@ -49,12 +49,17 @@ STORES = {
     "truncated": os.path.join(tempfile.gettempdir(), "lshrs_bench_tivf20x"),
     "pq": os.path.join(tempfile.gettempdir(), "lshrs_bench_pq20x"),
     "bm25": os.path.join(tempfile.gettempdir(), "lshrs_bench_bm25"),
+    "bm25p": os.path.join(tempfile.gettempdir(), "lshrs_bench_bm25p"),
 }
 
 # the bench's own query mixes (bench.py §11/§10)
 BM25_TERM_SETS = [
     ["vector", "hash", "join", "stream"],
     ["table", "scan"], ["query", "filter", "sort"], ["agg", "window"],
+] * 25
+PHRASE_SETS = [
+    ["vector", "hash"], ["table", "scan"],
+    ["query", "filter"], ["agg", "window"],
 ] * 25
 
 
@@ -130,6 +135,8 @@ def build_stores() -> None:
     pq_write_store(big, cb, STORES["pq"], m=4, dim=64)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
     bm25_index_write(docs, STORES["bm25"], num_buckets=32)
+    bm25_index_write(docs, STORES["bm25p"], num_buckets=32,
+                     store_positions=True)
     print("stores built", flush=True)
     try:
         spark.stop()
@@ -193,7 +200,37 @@ def measure(loops: int) -> dict:
     record("pq", lambda q: psrv.topk(q, 10), qvecs)
     bsrv = BM25Server(STORES["bm25"])
     record("bm25", lambda t: bsrv.search(t, 10), BM25_TERM_SETS)
-    return tiers
+
+    # The served-BATCH amortization lines (r12): the four bench lines
+    # the drift runner deliberately leaves out because they are
+    # JVM-free — this probe is their isolated re-measure too. Same
+    # protocol as bench.py: warm once, min over reps, amortized per
+    # query; reported in ms.
+    def batch_amortized(fn, n_queries, reps):
+        fn()  # warm
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        return round(best / n_queries * 1000, 3)
+
+    ppsrv = BM25Server(STORES["bm25p"])
+    batch = {
+        "lsh_batch100_per_query_ms": batch_amortized(
+            lambda: srv.get_top_k_batch(qvecs, 10), len(qvecs),
+            max(2, loops)),
+        "bm25_batch100_per_query_ms": batch_amortized(
+            lambda: bsrv.search_batch(BM25_TERM_SETS, 10),
+            len(BM25_TERM_SETS), 3),
+        "bm25_phrase_batch100_per_query_ms": batch_amortized(
+            lambda: ppsrv.phrase_batch(PHRASE_SETS), len(PHRASE_SETS), 3),
+        "bm25_phrase_batch100_uncapped_per_query_ms": batch_amortized(
+            lambda: ppsrv.phrase_batch(PHRASE_SETS, max_cached_df=None),
+            len(PHRASE_SETS), 3),
+    }
+    return tiers, batch
 
 
 def main() -> None:
@@ -230,7 +267,7 @@ def main() -> None:
         print("waiting for java processes to exit / load to settle...",
               file=sys.stderr, flush=True)
     guard = wait_quiet(args.max_wait, args.load_max)
-    tiers = measure(args.loops)
+    tiers, batch = measure(args.loops)
     out = {
         "round": args.round,
         "sf_dir": SF_DIR,
@@ -240,6 +277,7 @@ def main() -> None:
         "quiet_guard": guard,
         "stores_rebuilt": rebuilt,
         "tiers": tiers,
+        "batch": batch,
         "unix_time": int(time.time()),
     }
     line = json.dumps(out)
