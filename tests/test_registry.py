@@ -173,3 +173,41 @@ def test_drift_runner_rejects_nonpositive_reps():
         )
         assert proc.returncode != 0
         assert "positive integer" in proc.stderr
+
+
+def test_drift_runner_survives_a_failing_line(spark, monkeypatch, tmp_path):
+    """r12 hardening: one broken line must not lose the other lines'
+    measurements — this round's first A/B run crashed on pass 2 and
+    lost a complete pass-1 sweep (~20 min of evidence). The runner now
+    records the failure per line, keeps going, writes the (partial)
+    artifact, and exits NONZERO so the run never reads as a clean
+    settlement. Also pins the PRE_CACHE_LINES pass-1-only rule."""
+    import json
+
+    import tools.drift_ab as ab
+
+    def fake_fns(sp, names):
+        def boom():
+            raise RuntimeError("injected failure")
+
+        return {"index_build": lambda: 1, "topk_batch100": boom,
+                "topp_batch100": lambda: 2}
+
+    monkeypatch.setattr(ab, "build_line_fns", fake_fns)
+    out = tmp_path / "ab.json"
+    monkeypatch.setattr(
+        ab.sys, "argv",
+        ["drift_ab.py", "--reps", "1", "--passes", "2", "--out", str(out),
+         "index_build", "topk_batch100", "topp_batch100"],
+    )
+    with pytest.raises(SystemExit) as ei:
+        ab.main()
+    assert "topk_batch100" in str(ei.value)
+
+    d = json.loads(out.read_text())
+    assert "injected failure" in d["results"]["topk_batch100"]["error"]
+    # the healthy lines kept all their evidence
+    assert d["results"]["topp_batch100"]["min"] is not None
+    assert len(d["results"]["topp_batch100"]["passes"]) == 2
+    # pre-cache line timed in pass 1 only
+    assert len(d["results"]["index_build"]["passes"]) == 1

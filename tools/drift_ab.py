@@ -190,12 +190,23 @@ def main() -> None:
             reset = line.get("reset") if isinstance(line, dict) else None
             # warm-up only on the first pass — pass 2 exists to catch a
             # stall window, not to re-pay JIT (already warm)
-            times = time_line(fn, reps, reset=reset, warmup=(p == 0))
+            r = results[name]
+            try:
+                times = time_line(fn, reps, reset=reset, warmup=(p == 0))
+            except Exception as exc:  # noqa: BLE001
+                # one broken line must not lose the other lines' 20
+                # minutes of measurement: record the failure in the
+                # artifact and keep going (an A/B run of this runner's
+                # own first draft crashed on pass 2 and lost a full
+                # pass-1 sweep — exit code stays nonzero below)
+                r["error"] = f"pass{p + 1}: {type(exc).__name__}: {exc}"
+                print(f"AB pass{p + 1} {name} ERROR {exc}", flush=True)
+                release_slots()
+                continue
             # per-line slot hygiene between lines (bench releases at
             # section boundaries; reps within a line never release —
             # exactly like bench)
             release_slots()
-            r = results[name]
             r["passes"].append([round(t, 3) for t in times])
             m = min(times)
             r["min"] = round(m if r["min"] is None else min(r["min"], m), 3)
@@ -207,6 +218,11 @@ def main() -> None:
     if out_path:
         with open(out_path, "w") as f:
             json.dump(payload, f, indent=1)
+    failed = sorted(n for n, r in results.items() if "error" in r)
+    if failed:
+        # the artifact is written (partial evidence beats none) but the
+        # run itself must not read as a clean settlement
+        sys.exit(f"lines failed: {failed} — artifact written, exit nonzero")
 
 
 if __name__ == "__main__":
