@@ -203,6 +203,18 @@ def balance_delta(prev: DataFrame, new: DataFrame) -> DataFrame:
                 f"balance_delta: {name} card has {len(rows)} rows, "
                 "expected exactly 1 (health cards are one-row frames)"
             )
+        # Real balance_stats cards coalesce the counts to 0; a NULL
+        # here means a hand-built or outer-joined frame, and int(None)
+        # below would surface as a bare TypeError (ADVICE r12) — raise
+        # the documented ValueError instead. The float/max columns are
+        # legitimately NULL on an empty store and propagate as NULL.
+        null_counts = [c for c in ("n_rows", "n_partitions", "n_hot")
+                       if rows[0][c] is None]
+        if null_counts:
+            raise ValueError(
+                f"balance_delta: {name} card has NULL count columns "
+                f"{null_counts} — not a balance_stats-shaped card"
+            )
         return rows[0]
 
     a, b = one(prev, "prev"), one(new, "next")

@@ -186,28 +186,57 @@ def test_drift_runner_survives_a_failing_line(spark, monkeypatch, tmp_path):
 
     import tools.drift_ab as ab
 
+    calls = {"flaky": 0}
+
+    def flaky():
+        # fails its whole first pass (warm-up included), succeeds on
+        # the pass-2 retry — the ADVICE r12 re-warm case
+        calls["flaky"] += 1
+        if calls["flaky"] == 1:
+            raise RuntimeError("flaky failure")
+        return 3
+
     def fake_fns(sp, names):
         def boom():
             raise RuntimeError("injected failure")
 
         return {"index_build": lambda: 1, "topk_batch100": boom,
-                "topp_batch100": lambda: 2}
+                "topp_batch100": lambda: 2, "single_topk": flaky}
 
     monkeypatch.setattr(ab, "build_line_fns", fake_fns)
     out = tmp_path / "ab.json"
     monkeypatch.setattr(
         ab.sys, "argv",
         ["drift_ab.py", "--reps", "1", "--passes", "2", "--out", str(out),
-         "index_build", "topk_batch100", "topp_batch100"],
+         "index_build", "topk_batch100", "topp_batch100", "single_topk"],
     )
     with pytest.raises(SystemExit) as ei:
         ab.main()
     assert "topk_batch100" in str(ei.value)
+    # the recovered line is named as partial, not lumped with the dead one
+    assert "single_topk" in str(ei.value)
 
     d = json.loads(out.read_text())
-    assert "injected failure" in d["results"]["topk_batch100"]["error"]
+    # per-pass error tags + ok_passes make partial lines unambiguous
+    # (ADVICE r12: min coexisting with an error needs provenance)
+    r_dead = d["results"]["topk_batch100"]
+    assert r_dead["errors"] == [
+        "pass1: RuntimeError: injected failure",
+        "pass2: RuntimeError: injected failure",
+    ]
+    assert r_dead["min"] is None and r_dead["ok_passes"] == []
     # the healthy lines kept all their evidence
     assert d["results"]["topp_batch100"]["min"] is not None
     assert len(d["results"]["topp_batch100"]["passes"]) == 2
+    assert d["results"]["topp_batch100"]["ok_passes"] == [1, 2]
+    assert d["results"]["topp_batch100"]["errors"] == []
     # pre-cache line timed in pass 1 only
     assert len(d["results"]["index_build"]["passes"]) == 1
+    # the flaky line: pass-1 error recorded, pass-2 min recorded, and
+    # the retry RE-WARMED (warm-up call + 1 timed rep = 3 total calls;
+    # a warmup=False retry would have made only 2) so its min can
+    # never include first-compile cost (ADVICE r12)
+    r_flaky = d["results"]["single_topk"]
+    assert r_flaky["errors"] == ["pass1: RuntimeError: flaky failure"]
+    assert r_flaky["ok_passes"] == [2] and r_flaky["min"] is not None
+    assert calls["flaky"] == 3

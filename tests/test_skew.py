@@ -356,3 +356,11 @@ def test_balance_delta_drift_card_and_contracts(spark):
     two = prev.unionByName(prev)
     with pytest.raises(ValueError, match="2 rows"):
         balance_delta(two, nxt)
+    # ADVICE r12: a card-SHAPED frame with a NULL count column (only
+    # reachable hand-built or via an outer join — real cards coalesce
+    # counts to 0) used to surface as a bare TypeError from int(None);
+    # it must raise the documented ValueError naming the column
+    nulled = nxt.withColumn(
+        "n_hot", F.lit(None).cast("long"))
+    with pytest.raises(ValueError, match="NULL count columns.*n_hot"):
+        balance_delta(prev, nulled)

@@ -42,6 +42,10 @@ import tempfile
 # bench.py (the first draft ran mips/knn before the store section and
 # measured them without the 20x blocks resident — the same silent
 # environment divergence the shared module exists to prevent).
+# BenchState is lazy, so order alone does not guarantee residency for
+# a SUBSET run that skips the store lines — drift_ab.build_line_fns
+# therefore pre-materializes the full store-section state whenever any
+# requested line sits at/after the store section here (ADVICE r12).
 LINE_ORDER = [
     # bench sections 1-5b: build, probes, rerank, user API, self-joins
     "index_build", "topk_batch100", "topk_batch100_mp2",
@@ -116,7 +120,10 @@ def quiet_guard(cpus: int, *, own_jvms: int = 0) -> dict:
     except Exception:
         n_java = -1
     load1 = os.getloadavg()[0]
-    return {"stray_jvms": n_java, "own_jvms": own_jvms,
+    # counted_jvms is the RAW count (VERDICT r12 wrong #3: the old
+    # key name "stray_jvms" misled artifact readers when the one JVM
+    # counted was the caller's own); strays = counted - own.
+    return {"counted_jvms": n_java, "own_jvms": own_jvms,
             "load1": round(load1, 2),
             "quiet": 0 <= n_java <= own_jvms and load1 < float(cpus) / 4}
 

@@ -144,10 +144,11 @@ def build_stores() -> None:
         pass
 
 
-def measure(loops: int) -> dict:
-    """The bench's serving protocol, per tier, in THIS (JVM-free)
-    process: 100 distinct queries, best-of-``loops`` full passes
-    compared at the p95, p50/p95 reported in ms."""
+def measure(loops: int) -> tuple[dict, dict]:
+    """The bench's serving protocol in THIS (JVM-free) process.
+    Returns ``(tiers, batch)``: per-tier p50/p95 ms over 100 distinct
+    queries (best-of-``loops`` full passes compared at the p95), and
+    the served-batch per-query amortizations (r12 extension)."""
     import numpy as np
     import pyarrow.dataset as pads
 
