@@ -262,12 +262,10 @@ def lsh_index_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_balance_report(idx, ratio=4.0)
 
 
-@register(
-    "lsh_balance_drift",
-    f"""WITH {_SIGS},
-{_bucket_card_cte('a_')},
-{_bucket_card_cte('b_', 'WHERE id % 17 <> 0 ')}
-SELECT a.n_rows AS n_rows_prev, b.n_rows AS n_rows_next,
+# The drift-row subtraction over two `{pfx}card` CTEs — ONE definition
+# shared by `lsh_balance_drift` and `ivf_balance_drift` (r13), mirroring
+# operators.skew.balance_delta's 5-dp-deltas-of-rounded-values contract.
+_CARD_DELTA_SELECT = """SELECT a.n_rows AS n_rows_prev, b.n_rows AS n_rows_next,
        (b.n_rows - a.n_rows)::BIGINT AS d_n_rows,
        (b.n_partitions - a.n_partitions)::BIGINT AS d_n_partitions,
        round(b.n_rows / a.n_rows, 5) AS growth,
@@ -276,7 +274,15 @@ SELECT a.n_rows AS n_rows_prev, b.n_rows AS n_rows_next,
        round(b.max_mean_ratio - a.max_mean_ratio, 5) AS d_max_mean_ratio,
        round(b.gini - a.gini, 5) AS d_gini,
        (b.n_hot - a.n_hot)::BIGINT AS d_n_hot
-FROM a_card a CROSS JOIN b_card b""",
+FROM a_card a CROSS JOIN b_card b"""
+
+
+@register(
+    "lsh_balance_drift",
+    f"""WITH {_SIGS},
+{_bucket_card_cte('a_')},
+{_bucket_card_cte('b_', 'WHERE id % 17 <> 0 ')}
+{_CARD_DELTA_SELECT}""",
 )
 def lsh_balance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Health-card HISTORY diff (VERDICT r11 #7): the same (band, sig)
@@ -5106,6 +5112,80 @@ def ann_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_balance_report(spark, path, ratio=2.0)
 
 
+def _centroid_card_cte(pfx: str, where: str = "") -> str:
+    """The centroid-partition balance card as a DuckDB CTE chain ending
+    in ``{pfx}card`` — the IVF-store analogue of :func:`_bucket_card_cte`
+    (VERDICT r12 #7): ONE definition for both epochs of the
+    ``ivf_balance_drift`` oracle. Expects ``tv`` (corpus) and ``cent``
+    (the FIXED full-corpus centroid set) CTEs upstream; ``where``
+    filters the assigned corpus for the later epoch. Hot rule is the
+    IVF card's ratio=2.0."""
+    return f"""{pfx}a AS (SELECT id, centroid_id FROM (
+    SELECT tv.id, c.centroid_id,
+           row_number() OVER (PARTITION BY tv.id
+               ORDER BY {cosine_sql("tv.v", "c.cvec")} DESC,
+                        c.centroid_id ASC) AS r
+    FROM tv CROSS JOIN cent c {where}) WHERE r = 1),
+{pfx}counts AS (SELECT centroid_id, count(*) AS n FROM {pfx}a
+           GROUP BY centroid_id),
+{pfx}ranked AS (SELECT centroid_id, n,
+                  row_number() OVER (ORDER BY n ASC, centroid_id ASC) AS r
+           FROM {pfx}counts),
+{pfx}base AS (SELECT sum(n) AS tot, count(*) AS p, max(n) AS mx,
+                avg(n) AS mean FROM {pfx}ranked),
+{pfx}g AS (SELECT sum((2 * rk.r - b.p - 1) * rk.n) AS num
+      FROM {pfx}ranked rk CROSS JOIN {pfx}base b),
+{pfx}hot AS (SELECT count(*) AS nh FROM {pfx}ranked rk CROSS JOIN {pfx}base b
+        WHERE rk.n > 2.0 * b.mean),
+{pfx}card AS (SELECT b.tot::BIGINT AS n_rows, b.p::BIGINT AS n_partitions,
+                  round(b.mean, 5) AS mean_rows, b.mx::BIGINT AS max_rows,
+                  round(b.mx / b.mean, 5) AS max_mean_ratio,
+                  round(g.num / (b.p * b.tot), 5) AS gini,
+                  hot.nh::BIGINT AS n_hot
+           FROM {pfx}base b CROSS JOIN {pfx}g g CROSS JOIN {pfx}hot hot)"""
+
+
+@register(
+    "ivf_balance_drift",
+    f"""WITH tv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+cent AS (SELECT id AS centroid_id, v AS cvec FROM tv WHERE id < 8),
+{_centroid_card_cte('a_')},
+{_centroid_card_cte('b_', 'WHERE tv.id % 17 <> 0 ')}
+{_CARD_DELTA_SELECT}""",
+)
+def ivf_balance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF store's health-card HISTORY diff (VERDICT r12 #7): every
+    store tier's nightly card now has an oracle-backed drift twin. Two
+    8-centroid stored layouts — the full corpus, then the corpus after
+    a 1-in-17 deletion sweep COMPACTED away (a tombstone sweep alone
+    would not move the card: it counts physical rows by design) — are
+    written against the SAME full-corpus centroid set, their
+    :func:`~lshrs_spark.operators.knn.ivf_balance_report` cards diffed
+    by the shared :func:`~lshrs_spark.operators.skew.balance_delta`
+    (extra IVF columns — tombstone debt, heal residue — are ignored by
+    the delta's shared-core contract). The oracle replays assignment
+    twice against the fixed centroid CTE (:func:`_centroid_card_cte`,
+    one definition for both epochs) and the same 5-dp delta arithmetic
+    as the LSH drift twin (shared ``_CARD_DELTA_SELECT``)."""
+    from .operators.knn import (
+        ivf_balance_report,
+        ivf_centroids_by_id,
+        ivf_write_store,
+    )
+    from .operators.skew import balance_delta
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_centroids_by_id(emb, 8)
+    p_prev = _sf_tmp_path("lshrs_ivfdrift_prev", sf_dir)
+    p_next = _sf_tmp_path("lshrs_ivfdrift_next", sf_dir)
+    ivf_write_store(emb, cents, p_prev)
+    ivf_write_store(emb.filter(F.col("vec_id") % 17 != 0), cents, p_next)
+    return balance_delta(
+        ivf_balance_report(spark, p_prev, ratio=2.0),
+        ivf_balance_report(spark, p_next, ratio=2.0),
+    )
+
+
 @register(
     "ann_truncated_maintain",
     f"""WITH tv AS (SELECT vec_id AS id, embedding[1:16] AS t
@@ -9124,8 +9204,20 @@ DRIVER_WINDOW: list[str] = [
     # ordinal), and the LSH card is the harder scale case: its
     # (band, sig) key cardinality grows with the corpus, which is the
     # very caller the two-stage distributed rank was built for
-    "lsh_signatures", "lsh_topk", "lsh_index_balance",
-    "ann_mmr_lambda_curve", "ann_retrieval_metrics", "lsh_delete",
+    # round-13 (VERDICT r12 #2): lsh_balance_drift in /
+    # lsh_index_balance out (r12 driver row on file) — the drift entry
+    # replays BOTH snapshot epochs' cards through the same shared
+    # _bucket_card_cte SQL the single-card entry used, then the
+    # subtraction on top: a strict superset of the card machinery;
+    # mips_topk in / ann_retrieval_metrics out (r11-r12 driver rows on
+    # file) — the metrics card grades the same 16-of-64 coarse +
+    # full-width-rerank two-stage ranking the in-window
+    # ann_truncated_recall_curve replays at every arm (its recall
+    # column IS that grading), while the exact magnitude-weighted
+    # dot-product baseline — the one ANN scoring objective with no
+    # in-window exact leg — earns its first hard row
+    "lsh_signatures", "lsh_topk", "lsh_balance_drift",
+    "ann_mmr_lambda_curve", "mips_topk", "lsh_delete",
     # similarity join + dedup family (dedup_ngram_jaccard demoted
     # round-6: shingle-inverted-index twin of the in-window minhash rep)
     # (dedup_incremental demoted round-6: stored-band-key twin of the
@@ -9164,7 +9256,15 @@ DRIVER_WINDOW: list[str] = [
     # in-window dedup_video_hamming rep drives with the strictest
     # (brute per-frame-distance) oracle in the family
     "dedup_minhash_recall",
-    "dedup_chunk_overlap", "source_vectorgen", "text_line_dedup",
+    # round-13 (VERDICT r12 #2): dedup_containment in /
+    # dedup_chunk_overlap out (driver rows through r12 on file) — the
+    # directional-containment entry drives the same inverted-index
+    # shingle join core (its oracle extends the shared _JACCARD_CTES)
+    # under a strictly richer score pair (both containment quotients),
+    # catching the quote/inclusion case symmetric overlap misses; the
+    # chunk-window generation sub-plan keeps a family twin via
+    # text_chunk alongside it
+    "dedup_containment", "source_vectorgen", "text_line_dedup",
     # ANN tiers (ann_batch ~ lsh_topk twin and ann_recall gauge are
     # past the window, local-gated); round-7: mips_ivf_recall in /
     # ann_ivf_filtered out (r6 driver row on file) — the augmented-IVF
@@ -9223,9 +9323,19 @@ DRIVER_WINDOW: list[str] = [
     # O(m^1.5) enumeration) PLUS the repair rule and the recursive
     # reachability re-cluster, so the triangle core keeps a hard row
     # through it
-    "planner_config", "ann_ivfpq_topk", "graph_repair_components",
+    # round-13 (VERDICT r12 #2): ann_ivfpq_refined in / ann_ivfpq_topk
+    # out (driver rows through r12 on file) — the refine entry's oracle
+    # embeds the ENTIRE _IVFPQ_CTES ADC chain (the demoted entry's
+    # whole oracle) and then exact-cosine re-ranks the 30-candidate
+    # shortlist: a strict superset of the compressed-scan machinery;
+    # pipeline_token_budget in / pipeline_length_batches out (driver
+    # rows r1-r12 on file) — the budget cut drives the same two-stage
+    # distributed prefix-sum core under the stricter contract (the
+    # integer-quantized sort key that keeps the cut's row SET
+    # engine-stable, the round-4 cross-engine float-ordering lesson)
+    "planner_config", "ann_ivfpq_refined", "graph_repair_components",
     "pipeline_weighted_sample", "text_bpe_tokens",
-    "pipeline_length_batches", "pipeline_hygiene_cascade",
+    "pipeline_token_budget", "pipeline_hygiene_cascade",
     # text analysis + corpus hygiene (text_fingerprint demoted round-7:
     # content-hash fingerprinting twin of the in-window exact-dedup rep —
     # the BM25 retrieval-ranking family takes its slot)
@@ -9255,7 +9365,16 @@ DRIVER_WINDOW: list[str] = [
     # the in-window chunk-overlap dedup rep), text_unigram_logprob out
     # (token-frequency-statistics family, same subsumption as the r6
     # text_tfidf demotion to text_stats)
-    "text_stats", "text_quality_classifier", "text_langid",
+    # round-13 (VERDICT r12 #2): text_heavy_hitters in / text_stats out
+    # (driver rows r1-r12 on file, one of the two longest-held rows in
+    # the registry) — the heavy-hitters entry tokenizes the same corpus
+    # and EXACT-aggregates token frequencies through the scalable
+    # two-pass shape (zero-shuffle per-partition pigeonhole prune + a
+    # verify over survivors, the prune row-for-row invisible by
+    # contract), so the token-statistics core earns its hard row at
+    # the harder plan; per-document BPE counting keeps its own row via
+    # the in-window text_bpe_tokens
+    "text_heavy_hitters", "text_quality_classifier", "text_langid",
     "text_phrase_batch", "text_clean",
     "dedup_audio_fingerprint", "text_contamination_report",
     "text_pii_redact",
@@ -9302,10 +9421,24 @@ DRIVER_WINDOW: list[str] = [
     # round-6: set-membership ~ rel_semi_anti, stats agg ~ rel_quantiles)
     # round-6: rel_column_profile in / rel_quantiles out (the one-pass
     # profiler subsumes the quantile sketch as one of its columns)
-    "rel_scd2_merge", "rel_top_customers",
+    # round-13 (VERDICT r12 #2): rel_funnel in / rel_top_customers out
+    # (driver rows r1-r12 on file, the other longest-held row) — the
+    # ordered conversion funnel chains the demoted entry's join →
+    # grouped-agg shape THREE times with a temporal advance constraint
+    # per stage (min-ts joins, map-side partial aggs), while the
+    # window-rank top-N cut keeps hard rows via the in-window
+    # text_hybrid_rrf (rank windows over fused scores);
+    # rel_window_running in / rel_events_asof out (driver rows through
+    # r12 on file) — the as-of entry's implementation IS a running-last
+    # window over a keyed union (one shuffle, ordered-partition frame),
+    # exactly the physical machinery the promoted entry drives with
+    # three frame variants (running, trailing, lead-gap) over one
+    # reused shuffle; temporal stream-join semantics also keep a hard
+    # row via the in-window stream_attribution_join
+    "rel_scd2_merge", "rel_funnel",
     "rel_sales_cube", "text_hybrid_rrf", "rel_column_profile",
     "rel_semi_anti",
-    "rel_salted_join", "rel_events_sessionize", "rel_events_asof",
+    "rel_salted_join", "rel_events_sessionize", "rel_window_running",
     # sketches + streaming + multimodal; round-7 rotations:
     # dedup_video_frames in / dedup_image_groups out (r6 driver row on
     # file — sampled frame-dHash overlap joins earn the hard row; the
@@ -9334,7 +9467,15 @@ DRIVER_WINDOW: list[str] = [
     # n_epochs column is exactly the debt compact retires), with every
     # posting tuple pinned per bucket by a content checksum — the
     # strictest oracle in the BM25 store-maintenance family
-    "sketch_bloom", "dedup_video_hamming", "stream_dedup_counts",
+    # round-13 (VERDICT r12 #2): stream_session_counts in /
+    # stream_dedup_counts out (driver rows r7-r12 on file) — the
+    # gap-based session entry is the batch sessionize rep's streaming
+    # mirror and carries the richer watermarked state (island ids via
+    # lag + running sum under event-time ordering), while watermarked
+    # dropDuplicates == keep-first-per-key, the exact semantics the
+    # in-window stream_stateful_first drives through explicit
+    # applyInPandasWithState state
+    "sketch_bloom", "dedup_video_hamming", "stream_session_counts",
     "stream_stateful_first", "stream_attribution_join",
     "text_bm25_compact",
 ]
@@ -9350,12 +9491,13 @@ FAMILY: dict[str, str] = {
     # demoted round-6 (all have r3 driver rows on file) to admit the
     # CMS, stream-stream-join, corpus-diff, and text-clean families
     "dedup_ngram_jaccard": "dedup_minhash_recall",
-    "text_tfidf": "text_stats",
+    "text_tfidf": "text_heavy_hitters",
     "rel_customer_setops": "rel_semi_anti",
     "rel_stats_corr": "rel_column_profile",
     # demoted round-7 (r6 driver row on file): the plain windowed agg
-    # is the stateless sub-plan of the promoted watermark-dedup rep
-    "stream_windowed_counts": "stream_dedup_counts",
+    # is the stateless sub-plan of the watermarked streaming family
+    # (rep moved round-13 to the gap-session entry)
+    "stream_windowed_counts": "stream_session_counts",
     # demoted round-11 (driver rows r7-r10 on file, VERDICT r10 #1):
     # the VID0 frame-sampling fan-out is the decode sub-plan of the
     # promoted-family video rep, which decodes + hashes the same frames
@@ -9430,9 +9572,9 @@ FAMILY: dict[str, str] = {
     # demoted round-5: KMV distinct-count (r3 driver row on file) swaps
     # for the new Bloom-membership sketch representative
     "sketch_distinct_users": "sketch_bloom",
-    # demoted round-5: heuristic quality score (r1 driver row) is the
-    # stats-family twin; the learned classifier takes the quality slot
-    "text_quality": "text_stats",
+    # demoted round-5: heuristic quality score (r1 driver row) —
+    # quality-scoring family, repped by the in-window learned classifier
+    "text_quality": "text_quality_classifier",
     # demoted round-4: near-twins of in-window representatives
     "lsh_persistence": "lsh_signatures",        # save/load round-trip of same index
     "lsh_store_segments": "lsh_signatures",     # segmented-store view of same index
@@ -9441,22 +9583,28 @@ FAMILY: dict[str, str] = {
     "dedup_simhash_pairs_wide": "dedup_video_hamming",
     "rel_pivot": "rel_sales_cube",              # pivot ~ cube reshaping
     "rel_unpivot": "rel_sales_cube",            # melt ~ inverse reshaping
-    # ordered-sequence funnel: event-order analytics twin of the
-    # in-window sessionize representative
-    "rel_funnel": "rel_events_sessionize",
-    # dependent-join SQL surface: per-key top-n twin of the in-window
-    # top-customers representative
-    "rel_lateral_topn": "rel_top_customers",
-    "rel_events_interval": "rel_events_asof",   # interval ~ as-of range join
+    # demoted round-13 (driver rows r1-r12 on file, VERDICT r12 #2):
+    # the promoted funnel chains this entry's join → grouped-agg shape
+    # three times with a temporal advance constraint per stage; the
+    # window-rank top-N cut keeps hard rows via text_hybrid_rrf
+    "rel_top_customers": "rel_funnel",
+    # dependent-join SQL surface: per-key top-n is a rank window over
+    # an ordered partition — the promoted frame-window rep's machinery
+    "rel_lateral_topn": "rel_window_running",
+    # interval ~ as-of range join; the as-of rep (demoted round-13) is
+    # itself a running-last window, so the family follows it there
+    "rel_events_interval": "rel_window_running",
     # banded cosine embedding self-dedup: banded-embedding-bucket
     # family, same machinery as the in-window semantic decontamination
     "dedup_embedding": "emb_semantic_decontaminate",
-    # prefix-sum family (rep: pipeline_length_batches since round-6,
-    # when the graph family took pipeline_pack's window slot)
-    "pipeline_pack": "pipeline_length_batches",
-    "pipeline_training_prep": "pipeline_length_batches",
-    "pipeline_pack_bpe": "pipeline_length_batches",
-    "pipeline_token_budget": "pipeline_length_batches",
+    # prefix-sum family (rep: the promoted token-budget cut since
+    # round-13 — same two-stage distributed prefix-sum core under the
+    # stricter integer-quantized sort-key contract)
+    "pipeline_pack": "pipeline_token_budget",
+    "pipeline_training_prep": "pipeline_token_budget",
+    "pipeline_pack_bpe": "pipeline_token_budget",
+    # demoted round-13 (driver rows r1-r12 on file, VERDICT r12 #2)
+    "pipeline_length_batches": "pipeline_token_budget",
     # demoted round-10 (r8-r9 driver rows on file, VERDICT r9 #1): the
     # batch rerank + proportional-cutoff entry folds into the batch
     # shortlist-then-rerank family the promoted MMR rep drives through
@@ -9485,14 +9633,21 @@ FAMILY: dict[str, str] = {
     # demoted round-12 (r11 driver row on file, VERDICT r11 #2): both
     # store-health cards ride the SAME shared balance_stats core
     # (rank-form Gini over a distributed two-stage ordinal); the
-    # promoted LSH card is the harder scale case — its (band, sig)
-    # key cardinality grows with the corpus — and the IVF-specific
-    # columns (tombstone debt, heal residue) keep r11 rows on file
-    "ann_ivf_balance": "lsh_index_balance",
-    # health-card history diff (new round-12, VERDICT r11 #7): two of
-    # the in-window rep's cards at snapshot epochs, subtracted into
-    # one drift row by the shared balance_delta — same card family
-    "lsh_balance_drift": "lsh_index_balance",
+    # IVF-specific columns (tombstone debt, heal residue) keep r11
+    # rows on file (card-family rep moved round-13 to the promoted
+    # drift entry, which replays two of these cards per run)
+    "ann_ivf_balance": "lsh_balance_drift",
+    # new round-13 (VERDICT r12 #7): the IVF card's history diff —
+    # same two-epoch balance_delta machinery as the in-window LSH
+    # drift rep, over centroid partition counts instead of (band, sig)
+    # buckets; the oracle shares the drift SELECT with the rep
+    "ivf_balance_drift": "lsh_balance_drift",
+    # demoted round-13 (r12 driver row on file, VERDICT r12 #2): the
+    # promoted drift entry replays BOTH snapshot epochs' cards through
+    # the same shared _bucket_card_cte SQL this entry used, then the
+    # balance_delta subtraction on top — a strict superset of the
+    # single-card machinery
+    "lsh_index_balance": "lsh_balance_drift",
     "ann_batch": "lsh_topk",
     # demoted round-12 (r11 driver row on file, VERDICT r11 #2): the
     # promoted lambda dial sweep unrolls THREE greedy selections over
@@ -9505,10 +9660,11 @@ FAMILY: dict[str, str] = {
     # proportional-cutoff twin (itself demoted round-10 into the same
     # batch shortlist-rerank family, repped round-11 by the MMR gauge)
     "lsh_topp": "ann_mmr_lambda_curve",
-    # demoted round-10 (r9 driver row on file, VERDICT r9 #1), rep
-    # moved round-11 to the promoted metrics card, which replays the
-    # same two-stage coarse+rerank ranking and grades it vs brute truth
-    "ann_truncated_topk": "ann_retrieval_metrics",
+    # demoted round-10 (r9 driver row on file, VERDICT r9 #1); the
+    # metrics-card rep was itself demoted round-13, so the family
+    # follows to the curve that replays the same two-stage
+    # coarse+rerank ranking at every arm and grades it vs brute truth
+    "ann_truncated_topk": "ann_truncated_recall_curve",
     # demoted round-12 (r11 driver row on file, VERDICT r11 #2): the
     # promoted coarse_k dial sweep replays the same IVF-composed
     # two-stage recall gauge at every arm, this entry's single
@@ -9516,10 +9672,16 @@ FAMILY: dict[str, str] = {
     "ann_truncated_recall": "ann_truncated_recall_curve",
     # demoted round-11 (r10 driver row on file, VERDICT r10 #1): the
     # append entry's oracle was exactly the two-stage full-corpus
-    # replay (append≡rebuild) that the promoted metrics card computes
-    # and grades; the stored-tree append/readback machinery keeps hard
-    # rows through the promoted ann_ivf_append_stored / ann_ivf_maintain
-    "ann_truncated_append_stored": "ann_retrieval_metrics",
+    # replay (append≡rebuild) the in-window curve computes per arm;
+    # the stored-tree append/readback machinery keeps hard rows
+    # through the in-window ann_truncated_maintain / ann_ivf_maintain
+    "ann_truncated_append_stored": "ann_truncated_recall_curve",
+    # demoted round-13 (r11-r12 driver rows on file, VERDICT r12 #2):
+    # the recall/MRR/nDCG card grades the same 16-of-64 coarse +
+    # full-width-rerank ranking the in-window curve replays at every
+    # arm (its recall column is that grading); the closed-form
+    # ideal-DCG arithmetic held two rounds of hard rows
+    "ann_retrieval_metrics": "ann_truncated_recall_curve",
     # IVF family rep since round-10: the promoted IVF-composed
     # matryoshka recall gauge drives the same centroid training +
     # partition-pruned probe end-to-end and grades it vs full truth
@@ -9548,9 +9710,6 @@ FAMILY: dict[str, str] = {
     # the plain stored-tree rewrite machinery also keeps a hard row
     # via the in-window ann_ivf_maintain
     "ann_ivf_append_stored": "ann_truncated_maintain",
-    # exact inner-product baseline: subsumed as the exact leg of the
-    # MIPS gauges (VERDICT r6 #3)
-    "mips_topk": "ann_truncated_recall_curve",
     # demoted round-8 (r7 driver row on file): the unfiltered
     # augmented-IVF recall gauge rides the same trained-probe recall
     # machinery as the in-window rep
@@ -9586,25 +9745,35 @@ FAMILY: dict[str, str] = {
     # signature-table stage of the round-11-demoted simhash pair rep —
     # follows it into the pigeonhole-banding family
     "dedup_simhash": "dedup_video_hamming",
-    "dedup_substring_stats": "dedup_chunk_overlap",
-    # partial-overlap family: directional containment is the inclusion-
-    # oriented twin of the in-window substring-span representative
-    "dedup_containment": "dedup_chunk_overlap",
+    "dedup_substring_stats": "dedup_containment",
+    # demoted round-13 (driver rows through r12 on file, VERDICT r12
+    # #2): the promoted directional-containment entry drives the same
+    # inverted-index shingle join core (its oracle extends the shared
+    # _JACCARD_CTES) under the richer two-quotient score — the
+    # partial-overlap family rep since round-13
+    "dedup_chunk_overlap": "dedup_containment",
     # demoted round-6 (r5 driver row on file): rolling-span twin of the
-    # promoted chunk-window representative
-    "dedup_substring": "dedup_chunk_overlap",
+    # chunk-window entry (family rep moved round-13 to containment)
+    "dedup_substring": "dedup_containment",
     # demoted round-5 (driver rows r4 on file): the corpus-diff rep
     # hands the promotion-gate family slot to the per-rule attrition
     # funnel (never driver-checked before)
     "pipeline_corpus_diff": "pipeline_hygiene_cascade",
-    # text twins
-    "text_token_topk": "text_stats",
+    # text twins (token-frequency-statistics family rep: the promoted
+    # exact heavy-hitters entry since round-13 — same tokenize +
+    # frequency-aggregate core at the harder two-pass plan)
+    "text_token_topk": "text_heavy_hitters",
     # demoted round-7 (r3 driver row on file): the h48 rolling-hash doc
     # fingerprint is the content-hash-key twin of the exact-dedup
     # machinery (rep moved round-9 to the keep list, whose stage 1 is
     # the same exact collapse)
     "text_fingerprint": "dedup_keep_list",
-    "text_heavy_hitters": "text_stats",
+    # demoted round-13 (driver rows r1-r12 on file, VERDICT r12 #2):
+    # per-document token statistics share the tokens_col counting core
+    # the promoted exact heavy-hitters entry aggregates corpus-wide
+    # through the pigeonhole prune + verify; BPE counting keeps its
+    # own hard row via the in-window text_bpe_tokens
+    "text_stats": "text_heavy_hitters",
     # demoted round-6 (r5 driver row on file): BM25 ranking is the
     # scoring twin of the positional phrase representatives (and stays
     # exercised via the in-window hybrid-RRF fusion)
@@ -9627,18 +9796,18 @@ FAMILY: dict[str, str] = {
     # boolean any-shared-gram flag is the thresholded special case of
     # the promoted graded report (one shared _distinct_ngrams core)
     "text_decontaminate": "text_contamination_report",
-    "text_char_entropy": "text_stats",
+    "text_char_entropy": "text_heavy_hitters",
     # boilerplate-opening detector: token-frequency-statistics family
-    "text_template_detect": "text_stats",
-    # token/bigram-frequency-statistics family (rep: text_stats since
-    # round-10, when the logprob rep was demoted with rows r?-r9 on
-    # file — same subsumption as the r6 text_tfidf demotion)
-    "text_unigram_logprob": "text_stats",
-    "text_bigram_logprob": "text_stats",
+    "text_template_detect": "text_heavy_hitters",
+    # token/bigram-frequency-statistics family (rep: the exact
+    # heavy-hitters entry since round-13; previously text_stats from
+    # round-10, when the logprob rep was demoted with rows thru r9)
+    "text_unigram_logprob": "text_heavy_hitters",
+    "text_bigram_logprob": "text_heavy_hitters",
     # bigram-statistics family: PMI collocations share the bigram
     # explode/count machinery
-    "text_pmi_pairs": "text_stats",
-    "text_corpus_card": "text_stats",
+    "text_pmi_pairs": "text_heavy_hitters",
+    "text_corpus_card": "text_heavy_hitters",
     "text_langid_accuracy": "text_langid",
     # quality-scoring family (rep: the learned text_quality_classifier
     # since round-10, when the percentile-threshold filter was demoted
@@ -9652,8 +9821,9 @@ FAMILY: dict[str, str] = {
     "text_gopher_filter": "text_quality_classifier",
     # demoted round-10 (driver rows through r9 on file, VERDICT r9 #1):
     # the token-window chunker is the chunk-window generation sub-plan
-    # of the in-window chunk-overlap dedup rep
-    "text_chunk": "dedup_chunk_overlap",
+    # of the chunk-overlap dedup entry (itself demoted round-13 into
+    # the containment-repped partial-overlap family)
+    "text_chunk": "dedup_containment",
     # embeddings twins (family rep: the density-clustering entry since
     # round-10; the Lloyd's rep they previously followed holds r1-r9
     # driver rows and now sits in this family too)
@@ -9666,8 +9836,9 @@ FAMILY: dict[str, str] = {
     "emb_centroid_stability": "emb_cluster_workflow",  # cluster-coherence gauge
     # cohort analytics: event-time bucketing twin of the sessionize rep
     "rel_events_retention": "rel_events_sessionize",
-    # relational twins
-    "rel_orders_by_year": "rel_top_customers",
+    # relational twins (calendar-bucket grouped agg ~ the cube rep's
+    # grouping machinery; the top-customers rep was demoted round-13)
+    "rel_orders_by_year": "rel_sales_cube",
     "rel_distinct_counts": "sketch_bloom",
     # demoted round-5 (r4 driver row on file): mergeable-sketch
     # family twin of the Bloom representative
@@ -9680,9 +9851,9 @@ FAMILY: dict[str, str] = {
     # quartile-bucketing family: RFM cube is the disc-quantile twin
     "rel_rfm_segments": "rel_column_profile",
     "rel_revenue_pareto": "rel_column_profile",  # decile share, same family
-    # calendar-bucketed aggregate + offset self-join: time-bucket
-    # analytics family of the in-window orders/top-customers rep
-    "rel_orders_yoy": "rel_top_customers",
+    # calendar-bucketed aggregate + offset self-join: the year-over-
+    # year lag is ordered-window machinery, the promoted frame rep
+    "rel_orders_yoy": "rel_window_running",
     # sampled-pair distribution gauge: similarity-measure family of the
     # brute-force cosine rep (rep moved round-11 to the in-window
     # IVF-composed truncation recall gauge, whose truth arm is a brute
@@ -9709,9 +9880,8 @@ FAMILY: dict[str, str] = {
     # demoted round-5 (r4 driver row on file): plain agg subsumed by
     # the cube representative
     "rel_pricing_summary": "rel_sales_cube",
-    "rel_window_running": "rel_events_sessionize",
-    # time-RANGE frame twin of the window/sessionize family
-    "rel_window_trailing": "rel_events_sessionize",
+    # time-RANGE frame twin of the promoted ROWS-frame window rep
+    "rel_window_trailing": "rel_window_running",
     "rel_gapfill_daily": "rel_events_sessionize",
     "rel_scalar_subquery": "rel_semi_anti",
     "rel_salted_agg": "rel_salted_join",
@@ -9727,8 +9897,8 @@ FAMILY: dict[str, str] = {
     "pipeline_epoch_plan": "pipeline_weighted_sample",
     # basket-pair lift: co-occurrence-statistics family (pair counting
     # over a grouping key + exact-rational association score) — same
-    # family as text_pmi_pairs, repped by the in-window stats entry
-    "rel_market_basket": "text_stats",
+    # family as text_pmi_pairs, repped by the heavy-hitters entry
+    "rel_market_basket": "text_heavy_hitters",
     # deterministic-sampling family: exponential-key weighted draw and
     # the component-level leakage-safe split are hash-split twins of the
     # in-window export representative
@@ -9737,23 +9907,35 @@ FAMILY: dict[str, str] = {
     # exponential-key weighted reservoir (never driver-checked before)
     "pipeline_shuffle_export": "pipeline_weighted_sample",
     "pipeline_group_split": "pipeline_weighted_sample",
-    # time-series family: OHLC downsample is the rollup twin of the
-    # in-window as-of-join representative
-    "rel_events_ohlc": "rel_events_asof",
-    "rel_events_asof_fwd": "rel_events_asof",  # forward direction twin
+    # time-series family: the as-of rep was demoted round-13 because
+    # its backward join is a running-last WINDOW over a keyed union —
+    # the family follows that machinery to the promoted frame-window
+    # rep (OHLC's ordered-extremal keys ride the same ordering)
+    "rel_events_ohlc": "rel_window_running",
+    "rel_events_asof_fwd": "rel_window_running",  # forward direction twin
+    # demoted round-13 (driver rows through r12 on file, VERDICT r12
+    # #2): backward as-of via union + running-last window — the same
+    # one-shuffle ordered-partition frame machinery the promoted
+    # rel_window_running drives with three frame variants; temporal
+    # join semantics also keep a hard row via stream_attribution_join
+    "rel_events_asof": "rel_window_running",
     "pipeline_negatives": "pipeline_weighted_sample",
     # promotion-gate family (rep: pipeline_hygiene_cascade since r5)
     "pipeline_data_quality": "pipeline_hygiene_cascade",
-    # quantization family: PQ (codebook quantization + ADC) is the
-    # round-4 representative; the int8 scalar-quant entries are its
-    # demoted twins
-    "quant_topk": "ann_ivfpq_topk",
-    "quant_error": "ann_ivfpq_topk",
-    "ann_pq_recall": "ann_ivfpq_topk",
+    # quantization family (rep: the promoted IVFADC+refine entry since
+    # round-13 — its oracle embeds the whole ADC chain); the int8
+    # scalar-quant entries are its demoted twins
+    "quant_topk": "ann_ivfpq_refined",
+    "quant_error": "ann_ivfpq_refined",
+    "ann_pq_recall": "ann_ivfpq_refined",
     # demoted round-5 (r4 driver row on file): flat-PQ scoring is a
-    # sub-plan of the promoted IVFADC representative
-    "ann_pq_topk": "ann_ivfpq_topk",
-    "ann_ivfpq_refined": "ann_ivfpq_topk",
+    # sub-plan of the IVFADC representative
+    "ann_pq_topk": "ann_ivfpq_refined",
+    # demoted round-13 (driver rows through r12 on file, VERDICT r12
+    # #2): the promoted refine entry's oracle embeds this entry's
+    # ENTIRE _IVFPQ_CTES ADC chain and exact-reranks its shortlist —
+    # a strict superset of the compressed-scan machinery
+    "ann_ivfpq_topk": "ann_ivfpq_refined",
     # multimodal twins (rep: multimodal_frame_sample since round-7)
     # demoted round-7 (r6 driver row on file): per-image decode +
     # feature extraction is the downstream consumer of the promoted
@@ -9766,16 +9948,25 @@ FAMILY: dict[str, str] = {
     # features share the audio decode path with the promoted
     # integer-DCT fingerprint dedup rep
     "multimodal_audio_features": "dedup_audio_fingerprint",
-    # streaming twins (rep: stream_dedup_counts since round-7)
-    "stream_event_type_agg": "stream_dedup_counts",
-    "stream_static_enrich": "stream_dedup_counts",
+    # streaming twins (windowed/stateful-agg rep: the promoted
+    # gap-session entry since round-13; stream_dedup_counts repped the
+    # family rounds 7-12)
+    "stream_event_type_agg": "stream_session_counts",
+    # stream-static join: the join-family rep is the in-window
+    # stream-stream attribution join (the strictly harder state shape)
+    "stream_static_enrich": "stream_attribution_join",
     # outer variant of the in-window stream-stream range-join rep:
     # same state machinery plus watermark-driven null emission
     "stream_attribution_outer": "stream_attribution_join",
     # streaming twin of the batch OHLC rollup; windowed-agg family
-    "stream_ohlc": "stream_dedup_counts",
-    "stream_session_counts": "stream_dedup_counts",
-    "stream_sliding_counts": "stream_dedup_counts",
+    "stream_ohlc": "stream_session_counts",
+    "stream_sliding_counts": "stream_session_counts",
+    # demoted round-13 (driver rows r7-r12 on file, VERDICT r12 #2):
+    # watermarked dropDuplicates == keep-first-per-key — the exact
+    # semantics the in-window stream_stateful_first drives through
+    # explicit applyInPandasWithState state; the gap-session promotion
+    # carries the richer watermarked-window state machinery
+    "stream_dedup_counts": "stream_stateful_first",
 }
 
 _unknown = [n for n in DRIVER_WINDOW if n not in QUERIES]

@@ -1347,9 +1347,12 @@ def test_bm25_phrase_batch_df_cap_and_eviction(spark, tmp_path):
     srv._postings = orig
 
     assert capped == uncapped == [srv.phrase(p) for p in phrases]
-    # "common" (df=12 > cap) is read per-phrase, pruned — 3 reads;
+    # "common" (df=12 > cap) is NON-leading (rare{i} df=4 leads under
+    # rarest-first) so it takes the pruned per-phrase read — once per
+    # DISTINCT phrase (r13 whole-phrase dedup: the repeated
+    # ["common","rare0"] re-uses the first result, 2 reads not 3);
     # the rare terms stay cached: one read each despite rare0 repeating.
-    assert reads.count("common") == 3
+    assert reads.count("common") == 2
     assert reads.count("rare0") == 1
     assert reads.count("rare1") == 1
 
@@ -1410,6 +1413,66 @@ def test_bm25_phrase_batch_auto_cap_default(spark, tmp_path):
     assert srv.phrase_batch(phrases, max_cached_df=None) == got
     srv._postings = orig
     assert calls2.count("the") == 1
+
+
+def test_bm25_phrase_batch_hot_slot_and_phrase_dedup(spark, tmp_path):
+    """VERDICT r12 wrong #4: the capped batch amortization sat 4x over
+    the uncapped control because an over-cap LEADING term re-read its
+    full unpruned positions list for every phrase it led. Pins the two
+    r13 fixes: (1) whole-phrase dedup — a repeated phrase costs zero
+    extra reads; (2) the leading-term hot slot — one unpruned read per
+    distinct over-cap lead per batch, while non-leading over-cap terms
+    keep the survivor-pruned per-phrase read. Results must equal the
+    single-phrase path in INPUT order despite grouped processing."""
+    from lshrs_spark.functions.text import bm25_index_write
+    from lshrs_spark.serving import BM25Server
+
+    def text(i):
+        if i < 10:
+            return "beta alpha end"
+        if i < 20:
+            return "alpha beta end"
+        if i < 30:
+            return "delta alpha end"
+        return "alpha filler end"
+
+    docs = spark.createDataFrame(
+        [(i, text(i)) for i in range(40)], "doc_id long, text string"
+    )
+    store = str(tmp_path / "bm25_pos_hot")
+    bm25_index_write(docs, store, num_buckets=8, store_positions=True)
+    srv = BM25Server(store)
+    # alpha df=40, beta df=20, delta df=10 — ALL over the cap of 5, so
+    # every phrase leads with an over-cap term (beta or delta)
+    phrases = [["beta", "alpha"], ["alpha", "beta"],
+               ["delta", "alpha"], ["beta", "alpha"]]
+
+    calls = []
+    orig = srv._postings
+    srv._postings = lambda *a, **kw: (
+        calls.append((a[0], kw.get("extra_filter",
+                                   a[2] if len(a) > 2 else None))),
+        orig(*a, **kw),
+    )[1]
+    got = srv.phrase_batch(phrases, max_cached_df=5)
+    srv._postings = orig
+
+    # input-order results, identical to the single-phrase path — the
+    # duplicate phrase fans out the same dict
+    assert got == [srv.phrase(p) for p in phrases]
+    assert got[0] == got[3] and got[0] and got[1] and got[2]
+    # each distinct over-cap LEAD read exactly once, UNPRUNED (the hot
+    # slot serves both beta-led distinct phrases); the duplicate
+    # phrase added no reads at all
+    beta_reads = [f for t, f in calls if t == "beta"]
+    delta_reads = [f for t, f in calls if t == "delta"]
+    assert len(beta_reads) == 1 and beta_reads[0] is None
+    assert len(delta_reads) == 1 and delta_reads[0] is None
+    # the non-leading over-cap term stays on the pruned per-distinct-
+    # phrase path: 3 reads, every one survivor-filtered
+    alpha_reads = [f for t, f in calls if t == "alpha"]
+    assert len(alpha_reads) == 3
+    assert all(f is not None for f in alpha_reads)
 
 
 def test_truncated_ivf_server_matches_spark_two_stage(spark, tmp_path):

@@ -27,6 +27,16 @@ thanks to fixed overheads amortizing).
 
 Run on an idle machine; the p95s use best-of-2 passes (same rationale
 as bench.py — host stall windows would otherwise read as scaling).
+
+Round-13 (VERDICT r12 missing #1): the shuffle series now carries the
+same settlement machinery the bench lines got in r12 — a recorded
+quiet-host guard (sampled BEFORE the JVM starts, plus a raw end
+sample), ``--passes N`` (default 2: the whole job list re-times within
+each scale — a stall window must hit the same job at the same scale in
+BOTH passes to corrupt the reported min; per-pass times are recorded),
+and ``--jobs a,b`` for an isolated A/B re-measure of a flagged job
+without paying for the other seventeen. ``t_sec`` stays the min across
+passes so the slope/t@10x reads are unchanged in meaning.
 """
 
 from __future__ import annotations
@@ -39,6 +49,18 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Canonical shuffle-job names, for --jobs validation BEFORE paying JVM
+# startup (tests pin this list against the jobs dict actually built).
+SHUFFLE_JOBS = [
+    "simjoin_lsh", "dedup_minhash_xxh", "graph_pagerank",
+    "graph_triangles", "graph_repair", "knn_truncated_batch100",
+    "dedup_image_phash", "dedup_audio_fp", "dedup_video_frames",
+    "dedup_video_hamming", "topk_batch100_multiprobe",
+    "text_phrase_batch", "dedup_editdist", "emb_dbscan",
+    "bm25_index_build", "mips_ivf_batch100", "mips_ivf_cand",
+    "ivf_maintain_detect",
+]
 
 import numpy as np
 from pyspark.sql import functions as F
@@ -129,8 +151,20 @@ def shuffle_main(args) -> None:
     )
     from lshrs_spark.operators.simjoin import similarity_join
 
+    from tools.bench_lines import quiet_guard
+
+    want = (set(s for s in args.jobs.split(",") if s)
+            if args.jobs else set(SHUFFLE_JOBS))
+    unknown = sorted(want - set(SHUFFLE_JOBS))
+    if unknown:
+        raise SystemExit(
+            f"unknown shuffle job(s) {unknown}; known: {SHUFFLE_JOBS}")
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    # sampled BEFORE the JVM exists, so the probe's own session never
+    # counts; the quiet verdict belongs to this start sample only
+    guard_start = quiet_guard(cpus)
     spark = get_spark("shuffle_scaling_probe", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -148,7 +182,9 @@ def shuffle_main(args) -> None:
                        rows_per_band=8, seed=42)
 
     scales = [int(s) for s in args.scales.split(",")]
-    out = {"sf_dir": sf_dir, "cpus": cpus, "scales": scales, "jobs": {}}
+    out = {"sf_dir": sf_dir, "cpus": cpus, "scales": scales,
+           "reps": args.reps, "passes": args.passes,
+           "guard_start": guard_start, "jobs": {}}
     for mult in scales:
         docs = docs0
         imgdocs = docs0
@@ -391,14 +427,22 @@ def shuffle_main(args) -> None:
             ).withColumnRenamed("id", "qid")
             return _topk(candidates(idx, qs), 10).count()
 
-        bm25_dir = tempfile.mkdtemp(prefix="lshrs_scaling_bm25_")
-        # one stored-IVF layout per scale for the maintenance-detection
-        # job (built untimed — the job measures the nightly check, not
-        # the build; 64 centroids, the bench store shape)
-        maint_dir = tempfile.mkdtemp(prefix="lshrs_scaling_maint_")
-        from lshrs_spark.operators.knn import ivf_write_store
+        if set(jobs) != set(SHUFFLE_JOBS):
+            raise SystemExit(
+                "SHUFFLE_JOBS is out of sync with the jobs dict: "
+                f"{sorted(set(jobs) ^ set(SHUFFLE_JOBS))}")
+        jobs = {k: v for k, v in jobs.items() if k in want}
 
-        ivf_write_store(emb, ivf_centroids_by_id(emb, 64), maint_dir)
+        bm25_dir = tempfile.mkdtemp(prefix="lshrs_scaling_bm25_")
+        maint_dir = tempfile.mkdtemp(prefix="lshrs_scaling_maint_")
+        if "ivf_maintain_detect" in want:
+            # one stored-IVF layout per scale for the maintenance-
+            # detection job (built untimed — the job measures the
+            # nightly check, not the build; 64 centroids, the bench
+            # store shape). Skipped for subset runs that don't ask.
+            from lshrs_spark.operators.knn import ivf_write_store
+
+            ivf_write_store(emb, ivf_centroids_by_id(emb, 64), maint_dir)
 
         def _bm25_build(d):
             # rewrite the same dir each rep (bench semantics: the
@@ -406,19 +450,35 @@ def shuffle_main(args) -> None:
             bm25_index_write(d, bm25_dir, num_buckets=32)
             return d.count()
 
-        for name, fn in jobs.items():
-            fn()  # warm codegen/JIT once per scale
-            t, rows = timed_best(fn)
+        # passes loop OUTER over the job list (drift_ab's two-pass
+        # rationale: this host's multi-second stall windows migrate
+        # between jobs — a stall must hit the same job at the same
+        # scale in both passes to corrupt the reported min)
+        per_pass: dict[str, list] = {n: [] for n in jobs}
+        rows_by_job: dict[str, int] = {}
+        for p in range(args.passes):
+            for name, fn in jobs.items():
+                if p == 0:
+                    fn()  # warm codegen/JIT once per scale
+                t, rows = timed_best(fn, args.reps)
+                per_pass[name].append(round(t, 3))
+                rows_by_job[name] = rows
+        for name in jobs:
             rec = out["jobs"].setdefault(
-                name, {"rows_in": [], "t_sec": [], "rows_out": []}
+                name, {"rows_in": [], "t_sec": [], "rows_out": [],
+                       "t_passes": []}
             )
             # embedding-corpus jobs record ne; the rest read docs
             rec["rows_in"].append(
-                ne if name in ("simjoin_lsh", "ivf_maintain_detect")
+                ne if name in ("simjoin_lsh", "ivf_maintain_detect",
+                               "emb_dbscan", "knn_truncated_batch100",
+                               "mips_ivf_batch100", "mips_ivf_cand",
+                               "topk_batch100_multiprobe")
                 else nd
             )
-            rec["t_sec"].append(round(t, 3))
-            rec["rows_out"].append(rows)
+            rec["t_passes"].append(per_pass[name])
+            rec["t_sec"].append(min(per_pass[name]))
+            rec["rows_out"].append(rows_by_job[name])
         docs.unpersist()
         imgdocs.unpersist()
         emb.unpersist()
@@ -428,7 +488,18 @@ def shuffle_main(args) -> None:
         rec["slopes"] = [
             round(t / rec["t_sec"][0], 2) for t in rec["t_sec"][1:]
         ]
-    print(json.dumps(out))
+    # raw end sample, bench-closing style: the probe's own JVM and its
+    # just-finished jobs dominate load1 here, so no quiet verdict —
+    # judge quietness by guard_start plus this sample's counted JVMs
+    out["guard_end"] = {
+        k: v for k, v in quiet_guard(cpus, own_jvms=1).items()
+        if k != "quiet"
+    }
+    line = json.dumps(out)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    print(line)
 
 
 def main() -> None:
@@ -441,7 +512,19 @@ def main() -> None:
                     default="serving")
     ap.add_argument("--scales", default="1,10",
                     help="comma-separated corpus multipliers (shuffle job)")
+    ap.add_argument("--jobs", default=None,
+                    help="comma-separated subset of shuffle jobs for an "
+                         "isolated re-measure (default: all)")
+    ap.add_argument("--passes", type=int, default=2,
+                    help="full re-timings of the job list per scale; "
+                         "t_sec is the min across passes (shuffle job)")
+    ap.add_argument("--reps", type=int, default=3,
+                    help="timed reps per pass (shuffle job)")
+    ap.add_argument("--out", default=None,
+                    help="also write the JSON line to this path")
     args = ap.parse_args()
+    if args.passes < 1 or args.reps < 1:
+        raise SystemExit("--passes/--reps need positive integers")
     if args.job == "shuffle":
         shuffle_main(args)
         return
