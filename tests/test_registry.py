@@ -156,6 +156,39 @@ def test_drift_runner_and_bench_share_line_definitions(spark):
         vfns["index_build"]()
 
 
+def test_scaling_probe_rejects_bad_subset_and_passes_fast():
+    """r13 (VERDICT r12 #1): the scaling probe grew the bench's
+    settlement machinery — a --jobs subset for isolated re-measures
+    plus --passes/--reps. A typo'd job name or nonpositive counts must
+    fail at argument time, BEFORE paying JVM startup (the same
+    fail-fast contract the drift runner got in r11)."""
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    probe = os.path.join(root, "tools", "scaling_probe.py")
+    proc = subprocess.run(
+        [sys.executable, probe, "--job", "shuffle", "--jobs", "bogus_job"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert proc.returncode != 0
+    assert "unknown shuffle job" in proc.stderr
+    # the known-jobs list in the error is the canonical SHUFFLE_JOBS
+    sys.path.insert(0, root)
+    from tools.scaling_probe import SHUFFLE_JOBS
+
+    assert "graph_triangles" in SHUFFLE_JOBS
+    for job in SHUFFLE_JOBS:
+        assert job in proc.stderr
+    for flag in ("--passes", "--reps"):
+        proc = subprocess.run(
+            [sys.executable, probe, "--job", "shuffle", flag, "0"],
+            capture_output=True, text=True, timeout=60,
+        )
+        assert proc.returncode != 0
+        assert "positive integers" in proc.stderr
+
+
 def test_drift_runner_rejects_nonpositive_reps():
     """ADVICE r11: ``--reps 0`` passed the isdigit() validation and
     crashed on ``min([])`` only after paying JVM startup and the
