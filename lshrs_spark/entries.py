@@ -211,31 +211,40 @@ def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_card_cte(pfx: str, where: str = "") -> str:
-    """The (band, sig) bucket-count balance card as a DuckDB CTE chain
-    ending in ``{pfx}card`` — ONE definition shared by the
-    ``lsh_index_balance`` oracle and both epochs of the
-    ``lsh_balance_drift`` oracle, so a fix to the Gini / hot-threshold
-    SQL lands once instead of silently desynchronizing the cards the
-    drift entry subtracts (r12 review)."""
-    return f"""{pfx}counts AS (SELECT band::VARCHAR || ':' || sig::VARCHAR AS bucket,
-                  count(*) AS n
-           FROM sigs {where}GROUP BY 1),
-{pfx}ranked AS (SELECT bucket, n,
-                  row_number() OVER (ORDER BY n ASC, bucket ASC) AS r
+def _card_tail_cte(pfx: str, key: str, ratio: float) -> str:
+    """The rank-form Gini / hot-rule / one-row-card CTE tail over a
+    ``{pfx}counts (key, n)`` CTE — ONE definition shared by every
+    balance-card oracle (the LSH bucket card, both epochs of both
+    drift entries' cards), so a fix to the Gini or hot-threshold SQL
+    lands once instead of silently desynchronizing the cards a drift
+    entry subtracts (r12 + r13 reviews — the r13 centroid variant
+    initially pasted this tail a second time)."""
+    return f"""{pfx}ranked AS (SELECT {key}, n,
+                  row_number() OVER (ORDER BY n ASC, {key} ASC) AS r
            FROM {pfx}counts),
 {pfx}base AS (SELECT sum(n) AS tot, count(*) AS p, max(n) AS mx,
                 avg(n) AS mean FROM {pfx}ranked),
 {pfx}g AS (SELECT sum((2 * rk.r - b.p - 1) * rk.n) AS num
       FROM {pfx}ranked rk CROSS JOIN {pfx}base b),
 {pfx}hot AS (SELECT count(*) AS nh FROM {pfx}ranked rk CROSS JOIN {pfx}base b
-        WHERE rk.n > 4.0 * b.mean),
+        WHERE rk.n > {ratio} * b.mean),
 {pfx}card AS (SELECT b.tot::BIGINT AS n_rows, b.p::BIGINT AS n_partitions,
                   round(b.mean, 5) AS mean_rows, b.mx::BIGINT AS max_rows,
                   round(b.mx / b.mean, 5) AS max_mean_ratio,
                   round(g.num / (b.p * b.tot), 5) AS gini,
                   hot.nh::BIGINT AS n_hot
            FROM {pfx}base b CROSS JOIN {pfx}g g CROSS JOIN {pfx}hot hot)"""
+
+
+def _bucket_card_cte(pfx: str, where: str = "") -> str:
+    """The (band, sig) bucket-count balance card as a DuckDB CTE chain
+    ending in ``{pfx}card`` — counts CTE + the shared
+    :func:`_card_tail_cte`; used by the ``lsh_index_balance`` oracle
+    and both epochs of the ``lsh_balance_drift`` oracle."""
+    return f"""{pfx}counts AS (SELECT band::VARCHAR || ':' || sig::VARCHAR AS bucket,
+                  count(*) AS n
+           FROM sigs {where}GROUP BY 1),
+{_card_tail_cte(pfx, "bucket", 4.0)}"""
 
 
 @register(
@@ -5114,12 +5123,12 @@ def ann_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _centroid_card_cte(pfx: str, where: str = "") -> str:
     """The centroid-partition balance card as a DuckDB CTE chain ending
-    in ``{pfx}card`` — the IVF-store analogue of :func:`_bucket_card_cte`
-    (VERDICT r12 #7): ONE definition for both epochs of the
-    ``ivf_balance_drift`` oracle. Expects ``tv`` (corpus) and ``cent``
-    (the FIXED full-corpus centroid set) CTEs upstream; ``where``
-    filters the assigned corpus for the later epoch. Hot rule is the
-    IVF card's ratio=2.0."""
+    in ``{pfx}card`` — assignment + counts CTEs + the shared
+    :func:`_card_tail_cte` (VERDICT r12 #7): ONE definition for both
+    epochs of the ``ivf_balance_drift`` oracle. Expects ``tv`` (corpus)
+    and ``cent`` (the FIXED full-corpus centroid set) CTEs upstream;
+    ``where`` filters the assigned corpus for the later epoch. Hot
+    rule is the IVF card's ratio=2.0."""
     return f"""{pfx}a AS (SELECT id, centroid_id FROM (
     SELECT tv.id, c.centroid_id,
            row_number() OVER (PARTITION BY tv.id
@@ -5128,21 +5137,7 @@ def _centroid_card_cte(pfx: str, where: str = "") -> str:
     FROM tv CROSS JOIN cent c {where}) WHERE r = 1),
 {pfx}counts AS (SELECT centroid_id, count(*) AS n FROM {pfx}a
            GROUP BY centroid_id),
-{pfx}ranked AS (SELECT centroid_id, n,
-                  row_number() OVER (ORDER BY n ASC, centroid_id ASC) AS r
-           FROM {pfx}counts),
-{pfx}base AS (SELECT sum(n) AS tot, count(*) AS p, max(n) AS mx,
-                avg(n) AS mean FROM {pfx}ranked),
-{pfx}g AS (SELECT sum((2 * rk.r - b.p - 1) * rk.n) AS num
-      FROM {pfx}ranked rk CROSS JOIN {pfx}base b),
-{pfx}hot AS (SELECT count(*) AS nh FROM {pfx}ranked rk CROSS JOIN {pfx}base b
-        WHERE rk.n > 2.0 * b.mean),
-{pfx}card AS (SELECT b.tot::BIGINT AS n_rows, b.p::BIGINT AS n_partitions,
-                  round(b.mean, 5) AS mean_rows, b.mx::BIGINT AS max_rows,
-                  round(b.mx / b.mean, 5) AS max_mean_ratio,
-                  round(g.num / (b.p * b.tot), 5) AS gini,
-                  hot.nh::BIGINT AS n_hot
-           FROM {pfx}base b CROSS JOIN {pfx}g g CROSS JOIN {pfx}hot hot)"""
+{_card_tail_cte(pfx, "centroid_id", 2.0)}"""
 
 
 @register(

@@ -1490,7 +1490,8 @@ class BM25Server:
             max_cached_df = max(1, int(0.05 * self._n))
         keys = [tuple(p) for p in phrases]
         uniq = list(dict.fromkeys(keys))
-        dfs = {t: self._doc_freq(t) for k in uniq for t in k}
+        # one metadata df scan per DISTINCT term (never per occurrence)
+        dfs = {t: self._doc_freq(t) for t in {t for k in uniq for t in k}}
         df_order = {
             k: sorted(range(len(k)), key=lambda i, k=k: (dfs[k[i]], i))
             for k in uniq
@@ -1548,7 +1549,9 @@ class BM25Server:
             for t in dict.fromkeys(k):
                 if last_use[t] == pi:
                     cache.pop(t, None)
-        return [results[k] for k in keys]
+        # fresh dict per occurrence — pre-r13 callers got independent
+        # dicts and may consume them destructively
+        return [dict(results[k]) for k in keys]
 
     def _term_contrib(self, term: str):
         """``(ids, contrib)`` — the term's posting doc ids and their

@@ -187,6 +187,14 @@ def test_scaling_probe_rejects_bad_subset_and_passes_fast():
         )
         assert proc.returncode != 0
         assert "positive integers" in proc.stderr
+    # an all-commas subset parses to an empty set: must refuse, not
+    # run zero jobs and write an empty artifact with exit 0
+    proc = subprocess.run(
+        [sys.executable, probe, "--job", "shuffle", "--jobs", ","],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert proc.returncode != 0
+    assert "empty set" in proc.stderr
 
 
 def test_drift_runner_rejects_nonpositive_reps():
@@ -233,8 +241,9 @@ def test_drift_runner_survives_a_failing_line(spark, monkeypatch, tmp_path):
         def boom():
             raise RuntimeError("injected failure")
 
-        return {"index_build": lambda: 1, "topk_batch100": boom,
-                "topp_batch100": lambda: 2, "single_topk": flaky}
+        return ({"index_build": lambda: 1, "topk_batch100": boom,
+                 "topp_batch100": lambda: 2, "single_topk": flaky},
+                lambda name: None)
 
     monkeypatch.setattr(ab, "build_line_fns", fake_fns)
     out = tmp_path / "ab.json"

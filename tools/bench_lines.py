@@ -43,9 +43,11 @@ import tempfile
 # measured them without the 20x blocks resident — the same silent
 # environment divergence the shared module exists to prevent).
 # BenchState is lazy, so order alone does not guarantee residency for
-# a SUBSET run that skips the store lines — drift_ab.build_line_fns
-# therefore pre-materializes the full store-section state whenever any
-# requested line sits at/after the store section here (ADVICE r12).
+# a SUBSET run that skips the store lines — the drift runner therefore
+# materializes, right before timing each line, exactly the store
+# pieces belonging to EARLIER store lines in this order (ADVICE r12;
+# see drift_ab.build_line_fns's materialize_before — building all of
+# it up front would instead tilt the PRE-store lines' environment).
 LINE_ORDER = [
     # bench sections 1-5b: build, probes, rerank, user API, self-joins
     "index_build", "topk_batch100", "topk_batch100_mp2",

@@ -90,18 +90,23 @@ R12_FLAGGED = [
 ]
 
 
-def build_line_fns(spark, names: list[str]) -> dict:
+def build_line_fns(spark, names: list[str]):
     """Assemble {name: line} for the requested names, building only the
     setup their sections need. A line is a zero-arg callable or a
     {"fn", "reset"} dict (see tools.bench_lines).
 
-    Bench-parity residency (ADVICE r12): any requested line whose
-    LINE_ORDER position is at/after the store section is timed by
-    bench.py with the persisted 20x corpus and ALL stored layouts
-    resident — so a subset run that skips the store lines themselves
-    (e.g. ``drift_ab.py mips_ivf_batch100``) still pre-materializes
-    that state here, untimed. Otherwise the A/B would measure in a
-    quieter memory environment than the series it judges."""
+    Returns ``(fns, materialize_before)``: bench-parity residency
+    (ADVICE r12) says a line must be timed with exactly the
+    store-section state bench.py has resident at that line's OWN
+    timing point — the pieces belonging to store lines EARLIER in
+    LINE_ORDER (so e.g. ``drift_ab.py mips_ivf_batch100`` gets the
+    full 20x corpus + stored layouts, while ``single_topk_stored20x``
+    alone gets only the 20x corpus; a line's own pieces build in its
+    excluded warm-up, as in bench). Call ``materialize_before(name)``
+    right before timing ``name`` — building everything up front would
+    tilt the other direction (a first r13 draft did: the PRE-store
+    lines index_build/topp/stream_agg would have been timed with 20x
+    blocks resident that bench.py never has at their timing points)."""
     from tools.bench_lines import (
         BenchState,
         bench_docs,
@@ -116,6 +121,7 @@ def build_line_fns(spark, names: list[str]) -> dict:
         LINE_ORDER.index(n) >= store_start for n in names
     )
     fns: dict = {}
+    state = None
     if want & set(DOC_LINES):
         docs = bench_docs(spark, SF_DIR, CPUS)
         docs.persist().count()   # warmed BEFORE any timing (bench parity)
@@ -125,14 +131,27 @@ def build_line_fns(spark, names: list[str]) -> dict:
         fns.update(vector_line_fns(state))
         if want & set(STORE_LINES):
             fns.update(store_line_fns(state))
-        if needs_store_residency:
-            # the full store-section state, in bench.py's build order
-            state.big()
-            state.lsh_store()
-            state.maint_template()
-            state.tivf_store()
-            state.pq_parts()
-    return fns
+
+    # store pieces in bench.py's own build order, keyed by the line
+    # whose (untimed) setup/warm-up creates each piece; BenchState
+    # memoizes, so repeat calls are free
+    piece_order = [
+        ("index_build_20x", lambda: state.big()),
+        ("single_topk_stored20x", lambda: state.lsh_store()),
+        ("ivf_maintain_20x", lambda: state.maint_template()),
+        ("knn_truncated_stored20x_batch100", lambda: state.tivf_store()),
+        ("ann_pq_query20x", lambda: state.pq_parts()),
+    ]
+
+    def materialize_before(name: str) -> None:
+        if state is None:
+            return
+        idx = LINE_ORDER.index(name)
+        for line, build in piece_order:
+            if LINE_ORDER.index(line) < idx:
+                build()
+
+    return fns, materialize_before
 
 
 def time_line(fn, reps: int, *, reset=None, warmup: bool = True) -> list:
@@ -194,7 +213,7 @@ def main() -> None:
 
     spark = get_spark("drift_ab", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
-    fns = build_line_fns(spark, names)
+    fns, materialize_before = build_line_fns(spark, names)
     results: dict[str, dict] = {
         n: {"min": None, "passes": [], "ok_passes": [], "errors": []}
         for n in names
@@ -208,6 +227,9 @@ def main() -> None:
             line = fns[name]
             fn = line["fn"] if isinstance(line, dict) else line
             reset = line.get("reset") if isinstance(line, dict) else None
+            # bench-parity residency at THIS line's timing point
+            # (memoized — free after the first build)
+            materialize_before(name)
             r = results[name]
             # Warm-up on the first pass only — pass 2 exists to catch a
             # stall window, not to re-pay JIT — UNLESS every prior pass

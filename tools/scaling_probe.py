@@ -155,6 +155,12 @@ def shuffle_main(args) -> None:
 
     want = (set(s for s in args.jobs.split(",") if s)
             if args.jobs else set(SHUFFLE_JOBS))
+    if not want:
+        # "--jobs ," would otherwise run zero jobs, pay the full
+        # per-scale corpus build, and exit 0 with an empty artifact —
+        # a malformed re-measure must never read as a clean settlement
+        raise SystemExit("--jobs parsed to an empty set; name at least "
+                         "one shuffle job")
     unknown = sorted(want - set(SHUFFLE_JOBS))
     if unknown:
         raise SystemExit(
