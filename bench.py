@@ -51,6 +51,12 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 RUNS: dict[str, list[float]] = {}
 
+# The served BM25/phrase query vocabulary (terms present in the
+# synthetic corpus). The distinct-phrases control line and the serving
+# probe both derive their query mixes from this one list.
+_PHRASE_VOCAB = ["vector", "hash", "join", "stream", "table", "scan",
+                 "query", "filter", "sort", "agg", "window"]
+
 
 def timed(fn, name: str | None = None, *, warmup: bool = True, reps: int = REPS,
           max_extra: int = 3):
@@ -453,6 +459,23 @@ def main(closing_round: int | None = None) -> None:
         dt = time.perf_counter() - t0
         t_pu = dt if t_pu is None or dt < t_pu else t_pu
     results["bm25_phrase_batch100_uncapped_per_query"] = t_pu / len(phrase_sets)
+    # 100-DISTINCT-phrases control (r13): the two lines above carry
+    # only 4 distinct phrases, so after the r13 whole-phrase dedup
+    # they mostly amortize four intersections across 100 queries —
+    # the intended serving win for log-shaped traffic, but no longer
+    # a per-intersection cost series. This line keeps that series:
+    # every phrase distinct (dedup can't collapse them; the hot slot
+    # still groups the ~11 shared lead terms).
+    distinct_sets = [[a, b] for a in _PHRASE_VOCAB for b in _PHRASE_VOCAB
+                     if a != b][:100]
+    t_pd = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        psrv.phrase_batch(distinct_sets)
+        dt = time.perf_counter() - t0
+        t_pd = dt if t_pd is None or dt < t_pd else t_pd
+    results["bm25_phrase_batch100_distinct_per_query"] = (
+        t_pd / len(distinct_sets))
 
     total = sum(results.values())
     # BASELINE.md memory target (<2 GB): driver-process peak RSS.

@@ -217,6 +217,10 @@ def measure(loops: int) -> tuple[dict, dict]:
             best = dt if best is None or dt < best else best
         return round(best / n_queries * 1000, 3)
 
+    from bench import _PHRASE_VOCAB
+
+    distinct_sets = [[a, b] for a in _PHRASE_VOCAB for b in _PHRASE_VOCAB
+                     if a != b][:100]
     ppsrv = BM25Server(STORES["bm25p"])
     batch = {
         "lsh_batch100_per_query_ms": batch_amortized(
@@ -230,6 +234,12 @@ def measure(loops: int) -> tuple[dict, dict]:
         "bm25_phrase_batch100_uncapped_per_query_ms": batch_amortized(
             lambda: ppsrv.phrase_batch(PHRASE_SETS, max_cached_df=None),
             len(PHRASE_SETS), 3),
+        # r13 control: every phrase distinct, so the whole-phrase dedup
+        # can't collapse the batch — this is the per-intersection cost
+        # series the 4-distinct lines above no longer measure
+        "bm25_phrase_batch100_distinct_per_query_ms": batch_amortized(
+            lambda: ppsrv.phrase_batch(distinct_sets),
+            len(distinct_sets), 3),
     }
     return tiers, batch
 
