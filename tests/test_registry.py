@@ -156,6 +156,68 @@ def test_drift_runner_and_bench_share_line_definitions(spark):
         vfns["index_build"]()
 
 
+def test_drift_runner_residency_is_per_line_not_up_front(spark, monkeypatch):
+    """r13 review finding: bench-parity residency means the store
+    pieces resident at THAT line's own bench.py timing point — the
+    pieces of store lines EARLIER in LINE_ORDER — not the full store
+    state built before pass 1 (which would tilt the PRE-store lines:
+    bench times index_build/topp/stream_agg before st.big() exists).
+    Pins materialize_before's prerequisite sets and that building the
+    line-fn dict itself materializes nothing."""
+    import tools.drift_ab as ab
+
+    calls: list[str] = []
+
+    class FakeState:
+        def __init__(self, sp, sf_dir, cpus, store_prefix=""):
+            self.spark = sp
+            self.sf_dir = sf_dir
+            self.cpus = cpus
+
+        def big(self):
+            calls.append("big")
+
+        def lsh_store(self):
+            calls.append("lsh_store")
+
+        def maint_template(self):
+            calls.append("maint_template")
+
+        def tivf_store(self):
+            calls.append("tivf_store")
+
+        def pq_parts(self):
+            calls.append("pq_parts")
+
+    import tools.bench_lines as bl
+
+    monkeypatch.setattr(bl, "BenchState", FakeState)
+    fns, mat = ab.build_line_fns(
+        spark, ["index_build", "single_topk_stored20x",
+                "ann_pq_query20x", "mips_ivf_batch100"])
+    # assembling the fns must not materialize anything up front
+    assert calls == []
+    # a pre-store line has no store prerequisites
+    mat("index_build")
+    assert calls == []
+    # the first store line's own piece (big) builds in its warm-up,
+    # not here; nothing is EARLIER than it
+    mat("index_build_20x")
+    assert calls == []
+    # mid-store-section: exactly the earlier lines' pieces, in
+    # bench.py's build order
+    mat("single_topk_stored20x")
+    assert calls == ["big"]
+    calls.clear()
+    mat("ann_pq_query20x")
+    assert calls == ["big", "lsh_store", "maint_template", "tivf_store"]
+    calls.clear()
+    # post-store lines get the full store-section state
+    mat("mips_ivf_batch100")
+    assert calls == ["big", "lsh_store", "maint_template",
+                     "tivf_store", "pq_parts"]
+
+
 def test_scaling_probe_rejects_bad_subset_and_passes_fast():
     """r13 (VERDICT r12 #1): the scaling probe grew the bench's
     settlement machinery — a --jobs subset for isolated re-measures
