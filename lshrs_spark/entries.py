@@ -4115,6 +4115,50 @@ def text_bm25_store_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bm25_balance_drift",
+    f"""WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+         FROM documents),
+tf AS (SELECT id, tok FROM tok GROUP BY id, tok),
+a_counts AS (SELECT ({h48_sql("tok")} % 32) AS bucket, count(*) AS n
+      FROM tf GROUP BY 1),
+{_card_tail_cte('a_', 'bucket', 4.0)},
+b_counts AS (SELECT ({h48_sql("tok")} % 32) AS bucket, count(*) AS n
+      FROM tf WHERE id % 17 <> 0 GROUP BY 1),
+{_card_tail_cte('b_', 'bucket', 4.0)}
+{_CARD_DELTA_SELECT}""",
+)
+def bm25_balance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keyword store's health-card HISTORY diff — with this entry
+    every card tier has an oracle-backed drift twin (LSH r12, IVF and
+    BM25 r13; the matryoshka/IVFADC trees ride the same
+    ivf_balance_report machinery). Two bucketed postings layouts —
+    the full corpus, then the corpus after a 1-in-17 deletion sweep
+    rebuilt (bm25 postings are physical rows, so the next epoch is a
+    rewrite, the nightly-compaction analogue) — their
+    :func:`~lshrs_spark.functions.text.bm25_store_report` cards diffed
+    by the shared :func:`~lshrs_spark.operators.skew.balance_delta`
+    (the card's corpus constants / n_epochs extras are ignored by the
+    delta's shared-core contract). The oracle replays the tokenizer,
+    the portable h48 bucket key and distinct-(id, tok) posting rows
+    per epoch through the shared :func:`_card_tail_cte`, then the
+    shared drift SELECT — the same one-definition card SQL as the LSH
+    and IVF drift twins."""
+    from .functions.text import bm25_index_write, bm25_store_report
+    from .operators.skew import balance_delta
+
+    docs = _docs(spark, sf_dir)
+    p_prev = _sf_tmp_path("lshrs_bm25drift_prev", sf_dir)
+    p_next = _sf_tmp_path("lshrs_bm25drift_next", sf_dir)
+    bm25_index_write(docs, p_prev, num_buckets=32)
+    bm25_index_write(docs.filter(F.col("doc_id") % 17 != 0), p_next,
+                     num_buckets=32)
+    return balance_delta(
+        bm25_store_report(spark, p_prev),
+        bm25_store_report(spark, p_next),
+    )
+
+
+@register(
     "text_bm25_compact",
     f"""WITH tok AS (SELECT doc_id AS id,
                   unnest(string_split(text, ' ')) AS tok
@@ -9637,6 +9681,10 @@ FAMILY: dict[str, str] = {
     # drift rep, over centroid partition counts instead of (band, sig)
     # buckets; the oracle shares the drift SELECT with the rep
     "ivf_balance_drift": "lsh_balance_drift",
+    # new round-13: the BM25 card's history diff completes the
+    # drift-twin matrix (every card tier); same balance_delta + shared
+    # card-tail/drift-SELECT machinery as the in-window rep
+    "bm25_balance_drift": "lsh_balance_drift",
     # demoted round-13 (r12 driver row on file, VERDICT r12 #2): the
     # promoted drift entry replays BOTH snapshot epochs' cards through
     # the same shared _bucket_card_cte SQL this entry used, then the
