@@ -58,6 +58,16 @@ _PHRASE_VOCAB = ["vector", "hash", "join", "stream", "table", "scan",
                  "query", "filter", "sort", "agg", "window"]
 
 
+def distinct_phrase_sets() -> list:
+    """The 100-DISTINCT-phrases control mix — ONE derivation shared by
+    the bench line and tools/serving_probe.py (r13 review: a private
+    copy of the comprehension in each would let the two series drift
+    onto different query mixes, the divergence tools/bench_lines.py
+    exists to prevent)."""
+    return [[a, b] for a in _PHRASE_VOCAB for b in _PHRASE_VOCAB
+            if a != b][:100]
+
+
 def timed(fn, name: str | None = None, *, warmup: bool = True, reps: int = REPS,
           max_extra: int = 3):
     out = fn() if warmup else None
@@ -466,8 +476,7 @@ def main(closing_round: int | None = None) -> None:
     # a per-intersection cost series. This line keeps that series:
     # every phrase distinct (dedup can't collapse them; the hot slot
     # still groups the ~11 shared lead terms).
-    distinct_sets = [[a, b] for a in _PHRASE_VOCAB for b in _PHRASE_VOCAB
-                     if a != b][:100]
+    distinct_sets = distinct_phrase_sets()
     t_pd = None
     for _ in range(3):
         t0 = time.perf_counter()

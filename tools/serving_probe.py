@@ -152,7 +152,7 @@ def measure(loops: int) -> tuple[dict, dict]:
     import numpy as np
     import pyarrow.dataset as pads
 
-    from bench import p95_index, serve_latencies
+    from bench import distinct_phrase_sets, p95_index, serve_latencies
     from lshrs_spark import LSHConfig
     from lshrs_spark.serving import (
         BM25Server,
@@ -217,10 +217,7 @@ def measure(loops: int) -> tuple[dict, dict]:
             best = dt if best is None or dt < best else best
         return round(best / n_queries * 1000, 3)
 
-    from bench import _PHRASE_VOCAB
-
-    distinct_sets = [[a, b] for a in _PHRASE_VOCAB for b in _PHRASE_VOCAB
-                     if a != b][:100]
+    distinct_sets = distinct_phrase_sets()
     ppsrv = BM25Server(STORES["bm25p"])
     batch = {
         "lsh_batch100_per_query_ms": batch_amortized(
