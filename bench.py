@@ -127,7 +127,8 @@ def serve_latencies(fn, queries, *, loops: int = 2):
 
 
 def main(closing_round: int | None = None) -> None:
-    guard_start = quiet_guard(CPUS) if closing_round is not None else None
+    guard_start = (quiet_guard(CPUS, io_paths=[SF_DIR])
+                   if closing_round is not None else None)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     spark = get_spark("bench", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")

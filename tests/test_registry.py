@@ -344,3 +344,104 @@ def test_drift_runner_survives_a_failing_line(spark, monkeypatch, tmp_path):
     assert r_flaky["errors"] == ["pass1: RuntimeError: flaky failure"]
     assert r_flaky["ok_passes"] == [2] and r_flaky["min"] is not None
     assert calls["flaky"] == 3
+
+
+# ------------------------------------------------------------------ #
+# I/O canary (VERDICT r13 missing #1): the quiet guard's page-cache
+# leg — a cold first touch-read of the stores must downgrade "quiet"
+# ------------------------------------------------------------------ #
+
+def test_io_canary_warm_sample_reads_quiet(tmp_path):
+    """Freshly written pages are resident, so both passes run at
+    memory speed and the three-condition cold rule cannot fire."""
+    from tools.bench_lines import IO_CANARY_MIN_BYTES, io_canary
+
+    f = tmp_path / "blob.bin"
+    f.write_bytes(os.urandom(6 << 20))
+    got = io_canary([str(tmp_path)])
+    assert got["bytes"] >= IO_CANARY_MIN_BYTES
+    assert got["files"] == 1
+    assert got["t_first_s"] > 0 and got["t_resident_s"] > 0
+    assert got["io_quiet"] is True
+    # second reading of now-certainly-resident pages: ratio near 1
+    again = io_canary([str(tmp_path)])
+    assert again["io_quiet"] is True
+
+
+def test_io_canary_small_sample_recorded_not_judged(tmp_path):
+    """Below IO_CANARY_MIN_BYTES the ratio is syscall noise (and a
+    store that small re-warms inside any run's first loop): the
+    reading is recorded for the artifact but never flips the
+    verdict."""
+    from tools.bench_lines import io_canary
+
+    (tmp_path / "tiny.bin").write_bytes(b"x" * (1 << 20))
+    got = io_canary([str(tmp_path)])
+    assert got["bytes"] == 1 << 20
+    assert got["io_quiet"] is True
+    assert "note" in got
+
+
+def test_io_canary_no_bytes(tmp_path):
+    from tools.bench_lines import io_canary
+
+    got = io_canary([str(tmp_path / "missing")])
+    assert got == {"bytes": 0, "files": 0, "t_first_s": None,
+                   "t_resident_s": None, "cold_ratio": None,
+                   "io_quiet": True, "note": "no bytes under paths"}
+
+
+def test_io_canary_strides_across_large_files(tmp_path):
+    """A file larger than the sample budget is block-strided, not
+    read in full — the canary must never warm a whole big store."""
+    from tools.bench_lines import io_canary
+
+    f = tmp_path / "big.bin"
+    with open(f, "wb") as h:
+        h.truncate(64 << 20)  # sparse is fine: reads return zeros
+    got = io_canary([str(f)], sample_bytes=8 << 20)
+    assert got["bytes"] <= 9 << 20  # budget + at most one block slack
+    assert got["bytes"] >= 8 << 20
+
+
+def test_quiet_guard_cold_io_downgrades_quiet(monkeypatch):
+    """The CPU/JVM leg passing is no longer enough: a cold canary
+    reading flips the guard verdict (the r13 blind spot — 2-5x
+    serving distortion under a green CPU/JVM-only guard)."""
+    import tools.bench_lines as bl
+
+    cold = {"bytes": 32 << 20, "files": 3, "t_first_s": 0.5,
+            "t_resident_s": 0.05, "cold_ratio": 10.0, "io_quiet": False}
+    monkeypatch.setattr(bl, "io_canary", lambda paths, **kw: cold)
+    # huge cpu budget + own_jvms allowance: the CPU/JVM leg passes in
+    # any test environment, isolating the io downgrade
+    guard = bl.quiet_guard(10**6, own_jvms=99, io_paths=["/nonexistent"])
+    assert guard["io"] == cold
+    assert guard["quiet"] is False
+    # and without io_paths the guard shape is unchanged (no io key)
+    guard2 = bl.quiet_guard(10**6, own_jvms=99)
+    assert "io" not in guard2 and guard2["quiet"] is True
+
+
+def test_serving_probe_wait_quiet_retries_cold_io(monkeypatch):
+    """An arrived-cold store is retried (the canary's own strided
+    read re-warms what it sampled) and the cold readings stay
+    visible as io_cold_retries — labeled, never silently trusted."""
+    import tools.bench_lines as bl
+    import tools.serving_probe as sp
+
+    readings = [
+        {"bytes": 32 << 20, "files": 3, "t_first_s": 0.5,
+         "t_resident_s": 0.05, "cold_ratio": 10.0, "io_quiet": False},
+        {"bytes": 32 << 20, "files": 3, "t_first_s": 0.06,
+         "t_resident_s": 0.05, "cold_ratio": 1.2, "io_quiet": True},
+    ]
+    seq = iter(readings)
+    monkeypatch.setattr(bl, "io_canary", lambda paths, **kw: next(seq))
+    monkeypatch.setattr(sp, "_java_procs", lambda: 0)
+    monkeypatch.setattr(sp.os, "getloadavg", lambda: (0.0, 0.0, 0.0))
+    monkeypatch.setattr(sp.time, "sleep", lambda s: None)
+    guard = sp.wait_quiet(max_wait_s=60.0, load_max=8.0)
+    assert guard["quiet"] is True
+    assert guard["io_cold_retries"] == 1
+    assert guard["io"] == readings[1]

@@ -207,7 +207,9 @@ def main() -> None:
     # canonical bench order, whatever order the CLI gave
     names = [n for n in LINE_ORDER if n in set(names)]
 
-    guard = quiet_guard(CPUS)
+    # start guard carries the page-cache canary over the corpus the
+    # run reads (VERDICT r13 missing #1)
+    guard = quiet_guard(CPUS, io_paths=[SF_DIR])
     from lshrs_spark.cache import release_slots
     from lshrs_spark.session import get_spark
 

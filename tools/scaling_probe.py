@@ -169,8 +169,10 @@ def shuffle_main(args) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     # sampled BEFORE the JVM exists, so the probe's own session never
-    # counts; the quiet verdict belongs to this start sample only
-    guard_start = quiet_guard(cpus)
+    # counts; the quiet verdict belongs to this start sample only —
+    # with the page-cache canary over the corpus about to be read
+    # (VERDICT r13 missing #1)
+    guard_start = quiet_guard(cpus, io_paths=[sf_dir])
     spark = get_spark("shuffle_scaling_probe", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
