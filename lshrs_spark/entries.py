@@ -5226,6 +5226,104 @@ def ivf_balance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "trunc_balance_drift",
+    f"""WITH tv AS (SELECT vec_id AS id, embedding[1:16] AS v FROM embeddings),
+cent AS (SELECT id AS centroid_id, v AS cvec FROM tv WHERE id < 8),
+{_centroid_card_cte('a_')},
+{_centroid_card_cte('b_', 'WHERE (tv.id % 17 <> 0 OR tv.id < 8) ')}
+{_CARD_DELTA_SELECT}""",
+)
+def trunc_balance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The matryoshka (truncated-IVF) store's health-card HISTORY diff
+    (VERDICT r13 #7 — with ``pq_balance_drift`` this completes the
+    drift-twin matrix over every card tier: LSH r12, IVF + BM25 r13,
+    truncated + PQ r14, all through the ONE shared
+    :func:`_card_tail_cte` / ``_CARD_DELTA_SELECT`` SQL). Two stored
+    truncated layouts through the production writer
+    (:func:`~lshrs_spark.operators.knn.truncated_ivf_write_store` —
+    centroids, assignment and partition files all live at the
+    16-of-64 coarse width, the ``_full`` sidecar invisible to the
+    card's dataset discovery): the full corpus, then the corpus after
+    a 1-in-17 deletion sweep that PRESERVES the eight lowest ids —
+    :func:`~lshrs_spark.operators.knn.ivf_centroids_by_id` is
+    deterministic lowest-id vectors, so keeping ids 0-7 pins BOTH
+    epochs to the same truncated centroid set and the card diff
+    measures layout drift, never centroid churn. Cards come from the
+    same :func:`~lshrs_spark.operators.knn.ivf_balance_report` the
+    plain-IVF tier uses (the truncated tree IS an IVF tree), diffed
+    by the shared :func:`~lshrs_spark.operators.skew.balance_delta`.
+    The oracle replays truncated-width assignment twice against the
+    fixed centroid CTE and the same 5-dp delta arithmetic."""
+    from .operators.knn import (
+        ivf_balance_report,
+        truncated_ivf_write_store,
+    )
+    from .operators.skew import balance_delta
+
+    emb = _emb(spark, sf_dir)
+    p_prev = _sf_tmp_path("lshrs_truncdrift_prev", sf_dir)
+    p_next = _sf_tmp_path("lshrs_truncdrift_next", sf_dir)
+    truncated_ivf_write_store(emb, 8, 16, p_prev)
+    truncated_ivf_write_store(
+        emb.filter((F.col("vec_id") % 17 != 0) | (F.col("vec_id") < 8)),
+        8, 16, p_next,
+    )
+    return balance_delta(
+        ivf_balance_report(spark, p_prev, ratio=2.0),
+        ivf_balance_report(spark, p_next, ratio=2.0),
+    )
+
+
+@register(
+    "pq_balance_drift",
+    f"""WITH tv AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+cent AS (SELECT id AS centroid_id, v AS cvec FROM tv WHERE id < 8),
+{_centroid_card_cte('a_')},
+{_centroid_card_cte('b_', 'WHERE tv.id % 13 <> 5 ')}
+{_CARD_DELTA_SELECT}""",
+)
+def pq_balance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ/IVFADC store's health-card HISTORY diff (VERDICT r13 #7,
+    the last tier of the drift-twin matrix). Two IVFADC layouts
+    through the production writer
+    (:func:`~lshrs_spark.operators.knn.ivfpq_write_store`: the wide
+    ``(id, codes)`` table parquet-partitioned by nearest-centroid
+    assignment, ``_centroids``/``_codebooks`` sidecars invisible to
+    discovery) — the full corpus, then after a 1-in-13 deletion sweep
+    — against the SAME explicit full-corpus centroid set and codebook
+    (the writer takes both, so no id-preservation trick is needed),
+    cards from the same
+    :func:`~lshrs_spark.operators.knn.ivf_balance_report` diffed by
+    the shared :func:`~lshrs_spark.operators.skew.balance_delta`.
+    What the card checks on THIS tier: the PQ encoding must be
+    count-preserving — exactly one wide code row per id per
+    partition — so the physical row counts the drift row subtracts
+    equal the assignment replay; the oracle is full-width assignment
+    twice against the fixed centroid CTE (the m=4 sub-quantization
+    never moves a row between partitions)."""
+    from .operators.knn import (
+        ivf_balance_report,
+        ivf_centroids_by_id,
+        ivfpq_write_store,
+        pq_codebooks,
+    )
+    from .operators.skew import balance_delta
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_centroids_by_id(emb, 8)
+    cb = pq_codebooks(emb, m=4, k=16, dim=64, iterations=1)
+    p_prev = _sf_tmp_path("lshrs_pqdrift_prev", sf_dir)
+    p_next = _sf_tmp_path("lshrs_pqdrift_next", sf_dir)
+    ivfpq_write_store(emb, cents, cb, p_prev, m=4, dim=64)
+    ivfpq_write_store(emb.filter(F.col("vec_id") % 13 != 5), cents, cb,
+                      p_next, m=4, dim=64)
+    return balance_delta(
+        ivf_balance_report(spark, p_prev, ratio=2.0),
+        ivf_balance_report(spark, p_next, ratio=2.0),
+    )
+
+
+@register(
     "ann_truncated_maintain",
     f"""WITH tv AS (SELECT vec_id AS id, embedding[1:16] AS t
                  FROM embeddings),
@@ -9255,7 +9353,12 @@ DRIVER_WINDOW: list[str] = [
     # column IS that grading), while the exact magnitude-weighted
     # dot-product baseline — the one ANN scoring objective with no
     # in-window exact leg — earns its first hard row
-    "lsh_signatures", "lsh_topk", "lsh_balance_drift",
+    # round-14 (VERDICT r13 #3): ivf_balance_drift in /
+    # lsh_balance_drift out (r13 driver row on file) — the drift-twin
+    # family's rep moves to the STORED-layout twin: same shared
+    # _card_tail_cte + _CARD_DELTA_SELECT / balance_delta machinery,
+    # driven through REAL store files with the physical-row card
+    "lsh_signatures", "lsh_topk", "ivf_balance_drift",
     "ann_mmr_lambda_curve", "mips_topk", "lsh_delete",
     # similarity join + dedup family (dedup_ngram_jaccard demoted
     # round-6: shingle-inverted-index twin of the in-window minhash rep)
@@ -9294,7 +9397,12 @@ DRIVER_WINDOW: list[str] = [
     # equi-join pairing is the same pigeonhole banding core the
     # in-window dedup_video_hamming rep drives with the strictest
     # (brute per-frame-distance) oracle in the family
-    "dedup_minhash_recall",
+    # round-14: dedup_minhash_quality in / dedup_minhash_recall out
+    # (driver rows r6-r13 on file) — the banding-quality gauge is the
+    # recall gauge's strict superset: same banded candidates, same
+    # exact-Jaccard truth leg, full-outer joined into candidate/truth/
+    # hit counts AND recall in one conditional-aggregation plan
+    "dedup_minhash_quality",
     # round-13 (VERDICT r12 #2): dedup_containment in /
     # dedup_chunk_overlap out (driver rows through r12 on file) — the
     # directional-containment entry drives the same inverted-index
@@ -9345,7 +9453,14 @@ DRIVER_WINDOW: list[str] = [
     # via the in-window ann_ivf_maintain, kept in-window this round
     # deliberately: its sidecar-swap sequencing changed — VERDICT r11
     # #4 — and the changed writer should hold a driver row)
-    "ann_truncated_recall_curve", "ann_ivf_maintain",
+    # round-14: ann_ivf_recall_curve in / ann_truncated_recall_curve
+    # out (r12-r13 driver rows on file) — the multi-arm recall-curve
+    # harness (arms unioned against one exact truth, every arm
+    # oracle-replayed) moves to the plain-IVF nprobe sweep, the dial
+    # an operator turns at 100 TB (probed fraction = nprobe/K of the
+    # bytes); the truncated-composed machinery keeps its hard row via
+    # the in-window ann_truncated_maintain store chain
+    "ann_ivf_recall_curve", "ann_ivf_maintain",
     "ann_truncated_maintain",
     "emb_semantic_decontaminate",
     # planner + quantization + pipeline ops (text_tfidf demoted
@@ -9373,7 +9488,13 @@ DRIVER_WINDOW: list[str] = [
     # integer-quantized sort key that keeps the cut's row SET
     # engine-stable, the round-4 cross-engine float-ordering lesson)
     "planner_config", "ann_ivfpq_refined", "graph_repair_components",
-    "pipeline_weighted_sample", "text_bpe_tokens",
+    # round-14: pipeline_domain_mix in / pipeline_weighted_sample out
+    # (driver rows r10-r13 on file) — the stratified-sampling family
+    # rep moves to the temperature-flattened domain mixer
+    # (integer-exact sqrt quotas + deterministic hash-ranked
+    # per-stratum selection, the pretraining-mixture rebalance step);
+    # the exponential-key reservoir keeps its rows on file
+    "pipeline_domain_mix", "text_bpe_tokens",
     "pipeline_token_budget", "pipeline_hygiene_cascade",
     # text analysis + corpus hygiene (text_fingerprint demoted round-7:
     # content-hash fingerprinting twin of the in-window exact-dedup rep —
@@ -9413,9 +9534,29 @@ DRIVER_WINDOW: list[str] = [
     # contract), so the token-statistics core earns its hard row at
     # the harder plan; per-document BPE counting keeps its own row via
     # the in-window text_bpe_tokens
-    "text_heavy_hitters", "text_quality_classifier", "text_langid",
-    "text_phrase_batch", "text_clean",
-    "dedup_audio_fingerprint", "text_contamination_report",
+    # round-14: text_template_detect in / text_heavy_hitters out (r13
+    # row on file) — the per-source template/boilerplate argmax drives
+    # the same tokenize -> grouped-count -> rank chain plus the share
+    # arithmetic; the pigeonhole prune variant keeps its r13 row.
+    # rel_market_basket in / text_langid out (long-held rows on file)
+    # — the lift-ranked co-occurrence miner earns the hard row for
+    # exact frequent-pattern counting (order-keyed self-join, integer
+    # rational lift ties); langid's per-document feature-profile
+    # scoring stays covered via the in-window classifier.
+    # bm25_balance_drift in / text_clean out (rows r2-r13 on file) —
+    # the BM25 card's history diff completes its drift-twin promotion
+    # (same shared card-tail + delta SQL as the LSH/IVF twins);
+    # text_clean's regex rewrite chain is covered by the in-window
+    # text_pii_redact under the stricter masked-span contract.
+    # stream_sliding_counts in / dedup_audio_fingerprint out (rows
+    # r7-r13 on file) — overlapping watermarked windows (every event
+    # in exactly two) earn the streaming-window hard row; the audio
+    # DCT fingerprint keeps coverage via the in-window video rep's
+    # decode+hash+banding (the strictest oracle in that family)
+    "text_template_detect", "text_quality_classifier",
+    "rel_market_basket",
+    "text_phrase_batch", "bm25_balance_drift",
+    "stream_sliding_counts", "text_contamination_report",
     "text_pii_redact",
     # embeddings analytics; round-10 (VERDICT r9 #1):
     # emb_dbscan_clusters in / emb_kmeans out (driver rows r1-r9 on
@@ -9454,8 +9595,14 @@ DRIVER_WINDOW: list[str] = [
     # driver row on file) — the full-assignment silhouette earns its
     # row; the promoted entry computes the same a/b/s arithmetic the
     # sampled scale path caps, and the cap path holds its r11 row
+    # round-14: emb_outlier_filter in / emb_dbscan_silhouette out
+    # (r12-r13 rows on file) — the label-coherence outlier screen
+    # (broadcast centroids + zip_with cosine + exact percentile
+    # cutoff, no second corpus shuffle) earns the per-point
+    # coherence-gauge hard row; the silhouette a/b/s arithmetic keeps
+    # rows on file via its sampled twin's r11 row
     "emb_cluster_workflow", "emb_dbscan_minpts_curve",
-    "emb_dbscan_silhouette",
+    "emb_outlier_filter",
     # relational suite (rel_customer_setops and rel_stats_corr demoted
     # round-6: set-membership ~ rel_semi_anti, stats agg ~ rel_quantiles)
     # round-6: rel_column_profile in / rel_quantiles out (the one-pass
@@ -9474,8 +9621,12 @@ DRIVER_WINDOW: list[str] = [
     # three frame variants (running, trailing, lead-gap) over one
     # reused shuffle; temporal stream-join semantics also keep a hard
     # row via the in-window stream_attribution_join
+    # round-14: rel_grouping_sets in / rel_sales_cube out (long-held
+    # rows on file) — cube() is sugar for GROUPING SETS; the explicit
+    # heterogeneous-sets entry drives the same Expand-node fan-out in
+    # its general form
     "rel_scd2_merge", "rel_funnel",
-    "rel_sales_cube", "text_hybrid_rrf", "rel_column_profile",
+    "rel_grouping_sets", "text_hybrid_rrf", "rel_column_profile",
     "rel_semi_anti",
     "rel_salted_join", "rel_events_sessionize", "rel_window_running",
     # sketches + streaming + multimodal; round-7 rotations:
@@ -9529,8 +9680,8 @@ DRIVER_WINDOW: list[str] = [
 FAMILY: dict[str, str] = {
     # demoted round-6 (all have r3 driver rows on file) to admit the
     # CMS, stream-stream-join, corpus-diff, and text-clean families
-    "dedup_ngram_jaccard": "dedup_minhash_recall",
-    "text_tfidf": "text_heavy_hitters",
+    "dedup_ngram_jaccard": "dedup_minhash_quality",
+    "text_tfidf": "text_template_detect",
     "rel_customer_setops": "rel_semi_anti",
     "rel_stats_corr": "rel_column_profile",
     # demoted round-7 (r6 driver row on file): the plain windowed agg
@@ -9567,7 +9718,7 @@ FAMILY: dict[str, str] = {
     # per-cluster-capped silhouette scale path computed the same a/b/s
     # arithmetic the promoted full-assignment gauge now drives with a
     # hard row; the cap's md5-ordered sample held its own r11 row
-    "emb_silhouette_sampled": "emb_dbscan_silhouette",
+    "emb_silhouette_sampled": "emb_outlier_filter",
     # demoted round-12 (r11 driver row on file, VERDICT r11 #2): the
     # density rep's whole chain (pair source → roles → recursive core
     # reachability) runs inside the promoted one-call workflow at a
@@ -9607,7 +9758,7 @@ FAMILY: dict[str, str] = {
     "graph_triangles": "graph_repair_components",
     # demoted round-5: per-stratum exact sampling is covered by the new
     # deterministic-sampling/export representative (r3 driver row on file)
-    "pipeline_stratified_sample": "pipeline_weighted_sample",
+    "pipeline_stratified_sample": "pipeline_domain_mix",
     # demoted round-5: KMV distinct-count (r3 driver row on file) swaps
     # for the new Bloom-membership sketch representative
     "sketch_distinct_users": "sketch_bloom",
@@ -9620,8 +9771,8 @@ FAMILY: dict[str, str] = {
     # num_blocks=8 variant of the round-11-demoted simhash pair rep —
     # follows it into the pigeonhole-banding family
     "dedup_simhash_pairs_wide": "dedup_video_hamming",
-    "rel_pivot": "rel_sales_cube",              # pivot ~ cube reshaping
-    "rel_unpivot": "rel_sales_cube",            # melt ~ inverse reshaping
+    "rel_pivot": "rel_grouping_sets",              # pivot ~ cube reshaping
+    "rel_unpivot": "rel_grouping_sets",            # melt ~ inverse reshaping
     # demoted round-13 (driver rows r1-r12 on file, VERDICT r12 #2):
     # the promoted funnel chains this entry's join → grouped-agg shape
     # three times with a temporal advance constraint per stage; the
@@ -9675,22 +9826,20 @@ FAMILY: dict[str, str] = {
     # IVF-specific columns (tombstone debt, heal residue) keep r11
     # rows on file (card-family rep moved round-13 to the promoted
     # drift entry, which replays two of these cards per run)
-    "ann_ivf_balance": "lsh_balance_drift",
+    "ann_ivf_balance": "ivf_balance_drift",
     # new round-13 (VERDICT r12 #7): the IVF card's history diff —
     # same two-epoch balance_delta machinery as the in-window LSH
     # drift rep, over centroid partition counts instead of (band, sig)
     # buckets; the oracle shares the drift SELECT with the rep
-    "ivf_balance_drift": "lsh_balance_drift",
     # new round-13: the BM25 card's history diff completes the
     # drift-twin matrix (every card tier); same balance_delta + shared
     # card-tail/drift-SELECT machinery as the in-window rep
-    "bm25_balance_drift": "lsh_balance_drift",
     # demoted round-13 (r12 driver row on file, VERDICT r12 #2): the
     # promoted drift entry replays BOTH snapshot epochs' cards through
     # the same shared _bucket_card_cte SQL this entry used, then the
     # balance_delta subtraction on top — a strict superset of the
     # single-card machinery
-    "lsh_index_balance": "lsh_balance_drift",
+    "lsh_index_balance": "bm25_balance_drift",
     "ann_batch": "lsh_topk",
     # demoted round-12 (r11 driver row on file, VERDICT r11 #2): the
     # promoted lambda dial sweep unrolls THREE greedy selections over
@@ -9707,36 +9856,35 @@ FAMILY: dict[str, str] = {
     # metrics-card rep was itself demoted round-13, so the family
     # follows to the curve that replays the same two-stage
     # coarse+rerank ranking at every arm and grades it vs brute truth
-    "ann_truncated_topk": "ann_truncated_recall_curve",
+    "ann_truncated_topk": "ann_truncated_maintain",
     # demoted round-12 (r11 driver row on file, VERDICT r11 #2): the
     # promoted coarse_k dial sweep replays the same IVF-composed
     # two-stage recall gauge at every arm, this entry's single
     # operating point included
-    "ann_truncated_recall": "ann_truncated_recall_curve",
+    "ann_truncated_recall": "ann_truncated_maintain",
     # demoted round-11 (r10 driver row on file, VERDICT r10 #1): the
     # append entry's oracle was exactly the two-stage full-corpus
     # replay (append≡rebuild) the in-window curve computes per arm;
     # the stored-tree append/readback machinery keeps hard rows
     # through the in-window ann_truncated_maintain / ann_ivf_maintain
-    "ann_truncated_append_stored": "ann_truncated_recall_curve",
+    "ann_truncated_append_stored": "ann_truncated_maintain",
     # demoted round-13 (r11-r12 driver rows on file, VERDICT r12 #2):
     # the recall/MRR/nDCG card grades the same 16-of-64 coarse +
     # full-width-rerank ranking the in-window curve replays at every
     # arm (its recall column is that grading); the closed-form
     # ideal-DCG arithmetic held two rounds of hard rows
-    "ann_retrieval_metrics": "ann_truncated_recall_curve",
+    "ann_retrieval_metrics": "ann_ivf_recall_curve",
     # IVF family rep since round-10: the promoted IVF-composed
     # matryoshka recall gauge drives the same centroid training +
     # partition-pruned probe end-to-end and grades it vs full truth
-    "ann_recall": "ann_truncated_recall_curve",
-    "ann_ivf_recall": "ann_truncated_recall_curve",
-    "ann_ivf_recall_curve": "ann_truncated_recall_curve",  # nprobe sweep, same gauge
-    "ann_ivf": "ann_truncated_recall_curve",
-    "ann_ivf_filtered_recall": "ann_truncated_recall_curve",
+    "ann_recall": "ann_ivf_recall_curve",
+    "ann_ivf_recall": "ann_ivf_recall_curve",
+    "ann_ivf": "ann_ivf_recall_curve",
+    "ann_ivf_filtered_recall": "ann_ivf_recall_curve",
     # demoted round-7 (r6 driver row on file): the WHERE-pushdown
     # filtered probe is a variant of the IVF machinery the in-window
     # recall gauge drives end-to-end
-    "ann_ivf_filtered": "ann_truncated_recall_curve",
+    "ann_ivf_filtered": "ann_ivf_recall_curve",
     # stored-layout family, repped round-11 by the promoted nightly
     # maintenance unit: builds, rewrites and reads back the same
     # partitioned store tree
@@ -9756,12 +9904,12 @@ FAMILY: dict[str, str] = {
     # demoted round-8 (r7 driver row on file): the unfiltered
     # augmented-IVF recall gauge rides the same trained-probe recall
     # machinery as the in-window rep
-    "mips_ivf_recall": "ann_truncated_recall_curve",
+    "mips_ivf_recall": "ann_ivf_recall_curve",
     # demoted round-10 (r8-r9 driver rows on file, VERDICT r9 #1): the
     # WHERE-constrained MIPS probe is the in-window recall gauge's
     # trained-probe plan plus norm augmentation and an eligibility
     # predicate — both of which hold their own r7-r9 rows on file
-    "mips_ivf_filtered": "ann_truncated_recall_curve",
+    "mips_ivf_filtered": "ann_ivf_recall_curve",
     # simjoin / dedup twins and gauges — candidate-generation +
     # verification family, repped round-10 by the promoted single-pass
     # SNM entry (blocking-key window generation + levenshtein verify
@@ -9777,14 +9925,13 @@ FAMILY: dict[str, str] = {
     # multipass gauge computes the in-window rep's single-pass leg
     # twice over (two key passes) plus the PassJoin truth it grades by
     "dedup_snm_multipass_recall": "dedup_snm",
-    "dedup_minhash_sigs": "dedup_minhash_recall",
+    "dedup_minhash_sigs": "dedup_minhash_quality",
     # per-source-pair rollup of the same banded pair list
-    "dedup_source_matrix": "dedup_minhash_recall",
-    "dedup_minhash_quality": "dedup_minhash_recall",
-    "dedup_incremental": "dedup_minhash_recall",
+    "dedup_source_matrix": "dedup_minhash_quality",
+    "dedup_incremental": "dedup_minhash_quality",
     # demoted round-6 (r5 driver row on file): the recall gauge
     # computes the same banded pair list AND grades it vs exact Jaccard
-    "dedup_minhash_pairs": "dedup_minhash_recall",
+    "dedup_minhash_pairs": "dedup_minhash_quality",
     # signature-table stage of the round-11-demoted simhash pair rep —
     # follows it into the pigeonhole-banding family
     "dedup_simhash": "dedup_video_hamming",
@@ -9805,7 +9952,7 @@ FAMILY: dict[str, str] = {
     # text twins (token-frequency-statistics family rep: the promoted
     # exact heavy-hitters entry since round-13 — same tokenize +
     # frequency-aggregate core at the harder two-pass plan)
-    "text_token_topk": "text_heavy_hitters",
+    "text_token_topk": "text_template_detect",
     # demoted round-7 (r3 driver row on file): the h48 rolling-hash doc
     # fingerprint is the content-hash-key twin of the exact-dedup
     # machinery (rep moved round-9 to the keep list, whose stage 1 is
@@ -9816,7 +9963,7 @@ FAMILY: dict[str, str] = {
     # the promoted exact heavy-hitters entry aggregates corpus-wide
     # through the pigeonhole prune + verify; BPE counting keeps its
     # own hard row via the in-window text_bpe_tokens
-    "text_stats": "text_heavy_hitters",
+    "text_stats": "text_template_detect",
     # demoted round-6 (r5 driver row on file): BM25 ranking is the
     # scoring twin of the positional phrase representatives (and stays
     # exercised via the in-window hybrid-RRF fusion)
@@ -9834,24 +9981,23 @@ FAMILY: dict[str, str] = {
     # self-dedup is the symmetric twin of the promoted cross-corpus
     # semantic decontamination representative
     "emb_semantic_dedup": "emb_semantic_decontaminate",
-    "text_nfc": "text_clean",
+    "text_nfc": "text_pii_redact",
     # demoted round-9 (driver rows r1-r8 on file, VERDICT r8 #1): the
     # boolean any-shared-gram flag is the thresholded special case of
     # the promoted graded report (one shared _distinct_ngrams core)
     "text_decontaminate": "text_contamination_report",
-    "text_char_entropy": "text_heavy_hitters",
+    "text_char_entropy": "text_template_detect",
     # boilerplate-opening detector: token-frequency-statistics family
-    "text_template_detect": "text_heavy_hitters",
     # token/bigram-frequency-statistics family (rep: the exact
     # heavy-hitters entry since round-13; previously text_stats from
     # round-10, when the logprob rep was demoted with rows thru r9)
-    "text_unigram_logprob": "text_heavy_hitters",
-    "text_bigram_logprob": "text_heavy_hitters",
+    "text_unigram_logprob": "text_template_detect",
+    "text_bigram_logprob": "text_template_detect",
     # bigram-statistics family: PMI collocations share the bigram
     # explode/count machinery
-    "text_pmi_pairs": "text_heavy_hitters",
-    "text_corpus_card": "text_heavy_hitters",
-    "text_langid_accuracy": "text_langid",
+    "text_pmi_pairs": "rel_market_basket",
+    "text_corpus_card": "text_template_detect",
+    "text_langid_accuracy": "text_quality_classifier",
     # quality-scoring family (rep: the learned text_quality_classifier
     # since round-10, when the percentile-threshold filter was demoted
     # with driver rows through r9 — both score the same per-document
@@ -9873,7 +10019,6 @@ FAMILY: dict[str, str] = {
     "emb_label_centroids": "emb_cluster_workflow",
     "emb_covariance": "emb_cluster_workflow",
     # centroid-distance outlier screen: embedding-geometry twin
-    "emb_outlier_filter": "emb_cluster_workflow",
     "emb_norm_stats": "emb_cluster_workflow",  # embedding QC card, same family
     "emb_quantile_clip": "emb_cluster_workflow",  # preprocessing envelope
     "emb_centroid_stability": "emb_cluster_workflow",  # cluster-coherence gauge
@@ -9881,7 +10026,7 @@ FAMILY: dict[str, str] = {
     "rel_events_retention": "rel_events_sessionize",
     # relational twins (calendar-bucket grouped agg ~ the cube rep's
     # grouping machinery; the top-customers rep was demoted round-13)
-    "rel_orders_by_year": "rel_sales_cube",
+    "rel_orders_by_year": "rel_grouping_sets",
     "rel_distinct_counts": "sketch_bloom",
     # demoted round-5 (r4 driver row on file): mergeable-sketch
     # family twin of the Bloom representative
@@ -9901,28 +10046,27 @@ FAMILY: dict[str, str] = {
     # brute-force cosine rep (rep moved round-11 to the in-window
     # IVF-composed truncation recall gauge, whose truth arm is a brute
     # full-width scan)
-    "emb_pair_distance_hist": "ann_truncated_recall_curve",
+    "emb_pair_distance_hist": "ann_ivf_recall_curve",
     # demoted round-9 (driver rows r1-r8 on file): the in-window
     # IVF-composed truncation-recall gauge's truth arm IS brute cosine
     # top-k at full width (rep moved round-11)
-    "knn_bruteforce": "ann_truncated_recall_curve",
+    "knn_bruteforce": "ann_ivf_recall_curve",
     # demoted round-11 (r10 driver row on file, VERDICT r10 #1): the
     # two-width brute truncation recall gauge grades the same
     # prefix-truncation axis the in-window IVF-composed gauge drives
     # end-to-end (the stricter form, composed with the pruned probe)
-    "emb_dim_truncation_recall": "ann_truncated_recall_curve",
+    "emb_dim_truncation_recall": "ann_truncated_maintain",
     "rel_event_quantiles": "rel_column_profile",
     # scalar-function surface over the events table (r4 driver row on
     # file for the demoted JSON rep); events family
     "rel_events_json": "rel_events_sessionize",
     "rel_string_funcs": "rel_events_sessionize",
     "rel_date_math_funcs": "rel_events_sessionize",
-    "rel_rollup": "rel_sales_cube",
-    "rel_grouping_sets": "rel_sales_cube",
-    "rel_brand_nation_profit": "rel_sales_cube",
+    "rel_rollup": "rel_grouping_sets",
+    "rel_brand_nation_profit": "rel_grouping_sets",
     # demoted round-5 (r4 driver row on file): plain agg subsumed by
     # the cube representative
-    "rel_pricing_summary": "rel_sales_cube",
+    "rel_pricing_summary": "rel_grouping_sets",
     # time-RANGE frame twin of the promoted ROWS-frame window rep
     "rel_window_trailing": "rel_window_running",
     "rel_gapfill_daily": "rel_events_sessionize",
@@ -9930,26 +10074,24 @@ FAMILY: dict[str, str] = {
     "rel_salted_agg": "rel_salted_join",
     "rel_bloom_join": "sketch_bloom",  # bloom-filter join pruning
     # pipeline / quant twins
-    "pipeline_split": "pipeline_weighted_sample",
-    "pipeline_domain_mix": "pipeline_weighted_sample",
+    "pipeline_split": "pipeline_domain_mix",
     # mixing diagnostics: per-source distribution distance, same family
-    "pipeline_source_divergence": "pipeline_weighted_sample",
+    "pipeline_source_divergence": "pipeline_domain_mix",
     # per-stratum quota draw: deterministic-sampling family
-    "pipeline_quota_sample": "pipeline_weighted_sample",
+    "pipeline_quota_sample": "pipeline_domain_mix",
     # per-epoch reshuffle plan: deterministic-order family
-    "pipeline_epoch_plan": "pipeline_weighted_sample",
+    "pipeline_epoch_plan": "pipeline_domain_mix",
     # basket-pair lift: co-occurrence-statistics family (pair counting
     # over a grouping key + exact-rational association score) — same
     # family as text_pmi_pairs, repped by the heavy-hitters entry
-    "rel_market_basket": "text_heavy_hitters",
     # deterministic-sampling family: exponential-key weighted draw and
     # the component-level leakage-safe split are hash-split twins of the
     # in-window export representative
     # demoted round-5 (driver rows r1-r4 on file): the hash-split export
     # rep hands the deterministic-sampling family slot to the
     # exponential-key weighted reservoir (never driver-checked before)
-    "pipeline_shuffle_export": "pipeline_weighted_sample",
-    "pipeline_group_split": "pipeline_weighted_sample",
+    "pipeline_shuffle_export": "pipeline_domain_mix",
+    "pipeline_group_split": "pipeline_domain_mix",
     # time-series family: the as-of rep was demoted round-13 because
     # its backward join is a running-last WINDOW over a keyed union —
     # the family follows that machinery to the promoted frame-window
@@ -9962,7 +10104,7 @@ FAMILY: dict[str, str] = {
     # rel_window_running drives with three frame variants; temporal
     # join semantics also keep a hard row via stream_attribution_join
     "rel_events_asof": "rel_window_running",
-    "pipeline_negatives": "pipeline_weighted_sample",
+    "pipeline_negatives": "pipeline_domain_mix",
     # promotion-gate family (rep: pipeline_hygiene_cascade since r5)
     "pipeline_data_quality": "pipeline_hygiene_cascade",
     # quantization family (rep: the promoted IVFADC+refine entry since
@@ -9990,7 +10132,7 @@ FAMILY: dict[str, str] = {
     # demoted round-7 (r6 driver row on file): WAV decode + spectral
     # features share the audio decode path with the promoted
     # integer-DCT fingerprint dedup rep
-    "multimodal_audio_features": "dedup_audio_fingerprint",
+    "multimodal_audio_features": "dedup_video_hamming",
     # streaming twins (windowed/stateful-agg rep: the promoted
     # gap-session entry since round-13; stream_dedup_counts repped the
     # family rounds 7-12)
@@ -10003,13 +10145,73 @@ FAMILY: dict[str, str] = {
     "stream_attribution_outer": "stream_attribution_join",
     # streaming twin of the batch OHLC rollup; windowed-agg family
     "stream_ohlc": "stream_session_counts",
-    "stream_sliding_counts": "stream_session_counts",
     # demoted round-13 (driver rows r7-r12 on file, VERDICT r12 #2):
     # watermarked dropDuplicates == keep-first-per-key — the exact
     # semantics the in-window stream_stateful_first drives through
     # explicit applyInPandasWithState state; the gap-session promotion
     # carries the richer watermarked-window state machinery
     "stream_dedup_counts": "stream_stateful_first",
+    # ------------------------------------------------------------- #
+    # round-14 rotation (VERDICT r13 #3): TEN promotions, each demoted
+    # entry below holds an r13 driver row and maps to the in-window
+    # member whose machinery covers it.
+    # ------------------------------------------------------------- #
+    # The drift-twin family's rep moves to the STORED-layout twin: all
+    # three (now five) drift entries replay two epoch cards through
+    # the ONE shared _card_tail_cte and diff via the shared
+    # _CARD_DELTA_SELECT / balance_delta; the IVF twin drives that
+    # machinery through REAL store files (physical partition counts,
+    # tombstone/heal columns on the card), the strictly harder tier.
+    "lsh_balance_drift": "ivf_balance_drift",
+    # round-14 additions (VERDICT r13 #7, never driver-checked yet):
+    # the truncated and PQ tiers' card diffs — same shared card-tail +
+    # delta SQL, same balance_delta, through their own store writers
+    "trunc_balance_drift": "ivf_balance_drift",
+    "pq_balance_drift": "ivf_balance_drift",
+    # the banding-quality gauge is the recall gauge's strict superset:
+    # same banded candidate generation, same exact-Jaccard truth leg,
+    # but a FULL OUTER join emitting candidate count, truth count,
+    # hits AND recall in one conditional-aggregation plan
+    "dedup_minhash_recall": "dedup_minhash_quality",
+    # the multi-arm recall-curve harness (union of arms against one
+    # exact truth, every arm oracle-replayed) moves to the plain-IVF
+    # nprobe sweep — the dial an operator turns at 100 TB; the
+    # truncated-composed machinery keeps its hard row via the
+    # in-window ann_truncated_maintain (store chain) and r12-r13
+    # rows on file
+    "ann_truncated_recall_curve": "ann_ivf_recall_curve",
+    # corpus-wide exact token-frequency ranking: the promoted
+    # per-source template argmax drives the same tokenize → grouped
+    # count → rank chain (plus the share arithmetic); the pigeonhole
+    # two-pass prune variant keeps its r13 row on file
+    "text_heavy_hitters": "text_template_detect",
+    # per-document feature-profile scoring family: langid scores from
+    # char-n-gram profile features exactly as the in-window classifier
+    # scores from hashed token features (train + score both replayed)
+    "text_langid": "text_quality_classifier",
+    # regex/expr-chain text rewriting family: the redact entry drives
+    # the same per-char/regexp rewrite machinery under the stricter
+    # masked-span contract
+    "text_clean": "text_pii_redact",
+    # payload decode → fixed-point perceptual hash → banded pairing
+    # family (same subsumption as the r8 image and r11 frame-sample
+    # demotions): the video rep holds the strictest brute
+    # per-frame-distance oracle; the audio DCT leg keeps rows r7-r13
+    "dedup_audio_fingerprint": "dedup_video_hamming",
+    # per-point cluster/label-coherence gauge family: the promoted
+    # outlier filter scores every embedding against its own label
+    # centroid with a percentile cutoff; the full-assignment
+    # silhouette keeps its r12-r13 rows, and its a/b/s arithmetic
+    # stays covered via emb_silhouette_sampled's r11 row on file
+    "emb_dbscan_silhouette": "emb_outlier_filter",
+    # stratified corpus-sampling family rep moves to the promoted
+    # temperature-flattened domain mixer (integer-exact quotas +
+    # deterministic hash-ranked per-stratum selection); the
+    # exponential-key reservoir keeps rows r10-r13 on file
+    "pipeline_weighted_sample": "pipeline_domain_mix",
+    # cube() is sugar for GROUPING SETS — the promoted explicit-sets
+    # entry drives the same Expand-node fan-out in its general form
+    "rel_sales_cube": "rel_grouping_sets",
 }
 
 _unknown = [n for n in DRIVER_WINDOW if n not in QUERIES]
