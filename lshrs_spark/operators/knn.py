@@ -1426,16 +1426,21 @@ def _heal_unlisted_partitions(filesystem, root: str) -> None:
 
 
 def ivf_hot_centroids(
-    spark, store_path: str, *, ratio: float = 4.0
+    spark, store_path: str, *, ratio: float = 4.0, store_df=None
 ) -> list[tuple[int, int]]:
     """``[(centroid_id, rows)]`` for stored-IVF partitions holding more
     than ``ratio`` x the mean partition size, largest first — the
     maintenance loop's split-target list for
     :func:`ivf_split_centroid`. One grouped count over the store
     (partition-column only: no vector bytes read); the collect is
-    bounded by the centroid count, never the corpus."""
+    bounded by the centroid count, never the corpus. ``store_df``
+    (optional) reuses a caller's already-resolved read of
+    ``store_path`` — partition discovery over a wide store is itself a
+    Spark job, and :func:`ivf_maintain` lists the tree once for the
+    whole cycle."""
     counts = (
-        spark.read.parquet(store_path)
+        (store_df if store_df is not None
+         else spark.read.parquet(store_path))
         .groupBy("centroid_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
@@ -1608,7 +1613,8 @@ def ivf_split_centroid(
 
 
 def _split_centroids_one_swap(
-    spark, store_path: str, hot: list[tuple[int, int]], n_splits: int
+    spark, store_path: str, hot: list[tuple[int, int]], n_splits: int,
+    store_df=None,
 ) -> list[dict]:
     """Batched skew repair for :func:`ivf_maintain` (VERDICT r11 #4):
     split EVERY hot partition in ``hot`` (detection order, largest
@@ -1671,7 +1677,8 @@ def _split_centroids_one_swap(
         raise ValueError(
             f"centroids {missing} not present in {store_path}/_centroids"
         )
-    store_df = spark.read.parquet(store_path)
+    if store_df is None:
+        store_df = spark.read.parquet(store_path)
     if "embedding" not in store_df.columns:
         raise ValueError(
             "store has no raw 'embedding' column (a PQ/IVFADC code "
@@ -1681,46 +1688,111 @@ def _split_centroids_one_swap(
             "instead"
         )
     data_cols = [c for c in store_df.columns if c != "centroid_id"]
+    split_id_list = [int(cid) for cid, _ in hot]
+    # ONE bounded collect for every split partition's sub-centroid
+    # candidates (each partition's n_splits lowest-id rows). The
+    # previous shape ran one sort-limit collect per hot partition AND
+    # re-computed that sort inside each partition's broadcast at write
+    # time — at small stores those driver-synchronous dispatches were
+    # most of the cycle's wall (DISPATCH_r14.json: 16 jobs against a
+    # 169 ms one-task dispatch floor). At most max_splits * n_splits
+    # rows come back.
+    w = Window.partitionBy("_parent").orderBy("id")
+    cand_rows = (
+        store_df.filter(F.col("centroid_id").isin(split_id_list))
+        .select(F.col("centroid_id").cast("long").alias("_parent"),
+                "id",
+                F.col("embedding").cast("array<double>").alias("cvec"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(n_splits))
+        .collect()
+    )
+    by_parent: dict[int, list] = {}
+    for r in cand_rows:
+        by_parent.setdefault(int(r._parent), []).append(r)
     next_id = int(max(live)) + 1
     actions: list[dict] = []
-    rewrites = None
     sub_rows_all: dict[int, list[float]] = {}
+    sub_cent_local: list[tuple] = []
     for cid, rows in hot:
-        part = store_df.filter(F.col("centroid_id") == int(cid))
-        subs = (
-            part.orderBy("id")
-            .limit(int(n_splits))
-            .select("id",
-                    F.col("embedding").cast("array<double>").alias("cvec"))
-        )
-        w = Window.orderBy("id")
-        sub_cents = subs.select(
-            (F.row_number().over(w) + F.lit(next_id - 1))
-            .cast("long")
-            .alias("centroid_id"),
-            "cvec",
-        )
         # a partition smaller than n_splits yields fewer sub-centroids;
         # the id counter advances by the ACTUAL count (sequential parity)
-        sub_rows = {
-            int(r.centroid_id): [float(x) for x in r.cvec]
-            for r in sub_cents.collect()
-        }
+        cands = sorted(by_parent.get(int(cid), []), key=lambda r: int(r.id))
+        sub_rows: dict[int, list[float]] = {}
+        for i, r in enumerate(cands):
+            vec = [float(x) for x in r.cvec]
+            sub_rows[next_id + i] = vec
+            sub_cent_local.append((int(cid), next_id + i, vec))
         next_id += len(sub_rows)
         sub_rows_all.update(sub_rows)
         actions.append(
             {"centroid_id": int(cid), "rows": int(rows),
              "new_ids": sorted(sub_rows)}
         )
-        assign = ivf_assign(part, sub_cents, id_col="id",
-                            vector_col="embedding")
-        rewrite = part.select(*data_cols).join(assign, "id")
-        rewrites = (
-            rewrite if rewrites is None else rewrites.unionByName(rewrite)
+    # ONE shuffle-free assignment plan over all split partitions at
+    # once: at most max_splits * n_splits sub-centroids exist and the
+    # driver already holds them, so each point's winner is a flat
+    # per-candidate cosine column (literal unit centroid, one fused
+    # zip_with+fold each — the same dot count the join form paid) plus
+    # a per-parent when-chain argmax. No broadcast, no join, and
+    # (unlike a window over point id) no shuffle of the rewritten rows
+    # before the write's own partitioning shuffle — at 100 TB the
+    # split partitions are ~10 % of the corpus, so this halves the
+    # bytes shuffled per cycle. Result-identical to the sequential
+    # per-partition ivf_assign loop: same candidate set per point; the
+    # centroid normalize runs driver-side replicating unit_or_null's
+    # exact fold order (acc + x*x left to right, then sqrt, then x/n —
+    # bit-identical IEEE-754 doubles); the chain takes a later
+    # candidate only on a STRICTLY higher cosine with null scores
+    # never displacing non-null, reproducing the window's
+    # (cosine desc, centroid_id asc, nulls last) winner.
+    import math as _math
+
+    def _unit_py(vec: list[float]):
+        s = 0.0
+        for x in vec:
+            s = s + x * x
+        n = _math.sqrt(s)
+        if not n > 0:
+            return None
+        return [x / n for x in vec]
+
+    cs_cols: dict[int, object] = {}
+    by_parent_ids: dict[int, list[int]] = {}
+    for p, ncid, vec in sub_cent_local:
+        u = _unit_py(vec)
+        cs_cols[ncid] = (
+            dot_product(F.col("_uv"), F.array(*[F.lit(x) for x in u]))
+            if u is not None else F.lit(None).cast("double")
         )
+        by_parent_ids.setdefault(p, []).append(ncid)
+    winner = None
+    for cid in split_id_list:
+        ncids = sorted(by_parent_ids[int(cid)])
+        best_id = F.lit(ncids[0]).cast("long")
+        best_cs = cs_cols[ncids[0]]
+        for ncid in ncids[1:]:
+            c = cs_cols[ncid]
+            take = c.isNotNull() & (best_cs.isNull() | (c > best_cs))
+            best_id = F.when(take, F.lit(ncid).cast("long")).otherwise(best_id)
+            best_cs = F.when(take, c).otherwise(best_cs)
+        winner = (
+            F.when(F.col("_parent") == int(cid), best_id)
+            if winner is None
+            else winner.when(F.col("_parent") == int(cid), best_id)
+        )
+    rewrites = (
+        store_df.filter(F.col("centroid_id").isin(split_id_list))
+        .select(
+            *data_cols,
+            F.col("centroid_id").cast("long").alias("_parent"),
+            _unit(F.col("embedding")).alias("_uv"),
+        )
+        .select(*data_cols, winner.alias("centroid_id"))
+    )
     # ONE combined rewrite job for every split partition (each point
     # only ever competes among ITS partition's sub-centroids — the
-    # per-cid ivf_assign plans above are unioned, not mixed)
+    # per-parent literal candidate arrays keep the per-partition scopes)
     tmp = f"{store_path}/_split_tmp_{_uuid.uuid4().hex}"
     (
         rewrites.repartition(F.col("centroid_id"))
@@ -1895,9 +1967,17 @@ def ivf_maintain(
     _heal_compact_aside(filesystem, root)
     _heal_centroids_aside(filesystem, root)
     _heal_unlisted_partitions(filesystem, root)
-    hot = ivf_hot_centroids(spark, store_path, ratio=ratio)[: int(max_splits)]
+    # ONE partition-discovery pass for the whole cycle: listing a wide
+    # store's partition tree is itself a Spark job past the parallel-
+    # discovery threshold, and detection + split read the same
+    # pre-split layout (the read happens AFTER the heals so the file
+    # index never sees crash residue; the split's tmp/unlisted writes
+    # land after this index is resolved and are invisible to it).
+    store_df = spark.read.parquet(store_path)
+    hot = ivf_hot_centroids(spark, store_path, ratio=ratio,
+                            store_df=store_df)[: int(max_splits)]
     return _split_centroids_one_swap(spark, store_path, hot,
-                                     n_splits=n_splits)
+                                     n_splits=n_splits, store_df=store_df)
 
 
 # --------------------------------------------------------------------- #
