@@ -1753,7 +1753,11 @@ def _split_centroids_one_swap(
         for x in vec:
             s = s + x * x
         n = _math.sqrt(s)
-        if not n > 0:
+        # null ONLY for an exact zero norm: Spark's `F.when(n > 0, ...)`
+        # treats a NaN norm as TRUE (Spark orders NaN above every
+        # numeric), so a NaN-bearing vector normalizes to NaNs there —
+        # Python's `n > 0` is False for NaN and would diverge
+        if n == 0.0:
             return None
         return [x / n for x in vec]
 

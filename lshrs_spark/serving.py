@@ -1429,7 +1429,12 @@ class BM25Server:
                 }
             if not acc:
                 return {}
-        return {d: len(ps) for d, ps in acc.items()}
+        # drop zero-count docs: a posting row with an EMPTY positions
+        # list (not producible by bm25_index_write, but accepted from
+        # hand-built layouts) would otherwise emit {doc: 0} from a
+        # single-term phrase — a doc that does NOT match the phrase —
+        # and diverge from the batch path, which never materializes it
+        return {d: len(ps) for d, ps in acc.items() if ps}
 
     def phrase_batch(self, phrases, *, max_cached_df="auto") -> list:
         """Batch twin of :meth:`phrase` — ONE positions read per

@@ -128,7 +128,7 @@ IO_CANARY_MIN_DELTA_S = 0.02
 
 
 def io_canary(paths, *, sample_bytes: int = 32 << 20,
-              block: int = 1 << 20) -> dict:
+              block: int = 1 << 20, phase: int = 0) -> dict:
     """Timed fixed-size touch-read of the files under ``paths`` — the
     page-cache-side half of the quiet guard (VERDICT r13 missing #1:
     the CPU/JVM guard certified "quiet" while a cold page cache read
@@ -142,7 +142,15 @@ def io_canary(paths, *, sample_bytes: int = 32 << 20,
     device. ``io_quiet`` is False only when all three documented
     conditions hold: ``cold_ratio >=`` :data:`IO_CANARY_COLD_RATIO`,
     at least :data:`IO_CANARY_MIN_BYTES` sampled, and the first pass
-    lost at least :data:`IO_CANARY_MIN_DELTA_S` to faulting."""
+    lost at least :data:`IO_CANARY_MIN_DELTA_S` to faulting.
+
+    ``phase`` rotates WHICH stride-th blocks are sampled (phase *k*
+    reads a slice disjoint from phase 0 whenever the stride exceeds
+    *k*). A retry loop MUST advance the phase: re-reading phase 0
+    would measure the previous canary's own residue — the first pass
+    paged exactly those offsets in, so an identical second canary
+    reads warm no matter how cold the rest of the store still is
+    (the self-certification trap the r14 review caught)."""
     import time
 
     files: list[str] = []
@@ -156,6 +164,11 @@ def io_canary(paths, *, sample_bytes: int = 32 << 20,
     sizes = []
     for f in files:
         try:
+            # regular files only — a FIFO in the tree would block the
+            # read pass forever, and a vanished file must not abort
+            # the guard's caller
+            if not os.path.isfile(f):
+                continue
             sz = os.path.getsize(f)
         except OSError:
             continue
@@ -171,10 +184,11 @@ def io_canary(paths, *, sample_bytes: int = 32 << 20,
     for f, sz in sizes:
         off = 0
         while off < sz:
-            if blk_idx % stride == 0:
+            if blk_idx % stride == int(phase) % stride:
                 plan.append((f, off, min(block, sz - off)))
             off += block
             blk_idx += 1
+    skipped: set = set()
 
     def _read_pass() -> float:
         t0 = time.perf_counter()
@@ -184,9 +198,20 @@ def io_canary(paths, *, sample_bytes: int = 32 << 20,
                 if f != cur:
                     if fd >= 0:
                         os.close(fd)
-                    fd = os.open(f, os.O_RDONLY)
-                    cur = f
-                os.pread(fd, ln, off)
+                    fd, cur = -1, f
+                    try:
+                        fd = os.open(f, os.O_RDONLY)
+                    except OSError:
+                        # a file deleted between plan and read (a
+                        # concurrent store rewrite) must not abort the
+                        # guard — record, skip, keep sampling
+                        skipped.add(f)
+                        continue
+                if fd >= 0:
+                    try:
+                        os.pread(fd, ln, off)
+                    except OSError:
+                        skipped.add(f)
         finally:
             if fd >= 0:
                 os.close(fd)
@@ -207,6 +232,10 @@ def io_canary(paths, *, sample_bytes: int = 32 << 20,
            "t_first_s": round(t_first, 4),
            "t_resident_s": round(t_resident, 4),
            "cold_ratio": round(ratio, 2), "io_quiet": not cold}
+    if phase:
+        out["phase"] = int(phase)
+    if skipped:
+        out["skipped_files"] = len(skipped)
     if sampled < IO_CANARY_MIN_BYTES:
         out["note"] = "sample below IO_CANARY_MIN_BYTES; ratio recorded, not judged"
     return out

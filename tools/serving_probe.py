@@ -90,33 +90,73 @@ def wait_quiet(max_wait_s: float, load_max: float) -> dict:
     mmap-backed tier 2-5x slow right after unrelated disk churn while
     the CPU/JVM guard said quiet. ``io`` is the
     :func:`tools.bench_lines.io_canary` reading over the store trees
-    about to be replayed; a cold reading retries (the canary's own
-    strided read re-warms what it sampled, so a retry converging to
-    warm is the cache filling back in — ``io_cold_retries`` counts
-    the cold readings so an arrived-cold run stays visible in the
-    artifact even when the verdict ends quiet)."""
+    about to be replayed. A cold reading triggers an EXPLICIT full
+    warm read of the store files (recorded as ``io_warmed_bytes``)
+    and the re-check canaries a phase-SHIFTED slice of offsets — the
+    r14 review caught the original retry self-certifying: an
+    identical re-canary reads its own first pass's freshly-paged
+    offsets warm no matter how cold the rest of the store still is.
+    ``io_cold_retries`` counts the cold readings so an arrived-cold
+    run stays visible in the artifact even when the verdict ends
+    quiet."""
     from tools.bench_lines import io_canary
 
     t0 = time.time()
     io_cold = 0
+    warmed = 0
     while True:
         javas = _java_procs()
         load1 = os.getloadavg()[0]
         io = None
         if javas == 0 and load1 < load_max:
-            io = io_canary(list(STORES.values()))
+            io = io_canary(list(STORES.values()), phase=io_cold)
             if io["io_quiet"]:
                 return {"quiet": True, "java_procs": javas,
                         "load1": round(load1, 2),
                         "waited_s": round(time.time() - t0, 1),
-                        "io": io, "io_cold_retries": io_cold}
+                        "io": io, "io_cold_retries": io_cold,
+                        "io_warmed_bytes": warmed}
             io_cold += 1
+            warmed += _warm_files(list(STORES.values()))
         if time.time() - t0 > max_wait_s:
             return {"quiet": False, "java_procs": javas,
                     "load1": round(load1, 2),
                     "waited_s": round(time.time() - t0, 1),
-                    "io": io, "io_cold_retries": io_cold}
+                    "io": io, "io_cold_retries": io_cold,
+                    "io_warmed_bytes": warmed}
         time.sleep(5.0)
+
+
+def _warm_files(paths, cap_bytes: int = 1 << 30) -> int:
+    """Sequentially read every regular file under ``paths`` into the
+    page cache (up to ``cap_bytes`` total) — the honest response to a
+    cold canary: warm the WHOLE store, then let a phase-shifted
+    re-canary verify against offsets the warm pass did not time.
+    Returns bytes read; errors on individual files are skipped (the
+    canary's own read passes tolerate the same)."""
+    done = 0
+    for p in paths:
+        files = []
+        if os.path.isfile(p):
+            files = [p]
+        elif os.path.isdir(p):
+            for root, _dirs, names in os.walk(p):
+                files.extend(os.path.join(root, n) for n in names)
+        for f in sorted(files):
+            try:
+                if not os.path.isfile(f):
+                    continue
+                with open(f, "rb") as fh:
+                    while done < cap_bytes:
+                        chunk = fh.read(8 << 20)
+                        if not chunk:
+                            break
+                        done += len(chunk)
+            except OSError:
+                continue
+            if done >= cap_bytes:
+                return done
+    return done
 
 
 def build_stores() -> None:
