@@ -26,6 +26,11 @@ Two sub-measurements, each in its own fresh process/JVM:
 
 Usage:
     python tools/dispatch_probe.py [--out DISPATCH_rN.json]
+                                   [--line BENCH_LINE]
+
+``--line`` (r14) censuses any drift-covered bench line via the shared
+definitions in tools/bench_lines — the first settlement was
+maintain-specific; the machinery is not.
 
 Writes one JSON document: {"guard", "floor", "census"}. The guard is
 sampled BEFORE either JVM starts (same contract as scaling_probe).
@@ -68,13 +73,10 @@ def _floor_mode() -> None:
     }), flush=True)
 
 
-def _census_mode() -> None:
-    import shutil
+def _census_mode(line: str) -> None:
     import urllib.request
 
     from pyspark.sql import SparkSession
-
-    from tools.bench_lines import BenchState
 
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -90,16 +92,18 @@ def _census_mode() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext
-    st = BenchState(spark, SF_DIR, CPUS, store_prefix="lshrs_dispatch_")
-    st.big()
-    tmpl = st.maint_template()
-    store = st.maint_store()
-    import lshrs_spark.operators.knn as K
 
-    def plant():
-        if os.path.isdir(store):
-            shutil.rmtree(store)
-        shutil.copytree(tmpl, store)
+    # any drift-covered bench line (r14 generalization: the first
+    # dispatch-bound settlement was maintain-specific; the line
+    # definitions were shared in tools/bench_lines all along). Uses
+    # the drift runner's store prefix — census and drift A/B share
+    # the single-instance bench convention and never run concurrently.
+    from tools.drift_ab import build_line_fns
+
+    fns, materialize_before = build_line_fns(spark, [line])
+    entry = fns[line]
+    fn = entry["fn"] if isinstance(entry, dict) else entry
+    reset = entry.get("reset") if isinstance(entry, dict) else None
 
     def jobs():
         url = (f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
@@ -107,15 +111,16 @@ def _census_mode() -> None:
         with urllib.request.urlopen(url) as r:
             return json.load(r)
 
-    plant()
-    K.ivf_maintain(spark, store, ratio=4.0, max_splits=2, n_splits=2)  # warm
-    plant()
+    materialize_before(line)
+    if reset:
+        reset()
+    fn()  # warm-up run, excluded (bench parity)
+    if reset:
+        reset()
     before = {j["jobId"] for j in jobs()}
     t0 = time.perf_counter()
-    log = K.ivf_maintain(spark, store, ratio=4.0, max_splits=2, n_splits=2)
+    fn()
     wall = time.perf_counter() - t0
-    if len(log) != 2:
-        raise RuntimeError(f"expected two splits, got {log}")
     from datetime import datetime
 
     def _dur(j) -> float:
@@ -127,7 +132,8 @@ def _census_mode() -> None:
     new = sorted((j for j in jobs() if j["jobId"] not in before),
                  key=_dur, reverse=True)
     print("RESJSON " + json.dumps({
-        "maintain_wall_s": round(wall, 3),
+        "line": line,
+        "wall_s": round(wall, 3),
         "n_jobs": len(new),
         "job_durations_s": sorted(round(_dur(j), 3) for j in new),
         "top_jobs": [
@@ -138,9 +144,10 @@ def _census_mode() -> None:
     }), flush=True)
 
 
-def _run_sub(mode: str) -> dict:
+def _run_sub(mode: str, extra: list | None = None) -> dict:
     r = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), f"--{mode}-mode"],
+        [sys.executable, os.path.abspath(__file__), f"--{mode}-mode",
+         *(extra or [])],
         capture_output=True, text=True,
     )
     for line in r.stdout.splitlines():
@@ -157,23 +164,29 @@ def main() -> None:
         _floor_mode()
         return
     if args[:1] == ["--census-mode"]:
-        _census_mode()
+        _census_mode(args[1] if len(args) > 1 else "ivf_maintain_20x")
         return
     out_path = None
-    if args[:1] == ["--out"]:
-        if len(args) != 2:
-            sys.exit("usage: dispatch_probe.py [--out F.json]")
-        out_path = args[1]
-    elif args:
-        sys.exit("usage: dispatch_probe.py [--out F.json]")
+    line = "ivf_maintain_20x"
+    i = 0
+    while i < len(args):
+        if args[i] == "--out" and i + 1 < len(args):
+            out_path = args[i + 1]
+            i += 2
+        elif args[i] == "--line" and i + 1 < len(args):
+            line = args[i + 1]
+            i += 2
+        else:
+            sys.exit("usage: dispatch_probe.py [--out F.json] "
+                     "[--line BENCH_LINE]")
 
     from tools.bench_lines import quiet_guard
 
     guard = quiet_guard(CPUS, io_paths=[SF_DIR])
-    census = _run_sub("census")
+    census = _run_sub("census", [line])
     floor = _run_sub("floor")
-    payload = {"sf_dir": SF_DIR, "cpus": CPUS, "guard": guard,
-               "floor": floor, "census": census}
+    payload = {"sf_dir": SF_DIR, "cpus": CPUS, "line": line,
+               "guard": guard, "floor": floor, "census": census}
     print("DISPATCHJSON " + json.dumps(payload), flush=True)
     if out_path:
         with open(out_path, "w") as f:
