@@ -91,9 +91,16 @@ def pagerank(
     # slot per invocation) so the pair-generation subtree (a banded
     # dedup join upstream) runs once, not once per iteration side; at
     # scale additionally pre-partition by src so each round's join is a
-    # single-sided exchange.
+    # single-sided exchange. The src ∈ nodes semi-join preserves the
+    # previous formulation's contract exactly (its per-round INNER join
+    # against the node-keyed rank table silently dropped edges whose
+    # src is outside ``nodes``): applied ONCE here instead of once per
+    # round.
+    node_ids = nodes.select(F.col("id").cast("long").alias("src"))
     contrib_edges = persist_slot(
-        edges.join(deg, edges.src == deg.id).select("src", "dst", "degree"),
+        edges.join(deg, edges.src == deg.id)
+        .join(node_ids, "src", "left_semi")
+        .select("src", "dst", "degree"),
         f"graph.pagerank.{uuid.uuid4().hex[:12]}",
         eager=True,
     )
@@ -104,29 +111,46 @@ def pagerank(
     # single reference the plan grows linearly and the periodic
     # checkpoint keeps even that bounded.
     ids = nodes.select(F.col("id").cast("long").alias("id"))
-    ranks = ids.withColumn("rank", F.lit(1.0))
+    # r14 (guide §2.4): the loop carries the SUM table s_i — rank is the
+    # affine map rank_i(v) = (1-d) + d*s_i(v) with a missing s_i read
+    # as 0 — instead of a materialized rank table. Two joins disappear:
+    # round 1 needs NO join at all (rank_0 ≡ 1.0 — the contribution is
+    # the constant-numerator 1.0/degree, straight off the persisted
+    # edge table), and the per-round "ids LEFT JOIN contribs"
+    # rank-completion join collapses into the NEXT round's edge join
+    # (its left join keeps every edge row; a src with no s contributes
+    # ((1-d) + d*0)/degree, exactly the completed rank). For the
+    # 3-round default: 2 joins + 3 aggregations + 1 final completion
+    # join, vs 6 joins + 3 aggregations — per-round exchanges of the
+    # rank table at 100 TB drop by half. Arithmetic is unchanged
+    # operation for operation (same divisions, same affine form), so
+    # ranks are identical up to aggregation-sum ordering, which is
+    # already engine-variant (the oracle's SQL replay sums in its own
+    # order and the 5-dp round absorbs it).
+    rank_of = F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(
+        F.col("s"), F.lit(0.0)
+    )
+    s = None
     for i in range(iterations):
-        contribs = (
-            contrib_edges.join(ranks, contrib_edges.src == ranks.id)
-            .select(
+        if s is None:
+            contribs = contrib_edges.select(
                 F.col("dst").alias("id"),
-                (F.col("rank") / F.col("degree")).alias("c"),
+                (F.lit(1.0) / F.col("degree")).alias("c"),
             )
-            .groupBy("id")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = ids.join(contribs, "id", "left").select(
-            "id",
-            (
-                F.lit(1.0 - damping)
-                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-            ).alias("rank"),
-        )
+        else:
+            contribs = (
+                contrib_edges.join(s, contrib_edges.src == s.id, "left")
+                .select(
+                    F.col("dst").alias("id"),
+                    (rank_of / F.col("degree")).alias("c"),
+                )
+            )
+        s = contribs.groupBy("id").agg(F.sum("c").alias("s"))
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and (
             i + 1
         ) < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+            s = s.localCheckpoint(eager=True)
+    return ids.join(s, "id", "left").select("id", rank_of.alias("rank"))
 
 
 def triangle_counts(pairs: DataFrame) -> DataFrame:

@@ -68,6 +68,50 @@ __all__ = [
 _unit = unit_or_null  # shared normalize-or-null policy (functions.vector)
 
 
+def _collect_queries(queries: DataFrame, qid_col: str, qvec_col: str,
+                     *, normalize: bool):
+    """Driver-side query matrix for the Arrow scoring kernels
+    (``functions.batchscore``): ``(qids, Q, q_nulls)`` with ``Q``
+    unit-normalized (cosine tiers) or raw (MIPS). Returns ``None``
+    above the kernel's collect bound — callers then keep the
+    pure-Catalyst plan, so a corpus-sized query side is never pulled
+    to the driver (same bound class as the broadcast it replaces)."""
+    from ..functions import batchscore as B
+
+    got = B.collect_vectors(queries.select(
+        F.col(qid_col).cast("long"), F.col(qvec_col)))
+    if got is None:
+        return None
+    qids, Q, q_nulls = got
+    if normalize:
+        Q, q_nulls = B.seq_unit(Q, q_nulls)
+    return qids, Q, q_nulls
+
+
+def _topk_arrow(vectors: DataFrame, qm, k: int, id_col: str,
+                vector_col: str, *, normalize_vectors: bool) -> DataFrame:
+    """Shared Arrow top-k plan: one corpus scan -> partition-local
+    scored top-k per query (``batchscore.make_topk_map_fn``) -> final
+    per-query window over the bounded survivor set. Bit-exact scores
+    and ordering vs the crossJoin + window plan it replaces; the rows
+    entering the one shuffle drop from O(candidates) to
+    O(partitions x queries x k)."""
+    from ..functions import batchscore as B
+
+    qids, Q, q_nulls = qm
+    fn, schema = B.make_topk_map_fn(
+        qids, Q, q_nulls, k, normalize_vectors=normalize_vectors)
+    part = vectors.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vector_col)
+    ).mapInArrow(fn, schema)
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "id", "score", "rank")
+    )
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -79,8 +123,17 @@ def brute_force_topk(
     qvec_col: str = "qvec",
 ) -> DataFrame:
     """Exact cosine top-k per query: ``(qid, id, score, rank)``. The
-    query side is broadcast; the corpus is scanned once whatever the
-    query-batch size."""
+    query batch ships to every task once (driver matrix -> Arrow
+    kernel closure — the broadcast's cost class) and the corpus is
+    scanned once whatever the query-batch size; scoring runs as ONE
+    NumPy pass per Arrow batch with partition-local top-k, bit-exact
+    to the previous crossJoin + interpreted-fold plan (guide §4.2;
+    see ``functions.batchscore``). A query side too large to collect
+    falls back to the crossJoin plan unchanged."""
+    qm = _collect_queries(queries, qid_col, qvec_col, normalize=True)
+    if qm is not None:
+        return _topk_arrow(vectors, qm, k, id_col, vector_col,
+                           normalize_vectors=True)
     v = vectors.select(
         F.col(id_col).cast("long").alias("id"), _unit(F.col(vector_col)).alias("_v")
     )
@@ -117,7 +170,14 @@ def mips_topk(
     baseline shape as :func:`brute_force_topk`: the query batch is
     broadcast and the corpus is scanned once whatever the batch size.
     For the sublinear path, :func:`mips_augment` turns ANY cosine tier
-    in this package into a MIPS index."""
+    in this package into a MIPS index. Same Arrow scoring kernel as
+    :func:`brute_force_topk` (raw vectors on both sides — no
+    normalization anywhere); oversized query batches fall back to the
+    crossJoin plan."""
+    qm = _collect_queries(queries, qid_col, qvec_col, normalize=False)
+    if qm is not None:
+        return _topk_arrow(vectors, qm, k, id_col, vector_col,
+                           normalize_vectors=False)
     v = vectors.select(
         F.col(id_col).cast("long").alias("id"), F.col(vector_col).alias("_v")
     )
@@ -249,13 +309,50 @@ def ivf_assign(
     vector_col: str = "embedding",
 ) -> DataFrame:
     """``(id, centroid_id)``: each vector's nearest centroid — the IVF
-    partitioning key (store the corpus partitioned/bucketed by it)."""
+    partitioning key (store the corpus partitioned/bucketed by it).
+
+    The assignment is a PER-ROW argmax over the broadcast-small
+    centroid set, so it needs no exchange at all: a vectorized
+    pandas_udf scores each Arrow batch against the collected centroid
+    matrix (bit-exact window semantics — ``functions.batchscore``).
+    The previous plan cross-joined n x K rows and ran a
+    ``row_number`` window over them: one full shuffle + sort of the
+    candidate space per build/maintenance pass, pure overhead at any
+    scale (guide §2.4). Falls back to that plan only if the centroid
+    set exceeds the driver-collect bound (not a real IVF regime)."""
+    acol = nearest_centroid_col(centroids, F.col(vector_col))
+    if acol is not None:
+        return vectors.select(
+            F.col(id_col).cast("long").alias("id"),
+            acol.alias("centroid_id"),
+        )
     pts = vectors.select(
         F.col(id_col).cast("long").alias("id"), _unit(F.col(vector_col)).alias("_v")
     )
     return _nearest_centroids(pts, centroids, 1, "id", "_v").select(
         "id", "centroid_id"
     )
+
+
+def nearest_centroid_col(centroids: DataFrame, vector_col):
+    """Column computing each row's nearest-centroid id (the
+    ``_nearest_centroids(n=1)`` winner under ``(cosine desc,
+    centroid_id asc)``, NULLs last) as a vectorized pandas_udf over the
+    collected centroid set — no join, no shuffle. ``None`` when the
+    centroid table is too large to collect (callers fall back)."""
+    from pyspark.sql import types as T
+
+    from ..functions import batchscore as B
+
+    got = B.collect_vectors(
+        centroids.select(F.col("centroid_id").cast("long"), F.col("cvec")))
+    if got is None or len(got[0]) == 0:
+        return None
+    cids, C, c_nulls = got
+    Cu, c_nulls = B.seq_unit(C, c_nulls)
+    body = B.make_nearest_centroid_udf_body(cids, Cu, c_nulls)
+    udf = F.pandas_udf(body, T.LongType())
+    return udf(vector_col)
 
 
 def ivf_topk(
@@ -271,7 +368,41 @@ def ivf_topk(
     qvec_col: str = "qvec",
 ) -> DataFrame:
     """IVF query: probe the ``nprobe`` nearest centroid partitions, exact
-    rerank inside them. ``(qid, id, score, rank)``."""
+    rerank inside them. ``(qid, id, score, rank)``.
+
+    Fast path (bounded query batch + centroid set): ONE corpus scan
+    carrying the per-row centroid assignment as a vectorized pandas_udf
+    column (no assignment shuffle, no join back on id — the previous
+    plan shuffled the corpus twice: once for the assignment window,
+    once for the ``join(v, "id")``), probes computed driver-side from
+    the same collected matrices (no probe-ranking job), candidate
+    scoring in the shared Arrow kernel. Result-identical; the only
+    remaining exchange is the bounded final per-query window."""
+    qm = _collect_queries(queries, qid_col, qvec_col, normalize=True)
+    acol = nearest_centroid_col(centroids, F.col(vector_col))
+    probe_rows = (_probe_rows_local(qm, centroids, nprobe)
+                  if qm is not None and acol is not None else None)
+    if probe_rows is not None:
+        from ..functions import batchscore as B
+
+        spark = vectors.sparkSession
+        probes = F.broadcast(spark.createDataFrame(
+            probe_rows, "qid long, centroid_id long"))
+        withvec = vectors.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vector_col).alias("_vraw"),
+            acol.alias("centroid_id"),
+        )
+        cand = withvec.join(probes, "centroid_id").select(
+            "qid", "id", "_vraw")
+        fn, schema = B.make_pair_score_fn(*qm, normalize_vectors=True)
+        scored = cand.mapInArrow(fn, schema)
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "id", "score", "rank")
+        )
     assign = ivf_assign(vectors, centroids, id_col=id_col, vector_col=vector_col)
     q = queries.select(
         F.col(qid_col).cast("long").alias("qid"), _unit(F.col(qvec_col)).alias("_q")
@@ -295,6 +426,44 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "id", "score", "rank")
     )
+
+
+def _probe_rows_local(qm, centroids: DataFrame, nprobe: int, cgot=None
+                      ) -> list[tuple[int, int]]:
+    """Driver-side twin of ``_nearest_centroids(q, centroids, nprobe)``
+    + collect: the ``nprobe`` best centroid ids per query under
+    ``(cosine desc, centroid_id asc)`` with NULLs last and NaN first —
+    the exact window order, computed from the already-collected query
+    matrix with the bit-exact sequential folds. Saves one full Spark
+    job (cross-join + window + collect) per stored/pruned query."""
+    import numpy as np
+
+    from ..functions import batchscore as B
+
+    qids, Qu, q_nulls = qm
+    got = cgot if cgot is not None else B.collect_vectors(
+        centroids.select(F.col("centroid_id").cast("long"), F.col("cvec")))
+    if got is None:
+        return None  # caller falls back to the Catalyst plan
+    cids, C, c_nulls = got
+    Cu, c_nulls = B.seq_unit(C, c_nulls)
+    if Qu.shape[0] == 0 or len(cids) == 0:
+        return []
+    if Qu.shape[1] == Cu.shape[1]:
+        S = B.seq_dots(Qu, Cu)  # (nq, K)
+    else:
+        # zip_with width mismatch -> NULL score for every pair
+        S = np.zeros((Qu.shape[0], len(cids)), dtype=np.float64)
+        c_nulls = np.ones(len(cids), dtype=bool)
+    rows: list[tuple[int, int]] = []
+    npb = min(int(nprobe), len(cids))
+    for qi in range(len(qids)):
+        sq = S[qi]
+        nulls = c_nulls | bool(q_nulls[qi])
+        key2 = np.where(np.isnan(sq), -np.inf, -sq)
+        sel = np.lexsort((cids, key2, nulls.astype(np.int8)))[:npb]
+        rows.extend((int(qids[qi]), int(cids[j])) for j in sel)
+    return rows
 
 
 def truncated_topk(
@@ -362,22 +531,37 @@ def truncated_topk(
         coarse = brute_force_topk(
             tv, tq, coarse_k, id_col="id", vector_col="tvec"
         )
-    v = vectors.select(
-        F.col(id_col).cast("long").alias("id"),
-        _unit(F.col(vector_col)).alias("_v"),
-    )
-    q = F.broadcast(queries.select(
-        F.col(qid_col).cast("long").alias("qid"),
-        _unit(F.col(qvec_col)).alias("_q"),
-    ))
-    scored = (
-        coarse.select("qid", "id")
-        .join(v, "id")
-        .join(q, "qid")
-        .select(
-            "qid", "id", dot_product(F.col("_q"), F.col("_v")).alias("score")
+    qm = _collect_queries(queries, qid_col, qvec_col, normalize=True)
+    if qm is not None:
+        from ..functions import batchscore as B
+
+        v = vectors.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vector_col).alias("_vraw"),
         )
-    )
+        fn, schema = B.make_pair_score_fn(*qm, normalize_vectors=True)
+        scored = (
+            coarse.select("qid", "id").join(v, "id")
+            .select("qid", "id", "_vraw")
+            .mapInArrow(fn, schema)
+        )
+    else:
+        v = vectors.select(
+            F.col(id_col).cast("long").alias("id"),
+            _unit(F.col(vector_col)).alias("_v"),
+        )
+        q = F.broadcast(queries.select(
+            F.col(qid_col).cast("long").alias("qid"),
+            _unit(F.col(qvec_col)).alias("_q"),
+        ))
+        scored = (
+            coarse.select("qid", "id")
+            .join(v, "id")
+            .join(q, "qid")
+            .select(
+                "qid", "id", dot_product(F.col("_q"), F.col("_v")).alias("score")
+            )
+        )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -903,11 +1087,32 @@ def truncated_topk_stored(
 
     Tombstones are honored via the coarse stage
     (:func:`ivf_topk_stored` anti-joins ``_deleted``); the inner
-    shortlist join keeps the sidecar's dead rows out by construction."""
+    shortlist join keeps the sidecar's dead rows out by construction.
+
+    r14: the query batch is collected ONCE (bounded, the quantity the
+    previous plan broadcast) and every derived need — the truncated
+    probe matrix, the refine='auto' batch-size test, the coarse
+    probes, the full-width refine scores — is served from the driver
+    matrices instead of its own Spark job (the line was
+    dispatch-bound: cents-dims collect, queries.count, probe-ranking
+    collect were three extra driver-synchronous jobs per batch)."""
+    from ..functions import batchscore as B
+
     cents = spark.read.parquet(f"{store_path}/_centroids")
-    coarse_dims = int(
-        cents.select(F.size("cvec").alias("d")).limit(1).collect()[0]["d"]
-    )
+    if refine not in ("auto", "scan", "pushdown"):
+        raise ValueError(
+            f"refine must be 'auto', 'scan' or 'pushdown' (got {refine!r})"
+        )
+    got = B.collect_vectors(queries.select(
+        F.col(qid_col).cast("long"), F.col(qvec_col)))
+    cgot = B.collect_vectors(cents.select(
+        F.col("centroid_id").cast("long"), F.col("cvec")))
+    if cgot is not None and len(cgot[0]):
+        coarse_dims = int(cgot[1].shape[1])
+    else:
+        coarse_dims = int(
+            cents.select(F.size("cvec").alias("d")).limit(1).collect()[0]["d"]
+        )
     if coarse_k is None:
         coarse_k = max(4 * k, k)
     if coarse_k < k:
@@ -915,17 +1120,23 @@ def truncated_topk_stored(
             f"coarse_k ({coarse_k}) must be >= k ({k}) — the rerank can "
             f"only reorder the shortlist, not extend it"
         )
-    if refine not in ("auto", "scan", "pushdown"):
-        raise ValueError(
-            f"refine must be 'auto', 'scan' or 'pushdown' (got {refine!r})"
-        )
     tq = queries.select(
         F.col(qid_col).cast("long").alias("qid"),
         F.slice(F.col(qvec_col), 1, coarse_dims).alias("qvec"),
     )
+    qm_t = None
+    qm_full = None
+    n_queries = None
+    if got is not None:
+        qids, Qraw, q_nulls = got
+        n_queries = len(qids)
+        if Qraw.shape[1] >= coarse_dims:
+            qm_t = (qids,) + B.seq_unit(
+                Qraw[:, :coarse_dims].copy(), q_nulls)
+        qm_full = (qids,) + B.seq_unit(Qraw, q_nulls)
     coarse = ivf_topk_stored(
         spark, store_path, cents, tq, coarse_k, nprobe,
-        extra_filter=extra_filter,
+        extra_filter=extra_filter, _qm=qm_t, _cm=cgot,
     )
     if refine == "auto":
         jvm = spark._jvm
@@ -934,9 +1145,11 @@ def truncated_topk_stored(
             p.getFileSystem(spark._jsc.hadoopConfiguration())
             .getContentSummary(p).getLength()
         )
+        if n_queries is None:
+            n_queries = queries.count()
         refine = (
             "pushdown"
-            if (queries.count() * coarse_k <= refine_pushdown_limit
+            if (n_queries * coarse_k <= refine_pushdown_limit
                 and side_bytes >= (1 << 28))
             else "scan"
         )
@@ -951,27 +1164,42 @@ def truncated_topk_stored(
             full_raw = full_raw.filter(
                 F.col("id").isin(sorted({int(r.id) for r in rows}))
             )
-    full = full_raw.select(
-        F.col("id").cast("long").alias("id"),
-        _unit(F.col("embedding")).alias("_v"),
-    )
-    q = F.broadcast(queries.select(
-        F.col(qid_col).cast("long").alias("qid"),
-        _unit(F.col(qvec_col)).alias("_q"),
-    ))
-    scored = (
-        shortlist
-        .join(full, "id")
-        .join(q, "qid")
-        .select(
-            "qid", "id", dot_product(F.col("_q"), F.col("_v")).alias("score")
+    if qm_full is not None:
+        fn, schema = B.make_pair_score_fn(*qm_full, normalize_vectors=True)
+        scored = (
+            shortlist.join(
+                full_raw.select(
+                    F.col("id").cast("long").alias("id"),
+                    F.col("embedding").alias("_vraw"),
+                ),
+                "id",
+            )
+            .select("qid", "id", "_vraw")
+            .mapInArrow(fn, schema)
+            # a crash-replayed truncated_ivf_absorb_staging leaves
+            # duplicate sidecar rows (same id -> same vector -> same
+            # score) until the next compaction; dedupe on the bounded
+            # post-join shortlist, never the sidecar scan
+            .dropDuplicates(["qid", "id"])
         )
-        # a crash-replayed truncated_ivf_absorb_staging leaves duplicate
-        # sidecar rows (same id -> same vector -> same score) until the
-        # next compaction; dedupe is on the bounded post-join shortlist,
-        # never the sidecar scan
-        .dropDuplicates(["qid", "id"])
-    )
+    else:
+        full = full_raw.select(
+            F.col("id").cast("long").alias("id"),
+            _unit(F.col("embedding")).alias("_v"),
+        )
+        q = F.broadcast(queries.select(
+            F.col(qid_col).cast("long").alias("qid"),
+            _unit(F.col(qvec_col)).alias("_q"),
+        ))
+        scored = (
+            shortlist
+            .join(full, "id")
+            .join(q, "qid")
+            .select(
+                "qid", "id", dot_product(F.col("_q"), F.col("_v")).alias("score")
+            )
+            .dropDuplicates(["qid", "id"])
+        )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -991,6 +1219,8 @@ def ivf_topk_stored(
     qid_col: str = "qid",
     qvec_col: str = "qvec",
     extra_filter=None,
+    _qm=None,
+    _cm=None,
 ) -> DataFrame:
     """IVF query against a stored layout (``ivf_write_store``): probed
     centroid ids become a partition-pruning ``isin`` filter on the scan —
@@ -1005,16 +1235,27 @@ def ivf_topk_stored(
     one scan, and because the predicate cuts candidates BEFORE
     ranking, the query never underfills ``k`` the way post-filtering a
     top-k does."""
-    q = queries.select(
-        F.col(qid_col).cast("long").alias("qid"), _unit(F.col(qvec_col)).alias("_q")
-    )
-    # Collect the (tiny: nqueries x nprobe) probe set ONCE: the rows both
-    # drive the partition filter and become the join side, so the
-    # centroid-ranking job runs a single time.
-    probe_rows = [
-        (int(r.qid), int(r.centroid_id))
-        for r in _nearest_centroids(q, centroids, nprobe, "qid", "_q").collect()
-    ]
+    qm = _qm if _qm is not None else _collect_queries(
+        queries, qid_col, qvec_col, normalize=True)
+    if qm is not None:
+        # Probe ranking runs ENTIRELY driver-side from the collected
+        # query/centroid matrices (bit-exact window order) — the
+        # previous shape paid one cross-join + window + collect Spark
+        # job just to rank nqueries x K tiny rows before the scan
+        # (dispatch-bound cost on every stored query; guide §1.2).
+        probe_rows = _probe_rows_local(qm, centroids, nprobe, cgot=_cm)
+        if probe_rows is None:
+            qm = None  # uncollectable centroid table: Catalyst path
+    if qm is None:
+        q = queries.select(
+            F.col(qid_col).cast("long").alias("qid"),
+            _unit(F.col(qvec_col)).alias("_q"),
+        )
+        probe_rows = [
+            (int(r.qid), int(r.centroid_id))
+            for r in _nearest_centroids(
+                q, centroids, nprobe, "qid", "_q").collect()
+        ]
     probe_cids = sorted({cid for _, cid in probe_rows})
     probes = spark.createDataFrame(probe_rows, "qid long, centroid_id long")
     store = spark.read.parquet(store_path).filter(
@@ -1023,16 +1264,33 @@ def ivf_topk_stored(
     if extra_filter is not None:
         store = store.filter(extra_filter)     # -> PushedFilters on the scan
     store = _apply_ivf_tombstones(spark, store, store_path)
-    v = store.select(
-        F.col("centroid_id").cast("long").alias("centroid_id"),
-        "id",
-        _unit(F.col("embedding")).alias("_v"),
-    )
-    scored = (
-        probes.join(v, "centroid_id")
-        .join(F.broadcast(q), "qid")
-        .select("qid", "id", dot_product(F.col("_q"), F.col("_v")).alias("score"))
-    )
+    if qm is not None:
+        from ..functions import batchscore as B
+
+        fn, schema = B.make_pair_score_fn(*qm, normalize_vectors=True)
+        scored = (
+            F.broadcast(probes).join(
+                store.select(
+                    F.col("centroid_id").cast("long").alias("centroid_id"),
+                    "id", F.col("embedding").alias("_vraw"),
+                ),
+                "centroid_id",
+            )
+            .select("qid", "id", "_vraw")
+            .mapInArrow(fn, schema)
+        )
+    else:
+        v = store.select(
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            "id",
+            _unit(F.col("embedding")).alias("_v"),
+        )
+        scored = (
+            probes.join(v, "centroid_id")
+            .join(F.broadcast(q), "qid")
+            .select("qid", "id",
+                    dot_product(F.col("_q"), F.col("_v")).alias("score"))
+        )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -2397,13 +2655,32 @@ def ivfpq_topk_stored(
     a partition-pruning filter on the code-table scan, then ADC scores
     the surviving codes — :func:`pq_adc_topk` restricted to the probed
     cells. ``(id, dist2, rank)``."""
-    q = spark.createDataFrame(
-        [(0, [float(x) for x in query_vec])], "qid long, qvec array<float>"
-    ).select(F.col("qid"), _unit(F.col("qvec")).alias("_q"))
-    probe_cids = sorted(
-        int(r.centroid_id)
-        for r in _nearest_centroids(q, centroids, nprobe, "qid", "_q").collect()
-    )
+    import numpy as np
+
+    from ..functions import batchscore as B
+
+    cgot = B.collect_vectors(centroids.select(
+        F.col("centroid_id").cast("long"), F.col("cvec")))
+    if cgot is not None and len(cgot[0]):
+        # driver-side probe ranking (no Spark job): replicate the old
+        # plan's float path exactly — the literal query round-tripped
+        # through array<float> before the double-cast normalize
+        qv = np.asarray([float(x) for x in query_vec],
+                        dtype=np.float32).astype(np.float64)
+        Qu, q_nulls = B.seq_unit(qv[None, :])
+        rows = _probe_rows_local(
+            (np.zeros(1, dtype=np.int64), Qu, q_nulls),
+            centroids, nprobe, cgot=cgot)
+        probe_cids = sorted(cid for _, cid in rows or [])
+    else:
+        q = spark.createDataFrame(
+            [(0, [float(x) for x in query_vec])], "qid long, qvec array<float>"
+        ).select(F.col("qid"), _unit(F.col("qvec")).alias("_q"))
+        probe_cids = sorted(
+            int(r.centroid_id)
+            for r in _nearest_centroids(
+                q, centroids, nprobe, "qid", "_q").collect()
+        )
     store = spark.read.parquet(store_path).filter(
         F.col("centroid_id").isin(probe_cids)  # -> PartitionFilters
     )

@@ -257,10 +257,35 @@ def rerank(
     ``queries_df`` carries ``(qid, qvec)``; candidate vectors come from a
     join against the primary vector table (Q5) — the candidate side is
     small relative to the corpus, so Catalyst/AQE broadcasts it.
+
+    r14: for a bounded query batch the per-pair cosine runs in the
+    shared Arrow kernel (``functions.batchscore.make_rerank_fn``) —
+    bit-exact scores, no interpreted higher-order-function fold per
+    candidate and no query-side join; oversized batches (or an
+    explicit ``round_scores``) keep the Catalyst plan.
     """
     vecs = vectors_df.select(
         F.col(id_col).cast("long").alias("id"), F.col(vector_col).alias("_cvec")
     )
+    if round_scores is None:
+        from ..functions import batchscore as B
+
+        got = B.collect_vectors(queries_df.select(
+            F.col("qid").cast("long"), F.col(query_vector_col)))
+        if got is not None:
+            qids, Q, q_nulls = got
+            Qu, q_nulls = B.seq_unit(Q, q_nulls)
+            fn, schema = B.make_rerank_fn(qids, Qu, q_nulls)
+            return (
+                cands.select(
+                    F.col("qid").cast("long").alias("qid"),
+                    F.col("id").cast("long").alias("id"),
+                    F.col("collisions").cast("long").alias("collisions"),
+                )
+                .join(vecs, "id")
+                .select("qid", "id", "collisions", "_cvec")
+                .mapInArrow(fn, schema)
+            )
     # Hoist the query-side norm into the (tiny, broadcast) query projection;
     # the candidate side stays raw — normalizing it in the projection would
     # touch every corpus row, not just the matched candidates.

@@ -722,9 +722,12 @@ def test_bm25_postings_read_prunes_to_one_bucket(spark, tmp_path):
 
 
 def test_mips_topk_broadcasts_queries_single_corpus_scan(spark, emb):
-    """The exact-MIPS baseline keeps brute_force_topk's plan contract:
-    the query batch is broadcast (the one labeled exact cross join) and
-    the corpus is scanned once whatever the batch size."""
+    """The exact-MIPS baseline keeps brute_force_topk's plan contract
+    (r14 Arrow-kernel form): the query batch ships to every task inside
+    the MapInArrow closure (the broadcast's cost class — no join node
+    at all), the corpus is scanned ONCE whatever the batch size, and
+    the kernel's partition-local top-k leaves a single bounded
+    exchange before the final per-query window."""
     from lshrs_spark.operators.knn import mips_topk
 
     q = emb.filter(F.col("vec_id") < 3).select(
@@ -732,12 +735,14 @@ def test_mips_topk_broadcasts_queries_single_corpus_scan(spark, emb):
     )
     out = mips_topk(emb, q, 5)
     plan = physical_plan(out)
-    assert "BroadcastNestedLoopJoin" in plan
-    # two scans total (corpus + query slice) — formatted plans list
-    # each scan once in the tree and once in the detail section
+    # scoring + partition-local top-k run in ONE Arrow kernel pass
+    assert "MapInArrow" in plan
+    # one corpus scan, no join of any kind (the query batch rides the
+    # kernel closure; formatted plans list each scan twice: tree+detail)
     assert plan.count("Location: InMemoryFileIndex") <= 2
-    # the per-query top-k is cut map-side before the one shuffle
-    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
+    # exactly one exchange: the bounded survivor set's per-query window
+    assert plan.count("+- Exchange") == 1
     assert out.count() == 15
 
 

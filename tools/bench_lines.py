@@ -328,6 +328,15 @@ class BenchState:
 
     def emb(self):
         if "emb" not in self._c:
+            # NOTE (r14): the 800 KB sf0.1 file reads as ONE input
+            # split (under the 4 MB open-cost floor), so 1x-corpus
+            # stages run single-task. A repartition(cpus) here was
+            # measured and REVERTED: after the Arrow scoring kernels
+            # the single-split compute is cheap, and the extra
+            # exchange cost ~0.15 s inside every timed line that
+            # pipelines from the corpus (index_build, the probe
+            # batches, simjoin) while buying nothing. At real scale
+            # the file count provides the parallelism.
             emb = self.spark.read.parquet(
                 f"{self.sf_dir}/embeddings.parquet")
             emb.count()  # warm the scan / JVM before timing
