@@ -383,6 +383,10 @@ class LSHRS:
                     [], "vec_id long, embedding array<float>"
                 ),
                 q,
+                # no-job guard contract (ADVICE r7): the Arrow rerank
+                # would eagerly collect the query batch — a Spark job —
+                # just to build a provably-empty frame
+                allow_collect=False,
             )
         else:
             scored = rerank(

@@ -406,6 +406,60 @@ def make_rerank_fn(qids, Q, q_nulls):
     return fn, "qid long, id long, collisions bigint, score double"
 
 
+def make_dot_pairs_fn():
+    """``mapInArrow`` function over ``(id_a, id_b, va, vb)`` batches
+    (a pair table with both vectors attached): emit
+    ``(id_a, id_b, score)`` with ``score`` the bit-exact sequential
+    dot of the two arrays — the vectorized replacement for the
+    per-pair Catalyst ``dot_product`` in similarity joins. NULL when
+    either side is NULL or the widths differ (``zip_with`` padding
+    nulls the fold). Rounding/threshold stay in Catalyst downstream —
+    the kernel never re-implements ``F.round``. Needs no driver-side
+    matrix, so it has no collect bound and no fallback."""
+    to_matrix = _make_to_matrix()
+
+    def fn(it):
+        import numpy as np
+        import pyarrow as pa
+
+        def width_of(vcol):
+            try:
+                offs = vcol.offsets.to_numpy(zero_copy_only=False)
+                lens = np.diff(offs)
+                if len(lens) and (lens == lens[0]).all():
+                    return int(lens[0])
+            except AttributeError:
+                if hasattr(vcol.type, "list_size"):
+                    return int(vcol.type.list_size)
+            for v in vcol.to_pylist():
+                if v is not None:
+                    return len(v)
+            return 0
+
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ida = batch.column(0).to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False)
+            idb = batch.column(1).to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False)
+            va_col, vb_col = batch.column(2), batch.column(3)
+            w = width_of(va_col)
+            A, a_null = to_matrix(va_col, n, w)
+            B_, b_null = to_matrix(vb_col, n, w)
+            s = np.zeros(n, dtype=np.float64)
+            for j in range(w):
+                s += A[:, j] * B_[:, j]
+            nulls = a_null | b_null
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ida), pa.array(idb), pa.array(s, mask=nulls)],
+                names=["id_a", "id_b", "score"],
+            )
+
+    return fn, "id_a long, id_b long, score double"
+
+
 def make_nearest_centroid_udf_body(cids, C_unit, c_nulls):
     """Body for a ``pandas_udf("long")``: per batch of RAW vectors, the
     winning centroid id under the exact ``_nearest_centroids(n=1)``

@@ -661,26 +661,36 @@ def bm25_index_write(
             "bm25_index_write supports mode='overwrite' only — use "
             "stream_bm25_ingest for incremental maintenance"
         )
-    postings, dl = bm25_postings(
+    postings, _dl = bm25_postings(
         df, num_buckets, id_col=id_col, text_col=text_col,
         store_positions=store_positions,
     )
-    # dl feeds both the postings write (denormalized) and the stats
-    # row; persist so the tokenize+aggregate pipeline runs once
-    dl = dl.persist()
+    (
+        postings.repartition(F.col("bucket"))
+        .sortWithinPartitions("tok", "id")
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    # Corpus constants from a COLUMN-PRUNED read-back of the store just
+    # written ((id, dl) only — dl rides denormalized on every posting),
+    # so the tokenize pass runs exactly once per build: the previous
+    # shape persisted the dl table and paid a second tokenize+aggregate
+    # pass to fill it (r14; at 100 TB reading two int columns back is
+    # a fraction of one corpus tokenize).
     try:
-        (
-            postings.repartition(F.col("bucket"))
-            .sortWithinPartitions("tok", "id")
-            .write.mode(mode)
-            .partitionBy("bucket")
-            .parquet(path)
+        dl_back = (
+            df.sparkSession.read.parquet(path)
+            .groupBy("id").agg(F.min("dl").alias("dl"))
         )
-        bm25_stats_row(dl, num_buckets).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{path}/_stats")
-    finally:
-        dl.unpersist()
+    except Exception:
+        # empty corpus: no partition dirs to infer a schema from —
+        # fall back to the lazy dl derivation (re-runs the one pass
+        # over the empty input; stats row still lands with zeros)
+        dl_back = _dl
+    bm25_stats_row(dl_back, num_buckets).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/_stats")
 
 
 def bm25_store_report(spark, path: str, *, ratio: float = 4.0):
@@ -856,24 +866,85 @@ def bm25_postings(
     batch writer (:func:`bm25_index_write`) and the streaming
     maintainer (:func:`~lshrs_spark.streaming.ingest.
     stream_bm25_ingest`): ONE definition of the layout schema and the
-    bucket key, so the two writers cannot drift apart."""
-    toks = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    bucket key, so the two writers cannot drift apart.
+
+    r14 (guide §2.3/§4.2): per-document term counting is ROW-LOCAL, so
+    the postings table is produced by ONE Arrow pass over ``(id,
+    text)`` — tokenize, count, bucket (``h48_py % num_buckets``, the
+    same values as :func:`bm25_bucket_col`) inside the kernel — where
+    the previous ``posexplode -> groupBy(id, tok) -> join(dl on id)``
+    shape tokenized the corpus twice and shuffled every TOKEN
+    occurrence through two aggregation exchanges plus an id-keyed join
+    of the big side before the write's own bucket shuffle. Values are
+    identical (integer tf/dl/positions, same split-on-single-space
+    semantics including empty tokens, NULL text emits nothing); the
+    one behavioral assumption is the layout writers' existing
+    contract that ``id`` is unique (duplicate ids are NOT merged into
+    one document — dedupe upstream, as every store writer already
+    documents). ``dl`` is derived lazily from the postings (one row
+    per doc); consumers that aggregate it to corpus constants pay a
+    partial-agg pass, not a second tokenize."""
+    nb = int(num_buckets)
+    sp = bool(store_positions)
+
+    def emit(it):
+        import hashlib
+
+        import pyarrow as pa
+
+        out_schema = pa.schema(
+            [pa.field("bucket", pa.int64()), pa.field("tok", pa.string()),
+             pa.field("id", pa.int64()), pa.field("tf", pa.int64()),
+             pa.field("dl", pa.int64())]
+            + ([pa.field("positions", pa.list_(pa.int32()))] if sp else [])
+        )
+        for batch in it:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            b_, t_, i_, tf_, dl_ = [], [], [], [], []
+            pos_ = []
+            for did, text in zip(ids, texts):
+                if text is None:
+                    continue  # split(NULL) -> no exploded rows
+                toks = text.split(" ")
+                dl = len(toks)
+                if sp:
+                    counts: dict = {}
+                    for p, t in enumerate(toks):
+                        counts.setdefault(t, []).append(p)
+                    for t, ps in counts.items():
+                        h = int(hashlib.md5(t.encode()).hexdigest()[:12], 16)
+                        b_.append(h % nb)
+                        t_.append(t)
+                        i_.append(did)
+                        tf_.append(len(ps))
+                        dl_.append(dl)
+                        pos_.append(ps)
+                else:
+                    counts = {}
+                    for t in toks:
+                        counts[t] = counts.get(t, 0) + 1
+                    for t, c in counts.items():
+                        h = int(hashlib.md5(t.encode()).hexdigest()[:12], 16)
+                        b_.append(h % nb)
+                        t_.append(t)
+                        i_.append(did)
+                        tf_.append(c)
+                        dl_.append(dl)
+            arrays = [pa.array(b_, pa.int64()), pa.array(t_, pa.string()),
+                      pa.array(i_, pa.int64()), pa.array(tf_, pa.int64()),
+                      pa.array(dl_, pa.int64())]
+            if sp:
+                arrays.append(pa.array(pos_, pa.list_(pa.int32())))
+            yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+    schema = "bucket long, tok string, id long, tf long, dl long" + (
+        ", positions array<int>" if sp else ""
     )
-    aggs = [F.count(F.lit(1)).alias("tf")]
-    if store_positions:
-        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-    tf = toks.groupBy("id", "tok").agg(*aggs)
-    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
-    cols = ["bucket", "tok", "id", "tf", "dl"] + (
-        ["positions"] if store_positions else []
-    )
-    postings = (
-        tf.join(dl, "id")
-        .withColumn("bucket", bm25_bucket_col(F.col("tok"), num_buckets))
-        .select(*cols)
-    )
+    postings = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col)
+    ).mapInArrow(emit, schema)
+    dl = postings.groupBy("id").agg(F.min("dl").alias("dl"))
     return postings, dl
 
 

@@ -251,6 +251,7 @@ def rerank(
     vector_col: str = "embedding",
     query_vector_col: str = "qvec",
     round_scores: Optional[int] = None,
+    allow_collect: bool = True,
 ) -> DataFrame:
     """Exact cosine rerank of candidates: ``(qid, id, collisions, score)``.
 
@@ -263,11 +264,14 @@ def rerank(
     bit-exact scores, no interpreted higher-order-function fold per
     candidate and no query-side join; oversized batches (or an
     explicit ``round_scores``) keep the Catalyst plan.
+    ``allow_collect=False`` forces the Catalyst plan: callers on a
+    no-job guard path (empty-index top-p) must not pay the kernel's
+    eager query-batch collect just to build an empty frame.
     """
     vecs = vectors_df.select(
         F.col(id_col).cast("long").alias("id"), F.col(vector_col).alias("_cvec")
     )
-    if round_scores is None:
+    if round_scores is None and allow_collect:
         from ..functions import batchscore as B
 
         got = B.collect_vectors(queries_df.select(

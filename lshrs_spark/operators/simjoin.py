@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..cache import persist_slot
 from ..config import LSHConfig
-from ..functions.vector import dot_product, unit_or_null
+from ..functions.vector import unit_or_null
 from .index import build_index
 
 __all__ = ["candidate_pairs", "similarity_join", "exact_similarity_join"]
@@ -93,17 +93,29 @@ def similarity_join(
         F.col(id_col).cast("long").alias("_vid"),
         _unit(F.col(vector_col)).alias("_v"),
     )
-    score = dot_product(F.col("_va"), F.col("_vb"))
-    if round_scores is not None:
-        score = F.round(score, round_scores)
-    return (
+    # Per-pair scoring runs in the shared Arrow kernel (guide §4.2):
+    # the Catalyst zip_with+fold dot is interpreted per pair, the
+    # kernel is one NumPy pass per batch with bit-identical values;
+    # rounding and the threshold cut stay Catalyst expressions over
+    # the kernel's raw score, exactly as before.
+    from ..functions.batchscore import make_dot_pairs_fn
+
+    fn, schema = make_dot_pairs_fn()
+    scored = (
         pairs.join(vecs.withColumnRenamed("_v", "_va"), pairs.id_a == vecs._vid)
         .drop("_vid")
         .join(
             vecs.select(F.col("_vid"), F.col("_v").alias("_vb")),
             F.col("id_b") == F.col("_vid"),
         )
-        .select("id_a", "id_b", score.alias("score"))
+        .select("id_a", "id_b", "_va", "_vb")
+        .mapInArrow(fn, schema)
+    )
+    score = F.col("score")
+    if round_scores is not None:
+        score = F.round(score, round_scores)
+    return (
+        scored.select("id_a", "id_b", score.alias("score"))
         .filter(F.col("score") >= threshold)
     )
 
@@ -131,15 +143,25 @@ def exact_similarity_join(
     cond = F.col("a.id") < F.col("b.id")
     if block_col:
         cond = cond & (F.col("a.blk") == F.col("b.blk"))
-    score = dot_product(F.col("a.v"), F.col("b.v"))
-    if round_scores is not None:
-        score = F.round(score, round_scores)
-    return (
+    # same Arrow pair-scoring kernel as similarity_join — the n² pair
+    # space makes the interpreted per-pair fold the dominant CPU term
+    from ..functions.batchscore import make_dot_pairs_fn
+
+    fn, schema = make_dot_pairs_fn()
+    scored = (
         a.join(b, cond)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            score.alias("score"),
+            F.col("a.v").alias("_va"),
+            F.col("b.v").alias("_vb"),
         )
+        .mapInArrow(fn, schema)
+    )
+    score = F.col("score")
+    if round_scores is not None:
+        score = F.round(score, round_scores)
+    return (
+        scored.select("id_a", "id_b", score.alias("score"))
         .filter(F.col("score") >= threshold)
     )

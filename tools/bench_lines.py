@@ -805,7 +805,10 @@ def shared_line_fns(spark, docs, sf_dir: str,
                                    base_hash="xxhash64")
         nodes = docs.select(F.col("doc_id").cast("long").alias("id"))
         n = pagerank(pairs, nodes, iterations=3).count()
-        release_slots()  # pagerank's per-invocation edge persist slot
+        # r14: pagerank's edge table is an invocation-scoped
+        # localCheckpoint now (freed with the frame); release_slots()
+        # stays for any upstream persist residue
+        release_slots()
         return n
 
     vid = with_video_payload(docs, num_frames=3, width=7, height=8)
