@@ -33,16 +33,37 @@ __all__ = ["symmetric_edges", "degree_table", "pagerank",
            "silhouette_score", "silhouette_sample"]
 
 
-def symmetric_edges(pairs: DataFrame) -> DataFrame:
+def symmetric_edges(pairs: DataFrame,
+                    *, partition_by_src: bool = False) -> DataFrame:
     """Undirected ``(id_a, id_b)`` pairs as a deduplicated directed
-    ``(src, dst)`` edge list (each pair contributes both directions)."""
-    return (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        )
-        .distinct()
-    )
+    ``(src, dst)`` edge list (each pair contributes both directions).
+
+    r14 (guide §2.3): both directions come from ONE ``explode`` over
+    the pair row instead of a two-leg union — the upstream pair
+    subtree (often an expensive LSH-banded join) is evaluated once,
+    not once per union leg (AQE exchange reuse does not reliably
+    dedupe the differently-projected legs). Same output set.
+
+    ``partition_by_src=True`` hash-repartitions on ``src`` BEFORE the
+    distinct: hash(src) satisfies the clustered distribution of the
+    ``(src, dst)`` dedup, a following ``groupBy(src)`` degree count
+    AND a src-keyed join, so callers that chain all three (pagerank)
+    pay ONE exchange for the whole edge-prep instead of three
+    (guide §2.4: two operations keyed the same way share one
+    exchange)."""
+    both = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("src"),
+                         F.col("id_b").alias("dst")),
+                F.struct(F.col("id_b").alias("src"),
+                         F.col("id_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    if partition_by_src:
+        both = both.repartition(F.col("src"))
+    return both.distinct()
 
 
 def degree_table(edges: DataFrame) -> DataFrame:
@@ -82,36 +103,59 @@ def pagerank(
     nothing — it materializes the same partitions).
 
     Lineage/memory contract (r14): the iteration-invariant edge table
-    is ``localCheckpoint``-ed (eager) instead of persisted-with-
-    lineage. A cached-but-lineaged edge frame was the r8 plan-string
-    trap in live form: every per-round reference re-printed its full
-    nested pair-generation subtree (a banded dedup join), the final
-    plan string reached ~850 KB, and a default-1g driver with the UI
-    listener rendering plans per stage update died with heap OOM —
-    the checkpoint truncates each reference to a block scan (measured
-    2.3x faster end-to-end in that 1g environment, OOM gone). The
-    trade is the standard localCheckpoint one (guide §5): losing an
-    executor during the run costs the whole pagerank call instead of
-    a lineage recompute — acceptable for a bounded-iteration batch
-    job; blocks are invocation-scoped and freed by the context
-    cleaner when the returned frame is dropped.
+    is ``localCheckpoint``-ed (eager), THEN re-partitioned on ``src``
+    and persisted. The checkpoint exists for lineage truncation: a
+    cached-but-lineaged edge frame was the r8 plan-string trap in
+    live form — every per-round reference re-printed its full nested
+    pair-generation subtree (a banded dedup join), the final plan
+    string reached ~850 KB, and a default-1g driver with the UI
+    listener rendering plans per stage update died with heap OOM.
+    The persist exists for partitioning metadata: the checkpoint
+    reports UnknownPartitioning, so without it every round would
+    re-exchange the edge table; the persisted copy's plan subtree is
+    a block scan (no plan-string trap) and its hash(src) partitioning
+    lets rounds 2+ join with no edge-side exchange. The trade is the
+    standard localCheckpoint one (guide §5): losing an executor
+    during the run costs the whole pagerank call instead of a lineage
+    recompute — acceptable for a bounded-iteration batch job; the
+    persist slot is invocation-scoped (release via cache.release_slots
+    or slot eviction).
     """
-    edges = symmetric_edges(pairs)
-    deg = degree_table(edges)
+    import uuid
+
+    from ..cache import persist_slot
+
+    # ONE exchange for the whole edge prep (guide §2.4): hash(src)
+    # placed before the distinct satisfies the dedup's, the degree
+    # count's AND the degree join's required distributions, replacing
+    # the three separate exchanges of the naive chain.
+    edges = symmetric_edges(pairs, partition_by_src=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     # (src, dst, deg) is iteration-invariant — checkpoint it so the
     # pair-generation subtree runs once and every round's plan reads a
-    # block scan; at scale additionally pre-partition by src so each
-    # round's join is a single-sided exchange. The src ∈ nodes
-    # semi-join preserves the previous formulation's contract exactly
-    # (its per-round INNER join against the node-keyed rank table
-    # silently dropped edges whose src is outside ``nodes``): applied
-    # ONCE here instead of once per round.
+    # block scan. The src ∈ nodes semi-join preserves the previous
+    # formulation's contract exactly (its per-round INNER join against
+    # the node-keyed rank table silently dropped edges whose src is
+    # outside ``nodes``): applied ONCE here instead of once per round.
     node_ids = nodes.select(F.col("id").cast("long").alias("src"))
-    contrib_edges = (
-        edges.join(deg, edges.src == deg.id)
+    ckpt = (
+        edges.join(deg, "src")
         .join(node_ids, "src", "left_semi")
         .select("src", "dst", "degree")
         .localCheckpoint(eager=True)
+    )
+    # The checkpoint truncates lineage but REPORTS UnknownPartitioning
+    # (AQE-planned output), so every round's edge join would re-shuffle
+    # the checkpointed table. Re-establish hash(src) ONCE and persist
+    # it: the InMemoryRelation's subtree is a block scan + one
+    # exchange (no r8 plan-string trap), its partitioning metadata
+    # survives, and rounds 2+ sort-merge against the rank-sum table
+    # with no edge-side exchange. Slot-registered per invocation so
+    # repeated calls don't accumulate cache entries.
+    contrib_edges = persist_slot(
+        ckpt.repartition(F.col("src")),
+        f"graph.pagerank.{uuid.uuid4().hex[:12]}",
+        eager=True,
     )
     # The per-round left side is the ITERATION-INVARIANT node-id table,
     # not `ranks.select("id")`: referencing the prior round's ranks on
