@@ -558,6 +558,118 @@ def frame_sample(payload_df: DataFrame, every_k: int = 2) -> DataFrame:
     )
 
 
+def video_frame_dhash(payload_df: DataFrame, every_k: int = 1) -> DataFrame:
+    """``(id, frame_no, dhash)`` — frame sampling and 48-bit dHash in
+    ONE Arrow boundary crossing: the fused twin of
+    ``dhash_table(frame_sample(df, k), extra_cols=("frame_no",))``,
+    bit-identical output (same VID0 walk, same PPM/BMP decode, same
+    grid/luma/gradient math).
+
+    Why fused (guide §4.1): the two-operator chain ships every sampled
+    frame payload JVM -> Python -> JVM -> Python -> JVM — the bytes
+    cross the boundary twice and the intermediate frame table is pure
+    transit. Here the container crosses once and only 16-byte
+    ``(id, frame_no, dhash)`` rows return; at video scale the saved
+    traffic is the frame byte volume itself."""
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1 (got {every_k})")
+    k = every_k
+
+    # NESTED so cloudpickle ships everything by value — workers cannot
+    # import lshrs_spark when the driver owns the session.
+    def fused_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        G_ROWS, G_COLS = 8, 7
+
+        def _ppm(b):
+            # same scanner as dhash_table's decoder
+            ws = b" \t\r\n\x0b\x0c"
+            pos, vals = 2, []
+            while len(vals) < 3:
+                while b[pos] in ws:
+                    pos += 1
+                if b[pos:pos + 1] == b"#":
+                    while b[pos:pos + 1] not in (b"\n", b""):
+                        pos += 1
+                    continue
+                start = pos
+                while b[pos:pos + 1] and b[pos] not in ws:
+                    pos += 1
+                vals.append(int(b[start:pos]))
+            w, h = vals[0], vals[1]
+            off = pos + 1
+            px = _np.frombuffer(b[off:off + w * h * 3], dtype=_np.uint8)
+            if px.size != w * h * 3:
+                raise ValueError("truncated PPM body")
+            return px.reshape(h, w, 3)
+
+        def _bmp(b):
+            off = _struct.unpack_from("<I", b, 10)[0]
+            w = _struct.unpack_from("<i", b, 18)[0]
+            h_raw = _struct.unpack_from("<i", b, 22)[0]
+            h = abs(h_raw)
+            bpp = _struct.unpack_from("<H", b, 28)[0]
+            comp = _struct.unpack_from("<I", b, 30)[0]
+            if bpp != 24 or comp != 0:
+                raise ValueError(
+                    f"unsupported BMP (bpp={bpp}, compression={comp})"
+                )
+            row = w * 3
+            stride = row + (4 - row % 4) % 4
+            rows = [
+                _np.frombuffer(
+                    b[off + i * stride:off + i * stride + row], _np.uint8
+                ).reshape(w, 3)
+                for i in range(h)
+            ]
+            if h_raw > 0:
+                rows.reverse()
+            return _np.stack(rows) if rows else _np.empty((0, 0, 3), _np.uint8)
+
+        def _one(b):
+            if b[:2] == b"P6":
+                px = _ppm(b)
+            elif b[:2] == b"BM":
+                px = _bmp(b)
+            else:
+                raise ValueError("video_frame_dhash: frame is not PPM/BMP")
+            h, w = px.shape[0], px.shape[1]
+            rr = [(r * h) // G_ROWS for r in range(G_ROWS)]
+            cc = [(c * w) // G_COLS for c in range(G_COLS)]
+            luma = px.astype(_np.int64).sum(axis=2)
+            grid = luma[_np.ix_(rr, cc)]
+            left, right = grid[:, :-1], grid[:, 1:]
+            bits = (left > right).astype(_np.int64).reshape(-1)
+            return int((bits << _np.arange(G_ROWS * (G_COLS - 1))).sum())
+
+        for pdf in batches:
+            ids, fnos, hashes = [], [], []
+            for pid, payload in zip(pdf["id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != b"VID0":
+                    raise ValueError("unknown payload magic")
+                n = _struct.unpack_from("<I", b, 4)[0]
+                pos = 8
+                for f in range(n):
+                    ln = _struct.unpack_from("<I", b, pos)[0]
+                    if f % k == 0:
+                        ids.append(int(pid))
+                        fnos.append(f)
+                        hashes.append(_one(b[pos + 4:pos + 4 + ln]))
+                    pos += 4 + ln
+            yield _pd.DataFrame(
+                {"id": ids, "frame_no": fnos, "dhash": hashes}
+            )
+
+    return payload_df.select("id", "payload").mapInPandas(
+        fused_batches, schema="id long, frame_no long, dhash long"
+    )
+
+
 def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbor resize of an ``(h, w, 3)`` uint8 array — pure
     numpy index gather (the deterministic resize an oracle can replay;

@@ -1595,14 +1595,33 @@ def video_near_dup_pairs(
     table is bounded by real Hamming neighborhoods in fingerprint
     space — corpus-size-independent — so the tolerant path keeps the
     same inverted-index scale shape."""
-    from ..multimodal import DHASH_BITS, dhash_table, frame_sample
+    from ..multimodal import DHASH_BITS, video_frame_dhash
 
     if max_hamming < 0:
         raise ValueError(f"max_hamming must be >= 0 (got {max_hamming})")
-    frames = frame_sample(payload_df, every_k)
-    fh = dhash_table(frames.select("id", "frame_no", "payload"),
-                     extra_cols=("frame_no",))
-    hashes = fh.select("id", "dhash").distinct()
+    # r14 (guide §4.1): sampling + decode + dHash fused into ONE Arrow
+    # boundary crossing (the two-operator frame_sample -> dhash_table
+    # chain shipped every frame payload across the Python boundary
+    # twice); only 16-byte hash rows come back.
+    fh = video_frame_dhash(payload_df, every_k)
+    # r14 (guide §2.4): persist the DISTINCT hash table hash(dhash)-
+    # partitioned, BEFORE the stop-frame cap. Two wins, same results:
+    # the cap's frequency count previously re-derived the whole
+    # payload->Python->distinct pipeline as a second plan branch
+    # (AQE's exchange reuse does not span the differently-shaped
+    # legs), so the decode ran twice; and hash(dhash) placed before
+    # the distinct satisfies the dedup's clustering (dhash is a subset
+    # of (id, dhash)), the frequency groupBy("dhash"), the cap join
+    # AND both sides of the clip self-join — one exchange where the
+    # old chain paid one per operator. Skew note: a degenerate hot
+    # hash concentrates its rows in one partition here, but the very
+    # next operator (the dhash-keyed self-join) has the identical
+    # hot-key profile, so the layout adds no new hazard — and
+    # max_hash_freq exists precisely to cap that mass.
+    hashes = persist_slot(
+        fh.select("id", "dhash").repartition(F.col("dhash")).distinct(),
+        "dedup.video_frame_hashes", eager=True,
+    )
     if max_hash_freq is not None:
         keep = (
             hashes.groupBy("dhash")
@@ -1611,8 +1630,6 @@ def video_near_dup_pairs(
             .select("dhash")
         )
         hashes = hashes.join(keep, "dhash")
-    # feeds both self-join sides: persist via the bounded slot registry
-    hashes = persist_slot(hashes, "dedup.video_frame_hashes", eager=True)
     a = hashes.alias("a")
     b = hashes.alias("b")
     if max_hamming == 0:
