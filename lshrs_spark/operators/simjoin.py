@@ -82,8 +82,21 @@ def similarity_join(
     if cache_index:
         # persist via the bounded slot registry: lineage kept (cluster
         # fault tolerance), and repeated calls don't accumulate
-        # CacheManager entries
-        idx = persist_slot(idx, "simjoin.index", eager=True)
+        # CacheManager entries.
+        # r14 (guide §2.4): hash(band, sig)-partition BEFORE the persist —
+        # the cached layout then satisfies the bucket-size aggregation,
+        # the cap join and BOTH self-join sides, so one exchange of the
+        # fan-out table replaces one per operator (at scale the join
+        # sides alone each re-shuffled the whole exploded index). Skew
+        # note: a hot (band, sig) bucket concentrates here, but its
+        # input mass is bounded by max_bucket_size (over-cap buckets are
+        # dropped below) and the quadratic hazard of a hot bucket is in
+        # the join OUTPUT, which an input-side AQE split never addressed
+        # — the cap remains the real defense.
+        idx = persist_slot(
+            idx.repartition(F.col("band"), F.col("sig")),
+            "simjoin.index", eager=True,
+        )
     pairs = candidate_pairs(idx, max_bucket_size=max_bucket_size)
     # Normalize ONCE per vector (n rows) so the per-pair expression is a
     # single fused dot product — candidate pairs outnumber vectors by
