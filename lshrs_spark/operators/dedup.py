@@ -510,7 +510,15 @@ def hamming_banded_pairs(
     degenerate buckets (documented recall tradeoff), ``None`` stays
     exact."""
     # feeds both sides of the self-join: persist (lineage kept) via the
-    # bounded slot registry so the fingerprint pipeline runs once
+    # bounded slot registry so the fingerprint pipeline runs once.
+    # r14 note: persisting the BANDED fan-out repartition(blk, val)
+    # instead (the §2.4 exchange-sharing shape that paid off for
+    # similarity_join) was measured and REVERTED: the fingerprint
+    # tables are small enough that the self-join broadcasts, so the
+    # fan-out exchange bought nothing and cost 0.4-0.5 s per line
+    # (image 1.05 -> 1.43, audio 0.84 -> 1.32 isolated). At a scale
+    # where the join shuffles, revisit — but there the num_blocks x
+    # cache-size trade needs its own measurement.
     tbl = persist_slot(
         tbl.select(F.col("id"), F.col(hash_col).alias("_h")), slot,
         eager=True,
