@@ -1037,6 +1037,48 @@ def truncated_ivf_maintain(
     return actions
 
 
+def _sidecar_vectors_local(store_path: str):
+    """Driver-side pyarrow read of a store's ``_centroids`` sidecar as
+    the ``(ids int64[n], M float64[n, d], null_mask bool[n])`` triple
+    :func:`~lshrs_spark.functions.batchscore.collect_vectors` returns —
+    the no-Spark-job twin of collecting the sidecar DataFrame, with the
+    same fallback contract: ``None`` on any read error or mixed vector
+    widths (the caller's Catalyst path handles those)."""
+    import numpy as _np
+
+    try:
+        import pyarrow.dataset as pads
+
+        from ..serving import _fs_and_path
+
+        filesystem, root = _fs_and_path(store_path)
+        tbl = pads.dataset(
+            f"{root}/_centroids", format="parquet", filesystem=filesystem
+        ).to_table(columns=["centroid_id", "cvec"])
+    except Exception:
+        return None
+    ids = _np.asarray(
+        tbl.column("centroid_id").to_numpy(zero_copy_only=False),
+        dtype=_np.int64,
+    )
+    vecs = tbl.column("cvec").to_pylist()
+    dim = 0
+    for v in vecs:
+        if v is not None:
+            dim = len(v)
+            break
+    M = _np.zeros((len(vecs), dim), dtype=_np.float64)
+    null_mask = _np.zeros(len(vecs), dtype=bool)
+    for i, v in enumerate(vecs):
+        if v is None:
+            null_mask[i] = True
+        elif len(v) != dim:
+            return None  # mixed widths: Catalyst plan handles per-row
+        else:
+            M[i, :] = _np.asarray(v, dtype=_np.float64)
+    return ids, M, null_mask
+
+
 def truncated_topk_stored(
     spark,
     store_path: str,
@@ -1105,8 +1147,16 @@ def truncated_topk_stored(
         )
     got = B.collect_vectors(queries.select(
         F.col(qid_col).cast("long"), F.col(qvec_col)))
-    cgot = B.collect_vectors(cents.select(
-        F.col("centroid_id").cast("long"), F.col("cvec")))
+    # r14 (dispatch): the centroid sidecar is a tiny store-owned table —
+    # read it driver-side through pyarrow (the serving tier's path)
+    # instead of a Spark collect job. Same (ids, M, nulls) contract as
+    # collect_vectors; downstream probe ranking tie-breaks on centroid
+    # id, never array position, so row order is immaterial. Falls back
+    # to the Spark collect on any read/shape surprise.
+    cgot = _sidecar_vectors_local(store_path)
+    if cgot is None:
+        cgot = B.collect_vectors(cents.select(
+            F.col("centroid_id").cast("long"), F.col("cvec")))
     if cgot is not None and len(cgot[0]):
         coarse_dims = int(cgot[1].shape[1])
     else:
