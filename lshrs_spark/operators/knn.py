@@ -1057,6 +1057,12 @@ def _sidecar_vectors_local(store_path: str):
         ).to_table(columns=["centroid_id", "cvec"])
     except Exception:
         return None
+    from ..functions import batchscore as B
+
+    if tbl.num_rows > B.MAX_COLLECT_ROWS:
+        # same driver-residency bound as collect_vectors: a centroid
+        # table past it falls back to the Catalyst plan either way
+        return None
     ids = _np.asarray(
         tbl.column("centroid_id").to_numpy(zero_copy_only=False),
         dtype=_np.int64,
