@@ -94,16 +94,25 @@ def collect_vectors(df, *, max_rows: Optional[int] = None):
     driver as ``(ids int64[n], M float64[n, d], null_mask bool[n])``.
     Returns ``None`` (fall back to the Catalyst plan) when the frame
     exceeds ``max_rows`` (default: the module's ``MAX_COLLECT_ROWS``,
-    read at call time so tests can lower it) or holds MIXED vector
+    read at call time so tests can lower it), holds MIXED vector
     widths (no single matrix width reproduces Catalyst's per-row
-    zip_with padding — the fallback plan always does). NULL vectors
-    become zero rows with the mask set."""
+    zip_with padding — the fallback plan always does), or holds
+    DUPLICATE ids (ADVICE r14: the searchsorted kernels bind each
+    candidate row to ONE query row, but the inner joins they replace
+    emit one scored row per duplicate id — only the fallback plan
+    reproduces that). NULL vectors — and vectors carrying an
+    element-level NULL, which nulls Catalyst's fold the same way
+    (ADVICE r14: ``None`` must become a NULL score, never NaN — NaN
+    sorts FIRST under desc where NULL sorts last) — become zero rows
+    with the mask set."""
     if max_rows is None:
         max_rows = MAX_COLLECT_ROWS
     rows = df.limit(max_rows + 1).collect()
     if len(rows) > max_rows:
         return None
     ids = np.array([r[0] for r in rows], dtype=np.int64)
+    if len(np.unique(ids)) != len(ids):
+        return None  # duplicate ids: kernels bind one row per id
     dim = 0
     for r in rows:
         if r[1] is not None:
@@ -116,6 +125,8 @@ def collect_vectors(df, *, max_rows: Optional[int] = None):
             null_mask[i] = True
         elif len(r[1]) != dim:
             return None  # mixed widths: Catalyst plan handles per-row
+        elif None in r[1]:
+            null_mask[i] = True  # element NULL nulls the Catalyst fold
         else:
             M[i, :] = np.asarray(r[1], dtype=np.float64)
     return ids, M, null_mask
@@ -179,15 +190,21 @@ def _make_to_matrix():
                 fixed = (isinstance(vcol, pa.FixedSizeListArray)
                          and vcol.type.list_size == dim)
             if fixed:
-                flat = vcol.flatten().to_numpy(
-                    zero_copy_only=False).astype(np.float64, copy=False)
-                if len(flat) == n * dim:
-                    return flat.reshape(n, dim), np.zeros(n, dtype=bool)
+                flat_arr = vcol.flatten()
+                # element-level NULLs null Catalyst's fold (ADVICE
+                # r14): to_numpy would turn them into NaN — which
+                # sorts FIRST under desc where NULL sorts last — so
+                # such batches take the row-wise path below
+                if flat_arr.null_count == 0:
+                    flat = flat_arr.to_numpy(
+                        zero_copy_only=False).astype(np.float64, copy=False)
+                    if len(flat) == n * dim:
+                        return flat.reshape(n, dim), np.zeros(n, dtype=bool)
         vals = vcol.to_pylist()
         null_mask = np.zeros(n, dtype=bool)
         M = np.zeros((n, dim), dtype=np.float64)
         for i, v in enumerate(vals):
-            if v is None or len(v) != dim:
+            if v is None or len(v) != dim or None in v:
                 null_mask[i] = True
             else:
                 M[i, :] = np.asarray(v, dtype=np.float64)
@@ -412,29 +429,44 @@ def make_dot_pairs_fn():
     ``(id_a, id_b, score)`` with ``score`` the bit-exact sequential
     dot of the two arrays — the vectorized replacement for the
     per-pair Catalyst ``dot_product`` in similarity joins. NULL when
-    either side is NULL or the widths differ (``zip_with`` padding
-    nulls the fold). Rounding/threshold stay in Catalyst downstream —
-    the kernel never re-implements ``F.round``. Needs no driver-side
-    matrix, so it has no collect bound and no fallback."""
+    either side is NULL, the two sides' widths differ, or an element
+    is NULL (``zip_with`` padding / element nulls null the fold).
+    Rounding/threshold stay in Catalyst downstream — the kernel never
+    re-implements ``F.round``. Needs no driver-side matrix, so it has
+    no collect bound and no fallback.
+
+    ADVICE r14 (medium): scoring is PER-PAIR-width, never
+    per-batch-width — a batch mixing vector widths scores every pair
+    whose two sides agree, exactly as the Catalyst ``dot_product`` it
+    replaces, instead of nulling pairs that miss a width inferred
+    from batch order (which also made results depend on partitioning).
+    Uniform batches (the only shape the similarity tiers produce)
+    keep the one-pass vectorized path; mixed batches vectorize per
+    width group."""
     to_matrix = _make_to_matrix()
 
     def fn(it):
         import numpy as np
         import pyarrow as pa
 
-        def width_of(vcol):
+        def uniform_width(vcol, n):
+            """Common row width when EVERY row is non-null, that width,
+            and no element is null — else None."""
+            if vcol.null_count != 0:
+                return None
             try:
                 offs = vcol.offsets.to_numpy(zero_copy_only=False)
                 lens = np.diff(offs)
-                if len(lens) and (lens == lens[0]).all():
-                    return int(lens[0])
+                if not (len(lens) == n and n > 0 and (lens == lens[0]).all()):
+                    return None
+                w = int(lens[0])
             except AttributeError:
-                if hasattr(vcol.type, "list_size"):
-                    return int(vcol.type.list_size)
-            for v in vcol.to_pylist():
-                if v is not None:
-                    return len(v)
-            return 0
+                if not hasattr(vcol.type, "list_size"):
+                    return None
+                w = int(vcol.type.list_size)
+            if vcol.flatten().null_count != 0:
+                return None
+            return w
 
         for batch in it:
             n = batch.num_rows
@@ -445,13 +477,38 @@ def make_dot_pairs_fn():
             idb = batch.column(1).to_numpy(zero_copy_only=False).astype(
                 np.int64, copy=False)
             va_col, vb_col = batch.column(2), batch.column(3)
-            w = width_of(va_col)
-            A, a_null = to_matrix(va_col, n, w)
-            B_, b_null = to_matrix(vb_col, n, w)
-            s = np.zeros(n, dtype=np.float64)
-            for j in range(w):
-                s += A[:, j] * B_[:, j]
-            nulls = a_null | b_null
+            wa = uniform_width(va_col, n)
+            wb = uniform_width(vb_col, n)
+            if wa is not None and wa == wb:
+                # uniform batch: one vectorized pass
+                A, a_null = to_matrix(va_col, n, wa)
+                B_, b_null = to_matrix(vb_col, n, wa)
+                s = np.zeros(n, dtype=np.float64)
+                for j in range(wa):
+                    s += A[:, j] * B_[:, j]
+                nulls = a_null | b_null
+            else:
+                # mixed widths / nulls: group rows by their PAIR width
+                va = va_col.to_pylist()
+                vb = vb_col.to_pylist()
+                s = np.zeros(n, dtype=np.float64)
+                nulls = np.zeros(n, dtype=bool)
+                groups = {}
+                for i in range(n):
+                    a, b = va[i], vb[i]
+                    if (a is None or b is None or len(a) != len(b)
+                            or None in a or None in b):
+                        nulls[i] = True
+                    else:
+                        groups.setdefault(len(a), []).append(i)
+                for w, idx in groups.items():
+                    ix = np.asarray(idx, dtype=np.int64)
+                    A = np.asarray([va[i] for i in idx], dtype=np.float64)
+                    B_ = np.asarray([vb[i] for i in idx], dtype=np.float64)
+                    acc = np.zeros(len(idx), dtype=np.float64)
+                    for j in range(w):
+                        acc += A[:, j] * B_[:, j]
+                    s[ix] = acc
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ida), pa.array(idb), pa.array(s, mask=nulls)],
                 names=["id_a", "id_b", "score"],

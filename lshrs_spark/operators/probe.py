@@ -267,6 +267,14 @@ def rerank(
     ``allow_collect=False`` forces the Catalyst plan: callers on a
     no-job guard path (empty-index top-p) must not pay the kernel's
     eager query-batch collect just to build an empty frame.
+
+    .. note:: CONSTRUCTION IS EAGER on the Arrow path (ADVICE r14):
+       building this DataFrame (likewise ``brute_force_topk`` /
+       ``mips_topk`` / ``ivf_topk``) runs a bounded driver-side
+       collect of the query batch as a Spark job at plan-build time,
+       before any action. A caller that constructs the frame but may
+       never execute it should pass ``allow_collect=False`` (or use
+       the Catalyst fallback) — the empty-index guard path does.
     """
     vecs = vectors_df.select(
         F.col(id_col).cast("long").alias("id"), F.col(vector_col).alias("_cvec")

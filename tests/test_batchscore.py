@@ -136,3 +136,72 @@ def test_collect_bound_falls_back_to_catalyst_plan(spark, vec_df, q_df,
     after_df = brute_force_topk(vec_df, q_df, 4)
     assert "MapInArrow" not in after_df._jdf.queryExecution().toString()
     assert sorted(map(tuple, after_df.collect())) == before
+
+
+def test_element_null_scores_null_not_nan(spark, q_df):
+    """ADVICE r14: an element-level NULL inside a vector must score
+    NULL (Catalyst's fold semantics — sorts LAST under desc), never
+    NaN (which sorts first and would flip the row to rank 1)."""
+    from lshrs_spark.operators.knn import brute_force_topk, mips_topk
+
+    rows = [(int(i), [float(i + j) / 7.0 for j in range(8)])
+            for i in range(10)]
+    rows.append((10, [1.0] * 7 + [None]))  # element NULL
+    vec = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [0.5] * 7 + [None])],  # element-NULL query too
+        "qid long, qvec array<double>")
+    for fn, normalize in ((brute_force_topk, True), (mips_topk, False)):
+        new = sorted(map(tuple, fn(vec, q, 11).collect()))
+        old = sorted(map(tuple, _legacy_brute(vec, q, 11, normalize).collect()))
+        assert new == old
+        # the element-NULL row must rank LAST for the healthy query
+        got = {(r[0], r[1]): r[3] for r in new}
+        assert got[(0, 10)] == 11
+        # the element-NULL query scores NULL everywhere -> id-ordered
+        q1 = sorted((r[3], r[1]) for r in new if r[0] == 1)
+        assert q1 == [(i + 1, i) for i in range(11)]
+
+
+def test_dot_pairs_mixed_width_batch_scores_per_pair(spark):
+    """ADVICE r14 (medium): make_dot_pairs_fn must score every pair
+    whose two sides share a width — whatever OTHER widths the batch
+    holds — exactly like the Catalyst dot_product it replaces, and
+    independent of row order."""
+    from lshrs_spark.functions.batchscore import make_dot_pairs_fn
+
+    rows = [
+        (1, 2, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),       # width 3
+        (3, 4, [1.0, 2.0], [3.0, 4.0]),                  # width 2 pair
+        (5, 6, [1.0, 2.0, 3.0], [1.0, 2.0]),             # width mismatch
+        (7, 8, None, [1.0, 2.0]),                        # NULL side
+        (9, 10, [1.0, None], [2.0, 3.0]),                # element NULL
+        (11, 12, [0.25, 0.5, 0.125], [8.0, 4.0, 2.0]),   # width 3 again
+    ]
+    df = spark.createDataFrame(
+        rows, "id_a long, id_b long, va array<double>, vb array<double>")
+    fn, schema = make_dot_pairs_fn()
+    got = {(r.id_a, r.id_b): r.score
+           for r in df.mapInArrow(fn, schema).collect()}
+    exact = {(r.id_a, r.id_b): r.score for r in df.select(
+        "id_a", "id_b",
+        dot_product(F.col("va"), F.col("vb")).alias("score")).collect()}
+    assert got == exact
+    assert got[(3, 4)] == 11.0          # off-batch-width pair SCORES
+    assert got[(5, 6)] is None and got[(7, 8)] is None
+    assert got[(9, 10)] is None         # element NULL -> NULL, not NaN
+
+
+def test_duplicate_qids_fall_back_to_catalyst(spark, vec_df):
+    """ADVICE r14: the searchsorted kernels bind one query row per
+    qid; a duplicate-qid batch must fall back to the join plan (which
+    emits one scored row per duplicate)."""
+    from lshrs_spark.operators.knn import brute_force_topk
+
+    q = spark.createDataFrame(
+        [(0, [1.0] * 16), (0, [2.0] * 16), (1, [0.5] * 16)],
+        "qid long, qvec array<double>")
+    out = brute_force_topk(vec_df, q, 4)
+    assert "MapInArrow" not in out._jdf.queryExecution().toString()
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, _legacy_brute(vec_df, q, 4, True).collect()))

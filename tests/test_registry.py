@@ -445,3 +445,44 @@ def test_serving_probe_wait_quiet_retries_cold_io(monkeypatch):
     assert guard["quiet"] is True
     assert guard["io_cold_retries"] == 1
     assert guard["io"] == readings[1]
+
+
+# ------------------------------------------------------------------ #
+# CPU-steal canary (VERDICT r14 #2): the quiet guard's hypervisor-
+# steal leg — a steal episode above threshold must downgrade "quiet"
+# ------------------------------------------------------------------ #
+
+def test_cpu_steal_sample_reads_proc_stat():
+    from tools.bench_lines import cpu_steal_sample
+
+    got = cpu_steal_sample(interval_s=0.05)
+    assert set(got) == {"steal_pct", "procs_running"}
+    # on this Linux host both must be real readings, and an idle-ish
+    # sandbox cannot be mostly-stolen
+    assert got["steal_pct"] is not None and 0.0 <= got["steal_pct"] <= 100.0
+    assert got["procs_running"] is not None and got["procs_running"] >= 1
+
+
+def test_quiet_guard_carries_steal_and_flips_on_threshold(monkeypatch):
+    import tools.bench_lines as bl
+
+    # quiet reading passes through
+    monkeypatch.setattr(bl, "cpu_steal_sample",
+                        lambda interval_s=0.25: {"steal_pct": 0.0,
+                                                 "procs_running": 1})
+    g = bl.quiet_guard(32)
+    assert g["steal_pct"] == 0.0 and g["procs_running"] == 1
+    assert "load_divergence" in g
+    # a steal episode above STEAL_QUIET_PCT must flip quiet even when
+    # JVM/loadavg/IO all read green
+    monkeypatch.setattr(bl, "cpu_steal_sample",
+                        lambda interval_s=0.25: {"steal_pct": 37.5,
+                                                 "procs_running": 1})
+    g2 = bl.quiet_guard(32)
+    assert g2["quiet"] is False and g2["steal_pct"] == 37.5
+    # off-Linux Nones are recorded, never judged
+    monkeypatch.setattr(bl, "cpu_steal_sample",
+                        lambda interval_s=0.25: {"steal_pct": None,
+                                                 "procs_running": None})
+    g3 = bl.quiet_guard(32)
+    assert g3["steal_pct"] is None and g3["load_divergence"] is False

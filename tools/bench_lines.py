@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 
 # Canonical execution order across all three sections — bench.py's
 # OWN relative timing order for the shared lines (verified against the
@@ -125,6 +126,53 @@ IO_CANARY_MIN_BYTES = 4 << 20
 # faulting mass below this floor cannot meaningfully distort the
 # multi-second bench lines or a 100-query p95 series.
 IO_CANARY_MIN_DELTA_S = 0.02
+
+# CPU-steal canary threshold (VERDICT r14 #2): the guard's last
+# documented blind spot — hypervisor co-tenant CPU steal inflated the
+# driver's first six 32-core r14 bench lines 2-5x and serving run 3's
+# pure-CPU tiers ~1.7x while the JVM/loadavg guard read green (the
+# builder diagnosed it by hand: load1 12.25 with procs_running = 1 and
+# climbing /proc/stat steal jiffies). A quiet unvirtualized host reads
+# 0.0% steal over any window; this host idles at 0.0-0.2% (sampled);
+# the r14 incident would have read tens of percent. 1.0% over the
+# 0.25 s sample window flags any steal episode big enough to move a
+# sub-second bench line while staying above sampling jitter.
+STEAL_QUIET_PCT = 1.0
+STEAL_SAMPLE_S = 0.25
+
+
+def cpu_steal_sample(interval_s: float = STEAL_SAMPLE_S) -> dict:
+    """``{"steal_pct", "procs_running"}`` — /proc/stat steal-jiffies
+    delta over a short window plus the instantaneous runnable-process
+    count (VERDICT r14 #2). ``steal_pct`` is the fraction of ALL cpu
+    jiffies the hypervisor withheld during the window; it is the
+    direct signal for co-tenant CPU steal. ``procs_running`` is the
+    divergence side: load1 high while procs_running is ~1 means the
+    loadavg is either decaying from past work (steal 0) or external
+    steal is inflating it (steal > 0) — recording both lets artifact
+    readers tell the two apart. Nones when /proc/stat is unreadable
+    (non-Linux)."""
+    def _read():
+        steal = total = running = None
+        with open("/proc/stat") as f:
+            for ln in f:
+                if ln.startswith("cpu "):
+                    parts = [int(x) for x in ln.split()[1:]]
+                    total = sum(parts)
+                    steal = parts[7] if len(parts) > 7 else 0
+                elif ln.startswith("procs_running"):
+                    running = int(ln.split()[1])
+        return steal, total, running
+
+    try:
+        s0, t0, _ = _read()
+        time.sleep(interval_s)
+        s1, t1, running = _read()
+        dt = t1 - t0
+        pct = round(100.0 * (s1 - s0) / dt, 3) if dt else None
+    except Exception:
+        return {"steal_pct": None, "procs_running": None}
+    return {"steal_pct": pct, "procs_running": running}
 
 
 def io_canary(paths, *, sample_bytes: int = 32 << 20,
@@ -258,7 +306,17 @@ def quiet_guard(cpus: int, *, own_jvms: int = 0, io_paths=None) -> dict:
     CPU/JVM quietness alone no longer certifies a run whose store
     reads will hit a cold device. Start-of-run guards pass the paths;
     end-of-run raw samples leave it None (the run itself just read
-    everything — a canary there would only measure its own warmth)."""
+    everything — a canary there would only measure its own warmth).
+
+    r15 (VERDICT r14 #2): every guard additionally samples
+    :func:`cpu_steal_sample` — ``steal_pct`` over a 0.25 s window and
+    ``procs_running`` — and a steal reading above
+    :data:`STEAL_QUIET_PCT` (1.0%) DOWNGRADES ``quiet``:
+    hypervisor co-tenant steal was the documented blind spot that
+    inflated the r14 driver bench 2-5x under a green guard.
+    ``load_divergence`` flags load1 above the threshold while
+    procs_running <= 2 (a decaying loadavg or external pressure —
+    read it with steal_pct)."""
     import subprocess
 
     try:
@@ -276,6 +334,15 @@ def quiet_guard(cpus: int, *, own_jvms: int = 0, io_paths=None) -> dict:
     guard = {"counted_jvms": n_java, "own_jvms": own_jvms,
              "load1": round(load1, 2),
              "quiet": 0 <= n_java <= own_jvms and load1 < float(cpus) / 4}
+    steal = cpu_steal_sample()
+    guard.update(steal)
+    guard["load_divergence"] = bool(
+        load1 >= float(cpus) / 4
+        and steal["procs_running"] is not None
+        and steal["procs_running"] <= 2
+    )
+    if steal["steal_pct"] is not None and steal["steal_pct"] > STEAL_QUIET_PCT:
+        guard["quiet"] = False
     if io_paths is not None:
         guard["io"] = io_canary(io_paths)
         guard["quiet"] = guard["quiet"] and guard["io"]["io_quiet"]
