@@ -286,7 +286,8 @@ def heavy_hitters(
     Two passes:
 
     1. *Pigeonhole prune*, zero shuffle: each partition counts its own
-       values in an Arrow batch (``mapInPandas``) and emits only those
+       values natively in Arrow (``mapInArrow`` +
+       ``pyarrow.compute.value_counts``) and emits only those
        with local count >= ``ceil(threshold / num_partitions)``. If a
        value's global count >= threshold, its max partition count is >=
        its average ``threshold/P``, so it MUST survive in at least one
@@ -318,12 +319,36 @@ def heavy_hitters(
     cap = max_tracked
 
     def local_candidates(batches):
-        import pandas as pd
+        # r15 (guide §4.2): pass 1 counts inside Arrow — the previous
+        # mapInPandas shape materialized EVERY value occurrence as a
+        # Python object (Arrow -> pandas object column) just to run
+        # value_counts; pc.value_counts hash-aggregates the native
+        # Arrow buffers and only the per-batch DISTINCT set crosses
+        # into Python for the running merge. Candidate semantics are
+        # unchanged: nulls are dropped (pandas dropna parity) and
+        # floating NaN is dropped explicitly (pandas value_counts
+        # treated NaN as missing; Spark's join would MATCH NaN keys,
+        # so letting NaN become a candidate could surface rows the
+        # old plan never emitted).
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
         counts: dict = {}
         slack = 0  # total Misra-Gries undercount applied so far
-        for pdf in batches:
-            for v, c in pdf[vc].value_counts(dropna=True).items():
+        out_type = None
+        for batch in batches:
+            col = batch.column(0)
+            if out_type is None:
+                out_type = batch.schema.field(0).type
+            if col.null_count:
+                col = col.drop_null()
+            if pa.types.is_floating(col.type) and len(col):
+                col = col.filter(pc.invert(pc.is_nan(col)))
+            if not len(col):
+                continue
+            vcnt = pc.value_counts(col)
+            for v, c in zip(vcnt.field("values").to_pylist(),
+                            vcnt.field("counts").to_pylist()):
                 counts[v] = counts.get(v, 0) + int(c)
             if len(counts) > cap:
                 # batch MG step: subtract the k-th smallest count so at
@@ -345,11 +370,17 @@ def heavy_hitters(
                         "max_tracked, raise threshold, or repartition "
                         "into smaller partitions"
                     )
-        yield pd.DataFrame(
-            {vc: [v for v, c in counts.items() if c >= local_min - slack]}
-        )
+        if out_type is not None:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(
+                    [v for v, c in counts.items()
+                     if c >= local_min - slack],
+                    type=out_type,
+                )],
+                names=[vc],
+            )
 
-    cand = values.mapInPandas(local_candidates, schema=schema).distinct()
+    cand = values.mapInArrow(local_candidates, schema=schema).distinct()
     return (
         values.join(cand, vc, "left_semi")
         .groupBy(vc)
