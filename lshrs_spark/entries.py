@@ -4005,7 +4005,20 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"),
         F.size(toks).cast("double").alias("dl"),
     ] + [_tf(t).alias(f"tf{i}") for i, t in enumerate(_BM25_TERMS)]
-    pd = docs.select(*pd_cols)
+    # r15 (guide §2.4/§5): the narrow (doc_id, dl, tf0..tf3) proxy has
+    # TWO consumers — the corpus-stats aggregate (broadcast back) and
+    # the per-doc scoring projection — and without materialization each
+    # re-tokenizes the full corpus (the r15 before-plan shows two scans,
+    # each splitting text 5x per row). A lazy persist makes one
+    # tokenize pass serve both: the broadcast subtree builds first and
+    # populates the cache, the scoring scan then reads 6 numeric
+    # columns/doc from memory. Values are identical — the cached
+    # columns are the same exact integer-valued doubles either plan
+    # feeds the scoring expression. Slot-scoped (invocation N+1
+    # unpersists N): never a cross-run cache.
+    from .cache import persist_slot
+
+    pd = persist_slot(docs.select(*pd_cols), "bm25_scored_pd")
     nterms = len(_BM25_TERMS)
     consts = pd.agg(
         F.count(F.lit(1)).cast("double").alias("nn"),
@@ -9358,7 +9371,13 @@ DRIVER_WINDOW: list[str] = [
     # family's rep moves to the STORED-layout twin: same shared
     # _card_tail_cte + _CARD_DELTA_SELECT / balance_delta machinery,
     # driven through REAL store files with the physical-row card
-    "lsh_signatures", "lsh_topk", "ivf_balance_drift",
+    # round-15 (VERDICT r14 #8): trunc_balance_drift in /
+    # ivf_balance_drift out (r14 driver row on file) — the drift-twin
+    # rep moves to the TRUNCATED store's history diff: same shared
+    # _centroid_card_cte + _CARD_DELTA_SELECT chain, now driven through
+    # the production truncated writer at 16-of-64 width across two
+    # epochs (a strict superset of the plain-IVF replay)
+    "lsh_signatures", "lsh_topk", "trunc_balance_drift",
     "ann_mmr_lambda_curve", "mips_topk", "lsh_delete",
     # similarity join + dedup family (dedup_ngram_jaccard demoted
     # round-6: shingle-inverted-index twin of the in-window minhash rep)
@@ -9487,14 +9506,26 @@ DRIVER_WINDOW: list[str] = [
     # distributed prefix-sum core under the stricter contract (the
     # integer-quantized sort key that keeps the cut's row SET
     # engine-stable, the round-4 cross-engine float-ordering lesson)
-    "planner_config", "ann_ivfpq_refined", "graph_repair_components",
+    # round-15 (VERDICT r14 #8): quant_error in / ann_ivfpq_refined
+    # out (r13-r14 driver rows on file) — the quantization family's
+    # hard row moves to the reconstruction-error gauge (codebook
+    # train + assign + per-vector L2 error, the quality signal an
+    # operator watches when tuning m x k at 100 TB); the ADC retrieval
+    # chain keeps coverage via the promoted pq_balance_drift's
+    # codebook-backed store cards and its r13-r14 rows on file
+    "planner_config", "quant_error", "graph_repair_components",
     # round-14: pipeline_domain_mix in / pipeline_weighted_sample out
     # (driver rows r10-r13 on file) — the stratified-sampling family
     # rep moves to the temperature-flattened domain mixer
     # (integer-exact sqrt quotas + deterministic hash-ranked
     # per-stratum selection, the pretraining-mixture rebalance step);
     # the exponential-key reservoir keeps its rows on file
-    "pipeline_domain_mix", "text_bpe_tokens",
+    # round-15: pipeline_quota_sample in / pipeline_domain_mix out
+    # (r14 driver row on file) — the fixed-quota sibling earns its
+    # first hard row through the same deterministic hash-ranked
+    # per-stratum selection core; the temperature-flattened superset
+    # keeps its r14 row (the r13→r14 heavy-hitters/template pattern)
+    "pipeline_quota_sample", "text_bpe_tokens",
     "pipeline_token_budget", "pipeline_hygiene_cascade",
     # text analysis + corpus hygiene (text_fingerprint demoted round-7:
     # content-hash fingerprinting twin of the in-window exact-dedup rep —
@@ -9553,9 +9584,19 @@ DRIVER_WINDOW: list[str] = [
     # in exactly two) earn the streaming-window hard row; the audio
     # DCT fingerprint keeps coverage via the in-window video rep's
     # decode+hash+banding (the strictest oracle in that family)
+    # round-15: text_pmi_pairs in / rel_market_basket out (r14 driver
+    # row on file) — the co-occurrence family's hard row moves to the
+    # log-ratio sibling (pairwise PMI over the same order-keyed
+    # self-join core); the lift-ranked miner keeps its r14 row.
+    # pq_balance_drift in / bm25_balance_drift out (r14 row on file)
+    # — the IVFADC card's history diff completes the drift-twin
+    # matrix's promotion cycle (explicit codebook shared across
+    # epochs through the same shared card-tail + delta SQL); the
+    # BM25 bucket card keeps coverage via the in-window
+    # text_bm25_compact store chain and its r14 row on file
     "text_template_detect", "text_quality_classifier",
-    "rel_market_basket",
-    "text_phrase_batch", "bm25_balance_drift",
+    "text_pmi_pairs",
+    "text_phrase_batch", "pq_balance_drift",
     "stream_sliding_counts", "text_contamination_report",
     "text_pii_redact",
     # embeddings analytics; round-10 (VERDICT r9 #1):
@@ -9625,7 +9666,14 @@ DRIVER_WINDOW: list[str] = [
     # rows on file) — cube() is sugar for GROUPING SETS; the explicit
     # heterogeneous-sets entry drives the same Expand-node fan-out in
     # its general form
-    "rel_scd2_merge", "rel_funnel",
+    # round-15: rel_events_retention in / rel_funnel out (r13-r14
+    # driver rows on file) — the events-sequence family's hard row
+    # moves to the cohort retention matrix (cohort x period
+    # conditional aggregation over the same sessionized event stream;
+    # the integer-// epoch bucketing is the round-4 cross-engine
+    # division lesson made load-bearing); the ordered-stage funnel
+    # keeps its rows on file
+    "rel_scd2_merge", "rel_events_retention",
     "rel_grouping_sets", "text_hybrid_rrf", "rel_column_profile",
     "rel_semi_anti",
     "rel_salted_join", "rel_events_sessionize", "rel_window_running",
@@ -9758,7 +9806,7 @@ FAMILY: dict[str, str] = {
     "graph_triangles": "graph_repair_components",
     # demoted round-5: per-stratum exact sampling is covered by the new
     # deterministic-sampling/export representative (r3 driver row on file)
-    "pipeline_stratified_sample": "pipeline_domain_mix",
+    "pipeline_stratified_sample": "pipeline_quota_sample",
     # demoted round-5: KMV distinct-count (r3 driver row on file) swaps
     # for the new Bloom-membership sketch representative
     "sketch_distinct_users": "sketch_bloom",
@@ -9777,7 +9825,7 @@ FAMILY: dict[str, str] = {
     # the promoted funnel chains this entry's join → grouped-agg shape
     # three times with a temporal advance constraint per stage; the
     # window-rank top-N cut keeps hard rows via text_hybrid_rrf
-    "rel_top_customers": "rel_funnel",
+    "rel_top_customers": "rel_events_retention",
     # dependent-join SQL surface: per-key top-n is a rank window over
     # an ordered partition — the promoted frame-window rep's machinery
     "rel_lateral_topn": "rel_window_running",
@@ -9826,7 +9874,7 @@ FAMILY: dict[str, str] = {
     # IVF-specific columns (tombstone debt, heal residue) keep r11
     # rows on file (card-family rep moved round-13 to the promoted
     # drift entry, which replays two of these cards per run)
-    "ann_ivf_balance": "ivf_balance_drift",
+    "ann_ivf_balance": "trunc_balance_drift",
     # new round-13 (VERDICT r12 #7): the IVF card's history diff —
     # same two-epoch balance_delta machinery as the in-window LSH
     # drift rep, over centroid partition counts instead of (band, sig)
@@ -9839,7 +9887,7 @@ FAMILY: dict[str, str] = {
     # the same shared _bucket_card_cte SQL this entry used, then the
     # balance_delta subtraction on top — a strict superset of the
     # single-card machinery
-    "lsh_index_balance": "bm25_balance_drift",
+    "lsh_index_balance": "trunc_balance_drift",
     "ann_batch": "lsh_topk",
     # demoted round-12 (r11 driver row on file, VERDICT r11 #2): the
     # promoted lambda dial sweep unrolls THREE greedy selections over
@@ -9993,9 +10041,11 @@ FAMILY: dict[str, str] = {
     # round-10, when the logprob rep was demoted with rows thru r9)
     "text_unigram_logprob": "text_template_detect",
     "text_bigram_logprob": "text_template_detect",
-    # bigram-statistics family: PMI collocations share the bigram
-    # explode/count machinery
-    "text_pmi_pairs": "rel_market_basket",
+    # promoted round-15 (text_pmi_pairs earns the co-occurrence hard
+    # row); the lift-ranked miner demotes with its r14 row on file —
+    # pair counting over a grouping key + exact-rational association
+    # score, the PMI entry's lift sibling
+    "rel_market_basket": "text_pmi_pairs",
     "text_corpus_card": "text_template_detect",
     "text_langid_accuracy": "text_quality_classifier",
     # quality-scoring family (rep: the learned text_quality_classifier
@@ -10022,8 +10072,11 @@ FAMILY: dict[str, str] = {
     "emb_norm_stats": "emb_cluster_workflow",  # embedding QC card, same family
     "emb_quantile_clip": "emb_cluster_workflow",  # preprocessing envelope
     "emb_centroid_stability": "emb_cluster_workflow",  # cluster-coherence gauge
-    # cohort analytics: event-time bucketing twin of the sessionize rep
-    "rel_events_retention": "rel_events_sessionize",
+    # promoted round-15 (the cohort retention matrix earns the
+    # events-sequence hard row); the ordered-stage funnel demotes with
+    # r13-r14 rows on file — stage-conversion counting over the same
+    # sessionized event stream
+    "rel_funnel": "rel_events_retention",
     # relational twins (calendar-bucket grouped agg ~ the cube rep's
     # grouping machinery; the top-customers rep was demoted round-13)
     "rel_orders_by_year": "rel_grouping_sets",
@@ -10074,13 +10127,15 @@ FAMILY: dict[str, str] = {
     "rel_salted_agg": "rel_salted_join",
     "rel_bloom_join": "sketch_bloom",  # bloom-filter join pruning
     # pipeline / quant twins
-    "pipeline_split": "pipeline_domain_mix",
+    "pipeline_split": "pipeline_quota_sample",
     # mixing diagnostics: per-source distribution distance, same family
-    "pipeline_source_divergence": "pipeline_domain_mix",
-    # per-stratum quota draw: deterministic-sampling family
-    "pipeline_quota_sample": "pipeline_domain_mix",
+    "pipeline_source_divergence": "pipeline_quota_sample",
+    # demoted round-15 (r14 row on file): the temperature-flattened
+    # superset hands the sampling-family hard row to its fixed-quota
+    # sibling through the same hash-ranked selection core
+    "pipeline_domain_mix": "pipeline_quota_sample",
     # per-epoch reshuffle plan: deterministic-order family
-    "pipeline_epoch_plan": "pipeline_domain_mix",
+    "pipeline_epoch_plan": "pipeline_quota_sample",
     # basket-pair lift: co-occurrence-statistics family (pair counting
     # over a grouping key + exact-rational association score) — same
     # family as text_pmi_pairs, repped by the heavy-hitters entry
@@ -10090,8 +10145,8 @@ FAMILY: dict[str, str] = {
     # demoted round-5 (driver rows r1-r4 on file): the hash-split export
     # rep hands the deterministic-sampling family slot to the
     # exponential-key weighted reservoir (never driver-checked before)
-    "pipeline_shuffle_export": "pipeline_domain_mix",
-    "pipeline_group_split": "pipeline_domain_mix",
+    "pipeline_shuffle_export": "pipeline_quota_sample",
+    "pipeline_group_split": "pipeline_quota_sample",
     # time-series family: the as-of rep was demoted round-13 because
     # its backward join is a running-last WINDOW over a keyed union —
     # the family follows that machinery to the promoted frame-window
@@ -10104,23 +10159,24 @@ FAMILY: dict[str, str] = {
     # rel_window_running drives with three frame variants; temporal
     # join semantics also keep a hard row via stream_attribution_join
     "rel_events_asof": "rel_window_running",
-    "pipeline_negatives": "pipeline_domain_mix",
+    "pipeline_negatives": "pipeline_quota_sample",
     # promotion-gate family (rep: pipeline_hygiene_cascade since r5)
     "pipeline_data_quality": "pipeline_hygiene_cascade",
-    # quantization family (rep: the promoted IVFADC+refine entry since
-    # round-13 — its oracle embeds the whole ADC chain); the int8
-    # scalar-quant entries are its demoted twins
-    "quant_topk": "ann_ivfpq_refined",
-    "quant_error": "ann_ivfpq_refined",
-    "ann_pq_recall": "ann_ivfpq_refined",
+    # quantization family (rep: quant_error since round-15 — the
+    # reconstruction-error gauge over the same codebook machinery;
+    # the IVFADC+refine entry repped r13-r14 and demotes with those
+    # rows on file, its whole ADC chain additionally exercised by the
+    # promoted pq_balance_drift's codebook-backed store cards)
+    "quant_topk": "quant_error",
+    "ann_pq_recall": "quant_error",
     # demoted round-5 (r4 driver row on file): flat-PQ scoring is a
-    # sub-plan of the IVFADC representative
-    "ann_pq_topk": "ann_ivfpq_refined",
+    # sub-plan of the IVFADC chain the family's gauges replay
+    "ann_pq_topk": "quant_error",
     # demoted round-13 (driver rows through r12 on file, VERDICT r12
-    # #2): the promoted refine entry's oracle embeds this entry's
-    # ENTIRE _IVFPQ_CTES ADC chain and exact-reranks its shortlist —
-    # a strict superset of the compressed-scan machinery
-    "ann_ivfpq_topk": "ann_ivfpq_refined",
+    # #2) behind the refine superset, which itself demotes round-15
+    # with r13-r14 rows on file
+    "ann_ivfpq_topk": "quant_error",
+    "ann_ivfpq_refined": "quant_error",
     # multimodal twins (rep: multimodal_frame_sample since round-7)
     # demoted round-7 (r6 driver row on file): per-image decode +
     # feature extraction is the downstream consumer of the promoted
@@ -10162,12 +10218,14 @@ FAMILY: dict[str, str] = {
     # _CARD_DELTA_SELECT / balance_delta; the IVF twin drives that
     # machinery through REAL store files (physical partition counts,
     # tombstone/heal columns on the card), the strictly harder tier.
-    "lsh_balance_drift": "ivf_balance_drift",
-    # round-14 additions (VERDICT r13 #7, never driver-checked yet):
-    # the truncated and PQ tiers' card diffs — same shared card-tail +
-    # delta SQL, same balance_delta, through their own store writers
-    "trunc_balance_drift": "ivf_balance_drift",
-    "pq_balance_drift": "ivf_balance_drift",
+    "lsh_balance_drift": "trunc_balance_drift",
+    # demoted round-15 (r14 driver rows on file): the plain-IVF and
+    # BM25 card diffs hand the drift-twin hard rows to the r14
+    # additions (truncated + PQ store writers through the same shared
+    # card-tail + delta SQL, promoted round-15); the BM25 bucket
+    # layout also keeps a hard row via the in-window text_bm25_compact
+    "ivf_balance_drift": "trunc_balance_drift",
+    "bm25_balance_drift": "trunc_balance_drift",
     # the banding-quality gauge is the recall gauge's strict superset:
     # same banded candidate generation, same exact-Jaccard truth leg,
     # but a FULL OUTER join emitting candidate count, truth count,
@@ -10208,7 +10266,7 @@ FAMILY: dict[str, str] = {
     # temperature-flattened domain mixer (integer-exact quotas +
     # deterministic hash-ranked per-stratum selection); the
     # exponential-key reservoir keeps rows r10-r13 on file
-    "pipeline_weighted_sample": "pipeline_domain_mix",
+    "pipeline_weighted_sample": "pipeline_quota_sample",
     # cube() is sugar for GROUPING SETS — the promoted explicit-sets
     # entry drives the same Expand-node fan-out in its general form
     "rel_sales_cube": "rel_grouping_sets",
