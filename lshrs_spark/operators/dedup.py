@@ -628,21 +628,50 @@ def connected_components(
     real files, not the executor-local blocks of ``localCheckpoint``
     (which a lost executor turns into a fatal block-not-found), and
     BOUNDED: writing round N+1 deletes round N's files, so a run keeps
-    one label-table copy however many rounds it takes (``checkpoint()``
-    would keep them all). ``checkpoint_dir`` points the materializations
-    at shared storage on a real cluster; default is a process-local temp
-    dir (correct for local mode).
+    one label-table copy (plus one symmetric-edge copy) however many
+    rounds it takes (``checkpoint()`` would keep them all).
+    ``checkpoint_dir`` points the materializations at shared storage on
+    a real cluster; default is a process-local temp dir (correct for
+    local mode).
+
+    Cost shape (r15): the ``pairs`` plan is evaluated exactly once —
+    the symmetric edge table is materialized up front and persisted
+    hash(dst)-partitioned for every round's join — and each round's
+    label plan executes exactly once (the change flag rides the
+    materialized table, so the convergence check is a scan of the
+    files just written, not a second execution of the round's joins).
     """
     import uuid
 
     from ..cache import materialize_slot
 
     slot = f"dedup.cc.{uuid.uuid4().hex[:12]}"
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-    )
+    # The pair plan is often the expensive part of the whole job (a
+    # corpus-scale shingle/decode self-join for the dedup callers), and
+    # every round consumes the edge table — so evaluate it EXACTLY ONCE:
+    # both directions from one explode (one pass over the pair plan, the
+    # union shape evaluated it per leg), materialized to real files
+    # (lineage truncated + executor-loss safe, same contract as the
+    # label table), then persisted hash(dst)-partitioned so rounds 2+
+    # join labels against the cached layout with no edge-side exchange
+    # (the pagerank r14 recipe).
+    both = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").cast("long").alias("src"),
+                    F.col("id_b").cast("long").alias("dst"),
+                ),
+                F.struct(
+                    F.col("id_b").cast("long").alias("src"),
+                    F.col("id_a").cast("long").alias("dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    edges = materialize_slot(
+        both.distinct(), f"{slot}.edges", base_dir=checkpoint_dir
+    ).repartition("dst").persist()
     labels = nodes.select(F.col("id").cast("long"), F.col("id").cast("long").alias("component"))
     converged = False
     # max_iterations bounds the *label-changing* rounds; the +1 allows the
@@ -658,6 +687,7 @@ def connected_components(
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
+                F.col("component").alias("_old"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))
                 ).alias("component"),
@@ -668,28 +698,28 @@ def connected_components(
         lut = propagated.select(
             F.col("id").alias("cid"), F.col("component").alias("cc")
         )
+        jumped = F.coalesce(F.col("cc"), F.col("component"))
         new_labels = (
             propagated.join(lut, propagated.component == lut.cid, "left")
             .select(
                 "id",
-                F.coalesce(F.col("cc"), F.col("component")).alias("component"),
+                jumped.alias("component"),
+                # components are node ids, never NULL, so != is total;
+                # the flag rides the materialized table so the changed
+                # check below is a file scan, not a re-execution of the
+                # round plan (the old shape ran the round's joins twice
+                # per round: once under the changed-count, once under
+                # the materializing write)
+                (jumped != F.col("_old")).alias("_chg"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = (
-            materialize_slot(new_labels, slot, base_dir=checkpoint_dir)
-            if changed
-            else new_labels
-        )
+        mat = materialize_slot(new_labels, slot, base_dir=checkpoint_dir)
+        changed = mat.filter(F.col("_chg")).limit(1).count()
+        labels = mat.select("id", "component")
         if not changed:
             converged = True
             break
+    edges.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "

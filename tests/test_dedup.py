@@ -141,6 +141,31 @@ def test_connected_components_chain(spark):
     assert comp[4] == 4 and comp[7] == 7
 
 
+def test_connected_components_mixed_and_trivial(spark):
+    """r15 single-pass edge build: reversed + duplicate input pairs must
+    collapse to the same symmetric edge set the old per-leg union
+    produced, and a graph that converges on the confirmation round
+    alone (no pairs) still returns every node labeled by itself with
+    the internal change flag dropped from the result schema."""
+    raw = [(1, 2), (2, 1), (1, 2), (3, 4), (4, 5), (3, 5), (8, 9)]
+    pairs = spark.createDataFrame(raw, "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 11)], "id long")
+    out = D.connected_components(pairs, nodes)
+    assert out.columns == ["id", "component"]
+    comp = {r.id: r.component for r in out.collect()}
+    assert comp[1] == comp[2] == 1
+    assert comp[3] == comp[4] == comp[5] == 3
+    assert comp[8] == comp[9] == 8
+    assert comp[6] == 6 and comp[7] == 7 and comp[10] == 10
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out0 = D.connected_components(empty, nodes)
+    assert out0.columns == ["id", "component"]
+    assert {r.id: r.component for r in out0.collect()} == {
+        i: i for i in range(1, 11)
+    }
+
+
 def test_connected_components_deep_path(spark):
     """A path graph with diameter 40 must converge well inside the
     default 20-round budget — pointer jumping makes rounds O(log
