@@ -371,9 +371,16 @@ def ivf_topk(
     vector_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    _qm=None,
 ) -> DataFrame:
     """IVF query: probe the ``nprobe`` nearest centroid partitions, exact
     rerank inside them. ``(qid, id, score, rank)``.
+
+    ``_qm`` (internal): a pre-collected ``(qids, Q_unit, q_nulls)``
+    query matrix at the width of ``qvec_col`` — callers that already
+    collected the batch (``truncated_topk`` derives its truncated
+    matrix from ONE full-width collect) pass it so this function adds
+    no second query-side collect job.
 
     Fast path (bounded query batch + centroid set): ONE corpus scan
     carrying the per-row centroid assignment as a vectorized pandas_udf
@@ -394,7 +401,8 @@ def ivf_topk(
 
     cgot = B.collect_vectors(
         centroids.select(F.col("centroid_id").cast("long"), F.col("cvec")))
-    qm = _collect_queries(queries, qid_col, qvec_col, normalize=True)
+    qm = (_qm if _qm is not None
+          else _collect_queries(queries, qid_col, qvec_col, normalize=True))
     acol = nearest_centroid_col(centroids, F.col(vector_col), cgot=cgot)
     probe_rows = (_probe_rows_local(qm, centroids, nprobe, cgot=cgot)
                   if qm is not None and acol is not None else None)
@@ -518,7 +526,15 @@ def truncated_topk(
     rerank is an equi-join of the ``coarse_k``-bounded shortlist
     against the full-width table on id (prunes to matching files when
     id is the sort key) with the query batch broadcast — the corpus is
-    never rescanned at full width."""
+    never rescanned at full width.
+
+    The query batch is collected ONCE (bounded by the kernel collect
+    limit) and both stage matrices derive from it driver-side, the
+    same contract as :func:`truncated_topk_stored`: a query vector
+    carrying an element-level NULL is flagged null for BOTH stages
+    (the full-width fold nulls its scores regardless of where the
+    element sits). Oversized/mixed-width/duplicate-id batches fall
+    back to the per-stage Catalyst plans unchanged."""
     if coarse_dims < 1:
         raise ValueError(f"coarse_dims must be >= 1 (got {coarse_dims})")
     if coarse_k is None:
@@ -536,22 +552,43 @@ def truncated_topk(
         F.col(qid_col).cast("long").alias("qid"),
         F.slice(F.col(qvec_col), 1, coarse_dims).alias("qvec"),
     )
+    # r15 (same recipe as truncated_topk_stored r14): collect the query
+    # batch ONCE and derive BOTH stage matrices driver-side — the
+    # previous shape ran two collect jobs over the same query table
+    # (the coarse stage's truncated slice inside brute_force_topk, then
+    # the full-width rerank), and when ``queries`` is a derived plan
+    # each collect re-evaluated it end to end. The truncated matrix is
+    # the numpy prefix slice of the raw batch, unit-normalized after
+    # slicing — exactly what collecting ``F.slice(qvec, 1, coarse_dims)``
+    # produced (numpy clamps like slice when the batch is narrower).
+    from ..functions import batchscore as B
+
+    got = B.collect_vectors(queries.select(
+        F.col(qid_col).cast("long"), F.col(qvec_col)))
+    qm = None
+    qm_t = None
+    if got is not None:
+        qids, Qraw, q_nulls = got
+        if Qraw.shape[1] >= coarse_dims:
+            qm_t = (qids,) + B.seq_unit(
+                Qraw[:, :coarse_dims].copy(), q_nulls)
+        qm = (qids,) + B.seq_unit(Qraw, q_nulls)
     if num_centroids:
         cents = ivf_centroids_by_id(
             tv, num_centroids, id_col="id", vector_col="tvec"
         )
         coarse = ivf_topk(
             tv, cents, tq, coarse_k, nprobe,
-            id_col="id", vector_col="tvec",
+            id_col="id", vector_col="tvec", _qm=qm_t,
         )
+    elif qm_t is not None:
+        coarse = _topk_arrow(tv, qm_t, coarse_k, "id", "tvec",
+                             normalize_vectors=True)
     else:
         coarse = brute_force_topk(
             tv, tq, coarse_k, id_col="id", vector_col="tvec"
         )
-    qm = _collect_queries(queries, qid_col, qvec_col, normalize=True)
     if qm is not None:
-        from ..functions import batchscore as B
-
         v = vectors.select(
             F.col(id_col).cast("long").alias("id"),
             F.col(vector_col).alias("_vraw"),

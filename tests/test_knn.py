@@ -373,6 +373,30 @@ def test_truncated_topk_ivf_coarse_and_validation(emb, queries):
         truncated_topk(emb, queries, 5, coarse_dims=0)
 
 
+def test_truncated_topk_query_narrower_than_coarse_dims(emb, queries):
+    """r15 single-collect: a query batch NARROWER than ``coarse_dims``
+    skips the driver-derived truncated matrix (the numpy prefix slice
+    would clamp where the coarse corpus slice does not) and falls back
+    to the per-stage path — F.slice clamps BOTH sides to the query
+    width, so the coarse stage still scores width-matched pairs and
+    the full-width rerank nulls every score (16-wide query vs 64-wide
+    corpus zip_with pads with NULL). Rows still come back ranked with
+    NULL scores sorted last — the pre-change plan's exact semantics."""
+    from pyspark.sql import functions as F
+
+    from lshrs_spark.operators.knn import truncated_topk
+
+    narrow = queries.select(
+        "qid", F.slice("qvec", 1, 16).alias("qvec"))
+    out = truncated_topk(emb, narrow, 3, coarse_dims=32, coarse_k=10)
+    rows = out.collect()
+    assert {r.qid for r in rows} == {0, 1, 2}
+    assert all(1 <= r.rank <= 3 for r in rows)
+    # full-width rerank of a 16-wide query against the 64-wide corpus:
+    # Catalyst's zip_with pads -> NULL scores, kernel must agree
+    assert all(r.score is None for r in rows)
+
+
 def test_ivf_split_centroid_skew_repair(spark, tmp_path):
     from lshrs_spark.operators.knn import (
         ivf_hot_centroids,
