@@ -347,15 +347,29 @@ def minhash_band_pairs(
     Jaccard truth vs these banded candidates) before trusting a
     config at scale.
 
-    Deliberately NOT persisted: the band-key pipeline is deterministic
-    (md5 of content), so the two self-join sides recomputing it is
-    correct, and measured cheaper AND far more stable than cycling an
-    eager persist through the cache (r3 bench showed 2x rep-to-rep
-    degradation from persist/evict churn; recompute is flat). Callers
-    with a NONdeterministic input (sample/limit upstream) must persist
-    or materialize it themselves before calling."""
-    key = minhash_band_keys(df, num_hashes, rows_per_band, n, id_col,
-                            text_col, seed, base_hash)
+    The band-key table is persisted through the bounded slot registry
+    (eager, invocation-scoped — re-invoking unpersists the previous
+    copy first, so repeated calls recompute from the input) before the
+    self-join: the tokenize + base-hash + 8-min-aggregate pipeline
+    runs ONCE instead of once per join side. Re-measured r15
+    (interleaved in-process A/B, `AB_minhash_r15.json`): recompute
+    1.336 vs persist 1.011 s min on the xxh control, and the md5 line
+    halves its exposure to the documented JCA digest stall. The r3
+    persist/evict churn that originally rejected this is gone — the
+    slot registry unpersists BLOCKING (see ``cache._safe_unpersist``).
+    A hash(band, sig) repartition before the persist was ALSO measured
+    and rejected (1.532/1.347 s — the r14 simhash lesson: these
+    self-joins broadcast at bench scale, so the extra exchange buys
+    nothing locally; at a scale where the join shuffles, the cached
+    narrow table shuffles once per side, still cheaper than two full
+    pipeline evaluations). Persisting also removes the former hazard
+    note for NONdeterministic inputs (sample/limit upstream): both
+    sides now read one materialization."""
+    key = persist_slot(
+        minhash_band_keys(df, num_hashes, rows_per_band, n, id_col,
+                          text_col, seed, base_hash),
+        "dedup.minhash_band_pairs", eager=True,
+    )
     a = key.alias("a")
     b = key.alias("b")
     return (
