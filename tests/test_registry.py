@@ -486,3 +486,25 @@ def test_quiet_guard_carries_steal_and_flips_on_threshold(monkeypatch):
                                                  "procs_running": None})
     g3 = bl.quiet_guard(32)
     assert g3["steal_pct"] is None and g3["load_divergence"] is False
+
+
+def test_quiet_guard_records_cpu_efficiency(monkeypatch):
+    """r15 session 2: the hypervisor-contention canary is RECORDED in
+    every guard block (observational — it must never flip quiet until
+    a clean-epoch threshold is justified)."""
+    import tools.bench_lines as bl
+
+    got = bl.cpu_efficiency_sample(nproc=2, burn_s=0.05)
+    assert set(got) == {"cpu_eff_pct", "cpu_single_mops"}
+    assert got["cpu_eff_pct"] is None or 0.0 < got["cpu_eff_pct"] <= 200.0
+
+    monkeypatch.setattr(bl, "cpu_efficiency_sample",
+                        lambda nproc=None, burn_s=0.35: {
+                            "cpu_eff_pct": 12.0,
+                            "cpu_single_mops": 30.0})
+    monkeypatch.setattr(bl, "cpu_steal_sample",
+                        lambda interval_s=0.25: {"steal_pct": 0.0,
+                                                 "procs_running": 1})
+    g = bl.quiet_guard(32)
+    assert g["cpu_eff_pct"] == 12.0
+    assert g["quiet"] is True  # observational: never flips quiet

@@ -175,6 +175,49 @@ def cpu_steal_sample(interval_s: float = STEAL_SAMPLE_S) -> dict:
     return {"steal_pct": pct, "procs_running": running}
 
 
+def _eff_burn(burn_s: float) -> int:
+    """Time-boxed pure-CPU burn; returns iterations done. Module-level
+    so multiprocessing can resolve it by name in forked workers."""
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < burn_s:
+        for _ in range(10000):
+            n += 1
+    return n
+
+
+def cpu_efficiency_sample(nproc: int | None = None,
+                          burn_s: float = 0.35) -> dict:
+    """``{"cpu_eff_pct", "cpu_single_mops"}`` — N-process aggregate
+    throughput as a percentage of N x the single-process rate, over a
+    short pure-CPU burn. This is the co-tenant CONTENTION canary the
+    steal counter cannot see (r15 session 2): two closing-bench
+    attempts ran uniformly ~1.5x slow under steal_pct 0.0 and a green
+    start guard — vCPU throughput was degraded by hypervisor-level
+    contention that only manifests under full-width load (measured
+    59-70% efficiency during the episode; single-thread serving lines
+    stayed flat). OBSERVATIONAL for now: recorded in every guard
+    block so a clean-epoch distribution accrues, but it does not flip
+    ``quiet`` until a threshold is justified by that distribution —
+    the clean-host ceiling of this box is not yet known. Nones on any
+    failure (non-Linux, fork limits)."""
+    import multiprocessing as mp
+
+    if nproc is None:
+        nproc = min(32, os.cpu_count() or 8)
+    try:
+        single = _eff_burn(burn_s) / burn_s
+        with mp.Pool(nproc) as pool:
+            counts = pool.map(_eff_burn, [burn_s] * nproc)
+        total = sum(counts) / burn_s
+        return {
+            "cpu_eff_pct": round(100.0 * total / (nproc * single), 1),
+            "cpu_single_mops": round(single / 1e6, 1),
+        }
+    except Exception:
+        return {"cpu_eff_pct": None, "cpu_single_mops": None}
+
+
 def io_canary(paths, *, sample_bytes: int = 32 << 20,
               block: int = 1 << 20, phase: int = 0) -> dict:
     """Timed fixed-size touch-read of the files under ``paths`` — the
@@ -343,6 +386,9 @@ def quiet_guard(cpus: int, *, own_jvms: int = 0, io_paths=None) -> dict:
     )
     if steal["steal_pct"] is not None and steal["steal_pct"] > STEAL_QUIET_PCT:
         guard["quiet"] = False
+    # r15 session 2: hypervisor-contention canary (see
+    # cpu_efficiency_sample) — recorded, does not yet flip quiet.
+    guard.update(cpu_efficiency_sample())
     if io_paths is not None:
         guard["io"] = io_canary(io_paths)
         guard["quiet"] = guard["quiet"] and guard["io"]["io_quiet"]
